@@ -1,0 +1,196 @@
+package graft
+
+/** DuckDB-1.0 oracle SQL for graft.operators.Relational (SURVEY.md §2).
+  *
+  * Conventions mirrored from the Spark side (see Relational's scaladoc):
+  * exact integer cents via CAST(round(x*100) AS BIGINT); every HUGEINT
+  * sum re-cast to BIGINT so parquet<->duckdb schemas agree; timestamps
+  * emitted via strftime; total ORDER BY with unique tiebreakers.
+  */
+object RelationalOracles {
+  private val cents = "CAST(round(%s*100) AS BIGINT)"
+  private def c(col: String) = cents.format(col)
+  /** revenue term: cents * (100 - discount_pct), summed as exact ints */
+  private val rev =
+    "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)"
+
+  val sql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(${c("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |  $rev AS sum_disc_x10000,
+         |  count(*) AS cnt,
+         |  CAST(CAST(sum(l_quantity) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${c("l_extendedprice")} AS price_cents,
+         |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-04-01' AND l_quantity >= 45
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_top_revenue" ->
+      s"""SELECT l_orderkey, $rev AS revenue_x10000,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue_x10000 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $rev AS revenue_x10000
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY revenue_x10000 DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(sum(${c("l_extendedprice")} *
+         |    CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+         |  AS revenue_x10000, count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 2 AND 4
+         |  AND l_quantity < 25""".stripMargin,
+
+    "q7_distinct_parts" ->
+      """SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q8_topk_orders" ->
+      s"""SELECT o_orderkey, ${c("o_totalprice")} AS total_cents,
+         |  o_orderpriority
+         |FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "q9_global_sort" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_orderkey,
+        |  l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_secondary_sort" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+
+    "q11_window_rank" ->
+      s"""SELECT c_nationkey, c_custkey, acctbal_cents, rnk FROM (
+         |  SELECT c_nationkey, c_custkey,
+         |    ${c("c_acctbal")} AS acctbal_cents,
+         |    CAST(rank() OVER (PARTITION BY c_nationkey
+         |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+         |  FROM customer) WHERE rnk <= 3
+         |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+
+    "q12_rollup_revenue" ->
+      s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         |  coalesce(l_linestatus, '(all)') AS linestatus,
+         |  CAST(sum(${c("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |  count(*) AS cnt
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q13_cust_order_counts" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_having" ->
+      """SELECT l_partkey, count(*) AS cnt,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 45
+        |ORDER BY 1""".stripMargin,
+
+    "q15_union_counts" ->
+      """SELECT nationkey, kind, count(*) AS cnt FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q16_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY 1""".stripMargin,
+
+    "q17_small_qty_parts" ->
+      s"""SELECT CAST(sum(${c("l_extendedprice")}) AS BIGINT)
+         |    AS sum_price_cents, count(*) AS n_rows
+         |FROM lineitem, (
+         |  SELECT l_partkey AS p_key, CAST(sum(l_quantity) AS BIGINT)
+         |      AS qty_sum, count(*) AS qty_cnt
+         |  FROM lineitem GROUP BY 1) pp
+         |WHERE l_partkey = p_key
+         |  AND CAST(l_quantity AS BIGINT) * 2 * qty_cnt < qty_sum""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""SELECT c_custkey, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         |  ${c("o_totalprice")} AS total_cents, sum_qty
+         |FROM orders, customer, (
+         |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(sum(l_quantity) AS BIGINT) > 300) b
+         |WHERE o_orderkey = b.l_orderkey AND o_custkey = c_custkey
+         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+
+    "q19_event_windows" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(${c("value")}) AS BIGINT) AS value_cents
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q20_pivot_events" -> {
+      def n(t: String) =
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t"
+      s"""SELECT user_id, ${n("click")}, ${n("view")}, ${n("purchase")},
+         |  ${n("signup")}, ${n("error")},
+         |  CAST(sum(CASE WHEN event_type = 'purchase'
+         |    THEN ${c("value")} ELSE 0 END) AS BIGINT) AS purchase_cents
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q21_sessionize" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |    ELSE 0 END AS new_sess FROM (
+        |    SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ts FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_cube_orders" ->
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+         |  coalesce(o_orderpriority, '(all)') AS priority,
+         |  count(*) AS cnt,
+         |  CAST(sum(${c("o_totalprice")}) AS BIGINT) AS total_cents
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> Relational.q1PricingSummary _,
+    "q2_filter_project"    -> Relational.q2FilterProject _,
+    "q3_top_revenue"       -> Relational.q3TopRevenue _,
+    "q4_order_priority"    -> Relational.q4OrderPriority _,
+    "q5_nation_revenue"    -> Relational.q5NationRevenue _,
+    "q6_forecast_revenue"  -> Relational.q6ForecastRevenue _,
+    "q7_distinct_parts"    -> Relational.q7DistinctParts _,
+    "q8_topk_orders"       -> Relational.q8TopkOrders _,
+    "q9_global_sort"       -> Relational.q9GlobalSort _,
+    "q10_secondary_sort"   -> Relational.q10SecondarySort _,
+    "q11_window_rank"      -> Relational.q11WindowRank _,
+    "q12_rollup_revenue"   -> Relational.q12RollupRevenue _,
+    "q13_cust_order_counts" -> Relational.q13CustOrderCounts _,
+    "q14_having"           -> Relational.q14Having _,
+    "q15_union_counts"     -> Relational.q15UnionCounts _,
+    "q16_anti_join"        -> Relational.q16AntiJoin _,
+    "q17_small_qty_parts"  -> Relational.q17SmallQtyParts _,
+    "q18_large_orders"     -> Relational.q18LargeOrders _,
+    "q19_event_windows"    -> Relational.q19EventWindows _,
+    "q20_pivot_events"     -> Relational.q20PivotEvents _,
+    "q21_sessionize"       -> Relational.q21Sessionize _,
+    "q22_cube_orders"      -> Relational.q22CubeOrders _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = RelationalOracles.sql
 }

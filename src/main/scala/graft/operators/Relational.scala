@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational / MapReduce-equivalent core (SURVEY.md §2).
+  *
+  * Each query re-expresses a Hadoop MapReduce pattern Spark-first:
+  * the map→combine→partition→shuffle→sort→reduce pipeline of the
+  * reference (hadoop-mapreduce semantics; the reference tree at
+  * /root/reference ships common/hdfs/yarn — the processing model they
+  * serve) becomes a declarative plan Catalyst optimizes: partial
+  * (map-side) aggregation replaces combiners, broadcast hash joins
+  * replace map-side replicated joins, shuffle hash/sort-merge joins
+  * replace reduce-side joins, range partitioning replaces
+  * TotalOrderPartitioner (TeraSort), windows replace secondary sort.
+  *
+  * Determinism conventions (driver oracle hash-compares vs DuckDB):
+  *  - money is aggregated in exact integer cents (`cents`,
+  *    `centsX100`) — no floating-point sum-order sensitivity;
+  *  - every result has a total ORDER BY with a unique tiebreaker;
+  *  - timestamps are emitted as formatted strings;
+  *  - any emitted double is produced by an identical IEEE expression
+  *    in the oracle SQL (same ops, same order).
+  */
+object Relational {
+
+  /** Exact integer cents: round(x*100) as long. Mirror in SQL as
+    * CAST(round(x*100) AS BIGINT). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** Discount as exact integer percent. */
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+  private def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** TPC-H Q1 shape: scan-heavy groupBy agg. [MR: combiner + reduce —
+    * partial_sum runs map-side, final merge reduce-side; visible as
+    * HashAggregate(partial)→Exchange→HashAggregate(final).] */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+          .as("sum_disc_x10000"),
+        count(lit(1)).as("cnt"),
+        (sum(col("l_quantity")).cast("long").cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Map-only job: filter + project, both pushed to the parquet scan
+    * (PushedFilters + ReadSchema prune I/O — at 100 TB this is the
+    * difference between reading 2 columns and reading 11). */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp") &&
+              col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        dateStr(col("l_shipdate")).as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3 shape: selective dim ⋈ fact ⋈ fact + top-k.
+    * customer is broadcast (small side); orders⋈lineitem shuffles on
+    * orderkey. Top-10 via TakeOrderedAndProject — no global sort. */
+  def q3TopRevenue(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice")) *
+             (lit(100L) - pct(col("l_discount")))).as("revenue_x10000"))
+      .select(col("l_orderkey"), col("revenue_x10000"),
+        dateStr(col("o_orderdate")).as("order_date"))
+      .orderBy(col("revenue_x10000").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4 shape: EXISTS → left-semi join (no row duplication,
+    * build side only keeps keys). [MR: reduce-side semi-join.] */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 shape: 6-table join. All dims (region, nation,
+    * supplier) broadcast [MR: map-side replicated join / distributed
+    * cache]; the fact-fact orders⋈lineitem join shuffles once on
+    * orderkey. */
+  def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice")) *
+             (lit(100L) - pct(col("l_discount")))).as("revenue_x10000"))
+      .orderBy(col("revenue_x10000").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: selective scan + single global agg [MR: map +
+    * one reducer; here partial aggs mean the "reducer" sees one row
+    * per partition, not the data]. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              pct(col("l_discount")).between(2, 4) &&
+              col("l_quantity") < 25)
+      .agg(sum(cents(col("l_extendedprice")) * pct(col("l_discount")))
+        .as("revenue_x10000"),
+        count(lit(1)).as("n_rows"))
+
+  /** DISTINCT = shuffle-dedup [MR: identity mapper + identity reducer
+    * keyed on the full record]. */
+  def q7DistinctParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+
+  /** Global top-k WITHOUT a global sort: TakeOrderedAndProject keeps
+    * k rows per partition then merges [MR: per-mapper heap + single
+    * reduce merge]. At 100 TB a full sort here would be the bug. */
+  def q8TopkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"),
+        col("o_orderpriority"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** Total-order sort via range partitioning (sampled bounds) — the
+    * TeraSort pattern [MR: TotalOrderPartitioner + sampler]. Output
+    * stays distributed; coalescing to one file is the writer's
+    * choice, not the sort's. */
+  def q9GlobalSort(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(dateStr(col("l_shipdate")).as("ship_date"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+      .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+
+  /** Secondary sort: per-key ordered values via a window [MR:
+    * composite key + grouping comparator + value-ordered reduce]. */
+  def q10SecondarySort(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        dateStr(col("o_orderdate")).as("order_date"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** rank() within groups; top-3 per nation. */
+  def q11WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"),
+        cents(col("c_acctbal")).as("acctbal_cents"), col("rnk"))
+      .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
+  }
+
+  /** ROLLUP multi-level agg — one shuffle produces all grouping sets
+    * [MR: would be 3 separate jobs or a multi-output reducer]. */
+  def q12RollupRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_base_cents"), col("cnt"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** TPC-H Q13 shape: outer join keeping empty groups + second agg.
+    * [MR: outer reduce-side join + follow-up count job.] */
+  def q13CustOrderCounts(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** GROUP BY + HAVING — the filter runs post-aggregate, after the
+    * map-side partials merged. */
+  def q14Having(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("cnt") >= 45)
+      .orderBy(col("l_partkey"))
+
+  /** UNION ALL of two inputs + agg [MR: MultipleInputs job]. */
+  def q15UnionCounts(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("int").as("nationkey"),
+        lit("customer").as("kind"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_nationkey").cast("int").as("nationkey"),
+        lit("supplier").as("kind"))
+    c.unionAll(sup)
+      .groupBy(col("nationkey"), col("kind"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("nationkey"), col("kind"))
+  }
+
+  /** NOT EXISTS → left-anti join: customers with no very large order. */
+  def q16AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** TPC-H Q17 shape: per-group average as a filter. The boundary
+    * predicate is kept in exact integer arithmetic
+    * (2*qty*cnt < sum  ⟺  qty < 0.5*avg) so no float compare can
+    * disagree with the oracle. The per-part agg is tiny → broadcast. */
+  def q17SmallQtyParts(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val perPart = l.groupBy(col("l_partkey").as("p_key"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty_sum"),
+        count(lit(1)).as("qty_cnt"))
+    l.join(broadcast(perPart), col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity").cast("long") * 2 * col("qty_cnt") < col("qty_sum"))
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q18 shape: agg → filter → join back to facts. The
+    * aggregated key set is small → broadcast back. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val bigOrders = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        dateStr(col("o_orderdate")).as("order_date"),
+        cents(col("o_totalprice")).as("total_cents"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** Event-time tumbling window agg (batch twin of the Structured
+    * Streaming job in graft.streaming.EventStreams). */
+  def q19EventWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Pivot via conditional aggregation — one shuffle, no per-column
+    * jobs. */
+  def q20PivotEvents(s: SparkSession, d: String): DataFrame = {
+    def cnt(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"),
+        cnt("error"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L)).as("purchase_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Sessionization: 30-min-gap sessions per user via lag window
+    * [MR: secondary sort on (user, ts) + stateful reduce]. */
+  def q21Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+          1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** CUBE grouping sets over orders. */
+  def q22CubeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("cnt"), col("total_cents"))
+      .orderBy(col("status"), col("priority"))
+}

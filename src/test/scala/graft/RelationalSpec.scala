@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("all declared queries run and return rows on sf0.001") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q1 groups by (returnflag, linestatus) with exact cent sums") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length >= 4 && rows.length <= 9)
+    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(flags.distinct.size == flags.size)
+    assert(rows.forall(_.getLong(3) > 0)) // sum_base_cents positive
+  }
+
+  test("q8 top-k is ordered and bounded") {
+    val rows = SparkEntry.queries("q8_topk_orders")(spark, sf).collect()
+    assert(rows.length == 15)
+    val totals = rows.map(_.getLong(1)).toSeq
+    assert(totals == totals.sorted.reverse)
+  }
+
+  test("q13 histogram covers every customer exactly once") {
+    val rows = SparkEntry.queries("q13_cust_order_counts")(spark, sf).collect()
+    val nCust = rows.map(_.getLong(1)).sum
+    assert(nCust == 150L) // sf0.001 customer count
+  }
+
+  test("q21 sessions never exceed events per user") {
+    val rows = SparkEntry.queries("q21_sessionize")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("every query key has either an oracle or is documented rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash", "sim_knn_lsh")
+    assert((missing -- rowsOnly).isEmpty,
+      s"queries without oracle: ${missing -- rowsOnly}")
+  }
+}
