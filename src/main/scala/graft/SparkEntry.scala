@@ -33,9 +33,18 @@ object SparkEntry {
     "q20_pivot_events"     -> Relational.q20PivotEvents _,
     "q21_sessionize"       -> Relational.q21Sessionize _,
     "q22_cube_orders"      -> Relational.q22CubeOrders _,
+    "mr_wordcount"         -> MapReduceClassics.wordCount _,
+    "mr_grep"              -> MapReduceClassics.grep _,
+    "mr_inverted_index"    -> MapReduceClassics.invertedIndex _,
+    "mr_word_stats"        -> MapReduceClassics.wordStats _,
+    "txt_tokens"           -> TextAnalysis.tokens _,
+    "txt_quality"          -> TextAnalysis.quality _,
+    "txt_langid"           -> TextAnalysis.langId _,
+    "txt_fingerprint"      -> TextAnalysis.fingerprint _,
+    "txt_ngrams"           -> TextAnalysis.ngrams _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = RelationalOracles.sql
+  def oracleSql: Map[String, String] = RelationalOracles.sql ++ TextOracles.sql
 }

@@ -1,0 +1,88 @@
+package graft
+
+/** DuckDB oracle SQL for MapReduceClassics and TextAnalysis.
+  *
+  * Tokenization mirror: regexp_split_to_array(trim(text), '\s+') ==
+  * Spark split(trim(text), "\\s+"). Ratios use DuckDB's integer `//`
+  * to mirror Spark's `div` (both truncate toward zero for positives —
+  * a double CAST would round in DuckDB but truncate in Spark).
+  */
+object TextOracles {
+  private val words =
+    """SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |FROM documents""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "mr_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM ($words)
+         |WHERE length(word) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mr_grep" ->
+      """SELECT needle, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(text,
+        |    '(scan|join|sort|merge|hash)', 1)) AS needle FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, needle""".stripMargin,
+
+    "mr_inverted_index" ->
+      s"""SELECT word, count(*) AS df, min(doc_id) AS first_doc FROM (
+         |  SELECT DISTINCT doc_id, word FROM ($words)
+         |  WHERE length(word) > 0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mr_word_stats" ->
+      s"""SELECT count(*) AS n_words,
+         |  CAST(sum(len) AS BIGINT) AS sum_len,
+         |  CAST(sum(len * len) AS BIGINT) AS sum_len_sq,
+         |  min(len) AS min_len, max(len) AS max_len,
+         |  CAST(CAST(sum(len) AS BIGINT) AS DOUBLE) / count(*) AS mean_len
+         |FROM (SELECT CAST(length(word) AS BIGINT) AS len FROM ($words)
+         |      WHERE length(word) > 0)""".stripMargin,
+
+    "txt_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+        |  n_tokens, stop_hits,
+        |  (100 * nospace_len) // n_tokens AS mean_tok_len_x100,
+        |  (10000 * stop_hits) // n_tokens AS stop_bps
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w IN ('the','a','of','to','and','in','is','it')))
+        |      AS BIGINT) AS stop_hits,
+        |    CAST(length(replace(trim(text), ' ', '')) AS BIGINT)
+        |      AS nospace_len
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN 10 * CAST(len(list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w IN ('the','a','of','to','and','in','is','it')))
+        |      AS BIGINT)
+        |    >= CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    THEN 'en' ELSE 'und' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_ngrams" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+        |  SELECT t[i] || '_' || t[i+1] AS bigram FROM (
+        |    SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM (
+        |      SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM documents)))
+        |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+  )
+}
