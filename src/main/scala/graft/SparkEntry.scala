@@ -42,9 +42,18 @@ object SparkEntry {
     "txt_langid"           -> TextAnalysis.langId _,
     "txt_fingerprint"      -> TextAnalysis.fingerprint _,
     "txt_ngrams"           -> TextAnalysis.ngrams _,
+    "dedup_exact"          -> Dedup.exact _,
+    "dedup_ngram_jaccard"  -> Dedup.ngramJaccard _,
+    "dedup_minhash_lsh"    -> Dedup.minhashLsh _,
+    "dedup_simhash"        -> Dedup.simhash _,
+    "dedup_embedding"      -> Dedup.embedding _,
+    "sim_knn_brute"        -> Similarity.knnBrute _,
+    "sim_knn_lsh"          -> Similarity.knnLsh _,
+    "mm_meta"              -> Multimodal.meta _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = RelationalOracles.sql ++ TextOracles.sql
+  def oracleSql: Map[String, String] =
+    RelationalOracles.sql ++ TextOracles.sql ++ PipelineOracles.sql
 }

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{SimHashAgg, VectorFunctions}
+import graft.sources.Tables
+
+/** Deduplication family for an LLM training-data pipeline
+  * (SURVEY.md §2): exact, shingle-Jaccard, MinHash+LSH, SimHash,
+  * and embedding-cosine near-dup detection over `documents` /
+  * `embeddings`.
+  *
+  * Scale posture: nothing here is O(n²) except the explicitly-exact
+  * `dedup_embedding` reference operator. Candidate generation always
+  * goes through blocking (inverted shingle index, LSH band buckets,
+  * SimHash bands) so the shuffled pair set is proportional to true
+  * near-duplicates, not to n² — the only strategy that survives 100 TB.
+  * Jaccard thresholds compare in exact integer arithmetic
+  * (9*inter >= 4*(na+nb) ⟺ jac >= 0.8) so oracle hashing is stable.
+  */
+object Dedup {
+
+  /** Distinct 3-token shingles per document. 3-grams (not unigrams)
+    * because tiny-vocabulary corpora make word-set Jaccard
+    * near-useless (measured: 30k unigram pairs >= 0.8 vs 25 true
+    * 3-gram near-dups at sf0.01). */
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), explode(when(size(col("t")) >= 3, expr(
+        """transform(sequence(1, size(t) - 2),
+           i -> concat(element_at(t, i), '_', element_at(t, i + 1), '_',
+                       element_at(t, i + 2)))"""))
+        .otherwise(expr("cast(array() as array<string>)"))).as("sh"))
+      .distinct()
+
+  /** Exact dedup: group by content hash, survivor = min doc_id.
+    * [MR: identity-map on (hash, id) + reduce; here one hash shuffle
+    * of 16-byte keys.] */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("fp"))
+
+  /** Candidate pairs sharing at least one shingle, with exact shingle
+    * counts. Blocking via the inverted index: the self-join key is the
+    * shingle, so only documents that actually share content ever meet
+    * in the shuffle. */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("x"), col("sh"))
+    val b = sh.select(col("doc_id").as("y"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("x"), col("n_sh").as("na"))), Seq("x"))
+      .join(broadcast(sizes.select(col("doc_id").as("y"), col("n_sh").as("nb"))), Seq("y"))
+  }
+
+  /** Shingle-Jaccard near-dup pairs at tau = 0.8, exact arithmetic. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    candidatePairs(s, d)
+      .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
+      .select(col("x"), col("y"), col("inter"), col("na"), col("nb"),
+        expr("(100 * inter) div (na + nb - inter)").as("jac_pct"))
+      .orderBy(col("x"), col("y"))
+
+  /** MinHash(128) + banded LSH (16 bands x 8 rows), then exact-Jaccard
+    * verification of the candidates only. At tau = 0.8 the bands catch
+    * a true pair with prob ~1 - (1 - 0.8^8)^16 ≈ 0.96 per band config;
+    * verification keeps precision exact. Rows-only oracle (hash family
+    * is Spark-side xxhash64); the spec asserts equality with the
+    * exhaustive `ngramJaccard` result. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val P = 2147483647L // 2^31 - 1, prime; products stay within 2^62
+    val rnd = new scala.util.Random(42)
+    val as = Array.fill(128)(1L + rnd.nextInt(Int.MaxValue - 1))
+    val bs = Array.fill(128)(rnd.nextInt(Int.MaxValue).toLong)
+    val sh = shingles(s, d)
+    val sigs = sh
+      .select(col("doc_id"), expr(s"pmod(xxhash64(sh), ${P}L)").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        expr(
+          s"""transform(sequence(0, 127), i -> array_min(transform(hs,
+             |h -> pmod(element_at(array(${as.mkString(",")}), i + 1) * h
+             |        + element_at(array(${bs.mkString(",")}), i + 1), ${P}L))))"""
+            .stripMargin.replace("\n", " ")).as("sig"))
+    val bands = sigs.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 15),
+         b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',',
+                slice(sig, b * 8 + 1, 8)))))""")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.select(col("doc_id").as("x"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("y"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+    // exact verification restricted to LSH candidates
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val interOfCand = cand
+      .join(sh.select(col("doc_id").as("x"), col("sh")), Seq("x"))
+      .join(sh.select(col("doc_id").as("y"), col("sh").as("sh2")), Seq("y"))
+      .filter(col("sh") === col("sh2"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("inter"))
+    interOfCand
+      .join(broadcast(sizes.select(col("doc_id").as("x"), col("n_sh").as("na"))), Seq("x"))
+      .join(broadcast(sizes.select(col("doc_id").as("y"), col("n_sh").as("nb"))), Seq("y"))
+      .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
+      .select(col("x"), col("y"),
+        expr("(100 * inter) div (na + nb - inter)").as("jac_pct"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures from the native
+    * SimHashAgg aggregate, banded into 4x16-bit blocks (any pair at
+    * Hamming distance <= 3 shares at least one intact block), then
+    * exact Hamming verification via bit_count(xor). Rows-only oracle;
+    * spec checks containment vs the Jaccard truth set. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("w"))
+    val sigs = words
+      .groupBy(col("doc_id"))
+      .agg(SimHashAgg.simhash(xxhash64(col("word")), col("w")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
+      """transform(sequence(0, 3),
+         b -> named_struct('band', b,
+               'bv', (sig >> (b * 16)) & 65535))""")).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.select(col("doc_id").as("x"), col("sig").as("sx"), col("band"), col("bv"))
+      .join(bands.select(col("doc_id").as("y"), col("sig").as("sy"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        expr("bit_count(sx ^ sy)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** Embedding-cosine near-dup pairs at tau = 0.45 — the exact
+    * reference operator (deliberately O(n²); this is the correctness
+    * baseline the blocked/LSH path is judged against; at production
+    * scale use Similarity.knnLsh blocking instead). Threshold chosen
+    * off the data's cosine gap (closest pair-to-threshold distance
+    * >= 1e-4 at every test SF) so float-vs-double evaluation order
+    * can never flip membership. */
+  def embedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("y"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("x") < col("y"))
+      .filter(VectorFunctions.cosineSim(col("ea"), col("eb")) >= 0.45)
+      .select(col("x"), col("y"))
+      .orderBy(col("x"), col("y"))
+  }
+}

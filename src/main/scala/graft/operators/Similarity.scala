@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2): brute-force cosine top-k as the exact baseline and
+  * a random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * The top-k never global-sorts: `topKPerGroup` reduces each input
+  * partition to k rows per group first (the per-mapper heap of a
+  * MapReduce top-k job), then resolves the final k on the tiny
+  * residue — two narrow windows instead of one giant one, so a skewed
+  * or small group count cannot serialize the cluster.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NQ = 20 // query set: vec_id < NQ
+
+  /** Two-phase per-group top-k by (orderCol desc, tieCol asc). */
+  private[operators] def topKPerGroup(
+      df: DataFrame, group: Column, order: Column, tie: Column, k: Int): DataFrame = {
+    val phase1 = Window.partitionBy(group, spark_partition_id())
+      .orderBy(order.desc, tie.asc)
+    val phase2 = Window.partitionBy(group).orderBy(order.desc, tie.asc)
+    df.withColumn("_p1", row_number().over(phase1))
+      .filter(col("_p1") <= k).drop("_p1")
+      .withColumn("rank", row_number().over(phase2).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  private def queries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact top-k neighbors: broadcast the query block, one streaming
+    * pass over the candidate corpus (this is how brute-force kNN
+    * scales — the big side is never shuffled, only reduced). */
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val cand = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val scored = cand.crossJoin(broadcast(queries(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_emb"), col("embedding")))
+    topKPerGroup(scored, col("q_id"), col("cos"), col("vec_id"), K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: 12 random hyperplanes (fixed seed) -> 12-bit
+    * signature -> 4 bands x 3 bits. Candidates = corpus vectors
+    * sharing at least one band with the query; exact cosine re-ranks
+    * the candidates. Rows-only oracle; the spec measures recall vs
+    * knnBrute. */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val planes = 12
+    val bandBits = 3
+    val rnd = new scala.util.Random(7)
+    val hp: Array[Array[Double]] =
+      Array.fill(planes)(Array.fill(64)(rnd.nextGaussian()))
+    def sigExpr(embCol: String): Column = {
+      val bits = (0 until planes).map { i =>
+        val arr = hp(i).mkString(",")
+        s"""(CASE WHEN aggregate(zip_with($embCol, array($arr),
+           |  (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v) >= 0
+           |  THEN ${1 << i} ELSE 0 END)""".stripMargin.replace("\n", " ")
+      }
+      expr(bits.mkString("(", " + ", ")")).cast("long")
+    }
+    def bandsOf(df: DataFrame, embCol: String): DataFrame =
+      df.withColumn("sig", sigExpr(embCol))
+        .select(df.columns.map(col) :+ explode(expr(
+          s"""transform(sequence(0, ${planes / bandBits - 1}),
+              b -> named_struct('band', b,
+                    'bv', (sig >> (b * $bandBits)) & ${(1 << bandBits) - 1}))"""))
+          .as("bb"): _*)
+        .select(df.columns.map(col) :+ col("bb.band").as("band") :+
+          col("bb.bv").as("bv"): _*)
+    val qBands = bandsOf(queries(s, d), "q_emb")
+    val cBands = bandsOf(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "embedding")
+    val cand = cBands.join(broadcast(qBands), Seq("band", "bv"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_emb"), col("embedding")))
+    topKPerGroup(cand, col("q_id"), col("cos"), col("vec_id"), K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Correctness of the approximate (rows-only-oracle) operators against
+  * their exact counterparts at sf0.001. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactPairs: Set[(Long, Long)] = pairSet(Dedup.ngramJaccard(spark, sf))
+
+  test("minhash+LSH finds exactly the exact-Jaccard pair set (tau=0.8)") {
+    val lsh = pairSet(Dedup.minhashLsh(spark, sf))
+    // LSH candidates are verified with exact Jaccard, so precision is 1;
+    // recall at tau=0.8 with 16x8 bands is ~1 - (1-0.8^8)^16 ~ 0.96
+    assert(exactPairs.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh.subsetOf(exactPairs), s"false positives: ${lsh -- exactPairs}")
+    assert(lsh.size >= (exactPairs.size * 0.9).toInt,
+      s"recall too low: ${lsh.size}/${exactPairs.size}")
+  }
+
+  test("simhash bands find the planted near-dups") {
+    val sim = pairSet(Dedup.simhash(spark, sf))
+    // hamming<=3 on 64-bit simhash is a tighter notion than jaccard>=0.8;
+    // it must at least overlap the planted dups and add no wild pairs
+    assert(sim.nonEmpty, "no simhash pairs found")
+    val overlap = sim.intersect(exactPairs).size
+    assert(overlap >= math.min(sim.size, exactPairs.size) / 2,
+      s"simhash pairs disjoint from jaccard truth: $overlap")
+  }
+
+  test("knn LSH achieves useful recall vs brute force") {
+    def nbrs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = nbrs(Similarity.knnBrute(spark, sf))
+    val lsh = nbrs(Similarity.knnLsh(spark, sf))
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, f"recall $recall%.2f below 0.5")
+  }
+
+  test("exact dedup groups every document exactly once") {
+    val total = Dedup.exact(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_dups")).collect()(0).getLong(0)
+    assert(total == 500L) // sf0.001 documents count
+  }
+
+  test("cosine expression agrees with a hand computation") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosineSim
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1f, 0f, 2f), Array(2f, 1f, 0f)))
+      .toDF("a", "b")
+    val got = df.select(cosineSim(col("a"), col("b"))).collect()(0).getDouble(0)
+    val want = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+}
