@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming jobs over the `events` table (SURVEY.md §2).
+  *
+  * The reference's streaming story was batch jobs re-run on new HDFS
+  * files; Structured Streaming's file source is the same model made
+  * incremental — each new file becomes a micro-batch, with watermarks
+  * bounding state instead of full recomputation. The batch twins
+  * (Relational.q19EventWindows / q21Sessionize) share the
+  * aggregation logic, which is how the oracle covers them.
+  */
+object EventStreams {
+
+  /** events schema with ts as raw parquet nanos (long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet; ts converted to a
+    * proper timestamp with exact integer division (see Tables.events).
+    * The file source requires a directory (in production events land
+    * as files in a drop directory); a single-file test input is staged
+    * behind a symlink directory. */
+  def readEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = new java.io.File(s"$d/events.parquet")
+    val path =
+      if (src.isFile) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-events-")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"), src.toPath)
+        dir.toFile.deleteOnExit()
+        dir.toString
+      } else src.toString
+    s.readStream
+      .schema(rawSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time windows with a 1-hour watermark —
+    * the streaming twin of q19_event_windows. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: 30-min-gap
+    * sessions per user, emitted on completion of each micro-batch
+    * group. State is one (lastTs, counts) pair per user — bounded,
+    * unlike a global sort. Batch twin: q21_sessionize. */
+  def sessionize(events: DataFrame): Dataset[UserSessions] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), UserSessions](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SessionEvent],
+         state: GroupState[(Long, Long, Long)]) =>
+          val gapUs = 1800000000L
+          val (prevLast, prevEvents, prevSessions) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          var last = prevLast
+          var nEvents = prevEvents
+          var nSessions = prevSessions
+          it.toSeq.sortBy(_.ts_us).foreach { e =>
+            if (last == Long.MinValue || e.ts_us - last > gapUs) nSessions += 1
+            last = e.ts_us
+            nEvents += 1
+          }
+          state.update((last, nEvents, nSessions))
+          Iterator(UserSessions(user, nEvents, nSessions))
+      }
+  }
+}

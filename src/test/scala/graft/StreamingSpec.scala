@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Streaming jobs must agree with their batch twins on the same data:
+  * the parquet file drives one micro-batch via processAllAvailable. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming hourly counts equal batch q19") {
+    val q = EventStreams.hourlyCounts(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode only emits windows the watermark has closed; compare
+    // those against the batch result restricted to the same hours
+    val streamed = spark.table("hourly")
+      .select("hour", "event_type", "n", "value_cents").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = SparkEntry.queries("q19_event_windows")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed.nonEmpty, "streaming emitted no closed windows")
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"window $k: streamed=$v batch=${batch.get(k)}")
+    }
+  }
+
+  test("stateful sessionization equals batch q21") {
+    val q = EventStreams.sessionize(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = SparkEntry.queries("q21_sessionize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+}
