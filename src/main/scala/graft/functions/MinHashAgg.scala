@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature as a native Catalyst aggregate.
+  *
+  * Input rows are element hashes (long, pre-reduced mod P); the buffer
+  * is the running minimum of (a_i*h + b_i) mod P for each of `perms`
+  * universal-hash permutations; eval emits the signature as
+  * array<long>.
+  *
+  * Replaces an expression-tree formulation (collect_list +
+  * nested transform over literal arrays) that rebuilt a 128-literal
+  * array per element evaluation — measured 14.9s -> sub-second on the
+  * sf0.1 documents table. Map-side partial aggregation means each
+  * shuffle carries one 128-long buffer per (partition, doc), the
+  * combiner pattern of the reference's MapReduce model.
+  */
+case class MinHashAgg(
+    child: Expression,
+    perms: Int,
+    seed: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val P = 2147483647L // 2^31 - 1 (prime); a*h + b stays < 2^62
+
+  @transient private lazy val (as, bs) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(perms)(1L + rnd.nextInt(Int.MaxValue - 1)),
+     Array.fill(perms)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(perms)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long] % P
+      var i = 0
+      while (i < perms) {
+        val m = (as(i) * h + bs(i)) % P
+        if (m < buf(i)) buf(i) = m
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < perms) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(perms * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(perms)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object MinHashAgg {
+  /** minhash_sig(elementHash) -> array<long> of length `perms`. */
+  def minhashSig(hash: Column, perms: Int = 128, seed: Long = 42L): Column =
+    Shim.toColumn(
+      MinHashAgg(Shim.toExpression(hash), perms, seed).toAggregateExpression())
+}

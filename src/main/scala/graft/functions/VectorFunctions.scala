@@ -66,10 +66,62 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature: bit i of the result is the sign
+  * of dot(vec, plane_i). Planes are plan constants (passed via
+  * addReferenceObj in codegen), so the inner loop is a tight
+  * primitive double loop — the expression-tree formulation rebuilt a
+  * 64-literal array per element per plane.
+  */
+case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSignature.evalArray(v.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => {
+      val m = ctx.addReferenceObj("planes", matrix, "double[][]")
+      s"graft.functions.HyperplaneSignature.evalArray($x, $m)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  /** Shared by interpreted and codegen paths. */
+  def evalArray(x: ArrayData, matrix: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < matrix.length) {
+      val plane = matrix(p)
+      val n = math.min(x.numElements(), plane.length)
+      var dot = 0d
+      var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * plane(i); i += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
 object VectorFunctions {
   /** Column-API entry point: cosine_similarity(a, b) over
     * array<float> columns. */
   def cosineSim(a: Column, b: Column): Column =
     Shim.toColumn(
       CosineSimilarity(Shim.toExpression(a), Shim.toExpression(b)))
+
+  /** hyperplane_sig(vec) with constant planes — bit i is
+    * sign(dot(vec, plane_i)). */
+  def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
+    Shim.toColumn(HyperplaneSignature(Shim.toExpression(vec), planes))
 }

@@ -78,21 +78,11 @@ object Dedup {
     * is Spark-side xxhash64); the spec asserts equality with the
     * exhaustive `ngramJaccard` result. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val P = 2147483647L // 2^31 - 1, prime; products stay within 2^62
-    val rnd = new scala.util.Random(42)
-    val as = Array.fill(128)(1L + rnd.nextInt(Int.MaxValue - 1))
-    val bs = Array.fill(128)(rnd.nextInt(Int.MaxValue).toLong)
     val sh = shingles(s, d)
     val sigs = sh
-      .select(col("doc_id"), expr(s"pmod(xxhash64(sh), ${P}L)").as("h"))
+      .select(col("doc_id"), expr("pmod(xxhash64(sh), 2147483647L)").as("h"))
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"))
-      .select(col("doc_id"),
-        expr(
-          s"""transform(sequence(0, 127), i -> array_min(transform(hs,
-             |h -> pmod(element_at(array(${as.mkString(",")}), i + 1) * h
-             |        + element_at(array(${bs.mkString(",")}), i + 1), ${P}L))))"""
-            .stripMargin.replace("\n", " ")).as("sig"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h")).as("sig"))
     val bands = sigs.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 15),
          b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',',

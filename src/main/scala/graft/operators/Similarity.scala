@@ -63,15 +63,9 @@ object Similarity {
     val rnd = new scala.util.Random(7)
     val hp: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(64)(rnd.nextGaussian()))
-    def sigExpr(embCol: String): Column = {
-      val bits = (0 until planes).map { i =>
-        val arr = hp(i).mkString(",")
-        s"""(CASE WHEN aggregate(zip_with($embCol, array($arr),
-           |  (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v) >= 0
-           |  THEN ${1 << i} ELSE 0 END)""".stripMargin.replace("\n", " ")
-      }
-      expr(bits.mkString("(", " + ", ")")).cast("long")
-    }
+    def sigExpr(embCol: String): Column =
+      graft.functions.VectorFunctions.hyperplaneSig(
+        col(embCol), hp.map(_.toSeq).toSeq)
     def bandsOf(df: DataFrame, embCol: String): DataFrame =
       df.withColumn("sig", sigExpr(embCol))
         .select(df.columns.map(col) :+ explode(expr(
