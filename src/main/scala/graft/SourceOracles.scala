@@ -1,0 +1,32 @@
+package graft
+
+/** DuckDB oracle SQL for SourceOps: each aggregates the ORIGINAL
+  * parquet table — the Spark side must survive its format round-trip
+  * with zero fidelity loss to match.
+  */
+object SourceOracles {
+  val sql: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_sequence_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |    AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents""".stripMargin,
+
+    "src_partitioned_prune" ->
+      """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+  )
+}

@@ -42,6 +42,7 @@ object SparkEntry {
     "txt_langid"           -> TextAnalysis.langId _,
     "txt_fingerprint"      -> TextAnalysis.fingerprint _,
     "txt_ngrams"           -> TextAnalysis.ngrams _,
+    "txt_rolling_fp"       -> TextAnalysis.rollingFingerprint _,
     "dedup_exact"          -> Dedup.exact _,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh"    -> Dedup.minhashLsh _,
@@ -50,10 +51,15 @@ object SparkEntry {
     "sim_knn_brute"        -> Similarity.knnBrute _,
     "sim_knn_lsh"          -> Similarity.knnLsh _,
     "mm_meta"              -> Multimodal.meta _,
+    "src_csv_roundtrip"    -> SourceOps.csvRoundtrip _,
+    "src_json_roundtrip"   -> SourceOps.jsonRoundtrip _,
+    "src_sequence_roundtrip" -> SourceOps.sequenceRoundtrip _,
+    "src_partitioned_prune" -> SourceOps.partitionedPrune _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOracles.sql ++ TextOracles.sql ++ PipelineOracles.sql
+    RelationalOracles.sql ++ TextOracles.sql ++ PipelineOracles.sql ++
+      SourceOracles.sql
 }

@@ -77,6 +77,14 @@ object TextOracles {
       """SELECT doc_id, md5(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "txt_rolling_fp" ->
+      """SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(lower(trim(text)), '.'),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "txt_ngrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
         |  SELECT t[i] || '_' || t[i+1] AS bigram FROM (

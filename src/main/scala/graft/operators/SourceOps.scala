@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Formats, Tables}
+
+/** Format round-trip operators (SURVEY.md §2 sources): each routes a
+  * table through a non-parquet format (the reference's I/O surface)
+  * and aggregates the result; the DuckDB oracle aggregates the
+  * original parquet, so any fidelity loss in the format hop fails the
+  * hash compare.
+  */
+object SourceOps {
+
+  private def scratch(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    dir.resolve("data").toString
+  }
+
+  /** orders -> gzip CSV -> read(schema) -> per-status totals. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-csv-")
+    Formats.writeCsv(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")),
+      path, codec = Some("gzip"))
+    Formats.readCsv(s, path,
+      "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** customer -> line-JSON -> read(schema) -> per-segment totals. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-json-")
+    Formats.writeJson(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal")),
+      path)
+    Formats.readJson(s, path,
+      "c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** documents -> SequenceFile(LongWritable, Text) -> read -> corpus
+    * stats. Exercises hadoop-common's own container format through the
+    * RDD bridge. */
+  def sequenceRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-seq-")
+    Formats.writeSequence(Tables.documents(s, d), path)
+    Formats.readSequence(s, path)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  /** lineitem -> hive-partitioned parquet by returnflag -> filtered
+    * read. Partition pruning must make the R-only read touch one
+    * directory; the oracle is the same filter on the flat parquet. */
+  def partitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-part-")
+    Formats.writePartitioned(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag")),
+      path, Seq("l_returnflag"))
+    Formats.readPartitioned(s, path)
+      .filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+  }
+}

@@ -75,6 +75,16 @@ object TextAnalysis {
         md5(lower(trim(col("text"))).cast("binary")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Rabin-Karp rolling-hash fingerprint (native codegen expression;
+    * the md5 variant above is the cryptographic cousin). Oracle mirrors
+    * the identical fold in DuckDB list_reduce. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rollingHash(lower(trim(col("text"))))
+          .as("fp"))
+      .orderBy(col("doc_id"))
+
   /** Corpus-wide top bigrams. Bigrams are built positionally inside
     * the row (no shuffle until the count), then one aggregation. */
   def ngrams(s: SparkSession, d: String): DataFrame =

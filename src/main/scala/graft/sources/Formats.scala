@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hadoop I/O surface re-expressed (SURVEY.md §2 sources):
+  * the reference's input/output formats (TextInputFormat,
+  * SequenceFile, compression codecs from hadoop-common's io/compress)
+  * map onto Spark's DataFrame sources plus the classic hadoopFile
+  * RDD bridge for SequenceFile itself.
+  *
+  * Everything round-trips through a caller-supplied scratch dir; the
+  * read side returns DataFrames so the same query oracles can verify
+  * fidelity after a format hop.
+  */
+object Formats {
+
+  /** TextInput/TextOutput: one string column per line. */
+  def writeText(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).text(path)
+  }
+  def readText(s: SparkSession, path: String): DataFrame = s.read.text(path)
+
+  /** Delimited text with header + explicit schema on read (the
+    * Hive-style CSV tables Hadoop pipelines exchanged). */
+  def writeCsv(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("header", "true")
+    codec.fold(w)(c => w.option("compression", c)).csv(path)
+  }
+  def readCsv(s: SparkSession, path: String, schemaDDL: String): DataFrame =
+    s.read.option("header", "true").schema(schemaDDL).csv(path)
+
+  /** Line-delimited JSON. */
+  def writeJson(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
+  def readJson(s: SparkSession, path: String, schemaDDL: String): DataFrame =
+    s.read.schema(schemaDDL).json(path)
+
+  /** SequenceFile(LongWritable, Text) — hadoop-common's own container
+    * format, via the classic RDD bridge. Key = doc_id, value = text. */
+  def writeSequence(df: DataFrame, path: String): Unit =
+    df.select(col("doc_id").cast("long"), col("text"))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .saveAsSequenceFile(path)
+
+  def readSequence(s: SparkSession, path: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    s.sparkContext
+      .sequenceFile(path, classOf[LongWritable], classOf[Text])
+      .map { case (k, v) => (k.get(), v.toString) }
+      .toDF("doc_id", "text")
+  }
+
+  /** Hive-style partitioned layout (the HDFS dir-per-key convention):
+    * partition pruning on read is the point at scale. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+  def readPartitioned(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{Formats, Tables}
+
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("partitioned write lays out one directory per key and prunes reads") {
+    val path = Files.createTempDirectory("graft-part-spec-").resolve("t").toString
+    Formats.writePartitioned(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_returnflag")),
+      path, Seq("l_returnflag"))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs.forall(_.startsWith("l_returnflag=")), s"layout: $dirs")
+    assert(dirs.size >= 2)
+    val plan = Formats.readPartitioned(spark, path)
+      .filter(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      "pruning filter missing from scan:\n" + plan)
+  }
+
+  test("gzip text round-trip preserves every line") {
+    val path = Files.createTempDirectory("graft-text-spec-").resolve("t").toString
+    val src = Tables.documents(spark, sf).select(col("text"))
+    Formats.writeText(src, path, codec = Some("gzip"))
+    val files = new java.io.File(path).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".txt.gz")), s"no gzip part files: ${files.toSeq}")
+    assert(Formats.readText(spark, path).count() == src.count())
+  }
+
+  test("sequence file round-trip preserves ids and text") {
+    val path = Files.createTempDirectory("graft-seq-spec-").resolve("t").toString
+    Formats.writeSequence(Tables.documents(spark, sf), path)
+    val back = Formats.readSequence(spark, path)
+    assert(back.count() == 500)
+    val orig = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    back.collect().foreach { r =>
+      assert(orig(r.getLong(0)) == r.getString(1))
+    }
+  }
+}
