@@ -1,0 +1,31 @@
+package graft
+
+/** DuckDB oracle SQL for Advanced: note the salted join's oracle is
+  * the PLAIN join — equality proves the salting rewrite is
+  * result-preserving. */
+object AdvancedOracles {
+  val sql: Map[String, String] = Map(
+    "adv_asof_join" ->
+      """SELECT event_id, user_id, ts_us, last_click_us FROM (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_us END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click_us
+        |  FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |        FROM events WHERE event_type IN ('click', 'purchase')))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "adv_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "adv_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -55,11 +55,14 @@ object SparkEntry {
     "src_json_roundtrip"   -> SourceOps.jsonRoundtrip _,
     "src_sequence_roundtrip" -> SourceOps.sequenceRoundtrip _,
     "src_partitioned_prune" -> SourceOps.partitionedPrune _,
+    "adv_asof_join"        -> Advanced.asofJoin _,
+    "adv_salted_join"      -> Advanced.skewSaltedJoin _,
+    "adv_distinct_users"   -> Advanced.distinctUsers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOracles.sql ++ TextOracles.sql ++ PipelineOracles.sql ++
-      SourceOracles.sql
+      SourceOracles.sql ++ AdvancedOracles.sql
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Advanced relational patterns (SURVEY.md §2): as-of join, skew-salted
+  * join, distinct-cardinality aggregates.
+  *
+  * asOfJoin deliberately stays at tier (a) of the custom-operator
+  * ladder (compose built-ins): union + last_value-over-window expresses
+  * as-of semantics in ONE shuffle on (key), versus the naive
+  * range-join that explodes to pairs. A custom SparkPlan would buy
+  * nothing here — the window already streams each key group once in
+  * ts order.
+  */
+object Advanced {
+
+  /** For each purchase event, the user's most recent strictly-prior
+    * click (an as-of backward join, the time-series primitive Spark
+    * has no native operator for). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("ts_us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Salted join: spreads each hot key over `salt` subkeys (fact side
+    * gets a random-but-deterministic salt from its row identity, the
+    * build side is replicated across all salts). Result is provably
+    * identical to the plain join — the oracle IS the plain join. At
+    * 100 TB this is the remedy when one orderkey holds 10^9 rows and
+    * AQE's skew split cannot help (e.g. pre-AQE stages or
+    * aggregations keyed on the hot column). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    val saltedL = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt)))
+    val saltedR = right
+      .withColumn("_salt", explode(expr(s"sequence(0, ${salt - 1})")))
+    saltedL.join(saltedR, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** lineitem joined to orders through the salted path, aggregated per
+    * priority — must equal the unsalted join bit-for-bit. */
+  def skewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    saltedJoin(l, o, "k", salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Exact distinct cardinalities per event type — the shuffle-dedup
+    * aggregate. (The HLL approx_count_distinct variant is spec-tested
+    * for error bounds; approximate values cannot hash-match an exact
+    * oracle.) */
+  def distinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+}
