@@ -24,7 +24,7 @@ object Dedup {
     * because tiny-vocabulary corpora make word-set Jaccard
     * near-useless (measured: 30k unigram pairs >= 0.8 vs 25 true
     * 3-gram near-dups at sf0.01). */
-  private[operators] def shingles(s: SparkSession, d: String): DataFrame =
+  private[operators] def shinglesPlan(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), explode(when(size(col("t")) >= 3, expr(
@@ -33,6 +33,25 @@ object Dedup {
                        element_at(t, i + 2)))"""))
         .otherwise(expr("cast(array() as array<string>)"))).as("sh"))
       .distinct()
+
+  private val shingleStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Staged shingle table: the explode+distinct is computed once per
+    * input dir and parked as parquet, because every dedup operator
+    * self-joins or re-reads it several times — at production scale
+    * this is the materialized intermediate you would checkpoint on
+    * HDFS rather than recompute per branch of a self-join DAG. */
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
+    val path = shingleStage.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-shingles-")
+      p.toFile.deleteOnExit()
+      val out = p.resolve("sh").toString
+      shinglesPlan(s, d).write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
 
   /** Exact dedup: group by content hash, survivor = min doc_id.
     * [MR: identity-map on (hash, id) + reduce; here one hash shuffle

@@ -37,9 +37,15 @@ object Multimodal {
       .as[MediaPayload]
     payloads.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5") // one instance per batch
+      val hex = "0123456789abcdef".toCharArray
       it.map { p =>
         md.reset()
-        val digest = md.digest(p.bytes).map("%02x".format(_)).mkString
+        val dig = md.digest(p.bytes)
+        val sb = new java.lang.StringBuilder(32)
+        dig.foreach { b =>
+          sb.append(hex((b >> 4) & 0xf)); sb.append(hex(b & 0xf))
+        }
+        val digest = sb.toString
         // stub decode: "header" = first two bytes drive fake dimensions
         val w = if (p.bytes.length > 0) (p.bytes(0) & 0xff) % 64 + 1 else 0
         val h = if (p.bytes.length > 1) (p.bytes(1) & 0xff) % 64 + 1 else 0

@@ -21,15 +21,17 @@ object Similarity {
   private val K = 5
   private val NQ = 20 // query set: vec_id < NQ
 
-  /** Two-phase per-group top-k by (orderCol desc, tieCol asc). */
+  /** Per-group top-k by (orderCol desc, tieCol asc). A single
+    * row_number window suffices: Catalyst's WindowGroupLimit rule
+    * inserts a map-side (pre-shuffle) partial limit, so each partition
+    * ships at most k rows per group — the per-mapper-heap MapReduce
+    * pattern, derived automatically from the declarative form. (A
+    * manual two-phase window was measured to plan a redundant second
+    * exchange.) */
   private[operators] def topKPerGroup(
       df: DataFrame, group: Column, order: Column, tie: Column, k: Int): DataFrame = {
-    val phase1 = Window.partitionBy(group, spark_partition_id())
-      .orderBy(order.desc, tie.asc)
-    val phase2 = Window.partitionBy(group).orderBy(order.desc, tie.asc)
-    df.withColumn("_p1", row_number().over(phase1))
-      .filter(col("_p1") <= k).drop("_p1")
-      .withColumn("rank", row_number().over(phase2).cast("long"))
+    val w = Window.partitionBy(group).orderBy(order.desc, tie.asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
