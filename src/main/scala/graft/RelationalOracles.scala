@@ -185,6 +185,30 @@ object RelationalOracles {
         |      ORDER BY ts, event_id) AS prev_ts FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q23_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_running_total" ->
+      s"""SELECT o_custkey, o_orderkey, ${c("o_totalprice")} AS total_cents,
+         |  CAST(sum(${c("o_totalprice")}) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS running_cents
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q25_median" ->
+      """SELECT l_returnflag,
+        |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+        |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)
+        |    AS median_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q22_cube_orders" ->
       s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
          |  coalesce(o_orderpriority, '(all)') AS priority,

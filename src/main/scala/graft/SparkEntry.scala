@@ -33,6 +33,9 @@ object SparkEntry {
     "q20_pivot_events"     -> Relational.q20PivotEvents _,
     "q21_sessionize"       -> Relational.q21Sessionize _,
     "q22_cube_orders"      -> Relational.q22CubeOrders _,
+    "q23_json_props"       -> Relational.q23JsonProps _,
+    "q24_running_total"    -> Relational.q24RunningTotal _,
+    "q25_median"           -> Relational.q25Median _,
     "mr_wordcount"         -> MapReduceClassics.wordCount _,
     "mr_grep"              -> MapReduceClassics.grep _,
     "mr_inverted_index"    -> MapReduceClassics.invertedIndex _,

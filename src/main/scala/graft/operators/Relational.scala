@@ -316,6 +316,43 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Semi-structured extraction: events.props is a JSON string; parse
+    * a field and aggregate. [MR: custom RecordReader + map parse; here
+    * a codegen'd JSON path expression at the scan.] */
+  def q23JsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Running total per customer (RANGE-free ROWS frame): the
+    * cumulative-reduce pattern secondary sort enabled in MR. */
+  def q24RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("total_cents", cents(col("o_totalprice")))
+      .withColumn("running_cents", sum(col("total_cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("total_cents"),
+        col("running_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Exact interpolated median per group (both engines use linear
+    * interpolation at rank p*(n-1) over the sorted values, so the
+    * resulting doubles are bit-identical). */
+  def q25Median(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
   /** CUBE grouping sets over orders. */
   def q22CubeOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

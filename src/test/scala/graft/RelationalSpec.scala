@@ -8,6 +8,8 @@ object TestSpark {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh-").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"

@@ -34,6 +34,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(Formats.readText(spark, path).count() == src.count())
   }
 
+  test("bucketed tables join without a shuffle") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bkt")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bkt")
+    // force the SMJ path: at test scale the planner would broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("v", col("l_quantity") * col("o_totalprice"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: the sort-merge join must not re-shuffle
+      assert(plan.contains("SortMergeJoin"), "expected SMJ:\n" + plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join re-shuffled:\n" + plan)
+      assert(joined.count() == 6000) // every lineitem matches its order
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("sequence file round-trip preserves ids and text") {
     val path = Files.createTempDirectory("graft-seq-spec-").resolve("t").toString
     Formats.writeSequence(Tables.documents(spark, sf), path)
