@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, SimHashAgg}
+import graft.sources.Tables
+
+/** SQL surface of the library.
+  *
+  * `GraftExtensions` registers the native graft expressions in the
+  * function registry so pure-SQL users get them
+  * (`spark.sql("SELECT cosine_similarity(a, b) ...")`), wired either
+  * via `.withExtensions(new GraftExtensions)` at session build or
+  * `GraftExtensions.install(spark)` on a live session.
+  * `registerTables` exposes the star schema as temp views so every
+  * query in this library can be written as plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  val registrations: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("cosine_similarity",
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine of two float vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("rolling_hash",
+      info("rolling_hash",
+        "rolling_hash(s) - Rabin-Karp polynomial hash mod 2^31-1"),
+      (es: Seq[Expression]) => RollingHash(es(0))),
+    ("simhash64",
+      info("simhash64",
+        "simhash64(hash, weight) - 64-bit SimHash aggregate"),
+      (es: Seq[Expression]) =>
+        SimHashAgg(es(0), es(1)).toAggregateExpression()),
+    ("minhash_sig",
+      info("minhash_sig",
+        "minhash_sig(hash) - 128-perm MinHash signature aggregate"),
+      (es: Seq[Expression]) =>
+        MinHashAgg(es(0), 128, 42L).toAggregateExpression()),
+  )
+
+  /** Register the functions on an already-built session. */
+  def install(spark: SparkSession): Unit =
+    registrations.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+
+  /** Expose the star schema as temp views for plain-SQL querying. */
+  def registerTables(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      Tables.read(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    // events goes through its loader (nanos-timestamp conversion)
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+  }
+}

@@ -31,6 +31,20 @@ class AdvancedSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join is correct under heavy key skew") {
+    import spark.implicits._
+    // one key owns half the fact rows — the shape that stalls a
+    // plain hash shuffle at scale
+    val fact = (1 to 10000).map(i => (if (i % 2 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = (1L to 10000L).map(k => (k, s"d$k")).toDF("k", "name")
+    val salted = Advanced.saltedJoin(fact, dim, "k", salt = 16)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("v")).collect()(0).getLong(0) ==
+      plain.agg(sum("v")).collect()(0).getLong(0))
+  }
+
   test("HLL approx distinct stays within 5% of exact") {
     val df = Tables.events(spark, sf)
       .agg(countDistinct(col("user_id")).as("exact"),

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: native functions via the registry + temp views. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registered functions work from plain SQL") {
+    GraftExtensions.install(spark)
+    GraftExtensions.registerTables(spark, sf)
+    val cos = spark.sql(
+      """SELECT cosine_similarity(a.embedding, b.embedding) AS c
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id = 0 AND b.vec_id = 0""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12) // self-similarity
+    val rh = spark.sql("SELECT rolling_hash('abc z') AS h")
+      .collect()(0).getLong(0)
+    assert(rh == 92597308L) // cross-checked against the DuckDB fold
+    val sims = spark.sql(
+      """SELECT doc_id, simhash64(xxhash64(w), 1L) AS sig FROM (
+        |  SELECT doc_id, explode(split(trim(text), '\\s+')) AS w
+        |  FROM documents) GROUP BY doc_id""".stripMargin)
+    assert(sims.count() == 500)
+    val mins = spark.sql(
+      """SELECT size(minhash_sig(xxhash64(text))) AS n FROM documents""")
+      .collect()(0).getInt(0)
+    assert(mins == 128)
+  }
+
+  test("full TPC-H-style query runs as plain SQL over the views") {
+    GraftExtensions.registerTables(spark, sf)
+    val rows = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+    assert(rows.map(_.getLong(2)).sum == 6000L)
+  }
+
+  test("withExtensions wiring registers the same functions") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2.sql("SELECT rolling_hash('x')").collect()(0).getLong(0) ==
+        'x'.toLong)
+    } finally () // shared-JVM session; don't stop the base session
+  }
+}

@@ -31,6 +31,21 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup by key drops watermark-window duplicates") {
+    // duplicate every event by unioning the stream with itself;
+    // dropDuplicates on the key must restore the original count
+    val ev = EventStreams.readEvents(spark, sf)
+    val q = ev.union(ev)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_stream").count() == 1000) // sf0.001 events
+  }
+
   test("stateful sessionization equals batch q21") {
     val q = EventStreams.sessionize(EventStreams.readEvents(spark, sf))
       .writeStream.outputMode("append")
