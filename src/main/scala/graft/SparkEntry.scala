@@ -61,6 +61,8 @@ object SparkEntry {
     "adv_asof_join"        -> Advanced.asofJoin _,
     "adv_salted_join"      -> Advanced.skewSaltedJoin _,
     "adv_distinct_users"   -> Advanced.distinctUsers _,
+    "mr_teragen"           -> HadoopTools.teragen _,
+    "mr_pi"                -> HadoopTools.piEstimate _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -85,6 +85,16 @@ object TextOracles {
         |    (h, c) -> (h * 31 + c) % 2147483647) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "mr_teragen" ->
+      """SELECT count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS checksum,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM (SELECT list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(CAST(i AS VARCHAR), '.'),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS key
+        |  FROM range(100000) t(i))""".stripMargin,
+
     "txt_ngrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
         |  SELECT t[i] || '_' || t[i+1] AS bigram FROM (

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Re-expressions of the Hadoop tool surface (SURVEY.md §2): counters,
+  * DistCp, TeraGen, and the Pi example.
+  */
+object HadoopTools {
+
+  /** MR counters -> the Observation API: named aggregates collected on
+    * the driver as a side effect of a normal action, no second job.
+    * Returns (df, observation); callers read observation.get after an
+    * action. */
+  def withCounters(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("graft_counters")
+    (df.observe(obs, count(lit(1)).as("rows_seen"),
+      sum(when(col("l_quantity") > 40, 1L).otherwise(0L)).as("large_qty_rows")),
+      obs)
+  }
+
+  /** DistCp: the file list is parallelized across the cluster and each
+    * task copies its files through the Hadoop FileSystem API — the
+    * same shape as hadoop-tools' DistCp (driver plans, tasks copy).
+    * Per-file imperative I/O is exactly the mapPartitions-tier use
+    * case: there is no relational structure to declare. */
+  def distCp(s: SparkSession, src: String, dst: String): Long = {
+    val conf = new Configuration()
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val files = fs.listStatus(srcPath).filter(_.isFile)
+      .map(_.getPath.toString).toSeq
+    val confBc = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val dstStr = dst
+    s.sparkContext.parallelize(files, math.max(files.size, 1))
+      .map { f =>
+        val c = confBc.value.value
+        val from = new Path(f)
+        val to = new Path(dstStr, from.getName)
+        FileUtil.copy(from.getFileSystem(c), from,
+          to.getFileSystem(c), to, false, true, c)
+        1L
+      }.sum().toLong
+  }
+
+  /** TeraGen re-expressed: spark.range + deterministic derived columns
+    * (rolling_hash keys), checksummed. Fully oracle-able because the
+    * DuckDB side can generate the identical range and fold. */
+  def teragen(s: SparkSession, d: String): DataFrame = {
+    val n = 100000L
+    s.range(n)
+      .select(graft.functions.RollingHash.rollingHash(
+        col("id").cast("string")).as("key"), col("id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("key")).as("checksum"),
+        min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"))
+  }
+
+  /** The Pi example: per-partition deterministic RNG (seeded by
+    * partition id), darts in the unit square. Deterministic for a
+    * fixed partition count, which the operator fixes itself. */
+  def piEstimate(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val parts = 16
+    val perPart = 100000
+    val hits = s.sparkContext.parallelize(0 until parts, parts)
+      .map { pid =>
+        val rnd = new scala.util.Random(1234L + pid)
+        var h = 0L
+        var i = 0
+        while (i < perPart) {
+          val x = rnd.nextDouble() * 2 - 1
+          val y = rnd.nextDouble() * 2 - 1
+          if (x * x + y * y <= 1) h += 1
+          i += 1
+        }
+        h
+      }.sum().toLong
+    Seq((hits, parts.toLong * perPart)).toDF("hits", "darts")
+      .withColumn("pi_x10000",
+        expr("(40000 * hits) div darts")) // 4*hits/darts in fixed point
+  }
+}
