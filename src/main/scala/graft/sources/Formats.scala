@@ -47,7 +47,15 @@ object Formats {
       .rdd.map(r => (r.getLong(0), r.getString(1)))
       .saveAsSequenceFile(path)
 
-  def readSequence(s: SparkSession, path: String): DataFrame = {
+  /** Reads via the DataSource V2 connector (one partition per file,
+    * rows produced as InternalRow with no RDD bridge). */
+  def readSequence(s: SparkSession, path: String): DataFrame =
+    s.read.format(graft.sources.sequence.SequenceFileSource.NAME)
+      .load(path)
+      .select(col("key").as("doc_id"), col("value").as("text"))
+
+  /** The classic RDD bridge, kept as the comparison path. */
+  def readSequenceRdd(s: SparkSession, path: String): DataFrame = {
     val sp = s
     import sp.implicits._
     s.sparkContext

@@ -57,7 +57,7 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
-  test("sequence file round-trip preserves ids and text") {
+  test("sequence file round-trip preserves ids and text (V2 source)") {
     val path = Files.createTempDirectory("graft-seq-spec-").resolve("t").toString
     Formats.writeSequence(Tables.documents(spark, sf), path)
     val back = Formats.readSequence(spark, path)
@@ -67,5 +67,13 @@ class SourcesSpec extends AnyFunSuite {
     back.collect().foreach { r =>
       assert(orig(r.getLong(0)) == r.getString(1))
     }
+    // V2 connector and the RDD bridge agree row-for-row
+    val rdd = Formats.readSequenceRdd(spark, path)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      rdd.orderBy("doc_id").collect().toSeq)
+    // one input partition per file
+    assert(back.rdd.getNumPartitions ==
+      new java.io.File(path).listFiles().count(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")))
   }
 }
