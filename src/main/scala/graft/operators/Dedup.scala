@@ -135,15 +135,15 @@ object Dedup {
     * exact Hamming verification via bit_count(xor). Rows-only oracle;
     * spec checks containment vs the Jaccard truth set. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+    // weight-1 per occurrence accumulates to the per-word count inside
+    // the aggregate buffer, so no (doc, word) pre-aggregation shuffle
+    // is needed — one explode, one agg
+    val sigs = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("w"))
-    val sigs = words
       .groupBy(col("doc_id"))
-      .agg(SimHashAgg.simhash(xxhash64(col("word")), col("w")).as("sig"))
+      .agg(SimHashAgg.simhash(xxhash64(col("word")), lit(1L)).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
       """transform(sequence(0, 3),
          b -> named_struct('band', b,

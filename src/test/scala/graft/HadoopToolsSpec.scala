@@ -30,6 +30,23 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(dstFiles == srcFiles)
   }
 
+  test("hadoop-streaming pipe round-trips records through a process") {
+    val n = graft.operators.StreamingPipe
+      .pipe(spark, Tables.documents(spark, sf).select("doc_id"), "cat")
+      .count()
+    assert(n == 500)
+  }
+
+  test("dfs utilities: ls/du/mkdirs/exists/rm") {
+    import graft.sources.Dfs
+    val entries = Dfs.ls(sf)
+    assert(entries.exists(_._1 == "lineitem.parquet"))
+    assert(Dfs.du(sf) == entries.map(_._3).sum)
+    val tmp = Files.createTempDirectory("graft-dfs-").toString + "/x/y"
+    assert(Dfs.mkdirs(tmp) && Dfs.exists(tmp))
+    assert(Dfs.rm(tmp, recursive = true) && !Dfs.exists(tmp))
+  }
+
   test("pi estimate lands near pi") {
     val row = SparkEntry.queries("mr_pi")(spark, sf).collect()(0)
     val pi = row.getLong(2) / 10000.0
