@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** Re-expressions of the Hadoop tool surface (SURVEY.md §2): counters,
   * DistCp, TeraGen, and the Pi example.
+  *
+  * Reference anchors: file copy primitive = hadoop-common-project/
+  * hadoop-common/src/main/java/org/apache/hadoop/fs/FileUtil.java:336;
+  * the tools themselves live in hadoop-mapreduce-project/hadoop-tools,
+  * which the vendored tree omits (its package index at
+  * /root/reference/README.txt:26 lists it) — semantics are from the
+  * public Hadoop examples.
   */
 object HadoopTools {
 

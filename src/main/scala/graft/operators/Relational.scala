@@ -9,9 +9,10 @@ import graft.sources.Tables
   *
   * Each query re-expresses a Hadoop MapReduce pattern Spark-first:
   * the map→combine→partition→shuffle→sort→reduce pipeline of the
-  * reference (hadoop-mapreduce semantics; the reference tree at
-  * /root/reference ships common/hdfs/yarn — the processing model they
-  * serve) becomes a declarative plan Catalyst optimizes: partial
+  * reference (the vendored tree ships common/hdfs/yarn — the
+  * processing model they serve; its package index at
+  * /root/reference/README.txt:26 lists hadoop-mapreduce-project)
+  * becomes a declarative plan Catalyst optimizes: partial
   * (map-side) aggregation replaces combiners, broadcast hash joins
   * replace map-side replicated joins, shuffle hash/sort-merge joins
   * replace reduce-side joins, range partitioning replaces

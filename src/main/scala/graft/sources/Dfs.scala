@@ -7,6 +7,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * hadoop-hdfs client surface: ls/du/mkdir/rm). Driver-side metadata
   * ops — these are namenode calls, not data-path work, so no
   * distribution is involved (same as FsShell).
+  *
+  * Reference anchors (hadoop-common-project/hadoop-common/src/main/
+  * java/org/apache/hadoop): fs/FileSystem.java:181 (the abstract FS
+  * contract; getContentSummary :1824, listStatus :1907),
+  * fs/shell/Ls.java:44 (the shell command this mirrors).
   */
 object Dfs {
   private def fs(path: String): (FileSystem, Path) = {

@@ -5,10 +5,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hadoop I/O surface re-expressed (SURVEY.md §2 sources):
-  * the reference's input/output formats (TextInputFormat,
-  * SequenceFile, compression codecs from hadoop-common's io/compress)
-  * map onto Spark's DataFrame sources plus the classic hadoopFile
-  * RDD bridge for SequenceFile itself.
+  * the reference's input/output formats and codecs map onto Spark's
+  * DataFrame sources plus the classic hadoopFile RDD bridge for
+  * SequenceFile itself. Reference anchors (under
+  * hadoop-common-project/hadoop-common/src/main/java/org/apache/hadoop):
+  * io/SequenceFile.java:207, io/Text.java:53, io/LongWritable.java:32,
+  * io/compress/GzipCodec.java:42.
   *
   * Everything round-trips through a caller-supplied scratch dir; the
   * read side returns DataFrames so the same query oracles can verify

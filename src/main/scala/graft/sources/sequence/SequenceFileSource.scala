@@ -16,8 +16,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 reader for SequenceFile(LongWritable, Text) — the
-  * reference's own container format (hadoop-common io.SequenceFile)
-  * surfaced as a first-class Spark table:
+  * reference's own container format (reference: hadoop-common-project/
+  * hadoop-common/src/main/java/org/apache/hadoop/io/SequenceFile.java:207,
+  * Writer :838, Reader :1701) surfaced as a first-class Spark table:
   *
   *   spark.read.format("graft.sources.sequence.SequenceFileSource")
   *     .load(path)  // => (key long, value string)
