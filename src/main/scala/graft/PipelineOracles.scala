@@ -57,6 +57,40 @@ object PipelineOracles {
         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    "emb_quantize" ->
+      """SELECT vec_id,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x))) AS scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  list_min(q) AS q_min, list_max(q) AS q_max
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 127 / list_max(list_transform(
+        |        CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT) AS width,
+        |  CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT) AS height,
+        |  (CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT) * 16)
+        |    // greatest(CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT),
+        |               CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT))
+        |    AS thumb_w,
+        |  (CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT) * 16)
+        |    // greatest(CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT),
+        |               CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT))
+        |    AS thumb_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) // 256 AS BIGINT) AS n_frames,
+        |  md5(substr(text, 1, 256)) AS frame0_digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -54,6 +54,9 @@ object SparkEntry {
     "sim_knn_brute"        -> Similarity.knnBrute _,
     "sim_knn_lsh"          -> Similarity.knnLsh _,
     "mm_meta"              -> Multimodal.meta _,
+    "mm_resize"            -> Multimodal.resize _,
+    "mm_frames"            -> Multimodal.frameSample _,
+    "emb_quantize"         -> Similarity.quantize _,
     "src_csv_roundtrip"    -> SourceOps.csvRoundtrip _,
     "src_json_roundtrip"   -> SourceOps.jsonRoundtrip _,
     "src_sequence_roundtrip" -> SourceOps.sequenceRoundtrip _,

@@ -25,6 +25,9 @@ import graft.sources.Tables
 case class MediaPayload(doc_id: Long, bytes: Array[Byte])
 case class MediaMeta(doc_id: Long, n_bytes: Long, digest: String,
     width: Long, height: Long)
+case class MediaThumb(doc_id: Long, width: Long, height: Long,
+    thumb_w: Long, thumb_h: Long)
+case class MediaFrames(doc_id: Long, n_frames: Long, frame0_digest: String)
 
 object Multimodal {
 
@@ -53,5 +56,56 @@ object Multimodal {
       }
     }.toDF()
       .orderBy(col("doc_id"))
+  }
+
+  private def payloads(s: SparkSession, d: String) = {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .as[MediaPayload]
+  }
+
+  /** Resize: aspect-preserving thumbnail dimensions from the stubbed
+    * header dims, longest edge 16 (integer arithmetic only so the
+    * oracle mirrors exactly). The real op would hand each batch to a
+    * codec; the partition-local batch shape is identical. */
+  def resize(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    payloads(s, d).mapPartitions { it =>
+      it.map { p =>
+        val w = if (p.bytes.length > 0) (p.bytes(0) & 0xff) % 64 + 1 else 0
+        val h = if (p.bytes.length > 1) (p.bytes(1) & 0xff) % 64 + 1 else 0
+        val m = math.max(w, h)
+        MediaThumb(p.doc_id, w.toLong, h.toLong,
+          if (m == 0) 0L else (w.toLong * 16) / m,
+          if (m == 0) 0L else (h.toLong * 16) / m)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: treat the payload as fixed-size 256-byte frames,
+    * count them and fingerprint frame 0 — the batched video-sampling
+    * shape with a deterministic stub decoder. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    payloads(s, d).mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      it.map { p =>
+        val frameSize = 256
+        val nFrames = p.bytes.length / frameSize
+        md.reset()
+        val f0 = p.bytes.take(math.min(frameSize, p.bytes.length))
+        val dig = md.digest(f0)
+        val sb = new java.lang.StringBuilder(32)
+        dig.foreach { b =>
+          sb.append(hex((b >> 4) & 0xf)); sb.append(hex(b & 0xf))
+        }
+        MediaFrames(p.doc_id, nFrames.toLong, sb.toString)
+      }
+    }.toDF().orderBy(col("doc_id"))
   }
 }

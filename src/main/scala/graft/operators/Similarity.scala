@@ -54,6 +54,21 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Symmetric int8 quantization per vector (the storage-shrink step
+    * of an embedding pipeline): q_i = round(x_i * 127 / max|x|).
+    * Integer/mirrored-IEEE outputs so the oracle compares exactly. */
+  def quantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("m",
+        expr("cast(array_max(transform(embedding, x -> abs(x))) as double)"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 127 / m) as bigint))"))
+      .select(col("vec_id"), col("m").as("scale"),
+        expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"))
+      .orderBy(col("vec_id"))
+
   /** LSH-bucketed ANN: 12 random hyperplanes (fixed seed) -> 12-bit
     * signature -> 4 bands x 3 bits. Candidates = corpus vectors
     * sharing at least one band with the query; exact cosine re-ranks
