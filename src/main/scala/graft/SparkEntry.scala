@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_embedding"      -> Dedup.embedding _,
     "sim_knn_brute"        -> Similarity.knnBrute _,
     "sim_knn_lsh"          -> Similarity.knnLsh _,
+    "sim_knn_ivf"          -> Similarity.knnIvf _,
     "mm_meta"              -> Multimodal.meta _,
     "mm_resize"            -> Multimodal.resize _,
     "mm_frames"            -> Multimodal.frameSample _,

@@ -69,6 +69,39 @@ object Similarity {
         expr("array_max(q)").as("q_max"))
       .orderBy(col("vec_id"))
 
+  /** IVF-style ANN: coarse quantizer = per-label centroids (the
+    * labels partition the corpus; with a trained quantizer the flow
+    * is identical), nprobe = 3. Queries score all centroids (tiny,
+    * broadcast both ways), keep their nprobe nearest cells, and only
+    * the vectors in those cells are ranked exactly — the corpus-side
+    * scan is pruned to nprobe/ncells of the data, the property that
+    * matters at 100 TB. Rows-only oracle; spec measures recall vs
+    * brute. */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 3
+    val e = Tables.embeddings(s, d)
+    // centroids: element-wise mean per label via posexplode + re-agg
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> cast(s.m as float))")
+        .as("centroid"))
+    val probed = queries(s, d).crossJoin(broadcast(cent))
+      .withColumn("cdist", VectorFunctions.cosineSim(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("label"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("label"))
+    val cand = e.select(col("vec_id"), col("embedding"), col("label"))
+      .join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("q_emb"), col("embedding")))
+    topKPerGroup(cand, col("q_id"), col("cos"), col("vec_id"), K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: 12 random hyperplanes (fixed seed) -> 12-bit
     * signature -> 4 bands x 3 bits. Candidates = corpus vectors
     * sharing at least one band with the query; exact cosine re-ranks

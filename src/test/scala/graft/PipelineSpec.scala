@@ -33,13 +33,16 @@ class PipelineSpec extends AnyFunSuite {
       s"simhash pairs disjoint from jaccard truth: $overlap")
   }
 
-  test("knn LSH achieves useful recall vs brute force") {
+  test("knn LSH and IVF achieve useful recall vs brute force") {
     def nbrs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = nbrs(Similarity.knnBrute(spark, sf))
     val lsh = nbrs(Similarity.knnLsh(spark, sf))
-    val recall = lsh.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.5, f"recall $recall%.2f below 0.5")
+    val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(lshRecall >= 0.5, f"LSH recall $lshRecall%.2f below 0.5")
+    val ivf = nbrs(Similarity.knnIvf(spark, sf))
+    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(ivfRecall >= 0.3, f"IVF recall $ivfRecall%.2f below 0.3")
   }
 
   test("exact dedup groups every document exactly once") {

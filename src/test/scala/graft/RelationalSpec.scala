@@ -53,8 +53,8 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every query key has either an oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly =
-      Set("dedup_minhash_lsh", "dedup_simhash", "sim_knn_lsh", "mr_pi")
+    val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash",
+      "sim_knn_lsh", "sim_knn_ivf", "mr_pi")
     assert((missing -- rowsOnly).isEmpty,
       s"queries without oracle: ${missing -- rowsOnly}")
   }
