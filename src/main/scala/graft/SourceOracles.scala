@@ -18,6 +18,13 @@ object SourceOracles {
         |    AS acctbal_cents
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "src_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_sequence_roundtrip" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+'))

@@ -60,6 +60,7 @@ object SparkEntry {
     "emb_quantize"         -> Similarity.quantize _,
     "src_csv_roundtrip"    -> SourceOps.csvRoundtrip _,
     "src_json_roundtrip"   -> SourceOps.jsonRoundtrip _,
+    "src_orc_roundtrip"    -> SourceOps.orcRoundtrip _,
     "src_sequence_roundtrip" -> SourceOps.sequenceRoundtrip _,
     "src_partitioned_prune" -> SourceOps.partitionedPrune _,
     "adv_asof_join"        -> Advanced.asofJoin _,

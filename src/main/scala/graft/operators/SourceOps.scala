@@ -50,6 +50,21 @@ object SourceOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** part -> ORC -> read -> per-brand stats. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-orc-")
+    Formats.writeOrc(
+      Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice"), col("p_size")),
+      path)
+    Formats.readOrc(s, path)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("p_retailprice") * 100).cast("long")).as("price_cents"),
+        sum(col("p_size").cast("long")).as("sum_size"))
+      .orderBy(col("p_brand"))
+  }
+
   /** documents -> SequenceFile(LongWritable, Text) -> read -> corpus
     * stats. Exercises hadoop-common's own container format through the
     * RDD bridge. */

@@ -66,6 +66,28 @@ object Formats {
       .toDF("doc_id", "text")
   }
 
+  /** Columnar ORC (the other Hadoop-ecosystem columnar container). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  /** Small-files compaction — the classic HDFS operational problem
+    * (every tiny file is a namenode object and a task): rewrite a
+    * directory into ceil(bytes/target) files. Returns the new file
+    * count. */
+  def compact(s: SparkSession, path: String, out: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(path)).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    s.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+  }
+
   /** Hive-style partitioned layout (the HDFS dir-per-key convention):
     * partition pruning on read is the point at scale. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =

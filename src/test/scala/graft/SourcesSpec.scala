@@ -25,6 +25,19 @@ class SourcesSpec extends AnyFunSuite {
       "pruning filter missing from scan:\n" + plan)
   }
 
+  test("compaction rewrites many small files into few") {
+    val scatter = Files.createTempDirectory("graft-scatter-").resolve("s").toString
+    Tables.lineitem(spark, sf).repartition(40)
+      .write.mode("overwrite").parquet(scatter)
+    val smallFiles = new java.io.File(scatter).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles >= 30, s"expected scattered input, got $smallFiles")
+    val out = Files.createTempDirectory("graft-compact-").resolve("c").toString
+    val nOut = Formats.compact(spark, scatter, out)
+    assert(nOut <= 2, s"compaction produced $nOut files")
+    assert(spark.read.parquet(out).count() == 6000)
+  }
+
   test("gzip text round-trip preserves every line") {
     val path = Files.createTempDirectory("graft-text-spec-").resolve("t").toString
     val src = Tables.documents(spark, sf).select(col("text"))
