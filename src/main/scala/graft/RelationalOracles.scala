@@ -209,6 +209,28 @@ object RelationalOracles {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q26_min_per_group" ->
+      s"""SELECT l_partkey, min(l_orderkey) AS first_orderkey,
+         |  count(*) AS n_at_min,
+         |  min(${c("l_extendedprice")}) AS min_price_cents
+         |FROM (
+         |  SELECT l_partkey, l_orderkey, l_extendedprice,
+         |    min(${c("l_extendedprice")}) OVER (PARTITION BY l_partkey)
+         |      AS mn
+         |  FROM lineitem)
+         |WHERE ${c("l_extendedprice")} = mn
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q27_set_ops" ->
+      """SELECT nationkey, 'both' AS relation
+        |FROM (SELECT s_nationkey AS nationkey FROM supplier
+        |      INTERSECT SELECT c_nationkey FROM customer)
+        |UNION ALL
+        |SELECT nationkey, 'supplier_only' AS relation
+        |FROM (SELECT s_nationkey AS nationkey FROM supplier
+        |      EXCEPT SELECT c_nationkey FROM customer)
+        |ORDER BY relation, nationkey""".stripMargin,
+
     "q22_cube_orders" ->
       s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
          |  coalesce(o_orderpriority, '(all)') AS priority,

@@ -36,6 +36,8 @@ object SparkEntry {
     "q23_json_props"       -> Relational.q23JsonProps _,
     "q24_running_total"    -> Relational.q24RunningTotal _,
     "q25_median"           -> Relational.q25Median _,
+    "q26_min_per_group"    -> Relational.q26MinPerGroup _,
+    "q27_set_ops"          -> Relational.q27SetOps _,
     "mr_wordcount"         -> MapReduceClassics.wordCount _,
     "mr_grep"              -> MapReduceClassics.grep _,
     "mr_inverted_index"    -> MapReduceClassics.invertedIndex _,

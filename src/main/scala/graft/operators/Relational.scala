@@ -354,6 +354,36 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** Correlated min-per-group (TPC-H Q2 shape): cheapest lineitem per
+    * part, resolved as a window min rather than a correlated
+    * re-scan — one shuffle instead of a per-row subquery. */
+  def q26MinPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, d)
+      .withColumn("min_price_cents", min(cents(col("l_extendedprice"))).over(w))
+      .filter(cents(col("l_extendedprice")) === col("min_price_cents"))
+      .groupBy(col("l_partkey"))
+      // a part's minimum may be hit by several lines: count them and
+      // tiebreak deterministically
+      .agg(min(col("l_orderkey")).as("first_orderkey"),
+        count(lit(1)).as("n_at_min"),
+        min(col("min_price_cents")).as("min_price_cents"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Set operations: suppliers' nations INTERSECT/EXCEPT customers'
+    * nations [MR: multi-input jobs with presence flags]. */
+  def q27SetOps(s: SparkSession, d: String): DataFrame = {
+    val custN = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val supN = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val both = supN.intersect(custN)
+      .withColumn("relation", lit("both"))
+    val supOnly = supN.except(custN)
+      .withColumn("relation", lit("supplier_only"))
+    both.unionAll(supOnly)
+      .orderBy(col("relation"), col("nationkey"))
+  }
+
   /** CUBE grouping sets over orders. */
   def q22CubeOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
