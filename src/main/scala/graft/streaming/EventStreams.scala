@@ -58,6 +58,27 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks within the preceding hour. Both sides carry watermarks so
+    * the join state is bounded (the engine drops buffered rows older
+    * than watermark + interval) — the property that keeps this runnable
+    * forever at production volume. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   case class SessionEvent(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 

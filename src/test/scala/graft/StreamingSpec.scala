@@ -46,6 +46,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").count() == 1000) // sf0.001 events
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val q = EventStreams.purchaseClickJoin(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin on the same data
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization equals batch q21") {
     val q = EventStreams.sessionize(EventStreams.readEvents(spark, sf))
       .writeStream.outputMode("append")
