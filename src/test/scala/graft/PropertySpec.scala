@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+import graft.operators.Advanced
+
+/** Property-based invariants over generated data (raw ScalaCheck
+  * driven from ScalaTest; the plus-bridge artifact is not on the
+  * offline classpath). */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("rolling hash is deterministic and within the modulus") {
+    check("rolling-hash", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val hs = Seq(s, s).toDF("s")
+        .select(RollingHash.rollingHash(col("s")).as("h"))
+        .collect().map(_.getLong(0))
+      hs(0) == hs(1) && hs(0) >= 0 && hs(0) < 2147483647L
+    })
+  }
+
+  test("cosine self-similarity is 1 on generated vectors") {
+    import graft.functions.VectorFunctions.cosineSim
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f))
+      .suchThat(_.exists(_ != 0f))
+    check("cosine-self", Prop.forAll(vecGen) { xs =>
+      val arr = xs.toArray
+      val self = Seq((arr, arr)).toDF("a", "b")
+        .select(cosineSim(col("a"), col("b"))).collect()(0).getDouble(0)
+      math.abs(self - 1.0) < 1e-9
+    }, n = 10)
+  }
+
+  test("salted join equals plain join on generated key distributions") {
+    val keysGen = Gen.listOfN(200, Gen.chooseNum(1L, 10L)).suchThat(_.nonEmpty)
+    check("salted-join", Prop.forAll(keysGen) { keys =>
+      val fact = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "v")
+      val dim = (1L to 10L).map(k => (k, s"d$k")).toDF("k", "name")
+      val salted = Advanced.saltedJoin(fact, dim, "k", salt = 4)
+        .agg(count(lit(1)), sum("v")).collect()(0)
+      val plain = fact.join(dim, "k")
+        .agg(count(lit(1)), sum("v")).collect()(0)
+      salted == plain
+    }, n = 5)
+  }
+}
