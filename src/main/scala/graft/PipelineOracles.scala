@@ -20,6 +20,20 @@ object PipelineOracles {
       |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |            FROM documents))""".stripMargin
 
+  /** Octet-exact stub dims: byte k of the UTF-8 payload via
+    * substr(hex(encode(text)), 2k-1, 2) — matches Spark bytes(k-1). */
+  private val mmDims =
+    """SELECT doc_id, text,
+      |  CASE WHEN octet_length(encode(text)) >= 1
+      |    THEN (CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS BIGINT)
+      |          % 64) + 1
+      |    ELSE CAST(0 AS BIGINT) END AS w,
+      |  CASE WHEN octet_length(encode(text)) >= 2
+      |    THEN (CAST(('0x' || substr(hex(encode(text)), 3, 2)) AS BIGINT)
+      |          % 64) + 1
+      |    ELSE CAST(0 AS BIGINT) END AS h
+      |FROM documents""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -71,32 +85,28 @@ object PipelineOracles {
         |  FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
 
+    // mm_* oracles are OCTET-based (encode + hex-substring byte
+    // extraction), mirroring Spark's raw-byte stub decode exactly for
+    // any UTF-8 input — DuckDB's ascii/substr are character-based and
+    // would diverge from bytes(0)/bytes(1) on multi-byte text.
     "mm_resize" ->
-      """SELECT doc_id,
-        |  CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT) AS width,
-        |  CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT) AS height,
-        |  (CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT) * 16)
-        |    // greatest(CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT),
-        |               CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT))
-        |    AS thumb_w,
-        |  (CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT) * 16)
-        |    // greatest(CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT),
-        |               CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT))
-        |    AS thumb_h
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, w AS width, h AS height,
+         |  CASE WHEN greatest(w, h) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE (w * 16) // greatest(w, h) END AS thumb_w,
+         |  CASE WHEN greatest(w, h) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE (h * 16) // greatest(w, h) END AS thumb_h
+         |FROM ($mmDims) ORDER BY doc_id""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 256 AS BIGINT) AS n_frames,
-        |  md5(substr(text, 1, 256)) AS frame0_digest
+        |  md5(substr(hex(encode(text)), 1, 512)) AS frame0_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS digest,
-        |  CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS BIGINT) AS width,
-        |  CAST((ascii(substr(text, 2, 1)) % 64) + 1 AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS digest, w AS width, h AS height
+         |FROM ($mmDims) ORDER BY doc_id""".stripMargin,
   )
 }

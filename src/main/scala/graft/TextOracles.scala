@@ -77,10 +77,12 @@ object TextOracles {
       """SELECT doc_id, md5(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // '(?s).' (dotall) so newline codepoints enter the fold exactly
+    // like the Spark RollingHash, which iterates every codepoint
     "txt_rolling_fp" ->
       """SELECT doc_id, list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_extract_all(lower(trim(text)), '.'),
+        |      list_transform(regexp_extract_all(lower(trim(text)), '(?s).'),
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 2147483647) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -90,7 +92,7 @@ object TextOracles {
         |  min(key) AS min_key, max(key) AS max_key
         |FROM (SELECT list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_extract_all(CAST(i AS VARCHAR), '.'),
+        |      list_transform(regexp_extract_all(CAST(i AS VARCHAR), '(?s).'),
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 2147483647) AS key
         |  FROM range(100000) t(i))""".stripMargin,

@@ -37,15 +37,48 @@ object Dedup {
   private val shingleStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val stageRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  locally {
+    // deleteOnExit never removes non-empty directories; recurse instead
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stageRoots.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }))
+  }
+
+  /** Cache key = input dir + a snapshot of its documents files
+    * (name, length, mtime), so a rewritten table within one JVM
+    * lifetime invalidates the staged shingles instead of silently
+    * serving stale data. */
+  private def stageKey(d: String): String = {
+    val docs = new java.io.File(d, "documents.parquet")
+    val files: Array[java.io.File] =
+      if (docs.isDirectory) Option(docs.listFiles()).getOrElse(Array.empty)
+      else if (docs.isFile) Array(docs)
+      else Array.empty
+    val snap = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString(";")
+    s"$d|$snap"
+  }
+
+  /** Drop all staged shingle parquet (test/maintenance hook). */
+  def clearStage(): Unit = shingleStage.clear()
+
   /** Staged per-doc shingle arrays (sorted, distinct): computed once
-    * per input dir and parked as parquet, because every dedup operator
-    * re-reads it several times — at production scale this is the
-    * materialized intermediate you would checkpoint on HDFS rather
+    * per input snapshot and parked as parquet, because every dedup
+    * operator re-reads it several times — at production scale this is
+    * the materialized intermediate you would checkpoint on HDFS rather
     * than recompute per branch of a self-join DAG. */
   private[operators] def shingleArrays(s: SparkSession, d: String): DataFrame = {
-    val path = shingleStage.computeIfAbsent(d, _ => {
+    val path = shingleStage.computeIfAbsent(stageKey(d), _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-shingles-")
-      p.toFile.deleteOnExit()
+      stageRoots.add(p)
       val out = p.resolve("sh").toString
       shinglesPlan(s, d)
         .groupBy(col("doc_id"))

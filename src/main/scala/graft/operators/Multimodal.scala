@@ -87,22 +87,31 @@ object Multimodal {
 
   /** Frame sampling: treat the payload as fixed-size 256-byte frames,
     * count them and fingerprint frame 0 — the batched video-sampling
-    * shape with a deterministic stub decoder. */
+    * shape with a deterministic stub decoder. The fingerprint is
+    * md5 over the UPPERCASE-HEX rendering of the first 256 bytes
+    * (not the raw bytes) so the DuckDB oracle can reproduce it
+    * byte-exactly for any UTF-8 input — DuckDB 1.x cannot hash or
+    * slice BLOBs, but substr(hex(encode(text))) is octet-precise. */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     val sp = s
     import sp.implicits._
     payloads(s, d).mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
-      val hex = "0123456789abcdef".toCharArray
+      val hexLo = "0123456789abcdef".toCharArray
+      val hexUp = "0123456789ABCDEF".toCharArray
       it.map { p =>
         val frameSize = 256
         val nFrames = p.bytes.length / frameSize
-        md.reset()
         val f0 = p.bytes.take(math.min(frameSize, p.bytes.length))
-        val dig = md.digest(f0)
+        val hx = new java.lang.StringBuilder(f0.length * 2)
+        f0.foreach { b =>
+          hx.append(hexUp((b >> 4) & 0xf)); hx.append(hexUp(b & 0xf))
+        }
+        md.reset()
+        val dig = md.digest(hx.toString.getBytes(StandardCharsets.US_ASCII))
         val sb = new java.lang.StringBuilder(32)
         dig.foreach { b =>
-          sb.append(hex((b >> 4) & 0xf)); sb.append(hex(b & 0xf))
+          sb.append(hexLo((b >> 4) & 0xf)); sb.append(hexLo(b & 0xf))
         }
         MediaFrames(p.doc_id, nFrames.toLong, sb.toString)
       }

@@ -34,43 +34,74 @@ class SequenceFileSource extends TableProvider {
     SequenceFileSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SeqTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    // schema is fixed by the (LongWritable, Text) record format —
+    // reject a caller-provided schema that differs rather than
+    // silently discarding it (compare names + types, not nullability)
+    if (schema != null) {
+      val want = SequenceFileSource.schema.fields.map(f => (f.name, f.dataType))
+      val got = schema.fields.map(f => (f.name, f.dataType))
+      require(got.sameElements(want),
+        s"${SequenceFileSource.NAME} has the fixed schema " +
+          s"${SequenceFileSource.schema.simpleString} (LongWritable key, " +
+          s"Text value); user schema ${schema.simpleString} is not supported")
+    }
+    val paths = SequenceFileSource.resolvePaths(properties)
+    require(paths.nonEmpty,
+      s"${SequenceFileSource.NAME} requires a path: " +
+        "spark.read.format(...).load(path) or .option(\"path\", path)")
+    new SeqTable(paths)
+  }
 }
 
 object SequenceFileSource {
   val schema: StructType = new StructType()
     .add("key", LongType).add("value", StringType)
   val NAME = "graft.sources.sequence.SequenceFileSource"
+
+  /** Single `path` property or the JSON-array `paths` property Spark
+    * sets for multi-path load(p1, p2, ...). */
+  private[sequence] def resolvePaths(
+      properties: util.Map[String, String]): Seq[String] = {
+    val single = Option(properties.get("path")).toSeq
+    val multi = Option(properties.get("paths")).toSeq.flatMap { js =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(js, classOf[Array[String]]).toSeq
+    }
+    (single ++ multi).distinct
+  }
 }
 
-private class SeqTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"sequencefile($path)"
+private class SeqTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"sequencefile(${paths.mkString(",")})"
   override def schema(): StructType = SequenceFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(path)
+    new SeqScanBuilder(paths)
 }
 
-private class SeqScanBuilder(path: String) extends ScanBuilder {
-  override def build(): Scan = new SeqScan(path)
+private class SeqScanBuilder(paths: Seq[String]) extends ScanBuilder {
+  override def build(): Scan = new SeqScan(paths)
 }
 
-private class SeqScan(path: String) extends Scan with Batch {
+private class SeqScan(paths: Seq[String]) extends Scan with Batch {
   override def readSchema(): StructType = SequenceFileSource.schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val files =
+    val files = paths.toArray.flatMap { path =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      require(fs.exists(p),
+        s"${SequenceFileSource.NAME}: path does not exist: $path")
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile)
           .filterNot(_.getPath.getName.startsWith("_"))
           .filterNot(_.getPath.getName.startsWith("."))
           .map(_.getPath.toString)
       else Array(path)
+    }
     files.map(SeqPartition(_): InputPartition)
   }
 

@@ -79,37 +79,64 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
-  case class SessionEvent(user_id: Long, ts_us: Long)
+  // ts stays in the Dataset (not just ts_us) because the event-time
+  // watermark rides on that column's metadata; projecting it away
+  // would disable EventTimeTimeout
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
   /** Stateful sessionization via flatMapGroupsWithState: 30-min-gap
-    * sessions per user, emitted on completion of each micro-batch
-    * group. State is one (lastTs, counts) pair per user — bounded,
-    * unlike a global sort. Batch twin: q21_sessionize. */
+    * sessions per user. State is one (lastTs, counts) pair per user
+    * AND it is expired: each update arms an event-time timeout at
+    * lastTs + gap, so once the watermark passes a user's last event
+    * plus one session gap the state is removed — total state is
+    * bounded by the number of users active inside the watermark
+    * horizon, not by all users ever seen.
+    *
+    * Emission semantics (documented contract): one cumulative
+    * snapshot row per user per micro-batch in which that user had
+    * events — upsert semantics, consumers keep the latest row per
+    * user_id (exactly what the memory-sink spec does via toMap).
+    * Events arriving out of order ACROSS micro-batches (within the
+    * watermark) can split one true session into two — the standard
+    * incremental-sessionization approximation; events later than the
+    * watermark restart a fresh session if the old state already
+    * expired. Batch twin: q21_sessionize. */
   def sessionize(events: DataFrame): Dataset[UserSessions] = {
     val sp = events.sparkSession
     import sp.implicits._
     events
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long), UserSessions](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[SessionEvent],
          state: GroupState[(Long, Long, Long)]) =>
           val gapUs = 1800000000L
-          val (prevLast, prevEvents, prevSessions) =
-            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-          var last = prevLast
-          var nEvents = prevEvents
-          var nSessions = prevSessions
-          it.toSeq.sortBy(_.ts_us).foreach { e =>
-            if (last == Long.MinValue || e.ts_us - last > gapUs) nSessions += 1
-            last = e.ts_us
-            nEvents += 1
+          val gapMs = gapUs / 1000L
+          if (state.hasTimedOut) {
+            // idle for a full session gap past the watermark: the last
+            // emitted snapshot already carried this user's final totals
+            state.remove()
+            Iterator.empty
+          } else {
+            val (prevLast, prevEvents, prevSessions) =
+              state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+            var last = prevLast
+            var nEvents = prevEvents
+            var nSessions = prevSessions
+            it.toSeq.sortBy(_.ts_us).foreach { e =>
+              if (last == Long.MinValue || e.ts_us - last > gapUs) nSessions += 1
+              last = e.ts_us
+              nEvents += 1
+            }
+            state.update((last, nEvents, nSessions))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1, last / 1000L + gapMs))
+            Iterator(UserSessions(user, nEvents, nSessions))
           }
-          state.update((last, nEvents, nSessions))
-          Iterator(UserSessions(user, nEvents, nSessions))
       }
   }
 }
