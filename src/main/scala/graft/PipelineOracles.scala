@@ -2,10 +2,14 @@ package graft
 
 /** DuckDB oracle SQL for Dedup, Similarity, and Multimodal.
   *
-  * `dedup_minhash_lsh`, `dedup_simhash`, and `sim_knn_lsh` are
-  * rows-only (their hash families are Spark-side xxhash64 /
-  * seeded-RNG constructs DuckDB cannot reproduce); their correctness
-  * is spec-verified against the exact operators instead.
+  * Every query here has a FULL hash-match oracle. The approximate
+  * operators (minhash, simhash, hyperplane LSH, IVF) are exactly
+  * reproducible because their hash families were chosen
+  * DuckDB-expressible: rolling-hash folds (mirrored via list_reduce
+  * over codepoints), closed-form universal-hash parameters, LCG-bit
+  * ±1 hyperplanes, and exact-integer centroid sums — see the
+  * operator scaladocs in operators/Dedup.scala and
+  * operators/Similarity.scala.
   *
   * Cosine comparisons CAST the float lists to DOUBLE[] so DuckDB
   * accumulates in double like the Spark expression; emitted columns
@@ -14,6 +18,15 @@ package graft
   * ranks, orders of magnitude above any accumulation-order noise).
   */
 object PipelineOracles {
+  /** Rolling-hash fold of string expression `s` with multiplier `m`,
+    * mirroring graft.functions.RollingHash: fold(h*m + codepoint)
+    * mod 2^31-1 over every codepoint (dotall). */
+  private def rollFold(s: String, m: Int = 31): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_extract_all($s, '(?s).'),
+       |        c -> CAST(unicode(c) AS BIGINT))),
+       |    (h, c) -> (h * $m + c) % 2147483647)""".stripMargin
   private val shingles =
     """SELECT DISTINCT doc_id, t[i] || '_' || t[i+1] || '_' || t[i+2] AS sh
       |FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
@@ -53,6 +66,76 @@ object PipelineOracles {
          |WHERE inter * 9 >= (sa.n + sb.n) * 4
          |ORDER BY x, y""".stripMargin,
 
+    // Mirrors Dedup.minhashLsh end to end: rolling-hash base, 128
+    // permutations with closed-form (a_i, b_i) (seed 42 => 43+i), 16
+    // bands x 8 rows folded polynomially, exact-Jaccard verification
+    // of the candidate pairs only.
+    "dedup_minhash_lsh" ->
+      s"""WITH sh AS ($shingles),
+         |hv AS (SELECT doc_id, sh, ${rollFold("sh")} AS h FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i,
+         |    min(((((43 + i) * 2654435761) % 2147483647) * h
+         |         + ((43 + i) * 1013904223) % 2147483647) % 2147483647) AS m
+         |  FROM hv CROSS JOIN range(128) g(i)
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 8 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
+         |      (a, v) -> (a * 31 + v) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.x, c.y, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh p ON p.doc_id = c.x
+         |  JOIN sh q ON q.doc_id = c.y AND q.sh = p.sh
+         |  GROUP BY 1, 2)
+         |SELECT i.x, i.y, (100 * i.inter) // (sa.n + sb.n - i.inter) AS jac_pct
+         |FROM inter i
+         |JOIN sz sa ON i.x = sa.doc_id JOIN sz sb ON i.y = sb.doc_id
+         |WHERE i.inter * 9 >= (sa.n + sb.n) * 4
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors Dedup.simhash: 62-bit word hash = fold31 << 31 | fold131,
+    // classic weighted-bit-counter signature (bits 62/63 always 0, so
+    // range(62) suffices), 4x16-bit bands, exact Hamming verify.
+    "dedup_simhash" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, word, count(*) AS w FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1, 2),
+         |wh AS (
+         |  SELECT doc_id, w,
+         |    ${rollFold("word", 31)} * 2147483648 + ${rollFold("word", 131)}
+         |      AS h
+         |  FROM words),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS c
+         |  FROM wh CROSS JOIN range(62) g(j)
+         |  GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j)
+         |             ELSE 0 END) AS BIGINT) AS sig
+         |  FROM bits GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, sig, b AS band, (sig >> (b * 16)) & 65535 AS bv
+         |  FROM sigs CROSS JOIN range(4) g(b))
+         |SELECT DISTINCT a.doc_id AS x, b.doc_id AS y,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT a.vec_id AS x, b.vec_id AS y
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -69,6 +152,84 @@ object PipelineOracles {
         |      AS rank
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Similarity.knnLsh: 12 ±1 hyperplanes from md5("j-k")
+    // hex parity, dot in double in index order (bit-identical to the
+    // codegen loop), 4 bands x 3 bits, exact cosine re-rank.
+    "sim_knn_lsh" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+        |             ELSE 0 END) AS BIGINT) AS sig
+        |  FROM (
+        |    SELECT vec_id, j,
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64),
+        |          k -> CAST(embedding[k] AS DOUBLE) *
+        |               (CASE WHEN unicode(substr(md5(
+        |                      CAST(j AS VARCHAR) || '-' ||
+        |                      CAST(k - 1 AS VARCHAR)), 1, 1)) & 1 = 1
+        |                     THEN CAST(1 AS DOUBLE)
+        |                     ELSE CAST(-1 AS DOUBLE) END))),
+        |        (a, x) -> a + x) AS dot
+        |    FROM embeddings CROSS JOIN range(12) g(j))
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, b AS band, (sig >> (b * 3)) & 7 AS bv
+        |  FROM sig CROSS JOIN range(4) g(b)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        |  FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, neighbor_id, rank FROM (
+        |  SELECT cand.q_id, cand.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.q_id
+        |      ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |        CAST(ce.embedding AS DOUBLE[])) DESC, cand.vec_id) AS BIGINT)
+        |      AS rank
+        |  FROM cand
+        |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Similarity.knnIvf: centroids = exact integer sums of
+    // round(v*1e6) per (label, dim) cast to float, nprobe=3 cell
+    // probe ranked by double cosine, exact re-rank inside the cells.
+    "sim_knn_ivf" ->
+      """WITH cent AS (
+        |  SELECT label,
+        |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
+        |      AS centroid
+        |  FROM (
+        |    SELECT label, i,
+        |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |          AS BIGINT)) AS m
+        |    FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |probed AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q.vec_id AS q_id, c.label,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.centroid AS DOUBLE[])) DESC, c.label) AS crank
+        |    FROM embeddings q CROSS JOIN cent c
+        |    WHERE q.vec_id < 20)
+        |  WHERE crank <= 3),
+        |cand AS (
+        |  SELECT p.q_id, e.vec_id
+        |  FROM probed p JOIN embeddings e ON e.label = p.label
+        |  WHERE e.vec_id <> p.q_id)
+        |SELECT q_id, neighbor_id, rank FROM (
+        |  SELECT cand.q_id, cand.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.q_id
+        |      ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |        CAST(ce.embedding AS DOUBLE[])) DESC, cand.vec_id) AS BIGINT)
+        |      AS rank
+        |  FROM cand
+        |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "emb_quantize" ->

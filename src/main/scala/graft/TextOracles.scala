@@ -97,6 +97,31 @@ object TextOracles {
         |    (h, c) -> (h * 31 + c) % 2147483647) AS key
         |  FROM range(100000) t(i))""".stripMargin,
 
+    // Mirrors HadoopTools.piEstimate: dart i = (fold(md5('x'||i)),
+    // fold(md5('y'||i))) in [0, P)^2, inside iff x^2+y^2 < P^2 in
+    // exact 64-bit arithmetic.
+    "mr_pi" ->
+      """SELECT CAST(sum(inside) AS BIGINT) AS hits,
+        |  count(*) AS darts,
+        |  (40000 * CAST(sum(inside) AS BIGINT)) // count(*) AS pi_x10000
+        |FROM (
+        |  SELECT CASE WHEN x * x + y * y <
+        |      CAST(2147483647 AS BIGINT) * CAST(2147483647 AS BIGINT)
+        |    THEN 1 ELSE 0 END AS inside
+        |  FROM (
+        |    SELECT
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('x' || CAST(i AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 2147483647) AS x,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('y' || CAST(i AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 2147483647) AS y
+        |    FROM range(400000) t(i)))""".stripMargin,
+
     "txt_ngrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
         |  SELECT t[i] || '_' || t[i+1] AS bigram FROM (

@@ -34,11 +34,15 @@ case class MinHashAgg(
 
   private val P = 2147483647L // 2^31 - 1 (prime); a*h + b stays < 2^62
 
-  @transient private lazy val (as, bs) = {
-    val rnd = new scala.util.Random(seed)
-    (Array.fill(perms)(1L + rnd.nextInt(Int.MaxValue - 1)),
-     Array.fill(perms)(rnd.nextInt(Int.MaxValue).toLong))
-  }
+  // Universal-hash parameters from a CLOSED-FORM draw (Knuth / Numerical
+  // Recipes multipliers) rather than scala.util.Random, so the DuckDB
+  // oracle can regenerate the identical permutation family in SQL:
+  //   a_i = ((seed + i + 1) * 2654435761) mod P   (never 0: P prime,
+  //         neither factor ≡ 0 mod P for i < perms << P)
+  //   b_i = ((seed + i + 1) * 1013904223) mod P
+  @transient private lazy val (as, bs) = (
+    Array.tabulate(perms)(i => ((seed + i + 1) * 2654435761L) % P),
+    Array.tabulate(perms)(i => ((seed + i + 1) * 1013904223L) % P))
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -16,17 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * definitions differ across engines' SQL surfaces. Codegen keeps the
   * per-character loop inside WholeStageCodegen.
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression, mult: Long = 31L)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_hash"
 
   override def nullSafeEval(v: Any): Any =
-    RollingHash.hash(v.asInstanceOf[UTF8String])
+    RollingHash.hash(v.asInstanceOf[UTF8String], mult)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, x => s"graft.functions.RollingHash.hash($x)")
+    defineCodeGen(ctx, ev, x => s"graft.functions.RollingHash.hash($x, ${mult}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -36,19 +37,22 @@ object RollingHash {
   private val P = 2147483647L // 2^31 - 1
 
   /** Shared by interpreted and codegen paths; iterates Unicode
-    * codepoints (not UTF-8 bytes) to match SQL `unicode(ch)`. */
-  def hash(s: UTF8String): Long = {
+    * codepoints (not UTF-8 bytes) to match SQL `unicode(ch)`.
+    * `mult` must keep mult*P + cp < 2^63 — any small prime is fine. */
+  def hash(s: UTF8String, mult: Long): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * 31 + cp) % P
+      h = (h * mult + cp) % P
       i += Character.charCount(cp)
     }
     h
   }
 
-  def rollingHash(c: Column): Column =
-    Shim.toColumn(RollingHash(Shim.toExpression(c)))
+  def hash(s: UTF8String): Long = hash(s, 31L)
+
+  def rollingHash(c: Column, mult: Long = 31L): Column =
+    Shim.toColumn(RollingHash(Shim.toExpression(c), mult))
 }

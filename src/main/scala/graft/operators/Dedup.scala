@@ -155,19 +155,27 @@ object Dedup {
   /** MinHash(128) + banded LSH (16 bands x 8 rows), then exact-Jaccard
     * verification of the candidates only. At tau = 0.8 the bands catch
     * a true pair with prob ~1 - (1 - 0.8^8)^16 ≈ 0.96 per band config;
-    * verification keeps precision exact. Rows-only oracle (hash family
-    * is Spark-side xxhash64); the spec asserts equality with the
-    * exhaustive `ngramJaccard` result. */
+    * verification keeps precision exact.
+    *
+    * Every hash in the pipeline is DuckDB-expressible (rolling-hash
+    * base, closed-form permutation params, polynomial band fold), so
+    * this query has a FULL hash-match oracle — the LSH candidate set
+    * itself is verified, not just the final pairs. The band key folds
+    * the 8 signature slots to one long ((h*31+v) mod P) instead of
+    * shipping an 80-byte array key; fold collisions only add false
+    * candidates, which exact verification removes. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val sigs = sh
-      .select(col("doc_id"), expr("pmod(xxhash64(sh), 2147483647L)").as("h"))
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rollingHash(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("h")).as("sig"))
     val bands = sigs.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 15),
-         b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',',
-                slice(sig, b * 8 + 1, 8)))))""")).as("bb"))
+         b -> named_struct('band', b, 'bh',
+                aggregate(slice(sig, b * 8 + 1, 8), 0L,
+                  (a, v) -> (a * 31 + v) % 2147483647L)))""")).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.select(col("doc_id").as("x"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("y"), col("band"), col("bh")),
@@ -180,11 +188,17 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
-  /** SimHash near-dup pairs: 64-bit signatures from the native
+  /** SimHash near-dup pairs: 62-bit signatures from the native
     * SimHashAgg aggregate, banded into 4x16-bit blocks (any pair at
     * Hamming distance <= 3 shares at least one intact block), then
-    * exact Hamming verification via bit_count(xor). Rows-only oracle;
-    * spec checks containment vs the Jaccard truth set. */
+    * exact Hamming verification via bit_count(xor).
+    *
+    * The word hash is a DuckDB-expressible 62-bit construct — two
+    * independent 31-bit rolling-hash folds (multipliers 31 and 131)
+    * packed as h1 << 31 | h2 — so the full pipeline has a hash-match
+    * oracle. Bits 62/63 of the hash are always 0, so those two sig
+    * bits are deterministically 0 on both engines (effective width
+    * 62 bits). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     // weight-1 per occurrence accumulates to the per-word count inside
     // the aggregate buffer, so no (doc, word) pre-aggregation shuffle
@@ -194,7 +208,10 @@ object Dedup {
         explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("doc_id"))
-      .agg(SimHashAgg.simhash(xxhash64(col("word")), lit(1L)).as("sig"))
+      .agg(SimHashAgg.simhash(
+        shiftleft(graft.functions.RollingHash.rollingHash(col("word"), 31L), 31)
+          .bitwiseOR(graft.functions.RollingHash.rollingHash(col("word"), 131L)),
+        lit(1L)).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"), explode(expr(
       """transform(sequence(0, 3),
          b -> named_struct('band', b,

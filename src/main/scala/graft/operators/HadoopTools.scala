@@ -67,28 +67,24 @@ object HadoopTools {
         max(col("key")).as("max_key"))
   }
 
-  /** The Pi example: per-partition deterministic RNG (seeded by
-    * partition id), darts in the unit square. Deterministic for a
-    * fixed partition count, which the operator fixes itself. */
+  /** The Pi example, hash-derived: dart i has integer coordinates
+    * (x, y) = rolling-hash folds of md5 hex digests keyed by i, each
+    * uniform in [0, P) with P = 2^31 - 1; the dart is inside the
+    * quarter circle iff x² + y² < P² (pure 64-bit integer arithmetic:
+    * 2·(P-1)² < 2^63). md5-then-fold makes the dart stream both
+    * statistically uniform and EXACTLY reproducible in DuckDB SQL, so
+    * unlike the classic per-mapper-seeded java.util.Random version
+    * this one has a full hash-match oracle, while still fanning the
+    * dart range across partitions like the MR Pi example fans mappers. */
   def piEstimate(s: SparkSession, d: String): DataFrame = {
-    val sp = s
-    import sp.implicits._
-    val parts = 16
-    val perPart = 100000
-    val hits = s.sparkContext.parallelize(0 until parts, parts)
-      .map { pid =>
-        val rnd = new scala.util.Random(1234L + pid)
-        var h = 0L
-        var i = 0
-        while (i < perPart) {
-          val x = rnd.nextDouble() * 2 - 1
-          val y = rnd.nextDouble() * 2 - 1
-          if (x * x + y * y <= 1) h += 1
-          i += 1
-        }
-        h
-      }.sum().toLong
-    Seq((hits, parts.toLong * perPart)).toDF("hits", "darts")
+    val n = 400000L
+    def coord(salt: String) = graft.functions.RollingHash.rollingHash(
+      md5(concat(lit(salt), col("id").cast("string")).cast("binary")))
+    s.range(0, n, 1, 16)
+      .select(coord("x").as("x"), coord("y").as("y"))
+      .select((col("x") * col("x") + col("y") * col("y") <
+        lit(2147483647L) * lit(2147483647L)).cast("long").as("inside"))
+      .agg(sum(col("inside")).as("hits"), count(lit(1)).as("darts"))
       .withColumn("pi_x10000",
         expr("(40000 * hits) div darts")) // 4*hits/darts in fixed point
   }

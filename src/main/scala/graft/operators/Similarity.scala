@@ -75,15 +75,20 @@ object Similarity {
     * broadcast both ways), keep their nprobe nearest cells, and only
     * the vectors in those cells are ranked exactly — the corpus-side
     * scan is pruned to nprobe/ncells of the data, the property that
-    * matters at 100 TB. Rows-only oracle; spec measures recall vs
-    * brute. */
+    * matters at 100 TB.
+    *
+    * Full hash-match oracle: the centroid is the EXACT integer sum of
+    * round(v * 1e6) per dimension (order-independent, unlike a float
+    * avg whose shuffle-order rounding is nondeterministic), cast to
+    * float identically on both engines; cosine is scale-invariant so
+    * the un-divided sum ranks cells exactly like the mean would. */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 3
     val e = Tables.embeddings(s, d)
-    // centroids: element-wise mean per label via posexplode + re-agg
+    // centroids: element-wise exact integer sums per label
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy(col("label"), col("i"))
-      .agg(avg(col("v")).as("m"))
+      .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("m"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> cast(s.m as float))")
         .as("centroid"))
@@ -102,17 +107,33 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: 12 random hyperplanes (fixed seed) -> 12-bit
-    * signature -> 4 bands x 3 bits. Candidates = corpus vectors
-    * sharing at least one band with the query; exact cosine re-ranks
-    * the candidates. Rows-only oracle; the spec measures recall vs
-    * knnBrute. */
+  /** Rademacher (±1) hyperplane entries from the parity of the first
+    * hex char of md5("j-k") — iid Bernoulli(1/2) bits, identically
+    * computable in DuckDB SQL (md5 agrees across engines).
+    * Sign-random-projection LSH is valid with ±1 entries (Charikar
+    * STOC'02 admits any symmetric distribution); a linear-congruential
+    * bit was measured to cost recall (0.46 vs 0.58) because bit 16 of
+    * a*idx+c is linear in idx, correlating the plane rows. */
+  private[operators] def md5Plane(j: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { k =>
+      val dig = md.digest(s"$j-$k".getBytes("UTF-8"))
+      val hexChar = "0123456789abcdef".charAt((dig(0) >> 4) & 0xf)
+      if ((hexChar.toInt & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** LSH-bucketed ANN: 12 ±1 hyperplanes -> 12-bit signature ->
+    * 4 bands x 3 bits. Candidates = corpus vectors sharing at least
+    * one band with the query; exact cosine re-ranks the candidates.
+    * Full hash-match oracle: the plane entries are ±1 from md5-hex
+    * parity and the dot products accumulate in double in index order
+    * on both engines, so signatures agree bit-exactly. */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     val planes = 12
     val bandBits = 3
-    val rnd = new scala.util.Random(7)
     val hp: Array[Array[Double]] =
-      Array.fill(planes)(Array.fill(64)(rnd.nextGaussian()))
+      Array.tabulate(planes)(md5Plane(_, 64))
     def sigExpr(embCol: String): Column =
       graft.functions.VectorFunctions.hyperplaneSig(
         col(embCol), hp.map(_.toSeq).toSeq)

@@ -51,11 +51,8 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)))
   }
 
-  test("every query key has either an oracle or is documented rows-only") {
+  test("every query key has a DuckDB oracle (no rows-only queries left)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set("dedup_minhash_lsh", "dedup_simhash",
-      "sim_knn_lsh", "sim_knn_ivf", "mr_pi")
-    assert((missing -- rowsOnly).isEmpty,
-      s"queries without oracle: ${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 }
