@@ -17,6 +17,24 @@ object AdvancedOracles {
         |        FROM events WHERE event_type IN ('click', 'purchase')))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    // custom-operator as-of join: inclusive (c_ts <= p_ts) backward
+    // match, ties on c_ts resolved to the largest click_id
+    "adv_asof_custom" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT c.ts_us FROM ev c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts_us <= p.ts_us
+        |   ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS last_click_us,
+        |  (SELECT c.event_id FROM ev c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts_us <= p.ts_us
+        |   ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS last_click_id
+        |FROM ev p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
     "adv_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty

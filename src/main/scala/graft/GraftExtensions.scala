@@ -17,10 +17,14 @@ import graft.sources.Tables
   * query in this library can be written as plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // custom physical operators (AsofJoin.asof also self-registers via
+    // experimental.extraStrategies for sessions built without this)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {

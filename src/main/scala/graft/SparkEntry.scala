@@ -66,6 +66,7 @@ object SparkEntry {
     "src_sequence_roundtrip" -> SourceOps.sequenceRoundtrip _,
     "src_partitioned_prune" -> SourceOps.partitionedPrune _,
     "adv_asof_join"        -> Advanced.asofJoin _,
+    "adv_asof_custom"      -> Advanced.asofCustom _,
     "adv_salted_join"      -> Advanced.skewSaltedJoin _,
     "adv_distinct_users"   -> Advanced.distinctUsers _,
     "mr_teragen"           -> HadoopTools.teragen _,

@@ -37,6 +37,32 @@ object Advanced {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of semantics through the CUSTOM Catalyst operator
+    * (graft.plans.AsofJoin — LogicalPlan + Strategy + SparkPlan,
+    * tier (c)): purchases as-of-joined to the latest click at or
+    * before the purchase time, carrying the matched click's id AND
+    * timestamp — the whole-row carry the window formulation cannot do
+    * without one extra last_value per column. Inclusive (<=) backward
+    * semantics; ties on click time resolved to the largest click_id
+    * via the exec's right-side tiebreak ordering. */
+  def asofCustom(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("c_ts"))
+    graft.plans.AsofJoin.asof(purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+        leftTime = "ts_us", rightTime = "c_ts",
+        rightTiebreaks = Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("c_ts").as("last_click_us"), col("click_id").as("last_click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Salted join: spreads each hot key over `salt` subkeys (fact side
     * gets a random-but-deterministic salt from its row identity, the
     * build side is replicated across all salts). Result is provably

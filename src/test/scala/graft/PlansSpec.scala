@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Advanced
+import graft.plans.AsofJoin
+
+/** Specs for the custom Catalyst as-of join (graft.plans.AsofJoin). */
+class PlansSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("custom as-of join matches an independent window formulation") {
+    val rows = Advanced.asofCustom(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // reference: inclusive backward match computed the window way
+    val ref = SparkEntry.queries("adv_asof_join")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val w = ref(r.getLong(0))
+      // window version is strict (<); custom is inclusive (<=): every
+      // strict match is a valid inclusive match candidate, so the
+      // custom last_click_us can only be >= the strict one
+      if (!w.isNullAt(3)) {
+        assert(!r.isNullAt(3))
+        assert(r.getLong(3) >= w.getLong(3))
+        assert(r.getLong(3) <= r.getLong(2)) // still at or before purchase
+      }
+    }
+  }
+
+  test("ties on time resolve to the largest tiebreak id, unmatched stay null") {
+    val purchases = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 50L))
+      .toDF("event_id", "user_id", "ts_us")
+    val clicks = Seq(
+      (1L, 1L, 50L), (2L, 1L, 50L), // tie at t=50 -> click_id 2 wins
+      (3L, 1L, 20L),
+      (4L, 3L, 10L))                // user 3: never matched
+      .toDF("click_id", "c_user", "c_ts")
+    val out = AsofJoin.asof(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts_us", "c_ts", Seq("click_id"))
+      .select("event_id", "c_ts", "click_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(out(100L) == Some((50L, 2L))) // inclusive, max tiebreak on tie
+    assert(out(101L) == None)            // only later clicks exist
+    assert(out(102L) == None)            // no clicks for user 2
+  }
+
+  test("a hot key streams through with O(1) state (skew safety)") {
+    val purchases = Seq((1L, 7L, 1000000L)).toDF("event_id", "user_id", "ts_us")
+    val clicks = spark.range(100000)
+      .select(col("id").as("click_id"), lit(7L).as("c_user"),
+        col("id").as("c_ts"))
+    val out = AsofJoin.asof(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts_us", "c_ts", Seq("click_id"))
+      .select("c_ts").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 99999L)
+  }
+
+  test("plan shape: one exchange per side, no extra shuffle") {
+    val df = Advanced.asofCustom(spark, sf)
+    df.collect() // force AQE final plan
+    // AQE toString repeats the plan (Final + Initial); count only the
+    // final section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsofJoin"), plan.take(500))
+    // 3 exchanges total: one per join side + the final global orderBy
+    val exchanges = "(?m)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$plan")
+  }
+}
