@@ -66,6 +66,16 @@ object PipelineOracles {
          |WHERE inter * 9 >= (sa.n + sb.n) * 4
          |ORDER BY x, y""".stripMargin,
 
+    "dedup_survivor" ->
+      """SELECT fp, keep_id, keep_chars, n_dups FROM (
+        |  SELECT fp, doc_id AS keep_id, n_chars AS keep_chars,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS n_dups
+        |  FROM (SELECT doc_id, n_chars, md5(lower(trim(text))) AS fp
+        |        FROM documents))
+        |WHERE rn = 1 ORDER BY fp""".stripMargin,
+
     // Mirrors Dedup.minhashLsh end to end: rolling-hash base, 128
     // permutations with closed-form (a_i, b_i) (seed 42 => 43+i), 16
     // bands x 8 rows folded polynomially, exact-Jaccard verification

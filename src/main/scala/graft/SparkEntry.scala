@@ -48,7 +48,11 @@ object SparkEntry {
     "txt_fingerprint"      -> TextAnalysis.fingerprint _,
     "txt_ngrams"           -> TextAnalysis.ngrams _,
     "txt_rolling_fp"       -> TextAnalysis.rollingFingerprint _,
+    "txt_sample_stratified" -> TextAnalysis.sampleStratified _,
+    "txt_repetition"       -> TextAnalysis.repetition _,
+    "txt_contamination"    -> TextAnalysis.contamination _,
     "dedup_exact"          -> Dedup.exact _,
+    "dedup_survivor"       -> Dedup.survivor _,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh"    -> Dedup.minhashLsh _,
     "dedup_simhash"        -> Dedup.simhash _,

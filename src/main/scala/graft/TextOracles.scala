@@ -97,6 +97,65 @@ object TextOracles {
         |    (h, c) -> (h * 31 + c) % 2147483647) AS key
         |  FROM range(100000) t(i))""".stripMargin,
 
+    // Mirrors TextAnalysis.sampleStratified: rolling-hash fold of
+    // md5('sample-'||doc_id), per-lang permille rates (en 100,
+    // else 500)
+    "txt_sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(keep) AS BIGINT) AS n_sampled,
+        |  CAST(sum(doc_id * keep) AS BIGINT) AS sample_checksum
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(regexp_extract_all(
+        |            md5('sample-' || CAST(doc_id AS VARCHAR)), '(?s).'),
+        |            c -> CAST(unicode(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 2147483647) % 1000 <
+        |      (CASE WHEN lang = 'en' THEN 100 ELSE 500 END)
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_repetition" ->
+      """SELECT doc_id, n_grams, n_distinct,
+        |  CASE WHEN n_grams > 0
+        |    THEN (10000 * (n_grams - n_distinct)) // n_grams
+        |    ELSE 0 END AS dup_bps
+        |FROM (
+        |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+        |    CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(t) >= 3
+        |        THEN list_transform(generate_series(1, len(t) - 2),
+        |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |        ELSE CAST([] AS VARCHAR[]) END AS g
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+        |            AS t FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_contamination" ->
+      """WITH ev(eval_ngram) AS (VALUES ('big order scan'),
+        |  ('group slow spark'), ('small part order'),
+        |  ('sort slow hash'), ('filter merge data')),
+        |g AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM (SELECT doc_id,
+        |                regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents))),
+        |hits AS (
+        |  SELECT g.g AS eval_ngram,
+        |    count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |  FROM g JOIN ev ON g.g = ev.eval_ngram GROUP BY 1)
+        |SELECT e.eval_ngram,
+        |  CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(h.n_occurrences, 0) AS BIGINT) AS n_occurrences
+        |FROM ev e LEFT JOIN hits h ON e.eval_ngram = h.eval_ngram
+        |ORDER BY 1""".stripMargin,
+
     // Mirrors HadoopTools.piEstimate: dart i = (fold(md5('x'||i)),
     // fold(md5('y'||i))) in [0, P)^2, inside iff x^2+y^2 < P^2 in
     // exact 64-bit arithmetic.

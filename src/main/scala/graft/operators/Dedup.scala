@@ -105,6 +105,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("fp"))
 
+  /** Quality-aware survivorship: within each exact-duplicate group,
+    * keep the HIGHEST-QUALITY copy (longest n_chars, then smallest
+    * doc_id) instead of exact()'s min-id rule — the canonical-selection
+    * policy of a real training-data pipeline. One shuffle on the
+    * 16-byte fingerprint; row_number (not rank) so exactly one
+    * survivor per group regardless of ties. */
+  def survivor(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"),
+        col("n_chars").as("keep_chars"), col("n_dups"))
+      .orderBy(col("fp"))
+  }
+
   /** Prefix-filtered candidate pairs (the PPJoin family, Xiao et al.
     * VLDB'08 — public literature): sort each doc's shingles by global
     * (df, sh) order and index only the first floor((1-tau)*n)+1; the

@@ -85,6 +85,87 @@ object TextAnalysis {
           .as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Per-document 3-grams (positional, row-local); operates on a
+    * column literally named `t`. */
+  private def grams3: Column =
+    when(size(col("t")) >= 3, expr(
+      """transform(sequence(1, size(t) - 2),
+         i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
+                     element_at(t, i + 2)))"""))
+      .otherwise(expr("cast(array() as array<string>)"))
+
+  /** Deterministic stratified sampling: per-language keep rates in
+    * permille (en 100‰, others 500‰ — downsample the majority
+    * stratum), membership decided by a rolling-hash bucket of the doc
+    * id. At 100 TB this is a map-only predicate — no shuffle, no RNG
+    * state, reproducible across reruns and engines; the aggregate
+    * emitted here (per-stratum totals + an id checksum) is the audit
+    * record a sampling job should ship with.
+    *
+    * The bucket hashes md5 hex THEN folds (like mr_pi's darts): a
+    * rolling-hash fold of the short id string alone is measurably
+    * non-uniform mod 1000 (0.94 observed at a 0.5 target). */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(graft.functions.RollingHash.rollingHash(
+      md5(concat(lit("sample-"), col("doc_id").cast("string"))
+        .cast("binary"))), lit(1000L))
+    val rate = when(col("lang") === "en", 100L).otherwise(500L)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        (bucket < rate).cast("long").as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_sampled"),
+        sum(col("doc_id") * col("keep")).as("sample_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Intra-document repetition (the C4/RefinedWeb-style repetition
+    * filter signal): how many of a doc's 3-grams are duplicates.
+    * Row-local array ops — embarrassingly parallel, no shuffle. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), grams3.as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("dup_bps",
+        when(col("n_grams") > 0,
+          expr("(10000 * (n_grams - n_distinct)) div n_grams"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark phrases screened for in training data (the
+    * decontamination step every LLM pipeline needs). Fixed here;
+    * in production it is the broadcast side of the same plan. */
+  private[graft] val EVAL_NGRAMS = Seq(
+    "big order scan", "group slow spark", "small part order",
+    "sort slow hash", "filter merge data")
+
+  /** Contamination screen: per eval phrase, how many documents
+    * contain it as a positional 3-gram and how many total
+    * occurrences exist. The phrase set is broadcast (it is tiny);
+    * the corpus side stays map-local until the final small
+    * aggregation — the only shape that survives a 100 TB corpus. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val evalSet = EVAL_NGRAMS.toDF("eval_ngram")
+    val hits = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(grams3).as("g"))
+      .join(broadcast(evalSet), col("g") === col("eval_ngram"))
+      .groupBy(col("eval_ngram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+    evalSet.join(hits, Seq("eval_ngram"), "left")
+      .select(col("eval_ngram"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+      .orderBy(col("eval_ngram"))
+  }
+
   /** Corpus-wide top bigrams. Bigrams are built positionally inside
     * the row (no shuffle until the count), then one aggregation. */
   def ngrams(s: SparkSession, d: String): DataFrame =
