@@ -32,6 +32,18 @@ object SourceOracles {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents""".stripMargin,
 
+    "src_text_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents""".stripMargin,
+
+    "src_parquet_zstd" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_partitioned_prune" ->
       """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

@@ -69,6 +69,8 @@ object SparkEntry {
     "src_orc_roundtrip"    -> SourceOps.orcRoundtrip _,
     "src_sequence_roundtrip" -> SourceOps.sequenceRoundtrip _,
     "src_partitioned_prune" -> SourceOps.partitionedPrune _,
+    "src_text_roundtrip"   -> SourceOps.textRoundtrip _,
+    "src_parquet_zstd"     -> SourceOps.parquetZstdRoundtrip _,
     "adv_asof_join"        -> Advanced.asofJoin _,
     "adv_asof_custom"      -> Advanced.asofCustom _,
     "adv_salted_join"      -> Advanced.skewSaltedJoin _,

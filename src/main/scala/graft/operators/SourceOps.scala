@@ -80,6 +80,47 @@ object SourceOps {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** documents -> plain text lines ("doc_id\ttext", the
+    * TextInputFormat shape every classic MapReduce job consumed) ->
+    * read back -> corpus stats. Line-oriented text is splittable, so
+    * at 100 TB each HDFS block becomes one input split, exactly as
+    * the reference's TextInputFormat planned it. The tab split uses
+    * limit=2 so tabs inside text survive; embedded NEWLINES would
+    * split records — the same record-boundary constraint
+    * TextInputFormat itself has (escape or switch container formats
+    * for multi-line payloads). */
+  def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-text-")
+    Tables.documents(s, d)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(element_at(col("kv"), 1).cast("long").as("doc_id"),
+        element_at(col("kv"), 2).as("text"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  /** orders -> zstd-compressed parquet -> read -> totals. Proves the
+    * codec path (zstd is the 100 TB default: ~gzip ratio at lz4-ish
+    * speed) preserves every value bit-for-bit vs the oracle over the
+    * uncompressed original. */
+  def parquetZstdRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-zstd-")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .option("compression", "zstd").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */
