@@ -41,6 +41,18 @@ object AdvancedOracles {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "adv_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+        |  min(c.event_id) AS first_click, max(c.event_id) AS last_click
+        |FROM ev p JOIN ev c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us < p.ts_us
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "adv_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events

@@ -73,6 +73,7 @@ object SparkEntry {
     "src_parquet_zstd"     -> SourceOps.parquetZstdRoundtrip _,
     "adv_asof_join"        -> Advanced.asofJoin _,
     "adv_asof_custom"      -> Advanced.asofCustom _,
+    "adv_interval_join"    -> Advanced.intervalJoin _,
     "adv_salted_join"      -> Advanced.skewSaltedJoin _,
     "adv_distinct_users"   -> Advanced.distinctUsers _,
     "mr_teragen"           -> HadoopTools.teragen _,

@@ -93,6 +93,34 @@ object Advanced {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Interval (range) join, batch twin of the streaming
+    * purchase-click join: each purchase joined to the same user's
+    * clicks within the preceding hour. Expressed as an EQUI-join on
+    * user_id with the time window as a post-join predicate, so
+    * Catalyst plans a sort-merge join on the high-cardinality key
+    * instead of a nested-loop range join — the shape that scales:
+    * per-user click counts are bounded, so the joined intermediate is
+    * proportional to output, not |purchases|x|clicks|. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("c_ts"))
+    val hourUs = 3600L * 1000000L
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - hourUs && col("c_ts") < col("p_ts"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        min(col("click_id")).as("first_click"),
+        max(col("click_id")).as("last_click"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Exact distinct cardinalities per event type — the shuffle-dedup
     * aggregate. (The HLL approx_count_distinct variant is spec-tested
     * for error bounds; approximate values cannot hash-match an exact

@@ -46,6 +46,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").count() == 1000) // sf0.001 events
   }
 
+  test("streaming document ingest: quality gate + incremental dedup") {
+    val docs = graft.streaming.DocumentStreams.readDocuments(spark, sf)
+    // double-deliver the corpus: dedup must keep one copy per
+    // distinct fingerprint that passes the quality gate
+    val q = graft.streaming.DocumentStreams.ingest(docs.union(docs))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_ingest")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("doc_ingest")
+    val batchExpected = graft.sources.Tables.documents(spark, sf)
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .filter(col("n_tokens") >= 10)
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      .distinct().count()
+    assert(streamed.count() == batchExpected)
+    assert(streamed.select("fp").distinct().count() == batchExpected)
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val q = EventStreams.purchaseClickJoin(EventStreams.readEvents(spark, sf))
       .writeStream.outputMode("append")
