@@ -153,8 +153,10 @@ object Dedup {
       .select(col("x"), col("y")).distinct()
   }
 
-  /** Exact verification of candidate pairs: per-pair array
-    * intersection (row-local, no pair-x-shingle shuffle). */
+  /** Exact verification of candidate pairs: per-pair intersection
+    * size via the codegen two-pointer merge over the staged SORTED
+    * arrays (row-local, no pair-x-shingle shuffle, no per-row hash
+    * set — see functions.SortedIntersectSize). */
   private def verifyJaccard(s: SparkSession, d: String,
       cand: DataFrame): DataFrame = {
     val arrs = shingleArrays(s, d)
@@ -163,7 +165,8 @@ object Dedup {
         col("n_sh").as("na")), Seq("x"))
       .join(arrs.select(col("doc_id").as("y"), col("shs").as("sb"),
         col("n_sh").as("nb")), Seq("y"))
-      .withColumn("inter", expr("size(array_intersect(sa, sb))").cast("long"))
+      .withColumn("inter", graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("sa"), col("sb")))
       .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
       .select(col("x"), col("y"), col("inter"), col("na"), col("nb"),
         expr("(100 * inter) div (na + nb - inter)").as("jac_pct"))

@@ -10,6 +10,32 @@ class FunctionsEdgeSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("sorted_intersect_size: empties, nulls, duplicates, equals array_intersect") {
+    import graft.functions.SortedIntersectSize.sortedIntersectSize
+    val df = Seq(
+      (Some(Seq("a", "b", "c")), Some(Seq("b", "c", "d"))),
+      (Some(Seq.empty[String]), Some(Seq("a"))),
+      (None, Some(Seq("a"))),
+      // duplicates inside an input count once (set semantics)
+      (Some(Seq("a", "b", "b", "c")), Some(Seq("b", "b", "c"))))
+      .toDF("a", "b")
+    val got = df.select(sortedIntersectSize(col("a"), col("b"))).collect()
+    assert(got(0).getLong(0) == 2L)
+    assert(got(1).getLong(0) == 0L)
+    assert(got(2).isNullAt(0))
+    assert(got(3).getLong(0) == 2L)
+    // random sorted arrays agree with size(array_intersect)
+    val rnd = new scala.util.Random(11)
+    val rand = Seq.fill(50)((
+      Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct.sorted,
+      Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct.sorted))
+      .toDF("a", "b")
+    val both = rand.select(
+      sortedIntersectSize(col("a"), col("b")).as("m"),
+      expr("size(array_intersect(a, b))").cast("long").as("r")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("cosine: null inputs give null, zero vectors give NaN") {
     val df = Seq(
       (Some(Array(1f, 2f)), Some(Array(1f, 2f))),
