@@ -256,6 +256,25 @@ object PipelineOracles {
         |  FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
 
+    // Mirrors Multimodal.embedKnn: 32-dim zero-padded byte vectors
+    // (integers, exactly representable in float), exact top-3 cosine.
+    "mm_embed_knn" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 32),
+        |      k -> CASE WHEN octet_length(encode(text)) >= k
+        |             THEN CAST(('0x' || substr(hex(encode(text)),
+        |                        2 * k - 1, 2)) AS BIGINT)
+        |             ELSE CAST(0 AS BIGINT) END) AS vec
+        |  FROM documents)
+        |SELECT q_id, neighbor_id, rank FROM (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.doc_id
+        |      ORDER BY list_cosine_similarity(CAST(q.vec AS DOUBLE[]),
+        |        CAST(c.vec AS DOUBLE[])) DESC, c.doc_id) AS BIGINT) AS rank
+        |  FROM v q, v c WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
     // mm_* oracles are OCTET-based (encode + hex-substring byte
     // extraction), mirroring Spark's raw-byte stub decode exactly for
     // any UTF-8 input — DuckDB's ascii/substr are character-based and

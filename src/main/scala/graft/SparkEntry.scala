@@ -63,6 +63,7 @@ object SparkEntry {
     "mm_meta"              -> Multimodal.meta _,
     "mm_resize"            -> Multimodal.resize _,
     "mm_frames"            -> Multimodal.frameSample _,
+    "mm_embed_knn"         -> Multimodal.embedKnn _,
     "emb_quantize"         -> Similarity.quantize _,
     "src_csv_roundtrip"    -> SourceOps.csvRoundtrip _,
     "src_json_roundtrip"   -> SourceOps.jsonRoundtrip _,

@@ -28,6 +28,7 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, digest: String,
 case class MediaThumb(doc_id: Long, width: Long, height: Long,
     thumb_w: Long, thumb_h: Long)
 case class MediaFrames(doc_id: Long, n_frames: Long, frame0_digest: String)
+case class MediaVec(doc_id: Long, vec: Array[Float])
 
 object Multimodal {
 
@@ -83,6 +84,39 @@ object Multimodal {
           if (m == 0) 0L else (h.toLong * 16) / m)
       }
     }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** The multimodal -> similarity bridge: stub "feature extraction"
+    * turns each payload's first 32 bytes into a 32-dim vector
+    * (zero-padded; byte values are integers, exactly representable in
+    * float, so both engines cosine over identical doubles), then
+    * exact top-3 cosine neighbors for the first 10 docs — the
+    * decode -> embed -> ANN flow of a real multimodal pipeline with
+    * the codec stubbed and every Spark-side mechanism real. */
+  def embedKnn(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val dims = 32
+    val vecs = payloads(s, d).mapPartitions { it =>
+      it.map { p =>
+        val v = new Array[Float](dims)
+        var i = 0
+        while (i < dims && i < p.bytes.length) {
+          v(i) = (p.bytes(i) & 0xff).toFloat
+          i += 1
+        }
+        MediaVec(p.doc_id, v)
+      }
+    }.toDF()
+    val queries = vecs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("vec").as("q_vec"))
+    val scored = vecs.crossJoin(broadcast(queries))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("cos", graft.functions.VectorFunctions
+        .cosineSim(col("q_vec"), col("vec")))
+    Similarity.topKPerGroup(scored, col("q_id"), col("cos"), col("doc_id"), 3)
+      .select(col("q_id"), col("doc_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Frame sampling: treat the payload as fixed-size 256-byte frames,
