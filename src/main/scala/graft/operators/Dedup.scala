@@ -147,9 +147,17 @@ object Dedup {
         """transform(slice(ranked, 1,
              cast(floor(size(ranked) * 0.2) as int) + 1), r -> r.sh)"""))
         .as("sh"))
-    prefix.select(col("doc_id").as("x"), col("sh"))
-      .join(prefix.select(col("doc_id").as("y"), col("sh")), Seq("sh"))
+    // length filter (also PPJoin): J >= 0.8 forces inter >= 0.8*max
+    // and inter <= min, so 5*min >= 4*max — prune incompatible-size
+    // pairs BEFORE the distinct, recall still exactly 1
+    val sized = prefix.join(arrs.select(col("doc_id"), col("n_sh")),
+      Seq("doc_id"))
+    sized.select(col("doc_id").as("x"), col("sh"), col("n_sh").as("nx"))
+      .join(sized.select(col("doc_id").as("y"), col("sh"),
+        col("n_sh").as("ny")), Seq("sh"))
       .filter(col("x") < col("y"))
+      .filter(least(col("nx"), col("ny")) * 5 >=
+        greatest(col("nx"), col("ny")) * 4)
       .select(col("x"), col("y")).distinct()
   }
 
