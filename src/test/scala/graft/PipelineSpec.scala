@@ -13,6 +13,28 @@ class PipelineSpec extends AnyFunSuite {
 
   lazy val exactPairs: Set[(Long, Long)] = pairSet(Dedup.ngramJaccard(spark, sf))
 
+  test("ngramJaccard equals the brute-force O(n²) ground truth (recall 1)") {
+    // the prefix filter + length filter + rep collapse all claim
+    // recall EXACTLY 1 — prove it against an unblocked cross join
+    import org.apache.spark.sql.functions._
+    val arrs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(t) >= 3 THEN
+             transform(sequence(1, size(t) - 2),
+               i -> concat(element_at(t, i), '_', element_at(t, i + 1),
+                           '_', element_at(t, i + 2)))
+           ELSE cast(array() as array<string>) END)""").as("shs"))
+    val a = arrs.select(col("doc_id").as("x"), col("shs").as("sa"))
+    val b = arrs.select(col("doc_id").as("y"), col("shs").as("sb"))
+    val brute = a.crossJoin(b).filter(col("x") < col("y"))
+      .withColumn("inter", expr("size(array_intersect(sa, sb))").cast("long"))
+      .withColumn("na", size(col("sa")).cast("long"))
+      .withColumn("nb", size(col("sb")).cast("long"))
+      .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
+    assert(pairSet(brute) == exactPairs)
+  }
+
   test("minhash+LSH finds exactly the exact-Jaccard pair set (tau=0.8)") {
     val lsh = pairSet(Dedup.minhashLsh(spark, sf))
     // LSH candidates are verified with exact Jaccard, so precision is 1;
