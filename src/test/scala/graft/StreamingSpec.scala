@@ -46,6 +46,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").count() == 1000) // sf0.001 events
   }
 
+  test("sessionization runs on the RocksDB state store (production backend)") {
+    // the HDFS-backed in-memory store is the test default; RocksDB is
+    // what a 100 TB deployment uses (state >> heap). Same results.
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = EventStreams.sessionize(EventStreams.readEvents(spark, sf))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sessions_rocks")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("sessions_rocks").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = SparkEntry.queries("q21_sessionize")(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch)
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("streaming document ingest: quality gate + incremental dedup") {
     val docs = graft.streaming.DocumentStreams.readDocuments(spark, sf)
     // double-deliver the corpus: dedup must keep one copy per
