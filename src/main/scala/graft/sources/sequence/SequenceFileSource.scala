@@ -8,9 +8,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.{LongWritable, SequenceFile, Text}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,13 +73,81 @@ object SequenceFileSource {
   }
 }
 
-private class SeqTable(paths: Seq[String]) extends Table with SupportsRead {
+private class SeqTable(paths: Seq[String])
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"sequencefile(${paths.mkString(",")})"
   override def schema(): StructType = SequenceFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(paths)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"${SequenceFileSource.NAME}: writes require exactly one path, " +
+        s"got $paths")
+    new SeqWriteBuilder(paths.head)
+  }
+}
+
+/** Write side: one SequenceFile per input partition under the target
+  * directory (the exact layout MapReduce's SequenceFileOutputFormat
+  * produced, so MR-era readers and this source's own reader both
+  * consume it). Overwrite mode is supported via SupportsTruncate. */
+private class SeqWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new SeqBatchWrite(path, doTruncate)
+  }
+}
+
+private class SeqBatchWrite(path: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new SeqWriterFactory(path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+private class SeqWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new SeqWriter(path, partitionId)
+}
+
+private case class SeqCommit(file: String) extends WriterCommitMessage
+
+private class SeqWriter(dir: String, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val file = f"$dir/part-$partitionId%05d"
+  private val writer = SequenceFile.createWriter(new Configuration(),
+    SequenceFile.Writer.file(new Path(file)),
+    SequenceFile.Writer.keyClass(classOf[LongWritable]),
+    SequenceFile.Writer.valueClass(classOf[Text]))
+  private val key = new LongWritable()
+  private val value = new Text()
+
+  override def write(row: InternalRow): Unit = {
+    key.set(row.getLong(0))
+    value.set(row.getUTF8String(1).getBytes)
+    writer.append(key, value)
+  }
+  override def commit(): WriterCommitMessage = { writer.close(); SeqCommit(file) }
+  override def abort(): Unit = writer.close()
+  override def close(): Unit = ()
 }
 
 private class SeqScanBuilder(paths: Seq[String]) extends ScanBuilder {
