@@ -28,11 +28,13 @@ object Dedup {
     Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), explode(when(size(col("t")) >= 3, expr(
-        """transform(sequence(1, size(t) - 2),
+        """array_distinct(transform(sequence(1, size(t) - 2),
            i -> concat(element_at(t, i), '_', element_at(t, i + 1), '_',
-                       element_at(t, i + 2)))"""))
+                       element_at(t, i + 2))))"""))
         .otherwise(expr("cast(array() as array<string>)"))).as("sh"))
-      .distinct()
+  // row-local array_distinct (not a .distinct() shuffle): the staging
+  // collect_set dedups across rows anyway, and a doc's duplicate
+  // shingles are intra-row — one shuffle saved in the staging path
 
   private val shingleStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
