@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must be identical under any shuffle-partition count —
+  * the property that makes local[32] results transfer to a
+  * 1000-executor cluster. Exercises the round-2 operators whose
+  * implementations are most partitioning-sensitive: the custom
+  * merge-join exec, the rep-collapsed Jaccard, and the
+  * signature-collapsed LSH dedups. */
+class PartitionRobustnessSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sensitive = Seq("adv_asof_custom", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "txt_sample_stratified",
+    "mm_embed_knn")
+
+  test("partitioning-sensitive queries are invariant under partitions=7") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    val baseline = sensitive.map { q =>
+      q -> SparkEntry.queries(q)(spark, sf).collect().toSeq
+    }.toMap
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      graft.operators.Dedup.clearStage() // re-stage under the odd count
+      sensitive.foreach { q =>
+        val got = SparkEntry.queries(q)(spark, sf).collect().toSeq
+        assert(got == baseline(q), s"$q changed under partitions=7")
+      }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", saved)
+      graft.operators.Dedup.clearStage()
+    }
+  }
+}
