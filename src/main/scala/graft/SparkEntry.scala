@@ -78,6 +78,7 @@ object SparkEntry {
     "adv_salted_join"      -> Advanced.skewSaltedJoin _,
     "adv_distinct_users"   -> Advanced.distinctUsers _,
     "mr_teragen"           -> HadoopTools.teragen _,
+    "mr_teravalidate"      -> HadoopTools.teraValidate _,
     "mr_pi"                -> HadoopTools.piEstimate _,
   )
 

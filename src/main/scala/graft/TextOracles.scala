@@ -181,6 +181,19 @@ object TextOracles {
         |        (h, c) -> (h * 31 + c) % 2147483647) AS y
         |    FROM range(400000) t(i)))""".stripMargin,
 
+    // n_rows/checksum mirror mr_teragen; violations is 0 by
+    // construction in SQL (the oracle sorts too) — the Spark side is
+    // asserting its own range-partitioned sort really is global
+    "mr_teravalidate" ->
+      """SELECT count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS checksum,
+        |  CAST(0 AS BIGINT) AS violations
+        |FROM (SELECT list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(CAST(i AS VARCHAR), '(?s).'),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS key
+        |  FROM range(100000) t(i))""".stripMargin,
+
     "txt_ngrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
         |  SELECT t[i] || '_' || t[i+1] AS bigram FROM (

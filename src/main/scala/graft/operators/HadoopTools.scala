@@ -67,6 +67,50 @@ object HadoopTools {
         max(col("key")).as("max_key"))
   }
 
+  /** TeraValidate: prove the range-partitioned global sort (the
+    * TeraSort output contract) really is totally ordered, the way the
+    * MR original did — each task validates ITS partition's order and
+    * emits (first, last, checksum); only the tiny per-partition
+    * boundary records meet a final single pass. No global window, no
+    * second sort: the validation is as distributed as the sort. */
+  def teraValidate(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val n = 100000L
+    val sorted = s.range(n)
+      .select(graft.functions.RollingHash.rollingHash(
+        col("id").cast("string")).as("key"))
+      .orderBy(col("key"))
+      .as[Long]
+    val perPart = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (!it.hasNext) Iterator.empty
+      else {
+        var prev = it.next()
+        val first = prev
+        var cnt = 1L
+        var sum = prev
+        var violations = 0L
+        while (it.hasNext) {
+          val v = it.next()
+          if (v < prev) violations += 1
+          prev = v; cnt += 1; sum += v
+        }
+        Iterator((pid, first, prev, cnt, sum, violations))
+      }
+    }.toDF("pid", "first", "last", "cnt", "sum", "violations")
+    // boundary check over the per-partition records (32 rows, not 100k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+    perPart
+      .withColumn("prev_last", lag(col("last"), 1).over(w))
+      .withColumn("boundary_violation",
+        when(col("prev_last") > col("first"), 1L).otherwise(0L))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(col("sum")).as("checksum"),
+        (sum(col("violations")) + sum(col("boundary_violation")))
+          .as("violations"))
+  }
+
   /** The Pi example, hash-derived: dart i has integer coordinates
     * (x, y) = rolling-hash folds of md5 hex digests keyed by i, each
     * uniform in [0, P) with P = 2^31 - 1; the dart is inside the
