@@ -51,6 +51,7 @@ object SparkEntry {
     "txt_sample_stratified" -> TextAnalysis.sampleStratified _,
     "txt_repetition"       -> TextAnalysis.repetition _,
     "txt_contamination"    -> TextAnalysis.contamination _,
+    "txt_pipeline_e2e"     -> TextAnalysis.endToEnd _,
     "dedup_exact"          -> Dedup.exact _,
     "dedup_survivor"       -> Dedup.survivor _,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccard _,

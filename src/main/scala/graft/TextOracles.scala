@@ -181,6 +181,24 @@ object TextOracles {
         |        (h, c) -> (h * 31 + c) % 2147483647) AS y
         |    FROM range(400000) t(i)))""".stripMargin,
 
+    "txt_pipeline_e2e" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT lang, n_tokens, n_chars,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |        AS n_tokens,
+        |      md5(lower(trim(text))) AS fp
+        |    FROM documents)
+        |  WHERE n_tokens >= 10)
+        |WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // n_rows/checksum mirror mr_teragen; violations is 0 by
     // construction in SQL (the oracle sorts too) — the Spark side is
     // asserting its own range-partitioned sort really is global

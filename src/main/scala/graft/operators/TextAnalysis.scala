@@ -166,6 +166,29 @@ object TextAnalysis {
       .orderBy(col("eval_ngram"))
   }
 
+  /** The operators composed end to end — the actual shape of a
+    * training-data preparation job: quality gate (map-only) →
+    * survivorship dedup (one fp shuffle, longest doc wins) →
+    * per-language corpus stats (one small agg). Three shuffles total
+    * for the whole pipeline; every stage is one of the individually
+    * oracled operators above. */
+  def endToEnd(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 10)
+      .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Corpus-wide top bigrams. Bigrams are built positionally inside
     * the row (no shuffle until the count), then one aggregation. */
   def ngrams(s: SparkSession, d: String): DataFrame =
