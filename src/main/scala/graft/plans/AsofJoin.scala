@@ -121,13 +121,20 @@ case class AsofJoinExec(
         private var lastMatch: InternalRow = _     // copy, current key only
         private var lastMatchKey: InternalRow = _  // copy
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
+        private def advanceRight(): Unit = {
+          rValid = false
+          // skip null-time right rows: they can never be "the last
+          // row at or before" any left time
+          while (!rValid && rIter.hasNext) {
             rRow = rIter.next()
-            rKey = rKeyProj(rRow).copy()
-            rTimeV = rTimeEval.eval(rRow).asInstanceOf[Long]
-            rValid = true
-          } else rValid = false
+            val t = rTimeEval.eval(rRow)
+            if (t != null) {
+              rKey = rKeyProj(rRow).copy()
+              rTimeV = t.asInstanceOf[Long]
+              rValid = true
+            }
+          }
+        }
 
         advanceRight()
 
@@ -136,7 +143,12 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          val lTimeV = lTimeEval.eval(lRow).asInstanceOf[Long]
+          val lTimeObj = lTimeEval.eval(lRow)
+          if (lTimeObj == null) {
+            // null left time matches nothing (left-outer nulls)
+            return resultProj(joined(lRow, nullRight))
+          }
+          val lTimeV = lTimeObj.asInstanceOf[Long]
           // drop right rows for keys before the current left key
           while (rValid && keyOrd.compare(rKey, lKey) < 0) advanceRight()
           // consume right rows of this key up to the left time; the

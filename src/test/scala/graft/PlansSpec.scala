@@ -48,6 +48,22 @@ class PlansSpec extends AnyFunSuite {
     assert(out(102L) == None)            // no clicks for user 2
   }
 
+  test("null times: left matches nothing, right rows are skipped") {
+    val purchases = Seq(
+      (1L, 1L, Some(100L)), (2L, 1L, None))
+      .toDF("event_id", "user_id", "ts_us")
+    val clicks = Seq(
+      (10L, 1L, Some(50L)), (11L, 1L, None))
+      .toDF("click_id", "c_user", "c_ts")
+    val out = AsofJoin.asof(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts_us", "c_ts", Seq("click_id"))
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(10L)) // non-null click matched, null skipped
+    assert(out(2L) == None)      // null left time -> outer nulls
+  }
+
   test("a hot key streams through with O(1) state (skew safety)") {
     val purchases = Seq((1L, 7L, 1000000L)).toDF("event_id", "user_id", "ts_us")
     val clicks = spark.range(100000)
