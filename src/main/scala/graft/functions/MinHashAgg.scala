@@ -37,9 +37,13 @@ case class MinHashAgg(
   // Universal-hash parameters from a CLOSED-FORM draw (Knuth / Numerical
   // Recipes multipliers) rather than scala.util.Random, so the DuckDB
   // oracle can regenerate the identical permutation family in SQL:
-  //   a_i = ((seed + i + 1) * 2654435761) mod P   (never 0: P prime,
-  //         neither factor ≡ 0 mod P for i < perms << P)
+  //   a_i = ((seed + i + 1) * 2654435761) mod P
   //   b_i = ((seed + i + 1) * 1013904223) mod P
+  // a_i = 0 (a degenerate constant permutation) requires P | (seed+i+1)
+  // since P is prime and P ∤ 2654435761; the domain guard below rules
+  // that out and also keeps (seed+perms)*K inside Long.
+  require(seed >= 0 && seed + perms < P - 1,
+    s"minhash seed must be in [0, ${P - 1} - perms), got $seed")
   @transient private lazy val (as, bs) = (
     Array.tabulate(perms)(i => ((seed + i + 1) * 2654435761L) % P),
     Array.tabulate(perms)(i => ((seed + i + 1) * 1013904223L) % P))

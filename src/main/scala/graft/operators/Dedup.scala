@@ -39,21 +39,6 @@ object Dedup {
   private val shingleStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private val stageRoots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-
-  locally {
-    // deleteOnExit never removes non-empty directories; recurse instead
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      stageRoots.forEach { root =>
-        try {
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Exception => () }
-      }))
-  }
-
   /** Cache key = input dir + a snapshot of its documents files
     * (name, length, mtime), so a rewritten table within one JVM
     * lifetime invalidates the staged shingles instead of silently
@@ -79,8 +64,7 @@ object Dedup {
     * than recompute per branch of a self-join DAG. */
   private[operators] def shingleArrays(s: SparkSession, d: String): DataFrame = {
     val path = shingleStage.computeIfAbsent(stageKey(d), _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-shingles-")
-      stageRoots.add(p)
+      val p = graft.sources.TempDirs.scratch("graft-shingles-")
       val out = p.resolve("sh").toString
       shinglesPlan(s, d)
         .groupBy(col("doc_id"))
@@ -179,14 +163,16 @@ object Dedup {
     // prefix + length filter over one row per distinct shingle set
     val ex = reps.select(col("rid"), explode(col("shs")).as("sh"))
     val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prefix = ex.join(dfs, Seq("sh"))
+    // size(ranked) IS n_sh (the groupBy collects every shingle of the
+    // rep), so carry it from the same aggregation — no re-join
+    val sized = ex.join(dfs, Seq("sh"))
       .groupBy(col("rid"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
-      .select(col("rid"), explode(expr(
-        """transform(slice(ranked, 1,
-             cast(floor(size(ranked) * 0.2) as int) + 1), r -> r.sh)"""))
-        .as("sh"))
-    val sized = prefix.join(reps.select(col("rid"), col("n_sh")), Seq("rid"))
+      .select(col("rid"), size(col("ranked")).cast("long").as("n_sh"),
+        explode(expr(
+          """transform(slice(ranked, 1,
+               cast(floor(size(ranked) * 0.2) as int) + 1), r -> r.sh)"""))
+          .as("sh"))
     val candRep = sized
       .select(col("rid").as("rx"), col("sh"), col("n_sh").as("nx"))
       .join(sized.select(col("rid").as("ry"), col("sh"),

@@ -14,11 +14,8 @@ import graft.sources.{Formats, Tables}
   */
 object SourceOps {
 
-  private def scratch(prefix: String): String = {
-    val dir = Files.createTempDirectory(prefix)
-    dir.toFile.deleteOnExit()
-    dir.resolve("data").toString
-  }
+  private def scratch(prefix: String): String =
+    graft.sources.TempDirs.scratch(prefix).resolve("data").toString
 
   /** orders -> gzip CSV -> read(schema) -> per-status totals. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {

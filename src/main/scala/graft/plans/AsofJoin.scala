@@ -123,15 +123,20 @@ case class AsofJoinExec(
 
         private def advanceRight(): Unit = {
           rValid = false
-          // skip null-time right rows: they can never be "the last
-          // row at or before" any left time
+          // skip right rows with a null time (never "the last row at
+          // or before" anything) or a null key (SQL equi-join
+          // semantics: NULL matches nothing, unlike the natural
+          // ordering which would compare null == null)
           while (!rValid && rIter.hasNext) {
             rRow = rIter.next()
             val t = rTimeEval.eval(rRow)
             if (t != null) {
-              rKey = rKeyProj(rRow).copy()
-              rTimeV = t.asInstanceOf[Long]
-              rValid = true
+              val k = rKeyProj(rRow)
+              if (!k.anyNull) {
+                rKey = k.copy()
+                rTimeV = t.asInstanceOf[Long]
+                rValid = true
+              }
             }
           }
         }
@@ -144,8 +149,8 @@ case class AsofJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lTimeObj = lTimeEval.eval(lRow)
-          if (lTimeObj == null) {
-            // null left time matches nothing (left-outer nulls)
+          if (lTimeObj == null || lKey.anyNull) {
+            // null left time or null key matches nothing (outer nulls)
             return resultProj(joined(lRow, nullRight))
           }
           val lTimeV = lTimeObj.asInstanceOf[Long]

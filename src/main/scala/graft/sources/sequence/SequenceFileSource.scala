@@ -104,6 +104,15 @@ private class SeqWriteBuilder(path: String)
   }
 }
 
+/** Transactional write protocol: each task attempt writes to a
+  * hidden attempt-unique temp file (readers skip '.'-prefixed names)
+  * and renames it into place only in task commit — Spark's commit
+  * coordinator guarantees a single committing attempt per partition,
+  * so a speculative or retried zombie attempt can never interleave
+  * bytes into a visible file. Job abort removes only this job's
+  * leftover temp files, never pre-existing data; committed names
+  * include the task id, so append mode cannot clobber earlier
+  * writes. */
 private class SeqBatchWrite(path: String, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(
@@ -118,35 +127,58 @@ private class SeqBatchWrite(path: String, truncate: Boolean)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(p)) {
+      fs.listStatus(p).filter(_.getPath.getName.startsWith(".graft-tmp-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
   }
 }
 
 private class SeqWriterFactory(path: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SeqWriter(path, partitionId)
+    new SeqWriter(path, partitionId, taskId)
 }
 
 private case class SeqCommit(file: String) extends WriterCommitMessage
 
-private class SeqWriter(dir: String, partitionId: Int)
+private class SeqWriter(dir: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val file = f"$dir/part-$partitionId%05d"
-  private val writer = SequenceFile.createWriter(new Configuration(),
-    SequenceFile.Writer.file(new Path(file)),
+  private val conf = new Configuration()
+  private val tmp = new Path(f"$dir/.graft-tmp-$partitionId%05d-$taskId")
+  private val finalFile = new Path(f"$dir/part-$partitionId%05d-$taskId")
+  private val writer = SequenceFile.createWriter(conf,
+    SequenceFile.Writer.file(tmp),
     SequenceFile.Writer.keyClass(classOf[LongWritable]),
     SequenceFile.Writer.valueClass(classOf[Text]))
   private val key = new LongWritable()
   private val value = new Text()
 
   override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"${SequenceFileSource.NAME}: null key/value not representable " +
+        "in SequenceFile(LongWritable, Text) records")
     key.set(row.getLong(0))
     value.set(row.getUTF8String(1).getBytes)
     writer.append(key, value)
   }
-  override def commit(): WriterCommitMessage = { writer.close(); SeqCommit(file) }
-  override def abort(): Unit = writer.close()
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    val fs = tmp.getFileSystem(conf)
+    if (!fs.rename(tmp, finalFile)) {
+      throw new java.io.IOException(
+        s"${SequenceFileSource.NAME}: failed to commit $tmp -> $finalFile")
+    }
+    SeqCommit(finalFile.toString)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val fs = tmp.getFileSystem(conf)
+    fs.delete(tmp, false)
+  }
+
   override def close(): Unit = ()
 }
 

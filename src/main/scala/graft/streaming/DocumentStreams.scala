@@ -26,10 +26,9 @@ object DocumentStreams {
     val src = new java.io.File(s"$d/documents.parquet")
     val path =
       if (src.isFile) {
-        val dir = java.nio.file.Files.createTempDirectory("graft-docs-")
+        val dir = graft.sources.TempDirs.scratch("graft-docs-")
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("documents.parquet"), src.toPath)
-        dir.toFile.deleteOnExit()
         dir.toString
       } else src.toString
     s.readStream.schema(schema).parquet(path)

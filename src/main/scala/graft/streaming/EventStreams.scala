@@ -35,10 +35,9 @@ object EventStreams {
     val src = new java.io.File(s"$d/events.parquet")
     val path =
       if (src.isFile) {
-        val dir = java.nio.file.Files.createTempDirectory("graft-events-")
+        val dir = graft.sources.TempDirs.scratch("graft-events-")
         java.nio.file.Files.createSymbolicLink(
           dir.resolve("events.parquet"), src.toPath)
-        dir.toFile.deleteOnExit()
         dir.toString
       } else src.toString
     s.readStream

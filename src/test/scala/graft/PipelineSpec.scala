@@ -31,6 +31,9 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("inter", expr("size(array_intersect(sa, sb))").cast("long"))
       .withColumn("na", size(col("sa")).cast("long"))
       .withColumn("nb", size(col("sb")).cast("long"))
+      // na + nb > 0: two shingle-less docs pass 0 >= 0 vacuously but
+      // have no defined Jaccard; ngramJaccard excludes them
+      .filter(col("na") + col("nb") > 0)
       .filter(col("inter") * 9 >= (col("na") + col("nb")) * 4)
     assert(pairSet(brute) == exactPairs)
   }
