@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, SimHashAgg}
+import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, SimHashAgg, SortedIntersectSize}
 import graft.sources.Tables
 
 /** SQL surface of the library.
@@ -52,6 +52,10 @@ object GraftExtensions {
         "minhash_sig(hash) - 128-perm MinHash signature aggregate"),
       (es: Seq[Expression]) =>
         MinHashAgg(es(0), 128, 42L).toAggregateExpression()),
+    ("sorted_intersect_size",
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |a ∩ b| of two sorted string arrays"),
+      (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1))),
   )
 
   /** Register the functions on an already-built session. */

@@ -27,6 +27,10 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT size(minhash_sig(xxhash64(text))) AS n FROM documents""")
       .collect()(0).getInt(0)
     assert(mins == 128)
+    val isz = spark.sql(
+      "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d'))")
+      .collect()(0).getLong(0)
+    assert(isz == 2L)
   }
 
   test("full TPC-H-style query runs as plain SQL over the views") {
