@@ -63,20 +63,62 @@ object Advanced {
       .orderBy(col("event_id"))
   }
 
-  /** Salted join: spreads each hot key over `salt` subkeys (fact side
-    * gets a random-but-deterministic salt from its row identity, the
-    * build side is replicated across all salts). Result is provably
-    * identical to the plain join — the oracle IS the plain join. At
-    * 100 TB this is the remedy when one orderkey holds 10^9 rows and
-    * AQE's skew split cannot help (e.g. pre-AQE stages or
-    * aggregations keyed on the hot column). */
+  /** Salted join: spreads each DETECTED hot key over `salt` subkeys.
+    * Hot keys are found by sampling the fact (left) side; only rows
+    * whose key is in the sampled heavy-hitter set get a
+    * random-but-deterministic salt from their row identity, and only
+    * the matching build-side rows are replicated across the `salt`
+    * subkeys. The cold majority flows through with salt 0 — ZERO
+    * replication — so total shuffle volume is the plain join plus
+    * (salt−1)× the hot build rows, not (salt)× the whole build table.
+    * Result is provably identical to the plain join — the oracle IS
+    * the plain join. At 100 TB this is the remedy when one orderkey
+    * holds 10^9 rows and AQE's skew split cannot help (e.g. pre-AQE
+    * stages or aggregations keyed on the hot column).
+    *
+    * The hot-key set is small BY CONSTRUCTION (at most
+    * sampledRows/threshold keys can exceed the threshold), so its
+    * broadcast is SF-safe — unlike broadcasting an SF-proportional
+    * aggregate. Which keys the sample classifies hot only affects the
+    * plan, never the result. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      salt: Int): DataFrame = {
-    val saltedL = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt)))
-    val saltedR = right
-      .withColumn("_salt", explode(expr(s"sequence(0, ${salt - 1})")))
+      salt: Int, sampleFraction: Double = 0.05,
+      hotRowThreshold: Long = 1000L): DataFrame = {
+    val (saltedL, saltedR) = saltedSides(
+      left, right, key, salt, sampleFraction, hotRowThreshold)
     saltedL.join(saltedR, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** The two salted join inputs, exposed so specs can assert the
+    * replication bound directly: with no hot keys the right side has
+    * exactly right.count rows; with h hot build rows it has
+    * right.count + (salt−1)·h. */
+  def saltedSides(left: DataFrame, right: DataFrame, key: String,
+      salt: Int, sampleFraction: Double, hotRowThreshold: Long)
+      : (DataFrame, DataFrame) = {
+    // A key is hot if its sampled row count projects above the
+    // threshold. Seeded sample → reproducible plan; correctness does
+    // not depend on the classification.
+    val sampledThreshold =
+      math.max(1L, math.round(hotRowThreshold * sampleFraction))
+    val hot = left.select(col(key))
+      .sample(withReplacement = false, sampleFraction, seed = 7L)
+      .groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= sampledThreshold)
+      .select(col(key), lit(1).as("_hot"))
+    // Single pass per side: broadcast the (small) hot set, salt hot
+    // rows, send cold rows to subkey 0.
+    val saltedL = left.join(broadcast(hot), Seq(key), "left")
+      .withColumn("_salt", when(col("_hot").isNotNull,
+          pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt.toLong)))
+        .otherwise(lit(0L)))
+      .drop("_hot")
+    val saltedR = right.join(broadcast(hot), Seq(key), "left")
+      .withColumn("_salt", explode(when(col("_hot").isNotNull,
+          sequence(lit(0L), lit(salt.toLong - 1L)))
+        .otherwise(array(lit(0L)))))
+      .drop("_hot")
+    (saltedL, saltedR)
   }
 
   /** lineitem joined to orders through the salted path, aggregated per

@@ -249,20 +249,26 @@ object Relational {
   /** TPC-H Q17 shape: per-group average as a filter. The boundary
     * predicate is kept in exact integer arithmetic
     * (2*qty*cnt < sum  ⟺  qty < 0.5*avg) so no float compare can
-    * disagree with the oracle. The per-part agg is tiny → broadcast. */
+    * disagree with the oracle. Expressed as a WINDOW over l_partkey —
+    * one shuffle, no join, no broadcast: the per-part aggregate has
+    * one row per distinct partkey, which grows linearly with SF
+    * (~2B keys at 100 TB), so a broadcast of it would OOM the driver
+    * long before the target scale. */
   def q17SmallQtyParts(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
-    val perPart = l.groupBy(col("l_partkey").as("p_key"))
-      .agg(sum(col("l_quantity")).cast("long").as("qty_sum"),
-        count(lit(1)).as("qty_cnt"))
-    l.join(broadcast(perPart), col("l_partkey") === col("p_key"))
+    val w = Window.partitionBy(col("l_partkey"))
+    l.withColumn("qty_sum", sum(col("l_quantity")).over(w).cast("long"))
+      .withColumn("qty_cnt", count(lit(1)).over(w))
       .filter(col("l_quantity").cast("long") * 2 * col("qty_cnt") < col("qty_sum"))
       .agg(sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
         count(lit(1)).as("n_rows"))
   }
 
-  /** TPC-H Q18 shape: agg → filter → join back to facts. The
-    * aggregated key set is small → broadcast back. */
+  /** TPC-H Q18 shape: agg → filter → join back to facts. No forced
+    * broadcast: the `sum_qty > 300` key set grows linearly with SF, so
+    * a broadcast hint is a driver OOM at 100×. AQE picks the strategy
+    * at runtime — broadcast when the filtered set is actually small,
+    * shuffle join when it is not. */
   def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
     val bigOrders = l.groupBy(col("l_orderkey"))
@@ -270,7 +276,7 @@ object Relational {
       .filter(col("sum_qty") > 300)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
-    o.join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+    o.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("o_orderkey"),
         dateStr(col("o_orderdate")).as("order_date"),

@@ -45,6 +45,41 @@ class AdvancedSpec extends AnyFunSuite {
       plain.agg(sum("v")).collect()(0).getLong(0))
   }
 
+  test("salted join replicates nothing when no key is hot") {
+    // lineitem orderkey multiplicity is ≤7 at any SF — far below the
+    // hot threshold — so the build side must flow through 1:1 and the
+    // shuffle volume equals the plain join's.
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val (_, saltedR) = Advanced.saltedSides(l, o, "k", salt = 8,
+      sampleFraction = 0.05, hotRowThreshold = 1000L)
+    assert(saltedR.count() == o.count(),
+      "cold-key build rows were replicated")
+  }
+
+  test("salted join replicates ONLY the hot keys' build rows") {
+    import spark.implicits._
+    val salt = 16
+    // one key owns half the fact rows; every other key is cold
+    val fact = (1 to 10000).map(i => (if (i % 2 == 0) 1L else i.toLong, i))
+      .toDF("k", "v").repartition(8)
+    val dim = (1L to 10000L).map(k => (k, s"d$k")).toDF("k", "name")
+    val (_, saltedR) = Advanced.saltedSides(fact, dim, "k", salt,
+      sampleFraction = 0.05, hotRowThreshold = 1000L)
+    val n = saltedR.count()
+    // exactly one hot key detected → dim.count + (salt-1)*1 rows
+    assert(n == dim.count() + (salt - 1),
+      s"expected ${dim.count() + (salt - 1)} salted build rows, got $n")
+    // and the hot key's fact rows spread over >1 subkey
+    val (saltedL, _) = Advanced.saltedSides(fact, dim, "k", salt,
+      sampleFraction = 0.05, hotRowThreshold = 1000L)
+    val hotSalts = saltedL.filter(col("k") === 1L)
+      .select(countDistinct(col("_salt"))).collect()(0).getLong(0)
+    assert(hotSalts > 1, s"hot key not spread: $hotSalts subkey(s)")
+  }
+
   test("HLL approx distinct stays within 5% of exact") {
     val df = Tables.events(spark, sf)
       .agg(countDistinct(col("user_id")).as("exact"),

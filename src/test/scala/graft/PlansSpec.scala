@@ -75,6 +75,27 @@ class PlansSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(0) == 99999L)
   }
 
+  test("q17/q18 never force a broadcast of an SF-proportional aggregate") {
+    // the per-partkey / per-orderkey aggregates grow linearly with SF;
+    // a broadcast HINT on them is a driver OOM at 100×. AQE may still
+    // CHOOSE broadcast at tiny SF — what must be absent is the hint.
+    for (name <- Seq("q17_small_qty_parts", "q18_large_orders")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val logical = df.queryExecution.optimizedPlan.toString
+      assert(!logical.toLowerCase.contains("broadcast"),
+        s"$name still carries a broadcast hint:\n${logical.take(800)}")
+    }
+    // q17 is the window form: no join at all, exactly two exchanges
+    // (hash on l_partkey + the single-partition final agg)
+    val q17 = SparkEntry.queries("q17_small_qty_parts")(spark, sf)
+    q17.collect()
+    val plan = q17.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"q17 should be join-free:\n$plan")
+    val exchanges = "(?m)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"q17 unexpected shuffles ($exchanges):\n$plan")
+  }
+
   test("plan shape: one exchange per side, no extra shuffle") {
     val df = Advanced.asofCustom(spark, sf)
     df.collect() // force AQE final plan
