@@ -42,23 +42,40 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 }
 
 object SortedIntersectSize {
-  /** Shared by interpreted and codegen paths. */
+  /** Shared by interpreted and codegen paths.
+    *
+    * Null ELEMENTS follow array_intersect's semantics: null matches
+    * null, counted once. sort_array (the documented way to produce
+    * the sorted inputs) places nulls first, which is where they are
+    * consumed; a null appearing mid-array (a differently-sorted
+    * caller through the SQL registry) is skipped rather than
+    * dereferenced — set semantics are preserved either way and the
+    * function can no longer NPE on user input. */
   def count(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var n = 0L
+    var aNull = false
+    while (i < na && a.isNullAt(i)) { aNull = true; i += 1 }
+    var bNull = false
+    while (j < nb && b.isNullAt(j)) { bNull = true; j += 1 }
+    if (aNull && bNull) n += 1
     var prev: UTF8String = null
     while (i < na && j < nb) {
       val x = a.getUTF8String(i)
       val y = b.getUTF8String(j)
-      val c = x.compareTo(y)
-      if (c < 0) i += 1
-      else if (c > 0) j += 1
+      if (x == null) i += 1
+      else if (y == null) j += 1
       else {
-        if (prev == null || x.compareTo(prev) != 0) { n += 1; prev = x }
-        i += 1; j += 1
+        val c = x.compareTo(y)
+        if (c < 0) i += 1
+        else if (c > 0) j += 1
+        else {
+          if (prev == null || x.compareTo(prev) != 0) { n += 1; prev = x }
+          i += 1; j += 1
+        }
       }
     }
     n

@@ -57,6 +57,16 @@ object Dedup {
   /** Drop all staged shingle parquet (test/maintenance hook). */
   def clearStage(): Unit = shingleStage.clear()
 
+  /** Force the one-time shingle staging for `d` (idempotent). Bench
+    * calls this before timing so the staging cost lands in its own
+    * `_staging_shingles` slot instead of whichever dedup query happens
+    * to run first — per-query times then track the queries themselves
+    * across rounds. */
+  def stageShingles(s: SparkSession, d: String): Unit = {
+    shingleArrays(s, d)
+    ()
+  }
+
   /** Staged per-doc shingle arrays (sorted, distinct): computed once
     * per input snapshot and parked as parquet, because every dedup
     * operator re-reads it several times — at production scale this is

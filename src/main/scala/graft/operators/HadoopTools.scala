@@ -53,6 +53,84 @@ object HadoopTools {
       }.sum().toLong
   }
 
+  /** Per-file MD5 of a filesystem stream, computed where the task
+    * runs — the integrity primitive behind checksum-verified copies.
+    * (The reference exposes FileChecksum via the FileSystem contract
+    * — hadoop-common/.../fs/CompositeCrcFileChecksum.java,
+    * ChecksumFileSystem.java — but local/raw filesystems return null
+    * there, so the digest is computed from the bytes themselves,
+    * which also makes it comparable ACROSS filesystems, the case
+    * composite-CRC checksums famously are not.) */
+  private def md5Of(fs0: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    // hash the RAW bytes: on a ChecksumFileSystem a corrupted replica
+    // would throw ChecksumException on read instead of letting the
+    // verifier REPORT the mismatch (and the .crc sidecar itself can be
+    // stale); the digest's whole job is to judge the bytes on disk
+    val fs = fs0 match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](128 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Checksum verification of a completed copy: the file list fans out
+    * across tasks and each task hashes BOTH sides of its files. This
+    * is what real DistCp's verify step does — byte sizes alone accept
+    * the size-equal-but-corrupt copy that checksums exist to catch.
+    * Returns one row per source file:
+    * (file, src_bytes, dst_bytes, src_md5, dst_md5, ok). */
+  def verifyCopy(s: SparkSession, src: String, dst: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val conf = new Configuration()
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val files = fs.listStatus(srcPath).filter(_.isFile)
+      .map(_.getPath.getName).toSeq
+    val confBc = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val (srcStr, dstStr) = (src, dst)
+    s.sparkContext.parallelize(files, math.max(files.size, 1))
+      .map { name =>
+        val c = confBc.value.value
+        val from = new Path(srcStr, name)
+        val to = new Path(dstStr, name)
+        val ffs = from.getFileSystem(c)
+        val tfs = to.getFileSystem(c)
+        val srcBytes = ffs.getFileStatus(from).getLen
+        val (dstBytes, dstMd5) =
+          if (tfs.exists(to)) (tfs.getFileStatus(to).getLen, md5Of(tfs, to))
+          else (-1L, "")
+        val srcMd5 = md5Of(ffs, from)
+        (name, srcBytes, dstBytes, srcMd5, dstMd5,
+          srcBytes == dstBytes && srcMd5 == dstMd5)
+      }
+      .toDF("file", "src_bytes", "dst_bytes", "src_md5", "dst_md5", "ok")
+  }
+
+  /** DistCp with post-copy checksum verification: copies, then fails
+    * loudly if any destination file's digest disagrees with its
+    * source. Returns the per-file verification report. */
+  def distCpVerified(s: SparkSession, src: String, dst: String): DataFrame = {
+    distCp(s, src, dst)
+    val report = verifyCopy(s, src, dst)
+    val bad = report.filter(!col("ok")).count()
+    if (bad > 0) throw new java.io.IOException(
+      s"distcp verification failed for $bad file(s): $src -> $dst")
+    report
+  }
+
   /** TeraGen re-expressed: spark.range + deterministic derived columns
     * (rolling_hash keys), checksummed. Fully oracle-able because the
     * DuckDB side can generate the identical range and fold. */

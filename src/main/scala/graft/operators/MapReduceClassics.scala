@@ -49,11 +49,18 @@ object MapReduceClassics {
   /** Inverted index: word → document frequency + first posting. [MR:
     * map emits (word, doc_id), reduce builds the posting list; emitting
     * df + min posting keeps the oracle comparable without hashing
-    * variable-length lists.] */
+    * variable-length lists.]
+    *
+    * One aggregation instead of `.distinct().groupBy(word)` (which
+    * shuffled twice — once on (doc_id, word), once on word): the
+    * distinct-aggregate rewrite dedups (word, doc_id) in the map-side
+    * partial, so the wide row stream collapses before any exchange —
+    * the combiner role the MR original gave its reducer-side set. */
   def invertedIndex(s: SparkSession, d: String): DataFrame =
-    words(s, d).distinct()
+    words(s, d)
       .groupBy(col("word"))
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("first_doc"))
       .orderBy(col("word"))
 
   /** Word-length statistics. [MR: WordMean / WordStandardDeviation

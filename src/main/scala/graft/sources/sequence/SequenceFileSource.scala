@@ -87,7 +87,7 @@ private class SeqTable(paths: Seq[String])
     require(paths.size == 1,
       s"${SequenceFileSource.NAME}: writes require exactly one path, " +
         s"got $paths")
-    new SeqWriteBuilder(paths.head)
+    new SeqWriteBuilder(paths.head, info.queryId())
   }
 }
 
@@ -95,58 +95,88 @@ private class SeqTable(paths: Seq[String])
   * directory (the exact layout MapReduce's SequenceFileOutputFormat
   * produced, so MR-era readers and this source's own reader both
   * consume it). Overwrite mode is supported via SupportsTruncate. */
-private class SeqWriteBuilder(path: String)
+private class SeqWriteBuilder(path: String, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new SeqBatchWrite(path, doTruncate)
+    override def toBatch: BatchWrite =
+      new SeqBatchWrite(path, queryId, doTruncate)
   }
 }
 
-/** Transactional write protocol: each task attempt writes to a
-  * hidden attempt-unique temp file (readers skip '.'-prefixed names)
-  * and renames it into place only in task commit — Spark's commit
-  * coordinator guarantees a single committing attempt per partition,
-  * so a speculative or retried zombie attempt can never interleave
-  * bytes into a visible file. Job abort removes only this job's
-  * leftover temp files, never pre-existing data; committed names
-  * include the task id, so append mode cannot clobber earlier
-  * writes. */
-private class SeqBatchWrite(path: String, truncate: Boolean)
-    extends BatchWrite {
+/** Job-atomic commit protocol, the same staging discipline as the
+  * reference's FileOutputCommitter (hadoop-mapreduce-client-core's
+  * commit algorithm; see also hadoop-common/.../fs/FileUtil.java for
+  * the rename primitive): every task writes into a JOB-scoped hidden
+  * staging directory `.graft-staging-<queryId>` and nothing under the
+  * visible directory is touched until EVERY task has committed.
+  * BatchWrite.commit then performs the truncate (overwrite mode) and
+  * renames the staged files into place; BatchWrite.abort deletes only
+  * this job's staging dir. Consequences:
+  *  - a job that fails mid-write leaves the previous table contents
+  *    fully intact (the r2 protocol deleted the old data up front);
+  *  - two jobs appending to the same path cannot see or delete each
+  *    other's in-flight files (staging dirs are queryId-unique);
+  *  - within the staging dir, task attempts write to attempt-unique
+  *    temp names and rename on task commit — Spark's commit
+  *    coordinator guarantees one committing attempt per partition, so
+  *    speculative/zombie attempts never corrupt a staged file;
+  *  - committed names carry (partitionId, taskId), so append mode
+  *    cannot clobber earlier part files.
+  * Readers (this source's and the MR-era one) skip '.'-prefixed
+  * entries, so a live staging dir is invisible to them. */
+private class SeqBatchWrite(path: String, queryId: String,
+    truncate: Boolean) extends BatchWrite {
+  private def conf = new Configuration()
+  private def stagingDir = new Path(path, s".graft-staging-$queryId")
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    if (truncate && fs.exists(p)) fs.delete(p, true)
-    fs.mkdirs(p)
-    new SeqWriterFactory(path)
+    val fs = stagingDir.getFileSystem(conf)
+    fs.mkdirs(stagingDir) // creates the (possibly new) target dir too
+    new SeqWriterFactory(stagingDir.toString)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    if (fs.exists(p)) {
-      fs.listStatus(p).filter(_.getPath.getName.startsWith(".graft-tmp-"))
-        .foreach(st => fs.delete(st.getPath, false))
+    val fs = p.getFileSystem(conf)
+    if (truncate) {
+      // drop the previous table contents only now, with every new
+      // part staged and fsynced; other jobs' staging dirs survive
+      fs.listStatus(p).filterNot(_.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, true))
     }
+    messages.foreach { case SeqCommit(file) =>
+      val staged = new Path(file)
+      val dest = new Path(p, staged.getName)
+      if (!fs.rename(staged, dest)) {
+        throw new java.io.IOException(
+          s"${SequenceFileSource.NAME}: job commit failed: $staged -> $dest")
+      }
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(conf)
+    fs.delete(stagingDir, true)
   }
 }
 
-private class SeqWriterFactory(path: String) extends DataWriterFactory {
+private class SeqWriterFactory(stagingDir: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SeqWriter(path, partitionId, taskId)
+    new SeqWriter(stagingDir, partitionId, taskId)
 }
 
 private case class SeqCommit(file: String) extends WriterCommitMessage
 
-private class SeqWriter(dir: String, partitionId: Int, taskId: Long)
+private class SeqWriter(stagingDir: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val conf = new Configuration()
-  private val tmp = new Path(f"$dir/.graft-tmp-$partitionId%05d-$taskId")
-  private val finalFile = new Path(f"$dir/part-$partitionId%05d-$taskId")
+  private val tmp = new Path(f"$stagingDir/.inprogress-$partitionId%05d-$taskId")
+  private val staged = new Path(f"$stagingDir/part-$partitionId%05d-$taskId")
   private val writer = SequenceFile.createWriter(conf,
     SequenceFile.Writer.file(tmp),
     SequenceFile.Writer.keyClass(classOf[LongWritable]),
@@ -166,11 +196,11 @@ private class SeqWriter(dir: String, partitionId: Int, taskId: Long)
   override def commit(): WriterCommitMessage = {
     writer.close()
     val fs = tmp.getFileSystem(conf)
-    if (!fs.rename(tmp, finalFile)) {
+    if (!fs.rename(tmp, staged)) {
       throw new java.io.IOException(
-        s"${SequenceFileSource.NAME}: failed to commit $tmp -> $finalFile")
+        s"${SequenceFileSource.NAME}: task commit failed: $tmp -> $staged")
     }
-    SeqCommit(finalFile.toString)
+    SeqCommit(staged.toString)
   }
 
   override def abort(): Unit = {

@@ -17,6 +17,7 @@ class AqeSkewSpec extends AnyFunSuite {
   test("AQE splits a skewed sort-merge join partition at runtime") {
     val conf = spark.conf
     val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",

@@ -36,6 +36,35 @@ class FunctionsEdgeSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("sorted_intersect_size: null ELEMENTS follow array_intersect semantics") {
+    import graft.functions.SortedIntersectSize.sortedIntersectSize
+    val df = Seq(
+      // null present in both inputs: matches itself, counted once
+      (Seq(Option.empty[String], Some("a"), Some("b")),
+        Seq(Option.empty[String], Some("b"))),
+      // null on one side only: contributes nothing
+      (Seq(Option.empty[String], Some("a")), Seq(Some("a"))),
+      // a mid-array null (caller ignored the sorted-nulls-first
+      // contract): skipped, never dereferenced — no NPE
+      (Seq(Some("a"), Option.empty[String]),
+        Seq(Option.empty[String], Some("a"))))
+      .toDF("a", "b")
+    val got = df.select(sortedIntersectSize(col("a"), col("b"))).collect()
+    assert(got(0).getLong(0) == 2L) // {null, b}
+    assert(got(1).getLong(0) == 1L) // {a}
+    assert(got(2).getLong(0) == 1L) // left null is mid-array: skipped
+    // agreement with array_intersect on the contract-conforming rows
+    val ref = df.limit(2)
+      .select(expr("size(array_intersect(a, b))").cast("long")).collect()
+    assert(ref(0).getLong(0) == 2L && ref(1).getLong(0) == 1L)
+    // and via the SQL registry (ADVICE: user-reachable path must not NPE)
+    GraftExtensions.install(spark)
+    val sqlGot = spark.sql(
+      "SELECT sorted_intersect_size(array(NULL, 'a'), array(NULL, 'a'))")
+      .collect()(0).getLong(0)
+    assert(sqlGot == 2L)
+  }
+
   test("cosine: null inputs give null, zero vectors give NaN") {
     val df = Seq(
       (Some(Array(1f, 2f)), Some(Array(1f, 2f))),

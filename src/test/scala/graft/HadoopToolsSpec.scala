@@ -30,6 +30,28 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(dstFiles == srcFiles)
   }
 
+  test("checksum-verified distCp catches a size-equal corrupted copy") {
+    val dst = Files.createTempDirectory("graft-distcpv-").toString
+    val report = HadoopTools.distCpVerified(spark, sf, dst).collect()
+    assert(report.nonEmpty && report.forall(_.getBoolean(5)))
+    // corrupt one destination file WITHOUT changing its size — the
+    // exact failure a size-only compare (r2's distcp spec) accepts
+    val victim = new java.io.File(dst).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).head
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    val pos = victim.length() / 2
+    raf.seek(pos)
+    val b = raf.read()
+    raf.seek(pos)
+    raf.write(b ^ 0xff)
+    raf.close()
+    val after = HadoopTools.verifyCopy(spark, sf, dst).collect()
+    val bad = after.filter(!_.getBoolean(5))
+    assert(bad.map(_.getString(0)).toSeq == Seq(victim.getName))
+    // sizes still agree — only the checksum sees the corruption
+    assert(bad.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("hadoop-streaming pipe round-trips records through a process") {
     val n = graft.operators.StreamingPipe
       .pipe(spark, Tables.documents(spark, sf).select("doc_id"), "cat")

@@ -48,7 +48,10 @@ class RuntimeFilterSpec extends AnyFunSuite {
 
   test("runtime bloom filter prunes the big side of a selective join") {
     val conf = spark.conf
+    // the enabled flag is saved too: it defaults to false, and leaking
+    // it on leaves later suites' plan-shape assertions order-dependent
     val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold")

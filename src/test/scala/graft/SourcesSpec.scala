@@ -112,4 +112,32 @@ class SourcesSpec extends AnyFunSuite {
     val rdd = Formats.readSequenceRdd(spark, path)
     assert(rdd.count() == 500)
   }
+
+  test("sequence V2 overwrite is job-atomic: a failed job leaves old data intact") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft-seqa-spec-")
+      .resolve("t").toString
+    val src = graft.sources.sequence.SequenceFileSource.NAME
+    Tables.documents(spark, sf)
+      .select(col("doc_id").as("key"), col("text").as("value"))
+      .write.format(src).mode("overwrite").save(path)
+    // overwrite attempt whose tasks fail mid-write (null value trips
+    // the writer's representability check) — under the r2 protocol
+    // this destroyed the old table before any task ran
+    val poisoned = Tables.documents(spark, sf)
+      .select(col("doc_id").as("key"),
+        when(col("doc_id") % 100 === 0, lit(null).cast("string"))
+          .otherwise(col("text")).as("value"))
+    intercept[Exception] {
+      poisoned.write.format(src).mode("overwrite").save(path)
+    }
+    // previous contents fully readable, nothing partial is visible
+    val back = spark.read.format(src).load(path)
+    assert(back.count() == 500,
+      "failed overwrite damaged the previous table contents")
+    // and the failed job's staging dir was cleaned up on abort
+    val leftovers = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(".graft-staging"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.mkString(",")}")
+  }
 }
