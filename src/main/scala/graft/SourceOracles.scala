@@ -44,6 +44,25 @@ object SourceOracles {
         |    AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "src_text_bzip2" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents""".stripMargin,
+
+    "src_csv_lz4" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "src_bucketed_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders WHERE o_orderkey IN (42, 777)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "src_partitioned_prune" ->
       """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

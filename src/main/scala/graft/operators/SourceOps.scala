@@ -101,6 +101,97 @@ object SourceOps {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** documents -> bzip2-compressed text lines -> read -> corpus stats.
+    * bzip2 is the reference's SPLITTABLE text codec (hadoop-common/
+    * .../io/compress/BZip2Codec.java implements
+    * SplittableCompressionCodec): a 100 TB corpus compressed with a
+    * non-splittable codec becomes one task per FILE, so the codec
+    * choice is itself a scale decision. Spark's line reader re-syncs
+    * at bzip2 block boundaries, so one large file still fans out
+    * across tasks — SourcesSpec proves the multi-split read plan. */
+  def textBzip2Roundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-bz2-")
+    Tables.documents(s, d)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").option("compression", "bzip2").text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(element_at(col("kv"), 1).cast("long").as("doc_id"),
+        element_at(col("kv"), 2).as("text"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  /** orders -> lz4-compressed CSV -> read -> per-status totals. The
+    * fast-codec family (reference io/compress/Lz4Codec.java; snappy is
+    * the same trade): cheap CPU, NOT splittable — the write side must
+    * keep individual files block-sized or the read side loses its
+    * parallelism. Fidelity proven against the parquet oracle like the
+    * gzip path. */
+  def csvLz4Roundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-lz4-")
+    Formats.writeCsv(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")),
+      path, codec = Some("lz4"))
+    Formats.readCsv(s, path,
+      "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** One sorted bucketed table per (JVM, input dir) for keyed lookups —
+    * the MapFile analog staged once, probed many times. */
+  private val bucketedStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Keyed point lookup through a SORTED BUCKETED table — the Spark
+    * native of the reference's indexed containers (hadoop-common/.../
+    * io/MapFile.java: sorted data file + index for point lookups;
+    * BloomMapFile.java adds a membership filter). Bucketing hashes
+    * o_orderkey into 8 files; a literal equality/IN predicate lets the
+    * scan open ONLY the matching buckets (SelectedBucketsCount in the
+    * plan — SourcesSpec asserts 1 of 8), and within a bucket the
+    * sorted layout gives parquet row-group stats their best pruning.
+    * At 100 TB this is the difference between a full-table scan and
+    * reading 1/N of the files for every keyed probe. */
+  def bucketedLookup(s: SparkSession, d: String): DataFrame = {
+    val table = bucketedTable(s, d)
+    // keep the BUCKETED scan for point probes: the auto-disable rule
+    // only credits bucketing when a join/agg needs its distribution,
+    // so it would silently fall back to a full-file scan here and
+    // throw away the 1-of-8 bucket pruning this operator exists for
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s.table(table)
+      .filter(col("o_orderkey").isin(42L, 777L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Stage (once per input dir) orders as an external table bucketed
+    * AND sorted by o_orderkey. Returns the catalog table name. */
+  private[graft] def bucketedTable(s: SparkSession, d: String): String =
+    bucketedStage.computeIfAbsent(d, _ => {
+      val name = "graft_orders_bkt_" + java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits
+          & Long.MaxValue)
+      if (!s.catalog.tableExists(name)) {
+        val path = scratch("graft-bkt-")
+        Tables.orders(s, d)
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", path)
+          .saveAsTable(name)
+      }
+      name
+    })
+
   /** orders -> zstd-compressed parquet -> read -> totals. Proves the
     * codec path (zstd is the 100 TB default: ~gzip ratio at lz4-ish
     * speed) preserves every value bit-for-bit vs the oracle over the

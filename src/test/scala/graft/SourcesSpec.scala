@@ -113,6 +113,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(rdd.count() == 500)
   }
 
+  test("bzip2 text is SPLITTABLE: one large file plans multiple input slices") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-bzsplit-")
+    val bz = dir.resolve("bz").toString
+    val gz = dir.resolve("gz").toString
+    // ~40k lines in ONE file per codec
+    val lines = spark.range(40000)
+      .select(concat(lit("line-"), col("id"), lit(" "),
+        md5(col("id").cast("string"))).as("value"))
+      .coalesce(1)
+    lines.write.option("compression", "bzip2").text(bz)
+    lines.write.option("compression", "gzip").text(gz)
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val bzParts = spark.read.text(bz).rdd.getNumPartitions
+      val gzParts = spark.read.text(gz).rdd.getNumPartitions
+      // the splittable codec fans one file out across tasks;
+      // the non-splittable one is stuck with a single task per file
+      assert(bzParts > 1, s"bzip2 file read as $bzParts split(s)")
+      assert(gzParts == 1, s"gzip file unexpectedly split ($gzParts)")
+      // and the split read loses nothing
+      assert(spark.read.text(bz).count() == 40000)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
+  test("bucketed lookup scans exactly one bucket (MapFile-analog point probe)") {
+    import org.apache.spark.sql.functions._
+    val table = graft.operators.SourceOps.bucketedTable(spark, sf)
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val probe = spark.table(table).filter(col("o_orderkey") === 42L)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning did not fire:\n${plan.take(1200)}")
+    // no shuffle either: the probe is a scan + filter, nothing else
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(800)}")
+    // result agrees with the flat parquet
+    val expect = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") === 42L).count()
+    assert(probe.count() == expect && expect == 1)
+  }
+
   test("sequence V2 overwrite is job-atomic: a failed job leaves old data intact") {
     import org.apache.spark.sql.functions._
     val path = Files.createTempDirectory("graft-seqa-spec-")
