@@ -66,6 +66,29 @@ object PipelineOracles {
          |WHERE inter * 9 >= (sa.n + sb.n) * 4
          |ORDER BY x, y""".stripMargin,
 
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(t, i, i + 7), ' ') AS win
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |)
+        |SELECT
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(win, '(?s).'),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS wfp,
+        |  md5(win) AS wmd5,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM wins
+        |GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "dedup_survivor" ->
       """SELECT fp, keep_id, keep_chars, n_dups FROM (
         |  SELECT fp, doc_id AS keep_id, n_chars AS keep_chars,

@@ -347,6 +347,48 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
+  /** Substring-level dedup: repeated PASSAGES shared across DISTINCT
+    * documents — the training-data failure no whole-document operator
+    * catches (boilerplate headers, license blocks, quoted paragraphs
+    * living inside otherwise-unique pages; the near-dedup literature's
+    * substring pass, e.g. the suffix-array stage of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better",
+    * done here with windows instead of suffix arrays so it shards).
+    *
+    * Plan: each doc emits its w-token sliding windows (row-local
+    * explode — no shuffle); every window ships only a 24-byte
+    * fingerprint pair (rolling-hash band key + md5 verifier), one
+    * hash shuffle groups identical passages, and windows seen in >= 2
+    * distinct docs become the repeated-span report. Shuffle volume is
+    * linear in corpus token count; nothing is pairwise, so duplicate
+    * multiplicity cannot go quadratic (a passage shared by 10^6 docs
+    * is ONE output row, not C(10^6,2) pairs).
+    *
+    * The weak-but-cheap rolling hash is the grouping key; md5 inside
+    * the group is the verifier (a cross-hash collision would need to
+    * collide both). Both are DuckDB-expressible, so the full report
+    * has a hash-match oracle. */
+  def substring(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${w - 1}),
+            i -> array_join(slice(t, i, $w), ' '))""")).as("win"))
+    wins
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rollingHash(col("win")).as("wfp"),
+        md5(col("win").cast("binary")).as("wmd5"))
+      .groupBy(col("wfp"), col("wmd5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("wfp"), col("wmd5"))
+  }
+
   /** Embedding-cosine near-dup pairs at tau = 0.45 — the exact
     * reference operator (deliberately O(n²); this is the correctness
     * baseline the blocked/LSH path is judged against; at production

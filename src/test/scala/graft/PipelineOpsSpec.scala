@@ -8,6 +8,37 @@ import graft.operators.{Dedup, TextAnalysis}
 class PipelineOpsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("substring dedup finds planted shared passages and nothing else") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8-token passage planted in docs 1 and 2 at different offsets;
+    // docs 3/4 unique; doc 5 repeats the passage TWICE to check n_occ
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = java.nio.file.Files.createTempDirectory("graft-subdup-")
+    Seq(
+      (1L, s"lead in words here $passage tail one two three"),
+      (2L, s"completely different opening $passage and another ending"),
+      (3L, "nothing shared with anyone in this document at all today"),
+      (4L, "another fully unique piece of text goes right here now"),
+      (5L, s"$passage middle filler tokens $passage"))
+      .toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val rows = Dedup.substring(spark, dir.toString).collect()
+    assert(rows.nonEmpty, "planted passage not found")
+    // every reported span really is cross-document
+    assert(rows.forall(_.getLong(2) >= 2))
+    // the planted full-passage window is among them: 3 docs, 4 occs
+    val planted = rows.filter(r => r.getLong(4) == 1L && r.getLong(5) == 5L
+      && r.getLong(2) == 3L)
+    assert(planted.exists(_.getLong(3) == 4L),
+      s"expected the planted window with n_occ=4: ${rows.mkString(";")}")
+    // unique docs never appear as first_doc of a shared span
+    assert(!rows.exists(r => r.getLong(4) == 3L || r.getLong(4) == 4L))
+    // and on the real corpus the exact duplicate docs share passages
+    val corpus = Dedup.substring(spark, sf)
+    assert(corpus.count() > 0)
+  }
+
   test("stratified sample hits the configured rates within tolerance") {
     val rows = TextAnalysis.sampleStratified(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
