@@ -72,6 +72,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL dedup on RocksDB: drops within-horizon dups, re-admits after expiry, state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sp = spark
+      import sp.implicits._
+      implicit val ctx = spark.sqlContext
+      val base = 1700000000000L
+      def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val docs = mem.toDF.toDF("doc_id", "text", "ts")
+      val q = graft.streaming.DocumentStreams
+        .ingestDedupTtl(docs, "0 seconds", ttlMs = 30 * 60000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ttl_dedup")
+        .start()
+      // batch 1: two distinct docs -> both emitted
+      mem.addData((1L, "doc one", ts(0)), (2L, "doc two", ts(0)))
+      q.processAllAvailable()
+      // batch 2: duplicate of doc one inside the 30-min TTL -> dropped
+      mem.addData((3L, "doc one", ts(10)))
+      q.processAllAvailable()
+      // batch 3: unrelated doc far in the future advances the watermark
+      // way past every sighting + TTL
+      mem.addData((4L, "tick", ts(120)))
+      q.processAllAvailable()
+      // batch 4: doc one again, 110 min after its last sighting -> its
+      // fingerprint fell out of the horizon, so it is re-admitted
+      mem.addData((5L, "doc one", ts(125)))
+      q.processAllAvailable()
+      val emitted = spark.table("ttl_dedup").collect()
+        .map(_.getLong(0)).toSet
+      q.stop()
+      assert(emitted == Set(1L, 2L, 4L, 5L),
+        s"horizon semantics broken, emitted: $emitted")
+      // bounded state: only fingerprints inside the final horizon
+      // survive ("tick" + re-admitted "doc one"); doc two's state was
+      // expired by the timeout even though its fp never re-arrived
+      val stateRows = q.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .headOption.getOrElse(-1L)
+      assert(stateRows >= 0 && stateRows <= 2,
+        s"state not bounded by the TTL horizon: $stateRows rows")
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("streaming document ingest: quality gate + incremental dedup") {
     val docs = graft.streaming.DocumentStreams.readDocuments(spark, sf)
     // double-deliver the corpus: dedup must keep one copy per
