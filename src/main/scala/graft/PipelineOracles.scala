@@ -169,10 +169,12 @@ object PipelineOracles {
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY 1, 2""".stripMargin,
 
+    // reference-only baseline: vec_id < 65536 mirrors Dedup.EmbeddingCap
     "dedup_embedding" ->
       """SELECT a.vec_id AS x, b.vec_id AS y
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |WHERE a.vec_id < 65536 AND b.vec_id < 65536
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY x, y""".stripMargin,
 

@@ -44,6 +44,12 @@ object SourceOracles {
         |    AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "src_text_escaped" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents""".stripMargin,
+
     "src_text_bzip2" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

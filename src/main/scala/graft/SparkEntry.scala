@@ -73,6 +73,7 @@ object SparkEntry {
     "src_sequence_roundtrip" -> SourceOps.sequenceRoundtrip _,
     "src_partitioned_prune" -> SourceOps.partitionedPrune _,
     "src_text_roundtrip"   -> SourceOps.textRoundtrip _,
+    "src_text_escaped"     -> SourceOps.textEscapedRoundtrip _,
     "src_text_bzip2"       -> SourceOps.textBzip2Roundtrip _,
     "src_csv_lz4"          -> SourceOps.csvLz4Roundtrip _,
     "src_bucketed_lookup"  -> SourceOps.bucketedLookup _,

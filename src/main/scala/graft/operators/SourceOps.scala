@@ -101,6 +101,60 @@ object SourceOps {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** Percent-escape exactly the characters that break the line/field
+    * framing of "id\ttext" records: '%' -> %25, newline -> %0A,
+    * tab -> %09. After escaping, every '%' is followed by one of the
+    * three codes, so the three unescape replaces (specific codes
+    * first, %25 last) are unambiguous — no lookbehind, plain codegen
+    * `replace` calls. This is the custom-InputFormat role from the
+    * reference world (records with embedded newlines) done as pure
+    * column expressions. */
+  private def escapeLine(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, "%", "%25"), "\n", "%0A"), "\t", "%09")
+
+  private def unescapeLine(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, "%0A", "\n"), "%09", "\t"), "%25", "%")
+
+  /** documents -> ESCAPED text lines -> read -> corpus stats. Unlike
+    * `textRoundtrip` (which documents the embedded-newline limitation
+    * of raw TextInputFormat framing), this path survives newlines and
+    * tabs INSIDE the payload: records are escaped to one physical
+    * line on write and restored on read, so the format stays
+    * splittable line-oriented text while carrying multi-line records.
+    * SourcesSpec proves byte fidelity on a corpus with embedded
+    * newlines/tabs; the oracle proves zero loss on the real corpus. */
+  def textEscapedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-textesc-")
+    Tables.documents(s, d)
+      .select(concat_ws("\t",
+        col("doc_id"), escapeLine(col("text"))).as("value"))
+      .write.mode("overwrite").text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(element_at(col("kv"), 1).cast("long").as("doc_id"),
+        unescapeLine(element_at(col("kv"), 2)).as("text"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  /** Spec hook: the escaped round-trip as (doc_id, text) rows, for
+    * byte-fidelity checks on synthetic multi-line corpora. */
+  private[graft] def textEscapedRows(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val path = scratch("graft-textesc-rows-")
+    docs.select(concat_ws("\t",
+        col("doc_id"), escapeLine(col("text"))).as("value"))
+      .write.mode("overwrite").text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(element_at(col("kv"), 1).cast("long").as("doc_id"),
+        unescapeLine(element_at(col("kv"), 2)).as("text"))
+  }
+
   /** documents -> bzip2-compressed text lines -> read -> corpus stats.
     * bzip2 is the reference's SPLITTABLE text codec (hadoop-common/
     * .../io/compress/BZip2Codec.java implements

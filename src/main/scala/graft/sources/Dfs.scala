@@ -40,4 +40,59 @@ object Dfs {
   }
 
   def exists(path: String): Boolean = { val (f, p) = fs(path); f.exists(p) }
+
+  // ---- Trash / safe-delete (reference: hadoop-common/.../fs/
+  // Trash.java, TrashPolicyDefault.java) -----------------------------
+  //
+  // The contract every operator leans on before a 100 TB `rm -r`:
+  // deletes MOVE into a trash checkpoint first; a periodic expunge
+  // deletes checkpoints older than the retention interval. Layout
+  // mirrors the reference: <trashRoot>/Current/<name> for live
+  // deletes, <trashRoot>/<yyyyMMddHHmmss>/ for checkpoints.
+
+  private val checkpointFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+
+  /** Move `path` into the trash's Current dir instead of deleting it.
+    * Name collisions get a nanotime suffix (the reference appends a
+    * timestamp the same way). */
+  def rmToTrash(path: String, trashRoot: String): Boolean = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) return false
+    val current = new Path(trashRoot, "Current")
+    f.mkdirs(current)
+    var dest = new Path(current, p.getName)
+    if (f.exists(dest))
+      dest = new Path(current, p.getName + "." + System.nanoTime())
+    f.rename(p, dest)
+  }
+
+  /** Roll Current into a timestamped checkpoint (no-op when empty). */
+  def checkpointTrash(trashRoot: String, nowMs: Long): Boolean = {
+    val (f, _) = fs(trashRoot)
+    val current = new Path(trashRoot, "Current")
+    if (!f.exists(current)) return false
+    val stamp = checkpointFmt.format(java.time.Instant.ofEpochMilli(nowMs))
+    f.rename(current, new Path(trashRoot, stamp))
+  }
+
+  /** Delete checkpoints older than `retentionMs`; returns how many
+    * were expunged. Current is never touched. */
+  def expungeTrash(trashRoot: String, retentionMs: Long, nowMs: Long): Int = {
+    val (f, root) = fs(trashRoot)
+    if (!f.exists(root)) return 0
+    f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName != "Current")
+      .filter { st =>
+        try {
+          val t = java.time.LocalDateTime
+            .parse(st.getPath.getName, checkpointFmt)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          nowMs - t >= retentionMs
+        } catch { case _: Exception => false } // not a checkpoint dir
+      }
+      .count(st => f.delete(st.getPath, true))
+  }
 }

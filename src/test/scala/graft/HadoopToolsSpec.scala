@@ -69,6 +69,29 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(Dfs.rm(tmp, recursive = true) && !Dfs.exists(tmp))
   }
 
+  test("trash semantics: rm moves to Current, expunge honors retention") {
+    import graft.sources.Dfs
+    val root = Files.createTempDirectory("graft-trash-").toString
+    val trash = root + "/.Trash"
+    val victim = root + "/data.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(victim), "precious")
+    // safe delete: gone from its path, recoverable from Current
+    assert(Dfs.rmToTrash(victim, trash))
+    assert(!Dfs.exists(victim))
+    assert(Dfs.exists(trash + "/Current/data.txt"))
+    // same-name delete doesn't clobber the trashed copy
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(victim), "v2")
+    assert(Dfs.rmToTrash(victim, trash))
+    assert(Dfs.ls(trash + "/Current").count(_._1.startsWith("data.txt")) == 2)
+    // checkpoint + expunge: young checkpoint survives, old one goes
+    val t0 = 1700000000000L
+    assert(Dfs.checkpointTrash(trash, t0))
+    assert(!Dfs.exists(trash + "/Current"))
+    assert(Dfs.expungeTrash(trash, retentionMs = 86400000L, nowMs = t0 + 3600000L) == 0)
+    assert(Dfs.expungeTrash(trash, retentionMs = 86400000L, nowMs = t0 + 2 * 86400000L) == 1)
+    assert(Dfs.ls(trash).isEmpty)
+  }
+
   test("pi estimate lands near pi") {
     val row = SparkEntry.queries("mr_pi")(spark, sf).collect()(0)
     val pi = row.getLong(2) / 10000.0

@@ -113,6 +113,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(rdd.count() == 500)
   }
 
+  test("escaped text round-trip survives embedded newlines and tabs byte-for-byte") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nasty = Seq(
+      (1L, "plain single line"),
+      (2L, "two\nphysical\nlines"),
+      (3L, "tab\there and % percent and %0A literal escape-code"),
+      (4L, "trailing newline\n"),
+      (5L, "%25%0A%09 pre-escaped-looking payload \n\t mixed"))
+    val back = graft.operators.SourceOps
+      .textEscapedRows(spark, nasty.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    nasty.foreach { case (id, text) =>
+      assert(back(id) == text, s"doc $id mangled: ${back(id)}")
+    }
+  }
+
   test("bzip2 text is SPLITTABLE: one large file plans multiple input slices") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-bzsplit-")
