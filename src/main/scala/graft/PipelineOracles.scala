@@ -241,6 +241,12 @@ object PipelineOracles {
         |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
         |          AS BIGINT)) AS m
         |    FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+        |    WHERE list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(regexp_extract_all(
+        |            md5('ivf-' || CAST(vec_id AS VARCHAR)), '(?s).'),
+        |            c -> CAST(unicode(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 2147483647) % 2 = 0
         |    GROUP BY 1, 2)
         |  GROUP BY 1),
         |probed AS (

@@ -71,11 +71,25 @@ object Dedup {
     * per input snapshot and parked as parquet, because every dedup
     * operator re-reads it several times — at production scale this is
     * the materialized intermediate you would checkpoint on HDFS rather
-    * than recompute per branch of a self-join DAG. */
+    * than recompute per branch of a self-join DAG.
+    *
+    * Location: `spark.graft.scratch.dir` when set — any Hadoop-scheme
+    * path, which on a real cluster MUST be shared storage (HDFS/object
+    * store) so every executor reads the same staged copy; the caller
+    * owns that directory's lifecycle. Unset (local test default), a
+    * JVM-lifetime local temp dir with shutdown cleanup. */
   private[operators] def shingleArrays(s: SparkSession, d: String): DataFrame = {
-    val path = shingleStage.computeIfAbsent(stageKey(d), _ => {
-      val p = graft.sources.TempDirs.scratch("graft-shingles-")
-      val out = p.resolve("sh").toString
+    val path = shingleStage.computeIfAbsent(stageKey(d), key => {
+      val out = s.conf.getOption("spark.graft.scratch.dir") match {
+        case Some(base) =>
+          val tag = java.lang.Long.toHexString(
+            java.util.UUID.nameUUIDFromBytes(key.getBytes)
+              .getMostSignificantBits & Long.MaxValue)
+          s"$base/graft-shingles-$tag"
+        case None =>
+          graft.sources.TempDirs.scratch("graft-shingles-")
+            .resolve("sh").toString
+      }
       shinglesPlan(s, d)
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("sh"))).as("shs"))

@@ -81,12 +81,24 @@ object Similarity {
     * round(v * 1e6) per dimension (order-independent, unlike a float
     * avg whose shuffle-order rounding is nondeterministic), cast to
     * float identically on both engines; cosine is scale-invariant so
-    * the un-divided sum ranks cells exactly like the mean would. */
+    * the un-divided sum ranks cells exactly like the mean would.
+    *
+    * The quantizer trains on a deterministic 50% hash sample of the
+    * corpus, not the full corpus: at 100 TB nobody posexplodes every
+    * vector to fit cluster centers — a sample bounds the training
+    * shuffle while the probe/scan phases still cover ALL vectors. The
+    * sample predicate (md5-then-fold parity, the measured-uniform
+    * construction from txt_sample_stratified) is mirrored in the
+    * DuckDB oracle, so the pipeline stays fully hash-matched. */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 3
     val e = Tables.embeddings(s, d)
-    // centroids: element-wise exact integer sums per label
-    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val trainSample = pmod(graft.functions.RollingHash.rollingHash(
+      md5(concat(lit("ivf-"), col("vec_id").cast("string"))
+        .cast("binary"))), lit(2L)) === 0L
+    // centroids: element-wise exact integer sums per sampled label rows
+    val cent = e.filter(trainSample)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy(col("label"), col("i"))
       .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("m"))
       .groupBy(col("label"))

@@ -8,6 +8,24 @@ import graft.operators.{Dedup, TextAnalysis}
 class PipelineOpsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("shingle staging honors spark.graft.scratch.dir (shared-storage knob)") {
+    val conf = spark.conf
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scratch-conf-").toString
+    try {
+      conf.set("spark.graft.scratch.dir", dir)
+      Dedup.clearStage()
+      Dedup.stageShingles(spark, sf)
+      val staged = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+      assert(staged.exists(_.getName.startsWith("graft-shingles-")),
+        s"staging ignored the configured dir: ${staged.mkString(",")}")
+    } finally {
+      conf.unset("spark.graft.scratch.dir")
+      Dedup.clearStage() // next caller re-stages in the default location
+    }
+  }
+
   test("substring dedup finds planted shared passages and nothing else") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
