@@ -62,6 +62,19 @@ object SourceOracles {
         |    AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "src_compaction" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents""".stripMargin,
+
+    "src_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_bucketed_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,

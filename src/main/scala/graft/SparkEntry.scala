@@ -77,6 +77,8 @@ object SparkEntry {
     "src_text_bzip2"       -> SourceOps.textBzip2Roundtrip _,
     "src_csv_lz4"          -> SourceOps.csvLz4Roundtrip _,
     "src_bucketed_lookup"  -> SourceOps.bucketedLookup _,
+    "src_bucketed_join"    -> SourceOps.bucketedJoin _,
+    "src_compaction"       -> SourceOps.compactionRoundtrip _,
     "src_parquet_zstd"     -> SourceOps.parquetZstdRoundtrip _,
     "adv_asof_join"        -> Advanced.asofJoin _,
     "adv_asof_custom"      -> Advanced.asofCustom _,

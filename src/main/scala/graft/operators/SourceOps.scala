@@ -263,6 +263,68 @@ object SourceOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** documents scattered into many small files -> compacted to
+    * ceil(bytes/target) files -> read back -> corpus stats. The
+    * classic HDFS small-files remedy (every tiny file is a namenode
+    * object and one task) as an oracle-backed query: the DuckDB side
+    * aggregates the original table, so the scatter+compact hop must
+    * lose nothing. The spec additionally pins the file-count
+    * arithmetic; here the compaction target is sized to force a real
+    * multi-file -> fewer-files rewrite at any SF. */
+  def compactionRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val scatter = scratch("graft-scatter-")
+    val compacted = scratch("graft-compacted-")
+    Tables.documents(s, d).repartition(50)
+      .write.mode("overwrite").parquet(scatter)
+    Formats.compact(s, scatter, compacted, targetBytes = 4L * 1024 * 1024)
+    s.read.parquet(compacted)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  /** Co-located fact-fact join through two bucketed-and-sorted tables
+    * (orders ⋈ lineitem on orderkey, both bucketed 8 ways on their
+    * join key): the sort-merge join consumes the on-disk bucketing and
+    * ordering, so NEITHER side shuffles or sorts at query time — the
+    * plan a 100 TB warehouse pre-pays at write time (SourcesSpec pins
+    * the zero-exchange plan; this query pins the RESULT against the
+    * plain-parquet oracle). */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val lt = bucketedFactTable(s, d, "lineitem", "l_orderkey",
+      Tables.lineitem(_, _).select(col("l_orderkey"), col("l_extendedprice")))
+    val ot = bucketedFactTable(s, d, "orders", "o_orderkey",
+      Tables.orders(_, _).select(col("o_orderkey"), col("o_orderpriority")))
+    s.table(ot)
+      .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Stage (once per JVM + input dir + name) a table bucketed AND
+    * sorted by `key` into 8 buckets; returns the catalog name. */
+  private[graft] def bucketedFactTable(s: SparkSession, d: String,
+      name: String, key: String,
+      load: (SparkSession, String) => DataFrame): String =
+    bucketedStage.computeIfAbsent(s"$d|$name", _ => {
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(s"$d|$name".getBytes)
+          .getMostSignificantBits & Long.MaxValue)
+      val tbl = s"graft_${name}_bkt_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        val path = scratch(s"graft-bkt-$name-")
+        load(s, d)
+          .write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", path)
+          .saveAsTable(tbl)
+      }
+      tbl
+    })
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */

@@ -179,6 +179,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(probe.count() == expect && expect == 1)
   }
 
+  test("bucketed-join query consumes on-disk bucketing: no join-side shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = SparkEntry.queries("src_bucketed_join")(spark, sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(900)}")
+      // the only exchanges allowed are AFTER the join (groupBy priority,
+      // final orderBy) — never a re-shuffle of either join key
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join re-shuffled a join side:\n${plan.take(1200)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("sequence V2 overwrite is job-atomic: a failed job leaves old data intact") {
     import org.apache.spark.sql.functions._
     val path = Files.createTempDirectory("graft-seqa-spec-")
