@@ -87,7 +87,11 @@ private class SeqTable(paths: Seq[String])
     require(paths.size == 1,
       s"${SequenceFileSource.NAME}: writes require exactly one path, " +
         s"got $paths")
-    new SeqWriteBuilder(paths.head, info.queryId())
+    val codec = info.options().getOrDefault("compression", "none")
+    require(Set("none", "record", "block")(codec),
+      s"${SequenceFileSource.NAME}: compression must be none|record|block, " +
+        s"got '$codec'")
+    new SeqWriteBuilder(paths.head, info.queryId(), codec)
   }
 }
 
@@ -95,13 +99,13 @@ private class SeqTable(paths: Seq[String])
   * directory (the exact layout MapReduce's SequenceFileOutputFormat
   * produced, so MR-era readers and this source's own reader both
   * consume it). Overwrite mode is supported via SupportsTruncate. */
-private class SeqWriteBuilder(path: String, queryId: String)
+private class SeqWriteBuilder(path: String, queryId: String, codec: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new SeqBatchWrite(path, queryId, doTruncate)
+      new SeqBatchWrite(path, queryId, doTruncate, codec)
   }
 }
 
@@ -127,7 +131,7 @@ private class SeqWriteBuilder(path: String, queryId: String)
   * Readers (this source's and the MR-era one) skip '.'-prefixed
   * entries, so a live staging dir is invisible to them. */
 private class SeqBatchWrite(path: String, queryId: String,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, codec: String) extends BatchWrite {
   private def conf = new Configuration()
   private def stagingDir = new Path(path, s".graft-staging-$queryId")
 
@@ -135,7 +139,7 @@ private class SeqBatchWrite(path: String, queryId: String,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = stagingDir.getFileSystem(conf)
     fs.mkdirs(stagingDir) // creates the (possibly new) target dir too
-    new SeqWriterFactory(stagingDir.toString)
+    new SeqWriterFactory(stagingDir.toString, codec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -164,23 +168,34 @@ private class SeqBatchWrite(path: String, queryId: String,
   }
 }
 
-private class SeqWriterFactory(stagingDir: String) extends DataWriterFactory {
+private class SeqWriterFactory(stagingDir: String, codec: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SeqWriter(stagingDir, partitionId, taskId)
+    new SeqWriter(stagingDir, partitionId, taskId, codec)
 }
 
 private case class SeqCommit(file: String) extends WriterCommitMessage
 
-private class SeqWriter(stagingDir: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+private class SeqWriter(stagingDir: String, partitionId: Int, taskId: Long,
+    codec: String) extends DataWriter[InternalRow] {
   private val conf = new Configuration()
   private val tmp = new Path(f"$stagingDir/.inprogress-$partitionId%05d-$taskId")
   private val staged = new Path(f"$stagingDir/part-$partitionId%05d-$taskId")
+  // record/block compression = the reference's own SequenceFile modes
+  // (io/SequenceFile.java CompressionType); DefaultCodec is the
+  // in-JVM zlib codec, so no native library dependency
+  private val compression = codec match {
+    case "record" => SequenceFile.CompressionType.RECORD
+    case "block" => SequenceFile.CompressionType.BLOCK
+    case _ => SequenceFile.CompressionType.NONE
+  }
   private val writer = SequenceFile.createWriter(conf,
     SequenceFile.Writer.file(tmp),
     SequenceFile.Writer.keyClass(classOf[LongWritable]),
-    SequenceFile.Writer.valueClass(classOf[Text]))
+    SequenceFile.Writer.valueClass(classOf[Text]),
+    SequenceFile.Writer.compression(compression,
+      new org.apache.hadoop.io.compress.DefaultCodec()))
   private val key = new LongWritable()
   private val value = new Text()
 

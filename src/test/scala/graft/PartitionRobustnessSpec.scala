@@ -13,7 +13,11 @@ class PartitionRobustnessSpec extends AnyFunSuite {
 
   private val sensitive = Seq("adv_asof_custom", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "txt_sample_stratified",
-    "mm_embed_knn")
+    "mm_embed_knn",
+    // round 3: the window-fingerprint shuffle, the SAMPLED hot-key
+    // detection (classification may differ per partitioning — the
+    // RESULT must not), and the hash-sampled IVF quantizer
+    "dedup_substring", "adv_salted_join", "sim_knn_ivf")
 
   test("partitioning-sensitive queries are invariant under partitions=7") {
     val conf = spark.conf

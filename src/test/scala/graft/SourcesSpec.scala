@@ -179,6 +179,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(probe.count() == expect && expect == 1)
   }
 
+  test("sequence V2 write supports block compression, readable by both readers") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-seqc-spec-")
+    val plain = dir.resolve("plain").toString
+    val packed = dir.resolve("packed").toString
+    val src = graft.sources.sequence.SequenceFileSource.NAME
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("key"), col("text").as("value")).coalesce(1)
+    docs.write.format(src).mode("overwrite").save(plain)
+    docs.write.format(src).mode("overwrite")
+      .option("compression", "block").save(packed)
+    def bytes(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.length).sum
+    assert(bytes(packed) < bytes(plain),
+      s"block compression did not shrink: ${bytes(packed)} vs ${bytes(plain)}")
+    // both the V2 reader and the MR-era RDD reader decode it
+    assert(spark.read.format(src).load(packed).count() == 500)
+    assert(Formats.readSequenceRdd(spark, packed).count() == 500)
+    // unknown codec names are rejected, not ignored
+    intercept[Exception] {
+      docs.write.format(src).mode("overwrite")
+        .option("compression", "zstd").save(packed)
+    }
+  }
+
   test("bucketed-join query consumes on-disk bucketing: no join-side shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
