@@ -163,20 +163,26 @@ class SourcesSpec extends AnyFunSuite {
   test("bucketed lookup scans exactly one bucket (MapFile-analog point probe)") {
     import org.apache.spark.sql.functions._
     val table = graft.operators.SourceOps.bucketedTable(spark, sf)
-    spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val probe = spark.table(table).filter(col("o_orderkey") === 42L)
-    probe.collect()
-    val plan = probe.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
-      s"bucket pruning did not fire:\n${plan.take(1200)}")
-    // no shuffle either: the probe is a scan + filter, nothing else
-    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(800)}")
-    // result agrees with the flat parquet
-    val expect = Tables.orders(spark, sf)
-      .filter(col("o_orderkey") === 42L).count()
-    assert(probe.count() == expect && expect == 1)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val probe = spark.table(table).filter(col("o_orderkey") === 42L)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not fire:\n${plan.take(1200)}")
+      // no shuffle either: the probe is a scan + filter, nothing else
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(800)}")
+      // result agrees with the flat parquet
+      val expect = Tables.orders(spark, sf)
+        .filter(col("o_orderkey") === 42L).count()
+      assert(probe.count() == expect && expect == 1)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("sequence V2 write supports block compression, readable by both readers") {
