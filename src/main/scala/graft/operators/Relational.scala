@@ -349,16 +349,65 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** Exact interpolated median per group (both engines use linear
-    * interpolation at rank p*(n-1) over the sorted values, so the
-    * resulting doubles are bit-identical). */
-  def q25Median(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
-        count(lit(1)).as("cnt"))
+  /** Exact interpolated median per group, computed as a DISTRIBUTED
+    * value histogram instead of `percentile()`: the builtin buffers
+    * one (value -> count) map PER GROUP inside a single aggregation
+    * buffer, so with 3 return flags the entire value distribution of a
+    * 100 TB lineitem funnels through 3 reducer buffers. Here the
+    * histogram itself is the shuffled relation — groupBy (flag,
+    * metric, value) distributes over the full value domain, the
+    * cumulative rank is a window over histogram ROWS (distinct values,
+    * orders of magnitude fewer than input rows, spillable sort), and
+    * the two bracketing values at rank 0.5*(n-1) are picked by range
+    * predicates on the cumulative counts.
+    *
+    * Interpolation mirrors Spark's own Percentile (and DuckDB median):
+    * lo + (hi - lo) * (r - floor(r)) in IEEE double, so the result is
+    * bit-identical to both engines' builtins — the oracle hash-match
+    * proves it. One scan (explode, not self-union) feeds both
+    * metrics. */
+  def q25Median(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), explode(array(
+        struct(lit("qty").as("metric"),
+          col("l_quantity").cast("double").as("v")),
+        struct(lit("price").as("metric"),
+          col("l_extendedprice").cast("double").as("v")))).as("mv"))
+      .select(col("flag"), col("mv.metric").as("metric"), col("mv.v").as("v"))
+      .filter(col("v").isNotNull) // percentile() semantics: nulls ignored
+    val hist = vals.groupBy(col("flag"), col("metric"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("flag"), col("metric")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("flag"), col("metric"))
+    // value row covers sorted positions [cum - c, cum - 1] (0-indexed)
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("r", expr("0.5 * cast(n - 1 as double)"))
+      .withColumn("k", floor(col("r")))
+    // both bracketing values picked in ONE pass over the histogram (a
+    // lo/hi self-join would evaluate the whole subtree twice)
+    val med = ranked
+      .filter(col("cum") - col("c") <= col("k") + 1 &&
+        col("k") <= col("cum") - 1)
+      .groupBy(col("flag"), col("metric"))
+      .agg(
+        max(when(col("cum") - col("c") <= col("k") &&
+          col("k") <= col("cum") - 1, col("v"))).as("lo"),
+        max(when(col("cum") - col("c") <= col("k") + 1 &&
+          col("k") + 1 <= col("cum") - 1, col("v"))).as("hi"),
+        max(col("r")).as("r"), max(col("k")).as("k"), max(col("n")).as("n"))
+      .withColumn("m", when(col("r") === col("k").cast("double"), col("lo"))
+        .otherwise(col("lo") +
+          (col("hi") - col("lo")) * (col("r") - col("k").cast("double"))))
+    med.groupBy(col("flag"))
+      .agg(max(when(col("metric") === "qty", col("m"))).as("median_qty"),
+        max(when(col("metric") === "price", col("m"))).as("median_price"),
+        max(when(col("metric") === "qty", col("n"))).as("cnt"))
+      .select(col("flag").as("l_returnflag"), col("median_qty"),
+        col("median_price"), col("cnt"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Correlated min-per-group (TPC-H Q2 shape): cheapest lineitem per
     * part, resolved as a window min rather than a correlated
