@@ -75,6 +75,14 @@ object SourceOracles {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "src_range_lookup" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1099
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_bucketed_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,

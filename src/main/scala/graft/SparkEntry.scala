@@ -78,6 +78,7 @@ object SparkEntry {
     "src_csv_lz4"          -> SourceOps.csvLz4Roundtrip _,
     "src_bucketed_lookup"  -> SourceOps.bucketedLookup _,
     "src_bucketed_join"    -> SourceOps.bucketedJoin _,
+    "src_range_lookup"     -> SourceOps.rangeLookup _,
     "src_compaction"       -> SourceOps.compactionRoundtrip _,
     "src_parquet_zstd"     -> SourceOps.parquetZstdRoundtrip _,
     "adv_asof_join"        -> Advanced.asofJoin _,

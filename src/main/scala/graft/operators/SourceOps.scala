@@ -304,6 +304,41 @@ object SourceOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Keyed RANGE lookup — the other half of the MapFile contract
+    * (point probes go through hash buckets, `bucketedLookup`; range
+    * scans need RANGE layout, since hash bucketing scatters a key
+    * interval across every bucket). orders is staged once as
+    * range-partitioned files, each sorted within, so every file
+    * carries a disjoint key interval: a BETWEEN predicate prunes at
+    * parquet row-group granularity via min/max stats, reading a tiny
+    * slice of each qualifying file and virtually nothing of the rest —
+    * the sorted-data-file scan MapFile.Reader performed, sharded.
+    * SourcesSpec asserts the scan's output-row count stays orders of
+    * magnitude under the table size. */
+  def rangeLookup(s: SparkSession, d: String): DataFrame = {
+    val path = rangeTable(s, d)
+    s.read.parquet(path)
+      .filter(col("o_orderkey").between(1000L, 1099L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Stage (once per JVM + input dir) orders as range-partitioned,
+    * within-file-sorted parquet; returns the path. */
+  private[graft] def rangeTable(s: SparkSession, d: String): String =
+    bucketedStage.computeIfAbsent(s"$d|orders-range", _ => {
+      val path = scratch("graft-range-")
+      Tables.orders(s, d)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Stage (once per JVM + input dir + name) a table bucketed AND
     * sorted by `key` into 8 buckets; returns the catalog name. */
   private[graft] def bucketedFactTable(s: SparkSession, d: String,

@@ -185,6 +185,35 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("range lookup prunes row groups via the sorted range layout") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = SparkEntry.queries("src_range_lookup")(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(1)).sum == 100) // 100 keys hit
+    // descend through AQE stage boundaries (QueryStageExec keeps its
+    // materialized subtree in `plan`, not in `children`)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(st.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan)
+    assert(scan.nonEmpty, "no file scan found")
+    assert(scan.head.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+      s"range predicate not pushed: ${scan.head.metadata("PushedFilters")}")
+    // min/max row-group stats + the sorted layout keep the scan to a
+    // sliver of the table (1500 orders at sf0.001; a full scan would
+    // read them all)
+    val scanned = scan.map(_.metrics("numOutputRows").value).sum
+    val total = Tables.orders(spark, sf).count()
+    assert(scanned < total / 2,
+      s"row-group pruning ineffective: scanned $scanned of $total")
+  }
+
   test("sequence V2 write supports block compression, readable by both readers") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-seqc-spec-")
