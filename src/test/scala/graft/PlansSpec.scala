@@ -75,6 +75,25 @@ class PlansSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(0) == 99999L)
   }
 
+  test("join strategy split: dims broadcast, fact-fact shuffles, scans prune") {
+    // q5: 6-table star join — every dimension (region/nation/supplier/
+    // customer at test SF) must arrive via broadcast, never a shuffle
+    // of the fact side per dim
+    val q5 = SparkEntry.queries("q5_nation_revenue")(spark, sf)
+    q5.collect()
+    val p5 = q5.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p5.contains("BroadcastHashJoin"),
+      s"q5 dims not broadcast:\n${p5.take(900)}")
+    // q2: predicate AND projection must reach the parquet scan
+    val q2 = SparkEntry.queries("q2_filter_project")(spark, sf)
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(p2.contains("PushedFilters: [IsNotNull"),
+      s"q2 filter not pushed:\n${p2.take(900)}")
+    assert(!p2.contains("l_comment"),
+      "q2 reads columns the projection dropped")
+  }
+
   test("q17/q18 never force a broadcast of an SF-proportional aggregate") {
     // the per-partkey / per-orderkey aggregates grow linearly with SF;
     // a broadcast HINT on them is a driver OOM at 100×. AQE may still
