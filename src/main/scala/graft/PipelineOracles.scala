@@ -137,6 +137,50 @@ object PipelineOracles {
     // Mirrors Dedup.simhash: 62-bit word hash = fold31 << 31 | fold131,
     // classic weighted-bit-counter signature (bits 62/63 always 0, so
     // range(62) suffices), 4x16-bit bands, exact Hamming verify.
+    // same pair pipeline as dedup_minhash_lsh, then component labels
+    // via recursive reachability (component = min reachable doc_id)
+    "dedup_components" ->
+      s"""WITH RECURSIVE sh AS ($shingles),
+         |hv AS (SELECT doc_id, sh, ${rollFold("sh")} AS h FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i,
+         |    min(((((43 + i) * 2654435761) % 2147483647) * h
+         |         + ((43 + i) * 1013904223) % 2147483647) % 2147483647) AS m
+         |  FROM hv CROSS JOIN range(128) g(i)
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 8 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
+         |      (a, v) -> (a * 31 + v) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 8),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.x, c.y, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh p ON p.doc_id = c.x
+         |  JOIN sh q ON q.doc_id = c.y AND q.sh = p.sh
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i.x, i.y
+         |  FROM inter i
+         |  JOIN sz sa ON i.x = sa.doc_id JOIN sz sb ON i.y = sb.doc_id
+         |  WHERE i.inter * 9 >= (sa.n + sb.n) * 4),
+         |ed AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+         |nodes AS (SELECT DISTINCT x AS v FROM ed),
+         |reach(a, b) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT r.a, e.y FROM reach r JOIN ed e ON e.x = r.b),
+         |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1),
+         |sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+         |SELECT c.doc_id, c.component, s.n_members
+         |FROM comp c JOIN sizes s USING (component)
+         |ORDER BY c.doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH words AS (
          |  SELECT doc_id, word, count(*) AS w FROM (

@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> Dedup.minhashLsh _,
     "dedup_simhash"        -> Dedup.simhash _,
     "dedup_substring"      -> Dedup.substring _,
+    "dedup_components"     -> Dedup.components _,
     "dedup_embedding"      -> Dedup.embedding _,
     "sim_knn_brute"        -> Similarity.knnBrute _,
     "sim_knn_lsh"          -> Similarity.knnLsh _,

@@ -57,6 +57,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(corpus.count() > 0)
   }
 
+  test("duplicate clusters: components agree with the pair graph") {
+    val rows = Dedup.components(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no clusters found on the test corpus")
+    val comp = rows.toMap
+    // labels are consistent with the underlying pair set: both ends of
+    // every near-dup pair carry the same component, and the component
+    // id is the smallest member
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (x, y) =>
+      assert(comp(x)._1 == comp(y)._1, s"pair ($x,$y) split across clusters")
+    }
+    rows.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(label == members.map(_._1).min,
+        s"component $label is not its min member")
+      // n_members equals the actual cluster size
+      assert(members.forall(_._2._2 == members.size))
+    }
+  }
+
   test("stratified sample hits the configured rates within tolerance") {
     val rows = TextAnalysis.sampleStratified(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
