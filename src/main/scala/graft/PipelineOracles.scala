@@ -176,9 +176,16 @@ object PipelineOracles {
          |  UNION
          |  SELECT r.a, e.y FROM reach r JOIN ed e ON e.x = r.b),
          |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1),
-         |sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
-         |SELECT c.doc_id, c.component, s.n_members
-         |FROM comp c JOIN sizes s USING (component)
+         |clus AS (
+         |  SELECT component, n_members, doc_id AS keep_id FROM (
+         |    SELECT c.component, c.doc_id,
+         |      count(*) OVER (PARTITION BY c.component) AS n_members,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN documents d USING (doc_id))
+         |  WHERE rn = 1)
+         |SELECT c.doc_id, c.component, s.n_members, s.keep_id
+         |FROM comp c JOIN clus s USING (component)
          |ORDER BY c.doc_id""".stripMargin,
 
     "dedup_simhash" ->

@@ -417,7 +417,9 @@ object Dedup {
     * count per round (convergence check), never data.
     *
     * Output: one row per clustered doc (doc_id, component = min
-    * doc_id in its cluster, n_members of the whole cluster) — fully
+    * doc_id in its cluster, n_members, keep_id = the cluster's
+    * canonical survivor — longest doc, then smallest id, the same
+    * policy dedup_survivor applies to exact groups). Fully
     * deterministic, so the DuckDB oracle (recursive-CTE reachability
     * over the same minhash pair pipeline) hash-matches it. */
   def components(s: SparkSession, d: String): DataFrame = {
@@ -441,10 +443,19 @@ object Dedup {
       labels = next
       converged = changed == 0
     }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, Seq("label"))
+    // per-cluster size + canonical survivor (longest doc wins, then
+    // smallest id): one aggregation over the clustered docs joined to
+    // their lengths — cluster count is output-scale, never corpus-scale
+    val withLen = labels.join(
+      Tables.documents(s, d).select(col("doc_id").as("v"), col("n_chars")),
+      Seq("v"))
+    val clusters = withLen.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(negate(col("n_chars")), col("v"))).as("best"))
+      .select(col("label"), col("n_members"), col("best.v").as("keep_id"))
+    labels.join(clusters, Seq("label"))
       .select(col("v").as("doc_id"), col("label").as("component"),
-        col("n_members"))
+        col("n_members"), col("keep_id"))
       .orderBy(col("doc_id"))
   }
 

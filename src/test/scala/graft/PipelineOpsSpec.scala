@@ -77,6 +77,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       // n_members equals the actual cluster size
       assert(members.forall(_._2._2 == members.size))
     }
+    // the survivor is the longest member of its own cluster
+    val keeps = Dedup.components(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val chars = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keeps.groupBy(_._2).foreach { case (_, members) =>
+      val keep = members.head._3
+      assert(members.map(_._1).contains(keep), "survivor outside cluster")
+      assert(members.forall(m => chars(keep) >= chars(m._1)),
+        "survivor is not the longest member")
+    }
   }
 
   test("stratified sample hits the configured rates within tolerance") {
