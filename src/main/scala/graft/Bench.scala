@@ -63,9 +63,22 @@ object Bench {
 
     val staging = timed("_staging_shingles")(
       graft.operators.Dedup.stageShingles(spark, sfDir))
+    val tables = timed("_staging_tables") {
+      graft.operators.SourceOps.bucketedTable(spark, sfDir)
+      graft.operators.SourceOps.bucketedFactTable(spark, sfDir, "lineitem",
+        "l_orderkey", graft.sources.Tables.lineitem(_, _)
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_extendedprice")))
+      graft.operators.SourceOps.bucketedFactTable(spark, sfDir, "orders",
+        "o_orderkey", graft.sources.Tables.orders(_, _)
+          .select(org.apache.spark.sql.functions.col("o_orderkey"),
+            org.apache.spark.sql.functions.col("o_orderpriority")))
+      graft.operators.SourceOps.rangeTable(spark, sfDir)
+      ()
+    }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => timed(n)(run(n)))
 
-    val all = results :+ staging
+    val all = results :+ staging :+ tables
     val qs = all.map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)

@@ -41,6 +41,34 @@ object Dfs {
 
   def exists(path: String): Boolean = { val (f, p) = fs(path); f.exists(p) }
 
+  /** getmerge: concatenate a directory's part files (sorted by name,
+    * the task-output order) into one local file — the classic way to
+    * pull a small MR job result out of HDFS. Returns bytes written. */
+  def getmerge(srcDir: String, dstFile: String): Long = {
+    val (f, p) = fs(srcDir)
+    val parts = f.listStatus(p).filter(_.isFile)
+      .filterNot(st => st.getPath.getName.startsWith(".") ||
+        st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+    val (df, dp) = fs(dstFile)
+    val out = df.create(dp, true)
+    try {
+      var total = 0L
+      parts.foreach { st =>
+        val in = f.open(st.getPath)
+        try {
+          val buf = new Array[Byte](128 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) { out.write(buf, 0, n); total += n }
+            n = in.read(buf)
+          }
+        } finally in.close()
+      }
+      total
+    } finally out.close()
+  }
+
   // ---- Trash / safe-delete (reference: hadoop-common/.../fs/
   // Trash.java, TrashPolicyDefault.java) -----------------------------
   //

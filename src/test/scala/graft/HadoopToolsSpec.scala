@@ -69,6 +69,22 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(Dfs.rm(tmp, recursive = true) && !Dfs.exists(tmp))
   }
 
+  test("getmerge concatenates part files into one local file") {
+    import graft.sources.Dfs
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-gm-").toString + "/parts"
+    Tables.documents(spark, sf)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .repartition(4).write.text(dir)
+    val merged = Files.createTempDirectory("graft-gm-out-")
+      .resolve("merged.txt").toString
+    val written = Dfs.getmerge(dir, merged)
+    assert(written > 0 && new java.io.File(merged).length() == written)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(merged))
+    assert(lines.size() == 500, s"expected 500 merged lines, got ${lines.size}")
+  }
+
   test("trash semantics: rm moves to Current, expunge honors retention") {
     import graft.sources.Dfs
     val root = Files.createTempDirectory("graft-trash-").toString

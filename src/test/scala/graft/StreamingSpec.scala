@@ -146,6 +146,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("fp").distinct().count() == batchExpected)
   }
 
+  test("foreachBatch lands micro-batches in the transactional SequenceFile sink") {
+    // the streaming -> storage bridge: each micro-batch appends through
+    // the DSv2 writer, so every batch gets the job-atomic staging
+    // protocol (a failed batch can never leave partial files visible)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stream-seq-").resolve("t").toString
+    val src = graft.sources.sequence.SequenceFileSource.NAME
+    val docs = graft.streaming.DocumentStreams.readDocuments(spark, sf)
+    val q = docs
+      .select(col("doc_id").as("key"), col("text").as("value"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format(src).mode("append").save(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format(src).load(out)
+    assert(back.count() == 500)
+    // MR-era reader consumes the streamed table too
+    assert(graft.sources.Formats.readSequenceRdd(spark, out).count() == 500)
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val q = EventStreams.purchaseClickJoin(EventStreams.readEvents(spark, sf))
       .writeStream.outputMode("append")
