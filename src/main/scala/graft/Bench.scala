@@ -74,6 +74,7 @@ object Bench {
           .select(org.apache.spark.sql.functions.col("o_orderkey"),
             org.apache.spark.sql.functions.col("o_orderpriority")))
       graft.operators.SourceOps.rangeTable(spark, sfDir)
+      graft.operators.SourceOps.bloomTable(spark, sfDir)
       ()
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => timed(n)(run(n)))

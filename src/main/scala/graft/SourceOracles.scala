@@ -90,6 +90,13 @@ object SourceOracles {
         |FROM orders WHERE o_orderkey IN (42, 777)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "src_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders WHERE o_orderkey IN (42, 777, 4242, 900000007)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "src_partitioned_prune" ->
       """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

@@ -42,6 +42,9 @@ object SparkEntry {
     "mr_grep"              -> MapReduceClassics.grep _,
     "mr_inverted_index"    -> MapReduceClassics.invertedIndex _,
     "mr_word_stats"        -> MapReduceClassics.wordStats _,
+    "mr_tfidf"             -> MapReduceClassics.tfIdf _,
+    "mr_pagerank"          -> MapReduceClassics.pageRank _,
+    "txt_heavy_hitters"    -> TextAnalysis.heavyHitters _,
     "txt_tokens"           -> TextAnalysis.tokens _,
     "txt_quality"          -> TextAnalysis.quality _,
     "txt_langid"           -> TextAnalysis.langId _,
@@ -80,6 +83,7 @@ object SparkEntry {
     "src_bucketed_lookup"  -> SourceOps.bucketedLookup _,
     "src_bucketed_join"    -> SourceOps.bucketedJoin _,
     "src_range_lookup"     -> SourceOps.rangeLookup _,
+    "src_bloom_lookup"     -> SourceOps.bloomLookup _,
     "src_compaction"       -> SourceOps.compactionRoundtrip _,
     "src_parquet_zstd"     -> SourceOps.parquetZstdRoundtrip _,
     "adv_asof_join"        -> Advanced.asofJoin _,

@@ -12,6 +12,25 @@ object TextOracles {
     """SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
       |FROM documents""".stripMargin
 
+  /** Rolling-hash fold of string expression `e`, mirroring
+    * graft.functions.RollingHash ('(?s).' so every codepoint folds). */
+  private def fold(e: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(regexp_extract_all($e, '(?s).'),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+
+  /** One PageRank iteration (integer fixed-point), prev -> next CTE. */
+  private def prIter(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT n.v,
+       |    CAST(150000 + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS v, sum(p.r // d.outdeg) AS cin
+       |    FROM edges e JOIN deg d ON e.src = d.src
+       |    JOIN $prev p ON p.v = e.src GROUP BY 1) c ON c.v = n.v)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "mr_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM ($words)
@@ -37,6 +56,67 @@ object TextOracles {
          |  CAST(CAST(sum(len) AS BIGINT) AS DOUBLE) / count(*) AS mean_len
          |FROM (SELECT CAST(length(word) AS BIGINT) AS len FROM ($words)
          |      WHERE length(word) > 0)""".stripMargin,
+
+    // Mirrors MapReduceClassics.tfIdf: score = (tok/doc_toks) *
+    // (n_docs/df), four exactly-rounded IEEE double ops (no ln() — not
+    // bit-reproducible across libm implementations)
+    "mr_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, word FROM ($words)
+         |  WHERE length(word) > 0),
+         |tf AS (SELECT doc_id, word, count(*) AS tok FROM w GROUP BY 1, 2),
+         |wl AS (SELECT doc_id, word, tok,
+         |  sum(tok) OVER (PARTITION BY doc_id) AS doc_toks FROM tf),
+         |dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w
+         |  GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT wl.doc_id, wl.word, wl.tok, dfq.df,
+         |    (CAST(wl.tok AS DOUBLE) / CAST(wl.doc_toks AS DOUBLE)) *
+         |    (CAST(nd.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score
+         |  FROM wl JOIN dfq USING (word), nd)
+         |SELECT doc_id, word, tok, df, score, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, word) AS rk FROM scored)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // Mirrors MapReduceClassics.pageRank: 5 integer fixed-point
+    // iterations over the part<->supplier bipartite graph; `//` and
+    // Spark's `div` agree on positives, long sums are associative
+    "mr_pagerank" ->
+      s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |edges AS (SELECT src, dst FROM base
+         |  UNION ALL SELECT dst AS src, src AS dst FROM base),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS v FROM edges),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${prIter("r0", "r1")},
+         |${prIter("r1", "r2")},
+         |${prIter("r2", "r3")},
+         |${prIter("r3", "r4")},
+         |${prIter("r4", "r5")}
+         |SELECT v, r FROM r5 ORDER BY r DESC, v LIMIT 100""".stripMargin,
+
+    // Mirrors TextAnalysis.heavyHitters: d=4 x w=2048 count-min
+    // sketch, hash row j = fold(md5('cms{j}-'||word)) mod 2048
+    "txt_heavy_hitters" ->
+      s"""WITH ww AS (SELECT word FROM ($words) WHERE length(word) > 0),
+         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |sketch AS (
+         |  SELECT j, ${fold(
+               "md5('cms' || CAST(j AS VARCHAR) || '-' || word)")}
+         |      % 2048 AS b, count(*) AS c
+         |  FROM ww CROSS JOIN js GROUP BY 1, 2),
+         |cand AS (SELECT word, count(*) AS exact FROM ww GROUP BY 1),
+         |probes AS (
+         |  SELECT word, exact, j, ${fold(
+               "md5('cms' || CAST(j AS VARCHAR) || '-' || word)")}
+         |      % 2048 AS b
+         |  FROM cand CROSS JOIN js)
+         |SELECT q.word, min(s.c) AS est, q.exact
+         |FROM probes q JOIN sketch s ON s.j = q.j AND s.b = q.b
+         |GROUP BY q.word, q.exact
+         |ORDER BY est DESC, q.word LIMIT 10""".stripMargin,
 
     "txt_tokens" ->
       """SELECT doc_id,

@@ -424,10 +424,22 @@ object Dedup {
     * over the same minhash pair pipeline) hash-matches it. */
   def components(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashLsh(s, d).select(col("x"), col("y"))
+    // Materialize the edge set ONCE: without this the whole pair
+    // pipeline (minhash + banding + exact verification) is a lazy
+    // plan that re-executes inside every propagation round. Edges are
+    // true-output-scale, so the checkpoint is small even at 100 TB.
     val edges = pairs
       .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
     val nodes = edges.select(col("x").as("v")).distinct()
     var labels = nodes.select(col("v"), col("v").as("label"))
+    // Min-propagation is monotone (labels only ever decrease), so the
+    // fixpoint test is "label sum unchanged" — one tiny aggregate per
+    // round instead of a join against the previous labels. Decimal
+    // sum so huge doc-id sums can never wrap and fake convergence.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -438,10 +450,10 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
         .localCheckpoint() // cut the per-round lineage growth
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
-        .filter(col("label") < col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
     }
     // per-cluster size + canonical survivor (longest doc wins, then
     // smallest id): one aggregation over the clustered docs joined to

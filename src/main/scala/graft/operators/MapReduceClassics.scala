@@ -77,4 +77,78 @@ object MapReduceClassics {
         min(col("len")).as("min_len"),
         max(col("len")).as("max_len"),
         (sum(col("len")).cast("double") / count(lit(1))).as("mean_len"))
+
+  /** TF-IDF top-3 terms per document. [MR: the canonical two-job chain
+    * — job 1 per-(doc,term) counts, job 2 document frequencies, then a
+    * scoring join.] Here: one shuffle per aggregate, a vocabulary-scale
+    * term join (AQE-planned — df is sublinear in corpus size, never
+    * force-broadcast), and a per-doc window for the top-k. The score
+    * avoids ln() (not bit-reproducible across libm implementations):
+    * tf·(N/df) = (tok/doc_toks)·(n_docs/df), four exactly-rounded IEEE
+    * ops, so the doubles hash-match the oracle bit-for-bit. The n_docs
+    * scalar is a 1-row broadcast — constant-size at any SF. */
+  def tfIdf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(s, d)
+    val tf = w.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tok"))
+      .withColumn("doc_toks",
+        sum(col("tok")).over(Window.partitionBy(col("doc_id"))))
+    val docFreq = w.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("tok").cast("double") / col("doc_toks").cast("double")) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("word"), col("tok"), col("df"),
+        col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** PageRank, 5 synchronous iterations in exact fixed-point integer
+    * arithmetic. [MR: THE canonical iterative-job chain — each
+    * iteration one map (emit rank/outdeg per link) + one reduce (sum
+    * per target).] The graph is the part<->supplier bipartite graph
+    * from lineitem (distinct edges, both directions; node id = 2*key
+    * (+1 for suppliers) keeps the two key spaces disjoint). Ranks are
+    * micro-units (1e6 = 1.0): contribution = rank div outdeg, next =
+    * 0.15 + 0.85*sum in integer ops — long sums are associative, so
+    * the result is shuffle-order-independent and hash-matches the
+    * oracle, unlike double-summed PageRank where accumulation order
+    * bleeds into the low bits. Edges+degrees materialize ONCE
+    * (true-edge-scale); each iteration is one edge-keyed join and one
+    * node-keyed aggregate — the plan GraphX's Pregel runs, with no
+    * driver-side data movement. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")) // checkpointed layout is src-hashed, so
+      .localCheckpoint() // every iteration's join reshuffles ONLY the
+    // node-scale rank table, never the edge set (the loop must also
+    // not re-derive the graph — checkpoint cuts that lineage)
+    val nodes = withDeg.select(col("src").as("v")).distinct()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 5) {
+      val contrib = withDeg
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), expr("r div outdeg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("cin"))
+      ranks = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"), (lit(150000L) +
+          expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("r").desc, col("v")).limit(100)
+  }
 }

@@ -360,6 +360,87 @@ object SourceOps {
       tbl
     })
 
+  // ---- Bloom-filtered keyed lookup (BloomMapFile analog) -----------
+
+  /** Bloom sidecar geometry: m bits per data file, k hash probes per
+    * key. At ~4k keys/file (16 files at sf0.1) the fill factor stays
+    * ~17%, so the per-key false-positive rate is (0.17)^3 ≈ 0.5%. */
+  private val BloomBits = 1 << 16
+  private val BloomK = 3
+
+  /** Probe position i for a key: md5-then-fold (the reservoir of
+    * independent, DuckDB-expressible hash functions every sketch in
+    * this repo draws from), reduced mod m. */
+  private def bloomPos(key: org.apache.spark.sql.Column, i: Int) =
+    graft.functions.RollingHash.rollingHash(
+      md5(concat(lit(s"bloom$i-"), key.cast("string")).cast("binary"))
+    ) % BloomBits
+
+  /** Stage (once per JVM + input dir) orders hash-distributed into 16
+    * parquet files plus a `_bloom` SIDECAR: one row per data file
+    * holding the file's bloom bit-position set over o_orderkey — the
+    * exact layout contract of the reference's BloomMapFile
+    * (hadoop-common/.../io/BloomMapFile.java: a MapFile plus a
+    * `bloom` file consulted before the index). Returns the data path. */
+  private[graft] def bloomTable(s: SparkSession, d: String): String =
+    bucketedStage.computeIfAbsent(s"$d|orders-bloom", _ => {
+      val path = scratch("graft-bloomtbl-")
+      Tables.orders(s, d)
+        .repartition(16, col("o_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      val positions = s.read.parquet(path)
+        .select(input_file_name().as("file"), col("o_orderkey").as("k"))
+        .select(col("file"), explode(array(
+          (0 until BloomK).map(i => bloomPos(col("k"), i)): _*)).as("pos"))
+      positions.groupBy(col("file"))
+        .agg(sort_array(collect_set(col("pos"))).as("bits"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path + "_bloom")
+      path
+    })
+
+  /** Which data files MAY contain any of `probes`: join the probes'
+    * bloom positions against the sidecar entirely in Spark (a file is
+    * a candidate for a key iff all k positions are set), then collect
+    * ONLY the candidate file list — file-count-scale, never
+    * data-scale. No false negatives by construction; false positives
+    * just read one extra file and are removed by the exact filter. */
+  private[graft] def bloomCandidates(s: SparkSession, path: String,
+      probes: Seq[Long]): Seq[String] = {
+    import s.implicits._
+    val pp = probes.toDF("k")
+      .select(array((0 until BloomK).map(i => bloomPos(col("k"), i)): _*)
+        .as("pp"))
+    s.read.parquet(path + "_bloom")
+      .crossJoin(broadcast(pp))
+      .filter(expr("forall(pp, p -> array_contains(bits, p))"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Keyed lookup through the bloom sidecar — the BloomMapFile upgrade
+    * to `bucketedLookup`: membership is tested BEFORE any data file is
+    * opened, so a probe for an absent key costs k sidecar probes and
+    * (usually) zero data I/O, and present keys open only their ~1
+    * candidate file of 16. The probe set includes a key absent at
+    * every SF to exercise exactly that path. At 100 TB the sidecar is
+    * file-count-scale (8 KB per file), read via one tiny scan — the
+    * same economics that made BloomMapFile worth a second file. */
+  def bloomLookup(s: SparkSession, d: String): DataFrame = {
+    val path = bloomTable(s, d)
+    val probes = Seq(42L, 777L, 4242L, 900000007L) // last: absent at any SF
+    val cands = bloomCandidates(s, path, probes)
+    val pruned =
+      if (cands.isEmpty) s.read.parquet(path).limit(0)
+      else s.read.parquet(cands: _*)
+    pruned
+      .filter(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */

@@ -204,4 +204,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
+
+  /** Count-min-sketch geometry: d=4 hash rows x w=2048 counters — a
+    * 64 KB sketch regardless of corpus size. */
+  private val CmsD = 4
+  private val CmsW = 2048
+
+  /** CMS hash row j for a token: md5-then-fold (independent per salt,
+    * DuckDB-expressible) reduced mod w. */
+  private def cmsPos(word: Column, j: Int): Column =
+    graft.functions.RollingHash.rollingHash(
+      md5(concat(lit(s"cms$j-"), word).cast("binary"))) % CmsW
+
+  /** Top-10 heavy hitters via a count-min sketch. The sketch build is
+    * the production path at 100 TB: one groupBy over (row, bucket)
+    * with map-side partials collapses an arbitrarily large token
+    * stream into d*w = 8192 counters — the fixed-size summary the
+    * reference computed with counters/combiners. Because the sketch
+    * is CONSTANT-size, broadcasting it for the estimate join is
+    * legitimate at any SF (contrast q17/q18, where the broadcast side
+    * grew with the data). The query also carries each token's exact
+    * count so the CMS overestimate invariant (est >= exact, bounded
+    * by stream/w) is visible and spec-testable; integer-only output
+    * keeps the oracle hash-exact. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    def positions(c: Column) = array((0 until CmsD).map(j =>
+      struct(lit(j).as("j"), cmsPos(c, j).as("b"))): _*)
+    val sketch = w
+      .select(explode(positions(col("word"))).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val candidates = w.groupBy(col("word"))
+      .agg(count(lit(1)).as("exact"))
+    candidates
+      .select(col("word"), col("exact"),
+        explode(positions(col("word"))).as("p"))
+      .join(broadcast(sketch),
+        col("p.j") === col("j") && col("p.b") === col("b"))
+      .groupBy(col("word"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .select(col("word"), col("est"), col("exact"))
+      .orderBy(col("est").desc, col("word"))
+      .limit(10)
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{MapReduceClassics, TextAnalysis}
+import graft.sources.Tables
+
+/** Property specs for the round-3 classic-job additions: TF-IDF,
+  * integer PageRank, and the count-min-sketch heavy hitters. */
+class ClassicsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("tfidf emits at most 3 ranked terms per doc, scores descending") {
+    val rows = MapReduceClassics.tfIdf(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, rs) =>
+      val ranks = rs.map(_.getLong(5)).toSeq.sorted
+      assert(ranks == (1L to rs.length).toSeq, s"doc $doc ranks: $ranks")
+      assert(rs.length <= 3)
+      // ranks follow score descending (word tiebreak only on equality)
+      val byRank = rs.sortBy(_.getLong(5)).map(_.getDouble(4)).toSeq
+      assert(byRank == byRank.sorted.reverse, s"doc $doc scores: $byRank")
+    }
+    // a term in every document is worthless: idf multiplier 1 means
+    // its score can't beat an equally-frequent rarer term
+    assert(rows.forall(_.getDouble(4) > 0))
+  }
+
+  test("pagerank conserves bounded mass and rewards high-degree nodes") {
+    val rows = MapReduceClassics.pageRank(spark, sf).collect()
+    assert(rows.length == 100)
+    // every rank >= the teleport floor; ordered desc
+    val ranks = rows.map(_.getLong(1)).toSeq
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks == ranks.sorted.reverse)
+    // suppliers (odd ids) dominate the top: ~200x fewer suppliers than
+    // parts share the same edge set, so per-node rank concentrates
+    val top10 = rows.take(10).map(_.getLong(0))
+    assert(top10.count(_ % 2 == 1) >= 8, s"top-10 nodes: ${top10.toSeq}")
+  }
+
+  test("count-min estimates never undercount and bound the error") {
+    val rows = TextAnalysis.heavyHitters(spark, sf).collect()
+    assert(rows.length == 10)
+    val streamN = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      // CMS one-sided guarantee: never under, over by < N/w per row
+      assert(est >= exact, s"${r.getString(0)}: est $est < exact $exact")
+      assert(est - exact <= streamN / 2048 * 4,
+        s"${r.getString(0)}: error ${est - exact} too large for N=$streamN")
+    }
+    // the true most frequent token must surface in the top-10
+    val trueTop = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().orderBy(col("count").desc).head.getString(0)
+    assert(rows.map(_.getString(0)).contains(trueTop), s"missing $trueTop")
+  }
+}

@@ -185,6 +185,29 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom lookup consults the sidecar before opening data files") {
+    import graft.operators.SourceOps
+    val path = SourceOps.bloomTable(spark, sf)
+    val total = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(total == 16, s"expected 16 data files, got $total")
+    // present keys admit only their own file(s), not the table
+    val present = SourceOps.bloomCandidates(spark, path, Seq(42L, 777L))
+    assert(present.nonEmpty && present.size < total,
+      s"no file pruning: ${present.size} of $total files")
+    // an absent key should open (almost) nothing — false positives are
+    // possible but the deterministic hashes make the outcome stable
+    val absent = SourceOps.bloomCandidates(spark, path, Seq(900000007L))
+    assert(absent.size <= 1, s"absent key admitted ${absent.size} files")
+    // no false negatives: the pruned lookup equals the flat-table scan
+    val got = SparkEntry.queries("src_bloom_lookup")(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq.sorted
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderkey").isin(42L, 777L, 4242L, 900000007L))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == want && got.nonEmpty, s"got $got, want $want")
+  }
+
   test("range lookup prunes row groups via the sorted range layout") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val q = SparkEntry.queries("src_range_lookup")(spark, sf)
