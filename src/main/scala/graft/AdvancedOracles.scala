@@ -57,5 +57,66 @@ object AdvancedOracles {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Advanced.hllDistinct: identical rho CASE chain (shared
+    // Scala constant), dyadic-exact register sum, one final IEEE
+    // multiply/divide — an approximate sketch with an exact oracle
+    "adv_hll_distinct" -> {
+      val fold =
+        """list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(regexp_extract_all(
+          |        md5('hll-' || CAST(user_id AS VARCHAR)), '(?s).'),
+          |        c -> CAST(unicode(c) AS BIGINT))),
+          |    (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+      val rho = graft.operators.Advanced.rhoCase.replace("_w", "(hv // 64)")
+      s"""WITH h AS (SELECT event_type, user_id, $fold AS hv FROM events),
+         |regs AS (SELECT event_type, hv % 64 AS reg, max($rho) AS mj
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (SELECT event_type,
+         |    sum(1.0 / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE)) AS sp,
+         |    count(*) AS np FROM regs GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT a.event_type,
+         |  (0.709 * 4096.0) / (sp + (64 - np) * 1.0) AS estimate,
+         |  CAST(64 - np AS BIGINT) AS n_zero_regs,
+         |  ex.exact_users
+         |FROM agg a JOIN ex ON a.event_type = ex.event_type
+         |ORDER BY 1""".stripMargin
+    },
+
+    "adv_upsert" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(1 AS BIGINT) AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice * 1.1, 2 FROM orders
+        |  WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, 'N', o_totalprice, 2 FROM orders
+        |  WHERE o_orderkey % 100 = 7),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC) AS rn FROM all_rows)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(sum(version) AS BIGINT) AS version_sum
+        |FROM m WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "adv_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
   )
 }

@@ -75,6 +75,7 @@ object Bench {
             org.apache.spark.sql.functions.col("o_orderpriority")))
       graft.operators.SourceOps.rangeTable(spark, sfDir)
       graft.operators.SourceOps.bloomTable(spark, sfDir)
+      graft.operators.SourceOps.zorderTable(spark, sfDir)
       ()
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => timed(n)(run(n)))

@@ -97,6 +97,15 @@ object SourceOracles {
         |FROM orders WHERE o_orderkey IN (42, 777, 4242, 900000007)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "src_zorder_lookup" ->
+      """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  min(l_orderkey) AS min_order, max(l_orderkey) AS max_order
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 200
+        |  AND l_suppkey BETWEEN 5 AND 20""".stripMargin,
+
     "src_partitioned_prune" ->
       """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

@@ -91,6 +91,10 @@ object SparkEntry {
     "adv_interval_join"    -> Advanced.intervalJoin _,
     "adv_salted_join"      -> Advanced.skewSaltedJoin _,
     "adv_distinct_users"   -> Advanced.distinctUsers _,
+    "adv_hll_distinct"     -> Advanced.hllDistinct _,
+    "adv_upsert"           -> Advanced.upsert _,
+    "adv_funnel"           -> Advanced.funnel _,
+    "src_zorder_lookup"    -> SourceOps.zorderLookup _,
     "mr_teragen"           -> HadoopTools.teragen _,
     "mr_teravalidate"      -> HadoopTools.teraValidate _,
     "mr_pi"                -> HadoopTools.piEstimate _,

@@ -166,11 +166,115 @@ object Advanced {
   /** Exact distinct cardinalities per event type — the shuffle-dedup
     * aggregate. (The HLL approx_count_distinct variant is spec-tested
     * for error bounds; approximate values cannot hash-match an exact
-    * oracle.) */
+    * oracle — for the oracle-able sketch see [[hllDistinct]].) */
   def distinctUsers(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
+
+  /** HLL register count (m) and the CASE chain computing rho = (number
+    * of leading zero bits of the remaining 25-bit hash) + 1. The chain
+    * is integer comparisons only, so it evaluates identically in Spark
+    * and DuckDB — floor(log2(w)) via doubles would be off-by-one near
+    * powers of two on some libm implementations. */
+  private[graft] val HllM = 64
+  private[graft] val rhoCase: String =
+    (0 until 25).map(k => s"WHEN _w >= ${1L << (24 - k)} THEN ${k + 1}")
+      .mkString("CASE ", " ", " ELSE 26 END")
+
+  /** Distinct users per event type via a DETERMINISTIC HyperLogLog
+    * (m=64 registers): hash = md5-fold in [0, 2^31); register = hash
+    * mod m; rho = leading-zeros(hash div m)+1; estimate = alpha·m² /
+    * Σ 2^(-M_j). The raw-HLL double is bit-reproducible because every
+    * term 2^(-M_j) is an exact dyadic (computed as 1.0 / (1L << M_j),
+    * never libm pow), their sum fits 53 bits exactly (≤ 26+6), and the
+    * final multiply/divide are single exactly-rounded IEEE ops — so an
+    * APPROXIMATE sketch still hash-matches its oracle. The sketch
+    * state is m registers per group regardless of corpus size: the
+    * constant-memory distinct-count the reference world used
+    * HyperLogLog for, vs the shuffle-dedup in [[distinctUsers]].
+    * Exact counts ride along so the error is visible and spec-bound. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        graft.functions.RollingHash.rollingHash(
+          md5(concat(lit("hll-"), col("user_id").cast("string"))
+            .cast("binary"))).as("hv"))
+    val regs = h
+      .withColumn("_w", expr(s"hv div $HllM"))
+      .groupBy(col("event_type"), expr(s"hv % $HllM").as("reg"))
+      .agg(max(expr(rhoCase)).as("mj"))
+    val est = regs.groupBy(col("event_type"))
+      .agg(sum(expr("1.0d / cast(shiftleft(cast(1 as bigint), mj) as double)"))
+        .as("sp"), count(lit(1)).as("np"))
+      // empty registers contribute 2^0 = 1.0 each
+      .withColumn("estimate",
+        expr(s"(0.709d * ${HllM * HllM}.0d) / (sp + ($HllM - np) * 1.0d)"))
+      // emitted so consumers can apply the standard small-range
+      // (linear-counting) correction m·ln(m/V) — ln stays OUT of the
+      // query because libm ln is not bit-identical across engines
+      .withColumn("n_zero_regs", expr(s"cast($HllM - np as bigint)"))
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("estimate"), col("n_zero_regs"),
+        col("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Latest-record-wins upsert (CDC merge): a deterministic change
+    * batch (price-bump updates on keys ≡3 mod 10, inserts in a
+    * disjoint key space on keys ≡7 mod 100) merged into the orders
+    * snapshot by ONE window over the key — union + row_number(version
+    * DESC), the merge-on-read plan. Key-partitioned shuffle only; no
+    * broadcast, no driver state; at 100 TB this is exactly the
+    * compaction step a merge-tree table format runs. Versions are
+    * unique per key by construction, so the survivor — and the hash —
+    * is deterministic. */
+  def upsert(s: SparkSession, d: String): DataFrame = {
+    def snap = Tables.orders(s, d)
+    val base = snap.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit(1L).as("version"))
+    val updates = snap.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"), lit(2L).as("version"))
+    val inserts = snap.filter(col("o_orderkey") % 100 === 7)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"),
+        lit(2L).as("version"))
+    base.unionByName(updates).unionByName(inserts)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+        sum(col("version")).as("version_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Conversion funnel: view → first click after it → first purchase
+    * after that, per user; one summary row. Three user-keyed
+    * aggregates and two user-keyed joins — every step shuffles on the
+    * high-cardinality user key and carries one timestamp per user, so
+    * the intermediate is user-scale no matter how many events. The
+    * timestamps compare in microseconds on both engines (Spark stores
+    * micros; the oracle truncates its nanos with epoch_us). */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
 }

@@ -441,6 +441,73 @@ object SourceOps {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---- Z-order clustered layout ------------------------------------
+
+  /** Morton (Z-order) value interleaving the low 16 bits of two keys:
+    * bit i of a lands at position 2i, bit i of b at 2i+1. Pure integer
+    * ops, write-side only (queries filter on the ORIGINAL columns —
+    * the layout, not the z value, is what they consume). */
+  private def zValue(a: String, b: String) = expr(
+    s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+        acc + shiftleft(shiftright($a, i) & 1, 2 * i)
+            + shiftleft(shiftright($b, i) & 1, 2 * i + 1))""")
+
+  /** Stage (once per JVM + input dir) lineitem clustered by
+    * z(l_partkey, l_suppkey) into range-partitioned, within-sorted
+    * parquet with SMALL row groups (64 KB), so row-group min/max stats
+    * on BOTH keys stay tight. A single-column sort gives one tight
+    * dimension and one useless one; the z curve keeps both bounded —
+    * the multi-dimensional clustering every lakehouse format offers,
+    * built from plain Spark writes. */
+  private[graft] def zorderTable(s: SparkSession, d: String): String =
+    bucketedStage.computeIfAbsent(s"$d|lineitem-zorder", _ => {
+      val path = scratch("graft-zorder-")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .withColumn("z", zValue("l_partkey", "l_suppkey"))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+      path
+    })
+
+  /** The UNclustered control for the spec: same data, same row-group
+    * size, sorted by an unrelated key. */
+  private[graft] def linearTable(s: SparkSession, d: String): String =
+    bucketedStage.computeIfAbsent(s"$d|lineitem-linear", _ => {
+      val path = scratch("graft-linear-")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+      path
+    })
+
+  /** Two-dimensional box probe over the z-clustered table: both range
+    * predicates push to the parquet scan, and because the layout
+    * clusters BOTH dimensions, row-group stats exclude almost every
+    * group (the spec reads scan metrics against the linear control).
+    * At 100 TB this is the difference between reading ~the result and
+    * reading every row that matches one dimension. */
+  def zorderLookup(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(zorderTable(s, d))
+      .filter(col("l_partkey").between(100L, 200L) &&
+        col("l_suppkey").between(5L, 20L))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("price_cents"),
+        min(col("l_orderkey")).as("min_order"),
+        max(col("l_orderkey")).as("max_order"))
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */

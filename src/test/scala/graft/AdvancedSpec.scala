@@ -90,4 +90,45 @@ class AdvancedSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact <= 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("deterministic HLL estimate lands near exact (m=64, ~2.5 sigma)") {
+    val m = 64.0
+    Advanced.hllDistinct(spark, sf).collect().foreach { r =>
+      val (raw, v, exact) =
+        (r.getDouble(1), r.getLong(2).toDouble, r.getLong(3).toDouble)
+      // the standard estimator: linear counting in the small range
+      // (raw <= 2.5m with empty registers), raw HLL above it — ln is
+      // applied HERE, not in the query, to keep the oracle bit-exact
+      val est = if (raw <= 2.5 * m && v > 0) m * math.log(m / v) else raw
+      assert(math.abs(est - exact) / exact <= 0.35,
+        s"${r.getString(0)}: est $est (raw $raw, V=$v) vs exact $exact")
+    }
+  }
+
+  test("upsert keeps latest versions: updates replace, inserts add") {
+    val snap = Tables.orders(spark, sf)
+    val total = snap.count()
+    val nUpd = snap.filter(col("o_orderkey") % 10 === 3).count()
+    val nIns = snap.filter(col("o_orderkey") % 100 === 7).count()
+    val rows = Advanced.upsert(spark, sf).collect()
+    // merged cardinality: every base key once + disjoint inserts
+    assert(rows.map(_.getLong(1)).sum == total + nIns)
+    // updated keys surface with the CDC status, none survive as v1
+    val byStatus = rows.map(r => r.getString(0) -> r).toMap
+    assert(byStatus("U").getLong(1) == nUpd)
+    assert(byStatus("N").getLong(1) == nIns)
+    // version accounting: v2 for every U and N row, v1 elsewhere
+    val v2 = byStatus("U").getLong(3) + byStatus("N").getLong(3)
+    assert(v2 == 2 * (nUpd + nIns))
+  }
+
+  test("funnel stages are monotone and bounded by the user population") {
+    val r = Advanced.funnel(spark, sf).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p && p >= 0, s"non-monotone funnel ($v, $c, $p)")
+    val users = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(v <= users)
+    assert(v > 0)
+  }
 }

@@ -208,6 +208,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty, s"got $got, want $want")
   }
 
+  test("z-order layout prunes row groups a single-key sort cannot") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.SourceOps
+    // sf0.01: the 2-D box hits 512 of 60000 rows — selective enough
+    // for row-group stats to matter
+    val d01 = "/root/testdata/sf0.01"
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("l_partkey").between(100L, 200L) &&
+          col("l_suppkey").between(5L, 20L))
+        .agg(count(lit(1)).as("n"))
+      q.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case s: FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(st.plan)
+        case other => other.children.flatMap(scans)
+      }
+      scans(q.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val z = scannedRows(SourceOps.zorderTable(spark, d01))
+    val linear = scannedRows(SourceOps.linearTable(spark, d01))
+    // both dimensions stay tight on the z curve: the scan emits a
+    // fraction of what the unrelated-sort control reads
+    assert(z < linear / 2, s"z-order scanned $z vs linear $linear")
+    assert(z < 60000 / 4, s"z-order scanned $z of 60000")
+  }
+
   test("range lookup prunes row groups via the sorted range layout") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val q = SparkEntry.queries("src_range_lookup")(spark, sf)
