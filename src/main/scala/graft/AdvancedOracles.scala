@@ -118,5 +118,34 @@ object AdvancedOracles {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_view_click,
         |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
+
+    "adv_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) // 3600000000 AS slot
+        |  FROM events WHERE event_type = 'purchase'),
+        |per_slot AS (
+        |  SELECT user_id, slot, count(*) AS n_events,
+        |    max(CASE WHEN rn = 1 THEN cents END) AS last_cents
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, slot
+        |          ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(s0, s1)) AS slot
+        |  FROM (SELECT user_id, min(slot) AS s0, max(slot) AS s1
+        |        FROM e GROUP BY 1)),
+        |j AS (
+        |  SELECT g.user_id, g.slot,
+        |    CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events,
+        |    p.last_cents
+        |  FROM grid g LEFT JOIN per_slot p
+        |    ON g.user_id = p.user_id AND g.slot = p.slot)
+        |SELECT user_id, slot, n_events,
+        |  last_value(last_cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_cents
+        |FROM j ORDER BY user_id, slot""".stripMargin,
   )
 }

@@ -209,6 +209,23 @@ object RelationalOracles {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Same builtin-interpolation contract as q25, one branch per
+    // quantile (quantile_cont's q must be a constant in DuckDB)
+    "q28_quantiles" -> {
+      def one(l: String, q: String) =
+        s"""SELECT l_returnflag, '$l' AS q_label,
+           |  CAST(quantile_cont(l_extendedprice, $q) AS DOUBLE) AS value
+           |FROM lineitem GROUP BY 1""".stripMargin
+      s"""${one("p25", "0.25")}
+         |UNION ALL
+         |${one("p50", "0.5")}
+         |UNION ALL
+         |${one("p75", "0.75")}
+         |UNION ALL
+         |${one("p95", "0.95")}
+         |ORDER BY l_returnflag, q_label""".stripMargin
+    },
+
     "q26_min_per_group" ->
       s"""SELECT l_partkey, min(l_orderkey) AS first_orderkey,
          |  count(*) AS n_at_min,

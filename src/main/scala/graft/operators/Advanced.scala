@@ -277,4 +277,41 @@ object Advanced {
       .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
   }
+
+  /** Time-series resample: per-user purchase stream re-gridded to
+    * 1-hour slots over each user's active span, gaps FORWARD-FILLED
+    * with the last observed value (the per-slot representative is the
+    * latest event by (ts, event_id) — a deterministic tiebreak). The
+    * grid explodes from per-user (min, max) slot bounds, so row count
+    * is user-span-scale, not event-scale; the fill is one window over
+    * user-partitioned slot order. This is the gap-filling/resampling
+    * primitive every time-series store ships, as two shuffles on
+    * user_id. */
+  def resample(s: SparkSession, d: String): DataFrame = {
+    val slotUs = 3600L * 1000000L
+    val e = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("slot", expr(s"us div $slotUs"))
+    val perSlot = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("slot"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .groupBy(col("user_id"), col("slot"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("cents"))).as("last_cents"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("slot")).as("s0"), max(col("slot")).as("s1"))
+      .select(col("user_id"), explode(expr("sequence(s0, s1)")).as("slot"))
+    grid.join(perSlot, Seq("user_id", "slot"), "left")
+      .withColumn("filled_cents",
+        last(col("last_cents"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("slot"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("slot"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("filled_cents"))
+      .orderBy(col("user_id"), col("slot"))
+  }
 }

@@ -409,6 +409,50 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Full quantile profile (p25/p50/p75/p95) per group through the
+    * SAME distributed histogram as q25 — built once, probed for every
+    * quantile via a constant 4-row broadcast (contrast percentile(
+    * array(...)), which still buffers the whole per-group value map in
+    * one aggregation buffer). r = q·(n−1) and the lo/hi interpolation
+    * are the identical IEEE doubles DuckDB's quantile_cont computes,
+    * non-dyadic q included, so all four quantiles hash-match. (The
+    * interpolation mirrors quantile_cont's literal form, (ceil(r)−r)·lo
+    * + (r−floor(r))·hi — algebraically equal to q25's lo+(hi−lo)·frac
+    * but NOT bit-equal for every frac, as a one-ulp p75 mismatch
+    * proved.) */
+  def q28Quantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("flag"))
+    val qdf = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95))
+      .toDF("q_label", "q")
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .crossJoin(broadcast(qdf)) // constant-size at any SF
+      .withColumn("r", expr("q * cast(n - 1 as double)"))
+      .withColumn("k", floor(col("r")))
+      .filter(col("cum") - col("c") <= col("k") + 1 &&
+        col("k") <= col("cum") - 1)
+      .groupBy(col("flag"), col("q_label"))
+      .agg(
+        max(when(col("cum") - col("c") <= col("k") &&
+          col("k") <= col("cum") - 1, col("v"))).as("lo"),
+        max(when(col("cum") - col("c") <= col("k") + 1 &&
+          col("k") + 1 <= col("cum") - 1, col("v"))).as("hi"),
+        max(col("r")).as("r"), max(col("k")).as("k"))
+      .withColumn("value", when(col("r") === col("k").cast("double"),
+        col("lo")).otherwise(expr(
+          "(cast(ceil(r) as double) - r) * lo + (r - cast(k as double)) * hi")))
+      .select(col("flag").as("l_returnflag"), col("q_label"), col("value"))
+      .orderBy(col("l_returnflag"), col("q_label"))
+  }
+
   /** Correlated min-per-group (TPC-H Q2 shape): cheapest lineitem per
     * part, resolved as a window min rather than a correlated
     * re-scan — one shuffle instead of a per-row subquery. */

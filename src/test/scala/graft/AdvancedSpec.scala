@@ -122,6 +122,32 @@ class AdvancedSpec extends AnyFunSuite {
     assert(v2 == 2 * (nUpd + nIns))
   }
 
+  test("resample grid is gapless per user and forward-fill is complete") {
+    val rows = Advanced.resample(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val slots = rs.map(_.getLong(1)).toSeq.sorted
+      assert(slots == (slots.head to slots.last).toSeq,
+        s"user $u grid has gaps")
+      // first slot holds an event by construction; afterwards the
+      // forward fill means no nulls anywhere
+      assert(rs.forall(!_.isNullAt(3)), s"user $u has unfilled slots")
+    }
+    // event accounting survives the re-gridding
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(2)).sum == purchases)
+  }
+
+  test("quantile profile is monotone across q per group") {
+    val rows = SparkEntry.queries("q28_quantiles")(spark, sf).collect()
+    assert(rows.length == 12) // 3 flags x 4 quantiles
+    rows.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      val byQ = rs.sortBy(_.getString(1)).map(_.getDouble(2)).toSeq
+      assert(byQ == byQ.sorted, s"$flag quantiles not monotone: $byQ")
+    }
+  }
+
   test("funnel stages are monotone and bounded by the user population") {
     val r = Advanced.funnel(spark, sf).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
