@@ -226,6 +226,20 @@ object RelationalOracles {
          |ORDER BY l_returnflag, q_label""".stripMargin
     },
 
+    "q29_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS cust_acct_cents
+        |  FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(COALESCE(cust_acct_cents, 0) AS BIGINT) AS cust_acct_cents,
+        |  CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY 1""".stripMargin,
+
     "q26_min_per_group" ->
       s"""SELECT l_partkey, min(l_orderkey) AS first_orderkey,
          |  count(*) AS n_at_min,

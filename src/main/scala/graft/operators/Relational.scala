@@ -409,6 +409,31 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** FULL OUTER join — the one join shape q4 (semi), q13 (left
+    * outer), and q16 (anti) left uncovered: per-nation customer
+    * aggregates against supplier aggregates, preserving nations that
+    * have only one side (at small SF most nations have customers but
+    * no suppliers). Both inputs pre-aggregate BEFORE the join, so the
+    * outer join runs on nation-scale relations — the
+    * aggregate-then-join shape that keeps outer joins cheap at 100 TB
+    * (joining the raw tables first would carry every row through the
+    * join only to collapse them after). */
+  def q29FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).as("cust_acct_cents"))
+    val su = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("cust_acct_cents"), lit(0L)).as("cust_acct_cents"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Full quantile profile (p25/p50/p75/p95) per group through the
     * SAME distributed histogram as q25 — built once, probed for every
     * quantile via a constant 4-row broadcast (contrast percentile(

@@ -146,6 +146,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("fp").distinct().count() == batchExpected)
   }
 
+  test("AvailableNow drains a multi-file backlog in bounded micro-batches") {
+    // the 100 TB reprocessing story: a large backlog must stream
+    // through as MANY bounded batches (maxFilesPerTrigger), not one
+    // giant batch that needs the whole corpus's worth of memory —
+    // and AvailableNow must still terminate when the backlog drains
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-backlog-").resolve("in").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.repartition(4).write.parquet(dir)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); total.addAndGet(b.count()); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(batches.get() >= 4, s"backlog not chunked: ${batches.get()} batch(es)")
+    assert(total.get() == 500L, s"rows lost in re-chunking: ${total.get()}")
+  }
+
   test("foreachBatch lands micro-batches in the transactional SequenceFile sink") {
     // the streaming -> storage bridge: each micro-batch appends through
     // the DSv2 writer, so every batch gets the job-atomic staging
