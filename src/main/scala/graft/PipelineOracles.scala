@@ -380,5 +380,29 @@ object PipelineOracles {
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  md5(text) AS digest, w AS width, h AS height
          |FROM ($mmDims) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.shardManifest: the same two-level prefix sum
+    // (bucket offsets + within-bucket window), 256 KB shard target
+    "mm_shard_manifest" ->
+      s"""WITH sized AS (SELECT doc_id,
+         |    octet_length(encode(text)) AS bytes,
+         |    ${rollFold("md5(text)")} AS fp,
+         |    doc_id // 1000 AS bucket
+         |  FROM documents),
+         |bs AS (SELECT bucket, sum(bytes) AS bb FROM sized GROUP BY 1),
+         |off AS (SELECT bucket, COALESCE(sum(bb) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS off FROM bs),
+         |c AS (SELECT s.doc_id, s.bytes, s.fp,
+         |    o.off + sum(s.bytes) OVER (PARTITION BY s.bucket
+         |      ORDER BY s.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sized s JOIN off o ON s.bucket = o.bucket)
+         |SELECT CAST((cum - bytes) // 262144 AS BIGINT) AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  CAST(sum(fp) AS BIGINT) AS checksum
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

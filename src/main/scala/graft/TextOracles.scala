@@ -118,6 +118,19 @@ object TextOracles {
          |GROUP BY q.word, q.exact
          |ORDER BY est DESC, q.word LIMIT 10""".stripMargin,
 
+    // Mirrors TextAnalysis.scrub; DuckDB regexp_replace needs the 'g'
+    // flag (Spark's replaces all occurrences by default)
+    "txt_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(spark|hash|key)\b', 0))
+        |    AS BIGINT) AS n_hits,
+        |  CAST(length(text) AS BIGINT) AS len_before,
+        |  CAST(length(regexp_replace(text, '\b(spark|hash|key)\b',
+        |    '<REDACTED>', 'g')) AS BIGINT) AS len_after,
+        |  md5(regexp_replace(text, '\b(spark|hash|key)\b',
+        |    '<REDACTED>', 'g')) AS scrubbed_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)

@@ -139,6 +139,12 @@ object MapReduceClassics {
     // not re-derive the graph — checkpoint cuts that lineage)
     val nodes = withDeg.select(col("src").as("v")).distinct()
     var ranks = nodes.withColumn("r", lit(1000000L))
+    // Fixed iteration count, so the loop only BUILDS the plan: the 5
+    // chained join+aggregate rounds execute as one lazy job at the
+    // end (each round reads the checkpointed edges, nothing else
+    // recomputes), instead of materializing every intermediate rank
+    // table. A convergence-checked loop (see Dedup.components) has to
+    // act each round; a fixed-round loop shouldn't.
     for (_ <- 1 to 5) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("v", "src"), "src")
@@ -147,7 +153,6 @@ object MapReduceClassics {
       ranks = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"), (lit(150000L) +
           expr("(85 * coalesce(cin, 0L)) div 100")).as("r"))
-        .localCheckpoint()
     }
     ranks.orderBy(col("r").desc, col("v")).limit(100)
   }

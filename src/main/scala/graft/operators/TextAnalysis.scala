@@ -205,6 +205,30 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
 
+  /** Denylist scrub — the redaction step of a training-data pipeline
+    * (same mechanics as PII removal: boundary-anchored regex match,
+    * replace, account) run map-local per document. Emits the hit
+    * count, before/after lengths, and the scrubbed fingerprint so the
+    * oracle verifies the REPLACEMENT byte-for-byte, not just the
+    * counts. \b word boundaries behave identically in Java regex and
+    * RE2 on this ASCII vocabulary. */
+  def scrub(s: SparkSession, d: String): DataFrame = {
+    val pat = "\\b(spark|hash|key)\\b"
+    // inside a Spark SQL string literal '\b' is a BACKSPACE escape, so
+    // the expr() form needs the backslashes doubled
+    val patSql = pat.replace("\\", "\\\\")
+    Tables.documents(s, d)
+      .withColumn("scrubbed",
+        regexp_replace(col("text"), pat, "<REDACTED>"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$patSql', 0)"))
+          .cast("long").as("n_hits"),
+        length(col("text")).cast("long").as("len_before"),
+        length(col("scrubbed")).cast("long").as("len_after"),
+        md5(col("scrubbed").cast("binary")).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-min-sketch geometry: d=4 hash rows x w=2048 counters — a
     * 64 KB sketch regardless of corpus size. */
   private val CmsD = 4

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
 /** Specs for the round-2 pipeline operators: stratified sampling,
   * repetition stats, contamination screen, survivorship dedup. */
@@ -131,5 +131,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     surv.foreach { case (_, (keepId, keepChars)) =>
       assert(docs(keepId) == keepChars)
     }
+  }
+
+  test("scrub redacts every denylist hit and nothing else") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.scrub(spark, sf).collect()
+    assert(rows.exists(_.getLong(1) > 0), "denylist never hit")
+    // every replacement grows the doc by 10 - len(word); bounds:
+    // words are 3..5 chars, so growth per hit is in [5, 7]
+    rows.foreach { r =>
+      val (hits, before, after) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (hits == 0) assert(after == before)
+      else assert(after - before >= 5 * hits && after - before <= 7 * hits,
+        s"doc ${r.getLong(0)}: $hits hits grew $before -> $after")
+    }
+    // untouched docs keep their original fingerprint
+    val origFp = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_.getLong(1) == 0).foreach { r =>
+      assert(r.getString(4) == origFp(r.getLong(0)))
+    }
+  }
+
+  test("shard manifest packs contiguous, complete, size-bounded shards") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.shardManifest(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    // shards are contiguous ids and non-overlapping doc ranges
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3))
+      case _ =>
+    }
+    // no shard exceeds target + one max-size doc (the packing bound)
+    val maxDoc = docs.agg(max(expr("octet_length(text)")))
+      .collect()(0).getInt(0)
+    rows.foreach(r => assert(r.getLong(2) <= 256L * 1024 + maxDoc))
   }
 }
