@@ -115,6 +115,30 @@ class PlansSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"q17 unexpected shuffles ($exchanges):\n$plan")
   }
 
+  test("heavy hitters broadcasts the constant-size sketch, never the stream") {
+    val df = SparkEntry.queries("txt_heavy_hitters")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the d*w sketch is constant-size at ANY corpus size, so it must
+    // arrive via broadcast (contrast q17/q18, where the broadcast side
+    // grew with SF and the hint had to go)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch not broadcast:\n${plan.take(900)}")
+  }
+
+  test("quantile profile builds the histogram once: a single lineitem scan") {
+    val df = SparkEntry.queries("q28_quantiles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // four quantiles must NOT mean four scans (percentile-per-column
+    // rewrites do exactly that); the q-probe is a 4-row crossjoin over
+    // ONE histogram
+    val scans = "(?m)Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 lineitem scan, found $scans:\n${plan.take(900)}")
+  }
+
   test("plan shape: one exchange per side, no extra shuffle") {
     val df = Advanced.asofCustom(spark, sf)
     df.collect() // force AQE final plan
