@@ -240,6 +240,30 @@ object RelationalOracles {
         |FROM c FULL JOIN s ON c.nationkey = s.nationkey
         |ORDER BY 1""".stripMargin,
 
+    "q30_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day, total_cents,
+        |  CAST(sum(total_cents) OVER w AS BIGINT) AS trailing7d_cents,
+        |  count(*) OVER w AS trailing7d_orders
+        |FROM (SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+        |      AS BIGINT) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |  FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+
+    "q31_deciles" ->
+      """SELECT decile, count(*) AS n_orders,
+        |  min(total_cents) AS min_cents, max(total_cents) AS max_cents,
+        |  CAST(sum(total_cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT CAST(ntile(10) OVER (ORDER BY total_cents,
+        |      o_orderkey) AS BIGINT) AS decile, total_cents
+        |  FROM (SELECT o_orderkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |    FROM orders))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q26_min_per_group" ->
       s"""SELECT l_partkey, min(l_orderkey) AS first_orderkey,
          |  count(*) AS n_at_min,

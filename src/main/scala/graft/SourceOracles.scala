@@ -106,6 +106,17 @@ object SourceOracles {
         |WHERE l_partkey BETWEEN 100 AND 200
         |  AND l_suppkey BETWEEN 5 AND 20""".stripMargin,
 
+    // v1 batch = even keys (no price column), v2 batch = odd keys
+    // (adds total_cents); the merged read must null-fill v1 rows
+    "src_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_price,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_partitioned_prune" ->
       """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

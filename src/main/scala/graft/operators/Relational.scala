@@ -434,6 +434,47 @@ object Relational {
       .orderBy(col("nationkey"))
   }
 
+  /** RANGE-frame window — the frame semantics q24's ROWS frame can't
+    * express: a trailing 7-DAY spend per customer, where the frame
+    * bounds follow the ORDER-BY VALUE (days), not row positions, so
+    * same-day orders all see the same window and gaps in the calendar
+    * shrink it. One customer-keyed shuffle; frame evaluation streams
+    * each partition once. */
+  def q30RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    Tables.orders(s, d)
+      .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01"))
+        .cast("long"))
+      .withColumn("total_cents", cents(col("o_totalprice")))
+      .withColumn("trailing7d_cents", sum(col("total_cents")).over(w))
+      .withColumn("trailing7d_orders", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("total_cents"), col("trailing7d_cents"),
+        col("trailing7d_orders"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  /** Ranking-family coverage beyond row_number/rank: decile buckets
+    * over the global spend distribution via ntile(10) (deterministic
+    * because the ORDER BY carries a unique tiebreak), aggregated to
+    * one row per decile. The global sort is a single range-partitioned
+    * exchange — at 100 TB you'd compute approximate decile BOUNDARIES
+    * from a sample instead of a full sort; this is the exact form the
+    * sample-based one is validated against. */
+  def q31Deciles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("total_cents", cents(col("o_totalprice")))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("total_cents"), col("o_orderkey"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("total_cents")).as("min_cents"),
+        max(col("total_cents")).as("max_cents"),
+        sum(col("total_cents")).as("sum_cents"))
+      .orderBy(col("decile"))
+
   /** Full quantile profile (p25/p50/p75/p95) per group through the
     * SAME distributed histogram as q25 — built once, probed for every
     * quantile via a constant 4-row broadcast (contrast percentile(

@@ -441,6 +441,33 @@ object SourceOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Schema evolution: two parquet batches written at different
+    * "schema versions" (v2 adds a column), read back as ONE table via
+    * mergeSchema — the lakehouse answer to the reference world's
+    * writable-schema SequenceFiles and Avro evolution rules. Old rows
+    * surface the new column as NULL; the aggregate proves both
+    * batches' data and the null-fill survive. At 100 TB schema
+    * migration by rewrite is off the table, so additive evolution at
+    * READ time is the operative contract (footer merging costs one
+    * pass over file metadata, not data). */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-evolve-")
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(path)
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      .write.mode("append").parquet(path)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        count(col("total_cents")).as("n_with_price"),
+        sum(coalesce(col("total_cents"), lit(0L))).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ---- Z-order clustered layout ------------------------------------
 
   /** Morton (Z-order) value interleaving the low 16 bits of two keys:

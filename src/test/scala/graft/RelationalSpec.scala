@@ -51,6 +51,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1)))
   }
 
+  test("range frame: same-day orders share one window; deciles partition evenly") {
+    val rows = SparkEntry.queries("q30_range_frame")(spark, sf).collect()
+    // same (customer, day) rows must see the identical RANGE window —
+    // the distinction from a ROWS frame, which would split them
+    rows.groupBy(r => (r.getLong(0), r.getLong(2))).foreach {
+      case (_, rs) =>
+        assert(rs.map(r => (r.getLong(4), r.getLong(5))).distinct.length == 1)
+    }
+    // the trailing window always contains at least the current order
+    assert(rows.forall(r => r.getLong(5) >= 1 && r.getLong(4) >= r.getLong(3)))
+
+    val dec = SparkEntry.queries("q31_deciles")(spark, sf).collect()
+    assert(dec.length == 10)
+    val sizes = dec.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"ntile uneven: ${sizes.toSeq}")
+    // decile value ranges are non-decreasing
+    val byDecile = dec.sortBy(_.getLong(0))
+    byDecile.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) <= b.getLong(2) ||
+        a.getLong(3) <= b.getLong(3))
+      case _ =>
+    }
+  }
+
   test("every query key has a DuckDB oracle (no rows-only queries left)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
