@@ -240,6 +240,18 @@ object RelationalOracles {
         |FROM c FULL JOIN s ON c.nationkey = s.nationkey
         |ORDER BY 1""".stripMargin,
 
+    // Each event belongs to exactly two hop-aligned 1-hour windows:
+    // starts (floor(t/30min) - k) * 30min for k in {0, 1}
+    "q32_sliding_windows" ->
+      s"""SELECT strftime(make_timestamp(s), '%Y-%m-%d %H:%M')
+         |    AS win_start, event_type,
+         |  count(*) AS n, CAST(sum(${c("value")}) AS BIGINT) AS value_cents
+         |FROM (
+         |  SELECT event_type, value,
+         |    (epoch_us(ts) // 1800000000 - k) * 1800000000 AS s
+         |  FROM events, unnest([0, 1]) AS t(k))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q30_range_frame" ->
       """SELECT o_custkey, o_orderkey, day, total_cents,
         |  CAST(sum(total_cents) OVER w AS BIGINT) AS trailing7d_cents,

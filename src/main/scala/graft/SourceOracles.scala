@@ -117,6 +117,13 @@ object SourceOracles {
         |    ELSE 0 END) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "src_nested_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_partitioned_prune" ->
       """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,

@@ -475,6 +475,20 @@ object Relational {
         sum(col("total_cents")).as("sum_cents"))
       .orderBy(col("decile"))
 
+  /** SLIDING (hopping) event windows — 1-hour windows every 30
+    * minutes, so each event lands in exactly two windows (q19 is the
+    * tumbling special case). Spark's `window()` generates the window
+    * memberships row-locally before the one aggregate shuffle; the
+    * oracle enumerates the same two hop-aligned starts per event. */
+  def q32SlidingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("event_type"), col("n"), col("value_cents"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** Full quantile profile (p25/p50/p75/p95) per group through the
     * SAME distributed histogram as q25 — built once, probed for every
     * quantile via a constant 4-row broadcast (contrast percentile(

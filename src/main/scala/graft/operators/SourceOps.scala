@@ -468,6 +468,32 @@ object SourceOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Nested-type round-trip: orders grouped into one array<struct>
+    * row per customer, written as genuinely NESTED parquet (repeated
+    * group in the file footer), read back, and flattened with a
+    * lateral-view explode — the §3 data-model path (documents with
+    * attachments, events with property lists) the flat round-trips
+    * don't touch. sort_array makes the nesting deterministic; the
+    * oracle aggregates the flat table, so any fidelity loss in
+    * nest → file → un-nest fails the hash. */
+  def nestedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-nested-")
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(col("o_orderkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))))
+        .as("orders"))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .select(col("o_custkey"), explode(col("orders")).as("o"))
+      .groupBy(col("o.o_orderstatus").as("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o.cents")).as("total_cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ---- Z-order clustered layout ------------------------------------
 
   /** Morton (Z-order) value interleaving the low 16 bits of two keys:

@@ -208,6 +208,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty, s"got $got, want $want")
   }
 
+  test("nested round-trip writes a genuinely nested file and sliding windows double-count") {
+    // the written file must carry array<struct>, not a flattened blob
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-nested-spec-").resolve("t").toString
+    Tables.orders(spark, sf).limit(100)
+      .groupBy(col("o_custkey"))
+      .agg(collect_list(struct(col("o_orderkey"))).as("orders"))
+      .write.parquet(path)
+    val schema = spark.read.parquet(path).schema
+    assert(schema("orders").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+    // hopping windows: every event lands in exactly size/hop = 2
+    // windows, so window counts sum to 2x the event count
+    val win = SparkEntry.queries("q32_sliding_windows")(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(win == 2 * events, s"window membership $win != 2x$events")
+  }
+
   test("z-order layout prunes row groups a single-key sort cannot") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.operators.SourceOps
