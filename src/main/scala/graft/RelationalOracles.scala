@@ -26,6 +26,18 @@ object RelationalOracles {
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // identical to q1's oracle: the SQL-surface twin must match both
+    // the DataFrame form and DuckDB bit-for-bit
+    "sql_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(${c("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |  $rev AS sum_disc_x10000,
+         |  count(*) AS cnt,
+         |  CAST(CAST(sum(l_quantity) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q2_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${c("l_extendedprice")} AS price_cents,

@@ -475,6 +475,31 @@ object Relational {
         sum(col("total_cents")).as("sum_cents"))
       .orderBy(col("decile"))
 
+  /** The SQL-surface twin of q1: the identical query through
+    * `spark.sql` over a registered view — parser → analyzer →
+    * the same Catalyst plan, proving the TEXT interface reaches full
+    * parity with the DataFrame one (the reference world's users
+    * arrive via SQL strings as often as via APIs). Must stay
+    * bit-identical to q1_pricing_summary AND the oracle. */
+  def sqlPricingSummary(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          AS sum_base_cents,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+            (100 - CAST(round(l_discount * 100) AS BIGINT)))
+          AS sum_disc_x10000,
+        count(*) AS cnt,
+        CAST(CAST(sum(l_quantity) AS BIGINT) AS DOUBLE) / count(*)
+          AS avg_qty
+      FROM graft_lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  }
+
   /** SLIDING (hopping) event windows — 1-hour windows every 30
     * minutes, so each event lands in exactly two windows (q19 is the
     * tumbling special case). Spark's `window()` generates the window
