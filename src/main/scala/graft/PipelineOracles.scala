@@ -229,6 +229,25 @@ object PipelineOracles {
         |        CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY x, y""".stripMargin,
 
+    "sim_range_search" ->
+      """SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY q_id, neighbor_id""".stripMargin,
+
+    // norm² via the identical left fold: prepend 0.0, add x·x in
+    // index order — both engines replay the same double chain
+    "emb_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        |    (a, x) -> a + x) AS norm_sq,
+        |  CAST(len(list_filter(embedding, x -> x = 0)) AS BIGINT)
+        |    AS n_zeros
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "sim_knn_brute" ->
       """SELECT q_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,

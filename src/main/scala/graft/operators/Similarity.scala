@@ -54,6 +54,40 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Range (threshold) similarity search — the ε-neighborhood twin of
+    * top-k kNN: ALL neighbors at cosine ≥ τ per query, however many
+    * there are. Same scale shape as knnBrute (query block broadcast,
+    * one streaming pass over the corpus, output result-scale, corpus
+    * never shuffled). τ = 0.4 sits ≥ 1e-5 from every pair's cosine at
+    * every test SF, so double-accumulated floats can't flip
+    * membership; only ids are emitted. */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val cand = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    cand.crossJoin(broadcast(queries(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        VectorFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .filter(col("cos") >= 0.4)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  /** Embedding hygiene stats — the sanity pass every vector pipeline
+    * runs before indexing: dimension, squared L2 norm (norm² not norm:
+    * sqrt is libm, the fold is a fixed-order exactly-rounded double
+    * chain both engines replay bit-for-bit), zero-component count.
+    * Map-local, one pass. */
+  def norms(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("aggregate(embedding, 0D, (a, x) -> " +
+          "a + cast(x as double) * cast(x as double))").as("norm_sq"),
+        expr("cast(size(filter(embedding, x -> x = cast(0 as float))) " +
+          "as bigint)").as("n_zeros"))
+      .orderBy(col("vec_id"))
+
   /** Symmetric int8 quantization per vector (the storage-shrink step
     * of an embedding pipeline): q_i = round(x_i * 127 / max|x|).
     * Integer/mirrored-IEEE outputs so the oracle compares exactly. */

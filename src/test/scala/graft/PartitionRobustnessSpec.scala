@@ -17,7 +17,14 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // round 3: the window-fingerprint shuffle, the SAMPLED hot-key
     // detection (classification may differ per partitioning — the
     // RESULT must not), and the hash-sampled IVF quantizer
-    "dedup_substring", "adv_salted_join", "sim_knn_ivf")
+    "dedup_substring", "adv_salted_join", "sim_knn_ivf",
+    // round 3 second half: iterative label propagation (round count
+    // from a convergence check), integer PageRank (associative sums),
+    // the two-level prefix sum, per-slot row_number tiebreaks, the
+    // shared histogram + window quantiles, and the register-max HLL
+    "dedup_components", "mr_pagerank", "mm_shard_manifest",
+    "adv_resample", "q28_quantiles", "adv_hll_distinct",
+    "txt_heavy_hitters")
 
   test("partitioning-sensitive queries are invariant under partitions=7") {
     val conf = spark.conf

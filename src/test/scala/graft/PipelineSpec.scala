@@ -76,6 +76,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(total == 500L) // sf0.001 documents count
   }
 
+  test("range search returns exactly the above-threshold pairs") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      q <- vecs.keys if q < 20
+      c <- vecs.keys if c != q && cos(vecs(q), vecs(c)) >= 0.4
+    } yield (q, c)).toSet
+    val got = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"range set mismatch: got ${got.size}, want ${want.size}")
+
+    // norms: spot-check the fold against a hand computation
+    val norms = Similarity.norms(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    vecs.take(5).foreach { case (id, v) =>
+      val hand = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      assert(math.abs(norms(id) - hand) < 1e-9, s"vec $id norm mismatch")
+    }
+  }
+
   test("cosine expression agrees with a hand computation") {
     import spark.implicits._
     import graft.functions.VectorFunctions.cosineSim
