@@ -26,6 +26,26 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     "adv_resample", "q28_quantiles", "adv_hll_distinct",
     "txt_heavy_hitters")
 
+  test("results are invariant with adaptive execution disabled") {
+    // AQE re-plans joins and coalesces partitions at runtime; none of
+    // that may change a RESULT. Pin the queries whose plans AQE
+    // touches most: runtime-picked join strategies and skew handling.
+    val picks = Seq("q18_large_orders", "adv_salted_join",
+      "dedup_components", "mr_pagerank", "q28_quantiles")
+    val conf = spark.conf
+    val baseline = picks.map { q =>
+      q -> SparkEntry.queries(q)(spark, sf).collect().toSeq
+    }.toMap
+    val saved = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      picks.foreach { q =>
+        val got = SparkEntry.queries(q)(spark, sf).collect().toSeq
+        assert(got == baseline(q), s"$q changed with AQE off")
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("partitioning-sensitive queries are invariant under partitions=7") {
     val conf = spark.conf
     val saved = conf.get("spark.sql.shuffle.partitions")
