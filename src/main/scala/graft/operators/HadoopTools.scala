@@ -53,6 +53,41 @@ object HadoopTools {
       }.sum().toLong
   }
 
+  /** DistCp -update: the INCREMENTAL copy — each task re-copies its
+    * file only when the destination is missing or differs (size, then
+    * checksum; same skip criteria real DistCp's -update applies).
+    * Returns (copied, skipped). Idempotent: a second run over an
+    * unchanged tree copies nothing — the property that makes repeated
+    * 100 TB sync jobs pay only for the delta. */
+  def distCpUpdate(s: SparkSession, src: String, dst: String): (Long, Long) = {
+    val conf = new Configuration()
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val files = fs.listStatus(srcPath).filter(_.isFile)
+      .map(_.getPath.toString).toSeq
+    val confBc = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val dstStr = dst
+    val results = s.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .map { f =>
+        val c = confBc.value.value
+        val from = new Path(f)
+        val to = new Path(dstStr, from.getName)
+        val ffs = from.getFileSystem(c)
+        val tfs = to.getFileSystem(c)
+        val unchanged = tfs.exists(to) &&
+          tfs.getFileStatus(to).getLen == ffs.getFileStatus(from).getLen &&
+          md5Of(tfs, to) == md5Of(ffs, from)
+        if (unchanged) (0L, 1L)
+        else {
+          FileUtil.copy(ffs, from, tfs, to, false, true, c)
+          (1L, 0L)
+        }
+      }.collect()
+    (results.map(_._1).sum, results.map(_._2).sum)
+  }
+
   /** Per-file MD5 of a filesystem stream, computed where the task
     * runs — the integrity primitive behind checksum-verified copies.
     * (The reference exposes FileChecksum via the FileSystem contract

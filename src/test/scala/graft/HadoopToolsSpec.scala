@@ -52,6 +52,33 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(bad.forall(r => r.getLong(1) == r.getLong(2)))
   }
 
+  test("distCp -update copies only the delta and is idempotent") {
+    val dst = Files.createTempDirectory("graft-distcpu-").toString
+    val total = new java.io.File(sf).listFiles().count(_.isFile)
+    // first run: cold destination, everything copies
+    val (c1, s1) = HadoopTools.distCpUpdate(spark, sf, dst)
+    assert(c1 == total && s1 == 0, s"cold run: copied $c1, skipped $s1")
+    // second run: unchanged tree, nothing copies
+    val (c2, s2) = HadoopTools.distCpUpdate(spark, sf, dst)
+    assert(c2 == 0 && s2 == total, s"warm run: copied $c2, skipped $s2")
+    // corrupt one destination byte (size preserved): exactly that one
+    // file re-copies, and the tree verifies clean again
+    val victim = new java.io.File(dst).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).head
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    raf.seek(victim.length() / 2)
+    val b = raf.read(); raf.seek(victim.length() / 2); raf.write(b ^ 0xff)
+    raf.close()
+    // the checksummed local FS caches a .crc sidecar that now
+    // mismatches the flipped byte; drop it so the re-read sees the
+    // corrupted bytes rather than throwing ChecksumException
+    new java.io.File(victim.getParent, "." + victim.getName + ".crc").delete()
+    val (c3, s3) = HadoopTools.distCpUpdate(spark, sf, dst)
+    assert(c3 == 1 && s3 == total - 1, s"delta run: copied $c3, skipped $s3")
+    assert(HadoopTools.verifyCopy(spark, sf, dst).collect()
+      .forall(_.getBoolean(5)))
+  }
+
   test("hadoop-streaming pipe round-trips records through a process") {
     val n = graft.operators.StreamingPipe
       .pipe(spark, Tables.documents(spark, sf).select("doc_id"), "cat")
