@@ -119,6 +119,30 @@ object AdvancedOracles {
         |  (SELECT count(*) FROM c) AS n_view_click,
         |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
 
+    "adv_session_revenue" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev_us FROM e)),
+        |sid AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS revenue_cents,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clicks,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "adv_resample" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -131,6 +131,15 @@ object TextOracles {
         |    '<REDACTED>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "txt_length_profile" ->
+      """SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM (SELECT (n_tokens // 64) * 64 AS bucket, n_tokens
+        |  FROM (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS n_tokens FROM documents))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)

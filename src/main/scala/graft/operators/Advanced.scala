@@ -278,6 +278,36 @@ object Advanced {
       .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
   }
 
+  /** Session-level revenue attribution — q21's gap sessions carried
+    * one step further into the analytics a session table exists for:
+    * the session id is the running count of 30-min-gap breaks (a
+    * second window over the SAME (user, ts) sort — no extra
+    * shuffle), then one aggregate per (user, session) with per-type
+    * conditional sums. Everything rides the single user-keyed
+    * exchange. */
+  def sessionRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+               1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("revenue_cents"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Time-series resample: per-user purchase stream re-gridded to
     * 1-hour slots over each user's active span, gaps FORWARD-FILLED
     * with the last observed value (the per-slot representative is the

@@ -229,6 +229,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus length profile — the histogram a training pipeline reads
+    * before picking truncation/packing budgets: docs bucketed by
+    * 64-token bands, with per-bucket doc and token totals (integer
+    * `div` banding, map-local until one small aggregate). */
+  def lengthProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("(n_tokens div 64) * 64"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("bucket"))
+
   /** Count-min-sketch geometry: d=4 hash rows x w=2048 counters — a
     * 64 KB sketch regardless of corpus size. */
   private val CmsD = 4

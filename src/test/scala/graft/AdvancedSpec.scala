@@ -148,6 +148,32 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("session revenue table agrees with q21's session counts") {
+    val sess = Advanced.sessionRevenue(spark, sf).collect()
+    val q21 = SparkEntry.queries("q21_sessionize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byUser = sess.groupBy(_.getLong(0))
+    assert(byUser.keySet == q21.keySet)
+    byUser.foreach { case (u, rs) =>
+      val (nEvents, nSessions) = q21(u)
+      assert(rs.length == nSessions, s"user $u session count")
+      assert(rs.map(_.getLong(2)).sum == nEvents, s"user $u event total")
+      // session ids are 1..n and sessions never overlap in time
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq == (1L to nSessions).toSeq)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(6) < b.getLong(5),
+          s"user $u sessions overlap")
+        case _ =>
+      }
+    }
+    // length profile partitions the corpus exactly
+    val prof = graft.operators.TextAnalysis.lengthProfile(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect()(0).getLong(0)
+    assert(prof == 500L)
+  }
+
   test("funnel stages are monotone and bounded by the user population") {
     val r = Advanced.funnel(spark, sf).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
