@@ -94,7 +94,7 @@ object AdvancedOracles {
         |  SELECT o_orderkey, 'U', o_totalprice * 1.1, 2 FROM orders
         |  WHERE o_orderkey % 10 = 3
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000000, 'N', o_totalprice, 2 FROM orders
+        |  SELECT -o_orderkey, 'N', o_totalprice, 2 FROM orders
         |  WHERE o_orderkey % 100 = 7),
         |m AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
         |    ORDER BY version DESC) AS rn FROM all_rows)

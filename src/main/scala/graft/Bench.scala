@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
   *    slot instead of inflating whichever dedup query runs first;
   *  - times are rounded to ms and the line is flushed, keeping the
   *    emitted JSON short enough that log capture cannot truncate it
-  *    mid-object (r2's tail was cut); a copy also lands at
+  *    mid-object (r2's tail was cut); the complete JSON is ALSO
+  *    written to BENCH_last.json in the repo root (r3's log capture
+  *    kept only the tail, so the repo artifact lost its head — a
+  *    file write cannot be truncated by log capture) and to
   *    /tmp/graft_bench_last.json for local bench_diff runs.
   */
 object Bench {
@@ -90,9 +93,9 @@ object Bench {
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     Console.out.flush()
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft_bench_last.json"), line)
-    catch { case _: Throwable => () }
+    for (p <- Seq("/root/repo/BENCH_last.json", "/tmp/graft_bench_last.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -101,11 +101,17 @@ object Advanced {
     // not depend on the classification.
     val sampledThreshold =
       math.max(1L, math.round(hotRowThreshold * sampleFraction))
+    // Materialized ONCE (eager localCheckpoint) so both join sides
+    // broadcast the identical classification: if the two subtrees
+    // recomputed the sample independently (AQE replan, task retry),
+    // a key hot on one side and cold on the other would drop or
+    // duplicate join rows.
     val hot = left.select(col(key))
       .sample(withReplacement = false, sampleFraction, seed = 7L)
       .groupBy(col(key)).agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= sampledThreshold)
       .select(col(key), lit(1).as("_hot"))
+      .localCheckpoint()
     // Single pass per side: broadcast the (small) hot set, salt hot
     // rows, send cold rows to subkey 0.
     val saltedL = left.join(broadcast(hot), Seq(key), "left")
@@ -240,8 +246,13 @@ object Advanced {
     val updates = snap.filter(col("o_orderkey") % 10 === 3)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") * 1.1).as("o_totalprice"), lit(2L).as("version"))
+    // Insert keys are NEGATED base keys: o_orderkey is a positive
+    // surrogate at any SF, so -k is provably disjoint from every
+    // base/update key — no collision threshold to outgrow (a fixed
+    // +1e9 offset collides once max(orderkey) crosses 1e9, which a
+    // 100 TB snapshot does).
     val inserts = snap.filter(col("o_orderkey") % 100 === 7)
-      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+      .select((-col("o_orderkey")).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"),
         lit(2L).as("version"))
     base.unionByName(updates).unionByName(inserts)

@@ -442,7 +442,8 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       rounds += 1
       val prop = edges
         .join(labels.withColumnRenamed("v", "x"), Seq("x"))
@@ -455,6 +456,16 @@ object Dedup {
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
     }
+    // Fail loudly rather than return partially propagated labels: a
+    // pair graph with diameter > the round cap (a 50-hop chain of
+    // near-dups — min-propagation advances one hop per round) would
+    // otherwise yield silently wrong component ids, diverging from
+    // the oracle's full recursive reachability with no error.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components label propagation did not converge " +
+        s"within $maxRounds rounds — graph diameter exceeds the cap; " +
+        s"raise the cap or switch to pointer-jumping")
     // per-cluster size + canonical survivor (longest doc wins, then
     // smallest id): one aggregation over the clustered docs joined to
     // their lengths — cluster count is output-scale, never corpus-scale

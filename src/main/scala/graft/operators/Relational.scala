@@ -66,8 +66,11 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** TPC-H Q3 shape: selective dim ⋈ fact ⋈ fact + top-k.
-    * customer is broadcast (small side); orders⋈lineitem shuffles on
-    * orderkey. Top-10 via TakeOrderedAndProject — no global sort. */
+    * customer is SF-proportional (150k rows/SF — 10⁸+ at the 100 TB
+    * target), so it carries NO broadcast hint: AQE picks broadcast
+    * at small SF and a shuffled join once the side outgrows the
+    * threshold. orders⋈lineitem shuffles on orderkey. Top-10 via
+    * TakeOrderedAndProject — no global sort. */
   def q3TopRevenue(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, d)
@@ -75,7 +78,7 @@ object Relational {
     val l = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(cents(col("l_extendedprice")) *
              (lit(100L) - pct(col("l_discount")))).as("revenue_x10000"))
@@ -98,10 +101,13 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** TPC-H Q5 shape: 6-table join. All dims (region, nation,
-    * supplier) broadcast [MR: map-side replicated join / distributed
-    * cache]; the fact-fact orders⋈lineitem join shuffles once on
-    * orderkey. */
+  /** TPC-H Q5 shape: 6-table join. Only the CONSTANT-size dims
+    * (region = 5 rows, nation = 25 rows, any SF) are force-broadcast
+    * [MR: map-side replicated join / distributed cache — only ever
+    * for genuinely small sides]. supplier and customer grow linearly
+    * with SF (10⁸–10⁹ rows at the 100 TB target), so they carry no
+    * hint: AQE broadcasts them at small SF and shuffles at scale.
+    * The fact-fact orders⋈lineitem join shuffles once on orderkey. */
   def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val n = Tables.nation(s, d)
@@ -112,8 +118,8 @@ object Relational {
               col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, d)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c),
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c,
         col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))

@@ -192,14 +192,27 @@ object Similarity {
           .as("bb"): _*)
         .select(df.columns.map(col) :+ col("bb.band").as("band") :+
           col("bb.bv").as("bv"): _*)
-    val qBands = bandsOf(queries(s, d), "q_emb")
+    // Bands carry IDS ONLY into the dedup: a vector pair sharing
+    // multiple bands must collapse to one candidate, and running that
+    // distinct over (q_id, vec_id) ships 16 bytes/row through the
+    // exchange instead of ~550 (two 64-dim arrays) — the embeddings
+    // are re-attached AFTER the dedup (corpus side streams against
+    // the candidate-scale id set; query block is a constant
+    // broadcast).
+    val qBands = bandsOf(queries(s, d).select(col("q_id"), col("q_emb")),
+      "q_emb").select(col("q_id"), col("band"), col("bv"))
     val cBands = bandsOf(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      "embedding")
-    val cand = cBands.join(broadcast(qBands), Seq("band", "bv"))
+      "embedding").select(col("vec_id"), col("band"), col("bv"))
+    val candIds = cBands.join(broadcast(qBands), Seq("band", "bv"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .select(col("q_id"), col("vec_id"))
       .distinct()
+    val cand = candIds
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .join(broadcast(queries(s, d).select(col("q_id"), col("q_emb"))),
+        Seq("q_id"))
       .withColumn("cos", VectorFunctions.cosineSim(col("q_emb"), col("embedding")))
     topKPerGroup(cand, col("q_id"), col("cos"), col("vec_id"), K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))

@@ -103,19 +103,22 @@ object SourceOps {
 
   /** Percent-escape exactly the characters that break the line/field
     * framing of "id\ttext" records: '%' -> %25, newline -> %0A,
-    * tab -> %09. After escaping, every '%' is followed by one of the
-    * three codes, so the three unescape replaces (specific codes
-    * first, %25 last) are unambiguous — no lookbehind, plain codegen
-    * `replace` calls. This is the custom-InputFormat role from the
-    * reference world (records with embedded newlines) done as pure
-    * column expressions. */
+    * carriage return -> %0D, tab -> %09. CR must be escaped too:
+    * Hadoop's LineRecordReader treats bare CR and CRLF as record
+    * delimiters just like LF, so an unescaped \r in the payload would
+    * split one record into two. After escaping, every '%' is followed
+    * by one of the four codes, so the unescape replaces (specific
+    * codes first, %25 last) are unambiguous — no lookbehind, plain
+    * codegen `replace` calls. This is the custom-InputFormat role
+    * from the reference world (records with embedded newlines) done
+    * as pure column expressions. */
   private def escapeLine(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, "%", "%25"), "\n", "%0A"), "\t", "%09")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "%", "%25"), "\n", "%0A"), "\r", "%0D"), "\t", "%09")
 
   private def unescapeLine(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, "%0A", "\n"), "%09", "\t"), "%25", "%")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "%0A", "\n"), "%0D", "\r"), "%09", "\t"), "%25", "%")
 
   /** documents -> ESCAPED text lines -> read -> corpus stats. Unlike
     * `textRoundtrip` (which documents the embedded-newline limitation
@@ -218,9 +221,15 @@ object SourceOps {
     // keep the BUCKETED scan for point probes: the auto-disable rule
     // only credits bucketing when a join/agg needs its distribution,
     // so it would silently fall back to a full-file scan here and
-    // throw away the 1-of-8 bucket pruning this operator exists for
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    s.table(table)
+    // throw away the 1-of-8 bucket pruning this operator exists for.
+    // The override lives in a CLONED session (shared SparkContext +
+    // catalog, private SQLConf) so the shared session's planner is
+    // untouched — conf is consulted at plan time, after this method
+    // returns, so a set/restore on the shared session would either
+    // not apply or leak to every later query.
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    scoped.table(table)
       .filter(col("o_orderkey").isin(42L, 777L))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("total_cents"),

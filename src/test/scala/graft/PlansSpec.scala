@@ -76,9 +76,9 @@ class PlansSpec extends AnyFunSuite {
   }
 
   test("join strategy split: dims broadcast, fact-fact shuffles, scans prune") {
-    // q5: 6-table star join — every dimension (region/nation/supplier/
-    // customer at test SF) must arrive via broadcast, never a shuffle
-    // of the fact side per dim
+    // q5: 6-table star join — at test SF every dim side is tiny, so
+    // the executed plan should still use broadcast joins (nation/
+    // region by hint, supplier/customer by AQE's own size estimate)
     val q5 = SparkEntry.queries("q5_nation_revenue")(spark, sf)
     q5.collect()
     val p5 = q5.queryExecution.executedPlan.toString
@@ -113,6 +113,24 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"q17 should be join-free:\n$plan")
     val exchanges = "(?m)Exchange".r.findAllIn(plan).size
     assert(exchanges <= 2, s"q17 unexpected shuffles ($exchanges):\n$plan")
+  }
+
+  test("q3/q5 never force a broadcast of an SF-proportional table") {
+    // customer (150k rows/SF) and supplier (10k rows/SF) grow linearly
+    // with SF — at the 100 TB target a broadcast HINT on them is a
+    // guaranteed OOM, the same disease the q17/q18 pins cured. Only
+    // the constant-size dims (nation = 25 rows, region = 5 rows at
+    // ANY SF) may keep their hints. AQE may still CHOOSE broadcast at
+    // tiny SF — what must be absent is the hint.
+    val q3 = SparkEntry.queries("q3_top_revenue")(spark, sf)
+    val l3 = q3.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!l3.contains("broadcast"),
+      s"q3 still carries a broadcast hint:\n${l3.take(800)}")
+    val q5 = SparkEntry.queries("q5_nation_revenue")(spark, sf)
+    val l5 = q5.queryExecution.optimizedPlan.toString.toLowerCase
+    val hints = "broadcast".r.findAllIn(l5).size
+    assert(hints <= 2,
+      s"q5 must hint only nation+region, found $hints broadcast marks:\n${l5.take(800)}")
   }
 
   test("heavy hitters broadcasts the constant-size sketch, never the stream") {

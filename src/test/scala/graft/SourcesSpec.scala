@@ -121,7 +121,10 @@ class SourcesSpec extends AnyFunSuite {
       (2L, "two\nphysical\nlines"),
       (3L, "tab\there and % percent and %0A literal escape-code"),
       (4L, "trailing newline\n"),
-      (5L, "%25%0A%09 pre-escaped-looking payload \n\t mixed"))
+      (5L, "%25%0A%09 pre-escaped-looking payload \n\t mixed"),
+      // bare CR and CRLF are record delimiters to Hadoop's line
+      // reader too — they must survive inside a payload
+      (6L, "carriage\rreturn and crlf\r\npair and trailing cr\r"))
     val back = graft.operators.SourceOps
       .textEscapedRows(spark, nasty.toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
