@@ -298,40 +298,92 @@ object PipelineOracles {
         |  JOIN embeddings ce ON ce.vec_id = cand.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
-    // Mirrors Similarity.knnIvf: centroids = exact integer sums of
-    // round(v*1e6) per (label, dim) cast to float, nprobe=3 cell
-    // probe ranked by double cosine, exact re-rank inside the cells.
+    // Mirrors Similarity.knnIvf: k-means coarse quantizer trained by
+    // two Lloyd iterations (seed = per-label cells) on the 50% hash
+    // sample; every M-step centroid is an exact integer sum of
+    // round(v*1e6) cast to float, every E-step argmax breaks ties on
+    // cell id, so both engines replay identical training. Corpus-wide
+    // assignment to the trained cells, nprobe=3 probe, exact re-rank.
     "sim_knn_ivf" ->
-      """WITH cent AS (
-        |  SELECT label,
+      """WITH samp AS (
+        |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell
+        |  FROM embeddings
+        |  WHERE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('ivf-' || CAST(vec_id AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647) % 2 = 0),
+        |c0 AS (
+        |  SELECT cell,
         |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
         |      AS centroid
         |  FROM (
-        |    SELECT label, i,
+        |    SELECT cell, i,
         |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
         |          AS BIGINT)) AS m
-        |    FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
-        |    WHERE list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(regexp_extract_all(
-        |            md5('ivf-' || CAST(vec_id AS VARCHAR)), '(?s).'),
-        |            c -> CAST(unicode(c) AS BIGINT))),
-        |        (h, c) -> (h * 31 + c) % 2147483647) % 2 = 0
+        |    FROM samp CROSS JOIN generate_series(1, 64) g(i)
         |    GROUP BY 1, 2)
         |  GROUP BY 1),
+        |a1 AS (
+        |  SELECT vec_id, cell, embedding FROM (
+        |    SELECT s.vec_id, c.cell, s.embedding,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+        |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
+        |    FROM samp s CROSS JOIN c0 c)
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell,
+        |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
+        |      AS centroid
+        |  FROM (
+        |    SELECT cell, i,
+        |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |          AS BIGINT)) AS m
+        |    FROM a1 CROSS JOIN generate_series(1, 64) g(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |a2 AS (
+        |  SELECT vec_id, cell, embedding FROM (
+        |    SELECT s.vec_id, c.cell, s.embedding,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+        |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
+        |    FROM samp s CROSS JOIN c1 c)
+        |  WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cell,
+        |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
+        |      AS centroid
+        |  FROM (
+        |    SELECT cell, i,
+        |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |          AS BIGINT)) AS m
+        |    FROM a2 CROSS JOIN generate_series(1, 64) g(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |corpus AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN c2 c)
+        |  WHERE rn = 1),
         |probed AS (
-        |  SELECT q_id, label FROM (
-        |    SELECT q.vec_id AS q_id, c.label,
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.vec_id AS q_id, c.cell,
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |          CAST(c.centroid AS DOUBLE[])) DESC, c.label) AS crank
-        |    FROM embeddings q CROSS JOIN cent c
+        |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS crank
+        |    FROM embeddings q CROSS JOIN c2 c
         |    WHERE q.vec_id < 20)
         |  WHERE crank <= 3),
         |cand AS (
-        |  SELECT p.q_id, e.vec_id
-        |  FROM probed p JOIN embeddings e ON e.label = p.label
-        |  WHERE e.vec_id <> p.q_id)
+        |  SELECT p.q_id, a.vec_id
+        |  FROM probed p JOIN corpus a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.q_id)
         |SELECT q_id, neighbor_id, rank FROM (
         |  SELECT cand.q_id, cand.vec_id AS neighbor_id,
         |    CAST(row_number() OVER (PARTITION BY cand.q_id

@@ -62,6 +62,12 @@ object SourceOracles {
         |    AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "src_csv_snappy" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_compaction" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -103,49 +103,97 @@ object Similarity {
         expr("array_max(q)").as("q_max"))
       .orderBy(col("vec_id"))
 
-  /** IVF-style ANN: coarse quantizer = per-label centroids (the
-    * labels partition the corpus; with a trained quantizer the flow
-    * is identical), nprobe = 3. Queries score all centroids (tiny,
+  /** Exact-integer centroids of an assignment (cell, embedding):
+    * element-wise sums of round(v * 1e6) per cell — order-independent
+    * (unlike a float avg whose shuffle-order rounding is
+    * nondeterministic), cast to float identically on both engines.
+    * Cosine is scale-invariant, so the un-divided sum ranks cells
+    * exactly like the mean would. */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> cast(s.m as float))")
+        .as("centroid"))
+
+  /** Nearest-centroid assignment (the Lloyd E-step). The centroid set
+    * is constant-size (k cells), so it is broadcast and each vector's
+    * winning cell reduces via a partial-aggregable max(struct(cos,
+    * -cell)) — map-side combine collapses the k candidate rows per
+    * vector BEFORE the shuffle, and ties break to the smallest cell
+    * id on both engines. No window, no corpus-scale sort. */
+  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        VectorFunctions.cosineSim(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("b"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("b.nc")).as("cell"), col("embedding"))
+
+  /** IVF ANN with a TRAINED coarse quantizer: k-means via two Lloyd
+    * iterations (seeded by the per-label centroids, so k = the label
+    * count), nprobe = 3. Queries score all trained centroids (tiny,
     * broadcast both ways), keep their nprobe nearest cells, and only
-    * the vectors in those cells are ranked exactly — the corpus-side
-    * scan is pruned to nprobe/ncells of the data, the property that
-    * matters at 100 TB.
+    * the vectors assigned to those cells are ranked exactly — the
+    * corpus-side scan is pruned to nprobe/ncells of the data, the
+    * property that matters at 100 TB.
     *
-    * Full hash-match oracle: the centroid is the EXACT integer sum of
-    * round(v * 1e6) per dimension (order-independent, unlike a float
-    * avg whose shuffle-order rounding is nondeterministic), cast to
-    * float identically on both engines; cosine is scale-invariant so
-    * the un-divided sum ranks cells exactly like the mean would.
+    * Full hash-match oracle despite the iterative training: every
+    * M-step centroid is an EXACT integer sum (`centroidsOf`), every
+    * E-step argmax breaks ties on cell id, and cosine (dot, x², sqrt,
+    * divide) is correctly-rounded IEEE on both engines — so the
+    * DuckDB mirror replays the identical two iterations bit-for-bit.
+    * Fixed iteration count (the PageRank lesson): the loop only
+    * BUILDS the lazy plan; no per-round action, one job.
     *
     * The quantizer trains on a deterministic 50% hash sample of the
     * corpus, not the full corpus: at 100 TB nobody posexplodes every
     * vector to fit cluster centers — a sample bounds the training
-    * shuffle while the probe/scan phases still cover ALL vectors. The
-    * sample predicate (md5-then-fold parity, the measured-uniform
-    * construction from txt_sample_stratified) is mirrored in the
-    * DuckDB oracle, so the pipeline stays fully hash-matched. */
-  def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val nprobe = 3
+    * shuffle while the assignment/probe/scan phases still cover ALL
+    * vectors. The sample predicate (md5-then-fold parity, the
+    * measured-uniform construction from txt_sample_stratified) is
+    * mirrored in the DuckDB oracle. */
+  /** The trained centroid set: label-seeded, two Lloyd rounds over
+    * the deterministic 50% hash sample. */
+  private def trainedCentroids(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val trainSample = pmod(graft.functions.RollingHash.rollingHash(
       md5(concat(lit("ivf-"), col("vec_id").cast("string"))
         .cast("binary"))), lit(2L)) === 0L
-    // centroids: element-wise exact integer sums per sampled label rows
-    val cent = e.filter(trainSample)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .groupBy(col("label"), col("i"))
-      .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> cast(s.m as float))")
-        .as("centroid"))
-    val probed = queries(s, d).crossJoin(broadcast(cent))
+    val samp = e.filter(trainSample)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // seed centroids from the existing label partition, then 2 Lloyd
+    // rounds (E: assignCells, M: centroidsOf) over the sample
+    val c0 = centroidsOf(samp.select(col("label").cast("long").as("cell"),
+      col("embedding")))
+    val c1 = centroidsOf(assignCells(samp, c0))
+    centroidsOf(assignCells(samp, c1))
+  }
+
+  /** Corpus-wide (vec_id, cell, embedding) assignment to the trained
+    * cells — exposed for the training-effect spec. */
+  private[graft] def trainedCells(s: SparkSession, d: String): DataFrame =
+    assignCells(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      trainedCentroids(s, d))
+
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 3
+    val c2 = trainedCentroids(s, d)
+    // final corpus-wide assignment to the TRAINED cells
+    val corpus = assignCells(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), c2)
+    val probed = queries(s, d).crossJoin(broadcast(c2))
       .withColumn("cdist", VectorFunctions.cosineSim(col("q_emb"), col("centroid")))
       .withColumn("crank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("label"))))
+        Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cell"))))
       .filter(col("crank") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("label"))
-    val cand = e.select(col("vec_id"), col("embedding"), col("label"))
-      .join(broadcast(probed), Seq("label"))
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val cand = corpus
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", VectorFunctions.cosineSim(col("q_emb"), col("embedding")))
     topKPerGroup(cand, col("q_id"), col("cos"), col("vec_id"), K)

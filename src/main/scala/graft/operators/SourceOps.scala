@@ -201,6 +201,28 @@ object SourceOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** orders -> snappy-compressed CSV -> read -> per-status totals.
+    * Snappy is the reference's DEFAULT fast codec (hadoop-common/.../
+    * io/compress/SnappyCodec.java; since HADOOP-17125 it runs on the
+    * pure-Java snappy-java binding, no native libhadoop) and the
+    * de-facto default block codec of parquet/ORC deployments. Same
+    * trade as lz4: cheap CPU, NOT splittable — one task per file on
+    * read, so the writer must keep files block-sized. Fidelity proven
+    * against the parquet oracle like the gzip/lz4 paths. */
+  def csvSnappyRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-snappy-")
+    Formats.writeCsv(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")),
+      path, codec = Some("snappy"))
+    Formats.readCsv(s, path,
+      "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** One sorted bucketed table per (JVM, input dir) for keyed lookups —
     * the MapFile analog staged once, probed many times. */
   private val bucketedStage =

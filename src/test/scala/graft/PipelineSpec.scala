@@ -67,7 +67,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(lshRecall >= 0.5, f"LSH recall $lshRecall%.2f below 0.5")
     val ivf = nbrs(Similarity.knnIvf(spark, sf))
     val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(ivfRecall >= 0.3, f"IVF recall $ivfRecall%.2f below 0.3")
+    info(f"LSH recall $lshRecall%.2f, trained-IVF recall $ivfRecall%.2f")
+    assert(ivfRecall >= 0.4, f"IVF recall $ivfRecall%.2f below 0.4")
+  }
+
+  test("IVF k-means training moves vectors off their seed cells") {
+    // The trained quantizer must be more than the label partition it
+    // was seeded with: after two Lloyd rounds at least one corpus
+    // vector's nearest trained centroid differs from its raw label
+    // (otherwise the 'training' is a no-op and the operator is just
+    // the label-as-cell baseline again).
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val e = graft.sources.Tables.embeddings(s, sf)
+    val moved = Similarity.trainedCells(s, sf)
+      .join(e.select(col("vec_id"), col("label").cast("long").as("lab")),
+        Seq("vec_id"))
+      .filter(col("cell") =!= col("lab"))
+      .count()
+    info(s"$moved vectors assigned off their seed label cell")
+    assert(moved > 0, "two Lloyd rounds left every assignment on its seed label")
   }
 
   test("exact dedup groups every document exactly once") {

@@ -143,20 +143,25 @@ class SourcesSpec extends AnyFunSuite {
       .select(concat(lit("line-"), col("id"), lit(" "),
         md5(col("id").cast("string"))).as("value"))
       .coalesce(1)
+    val sn = dir.resolve("sn").toString
     lines.write.option("compression", "bzip2").text(bz)
     lines.write.option("compression", "gzip").text(gz)
+    lines.write.option("compression", "snappy").text(sn)
     val conf = spark.conf
     val saved = conf.getOption("spark.sql.files.maxPartitionBytes")
     try {
       conf.set("spark.sql.files.maxPartitionBytes", "65536")
       val bzParts = spark.read.text(bz).rdd.getNumPartitions
       val gzParts = spark.read.text(gz).rdd.getNumPartitions
+      val snParts = spark.read.text(sn).rdd.getNumPartitions
       // the splittable codec fans one file out across tasks;
-      // the non-splittable one is stuck with a single task per file
+      // the non-splittable ones are stuck with a single task per file
       assert(bzParts > 1, s"bzip2 file read as $bzParts split(s)")
       assert(gzParts == 1, s"gzip file unexpectedly split ($gzParts)")
-      // and the split read loses nothing
+      assert(snParts == 1, s"snappy file unexpectedly split ($snParts)")
+      // and the split read loses nothing; snappy round-trips intact
       assert(spark.read.text(bz).count() == 40000)
+      assert(spark.read.text(sn).count() == 40000)
     } finally saved match {
       case Some(v) => conf.set("spark.sql.files.maxPartitionBytes", v)
       case None => conf.unset("spark.sql.files.maxPartitionBytes")
