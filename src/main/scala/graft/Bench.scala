@@ -79,6 +79,7 @@ object Bench {
       graft.operators.SourceOps.rangeTable(spark, sfDir)
       graft.operators.SourceOps.bloomTable(spark, sfDir)
       graft.operators.SourceOps.zorderTable(spark, sfDir)
+      graft.operators.SourceOps.sortedRuns(spark, sfDir)
       ()
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => timed(n)(run(n)))

@@ -68,6 +68,20 @@ object SourceOracles {
         |    AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors SourceOps.sortedMerge: the key_chain folds
+    // (h*31 + key) % (2^31-1) over keys in ASCENDING key order — the
+    // order the 3-run merge must reproduce; any transposition in the
+    // merged stream diverges the chain.
+    "src_sorted_merge" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list(o_orderkey ORDER BY o_orderkey)),
+        |    (h, k) -> (h * 31 + k) % 2147483647) AS key_chain
+        |FROM orders""".stripMargin,
+
     "src_compaction" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -223,6 +223,86 @@ object SourceOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Three interleaved SORTED SequenceFile runs of orders, staged once
+    * per (JVM, input dir): run r holds the keys with o_orderkey % 3 == r
+    * (so runs overlap across the whole key space and a correct merge
+    * must truly interleave), each written through the sorted sink —
+    * orderBy gives a range-partitioned sorted write, so every file is
+    * sorted and files within a run are range-disjoint. */
+  private val sortedRunStage =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private[graft] def sortedRuns(s: SparkSession, d: String): Seq[String] =
+    sortedRunStage.computeIfAbsent(d, _ =>
+      (0 until 3).map { r =>
+        val path = scratch(s"graft-sortedrun$r-")
+        Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(3)) === r)
+          .select(col("o_orderkey").as("key"),
+            round(col("o_totalprice") * 100).cast("long")
+              .cast("string").as("value"))
+          .orderBy(col("key"))
+          .write.format(graft.sources.sequence.SequenceFileSource.NAME)
+          .option("sorted", "true").mode("overwrite").save(path)
+        path
+      })
+
+  /** Merge-k-sorted-runs as an oracle-backed query: 3 interleaved
+    * sorted runs -> SortedMerge (no shuffle, no sort — see
+    * SortedMerge's scaladoc) -> ORDER-SENSITIVE verification. The
+    * `key_chain` column is the mod-2^31-1 hash chain
+    * h = (h*31 + key) % M folded over the keys IN MERGED ORDER, so a
+    * single transposition anywhere in the billion-row stream changes
+    * the result — this is how "output is globally sorted" becomes a
+    * value the DuckDB oracle (which folds over ORDER BY o_orderkey)
+    * can hash-compare. The chain combines distributively: each task
+    * returns (rows, chain, 31^rows mod M) and the driver folds the
+    * partition summaries in partition order — constant-size driver
+    * data, same tier as the two-level prefix sum. */
+  def sortedMerge(s: SparkSession, d: String): DataFrame = {
+    val M = 2147483647L
+    val merged = graft.sources.sequence.SortedMerge
+      .mergeSorted(s, sortedRuns(s, d), slices = 16)
+    val parts = merged.select(col("key"),
+        col("value").cast("long").as("cents"))
+      .rdd.mapPartitionsWithIndex { case (pid, it) =>
+        var n = 0L; var chain = 0L; var pow = 1L
+        var sum = 0L; var minK = Long.MaxValue; var maxK = Long.MinValue
+        var last = Long.MinValue; var ordered = true
+        it.foreach { r =>
+          val k = r.getLong(0)
+          if (k < last) ordered = false
+          last = k
+          chain = (chain * 31 + k) % M
+          pow = (pow * 31) % M
+          n += 1; sum += r.getLong(1)
+          if (k < minK) minK = k
+          if (k > maxK) maxK = k
+        }
+        Iterator((pid, n, chain, pow, sum, minK, maxK, ordered))
+      }.collect().sortBy(_._1)
+    // partition chains fold in partition id order; ascending partition
+    // ranges + per-partition order = global order
+    var chain = 0L; var rows = 0L; var cents = 0L
+    var minKey = Long.MaxValue; var maxKey = Long.MinValue
+    var prevMax = Long.MinValue; var ordered = true
+    parts.foreach { case (_, n, c, pow, sum, mn, mx, ord) =>
+      if (n > 0) {
+        chain = (chain * pow + c) % M
+        rows += n; cents += sum
+        if (!ord || mn < prevMax) ordered = false
+        prevMax = mx
+        if (mn < minKey) minKey = mn
+        if (mx > maxKey) maxKey = mx
+      }
+    }
+    require(ordered, "sortedMerge: merged stream is out of order")
+    val sp = s
+    import sp.implicits._
+    Seq((rows, minKey, maxKey, cents, chain))
+      .toDF("n_rows", "min_key", "max_key", "sum_cents", "key_chain")
+  }
+
   /** One sorted bucketed table per (JVM, input dir) for keyed lookups —
     * the MapFile analog staged once, probed many times. */
   private val bucketedStage =

@@ -91,7 +91,8 @@ private class SeqTable(paths: Seq[String])
     require(Set("none", "record", "block")(codec),
       s"${SequenceFileSource.NAME}: compression must be none|record|block, " +
         s"got '$codec'")
-    new SeqWriteBuilder(paths.head, info.queryId(), codec)
+    val sorted = info.options().getBoolean("sorted", false)
+    new SeqWriteBuilder(paths.head, info.queryId(), codec, sorted)
   }
 }
 
@@ -99,13 +100,13 @@ private class SeqTable(paths: Seq[String])
   * directory (the exact layout MapReduce's SequenceFileOutputFormat
   * produced, so MR-era readers and this source's own reader both
   * consume it). Overwrite mode is supported via SupportsTruncate. */
-private class SeqWriteBuilder(path: String, queryId: String, codec: String)
-    extends WriteBuilder with SupportsTruncate {
+private class SeqWriteBuilder(path: String, queryId: String, codec: String,
+    sorted: Boolean) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new SeqBatchWrite(path, queryId, doTruncate, codec)
+      new SeqBatchWrite(path, queryId, doTruncate, codec, sorted)
   }
 }
 
@@ -131,7 +132,7 @@ private class SeqWriteBuilder(path: String, queryId: String, codec: String)
   * Readers (this source's and the MR-era one) skip '.'-prefixed
   * entries, so a live staging dir is invisible to them. */
 private class SeqBatchWrite(path: String, queryId: String,
-    truncate: Boolean, codec: String) extends BatchWrite {
+    truncate: Boolean, codec: String, sorted: Boolean) extends BatchWrite {
   private def conf = new Configuration()
   private def stagingDir = new Path(path, s".graft-staging-$queryId")
 
@@ -139,7 +140,7 @@ private class SeqBatchWrite(path: String, queryId: String,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = stagingDir.getFileSystem(conf)
     fs.mkdirs(stagingDir) // creates the (possibly new) target dir too
-    new SeqWriterFactory(stagingDir.toString, codec)
+    new SeqWriterFactory(stagingDir.toString, codec, sorted)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -168,17 +169,17 @@ private class SeqBatchWrite(path: String, queryId: String,
   }
 }
 
-private class SeqWriterFactory(stagingDir: String, codec: String)
-    extends DataWriterFactory {
+private class SeqWriterFactory(stagingDir: String, codec: String,
+    sorted: Boolean) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SeqWriter(stagingDir, partitionId, taskId, codec)
+    new SeqWriter(stagingDir, partitionId, taskId, codec, sorted)
 }
 
 private case class SeqCommit(file: String) extends WriterCommitMessage
 
 private class SeqWriter(stagingDir: String, partitionId: Int, taskId: Long,
-    codec: String) extends DataWriter[InternalRow] {
+    codec: String, sorted: Boolean) extends DataWriter[InternalRow] {
   private val conf = new Configuration()
   private val tmp = new Path(f"$stagingDir/.inprogress-$partitionId%05d-$taskId")
   private val staged = new Path(f"$stagingDir/part-$partitionId%05d-$taskId")
@@ -198,12 +199,27 @@ private class SeqWriter(stagingDir: String, partitionId: Int, taskId: Long,
       new org.apache.hadoop.io.compress.DefaultCodec()))
   private val key = new LongWritable()
   private val value = new Text()
+  // MapFile.Writer's sorted-key contract (reference io/MapFile.java
+  // checkKey: "key out of order"): with option("sorted", true) every
+  // appended key must be >= its predecessor WITHIN the file, so a
+  // run written from a range-partitioned sorted DataFrame yields
+  // files that are each sorted and mutually range-disjoint — the
+  // input shape SortedMerge consumes without re-sorting.
+  private var lastKey: Long = Long.MinValue
 
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(0) && !row.isNullAt(1),
       s"${SequenceFileSource.NAME}: null key/value not representable " +
         "in SequenceFile(LongWritable, Text) records")
-    key.set(row.getLong(0))
+    val k = row.getLong(0)
+    if (sorted && k < lastKey) {
+      throw new java.io.IOException(
+        s"${SequenceFileSource.NAME}: key out of order: $k after $lastKey " +
+          "(sorted=true requires nondecreasing keys per partition — " +
+          "sort the DataFrame by the key column before writing)")
+    }
+    lastKey = k
+    key.set(k)
     value.set(row.getUTF8String(1).getBytes)
     writer.append(key, value)
   }

@@ -113,6 +113,60 @@ class SourcesSpec extends AnyFunSuite {
     assert(rdd.count() == 500)
   }
 
+  test("sorted sequence sink enforces the MapFile key-order contract") {
+    import spark.implicits._
+    val src = graft.sources.sequence.SequenceFileSource.NAME
+    val dir = Files.createTempDirectory("graft-seqsort-spec-")
+    // out-of-order keys in one partition must fail the write job
+    val bad = Seq((5L, "e"), (2L, "b"), (9L, "i"))
+      .toDF("key", "value").coalesce(1)
+    val ex = intercept[Exception] {
+      bad.write.format(src).option("sorted", "true")
+        .mode("overwrite").save(dir.resolve("bad").toString)
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+    assert(causes(ex).exists(_.contains("key out of order")),
+      s"wrong failure: ${causes(ex)}")
+    // the failed job must leave nothing visible (job-atomic staging)
+    val badDir = new java.io.File(dir.resolve("bad").toString)
+    assert(!badDir.exists() || badDir.listFiles().forall(f =>
+      f.getName.startsWith(".") || f.getName.startsWith("_")),
+      "aborted sorted write leaked visible files")
+    // a sorted write passes and round-trips
+    val good = Seq((2L, "b"), (5L, "e"), (9L, "i"))
+      .toDF("key", "value").coalesce(1)
+    good.write.format(src).option("sorted", "true")
+      .mode("overwrite").save(dir.resolve("good").toString)
+    val back = spark.read.format(src).load(dir.resolve("good").toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == Seq((2L, "b"), (5L, "e"), (9L, "i")))
+  }
+
+  test("mergeSorted interleaves 3 sorted runs in global order with no sort/exchange") {
+    val dirs = graft.operators.SourceOps.sortedRuns(spark, sf)
+    val merged = graft.sources.sequence.SortedMerge
+      .mergeSorted(spark, dirs, slices = 8)
+    // plan check: the merge consumes pre-sorted runs — its plan must
+    // contain neither a Sort nor any Exchange (q9 SORTS; this MERGES)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"merge plan re-sorts:\n$plan")
+    assert(!plan.contains("Exchange"), s"merge plan shuffles:\n$plan")
+    // order check: keys strictly ascend across the whole collected
+    // stream (partitions collect in partition-id order)
+    val keys = merged.select("key").collect().map(_.getLong(0))
+    assert(keys.length == Tables.orders(spark, sf).count())
+    keys.sliding(2).foreach { case Array(a, b) =>
+      assert(a < b, s"merge out of order: $a then $b")
+    }
+    // content check: merged == union of the runs
+    val total = dirs.map(d =>
+      spark.read.format(graft.sources.sequence.SequenceFileSource.NAME)
+        .load(d).count()).sum
+    assert(keys.length.toLong == total)
+  }
+
   test("escaped text round-trip survives embedded newlines and tabs byte-for-byte") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
