@@ -80,6 +80,7 @@ object Bench {
       graft.operators.SourceOps.bloomTable(spark, sfDir)
       graft.operators.SourceOps.zorderTable(spark, sfDir)
       graft.operators.SourceOps.sortedRuns(spark, sfDir)
+      graft.operators.SourceOps.setFileTable(spark, sfDir)
       ()
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => timed(n)(run(n)))

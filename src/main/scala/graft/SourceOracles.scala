@@ -82,6 +82,29 @@ object SourceOracles {
         |    (h, k) -> (h * 31 + k) % 2147483647) AS key_chain
         |FROM orders""".stripMargin,
 
+    "src_set_membership" -> {
+      val probes = graft.operators.SourceOps.SET_PROBES
+        .map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+      s"""WITH probes(probe_key) AS (VALUES $probes),
+         |keys AS (SELECT DISTINCT o_custkey AS key FROM orders)
+         |SELECT probe_key,
+         |  CAST(CASE WHEN key IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS present
+         |FROM probes LEFT JOIN keys ON probe_key = key
+         |ORDER BY probe_key""".stripMargin
+    },
+
+    "src_array_lookup" -> {
+      val positions = graft.operators.SourceOps.ARRAY_POSITIONS.mkString(", ")
+      s"""WITH ranked AS (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+         |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+         |  FROM orders)
+         |SELECT CAST(pos AS BIGINT) AS pos, o_orderkey, cents
+         |FROM ranked WHERE pos IN ($positions) ORDER BY pos""".stripMargin
+    },
+
     "src_compaction" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

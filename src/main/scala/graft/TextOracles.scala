@@ -165,15 +165,30 @@ object TextOracles {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    "txt_langid" ->
-      """SELECT doc_id, lang AS labeled_lang,
-        |  CASE WHEN 10 * CAST(len(list_filter(
-        |      regexp_split_to_array(trim(text), '\s+'),
-        |      w -> w IN ('the','a','of','to','and','in','is','it')))
-        |      AS BIGINT)
-        |    >= CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |    THEN 'en' ELSE 'und' END AS pred_lang
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Cavnar-Trenkle trigram scoring: the latin-language score
+    // expressions and the argmax/margin CASEs are the SAME generated
+    // SQL text the Spark operator evaluates (TextAnalysis.langScoreSql
+    // et al.) — only the CJK class syntax differs (RE2 \x{..} here,
+    // Java [一-鿿] there) and DuckDB needs the 'g' flag for
+    // replace-all semantics.
+    "txt_langid" -> {
+      import graft.operators.TextAnalysis._
+      val latinScores = LATIN_LANGS
+        .map(l => s"${langScoreSql(l)} AS s_$l").mkString(",\n    ")
+      s"""WITH padded AS (
+         |  SELECT *, concat(' ', lower(text), ' ') AS pad FROM documents),
+         |scored AS (SELECT *,
+         |    $latinScores,
+         |    12 * (length(text) - length(regexp_replace(text,
+         |      '[\\x{4e00}-\\x{9fff}]', '', 'g'))) AS s_zh
+         |  FROM padded),
+         |ranked AS (SELECT *, $langTopSql AS top_score FROM scored),
+         |argd AS (SELECT *, $langArgSql AS arg FROM ranked),
+         |secd AS (SELECT *, $langSecondSql AS second_score FROM argd)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  $langPredSql AS pred_lang, top_score, second_score
+         |FROM secd ORDER BY doc_id""".stripMargin
+    },
 
     "txt_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp

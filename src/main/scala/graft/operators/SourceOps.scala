@@ -308,6 +308,75 @@ object SourceOps {
   private val bucketedStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // ---- SetFile / ArrayFile analogs (reference io/SetFile.java:1,
+  // io/ArrayFile.java:1) ---------------------------------------------
+
+  /** The distinct order-placing customer keys as a keys-only SORTED
+    * SequenceFile run, staged once per (JVM, input dir) — SetFile's
+    * layout exactly: a sorted sequence of keys with empty values,
+    * existing purely to answer membership. */
+  private[graft] def setFileTable(s: SparkSession, d: String): String =
+    bucketedStage.computeIfAbsent(s"$d|setfile", _ => {
+      val path = scratch("graft-setfile-")
+      Tables.orders(s, d)
+        .select(col("o_custkey").as("key")).distinct()
+        .withColumn("value", lit(""))
+        .orderBy(col("key"))
+        .write.format(graft.sources.sequence.SequenceFileSource.NAME)
+        .option("sorted", "true").mode("overwrite").save(path)
+      path
+    })
+
+  private[graft] val SET_PROBES = Seq(1L, 2L, 7L, 500L, 999999L)
+
+  /** SetFile membership: probe a fixed key list against the keys-only
+    * sorted table. The probe set is the tiny side, so the plan is one
+    * scan of the key table with an IN predicate (map-only) followed by
+    * a join against the <= |probes|-row survivor set — never a shuffle
+    * of the keys. At 100 TB the key table is billions of rows and this
+    * shape still reads it exactly once (or less, once a source prunes
+    * on the pushed IN). */
+  def setMembership(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val keys = s.read
+      .format(graft.sources.sequence.SequenceFileSource.NAME)
+      .load(setFileTable(s, d))
+      .select(col("key"))
+    val found = keys.filter(col("key").isin(SET_PROBES: _*)).distinct()
+    SET_PROBES.toDF("probe_key")
+      .join(found, col("probe_key") === col("key"), "left")
+      .select(col("probe_key"),
+        when(col("key").isNotNull, 1L).otherwise(0L).as("present"))
+      .orderBy(col("probe_key"))
+  }
+
+  private[graft] val ARRAY_POSITIONS = Seq(0L, 699L, 1400L)
+
+  /** ArrayFile lookup: the i-th record of orders in o_orderkey order,
+    * WITHOUT a global single-partition window. zipWithIndex is the
+    * two-level distributed prefix sum (one tiny per-partition count
+    * job, then offset-shifted local indices — the same pattern as
+    * mm_shard_manifest), so global positions exist at any scale; the
+    * probe then keeps only the requested positions. This is the
+    * reference's ArrayFile seek-by-index re-expressed: the "index"
+    * is the count manifest instead of a sidecar file. */
+  def arrayLookup(s: SparkSession, d: String): DataFrame = {
+    val want = ARRAY_POSITIONS.toSet
+    val sorted = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    val sp = s
+    import sp.implicits._
+    sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => want(i) }
+      .map { case (r, i) => (i, r.getLong(0), r.getLong(1)) }
+      .toDF("pos", "o_orderkey", "cents")
+      .orderBy(col("pos"))
+  }
+
   /** Keyed point lookup through a SORTED BUCKETED table — the Spark
     * native of the reference's indexed containers (hadoop-common/.../
     * io/MapFile.java: sorted data file + index for point lookups;

@@ -54,18 +54,91 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Heuristic language ID: stopword-lexicon hit ratio (the n-gram
-    * profile method degenerates to lexicon hits on whitespace-clean
-    * text). Deterministic threshold so the oracle can mirror it. */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val hits = size(filter(t, w => w.isin(STOPWORDS: _*))).cast("long")
-    Tables.documents(s, d)
+  // ---- Language ID: character-trigram profiles (Cavnar-Trenkle) ----
+  //
+  // Top distinctive trigrams per language with inverse-rank-ish
+  // weights — the published C-T profile method reduced to a fixed
+  // CONSTANT table, so scoring is a map-only codegen'd expression:
+  // no model file, no shuffle, no UDF. Occurrences are counted with
+  // the replace-length identity (length(x) - length(replace(x,g,'')))
+  // which is 3x the count; the uniform x3 cancels in the argmax and
+  // margin. Chinese is scored by CJK codepoint count (script
+  // detection — the right signal where trigrams of latin letters say
+  // nothing), scaled x12 to be commensurate with a weight-4 trigram.
+  private[graft] val LATIN_LANGS = Seq("de", "en", "es", "fr")
+  private[graft] val LANG_IDS = LATIN_LANGS :+ "zh"
+  private[graft] val LANG_PROFILES: Map[String, Seq[(String, Int)]] = Map(
+    "de" -> Seq("en " -> 4, "er " -> 4, "ch " -> 3, "der" -> 5, "ie " -> 3,
+      "die" -> 5, "sch" -> 4, "ein" -> 4, "ich" -> 4, "cht" -> 3,
+      "und" -> 5, " un" -> 3, "den" -> 2, "ung" -> 3, " ge" -> 2, "ber" -> 2),
+    "en" -> Seq(" th" -> 5, "the" -> 5, "he " -> 4, " an" -> 3, "and" -> 4,
+      "nd " -> 2, " of" -> 3, "of " -> 3, "ing" -> 4, "ng " -> 3,
+      " to" -> 3, "to " -> 2, " in" -> 2, "ion" -> 2, "ed " -> 2, " is" -> 2),
+    "es" -> Seq(" de" -> 5, "de " -> 4, "os " -> 4, " la" -> 4, "la " -> 4,
+      "el " -> 4, " el" -> 3, "que" -> 4, " qu" -> 3, "ue " -> 2,
+      "ar " -> 3, " en" -> 2, "en " -> 2, "as " -> 3, "ión" -> 3, " co" -> 2),
+    "fr" -> Seq(" de" -> 5, "de " -> 4, " le" -> 5, "le " -> 4, "es " -> 3,
+      "ent" -> 3, "nt " -> 2, " et" -> 4, "et " -> 3, "que" -> 4,
+      " qu" -> 3, "ue " -> 2, " la" -> 4, "la " -> 3, "les" -> 3, " pa" -> 2))
+
+  /** Per-language score over a `pad` column (= ' '||lower(text)||' ').
+    * Pure length/replace arithmetic — the SAME SQL text runs in Spark
+    * and in the DuckDB oracle. */
+  private[graft] def langScoreSql(lang: String): String =
+    LANG_PROFILES(lang)
+      .map { case (g, w) =>
+        s"$w * (length(pad) - length(replace(pad, '$g', '')))" }
+      .mkString(" + ")
+
+  /** Shared argmax/margin fragments over columns s_de..s_zh. Argmax
+    * ties break by the fixed CASE order (alphabetical) and a tie makes
+    * the margin zero -> 'und' anyway. Confidence: top must beat the
+    * runner-up by >= 20% of itself, else 'und' (the C-T "no clear
+    * winner" cutoff made deterministic). */
+  private[graft] val langTopSql: String =
+    s"greatest(${LANG_IDS.map("s_" + _).mkString(", ")})"
+  private[graft] val langArgSql: String =
+    "CASE " + LANG_IDS.map(l => s"WHEN s_$l = top_score THEN '$l'")
+      .mkString(" ") + " END"
+  private[graft] val langSecondSql: String =
+    "CASE " + LANG_IDS.map { l =>
+      val rest = LANG_IDS.filterNot(_ == l).map("s_" + _).mkString(", ")
+      s"WHEN arg = '$l' THEN greatest($rest)"
+    }.mkString(" ") + " END"
+  private[graft] val langPredSql: String =
+    """CASE WHEN top_score <= 0 THEN 'und'
+      |     WHEN 5 * (top_score - second_score) < top_score THEN 'und'
+      |     ELSE arg END""".stripMargin
+
+  /** Language ID over any (doc_id, lang, text) frame — the spec runs
+    * this on a hand-built multilingual corpus. */
+  private[graft] def langIdOn(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("pad", concat(lit(" "), lower(col("text")), lit(" ")))
+    val scored = LATIN_LANGS
+      .foldLeft(base)((df, l) => df.withColumn(s"s_$l", expr(langScoreSql(l))))
+      // CJK count: Java regex class with the actual range chars (the
+      // oracle writes the same class in RE2 \x{...} syntax)
+      .withColumn("s_zh", lit(12) * (length(col("text")) -
+        length(regexp_replace(col("text"), "[一-鿿]", ""))))
+    scored
+      .withColumn("top_score", expr(langTopSql))
+      .withColumn("arg", expr(langArgSql))
+      .withColumn("second_score", expr(langSecondSql))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        when(hits * 10L >= size(t).cast("long"), lit("en"))
-          .otherwise(lit("und")).as("pred_lang"))
+        expr(langPredSql).as("pred_lang"),
+        col("top_score").cast("long").as("top_score"),
+        col("second_score").cast("long").as("second_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Language ID: Cavnar-Trenkle character-trigram profiles for
+    * de/en/es/fr + CJK script detection for zh, with a confidence
+    * margin (clear-winner-or-'und'). Map-only — the profile table is
+    * a compile-time constant folded into one codegen'd projection, so
+    * at 100 TB this costs exactly one corpus scan, zero shuffles. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    langIdOn(Tables.documents(s, d))
 
   /** Content fingerprint: md5 over the UTF-8 bytes of the normalized
     * (trimmed, lowercased) text — identical definition in DuckDB. */
@@ -267,20 +340,38 @@ object TextAnalysis {
     * by stream/w) is visible and spec-testable; integer-only output
     * keeps the oracle hash-exact. */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
-    val w = Tables.documents(s, d)
-      .select(explode(toks(col("text"))).as("word"))
+    val w = words(Tables.documents(s, d))
+    estimateTopK(w, cmsSketch(w))
+  }
+
+  /** The corpus token stream (non-empty whitespace tokens). */
+  private[graft] def words(docs: DataFrame): DataFrame =
+    docs.select(explode(toks(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
-    def positions(c: Column) = array((0 until CmsD).map(j =>
+
+  /** A word's d sketch cells as an array of (j, b) structs. */
+  private[graft] def cmsPositions(c: Column): Column =
+    array((0 until CmsD).map(j =>
       struct(lit(j).as("j"), cmsPos(c, j).as("b"))): _*)
-    val sketch = w
-      .select(explode(positions(col("word"))).as("p"))
+
+  /** The CMS counter table from a word stream: one groupBy over at
+    * most d*w = 8192 (j, b) cells — works identically as a batch
+    * aggregation and as a streaming aggregation whose state IS the
+    * constant-size counter table (DocumentStreams.cmsCells). */
+  private[graft] def cmsSketch(w: DataFrame): DataFrame =
+    w.select(explode(cmsPositions(col("word"))).as("p"))
       .groupBy(col("p.j").as("j"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c"))
-    val candidates = w.groupBy(col("word"))
+
+  /** Top-10 estimate join: each candidate word reads its d cells from
+    * the (constant-size, legitimately broadcast) sketch and takes the
+    * min — the CMS point estimate. Exact counts ride along so the
+    * overestimate invariant stays visible. */
+  private[graft] def estimateTopK(w: DataFrame, sketch: DataFrame): DataFrame =
+    w.groupBy(col("word"))
       .agg(count(lit(1)).as("exact"))
-    candidates
       .select(col("word"), col("exact"),
-        explode(positions(col("word"))).as("p"))
+        explode(cmsPositions(col("word"))).as("p"))
       .join(broadcast(sketch),
         col("p.j") === col("j") && col("p.b") === col("b"))
       .groupBy(col("word"), col("exact"))
@@ -288,5 +379,4 @@ object TextAnalysis {
       .select(col("word"), col("est"), col("exact"))
       .orderBy(col("est").desc, col("word"))
       .limit(10)
-  }
 }

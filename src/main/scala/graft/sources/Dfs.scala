@@ -69,6 +69,55 @@ object Dfs {
     } finally out.close()
   }
 
+  // ---- Metadata ops (reference: hadoop-common/.../fs/shell/
+  // FsShellPermissions.java chmod/chown, SetReplication.java,
+  // Stat.java, Touch.java) — namenode-only calls, like the shell ----
+
+  /** chmod with an octal mode string ("640"); applies to the single
+    * path (the -R walk is listStatus + recursion, same as the shell). */
+  def chmod(path: String, octal: String): Unit = {
+    val (f, p) = fs(path)
+    f.setPermission(p, new org.apache.hadoop.fs.permission.FsPermission(
+      Integer.parseInt(octal, 8).toShort))
+  }
+
+  /** chown / chgrp: either may be null to leave it unchanged (the
+    * shell's `chown user:`, `chgrp group` forms). */
+  def chown(path: String, owner: String, group: String): Unit = {
+    val (f, p) = fs(path)
+    f.setOwner(p, owner, group)
+  }
+
+  /** setrep: request a new replication factor; returns whether the
+    * filesystem accepted it (local FS accepts and ignores — the
+    * contract is the FileSystem API call, as with the shell). */
+  def setrep(path: String, replication: Short): Boolean = {
+    val (f, p) = fs(path)
+    f.setReplication(p, replication)
+  }
+
+  /** stat: the fields `hadoop fs -stat %n %b %o %r %u %g %a %y` reads,
+    * from one getFileStatus call. */
+  case class Stat(name: String, isDir: Boolean, len: Long,
+      blockSize: Long, replication: Short, owner: String, group: String,
+      perm: String, mtimeMs: Long)
+
+  def stat(path: String): Stat = {
+    val (f, p) = fs(path)
+    val st = f.getFileStatus(p)
+    Stat(st.getPath.getName, st.isDirectory, st.getLen, st.getBlockSize,
+      st.getReplication, st.getOwner, st.getGroup,
+      st.getPermission.toString, st.getModificationTime)
+  }
+
+  /** touchz: create a zero-length file (fails if it exists, like the
+    * shell). */
+  def touchz(path: String): Unit = {
+    val (f, p) = fs(path)
+    require(!f.exists(p), s"touchz: $path already exists")
+    f.create(p, false).close()
+  }
+
   // ---- Trash / safe-delete (reference: hadoop-common/.../fs/
   // Trash.java, TrashPolicyDefault.java) -----------------------------
   //

@@ -53,6 +53,23 @@ object DocumentStreams {
       .dropDuplicates("fp")
       .select(col("doc_id"), col("fp"), col("n_tokens"))
 
+  /** Streaming count-min sketch over a document stream: tokens from
+    * each micro-batch fold into the same d x w = 8192 counter cells a
+    * batch build uses (graft.operators.TextAnalysis.cmsSketch — the
+    * IDENTICAL hash family and geometry, so the drained stream's
+    * sketch equals the batch sketch cell for cell). The streaming
+    * aggregation's state IS the counter table: at most 8192 rows no
+    * matter how many tokens flow through, so this runs forever on a
+    * 100 TB/day firehose with constant memory — the streaming analog
+    * of the reference's counters/combiners. Run it with
+    * outputMode("complete"); the sink always holds the current sketch. */
+  def cmsCells(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    graft.operators.TextAnalysis.cmsSketch(w)
+  }
+
   case class Deduped(doc_id: Long, fp: String)
 
   /** Exact dedup with BOUNDED state — the production answer to

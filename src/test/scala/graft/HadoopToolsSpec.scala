@@ -140,4 +140,30 @@ class HadoopToolsSpec extends AnyFunSuite {
     val pi = row.getLong(2) / 10000.0
     assert(math.abs(pi - math.Pi) < 0.02, s"pi estimate $pi")
   }
+
+  test("metadata ops: touchz/chmod/stat/setrep/chown complete the FsShell surface") {
+    import graft.sources.Dfs
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-meta-").toString
+    val f = root + "/zero.dat"
+    Dfs.touchz(f)
+    assert(Dfs.exists(f))
+    assert(intercept[IllegalArgumentException](Dfs.touchz(f))
+      .getMessage.contains("already exists"))
+    val st0 = Dfs.stat(f)
+    assert(!st0.isDir && st0.len == 0 && st0.name == "zero.dat")
+    assert(st0.blockSize > 0 && st0.mtimeMs > 0)
+    Dfs.chmod(f, "640")
+    assert(Dfs.stat(f).perm == "rw-r-----")
+    Dfs.chmod(f, "755")
+    assert(Dfs.stat(f).perm == "rwxr-xr-x")
+    // local FS accepts (and ignores) replication requests — the API
+    // contract the shell's setrep exercises
+    assert(Dfs.setrep(f, 3))
+    // chown to the current owner is the identity op every FS permits
+    val cur = Dfs.stat(f)
+    Dfs.chown(f, cur.owner, cur.group)
+    assert(Dfs.stat(f).owner == cur.owner)
+    Dfs.rm(root, recursive = true)
+  }
 }

@@ -171,4 +171,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect()(0).getInt(0)
     rows.foreach(r => assert(r.getLong(2) <= 256L * 1024 + maxDoc))
   }
+
+  test("langid: trigram profiles classify a mixed-language corpus, margin yields und") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog and runs into the forest looking for food"),
+      (2L, "fr", "le gouvernement de la république a annoncé que les enfants et les parents seraient invités"),
+      (3L, "de", "der schnelle braune fuchs springt über den faulen hund und die kinder sprechen in der schule"),
+      (4L, "es", "el gobierno de la república anunció que los niños y los padres hablan español en la escuela"),
+      (5L, "zh", "今天天气很好我们一起去公园散步然后回家吃饭"),
+      (6L, "und", "ok"), // too short for any signal -> no clear winner
+      (7L, "en", "it is going to rain and the wind is strong so we stay in the house"),
+      (8L, "fr", "il faut que nous allions chercher les lettres et les paquets de la poste"),
+      (9L, "de", "ich möchte ein buch über die geschichte und die sprache der deutschen lesen"),
+      (10L, "es", "quiero comprar las manzanas y los tomates en el mercado de la ciudad"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdOn(corpus).collect()
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"doc ${r.getLong(0)}: predicted ${r.getString(2)}, labeled ${r.getString(1)}")
+    }
+    // the confident predictions carry a real margin (>= 20% of top)
+    out.filter(_.getString(2) != "und").foreach { r =>
+      assert(5 * (r.getLong(3) - r.getLong(4)) >= r.getLong(3))
+    }
+  }
 }

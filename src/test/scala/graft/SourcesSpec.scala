@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import graft.operators.SourceOps
 import graft.sources.{Formats, Tables}
 
 class SourcesSpec extends AnyFunSuite {
@@ -417,5 +418,39 @@ class SourcesSpec extends AnyFunSuite {
     val leftovers = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith(".graft-staging"))
     assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.mkString(",")}")
+  }
+
+  test("setfile analog: keys-only table is sorted, membership flags match the data") {
+    import org.apache.spark.sql.functions._
+    val table = SourceOps.setFileTable(spark, sf)
+    // the staged run honors SetFile's contract: sorted keys, no values
+    val back = spark.read
+      .format(graft.sources.sequence.SequenceFileSource.NAME)
+      .load(table).collect()
+    assert(back.forall(_.getString(1).isEmpty), "SetFile values must be empty")
+    val keys = back.map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted && keys.distinct == keys)
+    val expect = keys.toSet
+    val got = SourceOps.setMembership(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SourceOps.SET_PROBES.foreach { p =>
+      assert(got(p) == (if (expect(p)) 1L else 0L), s"probe $p")
+    }
+  }
+
+  test("arrayfile analog: positional lookup equals the window-ranked answer") {
+    import org.apache.spark.sql.functions._
+    val got = SourceOps.arrayLookup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
+    val expect = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .filter(col("pos").isin(SourceOps.ARRAY_POSITIONS: _*))
+      .select("pos", "o_orderkey", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == expect && got.size == SourceOps.ARRAY_POSITIONS.size)
   }
 }

@@ -253,6 +253,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming heavy hitters: micro-batch CMS equals the batch sketch, state constant") {
+    // documents stream in as micro-batches (maxFilesPerTrigger=1 over a
+    // 4-file staging of the corpus); the streaming aggregation folds
+    // every batch into the constant d*w counter table. After the drain,
+    // the top-10 computed FROM THE STREAMED SKETCH must equal batch
+    // txt_heavy_hitters — sketch parity, not just top-k parity.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms-stream-").resolve("in").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.repartition(4).write.parquet(dir)
+    val q = graft.streaming.DocumentStreams.cmsCells(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream")
+      .start()
+    q.processAllAvailable()
+    // streaming state = the counter table itself: bounded by d*w cells
+    val stateRows = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      .headOption.getOrElse(-1L)
+    q.stop()
+    assert(stateRows > 0 && stateRows <= 4 * 2048,
+      s"CMS state not constant-bounded: $stateRows rows")
+    val streamedSketch = spark.table("cms_stream")
+    val w = graft.operators.TextAnalysis.words(docs)
+    val fromStream = graft.operators.TextAnalysis
+      .estimateTopK(w, streamedSketch).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("txt_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fromStream == batch)
+  }
+
   test("stateful sessionization equals batch q21") {
     val q = EventStreams.sessionize(EventStreams.readEvents(spark, sf))
       .writeStream.outputMode("append")
