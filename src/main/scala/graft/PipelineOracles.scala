@@ -47,11 +47,119 @@ object PipelineOracles {
       |    ELSE CAST(0 AS BIGINT) END AS h
       |FROM documents""".stripMargin
 
+  /** The IVF/k-means training chain (mirrors Similarity.trainedCells):
+    * deterministic 50% hash sample, label-seeded centroids, two Lloyd
+    * iterations with exact-integer M-steps and cell-id tie-broken
+    * E-steps, then the corpus-wide assignment to the trained cells.
+    * Shared by sim_knn_ivf (which probes it) and ml_kmeans (which
+    * audits it). Usable as `WITH $ivfTrainedCorpus, more AS (...)`. */
+  private val ivfTrainedCorpus: String =
+    """samp AS (
+      |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell
+      |  FROM embeddings
+      |  WHERE list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_extract_all(
+      |          md5('ivf-' || CAST(vec_id AS VARCHAR)), '(?s).'),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 2147483647) % 2 = 0),
+      |c0 AS (
+      |  SELECT cell,
+      |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
+      |      AS centroid
+      |  FROM (
+      |    SELECT cell, i,
+      |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+      |          AS BIGINT)) AS m
+      |    FROM samp CROSS JOIN generate_series(1, 64) g(i)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |a1 AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT s.vec_id, c.cell, s.embedding,
+      |      row_number() OVER (PARTITION BY s.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+      |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
+      |    FROM samp s CROSS JOIN c0 c)
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cell,
+      |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
+      |      AS centroid
+      |  FROM (
+      |    SELECT cell, i,
+      |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+      |          AS BIGINT)) AS m
+      |    FROM a1 CROSS JOIN generate_series(1, 64) g(i)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |a2 AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT s.vec_id, c.cell, s.embedding,
+      |      row_number() OVER (PARTITION BY s.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+      |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
+      |    FROM samp s CROSS JOIN c1 c)
+      |  WHERE rn = 1),
+      |c2 AS (
+      |  SELECT cell,
+      |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
+      |      AS centroid
+      |  FROM (
+      |    SELECT cell, i,
+      |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+      |          AS BIGINT)) AS m
+      |    FROM a2 CROSS JOIN generate_series(1, 64) g(i)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |corpus AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
+      |    FROM embeddings e CROSS JOIN c2 c)
+      |  WHERE rn = 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Dedup.incremental: the doc_id ≡ 0 (mod 5) batch deduped
+    // against the rest-of-corpus fingerprint set, then first-of-fp
+    // within the batch; single-row admission audit record.
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |fresh AS (
+        |  SELECT b.doc_id, b.fp FROM batch b
+        |  LEFT JOIN corpus c ON b.fp = c.fp WHERE c.fp IS NULL),
+        |admitted AS (
+        |  SELECT fp, min(doc_id) AS keep_id FROM fresh GROUP BY fp)
+        |SELECT
+        |  (SELECT count(*) FROM batch) AS batch_size,
+        |  (SELECT count(*) FROM batch) - (SELECT count(*) FROM fresh)
+        |    AS n_dup_vs_corpus,
+        |  (SELECT count(*) FROM fresh) - (SELECT count(*) FROM admitted)
+        |    AS n_dup_in_batch,
+        |  (SELECT count(*) FROM admitted) AS n_admitted,
+        |  (SELECT CAST(coalesce(sum(keep_id), 0) AS BIGINT) FROM admitted)
+        |    AS admitted_id_sum""".stripMargin,
+
+    // Mirrors Similarity.kmeansClusters: per-cell audit of the SAME
+    // trained corpus assignment sim_knn_ivf probes.
+    "ml_kmeans" ->
+      s"""WITH $ivfTrainedCorpus
+         |SELECT cell, count(*) AS n_vecs,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+         |FROM corpus GROUP BY cell ORDER BY cell""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingles),
@@ -305,72 +413,7 @@ object PipelineOracles {
     // cell id, so both engines replay identical training. Corpus-wide
     // assignment to the trained cells, nprobe=3 probe, exact re-rank.
     "sim_knn_ivf" ->
-      """WITH samp AS (
-        |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell
-        |  FROM embeddings
-        |  WHERE list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_extract_all(
-        |          md5('ivf-' || CAST(vec_id AS VARCHAR)), '(?s).'),
-        |          c -> CAST(unicode(c) AS BIGINT))),
-        |      (h, c) -> (h * 31 + c) % 2147483647) % 2 = 0),
-        |c0 AS (
-        |  SELECT cell,
-        |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
-        |      AS centroid
-        |  FROM (
-        |    SELECT cell, i,
-        |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
-        |          AS BIGINT)) AS m
-        |    FROM samp CROSS JOIN generate_series(1, 64) g(i)
-        |    GROUP BY 1, 2)
-        |  GROUP BY 1),
-        |a1 AS (
-        |  SELECT vec_id, cell, embedding FROM (
-        |    SELECT s.vec_id, c.cell, s.embedding,
-        |      row_number() OVER (PARTITION BY s.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-        |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
-        |    FROM samp s CROSS JOIN c0 c)
-        |  WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cell,
-        |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
-        |      AS centroid
-        |  FROM (
-        |    SELECT cell, i,
-        |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
-        |          AS BIGINT)) AS m
-        |    FROM a1 CROSS JOIN generate_series(1, 64) g(i)
-        |    GROUP BY 1, 2)
-        |  GROUP BY 1),
-        |a2 AS (
-        |  SELECT vec_id, cell, embedding FROM (
-        |    SELECT s.vec_id, c.cell, s.embedding,
-        |      row_number() OVER (PARTITION BY s.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-        |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
-        |    FROM samp s CROSS JOIN c1 c)
-        |  WHERE rn = 1),
-        |c2 AS (
-        |  SELECT cell,
-        |    list_transform(list(m ORDER BY i), v -> CAST(v AS FLOAT))
-        |      AS centroid
-        |  FROM (
-        |    SELECT cell, i,
-        |      sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
-        |          AS BIGINT)) AS m
-        |    FROM a2 CROSS JOIN generate_series(1, 64) g(i)
-        |    GROUP BY 1, 2)
-        |  GROUP BY 1),
-        |corpus AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
-        |    FROM embeddings e CROSS JOIN c2 c)
-        |  WHERE rn = 1),
+      s"""WITH $ivfTrainedCorpus,
         |probed AS (
         |  SELECT q_id, cell FROM (
         |    SELECT q.vec_id AS q_id, c.cell,

@@ -317,5 +317,28 @@ object RelationalOracles {
          |  CAST(sum(${c("o_totalprice")}) AS BIGINT) AS total_cents
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY 1, 2""".stripMargin,
+
+    "q33_order_gaps" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  count(gap_days) AS n_gaps,
+        |  CAST(coalesce(sum(gap_days), 0) AS BIGINT) AS sum_gap_days,
+        |  CAST(coalesce(max(gap_days), 0) AS BIGINT) AS max_gap_days
+        |FROM (SELECT o_custkey,
+        |    CAST(datediff('day',
+        |      CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey))
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q34_grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+         |  coalesce(o_orderpriority, '(all)') AS priority,
+         |  count(*) AS cnt,
+         |  CAST(sum(${c("o_totalprice")}) AS BIGINT) AS total_cents
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -115,6 +115,40 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("fp"))
 
+  /** INCREMENTAL dedup — the production shape of exact(): a newly
+    * arriving batch (docs with doc_id ≡ 0 mod 5, ~20% of the corpus —
+    * a deterministic stand-in for "today's crawl") is deduplicated
+    * against the ALREADY-INDEXED corpus (the other 80%) without ever
+    * re-scanning corpus content: one left-anti join of batch
+    * fingerprints against corpus fingerprints (both sides reduced to
+    * 16-byte fps before the shuffle), then a within-batch first-of-fp
+    * groupBy. At 100 TB the corpus fp set is a materialized table
+    * that only ever grows by admitted batches — each delivery costs
+    * one batch-scale scan plus one fp-keyed join, never a full-corpus
+    * recompute (the batch twin of DocumentStreams.ingestDedupTtl's
+    * horizon contract, with an unbounded exact horizon). Emits the
+    * admission audit record: batch size, dups-vs-corpus,
+    * within-batch dups, admitted count + id checksum. */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(lower(trim(col("text"))).cast("binary"))
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), fp.as("fp"))
+    val corpusFps = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(fp.as("fp")).distinct()
+    val fresh = batch.join(corpusFps, Seq("fp"), "left_anti")
+    val admitted = fresh.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    batch.agg(count(lit(1)).as("batch_size"))
+      .crossJoin(fresh.agg(count(lit(1)).as("n_fresh")))
+      .crossJoin(admitted.agg(count(lit(1)).as("n_admitted"),
+        coalesce(sum(col("keep_id")), lit(0L)).as("admitted_id_sum")))
+      .select(col("batch_size"),
+        (col("batch_size") - col("n_fresh")).as("n_dup_vs_corpus"),
+        (col("n_fresh") - col("n_admitted")).as("n_dup_in_batch"),
+        col("n_admitted"), col("admitted_id_sum"))
+  }
+
   /** Quality-aware survivorship: within each exact-duplicate group,
     * keep the HIGHEST-QUALITY copy (longest n_chars, then smallest
     * doc_id) instead of exact()'s min-id rule — the canonical-selection

@@ -604,4 +604,46 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
         col("cnt"), col("total_cents"))
       .orderBy(col("status"), col("priority"))
+
+  /** Inter-order gap profile per customer — the lag() window family
+    * (q11 covered ranking, q24/q30 frames; this is offset access).
+    * gap_i = days between order i and i−1 in (date, orderkey) order;
+    * one customer-keyed shuffle, gaps computed row-local within the
+    * partition, then the same-keyed aggregate reuses the partitioning
+    * (no second exchange). Day arithmetic on DATE-truncated
+    * timestamps — integers on both engines. */
+  def q33OrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("gap_days",
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("gap_days")).as("n_gaps"),
+        coalesce(sum(col("gap_days")), lit(0L)).as("sum_gap_days"),
+        coalesce(max(col("gap_days")), lit(0L)).as("max_gap_days"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Explicit GROUPING SETS — the shape rollup (q12) and cube (q22)
+    * can't express: exactly the two one-dimensional marginals plus the
+    * grand total, skipping the (status, priority) cross — through the
+    * SQL text interface, like sql_pricing_summary. At scale this is
+    * ONE pass with grouping-id expansion (3 copies of each row's
+    * grouping columns, partial-aggregated map-side), not three unioned
+    * scans. */
+  def q34GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, '(all)') AS status,
+        coalesce(o_orderpriority, '(all)') AS priority,
+        count(*) AS cnt,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+      FROM graft_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  }
 }

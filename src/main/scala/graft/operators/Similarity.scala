@@ -180,6 +180,25 @@ object Similarity {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
       trainedCentroids(s, d))
 
+  /** K-means clustering of the embedding corpus as a first-class
+    * operator — the semantic-diversity / topic-bucketing primitive a
+    * training-data pipeline runs before sampling (cluster then
+    * stratify), exposing the SAME trained cells knnIvf probes. Scale
+    * shape: training touches only the deterministic 50% sample
+    * (constant-size centroid state, broadcast every round), the
+    * corpus-wide assignment is one broadcast-join pass, and the
+    * output is cell-scale. Emits per-cluster size + id bounds +
+    * checksum — the audit record that pins the full assignment
+    * without shipping vectors. */
+  def kmeansClusters(s: SparkSession, d: String): DataFrame =
+    trainedCells(s, d)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"),
+        sum(col("vec_id")).as("id_checksum"))
+      .orderBy(col("cell"))
+
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 3
     val c2 = trainedCentroids(s, d)

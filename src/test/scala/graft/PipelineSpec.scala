@@ -89,6 +89,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(moved > 0, "two Lloyd rounds left every assignment on its seed label")
   }
 
+  test("incremental dedup audit identities hold and match a direct recount") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("dedup_incremental")(spark, sf).collect()(0)
+    val (batch, dupCorpus, dupBatch, admitted, idSum) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(batch == dupCorpus + dupBatch + admitted,
+      "admission accounting does not partition the batch")
+    // direct recount on the 500-doc corpus
+    val fps = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val (b, c) = fps.partition(_._1 % 5 == 0)
+    val corpusSet = c.map(_._2).toSet
+    val freshRows = b.filterNot(x => corpusSet(x._2))
+    val admittedIds = freshRows.groupBy(_._2).values.map(_.map(_._1).min)
+    assert(batch == b.length && dupCorpus == b.length - freshRows.length)
+    assert(admitted == admittedIds.size && idSum == admittedIds.sum)
+  }
+
+  test("kmeans clustering partitions the whole corpus, checksums included") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("ml_kmeans")(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n,
+      "cluster sizes do not partition the corpus")
+    // every vec_id counted exactly once: checksums sum to 0+1+...+n-1
+    assert(rows.map(_.getLong(4)).sum == n * (n - 1) / 2)
+    // the audit is over the SAME assignment knnIvf probes
+    val direct = Similarity.trainedCells(spark, sf)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(direct(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("exact dedup groups every document exactly once") {
     val total = Dedup.exact(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("n_dups")).collect()(0).getLong(0)

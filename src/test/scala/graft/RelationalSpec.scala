@@ -75,6 +75,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q33: per-customer gap accounting is internally consistent") {
+    val rows = SparkEntry.queries("q33_order_gaps")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) - 1,
+        s"customer ${r.getLong(0)}: n_gaps != n_orders - 1")
+      // gaps are day differences in ascending date order: non-negative,
+      // and the sum dominates the max
+      assert(r.getLong(4) >= 0 && r.getLong(3) >= r.getLong(4))
+    }
+    // all orders accounted for
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("q34: grouping sets emit exactly the two marginals plus the grand total") {
+    val rows = SparkEntry.queries("q34_grouping_sets")(spark, sf).collect()
+    val status = rows.filter(r =>
+      r.getString(0) != "(all)" && r.getString(1) == "(all)")
+    val prio = rows.filter(r =>
+      r.getString(0) == "(all)" && r.getString(1) != "(all)")
+    val grand = rows.filter(r =>
+      r.getString(0) == "(all)" && r.getString(1) == "(all)")
+    assert(grand.length == 1, "exactly one grand-total row")
+    // no (status, priority) cross cells — the set rollup/cube can't skip
+    assert(status.length + prio.length + 1 == rows.length)
+    val total = grand(0).getLong(2)
+    assert(status.map(_.getLong(2)).sum == total)
+    assert(prio.map(_.getLong(2)).sum == total)
+    assert(status.map(_.getLong(3)).sum == grand(0).getLong(3))
+    assert(prio.map(_.getLong(3)).sum == grand(0).getLong(3))
+  }
+
   test("every query key has a DuckDB oracle (no rows-only queries left)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
