@@ -332,6 +332,20 @@ object RelationalOracles {
         |    ORDER BY o_orderdate, o_orderkey))
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
+    "q35_above_class_avg" ->
+      """SELECT o_orderpriority, count(*) AS n_above,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS above_cents
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+        |    (SELECT count(*) FROM orders i
+        |     WHERE i.o_orderpriority = o.o_orderpriority)
+        |  > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+        |     FROM orders i
+        |     WHERE i.o_orderpriority = o.o_orderpriority)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q34_grouping_sets" ->
       s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
          |  coalesce(o_orderpriority, '(all)') AS priority,

@@ -646,4 +646,29 @@ object Relational {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY status, priority""")
   }
+
+  /** Correlated scalar subqueries — orders priced above their
+    * priority class's average. The naive form compares against
+    * avg(double), whose accumulation order is nondeterministic; this
+    * is the exact-integer algebra instead (cents · n > sum_cents), so
+    * membership can never flip. Catalyst DECORRELATES the two
+    * correlated aggregates into one per-class aggregate joined back
+    * (PlansSpec pins: no nested-loop per-row re-scan survives) — at
+    * 100 TB the subquery costs one extra class-keyed aggregate, not
+    * |orders| re-scans. */
+  def q35AboveClassAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n_above,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS above_cents
+      FROM graft_orders o
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+          (SELECT count(*) FROM graft_orders i
+           WHERE i.o_orderpriority = o.o_orderpriority)
+        > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+           FROM graft_orders i
+           WHERE i.o_orderpriority = o.o_orderpriority)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
 }

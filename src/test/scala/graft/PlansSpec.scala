@@ -133,6 +133,43 @@ class PlansSpec extends AnyFunSuite {
       s"q5 must hint only nation+region, found $hints broadcast marks:\n${l5.take(800)}")
   }
 
+  test("q33 computes gaps and aggregates in ONE customer-keyed shuffle") {
+    val df = SparkEntry.queries("q33_order_gaps")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the lag window and the groupBy share the o_custkey partitioning;
+    // a second hash exchange on the same key means the reuse broke
+    val keyed = "(?m)Exchange hashpartitioning\\(o_custkey".r
+      .findAllIn(plan).size
+    assert(keyed == 1,
+      s"expected 1 customer-keyed exchange, found $keyed:\n${plan.take(900)}")
+  }
+
+  test("q35's correlated subqueries decorrelate: no per-row re-scan loop") {
+    val df = SparkEntry.queries("q35_above_class_avg")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // Catalyst must rewrite the scalar subqueries into aggregate+join;
+    // a surviving nested-loop over orders-per-row is the O(n²) failure
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated subquery not decorrelated:\n${plan.take(900)}")
+  }
+
+  test("incremental dedup ships fingerprints, not documents, through the anti-join") {
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus side must reduce to its fp column before any exchange:
+    // no `text#` may appear in an Exchange's output schema
+    val shuffledText = "(?m)^.*Exchange.*text#.*$".r.findAllIn(plan).toSeq
+    assert(shuffledText.isEmpty,
+      s"document text crossed a shuffle:\n${shuffledText.mkString("\n")}")
+  }
+
   test("heavy hitters broadcasts the constant-size sketch, never the stream") {
     val df = SparkEntry.queries("txt_heavy_hitters")(spark, sf)
     df.collect()
