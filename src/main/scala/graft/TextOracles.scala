@@ -194,6 +194,49 @@ object TextOracles {
       """SELECT doc_id, md5(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "txt_source_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT)) AS BIGINT) AS total_tokens,
+        |    count(DISTINCT md5(lower(trim(text)))) AS n_distinct
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |  CAST((10000 * total_tokens) //
+        |    CAST((SELECT sum(total_tokens) FROM per) AS BIGINT)
+        |    AS BIGINT) AS token_share_bps,
+        |  CAST((10000 * (n_docs - n_distinct)) // n_docs AS BIGINT)
+        |    AS dup_bps
+        |FROM per ORDER BY source""".stripMargin,
+
+    "txt_pack_sequences" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+        |pre AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM sized),
+        |spans AS (
+        |  SELECT n_tok, cum - n_tok AS st, cum,
+        |    (cum - n_tok) // 2048 AS seq_lo, (cum - 1) // 2048 AS seq_hi
+        |  FROM pre),
+        |ex AS (
+        |  SELECT st, cum, seq_lo, seq_hi,
+        |    unnest(generate_series(seq_lo, seq_hi)) AS seq_id
+        |  FROM spans)
+        |SELECT seq_id, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN seq_lo = seq_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_full_docs,
+        |  CAST(sum(CASE WHEN seq_lo <> seq_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_straddlers,
+        |  CAST(sum(least(cum, (seq_id + 1) * 2048) -
+        |           greatest(st, seq_id * 2048)) AS BIGINT) AS tokens_filled
+        |FROM ex GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
     // '(?s).' (dotall) so newline codepoints enter the fold exactly
     // like the Spark RollingHash, which iterates every codepoint
     "txt_rolling_fp" ->

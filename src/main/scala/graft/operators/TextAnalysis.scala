@@ -317,6 +317,76 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy(col("bucket"))
 
+  /** Data-mixing audit per source — the mixture table every training
+    * run publishes before sampling weights are chosen: per-source doc
+    * and token counts, the token share in basis points, and the
+    * within-source exact-duplicate rate (distinct fingerprints vs
+    * docs). One source-keyed aggregate plus a single-row corpus total
+    * broadcast back — source cardinality is catalog-scale, so the
+    * whole output is tiny at any SF. */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("fp")).as("n_distinct"))
+    val total = perSource.agg(sum(col("total_tokens")).as("corpus_tokens"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("(10000 * total_tokens) div corpus_tokens").as("token_share_bps"),
+        expr("(10000 * (n_docs - n_distinct)) div n_docs").as("dup_bps"))
+      .orderBy(col("source"))
+  }
+
+  /** Concat-and-chunk sequence packing — the sample-construction step
+    * of LLM training: the corpus token stream (docs in doc_id order)
+    * is cut into fixed 2048-token training sequences; docs straddle
+    * boundaries. Per sequence: docs touching it, docs fully inside,
+    * straddlers, tokens filled. The global token prefix sum runs as
+    * the TWO-LEVEL distributed scan (per-bucket totals → bucket-scale
+    * running offset → within-bucket window), the same pattern as
+    * mm_shard_manifest — never a single-partition global window; the
+    * boundary-range explode is row-local (a doc touches
+    * ceil(n/B)+1 ≤ 2-3 sequences at B=2048). */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val B = 2048L
+    import org.apache.spark.sql.expressions.Window
+    val sized = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", expr("doc_id div 1000"))
+    val offsets = sized.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    sized.join(offsets, "bucket")
+      .withColumn("cum", col("off") + sum(col("n_tok")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("start", col("cum") - col("n_tok"))
+      .withColumn("seq_lo", expr(s"start div $B"))
+      .withColumn("seq_hi", expr(s"(cum - 1) div $B"))
+      .select(col("n_tok"), col("start"), col("cum"),
+        col("seq_lo"), col("seq_hi"),
+        explode(expr("sequence(seq_lo, seq_hi)")).as("seq_id"))
+      .withColumn("filled",
+        least(col("cum"), (col("seq_id") + 1) * B) -
+          greatest(col("start"), col("seq_id") * B))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("seq_lo") === col("seq_hi"), 1L).otherwise(0L))
+          .as("n_full_docs"),
+        sum(when(col("seq_lo") =!= col("seq_hi"), 1L).otherwise(0L))
+          .as("n_straddlers"),
+        sum(col("filled")).as("tokens_filled"))
+      .orderBy(col("seq_id"))
+  }
+
   /** Count-min-sketch geometry: d=4 hash rows x w=2048 counters — a
     * 64 KB sketch regardless of corpus size. */
   private val CmsD = 4

@@ -172,6 +172,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) <= 256L * 1024 + maxDoc))
   }
 
+  test("source mix: shares total ~10000 bps, dup rates bounded, all docs counted") {
+    val rows = SparkEntry.queries("txt_source_mix")(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == docs)
+    // integer-div shares undershoot: total in (10000 - n_sources, 10000]
+    val share = rows.map(_.getLong(3)).sum
+    assert(share <= 10000 && share > 10000 - rows.length,
+      s"token shares sum to $share bps")
+    rows.foreach(r => assert(r.getLong(4) >= 0 && r.getLong(4) < 10000))
+  }
+
+  test("sequence packing: every sequence full except the last, tokens conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("txt_pack_sequences")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    // contiguous ids from 0
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq)
+    // concat-and-chunk leaves no holes: all but the last exactly 2048
+    rows.init.foreach(r => assert(r.getLong(4) == 2048L,
+      s"sequence ${r.getLong(0)} not full: ${r.getLong(4)}"))
+    assert(rows.last.getLong(4) <= 2048L)
+    // token conservation: filled tokens = corpus tokens
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(4)).sum == corpus)
+    // straddler accounting: a doc is full in exactly one sequence
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+  }
+
   test("langid: trigram profiles classify a mixed-language corpus, margin yields und") {
     import spark.implicits._
     val corpus = Seq(
