@@ -82,6 +82,12 @@ object SourceOracles {
         |    (h, k) -> (h * 31 + k) % 2147483647) AS key_chain
         |FROM orders""".stripMargin,
 
+    "src_avro_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_set_membership" -> {
       val probes = graft.operators.SourceOps.SET_PROBES
         .map(p => s"(CAST($p AS BIGINT))").mkString(", ")

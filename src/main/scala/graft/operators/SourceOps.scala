@@ -47,6 +47,25 @@ object SourceOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** documents -> Avro data files (MR AvroKey formats, reference
+    * io/serializer/avro/AvroSerialization.java) -> read -> per-lang
+    * totals; any fidelity loss in the schema'd record hop fails the
+    * parquet-side oracle. */
+  def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch("graft-avro-")
+    Formats.writeAvro(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      path)
+    Formats.readAvro(s, path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
   /** part -> ORC -> read -> per-brand stats. */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = scratch("graft-orc-")

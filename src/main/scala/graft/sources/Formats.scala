@@ -66,6 +66,67 @@ object Formats {
       .toDF("doc_id", "text")
   }
 
+  /** Avro data files through the MR AvroKey formats — the reference's
+    * Avro serializer surface (hadoop-common io/serializer/avro/
+    * AvroSerialization.java: Avro records as first-class MR
+    * key/values): schema'd records in a splittable, sync-marked
+    * container. Schema objects and GenericRecords are NOT
+    * java-serializable, so the schema travels as its JSON string and
+    * is re-parsed inside each partition; field values are reduced to
+    * primitives in the same map that sees the (reused) record. */
+  private val avroDocSchema =
+    """{"type":"record","name":"Doc","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"lang","type":"string"},
+      |{"name":"n_chars","type":"long"}]}""".stripMargin
+
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    val schemaStr = avroDocSchema
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    org.apache.avro.mapreduce.AvroJob.setOutputKeySchema(job,
+      new org.apache.avro.Schema.Parser().parse(schemaStr))
+    df.select(col("doc_id").cast("long"), col("lang"),
+        col("n_chars").cast("long"))
+      .rdd.mapPartitions { it =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaStr)
+        it.map { r =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("doc_id", r.getLong(0))
+          rec.put("lang", r.getString(1))
+          rec.put("n_chars", r.getLong(2))
+          (new org.apache.avro.mapred.AvroKey[
+             org.apache.avro.generic.GenericRecord](rec),
+           org.apache.hadoop.io.NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(path,
+        classOf[org.apache.avro.mapred.AvroKey[
+          org.apache.avro.generic.GenericRecord]],
+        classOf[org.apache.hadoop.io.NullWritable],
+        classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[
+          org.apache.avro.generic.GenericRecord]],
+        job.getConfiguration)
+  }
+
+  def readAvro(s: SparkSession, path: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    s.sparkContext.newAPIHadoopFile(path,
+      classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[
+        org.apache.avro.generic.GenericRecord]],
+      classOf[org.apache.avro.mapred.AvroKey[
+        org.apache.avro.generic.GenericRecord]],
+      classOf[org.apache.hadoop.io.NullWritable])
+      .map { case (k, _) =>
+        val rec = k.datum() // extract NOW: the reader reuses the key
+        (rec.get("doc_id").asInstanceOf[Long],
+          rec.get("lang").toString,
+          rec.get("n_chars").asInstanceOf[Long])
+      }
+      .toDF("doc_id", "lang", "n_chars")
+  }
+
   /** Columnar ORC (the other Hadoop-ecosystem columnar container). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)

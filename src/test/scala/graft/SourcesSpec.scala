@@ -420,6 +420,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.mkString(",")}")
   }
 
+  test("avro round-trip preserves every record and field") {
+    val path = Files.createTempDirectory("graft-avro-spec-")
+      .resolve("t").toString
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Formats.writeAvro(src, path)
+    val back = Formats.readAvro(spark, path)
+    assert(back.count() == 500)
+    // field-exact: anti-join both ways is empty
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // the container really is Avro data files (magic header "Obj\x01")
+    val part = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val head = java.nio.file.Files.readAllBytes(part.toPath).take(4)
+    assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)),
+      "output is not an Avro object container file")
+  }
+
   test("setfile analog: keys-only table is sorted, membership flags match the data") {
     import org.apache.spark.sql.functions._
     val table = SourceOps.setFileTable(spark, sf)
