@@ -215,7 +215,7 @@ object TextOracles {
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |      AS n_tok
         |  FROM documents
-        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+        |  WHERE trim(text) <> ''),
         |pre AS (
         |  SELECT doc_id, n_tok,
         |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum

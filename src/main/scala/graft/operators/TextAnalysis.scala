@@ -87,7 +87,10 @@ object TextAnalysis {
   private[graft] def langScoreSql(lang: String): String =
     LANG_PROFILES(lang)
       .map { case (g, w) =>
-        s"$w * (length(pad) - length(replace(pad, '$g', '')))" }
+        // 64-bit: Spark's length() is Int and a huge doc (tens of MB)
+        // would wrap a 32-bit score; DuckDB is BIGINT natively, so the
+        // cast keeps BOTH engines in the same arithmetic.
+        s"$w * (CAST(length(pad) AS BIGINT) - length(replace(pad, '$g', '')))" }
       .mkString(" + ")
 
   /** Shared argmax/margin fragments over columns s_de..s_zh. Argmax
@@ -119,7 +122,7 @@ object TextAnalysis {
       .foldLeft(base)((df, l) => df.withColumn(s"s_$l", expr(langScoreSql(l))))
       // CJK count: Java regex class with the actual range chars (the
       // oracle writes the same class in RE2 \x{...} syntax)
-      .withColumn("s_zh", lit(12) * (length(col("text")) -
+      .withColumn("s_zh", lit(12L) * (length(col("text")).cast("long") -
         length(regexp_replace(col("text"), "[一-鿿]", ""))))
     scored
       .withColumn("top_score", expr(langTopSql))
@@ -355,8 +358,12 @@ object TextAnalysis {
     val B = 2048L
     import org.apache.spark.sql.expressions.Window
     val sized = Tables.documents(s, d)
+      // real empty-doc guard: split('', '\s+') yields [''] (size 1),
+      // so a token-count filter can never fire — exclude on the text
+      // itself (mirrored in the oracle) so empty/whitespace-only docs
+      // contribute no phantom token to the stream.
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
-      .filter(col("n_tok") > 0)
       .withColumn("bucket", expr("doc_id div 1000"))
     val offsets = sized.groupBy(col("bucket"))
       .agg(sum(col("n_tok")).as("bt"))
