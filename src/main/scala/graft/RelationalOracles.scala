@@ -288,6 +288,39 @@ object RelationalOracles {
         |    FROM orders))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors Relational.q36SampledDeciles: identical md5-fold hash
+    // sample (mod 20), ntile boundaries of the SAMPLE only, strict
+    // b < cents bucket assignment (ties to the lower bucket).
+    "q36_sampled_deciles" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |  FROM orders),
+        |samp AS (
+        |  SELECT * FROM o
+        |  WHERE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('dec-' || CAST(o_orderkey AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647) % 20 = 0),
+        |tiles AS (
+        |  SELECT total_cents,
+        |    ntile(10) OVER (ORDER BY total_cents, o_orderkey) AS tile
+        |  FROM samp),
+        |bounds AS (
+        |  SELECT max(total_cents) AS b FROM tiles
+        |  WHERE tile < 10 GROUP BY tile),
+        |assigned AS (
+        |  SELECT total_cents,
+        |    1 + (SELECT count(*) FROM bounds WHERE b < o.total_cents)
+        |      AS bucket
+        |  FROM o)
+        |SELECT bucket, count(*) AS n_orders,
+        |  min(total_cents) AS min_cents, max(total_cents) AS max_cents,
+        |  CAST(sum(total_cents) AS BIGINT) AS sum_cents
+        |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q26_min_per_group" ->
       s"""SELECT l_partkey, min(l_orderkey) AS first_orderkey,
          |  count(*) AS n_at_min,

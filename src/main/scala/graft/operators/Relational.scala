@@ -481,6 +481,46 @@ object Relational {
         sum(col("total_cents")).as("sum_cents"))
       .orderBy(col("decile"))
 
+  /** q31's 100 TB form — SAMPLED-boundary deciles (the executable
+    * variant of the scale note on [[q31Deciles]]): decile boundaries
+    * come from a deterministic 5% hash sample (md5-fold mod 20, the
+    * oracle-mirrorable stand-in for TeraSort's InputSampler /
+    * Spark's RangePartitioner reservoir), so the FULL data is never
+    * globally sorted — the only total-order sort in the plan is over
+    * the sample (bounded: production caps the sample size, exactly
+    * like the reference's partition-file sampler in
+    * hadoop-common/.../mapreduce/lib/partition/InputSampler.java:1).
+    * The 9 boundary values collapse to ONE array row, broadcast, and
+    * every row buckets map-side by counting boundaries below it —
+    * rows tied with a boundary go to the lower bucket, so membership
+    * is deterministic on both engines. Bucket sizes are approximate
+    * (that is the trade); RelationalSpec bounds the skew vs the
+    * exact q31 form and PlansSpec pins that no full-data global sort
+    * survives. */
+  def q36SampledDeciles(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+    val samp = o.filter(
+      graft.functions.RollingHash.rollingHash(
+        md5(concat(lit("dec-"), col("o_orderkey").cast("string"))
+          .cast("binary"))) % 20 === 0)
+    val bounds = samp
+      .withColumn("tile", ntile(10).over(
+        Window.orderBy(col("total_cents"), col("o_orderkey"))))
+      .filter(col("tile") < 10)
+      .groupBy(col("tile")).agg(max(col("total_cents")).as("b"))
+      .agg(array_sort(collect_list(col("b"))).as("bs"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        "1 + aggregate(bs, 0L, (acc, b) -> acc + IF(total_cents > b, 1L, 0L))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("total_cents")).as("min_cents"),
+        max(col("total_cents")).as("max_cents"),
+        sum(col("total_cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
   /** The SQL-surface twin of q1: the identical query through
     * `spark.sql` over a registered view — parser → analyzer →
     * the same Catalyst plan, proving the TEXT interface reaches full
@@ -488,8 +528,8 @@ object Relational {
     * arrive via SQL strings as often as via APIs). Must stay
     * bit-identical to q1_pricing_summary AND the oracle. */
   def sqlPricingSummary(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
-    s.sql("""
+    val v = viewFor("graft_lineitem", Tables.lineitem(s, d), d)
+    s.sql(s"""
       SELECT l_returnflag, l_linestatus,
         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         sum(CAST(round(l_extendedprice * 100) AS BIGINT))
@@ -500,7 +540,7 @@ object Relational {
         count(*) AS cnt,
         CAST(CAST(sum(l_quantity) AS BIGINT) AS DOUBLE) / count(*)
           AS avg_qty
-      FROM graft_lineitem
+      FROM $v
       WHERE l_shipdate <= TIMESTAMP '2001-09-01'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")
@@ -636,13 +676,13 @@ object Relational {
     * grouping columns, partial-aggregated map-side), not three unioned
     * scans. */
   def q34GroupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    s.sql("""
+    val v = viewFor("graft_orders_gs", Tables.orders(s, d), d)
+    s.sql(s"""
       SELECT coalesce(o_orderstatus, '(all)') AS status,
         coalesce(o_orderpriority, '(all)') AS priority,
         count(*) AS cnt,
         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
-      FROM graft_orders
+      FROM $v
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY status, priority""")
   }
@@ -657,18 +697,30 @@ object Relational {
     * 100 TB the subquery costs one extra class-keyed aggregate, not
     * |orders| re-scans. */
   def q35AboveClassAvg(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    s.sql("""
+    val v = viewFor("graft_orders_aca", Tables.orders(s, d), d)
+    s.sql(s"""
       SELECT o_orderpriority, count(*) AS n_above,
         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS above_cents
-      FROM graft_orders o
+      FROM $v o
       WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
-          (SELECT count(*) FROM graft_orders i
+          (SELECT count(*) FROM $v i
            WHERE i.o_orderpriority = o.o_orderpriority)
         > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
-           FROM graft_orders i
+           FROM $v i
            WHERE i.o_orderpriority = o.o_orderpriority)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""")
+  }
+
+  /** Register `df` under a name unique per (query, input dir), so
+    * concurrent runs of the SQL-text queries against DIFFERENT data
+    * dirs cannot race on a shared view name (two calls with the same
+    * (prefix, dir) re-register an identical frame — benign). */
+  private def viewFor(prefix: String, df: DataFrame, d: String): String = {
+    val name = prefix + "_" + java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(d.getBytes)
+        .getMostSignificantBits & Long.MaxValue)
+    df.createOrReplaceTempView(name)
+    name
   }
 }

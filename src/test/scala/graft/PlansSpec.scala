@@ -146,6 +146,32 @@ class PlansSpec extends AnyFunSuite {
       s"expected 1 customer-keyed exchange, found $keyed:\n${plan.take(900)}")
   }
 
+  test("q36's only global sort is over the sample; full data never totally orders") {
+    val df = SparkEntry.queries("q36_sampled_deciles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly one ntile window, and its subtree (between the Window
+    // node and its scan) must contain the hash-sample filter — the
+    // single-partition sort ntile needs only ever sees sample rows
+    assert("ntile\\(10".r.findAllIn(plan).nonEmpty, s"no ntile window:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0)
+    val below = plan.substring(winIdx)
+    val scanIdx = Seq(below.indexOf("Scan parquet"), below.indexOf("FileScan"))
+      .filter(_ >= 0).minOption.getOrElse(-1)
+    assert(scanIdx > 0, s"no scan under the window:\n${below.take(600)}")
+    assert(below.substring(0, scanIdx).contains("rolling_hash"),
+      "ntile window is not fed by the hash sample:\n" +
+        below.substring(0, scanIdx))
+    // any OTHER global sort may only order the bucket-scale output
+    // (10 rows), never the raw data
+    val badGlobalSorts =
+      "(?m)Sort \\[(?!bucket)[^\\]]*\\], true, 0".r.findAllIn(plan).toList
+    assert(badGlobalSorts.isEmpty,
+      s"full-data global sort survives: $badGlobalSorts")
+  }
+
   test("q35's correlated subqueries decorrelate: no per-row re-scan loop") {
     val df = SparkEntry.queries("q35_above_class_avg")(spark, sf)
     df.collect()

@@ -107,6 +107,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(prio.map(_.getLong(3)).sum == grand(0).getLong(3))
   }
 
+  test("sampled deciles: full coverage, bounded skew vs the exact form") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q36_sampled_deciles")(spark, sf).collect()
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    // partition: 10 buckets, every order in exactly one
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).sum == n)
+    // value ranges are disjoint and ordered (bucket i's max < i+1's min)
+    rows.sortBy(_.getLong(0)).sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) < b.getLong(2),
+        s"bucket ${a.getLong(0)} max ${a.getLong(3)} overlaps " +
+          s"bucket ${b.getLong(0)} min ${b.getLong(2)}")
+    }
+    // skew bound: a 5% sample holds every bucket within a small
+    // constant of the exact N/10 (the trade for never globally
+    // sorting the full data; the exact q31 gets ±1)
+    val target = n / 10.0
+    rows.foreach { r =>
+      val c = r.getLong(1)
+      assert(c > 0.4 * target && c < 2.2 * target,
+        s"bucket ${r.getLong(0)} size $c vs target $target")
+    }
+  }
+
   test("every query key has a DuckDB oracle (no rows-only queries left)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
