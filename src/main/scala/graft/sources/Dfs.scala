@@ -118,6 +118,154 @@ object Dfs {
     f.create(p, false).close()
   }
 
+  // ---- Copy / move / inspect (reference: hadoop-common/.../fs/shell/
+  // CopyCommands.java cp, MoveCommands.java mv, Tail.java, Head.java,
+  // Test.java, Truncate.java, Concat.java) — the daily-use file
+  // manipulation slice. cp is the only data-path op (it streams
+  // bytes); everything else is metadata or a bounded 1 KB read. ----
+
+  /** cp: copy a file or directory tree. Streams bytes through the
+    * FileSystem API (open/create), so it works across filesystems —
+    * the shell's CommandWithDestination.copyFileToTarget does the
+    * same. Returns bytes copied. */
+  def cp(src: String, dst: String): Long = {
+    val (sf, sp) = fs(src)
+    val (df, dp) = fs(dst)
+    val st = sf.getFileStatus(sp)
+    if (st.isDirectory) {
+      df.mkdirs(dp)
+      sf.listStatus(sp).toSeq.sortBy(_.getPath.getName)
+        .map(c => cp(c.getPath.toString,
+          new Path(dp, c.getPath.getName).toString)).sum
+    } else {
+      val in = sf.open(sp)
+      val out = df.create(dp, true)
+      try {
+        var total = 0L
+        val buf = new Array[Byte](128 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) { out.write(buf, 0, n); total += n }
+          n = in.read(buf)
+        }
+        total
+      } finally { in.close(); out.close() }
+    }
+  }
+
+  /** mv: rename within a filesystem (the shell's MoveCommands.Rename
+    * — a pure namenode op, never a byte copy). */
+  def mv(src: String, dst: String): Boolean = {
+    val (f, sp) = fs(src)
+    f.rename(sp, new Path(dst))
+  }
+
+  /** tail: the file's last `n` bytes (the shell shows the last 1 KB —
+    * seek to len-n, one bounded read; never a full-file scan). */
+  def tail(path: String, n: Int = 1024): Array[Byte] = {
+    val (f, p) = fs(path)
+    val len = f.getFileStatus(p).getLen
+    val start = math.max(0L, len - n)
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte]((len - start).toInt)
+      in.readFully(start, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** head: the file's first `n` bytes (shell Head.java — one bounded
+    * read from offset 0). */
+  def head(path: String, n: Int = 1024): Array[Byte] = {
+    val (f, p) = fs(path)
+    val len = math.min(f.getFileStatus(p).getLen, n.toLong).toInt
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(0L, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** test: the shell's -e/-d/-f/-s/-z predicates as one call.
+    * flag ∈ {e: exists, d: is dir, f: is file, s: non-empty file,
+    * z: zero-length file}. */
+  def test(path: String, flag: Char): Boolean = {
+    val (f, p) = fs(path)
+    flag match {
+      case 'e' => f.exists(p)
+      case 'd' => f.exists(p) && f.getFileStatus(p).isDirectory
+      case 'f' => f.exists(p) && f.getFileStatus(p).isFile
+      case 's' => f.exists(p) && f.getFileStatus(p).isFile &&
+        f.getFileStatus(p).getLen > 0
+      case 'z' => f.exists(p) && f.getFileStatus(p).getLen == 0
+      case other => throw new IllegalArgumentException(
+        s"test: unknown flag -$other")
+    }
+  }
+
+  /** truncate to `newLength` bytes (shell Truncate.java →
+    * FileSystem.truncate). HDFS truncates in place (may return false
+    * while block recovery runs — same contract as the API);
+    * filesystems that refuse truncate (the local ChecksumFileSystem)
+    * get the same observable result via a streamed prefix rewrite. */
+  def truncate(path: String, newLength: Long): Boolean = {
+    val (f, p) = fs(path)
+    try f.truncate(p, newLength)
+    catch {
+      case _: UnsupportedOperationException =>
+        require(newLength <= f.getFileStatus(p).getLen,
+          s"truncate: $newLength exceeds the file length")
+        val tmp = new Path(p.getParent, "." + p.getName + ".trunc")
+        val in = f.open(p)
+        val out = f.create(tmp, true)
+        try {
+          var remaining = newLength
+          val buf = new Array[Byte](128 * 1024)
+          while (remaining > 0) {
+            val n = in.read(buf, 0,
+              math.min(buf.length.toLong, remaining).toInt)
+            require(n > 0, s"truncate: unexpected EOF in $path")
+            out.write(buf, 0, n)
+            remaining -= n
+          }
+        } finally { in.close(); out.close() }
+        f.delete(p, false)
+        f.rename(tmp, p)
+    }
+  }
+
+  /** concat: append `srcs` onto `target` (in order) and remove them —
+    * the observable contract of the shell's Concat.java /
+    * FileSystem.concat. HDFS does this as a namenode block-list
+    * splice; filesystems that don't support concat (e.g. the local FS
+    * used in specs) get the same result via a byte-level append, so
+    * the operation is portable while HDFS keeps the zero-copy path. */
+  def concat(target: String, srcs: Seq[String]): Unit = {
+    val (f, tp) = fs(target)
+    val srcPaths = srcs.map(new Path(_))
+    try f.concat(tp, srcPaths.toArray)
+    catch {
+      case _: UnsupportedOperationException =>
+        // streamed fallback: no file is ever buffered in memory
+        val tmp = new Path(tp.getParent, "." + tp.getName + ".concat")
+        require(f.rename(tp, tmp), s"concat: cannot stage $target")
+        val out = f.create(tp, true)
+        try (tmp +: srcPaths).foreach { sp =>
+          val in = f.open(sp)
+          try {
+            val buf = new Array[Byte](128 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) out.write(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally in.close()
+        } finally out.close()
+        (tmp +: srcPaths).foreach(sp => f.delete(sp, false))
+    }
+  }
+
   // ---- Trash / safe-delete (reference: hadoop-common/.../fs/
   // Trash.java, TrashPolicyDefault.java) -----------------------------
   //

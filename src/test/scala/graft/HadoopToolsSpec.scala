@@ -166,4 +166,63 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(Dfs.stat(f).owner == cur.owner)
     Dfs.rm(root, recursive = true)
   }
+
+  test("copy/inspect ops: cp/mv/tail/head/test/truncate/concat") {
+    import graft.sources.Dfs
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cpmv-").toString
+    def write(p: String, s: String) =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), s)
+    def read(p: String) =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+
+    // cp: file copy is byte-exact; dir copy recurses
+    write(root + "/a.txt", "alpha\n")
+    assert(Dfs.cp(root + "/a.txt", root + "/a2.txt") == 6L)
+    assert(read(root + "/a2.txt") == "alpha\n")
+    Dfs.mkdirs(root + "/d/sub")
+    write(root + "/d/one.txt", "1")
+    write(root + "/d/sub/two.txt", "22")
+    assert(Dfs.cp(root + "/d", root + "/dcopy") == 3L)
+    assert(read(root + "/dcopy/one.txt") == "1" &&
+      read(root + "/dcopy/sub/two.txt") == "22")
+
+    // mv: rename, source gone
+    assert(Dfs.mv(root + "/a2.txt", root + "/moved.txt"))
+    assert(!Dfs.exists(root + "/a2.txt") &&
+      read(root + "/moved.txt") == "alpha\n")
+
+    // tail/head: bounded reads from either end
+    val body = ("x" * 2000) + "THE-END"
+    write(root + "/big.txt", body)
+    assert(new String(Dfs.tail(root + "/big.txt", 7), "UTF-8") == "THE-END")
+    assert(new String(Dfs.head(root + "/big.txt", 4), "UTF-8") == "xxxx")
+    // n larger than the file returns the whole file, no error
+    assert(new String(Dfs.tail(root + "/a.txt", 1024), "UTF-8") == "alpha\n")
+
+    // test: -e/-d/-f/-s/-z
+    assert(Dfs.test(root + "/d", 'e') && Dfs.test(root + "/d", 'd'))
+    assert(Dfs.test(root + "/a.txt", 'f') && Dfs.test(root + "/a.txt", 's'))
+    Dfs.touchz(root + "/empty.dat")
+    assert(Dfs.test(root + "/empty.dat", 'z') &&
+      !Dfs.test(root + "/empty.dat", 's'))
+    assert(!Dfs.test(root + "/nope", 'e'))
+
+    // truncate: keeps the prefix
+    assert(Dfs.truncate(root + "/big.txt", 4))
+    assert(read(root + "/big.txt") == "xxxx")
+
+    // concat: target := target ++ srcs (in order), srcs removed —
+    // the observable Concat.java contract, via the streamed fallback
+    // on the local FS
+    write(root + "/c0.txt", "AA")
+    write(root + "/c1.txt", "BB")
+    write(root + "/c2.txt", "CC")
+    Dfs.concat(root + "/c0.txt", Seq(root + "/c1.txt", root + "/c2.txt"))
+    assert(read(root + "/c0.txt") == "AABBCC")
+    assert(!Dfs.exists(root + "/c1.txt") && !Dfs.exists(root + "/c2.txt"))
+    // no staging residue
+    assert(Dfs.ls(root).forall(!_._1.contains(".concat")))
+    Dfs.rm(root, recursive = true)
+  }
 }
