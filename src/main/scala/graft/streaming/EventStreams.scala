@@ -78,6 +78,23 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** Stream-STATIC enrichment join — the most common production
+    * streaming shape (more common than stream-stream): each
+    * micro-batch of the event stream is joined to a slowly-changing
+    * static dimension (customer segment). The static side is a plain
+    * batch DataFrame: Spark RE-PLANS it every micro-batch (so a
+    * dimension refresh is picked up on the next batch without a
+    * restart) and broadcasts it when small. The join is STATELESS —
+    * no watermark, no state store, nothing to expire — which is why
+    * this shape runs forever at production volume while a
+    * stream-stream join needs dual watermarks to bound state. Batch
+    * twin: the identical join on the batch events frame (spec-proved
+    * equal). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("segment"), lit("(none)")).as("segment"))
+
   // ts stays in the Dataset (not just ts_us) because the event-time
   // watermark rides on that column's metadata; projecting it away
   // would disable EventTimeTimeout

@@ -226,6 +226,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.Formats.readSequenceRdd(spark, out).count() == 500)
   }
 
+  test("stream-static enrichment join equals the batch join, stateless") {
+    import graft.sources.Tables
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val q = EventStreams.enrichWithDim(EventStreams.readEvents(spark, sf), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched")
+      .start()
+    q.processAllAvailable()
+    val progress = q.lastProgress
+    q.stop()
+    val streamed = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    val batch = EventStreams.enrichWithDim(
+        Tables.events(spark, sf).select(
+          col("event_id"), col("user_id"), col("event_type")), dim)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(streamed.size == 1000 && streamed == batch)
+    // every event user resolved a segment (dim covers the id space)
+    assert(streamed.values.forall(_._3 != "(none)"))
+    // stateless: the join keeps NO streaming state rows at all
+    assert(progress == null || progress.stateOperators.isEmpty ||
+      progress.stateOperators.forall(_.numRowsTotal == 0))
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val q = EventStreams.purchaseClickJoin(EventStreams.readEvents(spark, sf))
       .writeStream.outputMode("append")
