@@ -223,6 +223,59 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("small-files read path packs many files into few splits (HAR analog)") {
+    import org.apache.spark.sql.functions._
+    // the reference solved many-small-files by ARCHIVING them
+    // (fs/HarFileSystem.java: pack files, read through an index,
+    // no rewrite of the data into fewer records). Spark's scan
+    // planner solves the READ side without any archive: file
+    // bin-packing puts many small files into one input slice, with
+    // openCostInBytes as the per-file seek tax. src_compaction is
+    // the rewrite-side complement.
+    val dir = Files.createTempDirectory("graft-har-")
+    // a 50-file scatter, ~2-3 KB each
+    spark.range(5000)
+      .select(col("id"), md5(col("id").cast("string")).as("payload"))
+      .repartition(50)
+      .write.parquet(dir.resolve("scatter").toString)
+    val files = new java.io.File(dir.resolve("scatter").toString)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files >= 40, s"expected a ~50-file scatter, got $files")
+    val conf = spark.conf
+    val savedMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val savedOpen = conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      // defaults (128 MB / 4 MB): the whole scatter is a handful of
+      // splits — each task reads MANY files
+      conf.set("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      conf.set("spark.sql.files.openCostInBytes", (4L << 20).toString)
+      val df = spark.read.parquet(dir.resolve("scatter").toString)
+      val packed = df.rdd.getNumPartitions
+      assert(packed * 4 <= files,
+        s"$files files should pack into few splits, got $packed")
+      assert(df.count() == 5000)
+      // with a zero open cost and a tiny split target the same layout
+      // fans out — proving the packing is the CONF's doing, and the
+      // per-file seek tax is what keeps a 100 TB listing from
+      // becoming one task per tiny file
+      conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      val scattered = spark.read.parquet(dir.resolve("scatter").toString)
+        .rdd.getNumPartitions
+      assert(scattered > packed,
+        s"expected more splits at tiny target ($scattered vs $packed)")
+    } finally {
+      savedMax match {
+        case Some(v) => conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+      savedOpen match {
+        case Some(v) => conf.set("spark.sql.files.openCostInBytes", v)
+        case None => conf.unset("spark.sql.files.openCostInBytes")
+      }
+    }
+  }
+
   test("bucketed lookup scans exactly one bucket (MapFile-analog point probe)") {
     import org.apache.spark.sql.functions._
     val table = graft.operators.SourceOps.bucketedTable(spark, sf)
