@@ -495,6 +495,23 @@ object PipelineOracles {
          |  md5(text) AS digest, w AS width, h AS height
          |FROM ($mmDims) ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Multimodal.imageMeta: the Spark side BUILDS real
+    // PNG/JPEG payloads (dims derived from doc_id) and PARSES them
+    // back byte-by-byte; the oracle recomputes the dims in pure
+    // arithmetic, so any parser defect hash-mismatches.
+    "mm_image_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST((doc_id % 640) + 1 AS BIGINT) AS width,
+        |  CAST((doc_id % 480) + 1 AS BIGINT) AS height,
+        |  CAST(((doc_id % 640) + 1) * 16 //
+        |    greatest((doc_id % 640) + 1, (doc_id % 480) + 1)
+        |    AS BIGINT) AS thumb_w,
+        |  CAST(((doc_id % 480) + 1) * 16 //
+        |    greatest((doc_id % 640) + 1, (doc_id % 480) + 1)
+        |    AS BIGINT) AS thumb_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Mirrors Multimodal.shardManifest: the same two-level prefix sum
     // (bucket offsets + within-bucket window), 256 KB shard target
     "mm_shard_manifest" ->

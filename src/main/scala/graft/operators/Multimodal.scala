@@ -30,6 +30,112 @@ case class MediaThumb(doc_id: Long, width: Long, height: Long,
     thumb_w: Long, thumb_h: Long)
 case class MediaFrames(doc_id: Long, n_frames: Long, frame0_digest: String)
 case class MediaVec(doc_id: Long, vec: Array[Float])
+case class ImageMeta(doc_id: Long, format: String, width: Long,
+    height: Long, thumb_w: Long, thumb_h: Long)
+
+/** REAL byte-level image header parsers — public format knowledge
+  * only: PNG (ISO/IEC 15948 §5.3/11.2.2: 8-byte signature, IHDR is
+  * the first chunk, big-endian u32 width/height at byte offsets
+  * 16/20), JPEG (ITU-T T.81 §B: a marker-segment stream; dimensions
+  * live in the first SOFn frame header, so the parser must WALK the
+  * variable-length segments — APP0/COM/DQT/... — to find it), and
+  * GIF (GIF89a spec §17: little-endian u16 logical screen size at
+  * offsets 6/8). This is the part of "decode" an engine can own with
+  * no codec library: sniff + header parse for routing, validation,
+  * and metadata extraction; pixel decode stays behind the batched
+  * mapPartitions boundary. */
+private[graft] object ImageHeaders {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** (format, width, height), or None when the bytes are not a
+    * recognized image (never throws on truncated/garbage input). */
+  def parse(b: Array[Byte]): Option[(String, Long, Long)] = {
+    if (b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && u8(b, 4) == 0x0d &&
+        u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(("png", be32(b, 16), be32(b, 20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == '8' && (b(4) == '7' || b(4) == '9') &&
+        b(5) == 'a')
+      Some(("gif", le16(b, 6).toLong, le16(b, 8).toLong))
+    else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8)
+      parseJpeg(b)
+    else None
+  }
+
+  private def parseJpeg(b: Array[Byte]): Option[(String, Long, Long)] = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced marker stream
+      val marker = u8(b, i + 1)
+      if (marker == 0xff) i += 1 // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+        i += 2 // standalone markers carry no length
+      else if (marker == 0xd9 || marker == 0xda)
+        return None // EOI / entropy-coded data reached before any SOF
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 7) return None
+          // frame header: precision u8, height u16, width u16
+          return Some(("jpeg", be16(b, i + 7).toLong, be16(b, i + 5).toLong))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+}
+
+/** Deterministic minimal-but-VALID image payloads for the parser's
+  * oracle-backed query and specs: real signatures, real chunk/segment
+  * framing (a PNG IHDR chunk; a JPEG with APP0 + COM segments before
+  * the SOF0, so segment-walking is actually exercised). */
+private[graft] object ImageSynth {
+  def png(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    out.putInt(13) // IHDR data length
+    out.put("IHDR".getBytes(StandardCharsets.US_ASCII))
+    out.putInt(w).putInt(h)
+    out.put(8.toByte).put(6.toByte) // bit depth, color type RGBA
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // compress/filter/interlace
+    out.putInt(0) // CRC (not validated by header parse)
+    out.array()
+  }
+
+  def jpeg(w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      bos.write(0xff); bos.write(marker)
+      val len = payload.length + 2
+      bos.write((len >> 8) & 0xff); bos.write(len & 0xff)
+      bos.write(payload)
+    }
+    bos.write(0xff); bos.write(0xd8) // SOI
+    seg(0xe0, "JFIF".getBytes(StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    seg(0xfe, "graft".getBytes(StandardCharsets.US_ASCII)) // COM
+    seg(0xc0, Array[Byte](8, // precision
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0)) // one component
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+}
 
 object Multimodal {
 
@@ -151,6 +257,38 @@ object Multimodal {
         MediaFrames(p.doc_id, nFrames.toLong, sb.toString)
       }
     }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** REAL header parse on-cluster — the non-stub complement to
+    * [[meta]]: deterministic VALID image payloads (PNG for even
+    * doc_ids, segment-framed JPEG for odd, dimensions derived from
+    * doc_id) are built and then parsed back by the byte-level
+    * [[ImageHeaders]] parser, with aspect-preserving thumbnail dims
+    * computed from the PARSED values. The DuckDB oracle computes the
+    * same dimensions in pure arithmetic, so any parser defect (endian
+    * swap, wrong offset, broken segment walk) hash-mismatches. Map
+    * only — at 100 TB this costs one scan, zero shuffles, exactly
+    * like production header-sniffing over a binary column. */
+  def imageMeta(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 640 + 1).toInt
+          val h = (id % 480 + 1).toInt
+          val bytes =
+            if (id % 2 == 0) ImageSynth.png(w, h)
+            else ImageSynth.jpeg(w, h)
+          val (fmt, pw, ph) = ImageHeaders.parse(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"unparseable image header for doc $id"))
+          val m = math.max(pw, ph)
+          ImageMeta(id, fmt, pw, ph,
+            if (m == 0) 0L else pw * 16 / m,
+            if (m == 0) 0L else ph * 16 / m)
+        }
+      }.toDF().orderBy(col("doc_id"))
   }
 
   /** WebDataset-style shard manifest: pack documents (in doc_id

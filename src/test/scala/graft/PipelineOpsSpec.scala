@@ -202,6 +202,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
   }
 
+  test("image header parse: real PNG/JPEG/GIF bytes, robust to garbage") {
+    import graft.operators.{ImageHeaders, ImageSynth}
+    // a genuine 1x1 transparent PNG (standard fixture bytes)
+    val realPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk" +
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(ImageHeaders.parse(realPng).contains(("png", 1L, 1L)))
+    // synthesized payloads round-trip their dimensions
+    assert(ImageHeaders.parse(ImageSynth.png(640, 480))
+      .contains(("png", 640L, 480L)))
+    assert(ImageHeaders.parse(ImageSynth.jpeg(123, 45))
+      .contains(("jpeg", 123L, 45L)))
+    // the JPEG parser walks APP0+COM segments to reach the SOF — a
+    // parser that reads fixed offsets instead gets these wrong
+    val j = ImageSynth.jpeg(1000, 2000)
+    assert(ImageHeaders.parse(j).contains(("jpeg", 1000L, 2000L)))
+    // GIF little-endian screen size
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x10, 0x01, 0x02, 0x00) ++ new Array[Byte](4)
+    assert(ImageHeaders.parse(gif).contains(("gif", 272L, 2L)))
+    // garbage, text, truncation: None, never a throw
+    assert(ImageHeaders.parse("not an image at all".getBytes).isEmpty)
+    assert(ImageHeaders.parse(Array.emptyByteArray).isEmpty)
+    assert(ImageHeaders.parse(realPng.take(12)).isEmpty)
+    assert(ImageHeaders.parse(j.take(6)).isEmpty)
+    // a JPEG whose stream hits image data before any SOF: None
+    val noSof = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xda.toByte, 0, 4, 0, 0)
+    assert(ImageHeaders.parse(noSof).isEmpty)
+  }
+
   test("langid: trigram profiles classify a mixed-language corpus, margin yields und") {
     import spark.implicits._
     val corpus = Seq(
