@@ -337,6 +337,41 @@ object PipelineOracles {
         |        CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY x, y""".stripMargin,
 
+    // Mirrors Dedup.embeddingLsh: 16 md5-parity hyperplanes, 4 bands
+    // x 4 bits, self-join per bucket, cross-band pair dedup, exact
+    // cosine >= 0.45 verify — identical planes/banding/arithmetic.
+    "dedup_embedding_lsh" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+        |             ELSE 0 END) AS BIGINT) AS sig
+        |  FROM (
+        |    SELECT vec_id, j,
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64),
+        |          k -> CAST(embedding[k] AS DOUBLE) *
+        |               (CASE WHEN unicode(substr(md5(
+        |                      CAST(j AS VARCHAR) || '-' ||
+        |                      CAST(k - 1 AS VARCHAR)), 1, 1)) & 1 = 1
+        |                     THEN CAST(1 AS DOUBLE)
+        |                     ELSE CAST(-1 AS DOUBLE) END))),
+        |        (a, x) -> a + x) AS dot
+        |    FROM embeddings CROSS JOIN range(16) g(j))
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, b AS band, (sig >> (b * 4)) & 15 AS bv
+        |  FROM sig CROSS JOIN range(4) g(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS x, c.vec_id AS y
+        |  FROM bands a JOIN bands c
+        |  ON a.band = c.band AND a.bv = c.bv AND a.vec_id < c.vec_id)
+        |SELECT x, y FROM cand
+        |JOIN embeddings ea ON ea.vec_id = x
+        |JOIN embeddings eb ON eb.vec_id = y
+        |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |    CAST(eb.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY x, y""".stripMargin,
+
     "sim_range_search" ->
       """SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
         |FROM embeddings q, embeddings c

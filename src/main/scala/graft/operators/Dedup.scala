@@ -541,4 +541,54 @@ object Dedup {
       .select(col("x"), col("y"))
       .orderBy(col("x"), col("y"))
   }
+
+  /** The SCALE path for embedding near-dup pairs — the production
+    * replacement for the input-capped exact baseline [[embedding]]:
+    * hyperplane-LSH blocking (16 md5-parity ±1 planes → 16-bit
+    * signature → 4 bands × 4 bits, the [[Similarity.knnLsh]] family
+    * turned into a SELF-join), candidate id pairs deduped ACROSS
+    * bands (16 bytes/row through that exchange, embeddings
+    * re-attached after), then the exact cosine ≥ τ verify. No input
+    * cap: shuffle volume is bands·n + candidates, and candidates are
+    * collision-driven, not all-pairs. Recall: an EXACT duplicate
+    * agrees on every plane, so every band collides — recall 1.0 on
+    * the duplicate pairs dedup exists for (the ×8 replica's copy
+    * groups all surface); near-dups degrade smoothly by the standard
+    * banding curve P = 1-(1-p^bits)^bands with p = 1-θ/π. bandBits
+    * scales as ~log2(n) to keep random-collision noise linear — 4
+    * bits suits the test SFs; a 100 TB corpus raises the constant,
+    * same plan. Fully DuckDB hash-matched: same planes, same
+    * banding, same cosine arithmetic. */
+  def embeddingLsh(s: SparkSession, d: String): DataFrame =
+    embeddingLshOn(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** The blocking + verify pipeline over any (vec_id, embedding)
+    * frame — exposed so specs can plant exact duplicates and prove
+    * the recall-1.0-on-dups property directly. */
+  private[graft] def embeddingLshOn(e: DataFrame): DataFrame = {
+    val planes = 16
+    val bandBits = 4
+    val hp = Array.tabulate(planes)(Similarity.md5Plane(_, 64))
+    val bands = e
+      .withColumn("sig", graft.functions.VectorFunctions.hyperplaneSig(
+        col("embedding"), hp.map(_.toSeq).toSeq))
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${planes / bandBits - 1}),
+            b -> named_struct('band', b,
+                  'bv', (sig >> (b * $bandBits)) & ${(1 << bandBits) - 1}))"""))
+        .as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val candIds = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      .distinct()
+    val ex = e.select(col("vec_id").as("x"), col("embedding").as("ea"))
+    val ey = e.select(col("vec_id").as("y"), col("embedding").as("eb"))
+    candIds.join(ex, "x").join(ey, "y")
+      .filter(VectorFunctions.cosineSim(col("ea"), col("eb")) >= 0.45)
+      .select(col("x"), col("y"))
+      .orderBy(col("x"), col("y"))
+  }
 }

@@ -202,6 +202,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
   }
 
+  test("embedding LSH dedup: recall 1.0 on planted exact dups, subset of exact") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // plant exact duplicates: vectors 0..9 re-appear as ids 10000..10009
+    val dups = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val planted = e.unionByName(dups)
+    val found = graft.operators.Dedup.embeddingLshOn(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an exact dup agrees on every plane -> every band collides ->
+    // the pair MUST surface (this is the recall-1.0-on-dups contract)
+    (0L until 10L).foreach { i =>
+      assert(found.contains((i, i + 10000L)), s"planted dup pair $i missing")
+    }
+    // and nothing outside the exact >= tau pair set sneaks in: the
+    // cosine verify makes blocking affect recall only, never precision
+    val exact = {
+      val a = planted.select(col("vec_id").as("x"), col("embedding").as("ea"))
+      val b = planted.select(col("vec_id").as("y"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("x") < col("y"))
+        .filter(graft.functions.VectorFunctions
+          .cosineSim(col("ea"), col("eb")) >= 0.45)
+        .select(col("x"), col("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(found.subsetOf(exact), s"non-near-dup pairs: ${found -- exact}")
+  }
+
   test("image header parse: real PNG/JPEG/GIF bytes, robust to garbage") {
     import graft.operators.{ImageHeaders, ImageSynth}
     // a genuine 1x1 transparent PNG (standard fixture bytes)
