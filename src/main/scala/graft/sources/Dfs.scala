@@ -266,6 +266,123 @@ object Dfs {
     }
   }
 
+  // ---- Extended attributes + snapshots (reference: hadoop-common/
+  // .../fs/shell/XAttrCommands.java, SnapshotCommands.java). The
+  // native FileSystem calls are used where the filesystem implements
+  // them (HDFS); filesystems that refuse (the local ChecksumFileSystem)
+  // get the same OBSERVABLE contract through a portable fallback —
+  // xattrs in a hidden sidecar file, snapshots as a real copy under
+  // .snapshot/<name> (HDFS does the same read layout with zero-copy
+  // namenode magic). POSIX ACLs are deliberately NOT emulated: the
+  // permission story here is chmod/chown (FsPermission), and a
+  // fallback ACL store nothing enforces would be contract theater. --
+
+  private def xattrSidecar(p: Path) =
+    new Path(p.getParent, "." + p.getName + ".xattr")
+
+  private def readSidecar(f: FileSystem, p: Path): Map[String, Array[Byte]] = {
+    val sc = xattrSidecar(p)
+    if (!f.exists(sc)) Map.empty
+    else {
+      val in = f.open(sc)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").split("\n")
+          .filter(_.nonEmpty)
+          .map { line =>
+            val Array(k, v) = line.split("=", 2)
+            k -> v.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          }.toMap
+      } finally in.close()
+    }
+  }
+
+  private def writeSidecar(f: FileSystem, p: Path,
+      attrs: Map[String, Array[Byte]]): Unit = {
+    val sc = xattrSidecar(p)
+    if (attrs.isEmpty) { f.delete(sc, false); () }
+    else {
+      val out = f.create(sc, true)
+      try out.write(attrs.toSeq.sortBy(_._1).map { case (k, v) =>
+        k + "=" + v.map("%02x".format(_)).mkString
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** setfattr -n name -v value */
+  def setfattr(path: String, name: String, value: Array[Byte]): Unit = {
+    val (f, p) = fs(path)
+    try f.setXAttr(p, name, value)
+    catch { case _: UnsupportedOperationException =>
+      writeSidecar(f, p, readSidecar(f, p) + (name -> value))
+    }
+  }
+
+  /** getfattr -n name; None when the attribute is absent. */
+  def getfattr(path: String, name: String): Option[Array[Byte]] = {
+    val (f, p) = fs(path)
+    try Option(f.getXAttr(p, name))
+    catch {
+      case _: UnsupportedOperationException => readSidecar(f, p).get(name)
+      case _: java.io.IOException => None // HDFS throws on absent attrs
+    }
+  }
+
+  /** getfattr -d: every attribute name on the path, sorted. */
+  def listfattr(path: String): Seq[String] = {
+    val (f, p) = fs(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      f.listXAttrs(p).asScala.toSeq.sorted
+    } catch { case _: UnsupportedOperationException =>
+      readSidecar(f, p).keys.toSeq.sorted
+    }
+  }
+
+  /** setfattr -x name */
+  def removefattr(path: String, name: String): Unit = {
+    val (f, p) = fs(path)
+    try f.removeXAttr(p, name)
+    catch { case _: UnsupportedOperationException =>
+      writeSidecar(f, p, readSidecar(f, p) - name)
+    }
+  }
+
+  /** createSnapshot: freeze `dir`'s current contents under
+    * .snapshot/<name>. HDFS does this as a zero-copy namenode
+    * operation; the fallback takes a real copy — same read contract
+    * (the snapshot keeps serving the old bytes while the live dir
+    * mutates), linear cost where HDFS pays O(1). Returns the
+    * snapshot's path. */
+  def createSnapshot(dir: String, name: String): String = {
+    val (f, p) = fs(dir)
+    try f.createSnapshot(p, name).toString
+    catch { case _: UnsupportedOperationException =>
+      val snap = new Path(new Path(p, ".snapshot"), name)
+      require(!f.exists(snap), s"snapshot $name already exists")
+      f.mkdirs(snap.getParent)
+      f.listStatus(p).toSeq
+        .filterNot(_.getPath.getName == ".snapshot")
+        .foreach(st => cp(st.getPath.toString,
+          new Path(snap, st.getPath.getName).toString))
+      snap.toString
+    }
+  }
+
+  /** deleteSnapshot: drop a named snapshot, leaving the live dir and
+    * other snapshots untouched. */
+  def deleteSnapshot(dir: String, name: String): Unit = {
+    val (f, p) = fs(dir)
+    try f.deleteSnapshot(p, name)
+    catch { case _: UnsupportedOperationException =>
+      f.delete(new Path(new Path(p, ".snapshot"), name), true); ()
+    }
+  }
+
   // ---- Trash / safe-delete (reference: hadoop-common/.../fs/
   // Trash.java, TrashPolicyDefault.java) -----------------------------
   //

@@ -225,4 +225,49 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(Dfs.ls(root).forall(!_._1.contains(".concat")))
     Dfs.rm(root, recursive = true)
   }
+
+  test("xattrs and snapshots: set/get/list/remove, frozen reads") {
+    import graft.sources.Dfs
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-xattr-").toString
+    def write(p: String, s: String) =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), s)
+    def read(p: String) =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+
+    // xattr round-trip (XAttrCommands contract)
+    write(root + "/data.txt", "payload")
+    assert(Dfs.getfattr(root + "/data.txt", "user.owner").isEmpty)
+    Dfs.setfattr(root + "/data.txt", "user.owner", "pipeline-a".getBytes)
+    Dfs.setfattr(root + "/data.txt", "user.stage", "raw".getBytes)
+    assert(new String(Dfs.getfattr(root + "/data.txt", "user.owner").get)
+      == "pipeline-a")
+    assert(Dfs.listfattr(root + "/data.txt")
+      == Seq("user.owner", "user.stage"))
+    // overwrite in place
+    Dfs.setfattr(root + "/data.txt", "user.stage", "clean".getBytes)
+    assert(new String(Dfs.getfattr(root + "/data.txt", "user.stage").get)
+      == "clean")
+    Dfs.removefattr(root + "/data.txt", "user.owner")
+    assert(Dfs.getfattr(root + "/data.txt", "user.owner").isEmpty)
+    assert(Dfs.listfattr(root + "/data.txt") == Seq("user.stage"))
+
+    // snapshot: freeze, mutate the live dir, snapshot still serves
+    // the old bytes (SnapshotCommands contract)
+    Dfs.mkdirs(root + "/table")
+    write(root + "/table/part-0.txt", "v1")
+    val snap = Dfs.createSnapshot(root + "/table", "s1")
+    write(root + "/table/part-0.txt", "v2-mutated")
+    Dfs.touchz(root + "/table/part-1.txt")
+    assert(read(root + "/table/part-0.txt") == "v2-mutated")
+    assert(read(snap + "/part-0.txt") == "v1")
+    assert(!Dfs.exists(snap + "/part-1.txt"))
+    // a second snapshot coexists; deleting one leaves the other
+    val snap2 = Dfs.createSnapshot(root + "/table", "s2")
+    assert(read(snap2 + "/part-0.txt") == "v2-mutated")
+    Dfs.deleteSnapshot(root + "/table", "s1")
+    assert(!Dfs.exists(snap) && Dfs.exists(snap2))
+    assert(read(root + "/table/part-0.txt") == "v2-mutated")
+    Dfs.rm(root, recursive = true)
+  }
 }

@@ -24,7 +24,11 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // shared histogram + window quantiles, and the register-max HLL
     "dedup_components", "mr_pagerank", "mm_shard_manifest",
     "adv_resample", "q28_quantiles", "adv_hll_distinct",
-    "txt_heavy_hitters")
+    "txt_heavy_hitters",
+    // round 5: sampled decile boundaries (the sample window and the
+    // boundary array must not depend on the partitioning) and the
+    // band self-join LSH dedup (cross-band candidate dedup)
+    "q36_sampled_deciles", "dedup_embedding_lsh")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
