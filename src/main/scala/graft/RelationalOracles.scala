@@ -321,6 +321,27 @@ object RelationalOracles {
         |  CAST(sum(total_cents) AS BIGINT) AS sum_cents
         |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // Mirrors Relational.q37MinCostSupplier verbatim (real table names)
+    "q37_min_cost_supplier" ->
+      """WITH offer AS (
+        |  SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+        |    min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |      AS price_cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE r.r_name = 'EUROPE' AND p.p_size < 10
+        |  GROUP BY 1, 2)
+        |SELECT o.partkey, o.suppkey, n2.n_name AS nation, o.price_cents
+        |FROM offer o
+        |JOIN supplier s2 ON o.suppkey = s2.s_suppkey
+        |JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |WHERE o.price_cents = (SELECT min(i.price_cents) FROM offer i
+        |                       WHERE i.partkey = o.partkey)
+        |ORDER BY o.partkey, o.suppkey""".stripMargin,
+
     "q26_min_per_group" ->
       s"""SELECT l_partkey, min(l_orderkey) AS first_orderkey,
          |  count(*) AS n_at_min,

@@ -712,6 +712,43 @@ object Relational {
       ORDER BY o_orderpriority""")
   }
 
+  /** TPC-H Q2's shape — the correlated subquery q35 lacks: the inner
+    * query min-aggregates a DIFFERENT derived relation (the
+    * region-scoped offer table built from a 5-table join), correlated
+    * on partkey. For each small part, the EUROPE suppliers offering it
+    * at that part's minimum price. Catalyst decorrelates the inner min
+    * into one part-keyed aggregate joined back (PlansSpec pins no
+    * nested loop survives); `offer` is min-per-(part,supplier) so the
+    * correlated relation is pair-scale, not lineitem-scale; the
+    * region/size filters push into the scans BEFORE the big join.
+    * Exact integer cents, ties all emitted — deterministic set. */
+  def q37MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = viewFor("graft_li_q37", Tables.lineitem(s, d), d)
+    val sup = viewFor("graft_sup_q37", Tables.supplier(s, d), d)
+    val nat = viewFor("graft_nat_q37", Tables.nation(s, d), d)
+    val reg = viewFor("graft_reg_q37", Tables.region(s, d), d)
+    val part = viewFor("graft_part_q37", Tables.part(s, d), d)
+    s.sql(s"""
+      WITH offer AS (
+        SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+          min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS price_cents
+        FROM $li l
+        JOIN $sup s ON l.l_suppkey = s.s_suppkey
+        JOIN $nat n ON s.s_nationkey = n.n_nationkey
+        JOIN $reg r ON n.n_regionkey = r.r_regionkey
+        JOIN $part p ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size < 10
+        GROUP BY 1, 2)
+      SELECT o.partkey, o.suppkey, n2.n_name AS nation, o.price_cents
+      FROM offer o
+      JOIN $sup s2 ON o.suppkey = s2.s_suppkey
+      JOIN $nat n2 ON s2.s_nationkey = n2.n_nationkey
+      WHERE o.price_cents = (SELECT min(i.price_cents) FROM offer i
+                             WHERE i.partkey = o.partkey)
+      ORDER BY o.partkey, o.suppkey""")
+  }
+
   /** Register `df` under a name unique per (query, input dir), so
     * concurrent runs of the SQL-text queries against DIFFERENT data
     * dirs cannot race on a shared view name (two calls with the same

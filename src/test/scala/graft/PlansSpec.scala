@@ -146,6 +146,24 @@ class PlansSpec extends AnyFunSuite {
       s"expected 1 customer-keyed exchange, found $keyed:\n${plan.take(900)}")
   }
 
+  test("q37's cross-table correlated min decorrelates; dim filters reach the scans") {
+    val df = SparkEntry.queries("q37_min_cost_supplier")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the correlated min over the offer CTE must become an aggregate
+    // + join, never a per-row re-scan of the 5-table join
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated min not decorrelated:\n${plan.take(900)}")
+    // the selective dim predicates push into the scans, not the join
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,EUROPE)") ||
+      plan.contains("EqualTo(r_name,EUROPE)"),
+      s"region filter not pushed:\n${plan.take(1200)}")
+    assert(plan.contains("LessThan(p_size,10)"),
+      s"part size filter not pushed:\n${plan.take(1200)}")
+  }
+
   test("q36's only global sort is over the sample; full data never totally orders") {
     val df = SparkEntry.queries("q36_sampled_deciles")(spark, sf)
     df.collect()
