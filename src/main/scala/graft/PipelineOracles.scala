@@ -161,6 +161,23 @@ object PipelineOracles {
          |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
          |FROM corpus GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // Mirrors Similarity.clusterSample: same trained cells, same
+    // md5-fold rank, same per-cell cutoff.
+    "ml_cluster_sample" ->
+      s"""WITH $ivfTrainedCorpus,
+         |ranked AS (
+         |  SELECT cell, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(regexp_extract_all(
+         |          md5('cs-' || CAST(vec_id AS VARCHAR)), '(?s).'),
+         |          c -> CAST(unicode(c) AS BIGINT))),
+         |        (h, c) -> (h * 31 + c) % 2147483647), vec_id)
+         |      AS BIGINT) AS rk
+         |  FROM corpus)
+         |SELECT cell, rk, vec_id FROM ranked WHERE rk <= 5
+         |ORDER BY cell, rk""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS ($shingles),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

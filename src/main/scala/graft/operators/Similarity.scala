@@ -199,6 +199,27 @@ object Similarity {
         sum(col("vec_id")).as("id_checksum"))
       .orderBy(col("cell"))
 
+  /** Cluster-then-STRATIFY diversity sampling — the step a
+    * training-data pipeline runs right after [[kmeansClusters]]:
+    * up to 5 representatives per k-means cell, picked by a
+    * deterministic md5-fold rank (not Spark's sample(), whose
+    * partition-dependent RNG cannot hash-match an oracle), so the
+    * semantic-diversity sample is reproducible run-to-run. One
+    * cell-keyed window over the assignment; output is cells×5-scale
+    * at any SF. */
+  def clusterSample(s: SparkSession, d: String): DataFrame =
+    trainedCells(s, d)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(
+          graft.functions.RollingHash.rollingHash(
+            md5(concat(lit("cs-"), col("vec_id").cast("string"))
+              .cast("binary"))),
+          col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("cell"), col("rk"), col("vec_id"))
+      .orderBy(col("cell"), col("rk"))
+
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 3
     val c2 = trainedCentroids(s, d)

@@ -40,6 +40,33 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("image header parser never throws and never misreads synth dims") {
+    import graft.operators.{ImageHeaders, ImageSynth}
+    // total on arbitrary byte arrays — a header parser fed a 100 TB
+    // binary column must degrade to None, never to a task failure
+    val bytesGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray)
+    check("parse-total", Prop.forAll(bytesGen) { b =>
+      ImageHeaders.parse(b) // must not throw
+      true
+    }, n = 200)
+    // truncation at ANY point parses or rejects, never throws
+    val full = ImageSynth.jpeg(640, 480) ++ ImageSynth.png(13, 7)
+    check("parse-truncation", Prop.forAll(
+      Gen.chooseNum(0, full.length)) { k =>
+      ImageHeaders.parse(full.take(k))
+      true
+    }, n = 100)
+    // synth round-trip holds for arbitrary in-range dimensions
+    val dimGen = Gen.chooseNum(1, 65535)
+    check("synth-roundtrip", Prop.forAll(dimGen, dimGen) { (w, h) =>
+      ImageHeaders.parse(ImageSynth.jpeg(w, h))
+        .contains(("jpeg", w.toLong, h.toLong)) &&
+      ImageHeaders.parse(ImageSynth.png(w, h))
+        .contains(("png", w.toLong, h.toLong))
+    }, n = 50)
+  }
+
   test("salted join equals plain join on generated key distributions") {
     val keysGen = Gen.listOfN(200, Gen.chooseNum(1L, 10L)).suchThat(_.nonEmpty)
     check("salted-join", Prop.forAll(keysGen) { keys =>
