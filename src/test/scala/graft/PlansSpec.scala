@@ -146,6 +146,22 @@ class PlansSpec extends AnyFunSuite {
       s"expected 1 customer-keyed exchange, found $keyed:\n${plan.take(900)}")
   }
 
+  test("cluster sample prunes map-side: WindowGroupLimit on both exchange sides") {
+    val df = SparkEntry.queries("ml_cluster_sample")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the rank<=5 filter must push into the window as a group limit,
+    // partial (pre-shuffle) AND final — each task ships at most 5
+    // rows per cell instead of sorting whole cells through the
+    // exchange; without this the per-cell window sorts n/cells rows
+    // to emit 5
+    val limits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(limits >= 2,
+      s"expected partial+final WindowGroupLimit, found $limits:\n" +
+        plan.take(900))
+  }
+
   test("q37's cross-table correlated min decorrelates; dim filters reach the scans") {
     val df = SparkEntry.queries("q37_min_cost_supplier")(spark, sf)
     df.collect()
