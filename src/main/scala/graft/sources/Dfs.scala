@@ -32,6 +32,15 @@ object Dfs {
     f.getContentSummary(p).getLength
   }
 
+  /** count: (dirs, files, bytes) under the path — the shell's
+    * `hadoop fs -count` triple, one getContentSummary call
+    * (reference fs/shell/Count.java). */
+  def count(path: String): (Long, Long, Long) = {
+    val (f, p) = fs(path)
+    val cs = f.getContentSummary(p)
+    (cs.getDirectoryCount, cs.getFileCount, cs.getLength)
+  }
+
   def mkdirs(path: String): Boolean = { val (f, p) = fs(path); f.mkdirs(p) }
 
   def rm(path: String, recursive: Boolean = false): Boolean = {

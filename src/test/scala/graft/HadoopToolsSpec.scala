@@ -86,11 +86,16 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(n == 500)
   }
 
-  test("dfs utilities: ls/du/mkdirs/exists/rm") {
+  test("dfs utilities: ls/du/count/mkdirs/exists/rm") {
     import graft.sources.Dfs
     val entries = Dfs.ls(sf)
     assert(entries.exists(_._1 == "lineitem.parquet"))
     assert(Dfs.du(sf) == entries.map(_._3).sum)
+    // fs -count triple agrees with the listing and du
+    val (dirs, files, bytes) = Dfs.count(sf)
+    assert(files == entries.count(!_._2))
+    assert(bytes == Dfs.du(sf))
+    assert(dirs >= 1) // the path itself counts
     val tmp = Files.createTempDirectory("graft-dfs-").toString + "/x/y"
     assert(Dfs.mkdirs(tmp) && Dfs.exists(tmp))
     assert(Dfs.rm(tmp, recursive = true) && !Dfs.exists(tmp))
