@@ -226,6 +226,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.Formats.readSequenceRdd(spark, out).count() == 500)
   }
 
+  test("CDC upsert sink: micro-batches merge latest-wins, equal to the batch merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-upsert-sink-").toString
+    val table = root + "/table"
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.UpsertSink.start(
+      mem.toDF.toDF("key", "payload", "version"),
+      table, root + "/ckpt")
+    try {
+      // batch 1: three inserts
+      mem.addData((1L, "a1", 1L), (2L, "b1", 1L), (3L, "c1", 1L))
+      q.processAllAvailable()
+      // batch 2: update key 2, insert key 4
+      mem.addData((2L, "b2", 2L), (4L, "d1", 1L))
+      q.processAllAvailable()
+      // batch 3: update keys 1 and 4
+      mem.addData((1L, "a3", 3L), (4L, "d2", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("a3", 3L), 2L -> ("b2", 2L),
+      3L -> ("c1", 1L), 4L -> ("d2", 2L)))
+    // equals the BATCH merge of the whole change log in one shot
+    val log = Seq((1L, "a1", 1L), (2L, "b1", 1L), (3L, "c1", 1L),
+      (2L, "b2", 2L), (4L, "d1", 1L), (1L, "a3", 3L), (4L, "d2", 2L))
+      .toDF("key", "payload", "version")
+    val batchTwin = graft.streaming.UpsertSink
+      .merge(log, root + "/absent")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got == batchTwin)
+    // no staging/retired residue next to the table
+    val leftovers = new java.io.File(root).listFiles
+      .map(_.getName).filter(n => n.contains("staging") || n.contains("retired"))
+    assert(leftovers.isEmpty, s"publish residue: ${leftovers.toSeq}")
+  }
+
   test("stream-static enrichment join equals the batch join, stateless") {
     import graft.sources.Tables
     val dim = Tables.customer(spark, sf)
