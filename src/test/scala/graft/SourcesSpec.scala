@@ -223,6 +223,75 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed records: captured, dropped, or failed per mode (skip-bad-records analog)") {
+    import org.apache.spark.sql.functions._
+    // the reference skipped crashing inputs with
+    // mapreduce.map.skip.maxrecords + counters; Spark's read modes
+    // are the declarative equivalent: PERMISSIVE quarantines the bad
+    // line in _corrupt_record (the counter AND the record),
+    // DROPMALFORMED silently skips, FAILFAST refuses the batch
+    val dir = Files.createTempDirectory("graft-badrec-")
+    val path = dir.resolve("in.jsonl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{"id": 3 BROKEN
+        |not json at all
+        |{"id": 4, "v": "fine"}
+        |""".stripMargin)
+    val schema = "id LONG, v STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(path).cache()
+    assert(permissive.count() == 5)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L))
+    val dropped = spark.read.schema("id LONG, v STRING")
+      .option("mode", "DROPMALFORMED").json(path)
+    assert(dropped.count() == 3)
+    val failing = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id LONG, v STRING")
+        .option("mode", "FAILFAST").json(path).collect()
+    }
+    assert(failing.getMessage.contains("Malformed") ||
+      String.valueOf(failing.getCause).contains("Malformed"))
+  }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    import org.apache.spark.sql.functions._
+    // the daily-ETL idiom at 100 TB: re-run one day's partition
+    // without clobbering the table. Static overwrite mode would drop
+    // EVERY partition; dynamic replaces only partitions present in
+    // the incoming write.
+    val dir = Files.createTempDirectory("graft-dynpart-")
+      .resolve("t").toString
+    val sp = spark
+    import sp.implicits._
+    val conf = spark.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = conf.getOption(key)
+    try {
+      Seq((1L, "2024-01-01", "v1"), (2L, "2024-01-02", "v1"),
+          (3L, "2024-01-03", "v1"))
+        .toDF("id", "day", "payload")
+        .write.partitionBy("day").parquet(dir)
+      conf.set(key, "dynamic")
+      // rewrite ONLY day 2
+      Seq((20L, "2024-01-02", "v2")).toDF("id", "day", "payload")
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      val got = spark.read.parquet(dir)
+        .select(col("id"), col("day").cast("string"), col("payload"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(got == Set((1L, "2024-01-01", "v1"),
+        (20L, "2024-01-02", "v2"), (3L, "2024-01-03", "v1")))
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("small-files read path packs many files into few splits (HAR analog)") {
     import org.apache.spark.sql.functions._
     // the reference solved many-small-files by ARCHIVING them
