@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, SimHashAgg, SortedIntersectSize}
 import graft.sources.Tables
 
@@ -56,6 +58,30 @@ object GraftExtensions {
       info("sorted_intersect_size",
         "sorted_intersect_size(a, b) - |a ∩ b| of two sorted string arrays"),
       (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1))),
+    // image header sniffing over binary columns: StaticInvoke keeps
+    // these inside whole-stage codegen (the generated Java calls the
+    // ImageHeaders static forwarders directly — no UDF)
+    ("image_format",
+      info("image_format",
+        "image_format(bytes) - png/jpeg/gif from the header, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.ImageHeaders.getClass, StringType, "imageFormat",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
+    ("image_width",
+      info("image_width",
+        "image_width(bytes) - pixel width from the header, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.ImageHeaders.getClass, LongType, "imageWidth",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
+    ("image_height",
+      info("image_height",
+        "image_height(bytes) - pixel height from the header, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.ImageHeaders.getClass, LongType, "imageHeight",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
   )
 
   /** Register the functions on an already-built session. */

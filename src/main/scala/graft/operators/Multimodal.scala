@@ -71,6 +71,20 @@ private[graft] object ImageHeaders {
     else None
   }
 
+  // SQL entry points — GraftExtensions registers these through
+  // StaticInvoke, so whole-stage codegen calls the static forwarders
+  // directly (native expression speed, no UDF wrapper, null-safe).
+  def imageFormat(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    if (b == null) null
+    else parse(b).map(t =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(t._1)).orNull
+  def imageWidth(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._2)).orNull
+  def imageHeight(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._3)).orNull
+
   private def parseJpeg(b: Array[Byte]): Option[(String, Long, Long)] = {
     var i = 2
     while (i + 3 < b.length) {

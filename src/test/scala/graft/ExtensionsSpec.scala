@@ -41,6 +41,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == 6000L)
   }
 
+  test("image header functions run from plain SQL inside codegen") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.install(spark)
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, graft.operators.ImageSynth.png(640, 480)),
+      (2L, graft.operators.ImageSynth.jpeg(123, 45)),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload").createOrReplaceTempView("graft_imgs")
+    val rows = spark.sql(
+      """SELECT id, image_format(payload) AS fmt,
+        |  image_width(payload) AS w, image_height(payload) AS h
+        |FROM graft_imgs ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getString(1) == "png" &&
+      rows(0).getLong(2) == 640L && rows(0).getLong(3) == 480L)
+    assert(rows(1).getString(1) == "jpeg" &&
+      rows(1).getLong(2) == 123L && rows(1).getLong(3) == 45L)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    // StaticInvoke stays inside whole-stage codegen — no UDF boundary
+    val plan = spark.sql(
+      "SELECT image_width(payload) FROM graft_imgs")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"image functions fell out of codegen:\n$plan")
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
