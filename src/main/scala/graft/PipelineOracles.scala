@@ -564,6 +564,24 @@ object PipelineOracles {
         |    AS BIGINT) AS thumb_h
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Multimodal.imageFilter: kinds 2 (garbage) and 3
+    // (truncated header) must be rejected by the PARSE on the Spark
+    // side; the oracle rejects them by construction, so a parser
+    // that accepted garbage or truncation would hash-mismatch.
+    "mm_image_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 4 AS kind,
+        |    CAST((doc_id % 200) + 16 AS BIGINT) AS w,
+        |    CAST((doc_id % 150) + 16 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CASE WHEN kind = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  count(*) AS n_images,
+        |  CAST(sum(w) AS BIGINT) AS sum_w,
+        |  CAST(sum(h) AS BIGINT) AS sum_h
+        |FROM m
+        |WHERE kind IN (0, 1) AND w >= 32 AND h >= 32
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Mirrors Multimodal.shardManifest: the same two-level prefix sum
     // (bucket offsets + within-bucket window), 256 KB shard target
     "mm_shard_manifest" ->

@@ -305,6 +305,47 @@ object Multimodal {
       }.toDF().orderBy(col("doc_id"))
   }
 
+  /** The media CURATION GATE a multimodal pipeline runs before
+    * training: sniff every payload, reject non-images and truncated
+    * headers, then resolution-filter (min 32×32) and audit per
+    * format. Payloads are deterministic per doc_id — valid PNG
+    * (kind 0), valid JPEG (kind 1), garbage bytes (kind 2), a
+    * TRUNCATED png header (kind 3) — so the oracle can recompute the
+    * surviving set in pure arithmetic while the Spark side actually
+    * parses. Runs through the REGISTERED SQL functions
+    * (image_format/width/height via GraftExtensions.install), so the
+    * whole gate is one codegen'd projection + filter + aggregate —
+    * map-only until the format-keyed (constant-cardinality) agg. */
+  def imageFilter(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.install(s)
+    val sp = s
+    import sp.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 200 + 16).toInt
+          val h = (id % 150 + 16).toInt
+          val bytes = (id % 4) match {
+            case 0 => ImageSynth.png(w, h)
+            case 1 => ImageSynth.jpeg(w, h)
+            case 2 => s"doc-$id is not an image".getBytes("UTF-8")
+            case _ => ImageSynth.png(w, h).take(12) // truncated header
+          }
+          MediaPayload(id, bytes)
+        }
+      }.toDF()
+    payloads
+      .selectExpr("doc_id", "image_format(bytes) AS format",
+        "image_width(bytes) AS w", "image_height(bytes) AS h")
+      .filter(col("format").isNotNull &&
+        col("w") >= 32 && col("h") >= 32)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("w")).as("sum_w"),
+        sum(col("h")).as("sum_h"))
+      .orderBy(col("format"))
+  }
+
   /** WebDataset-style shard manifest: pack documents (in doc_id
     * order) into ~256 KB shards and emit one manifest row per shard
     * (counts, byte span, id range, content checksum) — the export
