@@ -354,30 +354,40 @@ object PipelineOracles {
         |        CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY x, y""".stripMargin,
 
-    // Mirrors Dedup.embeddingLsh: 16 md5-parity hyperplanes, 4 bands
-    // x 4 bits, self-join per bucket, cross-band pair dedup, exact
-    // cosine >= 0.45 verify — identical planes/banding/arithmetic.
+    // Mirrors Dedup.embeddingLsh with the SAME corpus-driven
+    // constants: band_bits = ceil(log2 n) - 4 clamped to [4, 62]
+    // (ceil(log2 n) computed integer-exactly as max{j: 2^j < n} + 1,
+    // the twin of Scala's 64 - numberOfLeadingZeros(n-1)), 4 bands,
+    // plane j's bucket bit = j % band_bits of band j // band_bits,
+    // self-join per bucket, cross-band pair dedup, exact cosine
+    // >= 0.45 verify — identical planes/banding/arithmetic.
     "dedup_embedding_lsh" ->
-      """WITH sig AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
-        |             ELSE 0 END) AS BIGINT) AS sig
-        |  FROM (
-        |    SELECT vec_id, j,
-        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |        list_transform(generate_series(1, 64),
-        |          k -> CAST(embedding[k] AS DOUBLE) *
-        |               (CASE WHEN unicode(substr(md5(
-        |                      CAST(j AS VARCHAR) || '-' ||
-        |                      CAST(k - 1 AS VARCHAR)), 1, 1)) & 1 = 1
-        |                     THEN CAST(1 AS DOUBLE)
-        |                     ELSE CAST(-1 AS DOUBLE) END))),
-        |        (a, x) -> a + x) AS dot
-        |    FROM embeddings CROSS JOIN range(16) g(j))
-        |  GROUP BY 1),
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |bb AS (
+        |  SELECT least(62, greatest(4,
+        |    coalesce((SELECT max(j) + 1 FROM range(63) g(j), nn
+        |              WHERE (CAST(1 AS BIGINT) << j) < nn.n), 0) - 4))
+        |    AS band_bits
+        |  FROM nn),
+        |dots AS (
+        |  SELECT vec_id, j,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64),
+        |        k -> CAST(embedding[k] AS DOUBLE) *
+        |             (CASE WHEN unicode(substr(md5(
+        |                    CAST(j AS VARCHAR) || '-' ||
+        |                    CAST(k - 1 AS VARCHAR)), 1, 1)) & 1 = 1
+        |                   THEN CAST(1 AS DOUBLE)
+        |                   ELSE CAST(-1 AS DOUBLE) END))),
+        |      (a, x) -> a + x) AS dot
+        |  FROM embeddings CROSS JOIN range(248) g(j), bb
+        |  WHERE j < 4 * bb.band_bits),
         |bands AS (
-        |  SELECT vec_id, b AS band, (sig >> (b * 4)) & 15 AS bv
-        |  FROM sig CROSS JOIN range(4) g(b)),
+        |  SELECT vec_id, j // bb.band_bits AS band,
+        |    CAST(sum(CASE WHEN dot >= 0
+        |             THEN (CAST(1 AS BIGINT) << (j % bb.band_bits))
+        |             ELSE 0 END) AS BIGINT) AS bv
+        |  FROM dots, bb GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS x, c.vec_id AS y
         |  FROM bands a JOIN bands c

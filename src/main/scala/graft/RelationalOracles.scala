@@ -291,19 +291,23 @@ object RelationalOracles {
     // Mirrors Relational.q36SampledDeciles: identical md5-fold hash
     // sample (mod 20), ntile boundaries of the SAMPLE only, strict
     // b < cents bucket assignment (ties to the lower bucket).
+    // sample modulus mirrors Relational.q36Modulus: the row budget
+    // (100k) turns the rate into min(5%, budget/n), integer-exact
     "q36_sampled_deciles" ->
       """WITH o AS (
         |  SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
         |  FROM orders),
+        |mm AS (
+        |  SELECT greatest(20, (count(*) + 99999) // 100000) AS m FROM o),
         |samp AS (
-        |  SELECT * FROM o
+        |  SELECT o.* FROM o, mm
         |  WHERE list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(regexp_extract_all(
         |          md5('dec-' || CAST(o_orderkey AS VARCHAR)), '(?s).'),
         |          c -> CAST(unicode(c) AS BIGINT))),
-        |      (h, c) -> (h * 31 + c) % 2147483647) % 20 = 0),
+        |      (h, c) -> (h * 31 + c) % 2147483647) % mm.m = 0),
         |tiles AS (
         |  SELECT total_cents,
         |    ntile(10) OVER (ORDER BY total_cents, o_orderkey) AS tile

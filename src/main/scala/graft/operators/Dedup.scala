@@ -554,36 +554,62 @@ object Dedup {
     * agrees on every plane, so every band collides — recall 1.0 on
     * the duplicate pairs dedup exists for (the ×8 replica's copy
     * groups all surface); near-dups degrade smoothly by the standard
-    * banding curve P = 1-(1-p^bits)^bands with p = 1-θ/π. bandBits
-    * scales as ~log2(n) to keep random-collision noise linear — 4
-    * bits suits the test SFs; a 100 TB corpus raises the constant,
-    * same plan. Fully DuckDB hash-matched: same planes, same
-    * banding, same cosine arithmetic. */
+    * banding curve P = 1-(1-p^bits)^bands with p = 1-θ/π.
+    *
+    * The blocking constants are CORPUS-SIZE-DRIVEN, not compile-time:
+    * one cheap count() fixes bandBits = ceil(log2 n) − 4 (clamped to
+    * [4, 62]), i.e. 2^bandBits ≈ n/16, so expected bucket occupancy
+    * stays ~16 at ANY corpus size and the band self-join's
+    * random-collision volume stays ~bands·16·n — linear, as the
+    * banding math requires. Each band hashes its own bandBits planes
+    * into its own 64-bit bucket value (no shared packed signature),
+    * so planes = bands·bandBits can grow to 248 before the per-band
+    * word caps — n ≈ 2^66, beyond any corpus. The identical
+    * derivation runs inside the oracle SQL from the same count, so
+    * the hash-match holds at every SF while the constants move. */
   def embeddingLsh(s: SparkSession, d: String): DataFrame =
     embeddingLshOn(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Bands per LSH blocking pass — fixed; recall knob is bandBits. */
+  private[graft] val LshBands = 4
+
+  /** ceil(log2 n) − 4, clamped to [4, 62]: keeps expected bucket
+    * occupancy n/2^bandBits ≈ 16 so candidates stay linear in n. */
+  private[graft] def lshBandBits(n: Long): Int = {
+    val log2n =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(62, math.max(4, log2n - 4))
+  }
+
+  /** The banded candidate-pair stage (pre-verify) — exposed so the
+    * scale spec can measure candidate volume directly. */
+  private[graft] def lshCandidates(e: DataFrame, bandBits: Int): DataFrame = {
+    val planes = LshBands * bandBits
+    val hp = Array.tabulate(planes)(Similarity.md5Plane(_, 64))
+    // one signature word PER BAND: band b hashes planes
+    // [b·bandBits, (b+1)·bandBits) — bit k of bv is plane b·bandBits+k
+    val bandCols = (0 until LshBands).map { b =>
+      struct(lit(b).as("band"),
+        graft.functions.VectorFunctions.hyperplaneSig(col("embedding"),
+          hp.slice(b * bandBits, (b + 1) * bandBits).map(_.toSeq).toSeq)
+          .as("bv"))
+    }
+    val bands = e
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      .distinct()
+  }
 
   /** The blocking + verify pipeline over any (vec_id, embedding)
     * frame — exposed so specs can plant exact duplicates and prove
     * the recall-1.0-on-dups property directly. */
   private[graft] def embeddingLshOn(e: DataFrame): DataFrame = {
-    val planes = 16
-    val bandBits = 4
-    val hp = Array.tabulate(planes)(Similarity.md5Plane(_, 64))
-    val bands = e
-      .withColumn("sig", graft.functions.VectorFunctions.hyperplaneSig(
-        col("embedding"), hp.map(_.toSeq).toSeq))
-      .select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, ${planes / bandBits - 1}),
-            b -> named_struct('band', b,
-                  'bv', (sig >> (b * $bandBits)) & ${(1 << bandBits) - 1}))"""))
-        .as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val candIds = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
-      .distinct()
+    val candIds = lshCandidates(e, lshBandBits(e.count()))
     val ex = e.select(col("vec_id").as("x"), col("embedding").as("ea"))
     val ey = e.select(col("vec_id").as("y"), col("embedding").as("eb"))
     candIds.join(ex, "x").join(ey, "y")

@@ -483,13 +483,17 @@ object Relational {
 
   /** q31's 100 TB form — SAMPLED-boundary deciles (the executable
     * variant of the scale note on [[q31Deciles]]): decile boundaries
-    * come from a deterministic 5% hash sample (md5-fold mod 20, the
+    * come from a deterministic hash sample (md5-fold mod m, the
     * oracle-mirrorable stand-in for TeraSort's InputSampler /
     * Spark's RangePartitioner reservoir), so the FULL data is never
     * globally sorted — the only total-order sort in the plan is over
-    * the sample (bounded: production caps the sample size, exactly
-    * like the reference's partition-file sampler in
-    * hadoop-common/.../mapreduce/lib/partition/InputSampler.java:1).
+    * the sample, and the sample is ROW-BUDGETED, not rate-bounded:
+    * one cheap count() sets the modulus m = max(20, ceil(n /
+    * [[Q36SampleBudget]])), i.e. rate = min(5%, budget/n), exactly
+    * the numSamples cap of the reference's partition-file sampler
+    * (hadoop-common/.../mapreduce/lib/partition/InputSampler.java:1).
+    * At the test SFs m stays 20 (identical results); at 100 TB the
+    * single ordered-ntile task holds ~budget rows, never terabytes.
     * The 9 boundary values collapse to ONE array row, broadcast, and
     * every row buckets map-side by counting boundaries below it —
     * rows tied with a boundary go to the lower bucket, so membership
@@ -497,13 +501,21 @@ object Relational {
     * (that is the trade); RelationalSpec bounds the skew vs the
     * exact q31 form and PlansSpec pins that no full-data global sort
     * survives. */
+  val Q36SampleBudget = 100000L
+
+  /** max(20, ceil(n/budget)) — integer-exact, mirrored in the oracle
+    * as greatest(20, (n + budget - 1) // budget). */
+  private[graft] def q36Modulus(n: Long): Long =
+    math.max(20L, (n + Q36SampleBudget - 1) / Q36SampleBudget)
+
   def q36SampledDeciles(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+    val m = q36Modulus(o.count())
     val samp = o.filter(
       graft.functions.RollingHash.rollingHash(
         md5(concat(lit("dec-"), col("o_orderkey").cast("string"))
-          .cast("binary"))) % 20 === 0)
+          .cast("binary"))) % m === 0)
     val bounds = samp
       .withColumn("tile", ntile(10).over(
         Window.orderBy(col("total_cents"), col("o_orderkey"))))

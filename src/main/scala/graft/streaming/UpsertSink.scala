@@ -48,6 +48,63 @@ object UpsertSink {
       .drop("_rn")
   }
 
+  /** One micro-batch delivery: recover from any prior crashed
+    * publish, merge, then swap the merged table in with two renames.
+    *
+    * The two-rename swap has a crash WINDOW — a failure between
+    * rename(table, retired) and rename(staged, table) leaves no table
+    * dir on disk. Without recovery, the replayed batch would merge
+    * against a falsely-EMPTY table and publish only its own keys,
+    * silently dropping every prior row. So before merging we restore
+    * the newest `.retired-*` sibling if the table dir is absent, and
+    * sweep any older `.retired-*`/`.staging-*` leftovers (a crash
+    * after publish but before the retired-dir delete leaves one).
+    * With recovery in place the replay is idempotent at every crash
+    * point: the reader always sees either the old or the new table. */
+  private[graft] def publish(batch: DataFrame, tableDir: String,
+      batchId: Long): Unit = {
+    val conf = new Configuration()
+    val table = new Path(tableDir)
+    val fsys = table.getFileSystem(conf)
+    val parent = table.getParent
+    def siblings(prefix: String): Array[Path] =
+      if (parent != null && fsys.exists(parent))
+        fsys.listStatus(parent).map(_.getPath)
+          .filter(_.getName.startsWith(prefix))
+      else Array.empty[Path]
+    val retiredPrefix = table.getName + ".retired-"
+    val stagingPrefix = table.getName + ".staging-"
+    if (!fsys.exists(table)) {
+      val orphans = siblings(retiredPrefix)
+      if (orphans.nonEmpty) {
+        // Crash hit between the two renames: the retired dir IS the
+        // table. Restore the newest (highest batchId) copy.
+        val newest =
+          orphans.maxBy(_.getName.drop(retiredPrefix.length).toLong)
+        require(fsys.rename(newest, table),
+          s"upsert sink: cannot restore $newest")
+      }
+    }
+    // Older retired/staging leftovers are dead weight (this batch's
+    // staging dir is rewritten below with mode=overwrite).
+    (siblings(retiredPrefix) ++ siblings(stagingPrefix))
+      .foreach(p => fsys.delete(p, true))
+    val staged = new Path(tableDir + s".staging-$batchId")
+    val retired = new Path(tableDir + s".retired-$batchId")
+    // merge against the CURRENT table into staging...
+    merge(batch, tableDir).write.mode("overwrite")
+      .parquet(staged.toString)
+    // ...then publish with two renames (atomic swap)
+    if (fsys.exists(table)) {
+      require(fsys.rename(table, retired),
+        s"upsert sink: cannot retire $table")
+    }
+    require(fsys.rename(staged, table),
+      s"upsert sink: cannot publish $staged")
+    fsys.delete(retired, true)
+    ()
+  }
+
   /** Start the sink: `stream` must carry (key, payload, version)
     * with versions unique per key (CDC log offsets are). */
   def start(stream: DataFrame, tableDir: String,
@@ -55,24 +112,7 @@ object UpsertSink {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        val conf = new Configuration()
-        val table = new Path(tableDir)
-        val fsys = table.getFileSystem(conf)
-        val staged = new Path(tableDir + s".staging-$batchId")
-        val retired = new Path(tableDir + s".retired-$batchId")
-        // merge against the CURRENT table into staging...
-        merge(batch, tableDir).write.mode("overwrite")
-          .parquet(staged.toString)
-        // ...then publish with two renames (atomic swap)
-        if (fsys.exists(table)) {
-          require(fsys.rename(table, retired),
-            s"upsert sink: cannot retire $table")
-        }
-        require(fsys.rename(staged, table),
-          s"upsert sink: cannot publish $staged")
-        fsys.delete(retired, true)
-        ()
+        publish(batch, tableDir, batchId)
       }
       .start()
 }

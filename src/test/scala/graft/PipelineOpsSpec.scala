@@ -232,6 +232,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(found.subsetOf(exact), s"non-near-dup pairs: ${found -- exact}")
   }
 
+  test("embedding LSH dedup: corpus-driven bandBits keeps candidates ~linear") {
+    import graft.operators.Dedup
+    // the derivation itself: occupancy n/2^bandBits pinned at ~16
+    assert(Dedup.lshBandBits(500) == 5)
+    assert(Dedup.lshBandBits(2000) == 7)
+    assert(Dedup.lshBandBits(1L << 30) == 26)
+    assert(Dedup.lshBandBits(1) == 4)              // floor
+    assert(Dedup.lshBandBits(Long.MaxValue) == 59) // fits a word per band
+    // ×32 probe on duplicate-free corpora (distinct deterministic
+    // vectors), so every candidate is a RANDOM collision — the term
+    // the adaptive constant exists to bound. With the old fixed
+    // bandBits=4 the count would grow ~32²≈1000×; corpus-driven must
+    // stay ~32× (per-unit flat).
+    def corpus(n: Int) = {
+      val sp = spark
+      import sp.implicits._
+      (0 until n).map { i =>
+        val r = new scala.util.Random(i * 2654435761L)
+        (i.toLong, Array.fill(64)(r.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding").repartition(32)
+    }
+    val small = 1000
+    val big = 32 * small
+    val cSmall = Dedup.lshCandidates(corpus(small),
+      Dedup.lshBandBits(small)).count()
+    val cBig = Dedup.lshCandidates(corpus(big),
+      Dedup.lshBandBits(big)).count()
+    val perUnit = (cBig.toDouble / big) / (cSmall.toDouble / small)
+    assert(perUnit <= 2.0,
+      s"candidate volume superlinear: $cSmall@$small -> $cBig@$big " +
+        f"(per-unit ratio $perUnit%.2f)")
+  }
+
   test("image header parse: real PNG/JPEG/GIF bytes, robust to garbage") {
     import graft.operators.{ImageHeaders, ImageSynth}
     // a genuine 1x1 transparent PNG (standard fixture bytes)

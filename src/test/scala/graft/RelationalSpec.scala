@@ -131,6 +131,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q36 sample is row-budgeted: modulus grows with corpus size") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    // rate = min(5%, budget/n): the 5% floor binds at the test SFs
+    // (identical results), the row budget takes over past 2M rows
+    assert(Relational.q36Modulus(15000) == 20)
+    assert(Relational.q36Modulus(2000000) == 20)
+    assert(Relational.q36Modulus(4000000) == 40)
+    assert(Relational.q36Modulus(1000000000L) == 10000)
+    // the sampled subtree on a ~267× key space: what flows into the
+    // single ordered-ntile task stays pinned at ~budget rows
+    val n = 4000000L
+    val m = Relational.q36Modulus(n)
+    val sampled = spark.range(n).select(col("id").as("o_orderkey"))
+      .filter(graft.functions.RollingHash.rollingHash(
+        md5(concat(lit("dec-"), col("o_orderkey").cast("string"))
+          .cast("binary"))) % m === 0)
+      .count()
+    assert(sampled <= (Relational.Q36SampleBudget * 1.1).toLong,
+      s"sample $sampled exceeds the 100k row budget")
+    assert(sampled >= (Relational.Q36SampleBudget * 0.9).toLong,
+      s"sample $sampled implausibly small for rate 1/$m of $n")
+  }
+
   test("every query key has a DuckDB oracle (no rows-only queries left)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

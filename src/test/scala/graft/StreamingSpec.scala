@@ -269,6 +269,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"publish residue: ${leftovers.toSeq}")
   }
 
+  test("CDC upsert sink: replay recovers a table stranded mid-publish") {
+    // crash window of the two-rename swap: the table was retired but
+    // the staged merge never landed. A replayed batch must restore the
+    // retired copy before merging — merging against a falsely-empty
+    // table would silently drop every prior row.
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-upsert-crash-").toString
+    val table = root + "/table"
+    val b0 = Seq((1L, "a1", 1L), (2L, "b1", 1L))
+      .toDF("key", "payload", "version")
+    graft.streaming.UpsertSink.publish(b0, table, 0L)
+    val fs = new Path(table).getFileSystem(new Configuration())
+    assert(fs.rename(new Path(table), new Path(table + ".retired-1")))
+    fs.mkdirs(new Path(table + ".staging-1")) // half-written staging
+    val b1 = Seq((2L, "b2", 2L), (3L, "c1", 1L))
+      .toDF("key", "payload", "version")
+    graft.streaming.UpsertSink.publish(b1, table, 1L)
+    val got = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("a1", 1L), 2L -> ("b2", 2L), 3L -> ("c1", 1L)),
+      "replay after mid-publish crash lost prior rows")
+    // recovery also swept the crash residue
+    val leftovers = new java.io.File(root).listFiles
+      .map(_.getName).filter(n => n.contains("staging") || n.contains("retired"))
+    assert(leftovers.isEmpty, s"crash residue: ${leftovers.toSeq}")
+  }
+
   test("stream-static enrichment join equals the batch join, stateless") {
     import graft.sources.Tables
     val dim = Tables.customer(spark, sf)
