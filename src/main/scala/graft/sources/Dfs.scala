@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** FsShell-equivalent utilities over the Hadoop FileSystem API (the
   * hadoop-hdfs client surface: ls/du/mkdir/rm). Driver-side metadata
@@ -217,7 +217,12 @@ object Dfs {
     * FileSystem.truncate). HDFS truncates in place (may return false
     * while block recovery runs — same contract as the API);
     * filesystems that refuse truncate (the local ChecksumFileSystem)
-    * get the same observable result via a streamed prefix rewrite. */
+    * get the same observable result via a streamed prefix rewrite,
+    * in write-new / swap / delete-old order: the original is renamed
+    * aside only AFTER the complete truncated copy exists, so a crash
+    * at any point leaves either the old file (under its name or the
+    * .orig aside) or the new one — never neither (the HDFS in-place
+    * truncate has the same old-or-new guarantee). */
   def truncate(path: String, newLength: Long): Boolean = {
     val (f, p) = fs(path)
     try f.truncate(p, newLength)
@@ -226,6 +231,7 @@ object Dfs {
         require(newLength <= f.getFileStatus(p).getLen,
           s"truncate: $newLength exceeds the file length")
         val tmp = new Path(p.getParent, "." + p.getName + ".trunc")
+        val orig = new Path(p.getParent, "." + p.getName + ".orig")
         val in = f.open(p)
         val out = f.create(tmp, true)
         try {
@@ -239,8 +245,11 @@ object Dfs {
             remaining -= n
           }
         } finally { in.close(); out.close() }
-        f.delete(p, false)
-        f.rename(tmp, p)
+        // swap: original aside -> new into place -> drop the aside
+        require(f.rename(p, orig), s"truncate: cannot set aside $path")
+        require(f.rename(tmp, p), s"truncate: cannot publish $tmp")
+        f.delete(orig, false)
+        true
     }
   }
 
@@ -256,11 +265,15 @@ object Dfs {
     try f.concat(tp, srcPaths.toArray)
     catch {
       case _: UnsupportedOperationException =>
-        // streamed fallback: no file is ever buffered in memory
+        // streamed fallback, crash-safe ordering: the concatenation
+        // is built in a temp file while target and srcs stay intact,
+        // then swapped in (aside -> publish -> cleanup) — a crash at
+        // any point leaves either the original files or the finished
+        // result, matching HDFS's atomic namenode block-splice.
         val tmp = new Path(tp.getParent, "." + tp.getName + ".concat")
-        require(f.rename(tp, tmp), s"concat: cannot stage $target")
-        val out = f.create(tp, true)
-        try (tmp +: srcPaths).foreach { sp =>
+        val orig = new Path(tp.getParent, "." + tp.getName + ".orig")
+        val out = f.create(tmp, true)
+        try (tp +: srcPaths).foreach { sp =>
           val in = f.open(sp)
           try {
             val buf = new Array[Byte](128 * 1024)
@@ -271,7 +284,9 @@ object Dfs {
             }
           } finally in.close()
         } finally out.close()
-        (tmp +: srcPaths).foreach(sp => f.delete(sp, false))
+        require(f.rename(tp, orig), s"concat: cannot set aside $target")
+        require(f.rename(tmp, tp), s"concat: cannot publish $tmp")
+        (orig +: srcPaths).foreach(sp => f.delete(sp, false))
     }
   }
 
@@ -289,6 +304,15 @@ object Dfs {
   private def xattrSidecar(p: Path) =
     new Path(p.getParent, "." + p.getName + ".xattr")
 
+  // Sidecar lines are hex(nameUtf8)=hex(value): hex-encoding the NAME
+  // too means an attribute name containing '=' or '\n' round-trips
+  // exactly instead of corrupting the split-on-'=' parse (names are
+  // user-chosen; HDFS allows any string after the namespace prefix).
+  private def hexEncode(b: Array[Byte]): String =
+    b.map("%02x".format(_)).mkString
+  private def hexDecode(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   private def readSidecar(f: FileSystem, p: Path): Map[String, Array[Byte]] = {
     val sc = xattrSidecar(p)
     if (!f.exists(sc)) Map.empty
@@ -303,7 +327,7 @@ object Dfs {
           .filter(_.nonEmpty)
           .map { line =>
             val Array(k, v) = line.split("=", 2)
-            k -> v.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+            new String(hexDecode(k), "UTF-8") -> hexDecode(v)
           }.toMap
       } finally in.close()
     }
@@ -316,7 +340,7 @@ object Dfs {
     else {
       val out = f.create(sc, true)
       try out.write(attrs.toSeq.sortBy(_._1).map { case (k, v) =>
-        k + "=" + v.map("%02x".format(_)).mkString
+        hexEncode(k.getBytes("UTF-8")) + "=" + hexEncode(v)
       }.mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
     }
@@ -445,5 +469,276 @@ object Dfs {
         } catch { case _: Exception => false } // not a checkpoint dir
       }
       .count(st => f.delete(st.getPath, true))
+  }
+
+  // ---- find (reference: hadoop-common/.../fs/shell/find/Find.java,
+  // Name.java, And.java — the expression-tree walk). The shell's only
+  // shipped predicate is -name; the composable tree below adds the
+  // size/mtime/type predicates every operator reaches for (GNU find
+  // semantics) while keeping the reference's structure: one depth-
+  // first walk, the expression applied to every visited status,
+  // directories before their children, children in name order. ----
+
+  sealed trait FindExpr {
+    private[graft] def matches(st: FileStatus): Boolean
+  }
+
+  object FindExpr {
+    private def globRegex(glob: String): scala.util.matching.Regex = {
+      // *, ?, [...] as in fs/GlobPattern; everything else literal
+      val sb = new StringBuilder
+      glob.foreach {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case c if "\\.(){}+^$|".contains(c) => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      sb.toString.r
+    }
+
+    /** -name (ignoreCase = -iname): glob over the base name. */
+    final case class Name(glob: String, ignoreCase: Boolean = false)
+        extends FindExpr {
+      private val re =
+        globRegex(if (ignoreCase) glob.toLowerCase else glob)
+      private[graft] def matches(st: FileStatus): Boolean = {
+        val n = st.getPath.getName
+        re.pattern.matcher(if (ignoreCase) n.toLowerCase else n).matches
+      }
+    }
+
+    /** -size: '+' strictly larger, '-' strictly smaller, '=' exact,
+      * in bytes (directories compare their status length, 0). */
+    final case class Size(cmp: Char, bytes: Long) extends FindExpr {
+      private[graft] def matches(st: FileStatus): Boolean = cmp match {
+        case '+' => st.getLen > bytes
+        case '-' => st.getLen < bytes
+        case _   => st.getLen == bytes
+      }
+    }
+
+    /** -mtime n (days, against the caller's clock): '+' modified more
+      * than n days ago, '-' less, '=' within day n exactly. */
+    final case class Mtime(cmp: Char, days: Long, nowMs: Long)
+        extends FindExpr {
+      private val DayMs = 86400000L
+      private[graft] def matches(st: FileStatus): Boolean = {
+        val age = nowMs - st.getModificationTime
+        cmp match {
+          case '+' => age > days * DayMs
+          case '-' => age < days * DayMs
+          case _   => age >= days * DayMs && age < (days + 1) * DayMs
+        }
+      }
+    }
+
+    /** -type f|d */
+    final case class Type(t: Char) extends FindExpr {
+      private[graft] def matches(st: FileStatus): Boolean =
+        if (t == 'd') st.isDirectory else st.isFile
+    }
+
+    /** Implicit -a of the shell's expression tree. */
+    final case class All(ps: Seq[FindExpr]) extends FindExpr {
+      private[graft] def matches(st: FileStatus): Boolean =
+        ps.forall(_.matches(st))
+    }
+
+    /** -o */
+    final case class Any(ps: Seq[FindExpr]) extends FindExpr {
+      private[graft] def matches(st: FileStatus): Boolean =
+        ps.exists(_.matches(st))
+    }
+
+    /** ! */
+    final case class Not(p: FindExpr) extends FindExpr {
+      private[graft] def matches(st: FileStatus): Boolean = !p.matches(st)
+    }
+  }
+
+  /** fs -find: every path under (and including) `root` matching the
+    * expression, in the shell's print order — preorder DFS, children
+    * sorted by name. Namenode-walk only, like the shell. */
+  def find(root: String, expr: FindExpr): Seq[String] = {
+    val (f, p) = fs(root)
+    def walk(st: FileStatus): Seq[String] = {
+      val self =
+        if (expr.matches(st)) Seq(st.getPath.toString) else Seq.empty
+      val kids =
+        if (st.isDirectory)
+          f.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName)
+            .flatMap(walk)
+        else Seq.empty
+      self ++ kids
+    }
+    walk(f.getFileStatus(p))
+  }
+
+  // ---- Display family (reference: hadoop-common/.../fs/shell/
+  // Display.java — Text :116 decodes whatever the file is, Checksum
+  // :176 prints the digest) -------------------------------------------
+
+  /** fs -text: render a file as lines regardless of its on-disk
+    * format — a SequenceFile becomes one "key\tvalue" line per
+    * record, a compressed text file (codec resolved from the
+    * extension, same as the shell's factory lookup) is decoded, and
+    * anything else streams through as plain text. */
+  def text(path: String): Seq[String] = {
+    val (f, p) = fs(path)
+    val magic = head(path, 3)
+    val isSeq = magic.length == 3 &&
+      magic(0) == 'S'.toByte && magic(1) == 'E'.toByte &&
+      magic(2) == 'Q'.toByte
+    if (isSeq) {
+      import org.apache.hadoop.io.SequenceFile
+      val conf = f.getConf
+      val reader =
+        new SequenceFile.Reader(conf, SequenceFile.Reader.file(p))
+      try {
+        val key = org.apache.hadoop.util.ReflectionUtils
+          .newInstance(reader.getKeyClass, conf)
+          .asInstanceOf[org.apache.hadoop.io.Writable]
+        val value = org.apache.hadoop.util.ReflectionUtils
+          .newInstance(reader.getValueClass, conf)
+          .asInstanceOf[org.apache.hadoop.io.Writable]
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (reader.next(key, value)) out += s"$key\t$value"
+        out.toSeq
+      } finally reader.close()
+    } else {
+      val codec = new org.apache.hadoop.io.compress
+        .CompressionCodecFactory(new Configuration()).getCodec(p)
+      val raw = f.open(p)
+      val in = if (codec != null) codec.createInputStream(raw) else raw
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+  }
+
+  /** fs -checksum: hex digest of the file's raw bytes — MD5 of the
+    * content, like distcp's cross-filesystem verifier (HDFS's
+    * composite block CRCs are layout-dependent and famously not
+    * comparable across filesystems; content MD5 is). */
+  def checksum(path: String): String = {
+    val (f, p) = fs(path)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](128 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest.map("%02x".format(_)).mkString
+  }
+
+  // ---- Quotas (reference: hadoop-common/.../fs/shell/Count.java:100
+  // showQuotas; hdfs setQuota/setSpaceQuota). HDFS keeps quotas on
+  // the directory inode; where the native FS has none they live in
+  // the same xattr store the rest of the metadata surface uses, and
+  // the OBSERVABLE contract matches: count -q reports (quota,
+  // remaining, spaceQuota, spaceRemaining, dirs, files, bytes), and
+  // an enforced write under an exhausted quota is REFUSED with the
+  // NS/DS exception split HDFS throws. Namespace usage counts every
+  // name in the tree including the root dir itself (the HDFS rule);
+  // space usage is content bytes at replication 1 (local FS). ----
+
+  private val QuotaAttr = "graft.quota"
+
+  class QuotaExceededException(msg: String)
+    extends java.io.IOException(msg)
+  /** namespace (name-count) quota violation — HDFS's
+    * NSQuotaExceededException analog. */
+  class NsQuotaExceededException(msg: String)
+    extends QuotaExceededException(msg)
+  /** diskspace quota violation — HDFS's DSQuotaExceededException
+    * analog. */
+  class DsQuotaExceededException(msg: String)
+    extends QuotaExceededException(msg)
+
+  /** hdfs dfsadmin -setQuota / -setSpaceQuota (-1 = unlimited). */
+  def setQuota(dir: String, nsQuota: Long = -1L,
+      spaceQuota: Long = -1L): Unit = {
+    require(test(dir, 'd'), s"setQuota: $dir is not a directory")
+    setfattr(dir, QuotaAttr, s"$nsQuota:$spaceQuota".getBytes("UTF-8"))
+  }
+
+  /** hdfs dfsadmin -clrQuota -clrSpaceQuota */
+  def clearQuota(dir: String): Unit = removefattr(dir, QuotaAttr)
+
+  private def quotaOf(dir: String): Option[(Long, Long)] =
+    getfattr(dir, QuotaAttr).map { b =>
+      val Array(ns, sp) = new String(b, "UTF-8").split(":", 2)
+      (ns.toLong, sp.toLong)
+    }
+
+  /** count -q output row (quota fields are -1 = none/inf when no
+    * quota is set, matching the shell's none/inf columns). */
+  case class QuotaCount(quota: Long, quotaRemaining: Long,
+      spaceQuota: Long, spaceRemaining: Long,
+      dirs: Long, files: Long, bytes: Long)
+
+  /** fs -count -q: the shell's seven-column quota view from one
+    * content summary + the directory's quota record. */
+  def countQ(dir: String): QuotaCount = {
+    val (dirs, files, bytes) = count(dir)
+    quotaOf(dir) match {
+      case Some((ns, sp)) =>
+        QuotaCount(
+          quota = ns,
+          quotaRemaining = if (ns < 0) -1L else ns - (dirs + files),
+          spaceQuota = sp,
+          spaceRemaining = if (sp < 0) -1L else sp - bytes,
+          dirs = dirs, files = files, bytes = bytes)
+      case None =>
+        QuotaCount(-1L, -1L, -1L, -1L, dirs, files, bytes)
+    }
+  }
+
+  /** Every ancestor of `p` (nearest first) carrying a quota. The
+    * filesystem root is excluded: it has no parent to hold a sidecar
+    * (and an all-of-/ quota is not a thing the shell sets either). */
+  private def quotaAncestors(p: Path): Seq[(String, Long, Long)] =
+    Iterator.iterate(p.getParent)(_.getParent)
+      .takeWhile(a => a != null && a.getParent != null)
+      .flatMap { a =>
+        quotaOf(a.toString).map { case (ns, sp) => (a.toString, ns, sp) }
+      }.toSeq
+
+  /** The quota gate every enforced mutation runs: would adding
+    * `newNames` names and `newBytes` bytes under `p` break any
+    * ancestor's quota? Throws the HDFS-split exception if so. */
+  private def checkQuota(p: Path, newNames: Long, newBytes: Long): Unit =
+    quotaAncestors(p).foreach { case (dir, ns, sp) =>
+      val (dirs, files, bytes) = count(dir)
+      if (ns >= 0 && dirs + files + newNames > ns)
+        throw new NsQuotaExceededException(
+          s"NSQuotaExceeded: quota=$ns names=${dirs + files} " +
+            s"adding=$newNames under $dir")
+      if (sp >= 0 && bytes + newBytes > sp)
+        throw new DsQuotaExceededException(
+          s"DSQuotaExceeded: spaceQuota=$sp bytes=$bytes " +
+            s"adding=$newBytes under $dir")
+    }
+
+  /** Quota-enforced file create — refuses (file untouched) when any
+    * ancestor's namespace or space quota would be exceeded, exactly
+    * the point HDFS's FSDirectory verifyQuota rejects the addBlock. */
+  def createEnforced(path: String, data: Array[Byte]): Unit = {
+    val (f, p) = fs(path)
+    val existing =
+      if (f.exists(p)) f.getFileStatus(p).getLen else -1L
+    val newNames = if (existing < 0) 1L else 0L
+    val newBytes = data.length.toLong - math.max(existing, 0L)
+    checkQuota(p, newNames, newBytes)
+    val out = f.create(p, true)
+    try out.write(data) finally out.close()
+  }
+
+  /** Quota-enforced mkdir (one new name, zero bytes). */
+  def mkdirsEnforced(path: String): Boolean = {
+    val (f, p) = fs(path)
+    if (f.exists(p)) return false
+    checkQuota(p, newNames = 1L, newBytes = 0L)
+    f.mkdirs(p)
   }
 }

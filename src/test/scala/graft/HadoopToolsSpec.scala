@@ -242,6 +242,13 @@ class HadoopToolsSpec extends AnyFunSuite {
 
     // xattr round-trip (XAttrCommands contract)
     write(root + "/data.txt", "payload")
+    // names containing '=' or '\n' must round-trip exactly (the
+    // sidecar hex-encodes names as well as values)
+    Dfs.setfattr(root + "/data.txt", "user.k=odd\nname", "v1".getBytes)
+    assert(new String(
+      Dfs.getfattr(root + "/data.txt", "user.k=odd\nname").get) == "v1")
+    Dfs.removefattr(root + "/data.txt", "user.k=odd\nname")
+    assert(Dfs.getfattr(root + "/data.txt", "user.k=odd\nname").isEmpty)
     assert(Dfs.getfattr(root + "/data.txt", "user.owner").isEmpty)
     Dfs.setfattr(root + "/data.txt", "user.owner", "pipeline-a".getBytes)
     Dfs.setfattr(root + "/data.txt", "user.stage", "raw".getBytes)
@@ -273,6 +280,138 @@ class HadoopToolsSpec extends AnyFunSuite {
     Dfs.deleteSnapshot(root + "/table", "s1")
     assert(!Dfs.exists(snap) && Dfs.exists(snap2))
     assert(read(root + "/table/part-0.txt") == "v2-mutated")
+    Dfs.rm(root, recursive = true)
+  }
+
+  test("find: predicate-tree search matches the reference's walk") {
+    import graft.sources.Dfs
+    import graft.sources.Dfs.FindExpr._
+    val root = Files.createTempDirectory("graft-find-").toString
+    def write(p: String, s: String) =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), s)
+    Dfs.mkdirs(root + "/logs/2024")
+    Dfs.mkdirs(root + "/data")
+    write(root + "/logs/app.log", "x" * 10)
+    write(root + "/logs/2024/app.log", "x" * 5000)
+    write(root + "/logs/2024/audit.LOG", "y" * 20)
+    write(root + "/data/part-0.parquet", "z" * 100)
+    def names(rs: Seq[String]) =
+      rs.map(_.split('/').takeRight(2).mkString("/"))
+    // -name glob over base names, preorder + name-sorted children
+    assert(names(Dfs.find(root, Name("*.log")))
+      == Seq("2024/app.log", "logs/app.log"))
+    // -iname
+    assert(Dfs.find(root, Name("*.log", ignoreCase = true)).length == 3)
+    // -name -size composition (the shell's implicit -a)
+    assert(names(Dfs.find(root, All(Seq(Name("*.log"), Size('+', 1000L)))))
+      == Seq("2024/app.log"))
+    // -type d matches dirs only, including the root itself
+    val dirs = Dfs.find(root, Type('d'))
+    assert(dirs.length == 4 && dirs.head.endsWith(root.split('/').last))
+    // negation + disjunction compose
+    assert(names(Dfs.find(root, All(Seq(Type('f'),
+      Not(Any(Seq(Name("*.log"), Name("*.LOG"))))))))
+      == Seq("data/part-0.parquet"))
+    // -mtime: age the 2024 files 3 days, then split old vs new
+    val now = System.currentTimeMillis()
+    Seq("/logs/2024/app.log", "/logs/2024/audit.LOG").foreach { p =>
+      assert(new java.io.File(root + p)
+        .setLastModified(now - 3L * 86400000L - 60000L))
+    }
+    assert(names(Dfs.find(root, All(Seq(Type('f'), Mtime('+', 2, now)))))
+      == Seq("2024/app.log", "2024/audit.LOG"))
+    assert(Dfs.find(root, All(Seq(Type('f'), Mtime('-', 2, now))))
+      .length == 2)
+    Dfs.rm(root, recursive = true)
+  }
+
+  test("text/checksum render every staging like its direct reader") {
+    import graft.sources.Dfs
+    val root = Files.createTempDirectory("graft-text-").toString
+    val lines = Seq("first line", "second line", "third")
+    // plain text
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root + "/plain.txt"), lines.mkString("\n"))
+    assert(Dfs.text(root + "/plain.txt") == lines)
+    // gzip: codec resolved from the extension, like the shell factory
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(root + "/packed.gz"))
+    gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
+    assert(Dfs.text(root + "/packed.gz") == lines)
+    // SequenceFile: one key\tvalue line per record
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val w = org.apache.hadoop.io.SequenceFile.createWriter(conf,
+      org.apache.hadoop.io.SequenceFile.Writer.file(
+        new org.apache.hadoop.fs.Path(root + "/kv.seq")),
+      org.apache.hadoop.io.SequenceFile.Writer.keyClass(
+        classOf[org.apache.hadoop.io.LongWritable]),
+      org.apache.hadoop.io.SequenceFile.Writer.valueClass(
+        classOf[org.apache.hadoop.io.Text]))
+    lines.zipWithIndex.foreach { case (s, i) =>
+      w.append(new org.apache.hadoop.io.LongWritable(i),
+        new org.apache.hadoop.io.Text(s))
+    }
+    w.close()
+    assert(Dfs.text(root + "/kv.seq")
+      == lines.zipWithIndex.map { case (s, i) => s"$i\t$s" })
+    // checksum: content MD5, equal iff bytes equal
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root + "/copy.txt"), lines.mkString("\n"))
+    assert(Dfs.checksum(root + "/plain.txt")
+      == Dfs.checksum(root + "/copy.txt"))
+    assert(Dfs.checksum(root + "/plain.txt")
+      != Dfs.checksum(root + "/packed.gz"))
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(Dfs.checksum(root + "/plain.txt") == expect)
+    Dfs.rm(root, recursive = true)
+  }
+
+  test("count -q quotas: usage reporting and over-quota write refusal") {
+    import graft.sources.Dfs
+    val root = Files.createTempDirectory("graft-quota-").toString
+    Dfs.mkdirs(root + "/proj")
+    // namespace quota 4 = the dir itself + 3 children (the HDFS rule:
+    // every name in the tree counts, including the root)
+    Dfs.setQuota(root + "/proj", nsQuota = 4L, spaceQuota = 100L)
+    Dfs.createEnforced(root + "/proj/a.dat", Array.fill(30)('a'.toByte))
+    Dfs.createEnforced(root + "/proj/b.dat", Array.fill(30)('b'.toByte))
+    val q = Dfs.countQ(root + "/proj")
+    assert(q.quota == 4L && q.quotaRemaining == 1L)
+    assert(q.spaceQuota == 100L && q.spaceRemaining == 40L)
+    assert(q.dirs == 1L && q.files == 2L && q.bytes == 60L)
+    // space refusal: 41 more bytes would exceed 100
+    intercept[Dfs.DsQuotaExceededException] {
+      Dfs.createEnforced(root + "/proj/c.dat", Array.fill(41)('c'.toByte))
+    }
+    assert(!Dfs.exists(root + "/proj/c.dat"), "refused write left a file")
+    // a fitting file still lands (quota gates, not blocks, writes)
+    Dfs.createEnforced(root + "/proj/c.dat", Array.fill(10)('c'.toByte))
+    // namespace refusal: the 4th child is one name too many
+    intercept[Dfs.NsQuotaExceededException] {
+      Dfs.createEnforced(root + "/proj/d.dat", Array.empty[Byte])
+    }
+    intercept[Dfs.NsQuotaExceededException] {
+      Dfs.mkdirsEnforced(root + "/proj/subdir")
+    }
+    // overwriting an existing file adds no name: allowed within space
+    Dfs.createEnforced(root + "/proj/c.dat", Array.fill(20)('c'.toByte))
+    assert(Dfs.countQ(root + "/proj").bytes == 80L)
+    // quotas on an ancestor gate writes deeper in the tree too
+    Dfs.clearQuota(root + "/proj")
+    Dfs.setQuota(root + "/proj", nsQuota = -1L, spaceQuota = 90L)
+    Dfs.mkdirsEnforced(root + "/proj/nested")
+    intercept[Dfs.DsQuotaExceededException] {
+      Dfs.createEnforced(root + "/proj/nested/big.dat",
+        Array.fill(20)('x'.toByte))
+    }
+    // clearing restores unlimited (-1/none columns)
+    Dfs.clearQuota(root + "/proj")
+    val cleared = Dfs.countQ(root + "/proj")
+    assert(cleared.quota == -1L && cleared.spaceRemaining == -1L)
+    Dfs.createEnforced(root + "/proj/nested/big.dat",
+      Array.fill(500)('x'.toByte))
     Dfs.rm(root, recursive = true)
   }
 }

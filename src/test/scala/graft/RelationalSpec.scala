@@ -4,6 +4,30 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
+  // Multi-tenant scheduling story (SchedulingSpec): FAIR pools with
+  // weights/minShares + speculation are CONTEXT-level confs, so they
+  // ride on the shared session. Both are inert for every other suite
+  // — single-threaded tests land in the default pool, and in local
+  // mode a speculative copy can never be placed (one host), so only
+  // the detection event is observable.
+  private lazy val poolsXml: String = {
+    val f = java.nio.file.Files.createTempFile("graft-pools-", ".xml")
+    java.nio.file.Files.writeString(f,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="interactive">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>4</weight>
+        |    <minShare>2</minShare>
+        |  </pool>
+        |  <pool name="batch">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>""".stripMargin)
+    f.toString
+  }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -11,6 +35,12 @@ object TestSpark {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh-").toString)
     .config("spark.ui.enabled", "false")
+    .config("spark.scheduler.mode", "FAIR")
+    .config("spark.scheduler.allocation.file", poolsXml)
+    .config("spark.speculation", "true")
+    .config("spark.speculation.interval", "50ms")
+    .config("spark.speculation.multiplier", "2")
+    .config("spark.speculation.quantile", "0.75")
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
 }
