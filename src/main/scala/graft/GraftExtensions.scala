@@ -82,6 +82,35 @@ object GraftExtensions {
         graft.operators.ImageHeaders.getClass, LongType, "imageHeight",
         es, inputTypes = Seq(BinaryType), propagateNull = true,
         returnNullable = true)),
+    // WAV/RIFF header sniffing — the audio row of the same family
+    ("wav_channels",
+      info("wav_channels",
+        "wav_channels(bytes) - channel count from the fmt chunk, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.AudioHeaders.getClass, LongType, "wavChannels",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
+    ("wav_sample_rate",
+      info("wav_sample_rate",
+        "wav_sample_rate(bytes) - sample rate from the fmt chunk, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.AudioHeaders.getClass, LongType, "wavSampleRate",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
+    ("wav_bits",
+      info("wav_bits",
+        "wav_bits(bytes) - bits per sample from the fmt chunk, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.AudioHeaders.getClass, LongType, "wavBits",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
+    ("wav_data_bytes",
+      info("wav_data_bytes",
+        "wav_data_bytes(bytes) - data chunk length in bytes, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.AudioHeaders.getClass, LongType, "wavDataBytes",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
   )
 
   /** Register the functions on an already-built session. */

@@ -592,6 +592,24 @@ object PipelineOracles {
         |WHERE kind IN (0, 1) AND w >= 32 AND h >= 32
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors Multimodal.audioMeta: the Spark side BUILDS real WAV
+    // payloads (params derived from doc_id) and chunk-WALKS them
+    // back; kinds 3/5 mod 7 (garbage, truncated fmt) must be
+    // rejected by the parse. The oracle recomputes everything in
+    // pure arithmetic, so any endian/offset/walk defect mismatches.
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT)
+        |    AS bits_per_sample,
+        |  CAST((doc_id % 100 + 1) * 10 AS BIGINT) AS n_frames,
+        |  CAST(((doc_id % 100 + 1) * 10 * 1000) //
+        |    (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms
+        |FROM documents
+        |WHERE doc_id % 7 NOT IN (3, 5)
+        |ORDER BY doc_id""".stripMargin,
+
     // Mirrors Multimodal.shardManifest: the same two-level prefix sum
     // (bucket offsets + within-bucket window), 256 KB shard target
     "mm_shard_manifest" ->

@@ -31,10 +31,121 @@ object TextOracles {
        |    FROM edges e JOIN deg d ON e.src = d.src
        |    JOIN $prev p ON p.v = e.src GROUP BY 1) c ON c.v = n.v)""".stripMargin
 
+  /** The BPE trainer CTE chain, mirroring TextAnalysis.bpeMerges
+    * exactly: top-V vocab by (freq desc, word asc), then K rounds of
+    * single-row recursive state — vocab as LIST<STRUCT(w, f)>, pair
+    * counts as list expressions (key "a b"; tokens are ^[a-z]+$ so
+    * the space-composite key sorts identically to the (a, b) tuple),
+    * argmax with lexicographic tie-break, merge applied as the
+    * greedy left-to-right list fold. `mtab` is the merge table. */
+  private val bpeCtes: String = {
+    import graft.operators.TextAnalysis.{BpeVocab, BpeMergeCount}
+    s"""bpewords AS (
+       |  SELECT word, count(*) AS f FROM ($words)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
+       |topv AS (
+       |  SELECT word, f FROM bpewords
+       |  ORDER BY f DESC, word LIMIT $BpeVocab),
+       |bpe AS (
+       |  SELECT 0 AS it,
+       |    list(struct_pack(w := regexp_extract_all(word, '.'),
+       |                     f := f) ORDER BY f DESC, word) AS vocab,
+       |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR, c BIGINT)[]) AS merges
+       |  FROM topv
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    list_transform(vocab, s -> struct_pack(
+       |      w := list_reduce(
+       |             list_transform(s.w, t -> [t]),
+       |             (acc, x) -> CASE
+       |               WHEN acc[-1] = best_a AND x[1] = best_b
+       |               THEN list_append(array_pop_back(acc),
+       |                      best_a || best_b)
+       |               ELSE list_concat(acc, x) END),
+       |      f := s.f)) AS vocab,
+       |    list_append(merges,
+       |      struct_pack(a := best_a, b := best_b, c := maxc)) AS merges
+       |  FROM (
+       |    SELECT it, vocab, merges, maxc,
+       |      string_split(bestk, ' ')[1] AS best_a,
+       |      string_split(bestk, ' ')[2] AS best_b
+       |    FROM (
+       |      SELECT it, vocab, merges, maxc,
+       |        list_min(list_transform(list_filter(pc, x -> x.c = maxc),
+       |          x -> x.k)) AS bestk
+       |      FROM (
+       |        SELECT it, vocab, merges, pc,
+       |          CAST(list_max(list_transform(pc, x -> x.c)) AS BIGINT)
+       |            AS maxc
+       |        FROM (
+       |          SELECT it, vocab, merges,
+       |            list_transform(list_distinct(
+       |                list_transform(apf, p -> p.k)),
+       |              k -> struct_pack(k := k,
+       |                c := CAST(list_sum(list_transform(apf,
+       |                       p -> CASE WHEN p.k = k THEN p.f ELSE 0 END))
+       |                     AS BIGINT))) AS pc
+       |          FROM (
+       |            SELECT it, vocab, merges,
+       |              flatten(list_transform(vocab, s ->
+       |                list_transform(generate_series(1, len(s.w) - 1),
+       |                  i -> struct_pack(
+       |                    k := s.w[i] || ' ' || s.w[i + 1],
+       |                    f := s.f)))) AS apf
+       |            FROM bpe WHERE it < $BpeMergeCount
+       |          ) WHERE len(apf) > 0
+       |        )
+       |      )
+       |    )
+       |  )),
+       |mtab AS (
+       |  SELECT CAST(rank AS BIGINT) AS rank, u.a AS lhs, u.b AS rhs,
+       |    u.a || u.b AS merged, u.c AS pair_count
+       |  FROM (SELECT unnest(merges) AS u,
+       |               generate_subscripts(merges, 1) AS rank
+       |        FROM bpe WHERE it = (SELECT max(it) FROM bpe)))""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "mr_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM ($words)
          |WHERE length(word) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_bpe" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes
+         |SELECT rank, lhs, rhs, merged, pair_count FROM mtab
+         |ORDER BY rank""".stripMargin,
+
+    // application twin: every distinct ^[a-z]+$ word becomes a
+    // space-separated char string and the merges apply in rank order
+    // via the " a b " -> " ab " literal replace (equal to the greedy
+    // left-to-right fold); per-doc subword totals weight by word
+    // multiplicity, docs with no alpha words drop out on both sides
+    "txt_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes,
+         |allwords AS (
+         |  SELECT doc_id, word, count(*) AS n FROM ($words)
+         |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
+         |dw AS (SELECT DISTINCT word FROM allwords),
+         |app AS (
+         |  SELECT 0 AS it, word,
+         |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+         |      || ' ' AS s
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT it + 1, word,
+         |    replace(s, ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |               ' ' || m.merged || ' ')
+         |  FROM app JOIN mtab m ON m.rank = it + 1),
+         |fin AS (
+         |  SELECT word,
+         |    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS ntok
+         |  FROM app WHERE it = (SELECT count(*) FROM mtab))
+         |SELECT a.doc_id, CAST(sum(a.n * f.ntok) AS BIGINT) AS n_subwords
+         |FROM allwords a JOIN fin f USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mr_grep" ->
       """SELECT needle, count(*) AS cnt FROM (

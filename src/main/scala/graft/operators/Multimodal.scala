@@ -151,6 +151,99 @@ private[graft] object ImageSynth {
   }
 }
 
+/** WAV/RIFF header parsing from the public spec (RIFF container,
+  * Microsoft/IBM WAVE format: little-endian chunk walk — "RIFF"
+  * magic, "WAVE" form type, then 8-byte chunk headers with
+  * even-padded payloads; the PCM parameters live in the "fmt " chunk
+  * and the sample payload length in "data"). The audio member of the
+  * [[ImageHeaders]] family: sniff + header parse is the part of
+  * "decode" the engine owns; sample decode stays stubbed. Never
+  * throws on garbage/truncation — returns None/NULL. */
+private[graft] object AudioHeaders {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0).toByte && b(i + 1) == t.charAt(1).toByte &&
+      b(i + 2) == t.charAt(2).toByte && b(i + 3) == t.charAt(3).toByte
+
+  /** (channels, sampleRate, bitsPerSample, dataBytes) from a WAV
+    * payload, or None when it isn't one (bad magic, truncated fmt,
+    * desynced chunk walk, or no fmt/data chunk found). */
+  def parse(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return None
+    var i = 12
+    var fmt: Option[(Long, Long, Long)] = None
+    var dataBytes: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (tag(b, i, "fmt ")) {
+        if (size < 16) return None
+        fmt = Some((le16(b, i + 10).toLong,      // numChannels
+          le32(b, i + 12),                        // sampleRate
+          le16(b, i + 22).toLong))                // bitsPerSample
+      } else if (tag(b, i, "data")) {
+        dataBytes = Some(size)
+      }
+      i += 8 + size.toInt + (size.toInt & 1)      // chunks even-padded
+    }
+    for (f <- fmt; d <- dataBytes) yield (f._1, f._2, f._3, d)
+  }
+
+  // SQL entry points (StaticInvoke forwarders, like ImageHeaders)
+  def wavChannels(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._1)).orNull
+  def wavSampleRate(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._2)).orNull
+  def wavBits(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._3)).orNull
+  def wavDataBytes(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._4)).orNull
+}
+
+/** Deterministic minimal-but-VALID WAV payloads: real RIFF framing,
+  * real chunk sizes; `extraChunk` inserts a LIST chunk before fmt so
+  * the chunk WALK is actually exercised (a fixed-offset reader gets
+  * those files wrong). */
+private[graft] object AudioSynth {
+  def wav(ch: Int, rate: Int, bits: Int, nSamples: Int,
+      extraChunk: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    val blockAlign = ch * bits / 8
+    val dataLen = nSamples * blockAlign
+    val listLen = 10 // "INFO" + "graft!"
+    val riffLen = 4 + (8 + 16) + (8 + dataLen) +
+      (if (extraChunk) 8 + listLen else 0)
+    bos.write("RIFF".getBytes(StandardCharsets.US_ASCII)); le32(riffLen)
+    bos.write("WAVE".getBytes(StandardCharsets.US_ASCII))
+    if (extraChunk) {
+      bos.write("LIST".getBytes(StandardCharsets.US_ASCII)); le32(listLen)
+      bos.write("INFOgraft!".getBytes(StandardCharsets.US_ASCII))
+    }
+    bos.write("fmt ".getBytes(StandardCharsets.US_ASCII)); le32(16)
+    le16(1) // PCM
+    le16(ch); le32(rate); le32(rate * blockAlign)
+    le16(blockAlign); le16(bits)
+    bos.write("data".getBytes(StandardCharsets.US_ASCII)); le32(dataLen)
+    bos.write(new Array[Byte](dataLen))
+    bos.toByteArray
+  }
+}
+
 object Multimodal {
 
   /** Binary payload + stub-decoded metadata per document. */
@@ -344,6 +437,52 @@ object Multimodal {
         sum(col("w")).as("sum_w"),
         sum(col("h")).as("sum_h"))
       .orderBy(col("format"))
+  }
+
+  /** mm_audio_meta — the audio member of the modality matrix behind
+    * [[imageMeta]]/[[imageFilter]]: deterministic WAV payloads per
+    * doc_id (valid PCM files with varying channel/rate/bit/length
+    * parameters, half with a LIST chunk before fmt so the chunk walk
+    * is exercised; kinds 3/5 mod 7 are garbage and a truncated
+    * header, which the parser must reject), parsed through the
+    * REGISTERED codegen SQL functions (wav_channels/sample_rate/
+    * bits/data_bytes via StaticInvoke). Frame count and duration
+    * derive from the PARSED chunk sizes, so any endian/offset/walk
+    * defect hash-mismatches against the oracle's closed-form
+    * arithmetic. Map-only, zero shuffles — the 100 TB shape. */
+  def audioMeta(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.install(s)
+    val sp = s
+    import sp.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = (id % 7) match {
+            case 3 => s"doc-$id is not audio".getBytes("UTF-8")
+            case 5 => AudioSynth.wav(1, 8000, 16, 4,
+              extraChunk = false).take(20) // truncated mid-fmt
+            case _ => AudioSynth.wav(
+              (id % 2 + 1).toInt,
+              (8000 + (id % 5) * 2000).toInt,
+              if (id % 3 == 0) 8 else 16,
+              ((id % 100 + 1) * 10).toInt,
+              extraChunk = id % 2 == 0)
+          }
+          MediaPayload(id, bytes)
+        }
+      }.toDF()
+    payloads
+      .selectExpr("doc_id",
+        "wav_channels(bytes) AS channels",
+        "wav_sample_rate(bytes) AS sample_rate",
+        "wav_bits(bytes) AS bits_per_sample",
+        "wav_data_bytes(bytes) AS data_bytes")
+      .filter(col("channels").isNotNull)
+      .withColumn("n_frames",
+        expr("data_bytes div (channels * bits_per_sample div 8)"))
+      .withColumn("duration_ms", expr("n_frames * 1000 div sample_rate"))
+      .drop("data_bytes")
+      .orderBy(col("doc_id"))
   }
 
   /** WebDataset-style shard manifest: pack documents (in doc_id

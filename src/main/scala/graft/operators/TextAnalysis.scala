@@ -456,4 +456,101 @@ object TextAnalysis {
       .select(col("word"), col("est"), col("exact"))
       .orderBy(col("est").desc, col("word"))
       .limit(10)
+
+  // ---- BPE tokenizer (Sennrich, Neubig & Birch 2016 — the public
+  // byte-pair-encoding algorithm): learn subword merges from the
+  // corpus, apply them as codegen string expressions. --------------
+
+  /** Training vocabulary cap: the trainer runs over the top-V words
+    * by (freq desc, word asc) — the vocab AGGREGATION is distributed
+    * (one word-count groupBy over the corpus); only the fixed-size
+    * top-V table lands on the driver, the same constant-driver-state
+    * pattern as ml_kmeans' centroids or TeraSort's InputSampler
+    * boundaries. At 100 TB V stays 60 and the driver loop is O(V·K),
+    * independent of corpus size. */
+  val BpeVocab = 60
+  /** Learned merge count (the model size knob, like any BPE vocab
+    * budget). */
+  val BpeMergeCount = 25
+
+  /** One BPE merge-application pass, greedy left-to-right (the
+    * Sennrich fold): adjacent (a, b) collapses into a+b. */
+  private def applyMerge(toks: List[String], a: String,
+      b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    toks.foreach { t =>
+      if (out.nonEmpty && out.last == a && t == b) out(out.size - 1) = a + b
+      else out += t
+    }
+    out.toList
+  }
+
+  /** Train the merge table: K rounds of (count adjacent symbol pairs
+    * over the weighted vocab) -> (merge the most frequent pair, ties
+    * broken lexicographically — fully deterministic, so DuckDB's
+    * recursive-CTE twin reproduces the identical merge ORDER). */
+  private[graft] def bpeMerges(s: SparkSession,
+      d: String): Seq[(String, String, Long)] = {
+    val topv = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("word"))
+      .limit(BpeVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var vocab = topv.map { case (w, f) => (w.map(_.toString).toList, f) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var dry = false
+    while (merges.size < BpeMergeCount && !dry) {
+      val pc = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (toksW, f) =>
+        toksW.zip(toksW.tail).foreach(p => pc(p) += f)
+      }
+      if (pc.isEmpty) dry = true
+      else {
+        val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b, c))
+        vocab = vocab.map { case (w, f) => (applyMerge(w, a, b), f) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** txt_bpe — the learned merge table itself (rank, lhs, rhs,
+    * merged, pair_count): the MODEL a tokenization pipeline ships,
+    * hash-matched against DuckDB re-running the identical training
+    * from the same corpus. */
+  def bpe(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    bpeMerges(s, d).zipWithIndex.map { case ((a, b, c), i) =>
+      ((i + 1).toLong, a, b, a + b, c)
+    }.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** txt_bpe_tokens — APPLY the learned merges to every document and
+    * count subwords. Each word becomes a space-separated char string
+    * and the K merges run as K chained literal `replace` calls (the
+    * HF-style " a b " -> " ab " rewrite, provably equal to the
+    * greedy left-to-right fold) — pure codegen string functions, no
+    * UDF, map-only until the per-doc sum. Only ^[a-z]+$ words count
+    * (the trainer's domain); docs with none drop out on both sides. */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    val spaced = concat(lit(" "),
+      trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" "))
+    val applied = merges.foldLeft(spaced) { case (acc, (a, b, _)) =>
+      call_function("replace", acc, lit(s" $a $b "), lit(s" ${a + b} "))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .select(col("doc_id"),
+        size(split(trim(applied), " ")).cast("long").as("ntok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ntok")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -296,6 +296,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ImageHeaders.parse(noSof).isEmpty)
   }
 
+  test("WAV header parse: real RIFF chunk walk, robust to garbage") {
+    import graft.operators.{AudioHeaders, AudioSynth}
+    // parameters round-trip through a real little-endian chunk walk
+    assert(AudioHeaders.parse(AudioSynth.wav(2, 44100, 16, 1000,
+      extraChunk = false)).contains((2L, 44100L, 16L, 4000L)))
+    // a LIST chunk before fmt forces the walk — fixed offsets fail
+    assert(AudioHeaders.parse(AudioSynth.wav(1, 8000, 8, 50,
+      extraChunk = true)).contains((1L, 8000L, 8L, 50L)))
+    // odd-size chunk is even-padded per the RIFF spec: hand-build one
+    val odd = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+      val body = AudioSynth.wav(1, 8000, 16, 4, extraChunk = false).drop(12)
+      bos.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + 3 + 1 + body.length)
+      bos.write("WAVE".getBytes("US-ASCII"))
+      bos.write("junk".getBytes("US-ASCII")); le32(3)
+      bos.write(Array[Byte](1, 2, 3, 0)) // 3 bytes + pad byte
+      bos.write(body)
+      bos.toByteArray
+    }
+    assert(AudioHeaders.parse(odd).contains((1L, 8000L, 16L, 8L)))
+    // garbage, text, truncation, missing data chunk: None, never throw
+    assert(AudioHeaders.parse("RIFFnot really audio".getBytes).isEmpty)
+    assert(AudioHeaders.parse(Array.emptyByteArray).isEmpty)
+    assert(AudioHeaders.parse(
+      AudioSynth.wav(1, 8000, 16, 4, extraChunk = false).take(20)).isEmpty)
+    val noData = AudioSynth.wav(1, 8000, 16, 0, extraChunk = false)
+      .dropRight(8) // strip the (empty) data chunk
+    assert(AudioHeaders.parse(noData).isEmpty)
+  }
+
+  test("BPE: deterministic merge table, application conserves bounds") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("txt_bpe")(spark, sf).collect()
+    assert(m.length == graft.operators.TextAnalysis.BpeMergeCount)
+    // ranks contiguous from 1; merged symbol is the concatenation
+    assert(m.map(_.getLong(0)).toSeq == (1L to m.length).toSeq)
+    m.foreach(r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    // training is deterministic: a second run yields the same table
+    val m2 = SparkEntry.queries("txt_bpe")(spark, sf).collect()
+    assert(m.map(_.toString).toSeq == m2.map(_.toString).toSeq)
+    // application: per-doc subword count sits between the alpha word
+    // count (every word >= 1 token) and the alpha char count (no
+    // merge ever splits)
+    val toks = SparkEntry.queries("txt_bpe_tokens")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bounds = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(toks.keySet == bounds.keySet)
+    toks.foreach { case (d, n) =>
+      val (nw, nc) = bounds(d)
+      assert(n >= nw && n <= nc, s"doc $d: $n outside [$nw, $nc]")
+    }
+    // merges actually compress: strictly fewer tokens than chars
+    assert(toks.values.sum < bounds.values.map(_._2).sum)
+  }
+
   test("langid: trigram profiles classify a mixed-language corpus, margin yields und") {
     import spark.implicits._
     val corpus = Seq(
