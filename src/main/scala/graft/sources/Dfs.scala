@@ -196,6 +196,45 @@ object Dfs {
     } finally in.close()
   }
 
+  /** appendToFile (reference fs/shell/CopyCommands.java:385 — the
+    * one FileSystem WRITE mode beyond create): append `data` to the
+    * file, creating it if absent. Native `FileSystem.append` where
+    * the filesystem supports it (HDFS); filesystems that refuse (the
+    * local ChecksumFileSystem) get the same observable result via a
+    * rewrite in the crash-safe write-new/swap/delete-old order —
+    * a crash leaves either the old or the appended file. */
+  def appendToFile(path: String, data: Array[Byte]): Unit = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) {
+      val out = f.create(p, false)
+      try out.write(data) finally out.close()
+      return
+    }
+    try {
+      val out = f.append(p)
+      try out.write(data) finally out.close()
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        val tmp = new Path(p.getParent, "." + p.getName + ".append")
+        val orig = new Path(p.getParent, "." + p.getName + ".orig")
+        val in = f.open(p)
+        val out = f.create(tmp, true)
+        try {
+          val buf = new Array[Byte](128 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+          out.write(data)
+        } finally { in.close(); out.close() }
+        require(f.rename(p, orig), s"append: cannot set aside $path")
+        require(f.rename(tmp, p), s"append: cannot publish $tmp")
+        f.delete(orig, false)
+        ()
+    }
+  }
+
   /** test: the shell's -e/-d/-f/-s/-z predicates as one call.
     * flag ∈ {e: exists, d: is dir, f: is file, s: non-empty file,
     * z: zero-length file}. */

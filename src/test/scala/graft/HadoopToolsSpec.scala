@@ -283,6 +283,22 @@ class HadoopToolsSpec extends AnyFunSuite {
     Dfs.rm(root, recursive = true)
   }
 
+  test("appendToFile: creates, appends, equals the concatenation") {
+    import graft.sources.Dfs
+    val root = Files.createTempDirectory("graft-append-").toString
+    val p = root + "/log.txt"
+    Dfs.appendToFile(p, "alpha ".getBytes("UTF-8"))   // create
+    Dfs.appendToFile(p, "beta ".getBytes("UTF-8"))    // append
+    Dfs.appendToFile(p, "gamma".getBytes("UTF-8"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p)) == "alpha beta gamma")
+    // no swap residue next to the file
+    val residue = new java.io.File(root).listFiles
+      .map(_.getName).filter(n => n.contains(".append") || n.contains(".orig"))
+    assert(residue.isEmpty, s"append residue: ${residue.toSeq}")
+    Dfs.rm(root, recursive = true)
+  }
+
   test("find: predicate-tree search matches the reference's walk") {
     import graft.sources.Dfs
     import graft.sources.Dfs.FindExpr._
