@@ -116,7 +116,7 @@ object Advanced {
     // rows, send cold rows to subkey 0.
     val saltedL = left.join(broadcast(hot), Seq(key), "left")
       .withColumn("_salt", when(col("_hot").isNotNull,
-          pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt.toLong)))
+          pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(salt.toLong)))
         .otherwise(lit(0L)))
       .drop("_hot")
     val saltedR = right.join(broadcast(hot), Seq(key), "left")

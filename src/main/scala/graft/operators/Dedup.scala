@@ -472,7 +472,7 @@ object Dedup {
     // round instead of a join against the previous labels. Decimal
     // sum so huge doc-id sums can never wrap and fake convergence.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

@@ -273,12 +273,12 @@ object Similarity {
         col(embCol), hp.map(_.toSeq).toSeq)
     def bandsOf(df: DataFrame, embCol: String): DataFrame =
       df.withColumn("sig", sigExpr(embCol))
-        .select(df.columns.map(col) :+ explode(expr(
+        .select(df.columns.toIndexedSeq.map(col) :+ explode(expr(
           s"""transform(sequence(0, ${planes / bandBits - 1}),
               b -> named_struct('band', b,
                     'bv', (sig >> (b * $bandBits)) & ${(1 << bandBits) - 1}))"""))
           .as("bb"): _*)
-        .select(df.columns.map(col) :+ col("bb.band").as("band") :+
+        .select(df.columns.toIndexedSeq.map(col) :+ col("bb.band").as("band") :+
           col("bb.bv").as("bv"): _*)
     // Bands carry IDS ONLY into the dedup: a vector pair sharing
     // multiple bands must collapse to one candidate, and running that

@@ -123,7 +123,7 @@ object DocumentStreams {
               } else Iterator.empty
             state.update(maxTs)
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs + 1, maxTs + ttlMs))
+              math.max(state.getCurrentWatermarkMs() + 1, maxTs + ttlMs))
             out
           }
       }

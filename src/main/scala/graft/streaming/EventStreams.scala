@@ -150,7 +150,7 @@ object EventStreams {
             }
             state.update((last, nEvents, nSessions))
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs + 1, last / 1000L + gapMs))
+              math.max(state.getCurrentWatermarkMs() + 1, last / 1000L + gapMs))
             Iterator(UserSessions(user, nEvents, nSessions))
           }
       }

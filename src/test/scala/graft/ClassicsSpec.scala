@@ -57,7 +57,7 @@ class ClassicsSpec extends AnyFunSuite {
     val trueTop = Tables.documents(spark, sf)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy("w").count().orderBy(col("count").desc).head.getString(0)
+      .groupBy("w").count().orderBy(col("count").desc).head().getString(0)
     assert(rows.map(_.getString(0)).contains(trueTop), s"missing $trueTop")
   }
 }

@@ -86,7 +86,7 @@ class StreamingSpec extends AnyFunSuite {
       val base = 1700000000000L
       def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
       val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
-      val docs = mem.toDF.toDF("doc_id", "text", "ts")
+      val docs = mem.toDF().toDF("doc_id", "text", "ts")
       val q = graft.streaming.DocumentStreams
         .ingestDedupTtl(docs, "0 seconds", ttlMs = 30 * 60000L)
         .writeStream.outputMode("append")
@@ -236,7 +236,7 @@ class StreamingSpec extends AnyFunSuite {
     val table = root + "/table"
     val mem = MemoryStream[(Long, String, Long)]
     val q = graft.streaming.UpsertSink.start(
-      mem.toDF.toDF("key", "payload", "version"),
+      mem.toDF().toDF("key", "payload", "version"),
       table, root + "/ckpt")
     try {
       // batch 1: three inserts
