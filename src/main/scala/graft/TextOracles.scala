@@ -106,6 +106,54 @@ object TextOracles {
        |        FROM bpe WHERE it = (SELECT max(it) FROM bpe)))""".stripMargin
   }
 
+  /** BPE application CTE chain (rides on [[bpeCtes]]): per distinct
+    * ^[a-z]+$ word, the merges apply in rank order via the
+    * " a b " -> " ab " literal replace (equal to the greedy
+    * left-to-right fold); `fin` is (word, ntok). */
+  private val bpeApplyCtes: String =
+    s"""allwords AS (
+       |  SELECT doc_id, word, count(*) AS n FROM ($words)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
+       |dw AS (SELECT DISTINCT word FROM allwords),
+       |app AS (
+       |  SELECT 0 AS it, word,
+       |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') ||
+       |      ' ' AS s
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT it + 1, word,
+       |    replace(s, ' ' || m.lhs || ' ' || m.rhs || ' ',
+       |               ' ' || m.merged || ' ')
+       |  FROM app JOIN mtab m ON m.rank = it + 1),
+       |fin AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS ntok
+       |  FROM app WHERE it = (SELECT count(*) FROM mtab))""".stripMargin
+
+  /** The concat-and-chunk packing tail over a `sized` CTE of
+    * (doc_id, n_tok) — shared by the whitespace and BPE pack forms. */
+  private val packTail: String =
+    """pre AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM sized),
+      |spans AS (
+      |  SELECT n_tok, cum - n_tok AS st, cum,
+      |    (cum - n_tok) // 2048 AS seq_lo, (cum - 1) // 2048 AS seq_hi
+      |  FROM pre),
+      |ex AS (
+      |  SELECT st, cum, seq_lo, seq_hi,
+      |    unnest(generate_series(seq_lo, seq_hi)) AS seq_id
+      |  FROM spans)
+      |SELECT seq_id, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN seq_lo = seq_hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_full_docs,
+      |  CAST(sum(CASE WHEN seq_lo <> seq_hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_straddlers,
+      |  CAST(sum(least(cum, (seq_id + 1) * 2048) -
+      |           greatest(st, seq_id * 2048)) AS BIGINT) AS tokens_filled
+      |FROM ex GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "mr_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM ($words)
@@ -117,35 +165,26 @@ object TextOracles {
          |SELECT rank, lhs, rhs, merged, pair_count FROM mtab
          |ORDER BY rank""".stripMargin,
 
-    // application twin: every distinct ^[a-z]+$ word becomes a
-    // space-separated char string and the merges apply in rank order
-    // via the " a b " -> " ab " literal replace (equal to the greedy
-    // left-to-right fold); per-doc subword totals weight by word
-    // multiplicity, docs with no alpha words drop out on both sides
+    // docs with no alpha words drop out on both sides
     "txt_bpe_tokens" ->
       s"""WITH RECURSIVE
          |$bpeCtes,
-         |allwords AS (
-         |  SELECT doc_id, word, count(*) AS n FROM ($words)
-         |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
-         |dw AS (SELECT DISTINCT word FROM allwords),
-         |app AS (
-         |  SELECT 0 AS it, word,
-         |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
-         |      || ' ' AS s
-         |  FROM dw
-         |  UNION ALL
-         |  SELECT it + 1, word,
-         |    replace(s, ' ' || m.lhs || ' ' || m.rhs || ' ',
-         |               ' ' || m.merged || ' ')
-         |  FROM app JOIN mtab m ON m.rank = it + 1),
-         |fin AS (
-         |  SELECT word,
-         |    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS ntok
-         |  FROM app WHERE it = (SELECT count(*) FROM mtab))
+         |$bpeApplyCtes
          |SELECT a.doc_id, CAST(sum(a.n * f.ntok) AS BIGINT) AS n_subwords
          |FROM allwords a JOIN fin f USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // packSequences budgeted in the LEARNED vocabulary's tokens:
+    // sized = per-doc BPE subword totals, then the same pack tail
+    "txt_pack_bpe" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes,
+         |$bpeApplyCtes,
+         |sized AS (
+         |  SELECT a.doc_id, CAST(sum(a.n * f.ntok) AS BIGINT) AS n_tok
+         |  FROM allwords a JOIN fin f USING (word)
+         |  GROUP BY 1),
+         |$packTail""".stripMargin,
 
     "mr_grep" ->
       """SELECT needle, count(*) AS cnt FROM (
@@ -321,32 +360,13 @@ object TextOracles {
         |FROM per ORDER BY source""".stripMargin,
 
     "txt_pack_sequences" ->
-      """WITH sized AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tok
-        |  FROM documents
-        |  WHERE trim(text) <> ''),
-        |pre AS (
-        |  SELECT doc_id, n_tok,
-        |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
-        |  FROM sized),
-        |spans AS (
-        |  SELECT n_tok, cum - n_tok AS st, cum,
-        |    (cum - n_tok) // 2048 AS seq_lo, (cum - 1) // 2048 AS seq_hi
-        |  FROM pre),
-        |ex AS (
-        |  SELECT st, cum, seq_lo, seq_hi,
-        |    unnest(generate_series(seq_lo, seq_hi)) AS seq_id
-        |  FROM spans)
-        |SELECT seq_id, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN seq_lo = seq_hi THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_full_docs,
-        |  CAST(sum(CASE WHEN seq_lo <> seq_hi THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_straddlers,
-        |  CAST(sum(least(cum, (seq_id + 1) * 2048) -
-        |           greatest(st, seq_id * 2048)) AS BIGINT) AS tokens_filled
-        |FROM ex GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+      s"""WITH sized AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tok
+         |  FROM documents
+         |  WHERE trim(text) <> ''),
+         |$packTail""".stripMargin,
 
     // '(?s).' (dotall) so newline codepoints enter the fold exactly
     // like the Spark RollingHash, which iterates every codepoint

@@ -354,16 +354,21 @@ object TextAnalysis {
     * mm_shard_manifest — never a single-partition global window; the
     * boundary-range explode is row-local (a doc touches
     * ceil(n/B)+1 ≤ 2-3 sequences at B=2048). */
-  def packSequences(s: SparkSession, d: String): DataFrame = {
-    val B = 2048L
-    import org.apache.spark.sql.expressions.Window
-    val sized = Tables.documents(s, d)
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packOn(Tables.documents(s, d)
       // real empty-doc guard: split('', '\s+') yields [''] (size 1),
       // so a token-count filter can never fire — exclude on the text
       // itself (mirrored in the oracle) so empty/whitespace-only docs
       // contribute no phantom token to the stream.
       .filter(trim(col("text")) =!= "")
-      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok")))
+
+  /** The packing core over any (doc_id, n_tok) frame — shared by the
+    * whitespace-token form above and the BPE-subword form below. */
+  private def packOn(sized0: DataFrame): DataFrame = {
+    val B = 2048L
+    import org.apache.spark.sql.expressions.Window
+    val sized = sized0
       .withColumn("bucket", expr("doc_id div 1000"))
     val offsets = sized.groupBy(col("bucket"))
       .agg(sum(col("n_tok")).as("bt"))
@@ -537,7 +542,11 @@ object TextAnalysis {
     * greedy left-to-right fold) — pure codegen string functions, no
     * UDF, map-only until the per-doc sum. Only ^[a-z]+$ words count
     * (the trainer's domain); docs with none drop out on both sides. */
-  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+  def bpeTokens(s: SparkSession, d: String): DataFrame =
+    bpeTokenCounts(s, d).orderBy(col("doc_id"))
+
+  /** Per-doc BPE subword counts, unordered — the composable form. */
+  private def bpeTokenCounts(s: SparkSession, d: String): DataFrame = {
     val merges = bpeMerges(s, d)
     val spaced = concat(lit(" "),
       trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" "))
@@ -551,6 +560,17 @@ object TextAnalysis {
         size(split(trim(applied), " ")).cast("long").as("ntok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("ntok")).as("n_subwords"))
-      .orderBy(col("doc_id"))
   }
+
+  /** txt_pack_bpe — [[packSequences]] fed with REAL subword counts:
+    * the 2048-token training sequences are budgeted in the learned
+    * BPE vocabulary's tokens (what the trained model actually
+    * consumes), not whitespace words — the packing a production
+    * pretraining pipeline runs after tokenizer training. Same
+    * two-level distributed prefix sum; only the per-doc size column
+    * changes (docs with no in-domain words contribute nothing on
+    * both sides). */
+  def packBpe(s: SparkSession, d: String): DataFrame =
+    packOn(bpeTokenCounts(s, d)
+      .select(col("doc_id"), col("n_subwords").as("n_tok")))
 }

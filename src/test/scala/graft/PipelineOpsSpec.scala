@@ -361,6 +361,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(toks.values.sum < bounds.values.map(_._2).sum)
   }
 
+  test("BPE-budgeted packing: full sequences, subword conservation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("txt_pack_bpe")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    // contiguous ids, every sequence full except the last
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq)
+    rows.init.foreach(r => assert(r.getLong(4) == 2048L,
+      s"sequence ${r.getLong(0)} not full: ${r.getLong(4)}"))
+    assert(rows.last.getLong(4) <= 2048L)
+    // conservation: filled subwords = the per-doc subword totals
+    val total = SparkEntry.queries("txt_bpe_tokens")(spark, sf)
+      .agg(sum("n_subwords")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(4)).sum == total)
+  }
+
   test("langid: trigram profiles classify a mixed-language corpus, margin yields und") {
     import spark.implicits._
     val corpus = Seq(
