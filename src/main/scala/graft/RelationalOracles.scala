@@ -412,5 +412,124 @@ object RelationalOracles {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY 1, 2""".stripMargin,
+
+    "q38_disjunctive_join" ->
+      s"""SELECT $rev AS revenue_x10000, count(*) AS n_items
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 20
+         |        AND l_quantity BETWEEN 1 AND 15)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+         |        AND l_quantity BETWEEN 10 AND 25)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40
+         |        AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+
+    "q39_promo_share" ->
+      s"""SELECT promo_x10000, total_x10000,
+         |  CAST(promo_x10000 AS DOUBLE) * 100 / CAST(total_x10000 AS DOUBLE)
+         |    AS promo_share
+         |FROM (
+         |  SELECT
+         |    CAST(sum(CASE WHEN p_type = 'PROMO'
+         |      THEN ${c("l_extendedprice")} *
+         |        (100 - CAST(round(l_discount*100) AS BIGINT))
+         |      ELSE 0 END) AS BIGINT) AS promo_x10000,
+         |    $rev AS total_x10000
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+         |    AND l_shipdate <  TIMESTAMP '1997-10-01')""".stripMargin,
+
+    "q40_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, $rev AS total_x10000
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_x10000
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE total_x10000 = (SELECT max(total_x10000) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q41_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, $rev AS revenue_x10000
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-10-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q42_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  strftime(l_shipdate, '%Y') AS l_year, $rev AS revenue_x10000
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+         |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+         |  AND n1.n_name <> n2.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q43_market_share" ->
+      s"""SELECT o_year, nation_x10000, total_x10000,
+         |  CAST(nation_x10000 AS DOUBLE) / CAST(total_x10000 AS DOUBLE)
+         |    AS mkt_share
+         |FROM (
+         |  SELECT strftime(o_orderdate, '%Y') AS o_year,
+         |    CAST(sum(CASE WHEN ns.n_name = 'NATION_19'
+         |      THEN ${c("l_extendedprice")} *
+         |        (100 - CAST(round(l_discount*100) AS BIGINT))
+         |      ELSE 0 END) AS BIGINT) AS nation_x10000,
+         |    $rev AS total_x10000
+         |  FROM lineitem
+         |  JOIN part     ON l_partkey = p_partkey
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  JOIN region   ON nc.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate <  TIMESTAMP '1998-01-01'
+         |  GROUP BY 1)
+         |ORDER BY o_year""".stripMargin,
+
+    "q44_dormant_customers" ->
+      s"""WITH thr AS (
+         |  SELECT count(*) AS npos,
+         |    CAST(sum(${c("c_acctbal")}) AS BIGINT) AS sum_pos_cents
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT c_mktsegment, count(*) AS n_cust,
+         |  CAST(sum(${c("c_acctbal")}) AS BIGINT) AS bal_cents
+         |FROM customer, thr
+         |WHERE ${c("c_acctbal")} * npos > sum_pos_cents
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_sole_failing_supplier" ->
+      s"""WITH per_order AS (
+         |  SELECT l_orderkey,
+         |    count(DISTINCT l_suppkey) AS n_supp,
+         |    count(DISTINCT CASE WHEN l_returnflag = 'R'
+         |      THEN l_suppkey END) AS n_fail,
+         |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+         |      AS fail_supp
+         |  FROM lineitem GROUP BY 1)
+         |SELECT s_suppkey, s_name, count(*) AS numwait
+         |FROM per_order JOIN supplier ON fail_supp = s_suppkey
+         |WHERE n_supp > 1 AND n_fail = 1
+         |GROUP BY 1, 2
+         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
   )
 }

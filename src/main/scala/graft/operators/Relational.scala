@@ -761,6 +761,210 @@ object Relational {
       ORDER BY o.partkey, o.suppkey""")
   }
 
+  /** TPC-H Q19's shape — DISJUNCTIVE join predicates: the join
+    * condition is partkey-equality AND an OR of three
+    * (brand, size-range, quantity-range) conjuncts. Catalyst keeps
+    * the equi-key for the hash join and extracts the per-side
+    * residues of the OR (brand/size union → part scan, quantity
+    * union → lineitem scan — PushExtraPredicateThroughJoin), so at
+    * 100 TB the scan reads only the qualifying slices instead of
+    * filtering after a full-fact join. [MR: a reduce-side join whose
+    * mapper-side filters must be hand-derived from the OR.] */
+  def q38DisjunctiveJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 40) &&
+          col("l_quantity").between(20, 35))))
+      .agg(
+        sum(cents(col("l_extendedprice")) *
+          (lit(100L) - pct(col("l_discount")))).as("revenue_x10000"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q14 shape — promo revenue share: one fact⋈dim join, a
+    * conditional and an unconditional aggregate in the same pass,
+    * then one scalar division. Both sums are exact integer cents so
+    * the final double is a single deterministic IEEE op mirrored in
+    * the oracle. part carries no hint (it grows with SF; AQE
+    * broadcasts at small SF, shuffles at scale). */
+  def q39PromoShare(s: SparkSession, d: String): DataFrame = {
+    val term = cents(col("l_extendedprice")) *
+      (lit(100L) - pct(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-10-01").cast("timestamp"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", term).otherwise(lit(0L)))
+          .as("promo_x10000"),
+        sum(term).as("total_x10000"))
+      .withColumn("promo_share",
+        col("promo_x10000").cast("double") * 100 /
+          col("total_x10000").cast("double"))
+  }
+
+  /** TPC-H Q15 shape — top supplier via CTE + scalar max: the
+    * supplier-keyed revenue aggregate is computed ONCE, its max is a
+    * second constant-size aggregate broadcast back as a 1-row join
+    * (never a global sort, never a re-scan of the fact). Ties all
+    * emitted — deterministic set. */
+  def q40TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - pct(col("l_discount")))).as("total_x10000"))
+    val top = rev.agg(max(col("total_x10000")).as("mx"))
+    rev.join(broadcast(top), col("total_x10000") === col("mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_x10000"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q10 shape — top customers by returned-item revenue: the
+    * returnflag filter pushes into the lineitem scan, the quarter
+    * filter into orders, the two facts shuffle-join on orderkey,
+    * customer joins un-hinted (AQE), nation (25 rows) broadcasts.
+    * Final top-20 is TakeOrderedAndProject — per-partition heaps,
+    * never a global sort. */
+  def q41ReturnedItems(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1997-10-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - pct(col("l_discount")))).as("revenue_x10000"))
+      .orderBy(col("revenue_x10000").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q7 shape — bilateral nation trade volume by year: both
+    * nation dims are PRE-FILTERED to the two trading nations before
+    * their broadcast joins, so supplier and customer prune to ~2/25
+    * of their rows before touching the facts; the cross-pair
+    * (supp≠cust) residue filters after. Year emitted as a formatted
+    * string (the timestamp convention). */
+  def q42NationVolume(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_18", "NATION_19")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        date_format(col("l_shipdate"), "yyyy").as("l_year"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - pct(col("l_discount")))).as("revenue_x10000"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape — market share: one nation's slice of a region's
+    * spend on one part type, by order year (nation names in this
+    * corpus are synthetic NATION_k). The part-type filter prunes the
+    * fact FIRST (the most selective edge), the region gate rides the
+    * broadcast nation⋈region dims on the customer side, and the
+    * share is a conditional-over-unconditional pair of exact-cents
+    * sums divided once. */
+  def q43MarketShare(s: SparkSession, d: String): DataFrame = {
+    val term = cents(col("l_extendedprice")) *
+      (lit(100L) - pct(col("l_discount")))
+    val nCust = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_nk"), col("n_regionkey"))
+    val nSupp = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_nk"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_nk"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_19", term).otherwise(lit(0L)))
+          .as("nation_x10000"),
+        sum(term).as("total_x10000"))
+      .withColumn("mkt_share",
+        col("nation_x10000").cast("double") /
+          col("total_x10000").cast("double"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q22 shape — dormant rich customers: balance above the
+    * positive-balance average AND no orders since 1999. The average
+    * compares in exact integer algebra (cents·n > sum_cents —
+    * membership can never flip on accumulation order), the
+    * threshold is a 1-row broadcast, and the dormancy test is a
+    * LEFT ANTI join against the date-pruned orders keys — at 100 TB
+    * one customer-scale pass plus one anti-probe, no correlated
+    * re-scans. */
+  def q44DormantCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val thr = c.filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("npos"),
+        sum(cents(col("c_acctbal"))).as("sum_pos_cents"))
+    c.crossJoin(broadcast(thr))
+      .filter(cents(col("c_acctbal")) * col("npos") > col("sum_pos_cents"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(cents(col("c_acctbal"))).as("bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q21's semantics re-expressed Spark-first: suppliers who
+    * were the SOLE returner in multi-supplier orders. The classic
+    * form is an EXISTS + NOT-EXISTS double self-join on lineitem;
+    * here both collapse into ONE order-keyed aggregate —
+    * n_supp > 1 ∧ n_fail = 1 identifies the orders and max(CASE)
+    * names the culprit — so the fact shuffles once instead of three
+    * times. [MR: a three-job chain of reduce-side self-joins.]
+    * Top-20 via TakeOrderedAndProject with a unique tiebreak. */
+  def q45SoleFailingSupplier(s: SparkSession, d: String): DataFrame = {
+    val failSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(failSupp).as("n_fail"),
+        max(failSupp).as("fail_supp"))
+      .filter(col("n_supp") > 1 && col("n_fail") === 1)
+      .groupBy(col("fail_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, d), col("fail_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** Register `df` under a name unique per (query, input dir), so
     * concurrent runs of the SQL-text queries against DIFFERENT data
     * dirs cannot race on a shared view name (two calls with the same

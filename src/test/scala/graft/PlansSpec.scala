@@ -254,6 +254,62 @@ class PlansSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 lineitem scan, found $scans:\n${plan.take(900)}")
   }
 
+  test("q38's disjunctive join predicate pushes per-side residues into both scans") {
+    val df = SparkEntry.queries("q38_disjunctive_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // PushExtraPredicateThroughJoin must derive the brand/size union
+    // for the part scan and the quantity union for the lineitem scan —
+    // at 100 TB this is the difference between scanning qualifying
+    // slices and filtering after a full fact join
+    val pushed = "(?m)^.*PushedFilters.*$".r.findAllIn(plan).toSeq
+    assert(pushed.exists(l => l.contains("p_brand") && l.contains("Or(")),
+      s"brand OR-residue not pushed to part scan:\n${pushed.mkString("\n")}")
+    assert(pushed.exists(l => l.contains("l_quantity") && l.contains("Or(")),
+      s"quantity OR-residue not pushed to lineitem scan:\n${pushed.mkString("\n")}")
+  }
+
+  test("q41's top-20 is TakeOrderedAndProject; returnflag reaches the scan") {
+    val df = SparkEntry.queries("q41_returned_items")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit-20 is a global sort, not per-partition heaps:\n${plan.take(900)}")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n${plan.take(1200)}")
+  }
+
+  test("q44's dormancy test is a hash/merge anti-join with the date pruned at the scan") {
+    val df = SparkEntry.queries("q44_dormant_customers")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the anti join itself must be keyed (hash or merge) — a
+    // nested-loop anti over orders would re-scan per customer. (The
+    // one legitimate BNLJ is the 1-row threshold broadcast.)
+    val antiKeyed = "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)[^\\n]*LeftAnti".r
+    assert(antiKeyed.findFirstIn(plan).isDefined,
+      s"anti-join not key-based:\n${plan.take(1200)}")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"dormancy date not pruned at the orders scan:\n${plan.take(1200)}")
+  }
+
+  test("q45 scans lineitem ONCE: the EXISTS/NOT-EXISTS pair collapsed into aggregation") {
+    val df = SparkEntry.queries("q45_sole_failing_supplier")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the classic Q21 form self-joins lineitem three times; the
+    // aggregate form must read the fact exactly once
+    val liScans = "(?m)Scan parquet[^\\n]*lineitem".r.findAllIn(plan).size
+    assert(liScans == 1,
+      s"expected 1 lineitem scan, found $liScans:\n${plan.take(900)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 is a global sort:\n${plan.take(900)}")
+  }
+
   test("plan shape: one exchange per side, no extra shuffle") {
     val df = Advanced.asofCustom(spark, sf)
     df.collect() // force AQE final plan
