@@ -171,5 +171,51 @@ object AdvancedOracles {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled_cents
         |FROM j ORDER BY user_id, slot""".stripMargin,
+
+    // identical KMV construction: rolling-hash(md5('kmv_'||pk)) per
+    // distinct (nation, part), bottom-128 per set, union sketch from
+    // the merged sketches, exact-integer estimators over P = 2^31-1
+    "adv_kmv_overlap" ->
+      """WITH items AS (
+        |  SELECT DISTINCT n_name AS nm, l_partkey AS pk
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_18', 'NATION_19')),
+        |hashed AS (
+        |  SELECT DISTINCT nm, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        regexp_extract_all(md5('kmv_' || CAST(pk AS VARCHAR)),
+        |          '(?s).'),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS h
+        |  FROM items),
+        |ska AS (SELECT h FROM hashed WHERE nm = 'NATION_18'
+        |        ORDER BY h LIMIT 128),
+        |skb AS (SELECT h FROM hashed WHERE nm = 'NATION_19'
+        |        ORDER BY h LIMIT 128),
+        |sku AS (SELECT DISTINCT h FROM (
+        |          SELECT h FROM ska UNION ALL SELECT h FROM skb)
+        |        ORDER BY h LIMIT 128),
+        |inter AS (
+        |  SELECT count(*) AS n FROM sku
+        |  WHERE h IN (SELECT h FROM hashed WHERE nm = 'NATION_18')
+        |    AND h IN (SELECT h FROM hashed WHERE nm = 'NATION_19'))
+        |SELECT CAST(128 AS BIGINT) AS k,
+        |  (SELECT max(h) FROM ska) AS vk_a,
+        |  (SELECT max(h) FROM skb) AS vk_b,
+        |  (SELECT max(h) FROM sku) AS vk_u,
+        |  (127 * CAST(2147483647 AS BIGINT)) // (SELECT max(h) FROM ska)
+        |    AS est_a,
+        |  (127 * CAST(2147483647 AS BIGINT)) // (SELECT max(h) FROM skb)
+        |    AS est_b,
+        |  (127 * CAST(2147483647 AS BIGINT)) // (SELECT max(h) FROM sku)
+        |    AS est_union,
+        |  (SELECT n FROM inter) AS inter_in_sketch,
+        |  (1000 * (SELECT n FROM inter)) // 128 AS est_jaccard_pm,
+        |  ((SELECT n FROM inter) *
+        |    ((127 * CAST(2147483647 AS BIGINT)) // (SELECT max(h) FROM sku)))
+        |    // 128 AS est_intersection""".stripMargin,
   )
 }

@@ -186,6 +186,69 @@ object TextOracles {
          |  GROUP BY 1),
          |$packTail""".stripMargin,
 
+    // trains the identical bigram model (counts over [a-z ]-normalized
+    // text) and scores with the same exact integer micro-probability
+    // division — no doubles anywhere, so the hash compare is stable
+    "txt_lm_score" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS t
+        |  FROM documents
+        |  WHERE len(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')))
+        |    >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> substr(t, CAST(i AS INTEGER), 2))) AS bg
+        |  FROM d2),
+        |counts AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |prefix AS (
+        |  SELECT substr(bg, 1, 1) AS pre, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM counts GROUP BY 1),
+        |model AS (
+        |  SELECT bg, (1000000 * c2) // c1 AS p_micro
+        |  FROM counts JOIN prefix ON substr(bg, 1, 1) = pre)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(m.p_micro) AS BIGINT) // count(*) AS score_micro
+        |FROM bg b JOIN model m USING (bg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same (degree, id)-orientation: every triangle counted once via
+    // the wedge self-join + closure equi-join
+    "mr_triangles" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |    FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |    GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |deg AS (
+        |  SELECT x, count(*) AS dg FROM (
+        |    SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |ori AS (
+        |  SELECT
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |      THEN v ELSE u END AS t
+        |  FROM e0 JOIN deg du ON u = du.x JOIN deg dv ON v = dv.x),
+        |tri AS (
+        |  SELECT count(*) AS n FROM (
+        |    SELECT e1.t AS cs, e2.t AS ct
+        |    FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t <> e2.t)
+        |  JOIN ori ON cs = s AND ct = t),
+        |wed AS (
+        |  SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS w FROM deg)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e0) AS n_edges,
+        |  (SELECT w FROM wed) AS n_wedges,
+        |  (SELECT n FROM tri) AS n_triangles,
+        |  (3000 * (SELECT n FROM tri)) // (SELECT w FROM wed)
+        |    AS closure_pm""".stripMargin,
+
     "mr_grep" ->
       """SELECT needle, count(*) AS cnt FROM (
         |  SELECT unnest(regexp_extract_all(text,

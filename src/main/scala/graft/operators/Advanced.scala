@@ -355,4 +355,68 @@ object Advanced {
         col("filled_cents"))
       .orderBy(col("user_id"), col("slot"))
   }
+
+  /** KMV (k-minimum-values / bottom-k) sketch overlap between two
+    * sets — here the distinct part assortments supplied by two
+    * nations, but the shape is the 100 TB dedup-planning primitive:
+    * "how much does corpus A overlap corpus B" WITHOUT computing the
+    * exact distinct-intersection. Each set keeps only its k smallest
+    * distinct hash values (per-set window limit — WindowGroupLimit
+    * prunes to ≤k rows per task BEFORE the exchange, so shuffle
+    * volume is k·tasks, never set-scale); the union sketch is the k
+    * smallest of the two sketches MERGED (a 2k-row TakeOrdered —
+    * KMV's closure-under-union, constant driver-free state); the
+    * intersection estimate counts union-sketch members present in
+    * both sets. All estimator arithmetic is exact integer division
+    * over the 31-bit hash space (n̂ = (k−1)·P div v_k), so the result
+    * hash-matches the oracle bit-for-bit. Estimates are within ~9%
+    * (1/√k) of truth — the spec pins that envelope against the exact
+    * counts. */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val k = 128
+    val P = 2147483647L // rolling-hash modulus = hash-space size
+    val (setA, setB) = ("NATION_18", "NATION_19")
+    val items = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin(setA, setB))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nm"), col("l_partkey").as("pk"))
+    val hashed = items
+      .withColumn("h", graft.functions.RollingHash.rollingHash(
+        md5(concat(lit("kmv_"), col("pk").cast("string")).cast("binary"))))
+      .select(col("nm"), col("h")).distinct()
+    val perSet = Window.partitionBy(col("nm")).orderBy(col("h"))
+    val sk = hashed
+      .withColumn("rn", row_number().over(perSet))
+      .filter(col("rn") <= k)
+    val skA = sk.filter(col("nm") === setA).select(col("h"))
+    val skB = sk.filter(col("nm") === setB).select(col("h"))
+    val skU = skA.unionByName(skB).distinct()
+      .orderBy(col("h")).limit(k) // k-min of A∪B == k-min of skA∪skB
+    val vkA = skA.agg(max(col("h")).as("vk_a"))
+    val vkB = skB.agg(max(col("h")).as("vk_b"))
+    val vkU = skU.agg(max(col("h")).as("vk_u"))
+    // union-sketch members present in BOTH sets: the set-scale group
+    // count reuses hashed's (nm, h) shuffle; the ≤k sketch broadcasts
+    val both = hashed.groupBy(col("h"))
+      .agg(countDistinct(col("nm")).as("ns"))
+    val inter = both.join(broadcast(skU), Seq("h"))
+      .filter(col("ns") === 2)
+      .agg(count(lit(1)).as("inter_in_sketch"))
+    val km1P = (k - 1).toLong * P
+    vkA.crossJoin(vkB).crossJoin(vkU).crossJoin(inter)
+      .withColumn("k", lit(k.toLong))
+      .withColumn("est_a", expr(s"$km1P div vk_a"))
+      .withColumn("est_b", expr(s"$km1P div vk_b"))
+      .withColumn("est_union", expr(s"$km1P div vk_u"))
+      .withColumn("est_jaccard_pm",
+        expr(s"(1000 * inter_in_sketch) div $k"))
+      .withColumn("est_intersection",
+        expr(s"(inter_in_sketch * est_union) div $k"))
+      .select(col("k"), col("vk_a"), col("vk_b"), col("vk_u"),
+        col("est_a"), col("est_b"), col("est_union"),
+        col("inter_in_sketch"), col("est_jaccard_pm"),
+        col("est_intersection"))
+  }
 }

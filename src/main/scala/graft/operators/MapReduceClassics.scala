@@ -156,4 +156,60 @@ object MapReduceClassics {
     }
     ranks.orderBy(col("r").desc, col("v")).limit(100)
   }
+
+  /** Triangle counting with DEGREE-ORDERING orientation [MR: the
+    * classic two-round pairs/triads job chain (wedge enumeration +
+    * closure check)]. Graph: parts co-purchased in ≥2 DISTINCT
+    * orders (the market-basket "repeat partnership" filter — a
+    * single shared order is noise). The threshold is also what keeps
+    * the graph sparse at any SF: per-order part sets are small so
+    * pair generation is a bounded row-local expansion after one
+    * orderkey shuffle, and repeat pairs thin out as the catalog
+    * grows (an unthresholded co-occurrence graph trends toward
+    * complete as orders outnumber part pairs). Each undirected edge
+    * is oriented from its (degree, id)-smaller endpoint, so every
+    * triangle is counted exactly once AND wedge volume is O(m^1.5)
+    * instead of Θ(Σ deg²) — a high-degree hub that would generate
+    * quadratic wedges under id-ordering has out-degree O(√m) under
+    * degree-ordering. The closure check is an equi-join against the
+    * oriented edge set, never a per-wedge lookup. closure_pm =
+    * 3000·triangles div undirected-wedges (the global clustering
+    * coefficient in exact per-mille). */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val pp = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e0 = pp.as("a").join(pp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select(col("u"), col("v"))
+      .localCheckpoint() // edges feed 4 subtrees; derive once
+    val deg = e0.select(col("u").as("x"))
+      .unionByName(e0.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val du = deg.select(col("x").as("u"), col("dg").as("d_u"))
+    val dv = deg.select(col("x").as("v"), col("dg").as("d_v"))
+    val fwd = col("d_u") < col("d_v") ||
+      (col("d_u") === col("d_v") && col("u") < col("v"))
+    val oriented = e0.join(du, "u").join(dv, "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+              when(fwd, col("v")).otherwise(col("u")).as("t"))
+    // each unordered wedge appears in both (b,c) orders; exactly one
+    // order can close (orientation is a total order), so inner-joining
+    // the oriented edges counts each triangle once
+    val closures = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") =!= col("e2.t"))
+      .select(col("e1.t").as("cs"), col("e2.t").as("ct"))
+      .join(oriented.select(col("s").as("cs"), col("t").as("ct")),
+        Seq("cs", "ct"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+    val edges = e0.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(edges).crossJoin(closures)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(3000 * n_triangles) div n_wedges").as("closure_pm"))
+  }
 }

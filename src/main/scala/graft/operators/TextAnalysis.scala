@@ -573,4 +573,40 @@ object TextAnalysis {
   def packBpe(s: SparkSession, d: String): DataFrame =
     packOn(bpeTokenCounts(s, d)
       .select(col("doc_id"), col("n_subwords").as("n_tok")))
+
+  /** txt_lm_score — character-bigram language-model quality scoring
+    * (the CCNet-style "how typical is this text of the corpus"
+    * filter, public Wenzek et al. 2020 design). TRAIN: corpus-wide
+    * bigram counts over [a-z ]-normalized text — the model is ≤27²
+    * rows of CONSTANT state, like ml_kmeans' centroids. SCORE: each
+    * doc's mean bigram probability in exact integer micro-units —
+    * p_micro(xy) = 10⁶·c(xy) div c(x·) — via one broadcast join of
+    * the constant model against the re-exploded bigrams; long sums
+    * are associative so the score can never flip on shuffle order
+    * (a log-prob double sum would). Map-only until the per-doc
+    * aggregate; at 100 TB the model build is one tiny aggregate and
+    * scoring is embarrassingly parallel. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z]+", " "))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= 2)
+    val bigrams = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(t) - 1)," +
+        " i -> substring(t, i, 2))")).as("bg"))
+    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val prefix = counts
+      .groupBy(substring(col("bg"), 1, 1).as("pre"))
+      .agg(sum(col("c2")).as("c1"))
+    val model = counts
+      .withColumn("pre", substring(col("bg"), 1, 1))
+      .join(prefix, "pre")
+      .select(col("bg"), expr("(1000000 * c2) div c1").as("p_micro"))
+    bigrams.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sm div n_bigrams").as("score_micro"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -183,4 +183,36 @@ class AdvancedSpec extends AnyFunSuite {
     assert(v <= users)
     assert(v > 0)
   }
+
+  test("kmv sketch estimates land inside the 1/sqrt(k) envelope of exact counts") {
+    val r = Advanced.kmvOverlap(spark, sf).collect()(0)
+    val k = r.getLong(0)
+    val (estA, estB, estU) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    val (inter, jacPm, estI) = (r.getLong(7), r.getLong(8), r.getLong(9))
+    // sketch invariants
+    assert(k == 128 && inter >= 0 && inter <= k)
+    assert(r.getLong(3) <= r.getLong(1) && r.getLong(3) <= r.getLong(2),
+      "union kth-min must be <= each set's kth-min")
+    // exact ground truth (the computation the sketch exists to avoid)
+    val items = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      .select(col("n_name").as("nm"), col("l_partkey").as("pk")).distinct()
+    val exact = items.groupBy(col("pk"))
+      .agg(countDistinct(col("nm")).as("ns"))
+      .agg(count(lit(1)).as("u"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).as("i"))
+      .collect()(0)
+    val (exU, exI) = (exact.getLong(0), exact.getLong(1))
+    val exA = items.filter(col("nm") === "NATION_18").count()
+    val exB = items.filter(col("nm") === "NATION_19").count()
+    // KMV standard error is ~n/sqrt(k-2); allow 3 sigma (~27% at k=128)
+    def within(est: Long, ex: Long): Unit =
+      assert(math.abs(est - ex) <= math.max(3 * ex / 11, 3),
+        s"estimate $est vs exact $ex beyond 3/sqrt(k)")
+    within(estA, exA); within(estB, exB); within(estU, exU)
+    within(estI, exI)
+    within(jacPm, 1000L * exI / exU)
+  }
 }

