@@ -78,6 +78,33 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution shape
+    * the inner join cannot answer: purchases with NO preceding click
+    * in the window surface with a null click_id. Matches emit
+    * eagerly (same as the inner join); an UNMATCHED purchase is held
+    * in the state store until the watermark proves no qualifying
+    * click can still arrive (watermark past its interval bound),
+    * then emits once with nulls — so the null rows are exactly the
+    * "organic purchase" set, produced incrementally and exactly
+    * once. The dual watermarks bound both buffers; state size is the
+    * in-horizon row count, same as the inner form. */
+  def purchaseClickJoinOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"), "left_outer")
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"))
+  }
+
   /** Stream-STATIC enrichment join — the most common production
     * streaming shape (more common than stream-stream): each
     * micro-batch of the event stream is joined to a slowly-changing

@@ -357,6 +357,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER join: null rows flush only when the watermark closes the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventStreams.purchaseClickJoinOuter(
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssoj")
+      .start()
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+    input.addData(rows)
+    q.processAllAvailable()
+    // before any watermark advance, no unmatched purchase may have
+    // flushed a null row for event times near the stream head
+    val early = spark.table("ssoj").collect().count(_.isNullAt(1))
+    // two sentinel batches, each advancing BOTH event-time columns
+    // (the global watermark is the MIN of the two sides — a
+    // click-only sentinel would leave the purchase watermark behind
+    // the last real purchase forever): batch N's watermark derives
+    // from batch N-1's max, so the first pair raises it and the
+    // second runs under it, flushing the last in-horizon unmatched
+    // purchases deterministically (processAllAvailable does not wait
+    // for no-data batches). Sentinels use disjoint negative users so
+    // they can never join; sentinel purchases are filtered out below.
+    val maxTs = rows.map(_._2.getTime).max
+    Seq(10L, 11L).foreach { h =>
+      input.addData(Seq(
+        (-1L, new java.sql.Timestamp(maxTs + h * 3600 * 1000), -1L, "click"),
+        (-2L, new java.sql.Timestamp(maxTs + h * 3600 * 1000), -2L,
+          "purchase")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("ssoj").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .filter(_._1 >= 0).toSet // drop flushed sentinel purchases
+    // batch twin: full LEFT join on the same data
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"), "left_outer")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(streamed == batch,
+      s"extra=${(streamed -- batch).take(8)} missing=${(batch -- streamed).take(8)}")
+    val nulls = streamed.count(_._2.isEmpty)
+    assert(nulls > 0, "corpus has no organic purchases — test is vacuous")
+    assert(nulls >= early,
+      "null rows must not shrink after the watermark advances")
+  }
+
   test("streaming heavy hitters: micro-batch CMS equals the batch sketch, state constant") {
     // documents stream in as micro-batches (maxFilesPerTrigger=1 over a
     // 4-file staging of the corpus); the streaming aggregation folds
