@@ -633,5 +633,79 @@ object PipelineOracles {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
          |  CAST(sum(fp) AS BIGINT) AS checksum
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Similarity.pq end to end: identical 'pq-' hash sample,
+    // label-seeded integer-micro-unit codebooks, two Lloyd rounds
+    // where M = sum // n (both engines truncate toward zero) and E
+    // breaks d2 ties to the smaller cell, then the corpus-wide encode
+    "emb_pq" ->
+      """WITH comps_all AS (
+        |  SELECT vec_id, (i - 1) // 16 AS ss, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS x
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+        |samp AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings
+        |  WHERE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('pq-' || CAST(vec_id AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647) % 2 = 0),
+        |scomps AS (
+        |  SELECT c.vec_id, c.ss, c.i, c.x
+        |  FROM comps_all c JOIN samp USING (vec_id)),
+        |b0 AS (
+        |  SELECT c.ss, s.cell, c.i,
+        |    CAST(sum(c.x) AS BIGINT) // count(*) AS c
+        |  FROM scomps c JOIN samp s USING (vec_id)
+        |  GROUP BY 1, 2, 3),
+        |a1 AS (
+        |  SELECT vec_id, ss, cell FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
+        |      ORDER BY d2, cell) AS rn
+        |    FROM (
+        |      SELECT sc.vec_id, sc.ss, b.cell,
+        |        CAST(sum((sc.x - b.c) * (sc.x - b.c)) AS BIGINT) AS d2
+        |      FROM scomps sc JOIN b0 b ON sc.ss = b.ss AND sc.i = b.i
+        |      GROUP BY 1, 2, 3) d)
+        |  WHERE rn = 1),
+        |b1 AS (
+        |  SELECT sc.ss, a.cell, sc.i,
+        |    CAST(sum(sc.x) AS BIGINT) // count(*) AS c
+        |  FROM scomps sc JOIN a1 a ON sc.vec_id = a.vec_id AND sc.ss = a.ss
+        |  GROUP BY 1, 2, 3),
+        |a2 AS (
+        |  SELECT vec_id, ss, cell FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
+        |      ORDER BY d2, cell) AS rn
+        |    FROM (
+        |      SELECT sc.vec_id, sc.ss, b.cell,
+        |        CAST(sum((sc.x - b.c) * (sc.x - b.c)) AS BIGINT) AS d2
+        |      FROM scomps sc JOIN b1 b ON sc.ss = b.ss AND sc.i = b.i
+        |      GROUP BY 1, 2, 3) d)
+        |  WHERE rn = 1),
+        |b2 AS (
+        |  SELECT sc.ss, a.cell, sc.i,
+        |    CAST(sum(sc.x) AS BIGINT) // count(*) AS c
+        |  FROM scomps sc JOIN a2 a ON sc.vec_id = a.vec_id AND sc.ss = a.ss
+        |  GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, ss, cell, d2 FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
+        |      ORDER BY d2, cell) AS rn
+        |    FROM (
+        |      SELECT c.vec_id, c.ss, b.cell,
+        |        CAST(sum((c.x - b.c) * (c.x - b.c)) AS BIGINT) AS d2
+        |      FROM comps_all c JOIN b2 b ON c.ss = b.ss AND c.i = b.i
+        |      GROUP BY 1, 2, 3) d)
+        |  WHERE rn = 1)
+        |SELECT vec_id,
+        |  max(CASE WHEN ss = 0 THEN cell END) AS c0,
+        |  max(CASE WHEN ss = 1 THEN cell END) AS c1,
+        |  max(CASE WHEN ss = 2 THEN cell END) AS c2,
+        |  max(CASE WHEN ss = 3 THEN cell END) AS c3,
+        |  CAST(sum(d2) AS BIGINT) AS err_sq
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -306,4 +306,75 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** emb_pq — PRODUCT QUANTIZATION (Jégou et al. 2011, the vector
+    * compression behind every billion-scale ANN index): the 64-dim
+    * space splits into m=4 subspaces of 16 dims, each with its own
+    * k=10 codebook, so a vector compresses to 4 code bytes (64× under
+    * float32) while distances remain computable per-subspace. ALL
+    * arithmetic is exact integer micro-units: components quantize to
+    * round(v·10⁶), codebooks train by label-seeded Lloyd rounds where
+    * the M-step is an integer mean (sum div count) and the E-step
+    * argmin of integer squared L2 breaks ties to the smaller code —
+    * so the learned codebooks AND every assignment hash-match the
+    * DuckDB twin that replays the identical two rounds. Scale shape:
+    * training explodes only the deterministic 50% hash sample
+    * (codebook state is m·k·16 longs, constant); the corpus-wide
+    * encode joins the BROADCAST codebook and reduces per (vec,
+    * subspace) map-side. Emits per-vector codes + total squared
+    * reconstruction error (the fidelity audit). */
+  def pq(s: SparkSession, d: String): DataFrame =
+    pqAssign(pqComponents(Tables.embeddings(s, d)), pqCodebook(s, d))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("ss") === 0, col("cell"))).as("c0"),
+        max(when(col("ss") === 1, col("cell"))).as("c1"),
+        max(when(col("ss") === 2, col("cell"))).as("c2"),
+        max(when(col("ss") === 3, col("cell"))).as("c3"),
+        sum(col("d2")).as("err_sq"))
+      .orderBy(col("vec_id"))
+
+  /** (vec_id, ss, i, x): micro-unit components with subspace ids. */
+  private def pqComponents(vecs: DataFrame): DataFrame = vecs
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+    .select(col("vec_id"), (col("p") / 16).cast("long").as("ss"),
+      col("p").cast("long").as("i"),
+      round(col("v").cast("double") * 1000000).cast("long").as("x"))
+
+  /** M-step: integer-mean codebook of an assignment (vec_id, ss, cell). */
+  private def pqCodebookOf(assigned: DataFrame,
+      comps: DataFrame): DataFrame =
+    comps.join(assigned, Seq("vec_id", "ss"))
+      .groupBy(col("ss"), col("cell"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("ss"), col("cell"), col("i"), expr("sx div n").as("c"))
+
+  /** E-step: per (vec, subspace) argmin of integer squared L2 against
+    * the broadcast codebook; min(struct) breaks ties to the low cell. */
+  private def pqAssign(comps: DataFrame, book: DataFrame): DataFrame =
+    comps.join(broadcast(book), Seq("ss", "i"))
+      .groupBy(col("vec_id"), col("ss"), col("cell"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .groupBy(col("vec_id"), col("ss"))
+      .agg(min(struct(col("d2"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("ss"), col("b.cell").as("cell"),
+        col("b.d2").as("d2"))
+
+  /** The trained (ss, cell, i, c) codebook: label-seeded, two integer
+    * Lloyd rounds over the deterministic 50% 'pq-' hash sample —
+    * exposed for the spec's independent re-encode check. */
+  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    val samp = Tables.embeddings(s, d)
+      .filter(pmod(graft.functions.RollingHash.rollingHash(
+        md5(concat(lit("pq-"), col("vec_id").cast("string"))
+          .cast("binary"))), lit(2L)) === 0L)
+    val sampComps = pqComponents(samp)
+    val seed = samp.select(col("vec_id"), col("label").cast("long").as("cell"))
+      .crossJoin(samp.sparkSession.range(4).select(col("id").as("ss")))
+    val b0 = pqCodebookOf(seed, sampComps)
+    val b1 = pqCodebookOf(pqAssign(sampComps, b0)
+      .select(col("vec_id"), col("ss"), col("cell")), sampComps)
+    pqCodebookOf(pqAssign(sampComps, b1)
+      .select(col("vec_id"), col("ss"), col("cell")), sampComps)
+  }
 }

@@ -41,6 +41,15 @@ object Dfs {
     (cs.getDirectoryCount, cs.getFileCount, cs.getLength)
   }
 
+  /** df: (capacity, used, remaining) of the filesystem holding the
+    * path — the shell's `hadoop fs -df` (reference
+    * fs/shell/FsUsage.java Df), one FileSystem.getStatus call. */
+  def df(path: String): (Long, Long, Long) = {
+    val (f, p) = fs(path)
+    val st = f.getStatus(p)
+    (st.getCapacity, st.getUsed, st.getRemaining)
+  }
+
   def mkdirs(path: String): Boolean = { val (f, p) = fs(path); f.mkdirs(p) }
 
   def rm(path: String, recursive: Boolean = false): Boolean = {

@@ -101,6 +101,16 @@ class HadoopToolsSpec extends AnyFunSuite {
     assert(Dfs.rm(tmp, recursive = true) && !Dfs.exists(tmp))
   }
 
+  test("df reports filesystem capacity/used/remaining consistently") {
+    import graft.sources.Dfs
+    val (cap, used, rem) = Dfs.df(sf)
+    assert(cap > 0, "capacity must be positive")
+    assert(used >= 0 && rem >= 0)
+    assert(used <= cap && rem <= cap)
+    // the data under this path is part of what the fs reports used
+    assert(used >= Dfs.du(sf))
+  }
+
   test("getmerge concatenates part files into one local file") {
     import graft.sources.Dfs
     import org.apache.spark.sql.functions._

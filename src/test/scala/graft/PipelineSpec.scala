@@ -130,6 +130,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(total == 500L) // sf0.001 documents count
   }
 
+  test("product quantization: every code and error matches a driver-side re-encode") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.pq(spark, sf).collect()
+    assert(rows.length == 500)
+    // independent re-encode: collect the constant-size codebook and
+    // the raw vectors, brute-force the integer argmin per subspace
+    val book = Similarity.pqCodebook(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap // (ss, cell, i) -> c
+    val cells = book.keys.map(_._2).toSet.toSeq.sorted
+    assert(cells == (0L to 9L), s"unexpected cells: $cells")
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val x = vecs(id).map(v => math.round(v.toDouble * 1000000))
+      var errSum = 0L
+      (0 until 4).foreach { ss =>
+        val (bestCell, bestD2) = cells.map { cell =>
+          var d2 = 0L
+          ((ss * 16) until (ss * 16 + 16)).foreach { i =>
+            val diff = x(i) - book((ss.toLong, cell, i.toLong))
+            d2 += diff * diff
+          }
+          (cell, d2)
+        }.minBy { case (cell, d2) => (d2, cell) }
+        assert(r.getLong(1 + ss) == bestCell,
+          s"vec $id ss $ss: operator code ${r.getLong(1 + ss)} != $bestCell")
+        errSum += bestD2
+      }
+      assert(r.getLong(5) == errSum,
+        s"vec $id err_sq ${r.getLong(5)} != recomputed $errSum")
+    }
+    // compression is real: 500 vectors collapse onto fewer code words
+    val words = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSet
+    assert(words.size < rows.length,
+      "every vector got a unique code word — quantization is vacuous")
+  }
+
   test("range search returns exactly the above-threshold pairs") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.sources.Tables.embeddings(spark, sf)
