@@ -121,6 +121,74 @@ object PipelineOracles {
       |    FROM embeddings e CROSS JOIN c2 c)
       |  WHERE rn = 1)""".stripMargin
 
+  /** The emb_pq training + encode CTE chain (comps_all..enc) —
+    * shared by emb_pq (which emits the codes) and sim_knn_pq (which
+    * searches them with ADC tables). Usable as
+    * `WITH $pqCtes SELECT ...` or `WITH $pqCtes, more AS (...)`. */
+  private val pqCtes: String =
+    """comps_all AS (
+        |  SELECT vec_id, (i - 1) // 16 AS ss, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS x
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+        |samp AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings
+        |  WHERE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('pq-' || CAST(vec_id AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647) % 2 = 0),
+        |scomps AS (
+        |  SELECT c.vec_id, c.ss, c.i, c.x
+        |  FROM comps_all c JOIN samp USING (vec_id)),
+        |b0 AS (
+        |  SELECT c.ss, s.cell, c.i,
+        |    CAST(sum(c.x) AS BIGINT) // count(*) AS c
+        |  FROM scomps c JOIN samp s USING (vec_id)
+        |  GROUP BY 1, 2, 3),
+        |a1 AS (
+        |  SELECT vec_id, ss, cell FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
+        |      ORDER BY d2, cell) AS rn
+        |    FROM (
+        |      SELECT sc.vec_id, sc.ss, b.cell,
+        |        CAST(sum((sc.x - b.c) * (sc.x - b.c)) AS BIGINT) AS d2
+        |      FROM scomps sc JOIN b0 b ON sc.ss = b.ss AND sc.i = b.i
+        |      GROUP BY 1, 2, 3) d)
+        |  WHERE rn = 1),
+        |b1 AS (
+        |  SELECT sc.ss, a.cell, sc.i,
+        |    CAST(sum(sc.x) AS BIGINT) // count(*) AS c
+        |  FROM scomps sc JOIN a1 a ON sc.vec_id = a.vec_id AND sc.ss = a.ss
+        |  GROUP BY 1, 2, 3),
+        |a2 AS (
+        |  SELECT vec_id, ss, cell FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
+        |      ORDER BY d2, cell) AS rn
+        |    FROM (
+        |      SELECT sc.vec_id, sc.ss, b.cell,
+        |        CAST(sum((sc.x - b.c) * (sc.x - b.c)) AS BIGINT) AS d2
+        |      FROM scomps sc JOIN b1 b ON sc.ss = b.ss AND sc.i = b.i
+        |      GROUP BY 1, 2, 3) d)
+        |  WHERE rn = 1),
+        |b2 AS (
+        |  SELECT sc.ss, a.cell, sc.i,
+        |    CAST(sum(sc.x) AS BIGINT) // count(*) AS c
+        |  FROM scomps sc JOIN a2 a ON sc.vec_id = a.vec_id AND sc.ss = a.ss
+        |  GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, ss, cell, d2 FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
+        |      ORDER BY d2, cell) AS rn
+        |    FROM (
+        |      SELECT c.vec_id, c.ss, b.cell,
+        |        CAST(sum((c.x - b.c) * (c.x - b.c)) AS BIGINT) AS d2
+        |      FROM comps_all c JOIN b2 b ON c.ss = b.ss AND c.i = b.i
+        |      GROUP BY 1, 2, 3) d)
+        |  WHERE rn = 1)"""
+      .stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -639,67 +707,7 @@ object PipelineOracles {
     // where M = sum // n (both engines truncate toward zero) and E
     // breaks d2 ties to the smaller cell, then the corpus-wide encode
     "emb_pq" ->
-      """WITH comps_all AS (
-        |  SELECT vec_id, (i - 1) // 16 AS ss, i,
-        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
-        |      AS x
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
-        |samp AS (
-        |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings
-        |  WHERE list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_extract_all(
-        |          md5('pq-' || CAST(vec_id AS VARCHAR)), '(?s).'),
-        |          c -> CAST(unicode(c) AS BIGINT))),
-        |      (h, c) -> (h * 31 + c) % 2147483647) % 2 = 0),
-        |scomps AS (
-        |  SELECT c.vec_id, c.ss, c.i, c.x
-        |  FROM comps_all c JOIN samp USING (vec_id)),
-        |b0 AS (
-        |  SELECT c.ss, s.cell, c.i,
-        |    CAST(sum(c.x) AS BIGINT) // count(*) AS c
-        |  FROM scomps c JOIN samp s USING (vec_id)
-        |  GROUP BY 1, 2, 3),
-        |a1 AS (
-        |  SELECT vec_id, ss, cell FROM (
-        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
-        |      ORDER BY d2, cell) AS rn
-        |    FROM (
-        |      SELECT sc.vec_id, sc.ss, b.cell,
-        |        CAST(sum((sc.x - b.c) * (sc.x - b.c)) AS BIGINT) AS d2
-        |      FROM scomps sc JOIN b0 b ON sc.ss = b.ss AND sc.i = b.i
-        |      GROUP BY 1, 2, 3) d)
-        |  WHERE rn = 1),
-        |b1 AS (
-        |  SELECT sc.ss, a.cell, sc.i,
-        |    CAST(sum(sc.x) AS BIGINT) // count(*) AS c
-        |  FROM scomps sc JOIN a1 a ON sc.vec_id = a.vec_id AND sc.ss = a.ss
-        |  GROUP BY 1, 2, 3),
-        |a2 AS (
-        |  SELECT vec_id, ss, cell FROM (
-        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
-        |      ORDER BY d2, cell) AS rn
-        |    FROM (
-        |      SELECT sc.vec_id, sc.ss, b.cell,
-        |        CAST(sum((sc.x - b.c) * (sc.x - b.c)) AS BIGINT) AS d2
-        |      FROM scomps sc JOIN b1 b ON sc.ss = b.ss AND sc.i = b.i
-        |      GROUP BY 1, 2, 3) d)
-        |  WHERE rn = 1),
-        |b2 AS (
-        |  SELECT sc.ss, a.cell, sc.i,
-        |    CAST(sum(sc.x) AS BIGINT) // count(*) AS c
-        |  FROM scomps sc JOIN a2 a ON sc.vec_id = a.vec_id AND sc.ss = a.ss
-        |  GROUP BY 1, 2, 3),
-        |enc AS (
-        |  SELECT vec_id, ss, cell, d2 FROM (
-        |    SELECT d.*, row_number() OVER (PARTITION BY vec_id, ss
-        |      ORDER BY d2, cell) AS rn
-        |    FROM (
-        |      SELECT c.vec_id, c.ss, b.cell,
-        |        CAST(sum((c.x - b.c) * (c.x - b.c)) AS BIGINT) AS d2
-        |      FROM comps_all c JOIN b2 b ON c.ss = b.ss AND c.i = b.i
-        |      GROUP BY 1, 2, 3) d)
-        |  WHERE rn = 1)
+      s"""WITH $pqCtes
         |SELECT vec_id,
         |  max(CASE WHEN ss = 0 THEN cell END) AS c0,
         |  max(CASE WHEN ss = 1 THEN cell END) AS c1,
@@ -707,5 +715,29 @@ object PipelineOracles {
         |  max(CASE WHEN ss = 3 THEN cell END) AS c3,
         |  CAST(sum(d2) AS BIGINT) AS err_sq
         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ADC search over the same codes: per-query (subspace, cell)
+    // distance tables against b2, candidate distance = 4 lookups
+    "sim_knn_pq" ->
+      s"""WITH $pqCtes,
+         |qcomps AS (
+         |  SELECT vec_id AS q_id, ss, i, x AS qx FROM comps_all
+         |  WHERE vec_id < 20),
+         |dt AS (
+         |  SELECT q.q_id, b.ss, b.cell,
+         |    CAST(sum((q.qx - b.c) * (q.qx - b.c)) AS BIGINT) AS dt
+         |  FROM qcomps q JOIN b2 b ON q.ss = b.ss AND q.i = b.i
+         |  GROUP BY 1, 2, 3),
+         |adc AS (
+         |  SELECT d.q_id, e.vec_id, CAST(sum(d.dt) AS BIGINT) AS adc
+         |  FROM enc e JOIN dt d ON e.ss = d.ss AND e.cell = d.cell
+         |  WHERE e.vec_id <> d.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, vec_id AS neighbor_id, adc, rank FROM (
+         |  SELECT q_id, vec_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc, vec_id) AS BIGINT) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

@@ -334,6 +334,40 @@ object Similarity {
         sum(col("d2")).as("err_sq"))
       .orderBy(col("vec_id"))
 
+  /** sim_knn_pq — ANN search over the PQ codes via ASYMMETRIC DISTANCE
+    * COMPUTATION (the search half of Jégou et al.'s PQ): each query
+    * precomputes a (subspace × code) table of integer squared
+    * distances to every codebook centroid (m·k longs per query —
+    * constant), and a candidate's distance is 4 TABLE LOOKUPS summed,
+    * never a 64-dim float op. The corpus side ships ONLY (vec_id,
+    * code) rows through the plan — the compressed representation is
+    * what gets scanned, which is the entire point at 10⁹ vectors:
+    * 4 bytes/vector instead of 256, and the distance math collapses
+    * to integer adds. Exact integer end-to-end (the table entries are
+    * the same micro-unit d² the encoder minimizes), so the ranking
+    * hash-matches the oracle. topKPerGroup keeps the per-query top-k
+    * map-side (WindowGroupLimit), never a global sort. */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    val book = pqCodebook(s, d)
+    val qComps = pqComponents(queries(s, d)
+        .select(col("q_id").as("vec_id"), col("q_emb").as("embedding")))
+      .select(col("vec_id").as("q_id"), col("ss"), col("i"),
+        col("x").as("qx"))
+    val dt = qComps.join(broadcast(book), Seq("ss", "i"))
+      .groupBy(col("q_id"), col("ss"), col("cell"))
+      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("dt"))
+    val codes = pqAssign(pqComponents(Tables.embeddings(s, d)), book)
+      .select(col("vec_id"), col("ss"), col("cell"))
+    val adc = codes.join(broadcast(dt), Seq("ss", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adc"))
+    topKPerGroup(adc, col("q_id"), -col("adc"), col("vec_id"), K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** (vec_id, ss, i, x): micro-unit components with subspace ids. */
   private def pqComponents(vecs: DataFrame): DataFrame = vecs
     .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))

@@ -171,6 +171,54 @@ class PipelineSpec extends AnyFunSuite {
       "every vector got a unique code word — quantization is vacuous")
   }
 
+  test("ADC search: top-5 equals a driver-side table-lookup ranking over all candidates") {
+    import org.apache.spark.sql.functions._
+    val book = Similarity.pqCodebook(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val cells = book.keys.map(_._2).toSet.toSeq.sorted
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(v => math.round(v.toDouble * 1000000)))
+      .toMap
+    // re-encode every vector (the emb_pq spec proved this matches)
+    def encode(x: Array[Long]): Array[Long] =
+      (0 until 4).map { ss =>
+        cells.minBy { cell =>
+          var d2 = 0L
+          ((ss * 16) until (ss * 16 + 16)).foreach { i =>
+            val diff = x(i) - book((ss.toLong, cell, i.toLong)); d2 += diff * diff
+          }
+          (d2, cell)
+        }
+      }.toArray
+    val codes = vecs.map { case (id, x) => id -> encode(x) }
+    val out = Similarity.knnPq(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getLong(2)))
+      }
+    assert(out.keySet == (0L until 20L).toSet)
+    out.foreach { case (q, got) =>
+      val qx = vecs(q)
+      // distance tables: (ss, cell) -> d2 between query subvector, centroid
+      val dt = (for (ss <- 0 until 4; cell <- cells) yield {
+        var d2 = 0L
+        ((ss * 16) until (ss * 16 + 16)).foreach { i =>
+          val diff = qx(i) - book((ss.toLong, cell, i.toLong)); d2 += diff * diff
+        }
+        (ss.toLong, cell) -> d2
+      }).toMap
+      val expected = codes.toSeq.filter(_._1 != q)
+        .map { case (id, cs) =>
+          (id, cs.zipWithIndex.map { case (c, ss) => dt((ss.toLong, c)) }.sum)
+        }
+        .sortBy { case (id, adc) => (adc, id) }.take(5)
+      assert(got.toSeq == expected,
+        s"query $q: ${got.toSeq} != $expected")
+    }
+  }
+
   test("range search returns exactly the above-threshold pairs") {
     import org.apache.spark.sql.functions.col
     val vecs = graft.sources.Tables.embeddings(spark, sf)
