@@ -28,7 +28,14 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // round 5: sampled decile boundaries (the sample window and the
     // boundary array must not depend on the partitioning) and the
     // band self-join LSH dedup (cross-band candidate dedup)
-    "q36_sampled_deciles", "dedup_embedding_lsh")
+    "q36_sampled_deciles", "dedup_embedding_lsh",
+    // round 6: integer-Lloyd PQ training + ADC ranking (sample-seeded
+    // iterative state), the KMV bottom-k sketch (per-set window
+    // limits), degree-oriented triangles (orientation from a counted
+    // degree table), the per-order distinct-collapse aggregate, and
+    // the bigram-LM model join (integer-mean model)
+    "emb_pq", "sim_knn_pq", "adv_kmv_overlap", "mr_triangles",
+    "q45_sole_failing_supplier", "txt_lm_score")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
