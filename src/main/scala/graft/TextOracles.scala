@@ -39,13 +39,13 @@ object TextOracles {
     * argmax with lexicographic tie-break, merge applied as the
     * greedy left-to-right list fold. `mtab` is the merge table. */
   private val bpeCtes: String = {
-    import graft.operators.TextAnalysis.{BpeVocab, BpeMergeCount}
+    import graft.operators.TextAnalysis.{BpeVocabCap, BpeMinFreq, BpeMergeBudget}
     s"""bpewords AS (
        |  SELECT word, count(*) AS f FROM ($words)
        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1),
        |topv AS (
-       |  SELECT word, f FROM bpewords
-       |  ORDER BY f DESC, word LIMIT $BpeVocab),
+       |  SELECT word, f FROM bpewords WHERE f >= $BpeMinFreq
+       |  ORDER BY f DESC, word LIMIT $BpeVocabCap),
        |bpe AS (
        |  SELECT 0 AS it,
        |    list(struct_pack(w := regexp_extract_all(word, '.'),
@@ -92,7 +92,7 @@ object TextOracles {
        |                  i -> struct_pack(
        |                    k := s.w[i] || ' ' || s.w[i + 1],
        |                    f := s.f)))) AS apf
-       |            FROM bpe WHERE it < $BpeMergeCount
+       |            FROM bpe WHERE it < $BpeMergeBudget
        |          ) WHERE len(apf) > 0
        |        )
        |      )
@@ -107,27 +107,30 @@ object TextOracles {
   }
 
   /** BPE application CTE chain (rides on [[bpeCtes]]): per distinct
-    * ^[a-z]+$ word, the merges apply in rank order via the
-    * " a b " -> " ab " literal replace (equal to the greedy
-    * left-to-right fold); `fin` is (word, ntok). */
+    * ^[a-z]+$ word, the merges apply in rank order via the SAME
+    * greedy left-to-right list fold the trainer uses — and that
+    * graft.functions.BpeEncode implements — so the two engines agree
+    * even on overlapping-repeat inputs where a string-level replace
+    * would not ("aaaa" + (a,a) -> [aa, aa]); `fin` is (word, ntok). */
   private val bpeApplyCtes: String =
     s"""allwords AS (
        |  SELECT doc_id, word, count(*) AS n FROM ($words)
        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
        |dw AS (SELECT DISTINCT word FROM allwords),
        |app AS (
-       |  SELECT 0 AS it, word,
-       |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') ||
-       |      ' ' AS s
+       |  SELECT 0 AS it, word, regexp_extract_all(word, '.') AS tk
        |  FROM dw
        |  UNION ALL
        |  SELECT it + 1, word,
-       |    replace(s, ' ' || m.lhs || ' ' || m.rhs || ' ',
-       |               ' ' || m.merged || ' ')
+       |    list_reduce(
+       |      list_transform(tk, t -> [t]),
+       |      (acc, x) -> CASE
+       |        WHEN acc[-1] = m.lhs AND x[1] = m.rhs
+       |        THEN list_append(array_pop_back(acc), m.merged)
+       |        ELSE list_concat(acc, x) END) AS tk
        |  FROM app JOIN mtab m ON m.rank = it + 1),
        |fin AS (
-       |  SELECT word,
-       |    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS ntok
+       |  SELECT word, CAST(len(tk) AS BIGINT) AS ntok
        |  FROM app WHERE it = (SELECT count(*) FROM mtab))""".stripMargin
 
   /** The concat-and-chunk packing tail over a `sized` CTE of

@@ -331,14 +331,33 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("BPE: deterministic merge table, application conserves bounds") {
     import org.apache.spark.sql.functions._
     val m = SparkEntry.queries("txt_bpe")(spark, sf).collect()
-    assert(m.length == graft.operators.TextAnalysis.BpeMergeCount)
+    // run-to-dry under the budget: training stopped strictly inside
+    // the budget, and dry means every vocab word is ONE symbol after
+    // the full merge sequence (merged symbols are shared across
+    // words, so the count lands at ≤ Σ(len−1), data-dependently)
+    assert(m.length < graft.operators.TextAnalysis.BpeMergeBudget)
+    val mergePairs = m.map(r => (r.getString(1), r.getString(2)))
+    val vocabWords = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= graft.operators.TextAnalysis.BpeMinFreq)
+      .select(col("w")).collect().map(_.getString(0))
+    vocabWords.foreach { w =>
+      val enc = graft.functions.BpeEncode.encode(
+        w, mergePairs.map(_._1), mergePairs.map(_._2))
+      assert(enc.length == 1 && enc(0) == w,
+        s"vocab word $w not fully merged: ${enc.mkString("|")}")
+    }
     // ranks contiguous from 1; merged symbol is the concatenation
     assert(m.map(_.getLong(0)).toSeq == (1L to m.length).toSeq)
     m.foreach(r =>
       assert(r.getString(3) == r.getString(1) + r.getString(2)))
-    // training is deterministic: a second run yields the same table
-    val m2 = SparkEntry.queries("txt_bpe")(spark, sf).collect()
-    assert(m.map(_.toString).toSeq == m2.map(_.toString).toSeq)
+    // training is deterministic: an uncached retrain (bypassing the
+    // session memo) reproduces the identical merge ORDER
+    val m2 = graft.operators.TextAnalysis.trainMerges(spark, sf)
+    assert(m.map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq == m2)
     // application: per-doc subword count sits between the alpha word
     // count (every word >= 1 token) and the alpha char count (no
     // merge ever splits)
@@ -374,6 +393,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     val total = SparkEntry.queries("txt_bpe_tokens")(spark, sf)
       .agg(sum("n_subwords")).collect()(0).getLong(0)
     assert(rows.map(_.getLong(4)).sum == total)
+  }
+
+  test("BPE application plan: ONE projection regardless of merge count") {
+    import org.apache.spark.sql.functions.sum
+    val merges = graft.operators.TextAnalysis.bpeMerges(spark, sf)
+      .map { case (a, b, _) => (a, b) }
+    assert(merges.length > 80) // run-to-dry training, not the toy 25-cap
+    val small = graft.operators.TextAnalysis
+      .bpeTokenCountsWith(spark, sf, merges.take(2))
+    val full = graft.operators.TextAnalysis
+      .bpeTokenCountsWith(spark, sf, merges)
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int, Boolean) = {
+      val p = df.queryExecution.executedPlan.toString
+      (p.sliding("Project".length).count(_ == "Project"),
+        p.sliding("bpe_encode".length).count(_ == "bpe_encode"),
+        p.contains("replace("))
+    }
+    val (projS, encS, replS) = shape(small)
+    val (projF, encF, replF) = shape(full)
+    // the merge table rides as a reference object: K changes NOTHING
+    // about the plan — same projection count, one bpe_encode, and no
+    // K-chained replace anywhere
+    assert(projS == projF, s"projections grew with K: $projS -> $projF")
+    assert(encS == 1 && encF == 1)
+    assert(!replS && !replF, "chained replace() back in the apply plan")
+    // and the application result is insensitive to HOW the plan was
+    // built only for the same table: fewer merges => more subwords
+    val nSmall = small.agg(sum("n_subwords")).collect()(0).getLong(0)
+    val nFull = full.agg(sum("n_subwords")).collect()(0).getLong(0)
+    assert(nSmall > nFull)
+  }
+
+  test("BpeEncode: greedy left-to-right fold semantics, rank order, memo") {
+    import graft.functions.BpeEncode
+    def enc(w: String, m: (String, String)*): Seq[String] =
+      BpeEncode.encode(w, m.map(_._1).toArray, m.map(_._2).toArray).toSeq
+    // the overlapping-repeat case that distinguishes the fold from a
+    // string-level replace: the fold re-merges against the NEW last
+    assert(enc("aaaa", ("a", "a")) == Seq("aa", "aa"))
+    assert(enc("aaa", ("a", "a")) == Seq("aa", "a"))
+    // rank order matters: (a,b) first consumes the b that (b,c) would
+    assert(enc("abc", ("a", "b"), ("b", "c")) == Seq("ab", "c"))
+    assert(enc("abc", ("b", "c"), ("a", "b")) == Seq("a", "bc"))
+    // chains compose into longer symbols across ranks
+    assert(enc("abab", ("a", "b"), ("ab", "ab")) == Seq("abab"))
+    // untouched words and single chars survive
+    assert(enc("xyz") == Seq("x", "y", "z"))
+    assert(enc("q", ("a", "b")) == Seq("q"))
+    // the memoized count agrees with the raw fold
+    val t = new BpeEncode.Table(Array("a", "aa"), Array("a", "a"))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("aaaaa")
+    // rank1: aaaaa -> [aa,aa,a]; rank2 (aa,a): -> [aa,aaa]
+    assert(BpeEncode.count(u, t) == 2L)
+    assert(BpeEncode.count(u, t) == 2L) // second call hits the memo
   }
 
   test("langid: trigram profiles classify a mixed-language corpus, margin yields und") {
