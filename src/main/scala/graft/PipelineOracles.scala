@@ -189,6 +189,13 @@ object PipelineOracles {
         |  WHERE rn = 1)"""
       .stripMargin
 
+  /** [[pqCtes]] with every CTE name prefixed `pq_`, so it can share a
+    * WITH clause with [[ivfTrainedCorpus]] (both define samp/a1/a2).
+    * Word-boundary rename; column names are untouched. */
+  private val pqCtesPrefixed: String =
+    Seq("comps_all", "samp", "scomps", "b0", "a1", "b1", "a2", "b2", "enc")
+      .foldLeft(pqCtes)((s, n) => s.replaceAll(s"\\b$n\\b", "pq_" + n))
+
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -738,6 +745,59 @@ object PipelineOracles {
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY adc, vec_id) AS BIGINT) AS rank
          |  FROM adc)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // IVFADC+R composition: coarse probe list from the replayed IVF
+    // training, candidates pruned to the probed cells, ADC-ranked by
+    // the SAME integer tables as sim_knn_pq, exact cosine re-rank of
+    // the 64-deep shortlist — both trainings replayed in one WITH
+    // (pq CTEs prefixed to avoid name collisions)
+    "sim_knn_ivfpq" ->
+      s"""WITH $ivfTrainedCorpus,
+         |$pqCtesPrefixed,
+         |probed AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.vec_id AS q_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS crank
+         |    FROM embeddings q CROSS JOIN c2 c
+         |    WHERE q.vec_id < 20)
+         |  WHERE crank <= 3),
+         |qcomps AS (
+         |  SELECT vec_id AS q_id, ss, i, x AS qx FROM pq_comps_all
+         |  WHERE vec_id < 20),
+         |dt AS (
+         |  SELECT q.q_id, b.ss, b.cell,
+         |    CAST(sum((q.qx - b.c) * (q.qx - b.c)) AS BIGINT) AS dt
+         |  FROM qcomps q JOIN pq_b2 b ON q.ss = b.ss AND q.i = b.i
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id
+         |  FROM probed p JOIN corpus a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |adc AS (
+         |  SELECT cd.q_id, e.vec_id, CAST(sum(d.dt) AS BIGINT) AS adc
+         |  FROM cand cd
+         |  JOIN pq_enc e ON e.vec_id = cd.vec_id
+         |  JOIN dt d ON d.q_id = cd.q_id AND d.ss = e.ss AND d.cell = e.cell
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY adc, vec_id) AS srank
+         |    FROM adc)
+         |  WHERE srank <= 64)
+         |SELECT q_id, neighbor_id, rank FROM (
+         |  SELECT s.q_id, s.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |        CAST(ce.embedding AS DOUBLE[])) DESC, s.vec_id) AS BIGINT)
+         |      AS rank
+         |  FROM short s
+         |  JOIN embeddings qe ON qe.vec_id = s.q_id
+         |  JOIN embeddings ce ON ce.vec_id = s.vec_id)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

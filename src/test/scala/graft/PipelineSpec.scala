@@ -251,6 +251,84 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFPQ: equals a driver-side replay of probe + ADC, useful recall") {
+    import org.apache.spark.sql.functions._
+    // ---- replay the coarse half: trained centroids + probe sets
+    val cents = Similarity.trainedCentroids(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val coarse = Similarity.trainedCells(spark, sf)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def probe(q: Long): Set[Long] = cents.toSeq
+      .map { case (cell, c) => (cell, cos(vecs(q), c)) }
+      .sortBy { case (cell, s) => (-s, cell) }.take(3).map(_._1).toSet
+    // ---- replay the PQ half: codebook + codes + per-query tables
+    val book = Similarity.pqCodebook(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val cells = book.keys.map(_._2).toSet.toSeq.sorted
+    val micro = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000000))
+    }
+    def subD2(x: Array[Long], ss: Int, cell: Long): Long = {
+      var d2 = 0L
+      ((ss * 16) until (ss * 16 + 16)).foreach { i =>
+        val diff = x(i) - book((ss.toLong, cell, i.toLong)); d2 += diff * diff
+      }
+      d2
+    }
+    val codes = micro.map { case (id, x) =>
+      id -> (0 until 4).map(ss =>
+        cells.minBy(cell => (subD2(x, ss, cell), cell))).toArray
+    }
+    // ---- composed expectation: ADC shortlist over probed cells,
+    // then exact cosine re-rank of the top-64
+    val out = Similarity.knnIvfPq(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(2)).map(_.getLong(1))
+      }
+    assert(out.keySet == (0L until 20L).toSet)
+    out.foreach { case (q, got) =>
+      val probed = probe(q)
+      val shortlist = codes.toSeq
+        .filter { case (id, _) => id != q && probed.contains(coarse(id)) }
+        .map { case (id, cs) =>
+          (id, cs.zipWithIndex.map { case (c, ss) =>
+            subD2(micro(q), ss, c) }.sum)
+        }
+        .sortBy { case (id, adc) => (adc, id) }.take(64).map(_._1)
+      val expected = shortlist
+        .map(id => (id, cos(vecs(q), vecs(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(got.toSeq == expected, s"query $q: ${got.toSeq} != $expected")
+      // pruning is real: every neighbor came from a probed cell
+      got.foreach { id => assert(probed.contains(coarse(id))) }
+    }
+    // recall vs exact: the composed index still finds real neighbors
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mine = out.toSeq.flatMap { case (q, ids) => ids.map(id => (q, id)) }
+      .toSet
+    val recall = mine.intersect(brute).size.toDouble / brute.size
+    info(f"IVFPQ recall vs brute force: $recall%.2f")
+    // the exact re-rank of the ADC shortlist holds the same floor the
+    // IVF spec asserts (0.4) — ADC-only top-5 measured 0.17
+    assert(recall >= 0.4, f"IVFPQ recall $recall%.2f below 0.4")
+  }
+
   test("cosine expression agrees with a hand computation") {
     import spark.implicits._
     import graft.functions.VectorFunctions.cosineSim
