@@ -25,6 +25,16 @@ object TestSpark {
         |    <weight>1</weight>
         |    <minShare>0</minShare>
         |  </pool>
+        |  <pool name="gold">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>2</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |  <pool name="silver">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
         |</allocations>""".stripMargin)
     f.toString
   }

@@ -55,6 +55,76 @@ class SchedulingSpec extends AnyFunSuite {
       s"interactive starved: ${interactiveMs}ms vs batch ${batchMs}ms")
   }
 
+  test("weighted pools: 2:1 task-seat share between two saturating tenants") {
+    // The CapacityScheduler guarantee re-expressed in Spark terms:
+    // two pools (gold weight 2, silver weight 1) each submit a
+    // saturating job of identical 200ms tasks on 4 seats. FAIR
+    // scheduling equalizes runningTasks/weight, so gold holds ~2/3 of
+    // the seats and completes ~2x silver's tasks over any contention
+    // window. PREEMPTION IS A NON-GOAL: shares apply at seat
+    // ASSIGNMENT time only — a running task is never killed to
+    // rebalance (Spark has no pool preemption), which is why the
+    // assertion measures throughput share, not instantaneous seats.
+    import org.apache.spark.scheduler.{SparkListener,
+      SparkListenerJobStart, SparkListenerTaskEnd}
+    val sc = spark.sparkContext
+    val stagePool =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val done = Map(
+      "gold" -> new java.util.concurrent.atomic.AtomicInteger,
+      "silver" -> new java.util.concurrent.atomic.AtomicInteger)
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val pool = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.scheduler.pool")))
+          .getOrElse("default")
+        if (done.contains(pool))
+          e.stageIds.foreach(sid => stagePool.put(sid, pool))
+        ()
+      }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        Option(stagePool.get(e.stageId)).foreach(p =>
+          done(p).incrementAndGet())
+        ()
+      }
+    }
+    sc.addSparkListener(listener)
+    @volatile var failure: Option[Throwable] = None
+    // silver's completed count the moment gold drains = the share
+    // observed over gold's whole (fully contended) lifetime
+    @volatile var silverAtGoldEnd = -1
+    try {
+      val nTasks = 40
+      def saturate(pool: String): Thread = new Thread(() => {
+        try {
+          sc.setLocalProperty("spark.scheduler.pool", pool)
+          val s = sc.parallelize(1 to nTasks, nTasks)
+            .map { i => Thread.sleep(200); i.toLong }.sum()
+          assert(s == (1 to nTasks).sum.toDouble)
+          if (pool == "gold") silverAtGoldEnd = done("silver").get
+        } catch { case t: Throwable => failure = Some(t) }
+        finally sc.setLocalProperty("spark.scheduler.pool", null)
+      })
+      val gold = saturate("gold"); val silver = saturate("silver")
+      gold.start(); silver.start()
+      gold.join(60000); silver.join(60000)
+      failure.foreach(throw _)
+      assert(done("gold").get == nTasks && done("silver").get == nTasks)
+      // gold drained first (it had the larger share), while silver
+      // still had pending work — contention covered the whole window
+      assert(silverAtGoldEnd >= 0 && silverAtGoldEnd < nTasks,
+        s"silver finished before gold ($silverAtGoldEnd) — no contention")
+      // observed share: gold ran 40 tasks while silver ran ~20.
+      // Wave granularity and listener lag blur the edges; accept
+      // anything clearly weighted (ratio 40/silverAtGoldEnd in
+      // [1.3, 4]) rather than flaking on exact 2.0
+      val ratio = nTasks.toDouble / math.max(silverAtGoldEnd, 1)
+      info(f"gold:silver throughput share $ratio%.2f (want ~2)")
+      assert(ratio >= 1.3 && ratio <= 4.0,
+        f"share $ratio%.2f not ~2:1 (silver=$silverAtGoldEnd at gold end)")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("speculation: a straggler is detected and a speculative attempt submitted") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerSpeculativeTaskSubmitted}
     val sc = spark.sparkContext
