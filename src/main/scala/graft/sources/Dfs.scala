@@ -205,6 +205,29 @@ object Dfs {
     } finally in.close()
   }
 
+  /** Open a SYNCABLE write stream (reference fs/Syncable.java:1 —
+    * the durability contract every log-writer relies on): the
+    * returned `FSDataOutputStream` exposes `hflush()` (new readers
+    * see every byte written so far, before the writer closes) and
+    * `hsync()` (hflush + force to stable storage). On filesystems
+    * whose output streams implement Syncable (HDFS pipelines) the
+    * calls are native; elsewhere `FSDataOutputStream` documents the
+    * fallback — flush the stream buffer — which on a local
+    * filesystem still delivers the VISIBILITY half of the contract
+    * (bytes reach the OS file; durability needs the native hsync).
+    * Locally the raw (non-checksum) stream is opened: a mid-write
+    * checksum SIDE FILE is undefined under Syncable — HDFS keeps
+    * checksums in the write pipeline, not beside the file — and the
+    * checksum read path tolerates its absence. */
+  def createLogStream(path: String): org.apache.hadoop.fs.FSDataOutputStream = {
+    val (f0, p) = fs(path)
+    val f = f0 match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case x => x
+    }
+    f.create(p, true)
+  }
+
   /** appendToFile (reference fs/shell/CopyCommands.java:385 — the
     * one FileSystem WRITE mode beyond create): append `data` to the
     * file, creating it if absent. Native `FileSystem.append` where

@@ -309,6 +309,37 @@ class HadoopToolsSpec extends AnyFunSuite {
     Dfs.rm(root, recursive = true)
   }
 
+  test("hflush visibility: readers see flushed bytes while the writer is open") {
+    import graft.sources.Dfs
+    val root = Files.createTempDirectory("graft-hflush-").toString
+    val p = root + "/grow.log"
+    def visible(): String =
+      new String(Dfs.head(p, 1024), "UTF-8")
+    val out = Dfs.createLogStream(p)
+    try {
+      // Syncable's visibility half: every hflushed prefix is readable
+      // by a NEW reader before the writer closes (fs/Syncable.java:1)
+      out.write("one ".getBytes("UTF-8"))
+      out.hflush()
+      assert(visible() == "one ", "hflushed bytes not visible to reader")
+      out.write("two ".getBytes("UTF-8"))
+      out.hsync() // hflush + stable storage; same visibility guarantee
+      assert(visible() == "one two ")
+      // un-flushed bytes sit in the stream buffer (io.file.buffer.size
+      // is 4KB — 5 bytes cannot force a spill): this pins that the
+      // local fallback makes hflush the ACTUAL visibility barrier,
+      // not a no-op riding on write-through
+      out.write("three".getBytes("UTF-8"))
+      assert(visible() == "one two ",
+        "bytes leaked to readers before hflush — barrier is vacuous")
+      out.hflush()
+      assert(visible() == "one two three")
+    } finally out.close()
+    // close changes nothing further for readers
+    assert(visible() == "one two three")
+    Dfs.rm(root, recursive = true)
+  }
+
   test("find: predicate-tree search matches the reference's walk") {
     import graft.sources.Dfs
     import graft.sources.Dfs.FindExpr._
