@@ -105,6 +105,32 @@ object EventStreams {
         col("p_user").as("user_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — the CDC-reconciliation
+    * shape: BOTH unmatched sides surface, so one query yields the
+    * attribution matches, the organic purchases (null click_id) AND
+    * the unconverted clicks (null purchase_id). Same bounded
+    * dual-watermark state as the left form — each side's buffer is
+    * its in-horizon rows; an unmatched row (either side) is held
+    * until the watermark proves no partner can still arrive, then
+    * emits once with nulls, exactly once. `user_id` coalesces across
+    * the sides because either may be null in the outer rows. */
+  def purchaseClickJoinFull(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"), "full_outer")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
+  }
+
   /** Stream-STATIC enrichment join — the most common production
     * streaming shape (more common than stream-stream): each
     * micro-batch of the event stream is joined to a slowly-changing

@@ -420,6 +420,63 @@ class StreamingSpec extends AnyFunSuite {
       "null rows must not shrink after the watermark advances")
   }
 
+  test("stream-stream FULL OUTER join equals the batch full outer after both watermarks close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventStreams.purchaseClickJoinFull(
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssfoj")
+      .start()
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+    input.addData(rows)
+    q.processAllAvailable()
+    // sentinel pairs advance BOTH event-time columns (global
+    // watermark = min of the sides), as in the left-outer spec;
+    // disjoint negative users so sentinels can never join real rows
+    val maxTs = rows.map(_._2.getTime).max
+    Seq(10L, 11L).foreach { h =>
+      input.addData(Seq(
+        (-1L, new java.sql.Timestamp(maxTs + h * 3600 * 1000), -1L, "click"),
+        (-2L, new java.sql.Timestamp(maxTs + h * 3600 * 1000), -2L,
+          "purchase")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row): (Option[Long], Option[Long]) =
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    // drop flushed sentinel rows (either side negative)
+    val streamed = spark.table("ssfoj").collect().map(key)
+      .filter { case (p, c) =>
+        p.forall(_ >= 0) && c.forall(_ >= 0) }.toSet
+    // batch twin: full outer on the same data
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"), "full_outer")
+      .select("purchase_id", "click_id").collect().map(key).toSet
+    assert(streamed == batch,
+      s"extra=${(streamed -- batch).take(8)} missing=${(batch -- streamed).take(8)}")
+    // the CDC shape is exercised from BOTH directions: organic
+    // purchases AND unconverted clicks each produced null rows
+    assert(streamed.exists { case (p, c) => p.nonEmpty && c.isEmpty },
+      "no purchase-side null rows — full outer is degenerate")
+    assert(streamed.exists { case (p, c) => p.isEmpty && c.nonEmpty },
+      "no click-side null rows — full outer is degenerate")
+  }
+
   test("streaming heavy hitters: micro-batch CMS equals the batch sketch, state constant") {
     // documents stream in as micro-batches (maxFilesPerTrigger=1 over a
     // 4-file staging of the corpus); the streaming aggregation folds
