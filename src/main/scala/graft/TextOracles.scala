@@ -31,6 +31,32 @@ object TextOracles {
        |    FROM edges e JOIN deg d ON e.src = d.src
        |    JOIN $prev p ON p.v = e.src GROUP BY 1) c ON c.v = n.v)""".stripMargin
 
+  /** One FROZEN-STEP PageRank round (mirrors pageRankConvergedRounds):
+    * compute the candidate next table and its max |Δ| against prev;
+    * once Δ < ε the round republishes prev unchanged — so unrolling
+    * the full cap yields exactly the first iterate whose successor
+    * moves no node by ≥ ε, without the SQL knowing the round count.
+    * MATERIALIZED is load-bearing: each round reads its predecessor
+    * twice, and inlined CTEs would double the plan per round (2^cap). */
+  private def prIterConv(prev: String, next: String): String = {
+    val eps = graft.operators.MapReduceClassics.PrEps
+    s"""cand_$next AS MATERIALIZED (
+       |  SELECT n.v,
+       |    CAST(150000 + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS v, sum(p.r // d.outdeg) AS cin
+       |    FROM edges e JOIN deg d ON e.src = d.src
+       |    JOIN $prev p ON p.v = e.src GROUP BY 1) c ON c.v = n.v),
+       |dm_$next AS MATERIALIZED (
+       |  SELECT max(abs(c.r - p.r)) AS dm
+       |  FROM cand_$next c JOIN $prev p ON c.v = p.v),
+       |$next AS MATERIALIZED (
+       |  SELECT p.v,
+       |    CASE WHEN (SELECT dm FROM dm_$next) < $eps THEN p.r ELSE c.r
+       |      END AS r
+       |  FROM $prev p JOIN cand_$next c ON c.v = p.v)""".stripMargin
+  }
+
   /** The BPE trainer CTE chain, mirroring TextAnalysis.bpeMerges
     * exactly: top-V vocab by (freq desc, word asc), then K rounds of
     * single-row recursive state — vocab as LIST<STRUCT(w, f)>, pair
@@ -312,6 +338,24 @@ object TextOracles {
          |${prIter("r3", "r4")},
          |${prIter("r4", "r5")}
          |SELECT v, r FROM r5 ORDER BY r DESC, v LIMIT 100""".stripMargin,
+
+    // Frozen-step unroll of the full round cap: identical result to
+    // the driver loop that stops at the Δ<ε fixpoint (or the cap)
+    "mr_pagerank_converged" -> {
+      val cap = graft.operators.MapReduceClassics.PrCap
+      val chain = (0 until cap)
+        .map(i => prIterConv(s"r$i", s"r${i + 1}")).mkString(",\n")
+      s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |edges AS MATERIALIZED (SELECT src, dst FROM base
+         |  UNION ALL SELECT dst AS src, src AS dst FROM base),
+         |deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$chain
+         |SELECT v, r FROM r$cap ORDER BY r DESC, v LIMIT 100""".stripMargin
+    },
 
     // Mirrors TextAnalysis.heavyHitters: d=4 x w=2048 count-min
     // sketch, hash row j = fold(md5('cms{j}-'||word)) mod 2048

@@ -40,6 +40,26 @@ class ClassicsSpec extends AnyFunSuite {
     assert(top10.count(_ % 2 == 1) >= 8, s"top-10 nodes: ${top10.toSeq}")
   }
 
+  test("converged pagerank: integer fixpoint inside the round budget") {
+    val (df, rounds) = MapReduceClassics
+      .pageRankConvergedRounds(spark, sf)
+    // Δ decays ~0.85x/round from ~16.6e6, so ε=200k lands the
+    // fixpoint at round 28 on this corpus — pinned, and strictly
+    // inside the 30-round cap (the cap is a budget, not the stop)
+    assert(rounds == 28, s"expected 28 advancing rounds, got $rounds")
+    assert(rounds < MapReduceClassics.PrCap)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    val ranks = rows.map(_.getLong(1)).toSeq
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks == ranks.sorted.reverse)
+    // convergence moved the answer: the fixed-5 snapshot is not the
+    // fixpoint (otherwise the operator adds nothing over mr_pagerank)
+    val five = MapReduceClassics.pageRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq != five)
+  }
+
   test("triangle count equals an independent unordered triple enumeration") {
     val r = MapReduceClassics.triangles(spark, sf).collect()(0)
     val (nodes, edges, wedges, tri, pm) = (r.getLong(0), r.getLong(1),
