@@ -10,6 +10,51 @@ import graft.sources.{Formats, Tables}
 class SourcesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("har write analog: 50-file scatter round-trips through part+index") {
+    import graft.sources.Harchive
+    val rng = new scala.util.Random(42)
+    val src = Files.createTempDirectory("graft-har-src-").toString
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = java.nio.file.Paths.get(src, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+      ()
+    }
+    // 50 files scattered over nested dirs, varied sizes incl. empty
+    val payloads = (0 until 50).map { i =>
+      val rel = s"d${i % 5}/sub${i % 3}/f$i.dat"
+      val bytes = if (i == 17) Array.emptyByteArray
+      else Array.fill(rng.nextInt(4000) + 1)(rng.nextInt.toByte)
+      put(rel, bytes)
+      rel -> bytes
+    }.toMap
+    val arch = Files.createTempDirectory("graft-har-")
+      .resolve("scatter.har").toString
+    val (nf, nd, bytes) = Harchive.create(src, arch)
+    assert(nf == 50 && bytes == payloads.values.map(_.length.toLong).sum)
+    assert(nd == 1L + 5 + 15, s"dir entries: $nd") // root + d* + d*/sub*
+    // exactly three filesystem objects — the whole point of har
+    val objs = new java.io.File(arch).listFiles().map(_.getName).sorted
+    assert(objs.toSeq == Seq("_index", "_masterindex", "part-0"))
+    // every file reads back bit-identical through the two-level index
+    payloads.foreach { case (rel, want) =>
+      val got = Harchive.read(arch, rel)
+      assert(got.exists(_.sameElements(want)), s"$rel corrupt or missing")
+    }
+    // the archive lists as one logical dir tree
+    assert(Harchive.ls(arch, "").get == (0 until 5).map(i => s"d$i"))
+    assert(Harchive.ls(arch, "d0").get == Seq("sub0", "sub1", "sub2"))
+    val d0s0 = Harchive.ls(arch, "d0/sub0").get
+    assert(d0s0.nonEmpty && d0s0.forall(_.endsWith(".dat")))
+    // misses are None, not errors; files don't ls, dirs don't read
+    assert(Harchive.read(arch, "nope.dat").isEmpty)
+    assert(Harchive.ls(arch, "d0/sub0/missing").isEmpty)
+    assert(Harchive.read(arch, "d0").isEmpty)
+    assert(Harchive.ls(arch, payloads.keys.head).isEmpty)
+    // immutable: a second create into the same target refuses
+    intercept[IllegalArgumentException](Harchive.create(src, arch))
+  }
+
   test("partitioned write lays out one directory per key and prunes reads") {
     val path = Files.createTempDirectory("graft-part-spec-").resolve("t").toString
     Formats.writePartitioned(
