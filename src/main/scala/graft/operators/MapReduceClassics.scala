@@ -202,12 +202,17 @@ object MapReduceClassics {
     var rounds = 0
     var converged = false
     while (!converged && rounds < PrCap) {
-      val next = prStep(withDeg, nodes, ranks).localCheckpoint()
-      val dmax = next
+      // the previous rank rides ALONG in the round's one
+      // materialization, so the Δ aggregate reads checkpointed rows
+      // instead of re-joining two checkpointed tables — one
+      // node-scale shuffle per round, not two
+      val next = prStep(withDeg, nodes, ranks)
         .join(ranks.withColumnRenamed("r", "rp"), "v")
+        .localCheckpoint()
+      val dmax = next
         .agg(max(abs(col("r") - col("rp")))).collect()(0).getLong(0)
       if (dmax < PrEps) converged = true
-      else { ranks = next; rounds += 1 }
+      else { ranks = next.select(col("v"), col("r")); rounds += 1 }
     }
     (ranks.orderBy(col("r").desc, col("v")).limit(100), rounds)
   }
