@@ -203,14 +203,16 @@ object MapReduceClassics {
     var converged = false
     while (!converged && rounds < PrCap) {
       // the previous rank rides ALONG in the round's one
-      // materialization, so the Δ aggregate reads checkpointed rows
-      // instead of re-joining two checkpointed tables — one
-      // node-scale shuffle per round, not two
+      // materialization, and the Δ-max rides in the SAME job as an
+      // observed metric (the counters pattern, HadoopTools.scala) —
+      // one node-scale shuffle AND one job per round, no separate
+      // aggregate pass over the checkpointed table
+      val obs = new org.apache.spark.sql.Observation()
       val next = prStep(withDeg, nodes, ranks)
         .join(ranks.withColumnRenamed("r", "rp"), "v")
+        .observe(obs, max(abs(col("r") - col("rp"))).as("dmax"))
         .localCheckpoint()
-      val dmax = next
-        .agg(max(abs(col("r") - col("rp")))).collect()(0).getLong(0)
+      val dmax = obs.get("dmax").asInstanceOf[Long]
       if (dmax < PrEps) converged = true
       else { ranks = next.select(col("v"), col("r")); rounds += 1 }
     }

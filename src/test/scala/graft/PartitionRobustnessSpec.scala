@@ -35,7 +35,12 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // degree table), the per-order distinct-collapse aggregate, and
     // the bigram-LM model join (integer-mean model)
     "emb_pq", "sim_knn_pq", "adv_kmv_overlap", "mr_triangles",
-    "q45_sole_failing_supplier", "txt_lm_score")
+    "q45_sole_failing_supplier", "txt_lm_score",
+    // round 9: the composed IVF×PQ index (two sample-seeded trainings
+    // plus an nprobe shortlist) and the iterate-to-fixpoint PageRank
+    // (its round COUNT comes from a convergence aggregate — neither
+    // the count nor the published table may move with partitioning)
+    "sim_knn_ivfpq", "mr_pagerank_converged")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
@@ -70,6 +75,13 @@ class PartitionRobustnessSpec extends AnyFunSuite {
         val got = SparkEntry.queries(q)(spark, sf).collect().toSeq
         assert(got == baseline(q), s"$q changed under partitions=7")
       }
+      // BPE training memoizes per data dir, so the query re-run above
+      // would not retrain; the distributed pair-count argmax (a 1-row
+      // sort with lexicographic tie-breaks) is exactly the step a
+      // partitioning could perturb — retrain uncached and compare
+      val retrained = graft.operators.TextAnalysis.trainMerges(spark, sf)
+      assert(retrained == graft.operators.TextAnalysis.bpeMerges(spark, sf),
+        "BPE merge table changed under partitions=7")
     } finally {
       conf.set("spark.sql.shuffle.partitions", saved)
       graft.operators.Dedup.clearStage()
