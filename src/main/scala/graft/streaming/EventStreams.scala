@@ -16,20 +16,18 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with ts as raw parquet nanos (long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over the events parquet; ts converted to a
-    * proper timestamp with exact integer division (see Tables.events).
-    * The file source requires a directory (in production events land
-    * as files in a drop directory); a single-file test input is staged
-    * behind a symlink directory. */
+  /** File-source stream over the events parquet, ts normalized to the
+    * instant-bearing type by the SAME schema switch as the batch
+    * loader (Tables.normalizeEventTs) — a stream source needs an
+    * explicit schema, so the on-disk encoding is probed with a
+    * footer-only batch read first and the stream schema mirrors it.
+    * (Round-9 regression: this reader hard-coded the nanos-as-long
+    * encoding while the batch side adapted; when the testdata flipped
+    * to micros NTZ every streaming timestamp shrank 1000×. The shared
+    * normalizer + Tables.pinEventTimeScale make that class of flip
+    * fail loudly at the source.) The file source requires a directory
+    * (in production events land as files in a drop directory); a
+    * single-file test input is staged behind a symlink directory. */
   def readEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = new java.io.File(s"$d/events.parquet")
@@ -40,10 +38,13 @@ object EventStreams {
           dir.resolve("events.parquet"), src.toPath)
         dir.toString
       } else src.toString
-    s.readStream
-      .schema(rawSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = s.read.parquet(path)
+    // pin keyed on the SOURCE path (not the per-call staging dir) so
+    // batch and stream reads of one dataset share one memoized check
+    graft.sources.Tables.pinEventTimeScale(
+      graft.sources.Tables.normalizeEventTs(onDisk), s"$d/events.parquet")
+    graft.sources.Tables.normalizeEventTs(
+      s.readStream.schema(onDisk.schema).parquet(path))
   }
 
   /** Tumbling 1-hour event-time windows with a 1-hour watermark —
