@@ -60,6 +60,19 @@ class ClassicsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq != five)
   }
 
+  test("converged pagerank releases superseded round checkpoints") {
+    // 28 rounds must NOT pin 28 node-scale rank tables: each round
+    // unpersists its predecessor the moment the next materializes, so
+    // the persistent-RDD census grows by a constant, not by rounds
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (df, rounds) = MapReduceClassics.pageRankConvergedRounds(spark, sf)
+    assert(df.count() == 100 && rounds == 28)
+    val added = (sc.getPersistentRDDs.keySet -- before).size
+    assert(added <= 2,
+      s"$added checkpoints still persisted after $rounds rounds")
+  }
+
   test("triangle count equals an independent unordered triple enumeration") {
     val r = MapReduceClassics.triangles(spark, sf).collect()(0)
     val (nodes, edges, wedges, tri, pm) = (r.getLong(0), r.getLong(1),
