@@ -508,39 +508,45 @@ object TextAnalysis {
       d: String): Seq[(String, String, Long)] =
     trainedMerges.getOrElseUpdate(d, trainMerges(s, d))
 
-  /** One round's pair statistics as a DISTRIBUTED aggregate: the
-    * weighted vocab table (≤ [[BpeVocabCap]] rows) is shipped, each
-    * row explodes its adjacent symbol pairs, and one groupBy + 1-row
-    * sort returns the argmax — the mr_pagerank driver-loop shape, so
-    * at a 32k- or 1M-entry vocab the pair counting is a shuffle
-    * among executors, never a driver scan. Ties break (count desc,
-    * lhs asc, rhs asc), mirrored exactly by the oracle CTE. */
-  private def bestPair(s: SparkSession,
+  /** One round's pair-count argmax, computed DRIVER-SIDE over the
+    * weighted vocab fold. This is the honest plan at this state size:
+    * the vocab is ≤ [[BpeVocabCap]] (4096) rows BY CONSTRUCTION (it
+    * is the output of `limit(cap)` in [[trainMerges]]), so per-round
+    * pair statistics are a constant-size fold over plan-constant
+    * state — the ml_kmeans centroid-update shape, not a data-scale
+    * aggregate. Corpus-scale work (the word count that WEIGHTS the
+    * vocab) remains the one distributed aggregate in [[trainMerges]];
+    * training then runs in ONE Spark job total instead of one job per
+    * merge round (the round-9 distributed form spent ~0.13 s of
+    * scheduler latency per round on microseconds of counting — 89
+    * rounds ≈ 11 s of pure job-launch overhead at ANY corpus size).
+    * Ties break (count desc, lhs asc, rhs asc) — identical to the
+    * distributed form and mirrored exactly by the oracle CTE, so the
+    * merge ORDER (and every downstream hash) is unchanged. */
+  private def bestPair(
       vocab: Seq[(List[String], Long)]): Option[(String, String, Long)] = {
-    val sp = s
-    import sp.implicits._
-    val v = vocab.filter(_._1.lengthCompare(2) >= 0)
-    if (v.isEmpty) None
-    else s.createDataset(v.map { case (w, f) => (w.toArray, f) })
-      .toDF("w", "f")
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 1)," +
-          " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
-        .as("p"), col("f"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum(col("f")).as("c"))
-      .orderBy(col("c").desc, col("a"), col("b"))
-      .limit(1)
-      .collect().headOption
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+    vocab.foreach { case (w, f) =>
+      if (w.lengthCompare(2) >= 0)
+        w.iterator.zip(w.iterator.drop(1)).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+        }
+    }
+    if (counts.isEmpty) None
+    else {
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      Some((a, b, c))
+    }
   }
 
-  /** Train the merge table: up to [[BpeMergeBudget]] rounds of
-    * (distributed adjacent-pair count over the weighted vocab) ->
-    * (merge the most frequent pair, ties broken lexicographically —
-    * fully deterministic, so DuckDB's recursive-CTE twin reproduces
-    * the identical merge ORDER), stopping early when the vocab is
-    * fully merged. Uncached — production entry is [[bpeMerges]]. */
+  /** Train the merge table: ONE distributed word-count aggregate
+    * builds the capped weighted vocab, then up to [[BpeMergeBudget]]
+    * driver-local rounds of (adjacent-pair count over the ≤4096-row
+    * vocab) -> (merge the most frequent pair, ties broken
+    * lexicographically — fully deterministic, so DuckDB's
+    * recursive-CTE twin reproduces the identical merge ORDER),
+    * stopping early when the vocab is fully merged. Uncached —
+    * production entry is [[bpeMerges]]. */
   private[graft] def trainMerges(s: SparkSession,
       d: String): Seq[(String, String, Long)] = {
     val topv = Tables.documents(s, d)
@@ -556,7 +562,7 @@ object TextAnalysis {
       scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var dry = false
     while (merges.size < BpeMergeBudget && !dry) {
-      bestPair(s, vocab) match {
+      bestPair(vocab) match {
         case None => dry = true
         case Some((a, b, c)) =>
           merges += ((a, b, c))

@@ -76,8 +76,8 @@ class PartitionRobustnessSpec extends AnyFunSuite {
         assert(got == baseline(q), s"$q changed under partitions=7")
       }
       // BPE training memoizes per data dir, so the query re-run above
-      // would not retrain; the distributed pair-count argmax (a 1-row
-      // sort with lexicographic tie-breaks) is exactly the step a
+      // would not retrain; the vocab-building word count (ordered
+      // limit with lexicographic tie-breaks) is the step a
       // partitioning could perturb — retrain uncached and compare
       val retrained = graft.operators.TextAnalysis.trainMerges(spark, sf)
       assert(retrained == graft.operators.TextAnalysis.bpeMerges(spark, sf),
