@@ -471,4 +471,61 @@ class HadoopToolsSpec extends AnyFunSuite {
       Array.fill(500)('x'.toByte))
     Dfs.rm(root, recursive = true)
   }
+
+  test("mount table: one logical namespace over two backends (viewfs analog)") {
+    import graft.sources.{Dfs, MountTable}
+    val warm = java.nio.file.Files.createTempDirectory("graft-mnt-warm-")
+      .toString
+    val cold = java.nio.file.Files.createTempDirectory("graft-mnt-cold-")
+      .toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(warm, "x.txt"), "hello mounts")
+    val mt = MountTable(Map(
+      "/data/warm" -> warm, "/data/cold" -> cold))
+    // internal dirs are synthesized by the view: "/" lists "data",
+    // "/data" lists the two mount points, and both are read-only
+    assert(mt.ls("/").map(_._1) == Seq("data"))
+    assert(mt.ls("/data").map(_._1) == Seq("cold", "warm"))
+    assert(mt.exists("/data") && mt.isInternal("/data"))
+    intercept[org.apache.hadoop.security.AccessControlException] {
+      mt.mkdirs("/data/new-top")
+    }
+    intercept[org.apache.hadoop.security.AccessControlException] {
+      mt.rm("/data", recursive = true)
+    }
+    // resolution reaches through to the backends; shell ops follow
+    assert(mt.exists("/data/warm/x.txt"))
+    assert(mt.ls("/data/warm").map(_._1) == Seq("x.txt"))
+    assert(mt.du("/data/warm/x.txt") == 12L)
+    // copy CROSSES backends (bytes move, names stay per-mount)
+    assert(mt.cp("/data/warm/x.txt", "/data/cold/x.txt") == 12L)
+    assert(Dfs.exists(cold + "/x.txt"), "copy did not land on the cold backend")
+    // rename across mount points is rejected — the viewfs contract
+    intercept[java.io.IOException] {
+      mt.mv("/data/warm/x.txt", "/data/cold/y.txt")
+    }
+    // same-mount rename works and stays on its backend
+    assert(mt.mv("/data/warm/x.txt", "/data/warm/y.txt"))
+    assert(Dfs.exists(warm + "/y.txt") && !Dfs.exists(warm + "/x.txt"))
+    // longest-prefix resolution: a nested link shadows its parent
+    val hot = java.nio.file.Files.createTempDirectory("graft-mnt-hot-")
+      .toString
+    val nested = MountTable(Map(
+      "/data" -> warm, "/data/hot" -> hot))
+    nested.mkdirs("/data/hot/d")
+    assert(Dfs.exists(hot + "/d") && !Dfs.exists(warm + "/hot"),
+      "nested link did not shadow its parent")
+    assert(nested.exists("/data/y.txt"), "parent link lost its remainder")
+    // fallback backend catches unlinked paths (linkFallback analog)
+    val fb = MountTable(Map("/data/warm" -> warm), fallback = Some(cold))
+    assert(fb.exists("/x.txt"), "fallback did not resolve an unlinked path")
+    assert(fb.resolve("/x.txt") == cold + "/x.txt")
+    // unlinked with NO fallback fails like NotInMountpointException
+    intercept[java.io.FileNotFoundException] { mt.resolve("/elsewhere/f") }
+    // the point of the exercise: Spark reads through the view
+    val sp = TestSpark.spark
+    graft.sources.Tables.nation(sp, TestSpark.sf)
+      .write.parquet(mt.resolve("/data/cold/nation"))
+    assert(sp.read.parquet(mt.resolve("/data/cold/nation")).count() == 25L)
+  }
 }
