@@ -217,5 +217,49 @@ object AdvancedOracles {
         |  ((SELECT n FROM inter) *
         |    ((127 * CAST(2147483647 AS BIGINT)) // (SELECT max(h) FROM sku)))
         |    // 128 AS est_intersection""".stripMargin,
+
+    // integer epoch-day/week arithmetic only — no ISO week-of-year,
+    // which differs across engines and is irrelevant to retention
+    "adv_retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS epoch_day
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, epoch_day,
+        |    min(epoch_day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM e)
+        |SELECT first_day // 7 AS cohort_week,
+        |  (epoch_day - first_day) // 7 AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // decay applied as one integer division per (user, age_week)
+    // GROUP SUM — Σ_k (cents_k // 2^k) — exact at any sum order
+    "adv_decay_score" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) // 86400000000 AS epoch_day
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(epoch_day) AS now_day FROM e),
+        |k AS (
+        |  SELECT user_id, (now_day - epoch_day) // 7 AS age_weeks,
+        |    CAST(sum(cents) AS BIGINT) AS ck
+        |  FROM e, mx GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN age_weeks >= 63 THEN 0
+        |    ELSE ck // (CAST(1 AS BIGINT) << age_weeks) END) AS BIGINT)
+        |    AS decayed_cents,
+        |  CAST(sum(ck) AS BIGINT) AS raw_cents
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "adv_profile_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT cents // 2500000 AS bucket,
+        |  count(*) AS n_orders,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

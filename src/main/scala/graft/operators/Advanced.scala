@@ -419,4 +419,80 @@ object Advanced {
         col("inter_in_sketch"), col("est_jaccard_pm"),
         col("est_intersection"))
   }
+
+  /** Cohort retention matrix — the classic product-analytics workload
+    * every MR shop ran as a two-job chain (first-touch extraction,
+    * then cohort×offset roll-up). Cohort and offset are pure integer
+    * epoch-day arithmetic ((epoch_us div 86400000000) div 7), never
+    * calendar week-of-year — ISO week semantics differ across engines
+    * and none of that matters to retention. The per-user first touch
+    * is a window min over the user exchange (no self-join), so the
+    * whole matrix costs two shuffles: user_id, then (cohort, offset).
+    * At 100 TB the first shuffle is the events table's natural key
+    * and the output is weeks², i.e. tiny. */
+  def retentionCohort(s: SparkSession, d: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+      .withColumn("first_day", min(col("epoch_day")).over(wUser))
+      .select(col("user_id"),
+        expr("first_day div 7").as("cohort_week"),
+        expr("(epoch_day - first_day) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Recency-decayed revenue per user (half-life = 7 days) — the
+    * feature-engineering primitive behind "recent activity" model
+    * features. All arithmetic is EXACT integer: reference "now" is
+    * the corpus max epoch-day (data-derived, so the query is
+    * deterministic), age buckets are integer weeks, and the decay is
+    * applied as one integer division per (user, age_week) GROUP SUM —
+    * Σ_k (cents_k div 2^k) — never per row and never in floating
+    * point, so group-sum ordering cannot perturb the result and the
+    * hash matches the oracle bit-for-bit. Weights below 2^-62 are
+    * exactly zero. One user-keyed shuffle carries both aggregations
+    * (the (user, age_week) grouping then collapses user-locally
+    * under AQE); the 1-row corpus max is a broadcast cross join. */
+  def decayScore(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        expr("unix_micros(ts) div 86400000000").as("epoch_day"))
+    val nowDay = e.agg(max(col("epoch_day")).as("now_day"))
+    e.crossJoin(broadcast(nowDay))
+      .withColumn("age_weeks", expr("(now_day - epoch_day) div 7"))
+      .groupBy(col("user_id"), col("age_weeks"))
+      .agg(sum(col("cents")).as("ck"))
+      .withColumn("decayed",
+        when(col("age_weeks") >= 63, 0L)
+          .otherwise(expr("ck div shiftleft(1L, cast(age_weeks as int))")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("decayed")).as("decayed_cents"),
+        sum(col("ck")).as("raw_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Equi-width value-distribution histogram over order totals — the
+    * data-profiling pass any 100 TB ingest runs before choosing
+    * partition bounds or spotting skew. Buckets are exact integer
+    * cents div a fixed width, so there is no floating-point binning
+    * ambiguity between engines; per-bucket count/min/max/sum come out
+    * of ONE hash aggregate whose key space is the bucket count
+    * (constant), making the reduce side trivially small at any data
+    * scale. */
+  def profileHistogram(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("bucket", expr("cents div 2500000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
 }

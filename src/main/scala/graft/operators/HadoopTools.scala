@@ -245,4 +245,131 @@ object HadoopTools {
       .withColumn("pi_x10000",
         expr("(40000 * hits) div darts")) // 4*hits/darts in fixed point
   }
+
+  /** fsck analog: distributed structural-integrity audit of a lake
+    * directory (reference: `hdfs fsck` — the vendored tree's hdfs
+    * module documents it under hdfs/server/namenode/NamenodeFsck.java;
+    * see also the shell checksum surface, fs/shell/Display.java).
+    * HDFS fsck audits BLOCK health from namenode metadata; on a
+    * delegated filesystem the block layer belongs to the store, so
+    * the lake-level equivalent audits FORMAT health: the driver plans
+    * (one recursive listing, namenode-scale like DistCp's), tasks
+    * probe their files where they run — bounded positional reads
+    * only, never a full-file scan, so a 100 TB tree costs one head
+    * and one tail read per file:
+    *  - .parquet: 4-byte "PAR1" magic at BOTH ends, and the footer
+    *    length word must address inside the file — catches the two
+    *    real-world corruptions (truncated upload, overwritten head)
+    *    that make a scan fail hours later;
+    *  - .seq: "SEQ" + version at head (SequenceFile.Reader's check);
+    *  - .orc: "ORC" head magic; .avro: "Obj"+1 head magic;
+    *  - .gz/.bz2/.zst/.lz4: the codec's frame magic at head;
+    *  - anything else: the head read alone (readability probe).
+    * Zero-length data files report EMPTY (fsck's "missing blocks"
+    * moral equivalent), failures name the violated check. Returns
+    * per-file rows (path, kind, bytes, status) + an aggregate is one
+    * groupBy away; `_SUCCESS`/`.crc`/dot-files are metadata, skipped. */
+  def fsck(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val conf = new Configuration()
+    val rootPath = new Path(root)
+    val rfs = rootPath.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = rfs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith(".") && !name.startsWith("_"))
+        files += ((st.getPath.toString, st.getLen))
+    }
+    val confBc = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val rootStr = rootPath.toUri.getPath
+    val probed = s.sparkContext
+      .parallelize(files.toSeq, math.max(math.min(files.size, 64), 1))
+      .map { case (f, len) =>
+        val c = confBc.value.value
+        val p = new Path(f)
+        val kind = {
+          val n = p.getName.toLowerCase
+          val base = n.stripSuffix(".gz").stripSuffix(".bz2")
+            .stripSuffix(".zst").stripSuffix(".lz4")
+          val ext = base.substring(base.lastIndexOf('.') + 1)
+          if (n != base) n.substring(n.lastIndexOf('.') + 1) else ext
+        }
+        def read(fs: org.apache.hadoop.fs.FileSystem, pos: Long,
+            n: Int): Array[Byte] = {
+          val buf = new Array[Byte](n)
+          val in = fs.open(p)
+          try { in.readFully(pos, buf, 0, n); buf }
+          finally in.close()
+        }
+        val status =
+          try {
+            val fs0 = p.getFileSystem(c)
+            val fs = fs0 match { // raw bytes: judge the disk, not the .crc
+              case cf: org.apache.hadoop.fs.ChecksumFileSystem =>
+                cf.getRawFileSystem
+              case other => other
+            }
+            if (len == 0L) "EMPTY"
+            else {
+              val head = read(fs, 0L, math.min(len, 8L).toInt)
+              def headIs(magic: Array[Byte]): Boolean =
+                len >= magic.length && head.startsWith(magic)
+              kind match {
+                case "parquet" =>
+                  if (!headIs("PAR1".getBytes)) "CORRUPT: head magic"
+                  else if (len < 12L) "CORRUPT: shorter than any footer"
+                  else {
+                    val tail = read(fs, len - 8L, 8)
+                    val footerLen = (tail(0) & 0xffL) | ((tail(1) & 0xffL) << 8) |
+                      ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
+                    if (!(tail(4) == 'P' && tail(5) == 'A' &&
+                          tail(6) == 'R' && tail(7) == '1'))
+                      "CORRUPT: tail magic"
+                    else if (footerLen + 12L > len)
+                      "CORRUPT: footer length exceeds file"
+                    else "HEALTHY"
+                  }
+                case "seq" =>
+                  if (len >= 4L && headIs("SEQ".getBytes) &&
+                      head(3) >= 0 && head(3) <= 6)
+                    "HEALTHY"
+                  else "CORRUPT: head magic"
+                case "orc" =>
+                  if (headIs("ORC".getBytes)) "HEALTHY"
+                  else "CORRUPT: head magic"
+                case "avro" =>
+                  if (headIs(Array[Byte]('O', 'b', 'j', 1))) "HEALTHY"
+                  else "CORRUPT: head magic"
+                case "gz" =>
+                  if (headIs(Array[Byte](0x1f, 0x8b.toByte))) "HEALTHY"
+                  else "CORRUPT: head magic"
+                case "bz2" =>
+                  if (headIs("BZh".getBytes)) "HEALTHY"
+                  else "CORRUPT: head magic"
+                case "zst" =>
+                  if (headIs(Array[Byte](0x28, 0xb5.toByte, 0x2f,
+                    0xfd.toByte))) "HEALTHY"
+                  else "CORRUPT: head magic"
+                case "lz4" =>
+                  if (headIs(Array[Byte](0x04, 0x22, 0x4d, 0x18))) "HEALTHY"
+                  else "CORRUPT: head magic"
+                case _ => "HEALTHY" // readability probe succeeded
+              }
+            }
+          } catch {
+            case e: java.io.IOException =>
+              s"CORRUPT: unreadable (${e.getClass.getSimpleName})"
+          }
+        val rel = {
+          val u = p.toUri.getPath
+          if (u.startsWith(rootStr)) u.stripPrefix(rootStr).stripPrefix("/")
+          else u
+        }
+        (rel, kind, len, status)
+      }
+    probed.toDF("path", "kind", "bytes", "status").orderBy(col("path"))
+  }
 }

@@ -32,6 +32,7 @@ case class MediaFrames(doc_id: Long, n_frames: Long, frame0_digest: String)
 case class MediaVec(doc_id: Long, vec: Array[Float])
 case class ImageMeta(doc_id: Long, format: String, width: Long,
     height: Long, thumb_w: Long, thumb_h: Long)
+case class ImgHash(doc_id: Long, phash: Long)
 
 /** REAL byte-level image header parsers — public format knowledge
   * only: PNG (ISO/IEC 15948 §5.3/11.2.2: 8-byte signature, IHDR is
@@ -148,6 +149,97 @@ private[graft] object ImageSynth {
       1, 1, 0x11, 0)) // one component
     bos.write(0xff); bos.write(0xd9) // EOI
     bos.toByteArray
+  }
+
+  /** splitmix64 finalizer (public-domain mixing constants) — the
+    * deterministic brightness field behind [[realPng]]. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** A COMPLETE, pixel-decodable PNG (unlike [[png]]'s header-only
+    * frame): 32×32 gray image of 8×8 brightness blocks, encoded by
+    * the JDK's own PNG writer. Content is deterministic per id:
+    * base pattern = id mod 40 fixes the block field; variant =
+    * id div 40 perturbs exactly ONE block's brightness by
+    * {−8, 0, +8} — so ids sharing a base are perceptual near-dups
+    * (identical when the perturbation is 0) while distinct bases are
+    * perceptually independent. */
+  def realPng(id: Long): Array[Byte] = {
+    val base = id % 40
+    val variant = id / 40
+    val tweakBlock = (variant % 64).toInt
+    val delta = ((variant % 3) - 1).toInt * 8
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val v = (mix(base * 1000003L + by * 31L + bx) & 0xffL).toInt
+        val c0 = if (by * 8 + bx == tweakBlock) v + delta else v
+        val c = math.max(0, math.min(255, c0))
+        val rgb = (c << 16) | (c << 8) | c
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            img.setRGB(bx * 4 + px, by * 4 + py, rgb); px += 1
+          }
+          py += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}
+
+/** 64-bit difference hash (dHash — the public perceptual-hash
+  * technique: downsample, then hash the SIGN of adjacent-pixel
+  * gradients, robust to brightness/scale changes). All-integer: luma
+  * via the 299/587/114 fixed-point weights, 9×8 box-filter
+  * downsample kept as (sum, count) pairs, and each gradient compared
+  * cross-multiplied (sumA·cntB > sumB·cntA ⇔ avgA > avgB) so no
+  * division ever rounds — the same hash on any platform. */
+private[graft] object DHash {
+  def of(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val sum = Array.ofDim[Long](gh, gw)
+    val cnt = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * gh / h, gh - 1)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * gw / w, gw - 1)
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xff) +
+          587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+        sum(gy)(gx) += luma; cnt(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L; var bit = 0
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (sum(gy)(gx) * cnt(gy)(gx + 1) >
+            sum(gy)(gx + 1) * cnt(gy)(gx)) hash |= 1L << bit
+        bit += 1; gx += 1
+      }
+      gy += 1
+    }
+    hash
   }
 }
 
@@ -524,5 +616,48 @@ object Multimodal {
         max(col("doc_id")).as("last_doc"),
         sum(col("fp")).as("checksum"))
       .orderBy(col("shard"))
+  }
+
+  /** Perceptual near-duplicate detection over image payloads — the
+    * image-side sibling of dedup_simhash, and the point where the
+    * multimodal decode boundary moves: the JDK SHIPS a PNG codec
+    * (javax.imageio), so this path decodes REAL pixels — encode and
+    * decode both exercise the platform codec; "decode stays stubbed"
+    * now applies only to formats the platform lacks. Pipeline:
+    * binary payload → ImageIO pixel decode (partition-local batched
+    * pass, the mapPartitions tier the codec call belongs to) →
+    * all-integer 64-bit dHash ([[DHash]]) → banded Hamming LSH
+    * (4×16-bit bands, the dedup_simhash shape): candidate pairs come
+    * from band-bucket joins, NEVER all-pairs — at any corpus size
+    * candidate volume tracks true duplicate volume — then exact
+    * bit_count verification at ≤ maxHamming. A ≤3-bit corruption is
+    * GUARANTEED caught (4 bands, pigeonhole: one band survives
+    * intact); beyond that recall degrades exactly like every banded
+    * LSH in this repo. */
+  def phashNearDup(s: SparkSession, d: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(ImageSynth.realPng(id)))
+          ImgHash(id, DHash.of(img))
+        }
+      }.toDF()
+    val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("key", expr("(phash >> (band * 16)) & 65535"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -215,4 +215,58 @@ class AdvancedSpec extends AnyFunSuite {
     within(estI, exI)
     within(jacPm, 1000L * exI / exU)
   }
+
+  test("retention cohort: offset-0 counts the whole cohort, later offsets subsets") {
+    val rows = Advanced.retentionCohort(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    val cohortSize = rows.collect { case ((c, 0L), n) => c -> n }
+    assert(cohortSize.nonEmpty, "every cohort must have an offset-0 row")
+    // a user's first event defines their cohort, so offset 0 counts
+    // every member; any later offset counts a subset of those members
+    rows.foreach { case ((c, off), n) =>
+      val size = cohortSize.getOrElse(c,
+        fail(s"cohort $c has offset $off but no offset-0 row"))
+      assert(n <= size, s"cohort $c offset $off: $n > cohort size $size")
+    }
+    // offset-0 totals tally exactly the distinct user population
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(cohortSize.map(_._2).sum == users)
+  }
+
+  test("decay score: bounded by raw revenue and exact at age zero") {
+    val rows = Advanced.decayScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"user ${r.getLong(0)}: decayed ${r.getLong(1)} > raw ${r.getLong(2)}")
+    }
+    // recompute one user exactly driver-side (integer semantics)
+    val e = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        expr("unix_micros(ts) div 86400000000").as("day")).collect()
+    val nowDay = e.map(_.getLong(2)).max
+    val uid = rows.head.getLong(0)
+    val expected = e.filter(_.getLong(0) == uid)
+      .groupBy(r => (nowDay - r.getLong(2)) / 7)
+      .map { case (k, rs) =>
+        val ck = rs.map(_.getLong(1)).sum
+        if (k >= 63) 0L else ck / (1L << k)
+      }.sum
+    assert(rows.head.getLong(1) == expected)
+  }
+
+  test("profile histogram tiles the value domain with consistent bounds") {
+    val rows = Advanced.profileHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(lo >= b * 2500000L && hi < (b + 1) * 2500000L,
+        s"bucket $b bounds [$lo, $hi] escape the bucket")
+      assert(lo <= hi)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.orders(spark, sf).count())
+  }
 }

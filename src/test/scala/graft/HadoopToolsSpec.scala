@@ -528,4 +528,35 @@ class HadoopToolsSpec extends AnyFunSuite {
       .write.parquet(mt.resolve("/data/cold/nation"))
     assert(sp.read.parquet(mt.resolve("/data/cold/nation")).count() == 25L)
   }
+
+  test("fsck: structural audit flags truncated, clobbered and empty files") {
+    import java.nio.file.{Files => JF, Paths, StandardOpenOption}
+    val root = JF.createTempDirectory("graft-fsck-").toString
+    def cp(name: String): java.nio.file.Path =
+      JF.copy(Paths.get(sf, name), Paths.get(root, name))
+    cp("nation.parquet"); cp("region.parquet")
+    val truncated = cp("orders.parquet")
+    JF.write(Paths.get(root, "notes.txt"), "hello".getBytes)
+    JF.createFile(Paths.get(root, "empty.parquet"))
+    JF.createFile(Paths.get(root, "_SUCCESS")) // metadata: must be skipped
+    // truncate: tail magic gone — the half-uploaded-file shape
+    val ch = java.nio.channels.FileChannel.open(truncated,
+      StandardOpenOption.WRITE)
+    ch.truncate(ch.size() - 16); ch.close()
+    // clobbered head on an otherwise intact copy
+    val clobbered = Paths.get(root, "events.parquet")
+    JF.copy(Paths.get(sf, "events.parquet"), clobbered)
+    val raf = new java.io.RandomAccessFile(clobbered.toFile, "rw")
+    raf.seek(0); raf.writeBytes("XXXX"); raf.close()
+    val rows = HadoopTools.fsck(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(rows.size == 6, s"expected 6 audited files, got $rows")
+    assert(rows("nation.parquet") == "HEALTHY")
+    assert(rows("region.parquet") == "HEALTHY")
+    assert(rows("notes.txt") == "HEALTHY")
+    assert(rows("empty.parquet") == "EMPTY")
+    assert(rows("orders.parquet") == "CORRUPT: tail magic")
+    assert(rows("events.parquet") == "CORRUPT: head magic")
+    assert(!rows.contains("_SUCCESS"))
+  }
 }

@@ -499,4 +499,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     val worst = rows.map(_.getLong(2)).min
     assert(best > worst, "scorer assigns one score to every doc")
   }
+
+  test("phash near-dup: real PNG decode, banded LSH matches brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Multimodal, ImageSynth, DHash}
+    // the payloads are REAL PNGs: the JDK codec round-trips the pixels
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageSynth.realPng(7L)))
+    assert(img != null && img.getWidth == 32 && img.getHeight == 32)
+    assert((img.getRGB(0, 0) & 0xff) == ((img.getRGB(0, 0) >> 16) & 0xff),
+      "gray payload must decode gray")
+    // ids 40 apart with perturbation 0 are pixel-identical → distance 0
+    val h40 = DHash.of(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageSynth.realPng(1L))))
+    val h41 = DHash.of(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageSynth.realPng(1L + 40 * 3))))
+    assert(h40 == h41, "identical images must hash identically")
+    val pairs = Multimodal.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty)
+    // every reported near-dup shares a base pattern: perceptually
+    // independent images never land within the Hamming threshold
+    pairs.keys.foreach { case (a, b) =>
+      assert(a % 40 == b % 40, s"cross-base pair ($a, $b) reported")
+    }
+    // exactness: LSH output == brute force restricted to band-sharing
+    // (the algorithm's contract), and ⊇ ALL pairs within 3 bits (the
+    // pigeonhole guarantee: 4 bands, ≤3 flips leave one band intact)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val hashes = docs.map(id => id -> DHash.of(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageSynth.realPng(id))))).toMap
+    def sharesBand(x: Long, y: Long): Boolean =
+      (0 until 4).exists(b => ((x >> (b * 16)) & 0xffffL) ==
+        ((y >> (b * 16)) & 0xffffL))
+    val sorted = docs.sorted
+    val brute = (for {
+      i <- sorted.indices.iterator
+      j <- (i + 1) until sorted.length
+      a = sorted(i); b = sorted(j)
+      dist = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if dist <= 6 && sharesBand(hashes(a), hashes(b))
+    } yield (a, b) -> dist.toLong).toMap
+    assert(pairs == brute, "LSH pairs must equal band-sharing brute force")
+    sorted.indices.foreach { i =>
+      ((i + 1) until sorted.length).foreach { j =>
+        val (a, b) = (sorted(i), sorted(j))
+        val dist = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+        if (dist <= 3)
+          assert(pairs.contains((a, b)),
+            s"≤3-bit pair ($a, $b, dist $dist) missed — pigeonhole broken")
+      }
+    }
+  }
 }
