@@ -453,9 +453,12 @@ object Advanced {
     * Σ_k (cents_k div 2^k) — never per row and never in floating
     * point, so group-sum ordering cannot perturb the result and the
     * hash matches the oracle bit-for-bit. Weights below 2^-62 are
-    * exactly zero. One user-keyed shuffle carries both aggregations
-    * (the (user, age_week) grouping then collapses user-locally
-    * under AQE); the 1-row corpus max is a broadcast cross join. */
+    * exactly zero. Two exchanges, both cheap where it counts: the
+    * (user, age_week) shuffle carries MAP-SIDE PARTIAL SUMS (never
+    * raw events — at 100 TB that partial combine is the whole game),
+    * and the user shuffle after it carries only group-level rows
+    * (≤ corpus-age-in-weeks per user); the 1-row corpus max is a
+    * broadcast cross join. */
   def decayScore(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
