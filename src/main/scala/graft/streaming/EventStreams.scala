@@ -172,6 +172,32 @@ object EventStreams {
     * incremental-sessionization approximation; events later than the
     * watermark restart a fresh session if the old state already
     * expired. Batch twin: q21_sessionize. */
+  /** Native session-window aggregation — the DECLARATIVE form of
+    * [[sessionize]]: Spark's built-in `session_window` merges events
+    * closer than the gap into [first, last+gap) sessions with state
+    * the ENGINE manages (watermark-evicted, RocksDB-capable), where
+    * the flatMapGroupsWithState form hand-rolls the same lifecycle.
+    * Per-session grain (bounds + counts + revenue) vs [[sessionize]]'s
+    * per-user running totals — the two cover both session outputs a
+    * pipeline wants. Semantics note vs the lag-gap family
+    * (q21/adv_session_revenue): session windows are half-open, so a
+    * successor exactly gap later starts a NEW session (diff >= gap),
+    * while lag-gap's `diff > gap` would keep it — the spec pins
+    * batch parity through the >= formulation. The SAME code runs
+    * batch and stream (session_window aggregates in batch since
+    * Spark 3.2), which is what makes the streaming result testable
+    * against its batch twin row-for-row. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("value_cents"))
+
   def sessionize(events: DataFrame): Dataset[UserSessions] = {
     val sp = events.sparkSession
     import sp.implicits._
@@ -208,5 +234,59 @@ object EventStreams {
             Iterator(UserSessions(user, nEvents, nSessions))
           }
       }
+  }
+
+  case class SessionState(last_us: Long, n_events: Long, n_sessions: Long)
+
+  /** The [[sessionize]] lifecycle on `transformWithState` — Spark 4's
+    * arbitrary-state API and the designated successor to
+    * flatMapGroupsWithState: state lives in NAMED, typed slots the
+    * store schema-tracks (so state layout can evolve across restarts),
+    * timers are engine-owned objects instead of a single hand-set
+    * timeout timestamp, and each slot carries its own TTL policy. Same
+    * per-user fold as [[sessionize]]; requires the RocksDB state
+    * store provider (the API is implemented only there — which is
+    * also the production backend). Emission: one cumulative snapshot
+    * per user per micro-batch, upsert semantics (Update mode). */
+  private class SessionCounter
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, UserSessions] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSessions] = {
+      val gapUs = 1800000000L
+      val prev =
+        if (state.exists()) state.get()
+        else SessionState(Long.MinValue, 0L, 0L)
+      var last = prev.last_us
+      var nEvents = prev.n_events
+      var nSessions = prev.n_sessions
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        if (last == Long.MinValue || e.ts_us - last > gapUs) nSessions += 1
+        last = e.ts_us
+        nEvents += 1
+      }
+      state.update(SessionState(last, nEvents, nSessions))
+      Iterator(UserSessions(user, nEvents, nSessions))
+    }
+  }
+
+  def sessionizeTws(events: DataFrame): Dataset[UserSessions] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCounter,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 }

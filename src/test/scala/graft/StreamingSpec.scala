@@ -31,6 +31,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window: stream equals batch, batch equals lag-gap") {
+    import org.apache.spark.sql.expressions.Window
+    // batch run of the SAME aggregation (session_window works in batch)
+    val batchDf = graft.sources.Tables.events(spark, sf)
+    val batch = EventStreams.sessionWindows(batchDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(batch.nonEmpty)
+    // lag-gap reference with >= new-session semantics (half-open
+    // windows: a successor exactly gap later is a NEW session)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val ref = batchDf
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"),
+        (max(col("us")) + lit(1800000000L)).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("value_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(batch == ref,
+      "native session_window diverges from the lag-gap formulation")
+    // streaming: append mode emits only watermark-closed sessions;
+    // every emitted session must equal its batch twin exactly
+    val q = EventStreams.sessionWindows(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_windows")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("session_windows").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.nonEmpty, "stream emitted no closed sessions")
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v),
+        s"session $k: streamed=$v batch=${batch.get(k)}")
+    }
+  }
+
   test("streaming dedup by key drops watermark-window duplicates") {
     // duplicate every event by unioning the stream with itself;
     // dropDuplicates on the key must restore the original count
@@ -62,6 +111,34 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       q.stop()
       val streamed = spark.table("sessions_rocks").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = SparkEntry.queries("q21_sessionize")(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch)
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
+  test("transformWithState sessionization equals batch q21 (Spark 4 state API)") {
+    // the new arbitrary-state API is implemented only on RocksDB —
+    // which is also the production backend
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = EventStreams.sessionizeTws(EventStreams.readEvents(spark, sf))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("sessions_tws")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // update mode re-emits a user's snapshot each batch; the toMap
+      // keeps the last (cumulative) row per user
+      val streamed = spark.table("sessions_tws").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       val batch = SparkEntry.queries("q21_sessionize")(spark, sf).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
