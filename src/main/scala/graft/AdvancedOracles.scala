@@ -218,6 +218,24 @@ object AdvancedOracles {
         |    ((127 * CAST(2147483647 AS BIGINT)) // (SELECT max(h) FROM sku)))
         |    // 128 AS est_intersection""".stripMargin,
 
+    // the PLAIN left join: equality proves the null-bypass rewrite
+    // result-preserving
+    "adv_null_skew_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN user_id END AS pkey
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS upc
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS matched,
+        |  CAST(sum(COALESCE(d.upc, 0)) AS BIGINT) AS total_purchase_cents
+        |FROM e LEFT JOIN d ON e.pkey = d.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // integer epoch-day/week arithmetic only — no ISO week-of-year,
     // which differs across engines and is irrelevant to retention
     "adv_retention_cohort" ->

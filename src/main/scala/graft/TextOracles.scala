@@ -469,6 +469,30 @@ object TextOracles {
         |    AS dup_bps
         |FROM per ORDER BY source""".stripMargin,
 
+    // mirrors RollingHash's fold (h*31 + codepoint) mod 2^31-1 over
+    // the md5 hex characters, exactly as the Spark side computes it
+    "txt_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('split_' || CAST(doc_id AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647) % 1000 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN bucket < 950 THEN 'train'
+        |              WHEN bucket < 990 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM h GROUP BY 1)
+        |SELECT split, n_docs, n_chars,
+        |  CAST((10000 * n_docs) //
+        |    CAST((SELECT sum(n_docs) FROM s) AS BIGINT) AS BIGINT)
+        |    AS share_bps
+        |FROM s ORDER BY split""".stripMargin,
+
     "txt_pack_sequences" ->
       s"""WITH sized AS (
          |  SELECT doc_id,

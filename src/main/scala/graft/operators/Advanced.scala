@@ -420,6 +420,40 @@ object Advanced {
         col("est_intersection"))
   }
 
+  /** NULL-skew join rewrite — the OTHER join pathology the salted
+    * join doesn't cover: a LEFT join on a mostly-NULL key (here:
+    * purchase events carry their user key, every other event type
+    * carries NULL — the sparse-foreign-key shape). NULL keys can
+    * never match, yet the naive plan still ships every NULL row
+    * through the join's hash exchange — and they all hash to ONE
+    * partition, the straggler that kills the stage at 100 TB. The
+    * rewrite routes NULL-key rows AROUND the join entirely (filter +
+    * union), so the exchange carries only matchable rows and the
+    * NULL population never concentrates anywhere. The oracle is the
+    * PLAIN left join — equality proves the rewrite result-preserving
+    * (adv_salted_join's contract, for the NULL pathology). */
+  def nullSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_type") === "purchase", col("user_id")).as("pkey"))
+    val dim = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("upc"))
+    val matchable = e.filter(col("pkey").isNotNull)
+      .join(dim, e("pkey") === dim("user_id"), "left")
+      .select(col("event_type"), col("user_id"), col("upc"))
+    val bypass = e.filter(col("pkey").isNull)
+      .select(col("event_type"), lit(null).cast("long").as("user_id"),
+        lit(null).cast("long").as("upc"))
+    matchable.unionByName(bypass)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("user_id").isNotNull, 1L).otherwise(0L)).as("matched"),
+        sum(coalesce(col("upc"), lit(0L))).as("total_purchase_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cohort retention matrix — the classic product-analytics workload
     * every MR shop ran as a two-job chain (first-touch extraction,
     * then cohort×offset roll-up). Cohort and offset are pure integer

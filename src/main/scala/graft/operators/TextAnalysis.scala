@@ -344,6 +344,36 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Deterministic train/val/test split audit — the assignment every
+    * training pipeline fixes BEFORE packing: membership is a pure
+    * hash of the document key (rolling-hash fold of
+    * md5('split_'||doc_id) mod 1000: <950 train, <990 val, else
+    * test), so any number of machines — or a rerun months later —
+    * recomputes the same split with NO stored membership table, and
+    * a document can never migrate between splits as the corpus grows
+    * (assignment ignores everything but the key — the eval-leak
+    * guarantee). Output is the audit published next to the data:
+    * per-split docs, chars, basis-point share. Map-local hash, one
+    * 3-key aggregate, a 1-row broadcast total — constant reduce
+    * state at any corpus size. */
+  def splitAudit(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .withColumn("bucket", graft.functions.RollingHash.rollingHash(
+        md5(concat(lit("split_"), col("doc_id").cast("string"))
+          .cast("binary"))) % 1000)
+      .withColumn("split",
+        when(col("bucket") < 950, "train")
+          .when(col("bucket") < 990, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val total = per.agg(sum(col("n_docs")).as("total_docs"))
+    per.crossJoin(broadcast(total))
+      .select(col("split"), col("n_docs"), col("n_chars"),
+        expr("(10000 * n_docs) div total_docs").as("share_bps"))
+      .orderBy(col("split"))
+  }
+
   /** Concat-and-chunk sequence packing — the sample-construction step
     * of LLM training: the corpus token stream (docs in doc_id order)
     * is cut into fixed 2048-token training sequences; docs straddle

@@ -216,6 +216,37 @@ class AdvancedSpec extends AnyFunSuite {
     within(jacPm, 1000L * exI / exU)
   }
 
+  test("null-skew rewrite equals the plain left join, and bypasses nulls") {
+    val rewritten = Advanced.nullSkewJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the un-rewritten plan: one LEFT join, nulls and all
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_type") === "purchase", col("user_id")).as("pkey"))
+    val dim = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("upc"))
+    val plain = e.join(dim, e("pkey") === dim("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("user_id").isNotNull, 1L).otherwise(0L)).as("m"),
+        sum(coalesce(col("upc"), lit(0L))).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rewritten == plain)
+    // the null population exists (the rewrite has something to bypass)
+    // and non-purchase rows never match
+    val (n, m, c) = rewritten.filterNot(_._1 == "purchase").values
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    assert(n > 0 && m == 0 && c == 0,
+      "non-purchase (null-key) rows must bypass unmatched")
+    assert(rewritten("purchase")._2 == rewritten("purchase")._1,
+      "every purchase row must match its own user's profile")
+  }
+
   test("retention cohort: offset-0 counts the whole cohort, later offsets subsets") {
     val rows = Advanced.retentionCohort(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

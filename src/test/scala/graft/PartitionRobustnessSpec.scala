@@ -40,7 +40,11 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // plus an nprobe shortlist) and the iterate-to-fixpoint PageRank
     // (its round COUNT comes from a convergence aggregate — neither
     // the count nor the published table may move with partitioning)
-    "sim_knn_ivfpq", "mr_pagerank_converged")
+    "sim_knn_ivfpq", "mr_pagerank_converged",
+    // round 10: the decay score's corpus-max broadcast + two-level
+    // integer-division aggregate (the division must see complete
+    // group sums regardless of partitioning)
+    "adv_decay_score")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of

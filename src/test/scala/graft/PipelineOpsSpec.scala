@@ -500,6 +500,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(best > worst, "scorer assigns one score to every doc")
   }
 
+  test("split audit: complete, disjoint, deterministic, near target shares") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("txt_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.values.map(_._1).sum == corpus, "splits must partition the corpus")
+    // hash uniformity: train targets 95% — allow a generous envelope
+    // at sf0.001's 500 docs (binomial sigma ~1%)
+    val trainBps = rows("train")._3
+    assert(trainBps > 9200 && trainBps < 9800,
+      s"train share $trainBps bps far from the 9500 target")
+    // share arithmetic is exact integer division of the same counts
+    rows.values.foreach { case (n, _, bps) =>
+      assert(bps == 10000 * n / corpus)
+    }
+    // determinism: a second run reproduces the table exactly
+    val again = SparkEntry.queries("txt_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(again == rows)
+  }
+
   test("phash near-dup: real PNG decode, banded LSH matches brute force") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Multimodal, ImageSynth, DHash}
