@@ -111,6 +111,17 @@ object GraftExtensions {
         graft.operators.AudioHeaders.getClass, LongType, "wavDataBytes",
         es, inputTypes = Seq(BinaryType), propagateNull = true,
         returnNullable = true)),
+    // r10: the first of the family to leave the header and touch
+    // PIXELS — full decode through the JDK's registered codecs, so
+    // SQL users get perceptual hashing as one codegen'd projection
+    ("image_dhash",
+      info("image_dhash",
+        "image_dhash(bytes) - 64-bit perceptual difference-hash from " +
+          "a REAL pixel decode (JDK codecs), else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.DHash.getClass, LongType, "ofBytes",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
   )
 
   /** Register the functions on an already-built session. */

@@ -32,7 +32,6 @@ case class MediaFrames(doc_id: Long, n_frames: Long, frame0_digest: String)
 case class MediaVec(doc_id: Long, vec: Array[Float])
 case class ImageMeta(doc_id: Long, format: String, width: Long,
     height: Long, thumb_w: Long, thumb_h: Long)
-case class ImgHash(doc_id: Long, phash: Long)
 
 /** REAL byte-level image header parsers — public format knowledge
   * only: PNG (ISO/IEC 15948 §5.3/11.2.2: 8-byte signature, IHDR is
@@ -209,6 +208,20 @@ private[graft] object ImageSynth {
   * cross-multiplied (sumA·cntB > sumB·cntA ⇔ avgA > avgB) so no
   * division ever rounds — the same hash on any platform. */
 private[graft] object DHash {
+  /** StaticInvoke target (the image_dhash SQL function): REAL pixel
+    * decode through the JDK's registered codecs, then [[of]]. NULL
+    * for anything the platform cannot decode — garbage, truncated
+    * payloads, header-only frames, or formats without a JDK codec —
+    * so the function is total over arbitrary binary columns. */
+  def ofBytes(b: Array[Byte]): java.lang.Long = {
+    if (b == null) return null
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))
+      if (img == null) null else java.lang.Long.valueOf(of(img))
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   def of(img: java.awt.image.BufferedImage): Long = {
     val gw = 9; val gh = 8
     val w = img.getWidth; val h = img.getHeight
@@ -636,16 +649,16 @@ object Multimodal {
     * LSH in this repo. */
   def phashNearDup(s: SparkSession, d: String,
       maxHamming: Int = 6): DataFrame = {
+    graft.GraftExtensions.install(s)
     val sp = s
     import sp.implicits._
+    // payload synthesis stays in the typed batch tier; the decode +
+    // hash runs as the REGISTERED image_dhash function — one
+    // codegen'd projection, the same surface a SQL user calls
     val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(ImageSynth.realPng(id)))
-          ImgHash(id, DHash.of(img))
-        }
-      }.toDF()
+      .mapPartitions(_.map(id => MediaPayload(id, ImageSynth.realPng(id))))
+      .toDF()
+      .select(col("doc_id"), expr("image_dhash(bytes)").as("phash"))
     val banded = hashes.select(col("doc_id"), col("phash"),
         explode(expr("array(0, 1, 2, 3)")).as("band"))
       .withColumn("key", expr("(phash >> (band * 16)) & 65535"))

@@ -68,6 +68,34 @@ class ExtensionsSpec extends AnyFunSuite {
       s"image functions fell out of codegen:\n$plan")
   }
 
+  test("image_dhash decodes real pixels from SQL and is total on junk") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    import graft.operators.{ImageSynth, DHash}
+    val rows = Seq(
+      (1L, ImageSynth.realPng(42L)),         // complete, decodable PNG
+      (2L, ImageSynth.png(8, 8)),            // header-only frame: no pixels
+      (3L, "not an image".getBytes),         // garbage
+      (4L, Array.empty[Byte]))               // empty
+      .toDF("id", "payload")
+    rows.createOrReplaceTempView("graft_dhash_imgs")
+    val got = spark.sql(
+      "SELECT id, image_dhash(payload) FROM graft_dhash_imgs ORDER BY id")
+      .collect()
+    val expected = DHash.of(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageSynth.realPng(42L))))
+    assert(got(0).getLong(1) == expected,
+      "SQL function must equal the direct decode+hash")
+    assert(got(1).isNullAt(1) && got(2).isNullAt(1) && got(3).isNullAt(1),
+      "undecodable payloads must yield NULL, never throw")
+    // pixel hashing stays inside whole-stage codegen — no UDF boundary
+    val plan = spark.sql(
+      "SELECT image_dhash(payload) FROM graft_dhash_imgs")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"image_dhash fell out of codegen:\n$plan")
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
