@@ -111,6 +111,35 @@ object GraftExtensions {
         graft.operators.AudioHeaders.getClass, LongType, "wavDataBytes",
         es, inputTypes = Seq(BinaryType), propagateNull = true,
         returnNullable = true)),
+    // ISO-BMFF (MP4) container walk — the video row of the family
+    ("video_brand",
+      info("video_brand",
+        "video_brand(bytes) - ftyp major brand of an ISO-BMFF movie, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.VideoHeaders.getClass, StringType, "videoBrand",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
+    ("video_timescale",
+      info("video_timescale",
+        "video_timescale(bytes) - mvhd movie timescale, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.VideoHeaders.getClass, LongType, "videoTimescale",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
+    ("video_duration",
+      info("video_duration",
+        "video_duration(bytes) - mvhd movie duration in timescale ticks, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.VideoHeaders.getClass, LongType, "videoDuration",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
+    ("video_tracks",
+      info("video_tracks",
+        "video_tracks(bytes) - trak box count under moov, else NULL"),
+      (es: Seq[Expression]) => StaticInvoke(
+        graft.operators.VideoHeaders.getClass, LongType, "videoTracks",
+        es, inputTypes = Seq(BinaryType), propagateNull = true,
+        returnNullable = true)),
     // r10: the first of the family to leave the header and touch
     // PIXELS — full decode through the JDK's registered codecs, so
     // SQL users get perceptual hashing as one codegen'd projection

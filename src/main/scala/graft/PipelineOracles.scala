@@ -685,6 +685,20 @@ object PipelineOracles {
         |WHERE doc_id % 7 NOT IN (3, 5)
         |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Multimodal.videoMeta's deterministic payload params:
+    // the Spark side PARSES real ISO-BMFF boxes, the oracle
+    // recomputes the planted values arithmetically
+    "mm_video_meta" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST(1000 + (doc_id % 4) * 500 AS BIGINT) AS timescale,
+        |  CAST((doc_id % 90 + 1) * 1000 AS BIGINT) AS duration_ticks,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks,
+        |  CAST(((doc_id % 90 + 1) * 1000 * 1000) //
+        |    (1000 + (doc_id % 4) * 500) AS BIGINT) AS duration_ms
+        |FROM documents
+        |WHERE doc_id % 7 NOT IN (3, 5)
+        |ORDER BY doc_id""".stripMargin,
+
     // Mirrors Multimodal.shardManifest: the same two-level prefix sum
     // (bucket offsets + within-bucket window), 256 KB shard target
     "mm_shard_manifest" ->

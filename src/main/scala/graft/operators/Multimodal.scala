@@ -349,6 +349,159 @@ private[graft] object AudioSynth {
   }
 }
 
+/** ISO-BMFF (MP4) container parsing from the public spec (ISO/IEC
+  * 14496-12 §4.2 box framing, §8.2.2 movie header): big-endian
+  * [u32 size][4cc type] box headers where size INCLUDES the header,
+  * size==1 → a u64 largesize follows, size==0 → the box runs to the
+  * end of the enclosing container. The movie metadata lives one
+  * level down: `moov` is a pure container whose children include
+  * `mvhd` (version 0 → u32 timescale/duration at payload offsets
+  * 12/16; version 1 → u32 timescale at 20, u64 duration at 24) and
+  * one `trak` box per track. The VIDEO member of the
+  * ImageHeaders/AudioHeaders family: sniff + header walk is the part
+  * of "decode" the engine owns; sample decode stays behind the
+  * batched boundary. Never throws on truncated or garbage bytes. */
+private[graft] object VideoHeaders {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, StandardCharsets.US_ASCII)
+
+  /** Box header at `i` bounded by `end`: (headerLen, boxLen), or None
+    * when the header is truncated or the size lies outside bounds. */
+  private def boxHeader(b: Array[Byte], i: Int,
+      end: Int): Option[(Int, Long)] = {
+    if (i + 8 > end) return None
+    val size0 = be32(b, i)
+    var hdr = 8
+    var size = size0
+    if (size0 == 1L) {
+      if (i + 16 > end) return None
+      size = be64(b, i + 8); hdr = 16
+    } else if (size0 == 0L) size = (end - i).toLong
+    if (size < hdr || i + size > end) None else Some((hdr, size))
+  }
+
+  /** (timescale, durationTicks, nTracks) from moov's children. */
+  private def walkMoov(b: Array[Byte], start: Int,
+      end: Int): Option[(Long, Long, Long)] = {
+    var j = start
+    var header = Option.empty[(Long, Long)]
+    var tracks = 0L
+    while (j + 8 <= end) {
+      val h = boxHeader(b, j, end)
+      if (h.isEmpty) return None
+      val (hdr, size) = h.get
+      fourcc(b, j + 4) match {
+        case "mvhd" =>
+          val p = j + hdr
+          if (p + 4 > end) return None
+          if (u8(b, p) == 0) { // version 0: u32 fields
+            if (p + 20 > end) return None
+            header = Some((be32(b, p + 12), be32(b, p + 16)))
+          } else { // version 1: u64 creation/modification, u64 duration
+            if (p + 32 > end) return None
+            header = Some((be32(b, p + 20), be64(b, p + 24)))
+          }
+        case "trak" => tracks += 1
+        case _ => ()
+      }
+      j += size.toInt
+    }
+    header.map { case (ts, dur) => (ts, dur, tracks) }
+  }
+
+  /** (majorBrand, timescale, durationTicks, nTracks), or None when
+    * the bytes aren't a well-formed ISO-BMFF movie (no leading ftyp,
+    * truncated box, desynced walk, or moov without mvhd). */
+  def parse(b: Array[Byte]): Option[(String, Long, Long, Long)] = {
+    if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+    val brand = fourcc(b, 8)
+    var i = 0
+    while (i + 8 <= b.length) {
+      val h = boxHeader(b, i, b.length)
+      if (h.isEmpty) return None
+      val (hdr, size) = h.get
+      if (fourcc(b, i + 4) == "moov")
+        return walkMoov(b, i + hdr, (i + size).toInt)
+          .map { case (ts, dur, tr) => (brand, ts, dur, tr) }
+      i += size.toInt
+    }
+    None
+  }
+
+  // SQL entry points (StaticInvoke forwarders, like ImageHeaders)
+  def videoBrand(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    if (b == null) null
+    else parse(b).map(t =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(t._1)).orNull
+  def videoTimescale(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._2)).orNull
+  def videoDuration(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._3)).orNull
+  def videoTracks(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else parse(b).map(t => java.lang.Long.valueOf(t._4)).orNull
+}
+
+/** Deterministic minimal-but-VALID ISO-BMFF payloads: real box
+  * framing with correct sizes; `extraBox` inserts a `free` box
+  * between ftyp and moov so the top-level WALK is exercised (a
+  * fixed-offset reader gets those files wrong); `v1` emits a
+  * version-1 mvhd (u64 duration) so both header layouts are hit. */
+private[graft] object VideoSynth {
+  def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+    out.putInt(8 + payload.length)
+    out.put(typ.getBytes(StandardCharsets.US_ASCII))
+    out.put(payload)
+    out.array()
+  }
+
+  /** The size==1 largesize framing of the same box. */
+  def boxLarge(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(16 + payload.length)
+    out.putInt(1)
+    out.put(typ.getBytes(StandardCharsets.US_ASCII))
+    out.putLong(16L + payload.length)
+    out.put(payload)
+    out.array()
+  }
+
+  def mp4(timescale: Int, duration: Long, nTracks: Int,
+      extraBox: Boolean, v1: Boolean = false): Array[Byte] = {
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(if (v1) 32 else 20)
+      if (v1) {
+        p.putInt(0x01000000) // version 1, flags 0
+        p.putLong(0L).putLong(0L) // creation/modification (u64)
+        p.putInt(timescale).putLong(duration)
+      } else {
+        p.putInt(0) // version 0, flags 0
+        p.putInt(0).putInt(0) // creation/modification (u32)
+        p.putInt(timescale).putInt(duration.toInt)
+      }
+      box("mvhd", p.array())
+    }
+    val traks = (0 until nTracks).toArray.flatMap(_ =>
+      box("trak", "trakstub".getBytes(StandardCharsets.US_ASCII)))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(box("ftyp",
+      "isom".getBytes(StandardCharsets.US_ASCII) ++ Array[Byte](0, 0, 2, 0)))
+    if (extraBox)
+      bos.write(box("free", "graft".getBytes(StandardCharsets.US_ASCII)))
+    bos.write(box("moov", mvhd ++ traks))
+    bos.write(box("mdat", Array[Byte](1, 2, 3, 4)))
+    bos.toByteArray
+  }
+}
+
 object Multimodal {
 
   /** Binary payload + stub-decoded metadata per document. */
@@ -587,6 +740,51 @@ object Multimodal {
         expr("data_bytes div (channels * bits_per_sample div 8)"))
       .withColumn("duration_ms", expr("n_frames * 1000 div sample_rate"))
       .drop("data_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The VIDEO row of the modality matrix: ISO-BMFF container
+    * metadata (major brand, movie timescale/duration, track count)
+    * through the REGISTERED codegen SQL functions
+    * (video_brand/timescale/duration/tracks — the image_format /
+    * wav_* family), over deterministic per-doc payloads: valid MP4s
+    * with varying timescale/duration/tracks (half with a `free` box
+    * before moov so the top-level box walk is actually exercised,
+    * and every third valid one with a VERSION-1 mvhd so the u64
+    * layout is hit), garbage bytes and a truncated-moov kind the
+    * walk must REJECT. Duration derives from the PARSED fields in
+    * exact integer ms, so the oracle recomputes everything
+    * arithmetically; map-only, zero shuffles. */
+  def videoMeta(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.install(s)
+    val sp = s
+    import sp.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = (id % 7) match {
+            case 3 => s"doc-$id is not video".getBytes("UTF-8")
+            case 5 => VideoSynth.mp4(1000, 5000L, 1,
+              extraBox = false).take(30) // truncated mid-walk
+            case _ => VideoSynth.mp4(
+              (1000 + (id % 4) * 500).toInt,
+              (id % 90 + 1) * 1000L,
+              (id % 3 + 1).toInt,
+              extraBox = id % 2 == 0,
+              v1 = id % 3 == 0)
+          }
+          MediaPayload(id, bytes)
+        }
+      }.toDF()
+    payloads
+      .selectExpr("doc_id",
+        "video_brand(bytes) AS brand",
+        "video_timescale(bytes) AS timescale",
+        "video_duration(bytes) AS duration_ticks",
+        "video_tracks(bytes) AS n_tracks")
+      .filter(col("brand").isNotNull)
+      .withColumn("duration_ms",
+        expr("duration_ticks * 1000 div timescale"))
       .orderBy(col("doc_id"))
   }
 

@@ -500,6 +500,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(best > worst, "scorer assigns one score to every doc")
   }
 
+  test("MP4 box walk: real ISO-BMFF framing, v0/v1/largesize/to-EOF, robust") {
+    import graft.operators.{VideoHeaders, VideoSynth}
+    // parameters round-trip through a real big-endian box walk
+    assert(VideoHeaders.parse(VideoSynth.mp4(1000, 5000L, 2,
+      extraBox = false)).contains(("isom", 1000L, 5000L, 2L)))
+    // a free box before moov forces the walk — fixed offsets fail
+    assert(VideoHeaders.parse(VideoSynth.mp4(600, 1234L, 1,
+      extraBox = true)).contains(("isom", 600L, 1234L, 1L)))
+    // version-1 mvhd: u64 duration wider than any u32
+    assert(VideoHeaders.parse(VideoSynth.mp4(90000, 5000000000L, 3,
+      extraBox = false, v1 = true))
+      .contains(("isom", 90000L, 5000000000L, 3L)))
+    // size==1 largesize framing of the free box must be stepped over
+    val withLarge = {
+      val base = VideoSynth.mp4(1000, 7000L, 1, extraBox = false)
+      val ftypLen = 16
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(base, 0, ftypLen)
+      bos.write(VideoSynth.boxLarge("free",
+        "payload".getBytes("US-ASCII")))
+      bos.write(base, ftypLen, base.length - ftypLen)
+      bos.toByteArray
+    }
+    assert(VideoHeaders.parse(withLarge).contains(("isom", 1000L, 7000L, 1L)))
+    // size==0 (box to end of file): patch moov's size field to zero
+    // after dropping the trailing mdat so moov IS the last box
+    val toEof = {
+      val full = VideoSynth.mp4(1000, 9000L, 2, extraBox = false)
+      val noMdat = full.dropRight(12) // mdat is 8 hdr + 4 payload
+      val ftypLen = 16
+      noMdat(ftypLen) = 0; noMdat(ftypLen + 1) = 0
+      noMdat(ftypLen + 2) = 0; noMdat(ftypLen + 3) = 0
+      noMdat
+    }
+    assert(VideoHeaders.parse(toEof).contains(("isom", 1000L, 9000L, 2L)))
+    // garbage, truncation, missing mvhd: None, never throw
+    assert(VideoHeaders.parse("ftypnot a movie at all".getBytes).isEmpty)
+    assert(VideoHeaders.parse(Array.emptyByteArray).isEmpty)
+    assert(VideoHeaders.parse(
+      VideoSynth.mp4(1000, 5000L, 1, extraBox = false).take(30)).isEmpty)
+    val noMvhd = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(VideoSynth.box("ftyp",
+        "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0)))
+      bos.write(VideoSynth.box("moov",
+        VideoSynth.box("trak", "trakstub".getBytes("US-ASCII"))))
+      bos.toByteArray
+    }
+    assert(VideoHeaders.parse(noMvhd).isEmpty)
+    // the oracle-backed query parses every planted payload back
+    val rows = SparkEntry.queries("mm_video_meta")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "isom")
+      assert(r.getLong(2) == 1000 + (id % 4) * 500)
+      assert(r.getLong(3) == (id % 90 + 1) * 1000)
+      assert(r.getLong(4) == id % 3 + 1)
+    }
+  }
+
   test("split audit: complete, disjoint, deterministic, near target shares") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("txt_split")(spark, sf).collect()
