@@ -274,7 +274,25 @@ object EventStreams {
         nEvents += 1
       }
       state.update(SessionState(last, nEvents, nSessions))
+      // ENGINE-owned expiry, the flatMapGroupsWithState twin's
+      // bounded-state property on the new API: once the watermark
+      // passes this user's last event plus one session gap the timer
+      // fires and the state is dropped — total state tracks users
+      // active inside the watermark horizon, never all users ever
+      // seen. Timers are a keyed SET here, so the superseded timer
+      // from the previous batch is deleted, not accumulated.
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last / 1000L + gapUs / 1000L)
       Iterator(UserSessions(user, nEvents, nSessions))
+    }
+    override def handleExpiredTimer(user: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[UserSessions] = {
+      // the last emitted snapshot already carried this user's final
+      // totals (Update-mode upsert semantics) — just drop the state
+      state.clear()
+      Iterator.empty
     }
   }
 
@@ -282,11 +300,12 @@ object EventStreams {
     val sp = events.sparkSession
     import sp.implicits._
     events
+      .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .transformWithState(new SessionCounter,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Update())
   }
 }

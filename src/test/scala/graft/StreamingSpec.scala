@@ -149,6 +149,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState timers expire idle users' session state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sp = spark
+      import sp.implicits._
+      implicit val ctx = spark.sqlContext
+      val base = 1700000000000L
+      def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val events = mem.toDF().toDF("user_id", "ts")
+      val q = EventStreams.sessionizeTws(events)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_expiry")
+        .start()
+      // batch 1: two users, two events each in one session
+      mem.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      // batch 2: only user 1 stays active; the sentinel advances the
+      // watermark far past user 2's last event + gap, so user 2's
+      // timer fires and their state is DROPPED
+      mem.addData((1L, ts(240)))
+      q.processAllAvailable()
+      // batch 3: drain once more so the expiry batch's metrics land
+      mem.addData((1L, ts(241)))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten
+          .map(_.numRowsTotal))
+        .headOption.getOrElse(-1L)
+      // user 2 expired; user 1 (and only user 1) still holds state
+      assert(stateRows == 1L,
+        s"expected exactly 1 surviving state row, got $stateRows")
+      // the totals snapshots are still cumulative and correct: user 1
+      // saw 4 events / 2 sessions (gap between min 5 and min 240),
+      // user 2 saw 2 events / 1 session before expiring
+      val last = spark.table("tws_expiry").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      q.stop()
+      assert(last(1L) == (4L, 2L) && last(2L) == (2L, 1L))
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("TTL dedup on RocksDB: drops within-horizon dups, re-admits after expiry, state bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val conf = spark.conf
