@@ -699,6 +699,25 @@ object PipelineOracles {
         |WHERE doc_id % 7 NOT IN (3, 5)
         |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Multimodal.videoSamples' planted layout arithmetic:
+    // first_off = ftyp(16) + optional free(13) + moov(108 + 4n) +
+    // mdat header(8); sizes/fills are pure doc_id arithmetic — the
+    // Spark side walks stsz/stco and SLICES, the oracle computes
+    "mm_video_samples" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 5 + 1 AS BIGINT) AS n_samples,
+        |  CAST(132 + 4 * (doc_id % 5 + 1) +
+        |    CASE WHEN doc_id % 2 = 0 THEN 13 ELSE 0 END AS BIGINT)
+        |    AS first_off,
+        |  CAST(20 + (doc_id % 7) * 10 AS BIGINT) AS first_size,
+        |  (SELECT CAST(sum(20 + ((doc_id + g) % 7) * 10) AS BIGINT)
+        |     FROM unnest(generate_series(0, CAST(doc_id % 5 AS INT)))
+        |       AS t(g)) AS sample_bytes,
+        |  md5(repeat(chr(CAST(65 + doc_id % 26 AS INT)),
+        |    CAST(20 + (doc_id % 7) * 10 AS INT))) AS first_digest
+        |FROM documents WHERE doc_id % 7 NOT IN (3, 5)
+        |ORDER BY doc_id""".stripMargin,
+
     // Mirrors Multimodal.shardManifest: the same two-level prefix sum
     // (bucket offsets + within-bucket window), 256 KB shard target
     "mm_shard_manifest" ->

@@ -32,6 +32,8 @@ case class MediaFrames(doc_id: Long, n_frames: Long, frame0_digest: String)
 case class MediaVec(doc_id: Long, vec: Array[Float])
 case class ImageMeta(doc_id: Long, format: String, width: Long,
     height: Long, thumb_w: Long, thumb_h: Long)
+case class VideoSamples(doc_id: Long, n_samples: Long, first_off: Long,
+    first_size: Long, sample_bytes: Long, first_digest: String)
 
 /** REAL byte-level image header parsers — public format knowledge
   * only: PNG (ISO/IEC 15948 §5.3/11.2.2: 8-byte signature, IHDR is
@@ -434,6 +436,71 @@ private[graft] object VideoHeaders {
     None
   }
 
+  /** Payload bounds of the FIRST child box of `typ` inside
+    * [start, end), or None. */
+  private def firstChild(b: Array[Byte], start: Int, end: Int,
+      typ: String): Option[(Int, Int)] = {
+    var j = start
+    while (j + 8 <= end) {
+      val h = boxHeader(b, j, end)
+      if (h.isEmpty) return None
+      val (hdr, size) = h.get
+      if (fourcc(b, j + 4) == typ) return Some((j + hdr, (j + size).toInt))
+      j += size.toInt
+    }
+    None
+  }
+
+  /** Per-sample (absoluteOffset, size) of the first track, from the
+    * sample tables (ISO/IEC 14496-12 §8.7.3 stsz, §8.7.5 stco):
+    * trak→mdia→minf→stbl walked as plain containers, stsz read in
+    * both its fixed-size (sample_size != 0) and per-sample-table
+    * forms, stco's first chunk offset anchoring the contiguous run.
+    * This is the byte-range slice of "frame sampling" an engine owns
+    * with no codec: WHERE the sample bytes live, so a clipper or
+    * sharder can extract them without decoding. None on any
+    * truncation/desync, never throws. */
+  def parseSamples(b: Array[Byte]): Option[Seq[(Long, Long)]] = {
+    if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+    var i = 0
+    var moov = Option.empty[(Int, Int)]
+    while (i + 8 <= b.length && moov.isEmpty) {
+      val h = boxHeader(b, i, b.length)
+      if (h.isEmpty) return None
+      val (hdr, size) = h.get
+      if (fourcc(b, i + 4) == "moov") moov = Some((i + hdr, (i + size).toInt))
+      i += size.toInt
+    }
+    for {
+      (ms, me) <- moov
+      (ts, te) <- firstChild(b, ms, me, "trak")
+      (ds, de) <- firstChild(b, ts, te, "mdia")
+      (fs, fe) <- firstChild(b, ds, de, "minf")
+      (ss, se) <- firstChild(b, fs, fe, "stbl")
+      (zs, ze) <- firstChild(b, ss, se, "stsz")
+      (cs, ce) <- firstChild(b, ss, se, "stco")
+      sizes <- {
+        if (zs + 12 > ze) None
+        else {
+          val fixed = be32(b, zs + 4)
+          val n = be32(b, zs + 8)
+          if (n < 0 || n > (1 << 20)) None
+          else if (fixed != 0L) Some(Seq.fill(n.toInt)(fixed))
+          else if (zs + 12 + 4 * n > ze) None
+          else Some((0 until n.toInt).map(k => be32(b, zs + 12 + 4 * k)))
+        }
+      }
+      chunk0 <- {
+        if (cs + 8 > ce || be32(b, cs + 4) < 1) None
+        else if (cs + 12 > ce) None
+        else Some(be32(b, cs + 8))
+      }
+    } yield {
+      var off = chunk0
+      sizes.map { sz => val o = off; off += sz; (o, sz) }
+    }
+  }
+
   // SQL entry points (StaticInvoke forwarders, like ImageHeaders)
   def videoBrand(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
     if (b == null) null
@@ -472,6 +539,49 @@ private[graft] object VideoSynth {
     out.putLong(16L + payload.length)
     out.put(payload)
     out.array()
+  }
+
+  /** A movie whose first trak carries REAL sample tables
+    * (trak→mdia→minf→stbl with per-sample stsz + one-chunk stco
+    * anchoring the contiguous run in mdat) and whose mdat holds the
+    * actual sample bytes: sample i is filled with the single ASCII
+    * byte 65 + ((id + i) mod 26), sized 20 + ((id + i) mod 7)·10 —
+    * deterministic content an oracle can size and md5 in pure
+    * arithmetic while the Spark side genuinely parses and SLICES. */
+  def mp4Sampled(id: Long, timescale: Int, duration: Long,
+      nSamples: Int, extraBox: Boolean): Array[Byte] = {
+    val sizes = (0 until nSamples).map(i => 20 + ((id + i) % 7).toInt * 10)
+    val mdatOff = 16 + (if (extraBox) 13 else 0) + 108 + 4 * nSamples + 8
+    val stsz = {
+      val p = java.nio.ByteBuffer.allocate(12 + 4 * nSamples)
+      p.putInt(0).putInt(0).putInt(nSamples)
+      sizes.foreach(p.putInt)
+      box("stsz", p.array())
+    }
+    val stco = {
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.putInt(0).putInt(1).putInt(mdatOff)
+      box("stco", p.array())
+    }
+    val trak = box("trak", box("mdia", box("minf",
+      box("stbl", stsz ++ stco))))
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(20)
+      p.putInt(0).putInt(0).putInt(0)
+      p.putInt(timescale).putInt(duration.toInt)
+      box("mvhd", p.array())
+    }
+    val samples = sizes.zipWithIndex.flatMap { case (sz, i) =>
+      Array.fill(sz)((65 + ((id + i) % 26)).toByte)
+    }.toArray
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(box("ftyp",
+      "isom".getBytes(StandardCharsets.US_ASCII) ++ Array[Byte](0, 0, 2, 0)))
+    if (extraBox)
+      bos.write(box("free", "graft".getBytes(StandardCharsets.US_ASCII)))
+    bos.write(box("moov", mvhd ++ trak))
+    bos.write(box("mdat", samples))
+    bos.toByteArray
   }
 
   def mp4(timescale: Int, duration: Long, nTracks: Int,
@@ -786,6 +896,43 @@ object Multimodal {
       .withColumn("duration_ms",
         expr("duration_ticks * 1000 div timescale"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Frame/sample EXTRACTION made real: where [[videoMeta]] reads the
+    * movie header, this walks the first track's SAMPLE TABLES
+    * (trak→mdia→minf→stbl: per-sample stsz sizes, stco chunk anchor)
+    * and then actually SLICES the first sample's bytes out of mdat
+    * and digests them — the byte-range operation a clipper or shard
+    * writer runs per sample, with no codec involved. The oracle
+    * recomputes every offset/size from the planted layout arithmetic
+    * and the digest from the planted fill bytes, so a parser that
+    * misread stsz/stco — or sliced one byte off — hash-mismatches.
+    * mapPartitions tier (imperative byte-range work), map-only, zero
+    * shuffles at any scale. */
+  def videoSamples(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { id =>
+          val bytes = (id % 7) match {
+            case 3 => s"doc-$id is not video".getBytes("UTF-8")
+            case 5 => VideoSynth.mp4Sampled(id, 1000, 1000L,
+              (id % 5 + 1).toInt, extraBox = false).take(40)
+            case _ => VideoSynth.mp4Sampled(id, 1000, 1000L,
+              (id % 5 + 1).toInt, extraBox = id % 2 == 0)
+          }
+          VideoHeaders.parseSamples(bytes).map { samples =>
+            val (o0, s0) = samples.head
+            md.reset()
+            md.update(bytes, o0.toInt, s0.toInt)
+            val digest = md.digest().map("%02x".format(_)).mkString
+            VideoSamples(id, samples.size.toLong, o0, s0,
+              samples.map(_._2).sum, digest)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"))
   }
 
   /** WebDataset-style shard manifest: pack documents (in doc_id

@@ -561,6 +561,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 sample tables: stsz/stco walk slices the exact sample bytes") {
+    import graft.operators.{VideoHeaders, VideoSynth}
+    val b = VideoSynth.mp4Sampled(9L, 1000, 1000L, 3, extraBox = true)
+    val samples = VideoHeaders.parseSamples(b).get
+    assert(samples.size == 3)
+    // offsets are contiguous from the stco anchor, sizes per stsz
+    samples.sliding(2).foreach { case Seq((o1, s1), (o2, _)) =>
+      assert(o2 == o1 + s1, "samples must be contiguous in the chunk")
+    }
+    samples.zipWithIndex.foreach { case ((off, sz), i) =>
+      assert(sz == 20 + ((9 + i) % 7) * 10)
+      // the sliced bytes ARE the planted fill — byte-exact extraction
+      val fill = (65 + ((9 + i) % 26)).toByte
+      (off.toInt until (off + sz).toInt).foreach(j => assert(b(j) == fill))
+    }
+    // the last sample ends exactly at end-of-file (mdat fully used)
+    val (lo, ls) = samples.last
+    assert(lo + ls == b.length)
+    // fixed-size stsz form (sample_size != 0): patch it in
+    val fixed = {
+      val c = b.clone()
+      // stsz payload starts right after its header inside stbl; find it
+      val i = {
+        var k = 0
+        while (!(c(k) == 's' && c(k + 1) == 't' && c(k + 2) == 's' &&
+          c(k + 3) == 'z')) k += 1
+        k + 4 // payload start (after the 4cc; header size precedes 4cc)
+      }
+      // payload: [verflags][sample_size][count] — set sample_size=25
+      c(i + 4) = 0; c(i + 5) = 0; c(i + 6) = 0; c(i + 7) = 25
+      c
+    }
+    val fixedSamples = VideoHeaders.parseSamples(fixed).get
+    assert(fixedSamples.map(_._2) == Seq(25L, 25L, 25L),
+      "fixed-size stsz form must be honored")
+    // truncation and garbage: None, never throw
+    assert(VideoHeaders.parseSamples(b.take(40)).isEmpty)
+    assert(VideoHeaders.parseSamples("ftypnope".getBytes).isEmpty)
+  }
+
   test("split audit: complete, disjoint, deterministic, near target shares") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("txt_split")(spark, sf).collect()
