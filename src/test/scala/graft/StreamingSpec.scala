@@ -199,6 +199,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState state survives a checkpointed restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sp = spark
+      import sp.implicits._
+      implicit val ctx = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-tws-ckpt-").toString
+      val base = 1700000000000L
+      def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      // the memory sink refuses checkpoint recovery; foreachBatch is
+      // the restartable sink (same harness as the file-source spec)
+      val seen = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+      def start() = EventStreams
+        .sessionizeTws(mem.toDF().toDF("user_id", "ts"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[EventStreams.UserSessions],
+           _: Long) =>
+            b.collect().foreach(u =>
+              seen.put(u.user_id, (u.n_events, u.n_sessions)))
+            ()
+        }
+        .start()
+      // run 1: user 1 opens a session
+      val q1 = start()
+      mem.addData((1L, ts(0)), (1L, ts(5)))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(seen.get(1L) == (2L, 1L))
+      // run 2 against the SAME checkpoint: a third event within the
+      // gap must extend the CHECKPOINTED session — 3 events, still 1
+      // session — not start over from empty state
+      val q2 = start()
+      mem.addData((1L, ts(10)))
+      q2.processAllAvailable()
+      q2.stop()
+      assert(seen.get(1L) == (3L, 1L),
+        s"state did not survive the restart: ${seen.get(1L)}")
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   test("TTL dedup on RocksDB: drops within-horizon dups, re-admits after expiry, state bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val conf = spark.conf
