@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, concat_ws}
 import graft.operators.HadoopTools
 import graft.sources.Tables
 
@@ -548,15 +549,48 @@ class HadoopToolsSpec extends AnyFunSuite {
     JF.copy(Paths.get(sf, "events.parquet"), clobbered)
     val raf = new java.io.RandomAccessFile(clobbered.toFile, "rw")
     raf.seek(0); raf.writeBytes("XXXX"); raf.close()
+    // every other audited format: stage one real file of each kind
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft-fsck-fmt-")
+    def liftPart(sub: String, ext: String, name: String): Unit = {
+      val part = new java.io.File(stage.resolve(sub).toString)
+        .listFiles().filter(f => f.isFile && f.getName.endsWith(ext)).head
+      JF.copy(part.toPath, Paths.get(root, name))
+    }
+    val two = Seq((1L, "a"), (2L, "b")).toDF("key", "value")
+    two.write.orc(stage.resolve("orc").toString)
+    liftPart("orc", ".orc", "data.orc")
+    // fsck's avro check is the container magic (Obj\x01) — stage a
+    // minimal header-correct file rather than spin up the RDD writer
+    JF.write(Paths.get(root, "data.avro"),
+      Array[Byte]('O', 'b', 'j', 1) ++ "syncmarker".getBytes)
+    two.select(concat_ws("\t", col("key"), col("value")).as("value"))
+      .write.option("compression", "gzip")
+      .text(stage.resolve("gz").toString)
+    liftPart("gz", ".gz", "data.txt.gz")
+    two.select(col("key"), col("value"))
+      .write.format(graft.sources.sequence.SequenceFileSource.NAME)
+      .mode("overwrite").save(stage.resolve("seq").toString)
+    val seqPart = new java.io.File(stage.resolve("seq").toString)
+      .listFiles().filter(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_")).head
+    JF.copy(seqPart.toPath, Paths.get(root, "data.seq"))
+    // a gz whose frame magic was clobbered
+    JF.write(Paths.get(root, "bad.txt.gz"), Array[Byte](0x50, 0x4b, 1, 2))
     val rows = HadoopTools.fsck(spark, root).collect()
       .map(r => r.getString(0) -> r.getString(3)).toMap
-    assert(rows.size == 6, s"expected 6 audited files, got $rows")
+    assert(rows.size == 11, s"expected 11 audited files, got $rows")
     assert(rows("nation.parquet") == "HEALTHY")
     assert(rows("region.parquet") == "HEALTHY")
     assert(rows("notes.txt") == "HEALTHY")
+    assert(rows("data.orc") == "HEALTHY")
+    assert(rows("data.avro") == "HEALTHY")
+    assert(rows("data.txt.gz") == "HEALTHY")
+    assert(rows("data.seq") == "HEALTHY")
     assert(rows("empty.parquet") == "EMPTY")
     assert(rows("orders.parquet") == "CORRUPT: tail magic")
     assert(rows("events.parquet") == "CORRUPT: head magic")
+    assert(rows("bad.txt.gz") == "CORRUPT: head magic")
     assert(!rows.contains("_SUCCESS"))
   }
 }
