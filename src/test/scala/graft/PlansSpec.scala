@@ -310,6 +310,59 @@ class PlansSpec extends AnyFunSuite {
       s"top-20 is a global sort:\n${plan.take(900)}")
   }
 
+  test("null-skew rewrite: the NULL population bypasses the join entirely") {
+    val df = SparkEntry.queries("adv_null_skew_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly ONE join in the whole plan — the matchable side; the
+    // null-key branch must reach the union as scan+filter+project,
+    // never through a join operator where its rows would concentrate
+    // on one hash partition
+    val joins = "(?m)(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected 1 join, found $joins:\n${plan.take(900)}")
+    assert(plan.contains("Union"), "null bypass union missing")
+    // the join's streamed side filters nulls out before any exchange
+    assert("isnotnull".r.findAllIn(plan.toLowerCase).nonEmpty,
+      "matchable side lost its not-null filter")
+  }
+
+  test("profile histogram: constant-key hash agg, no data-scale sort") {
+    val df = SparkEntry.queries("adv_profile_histogram")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // partial agg before the exchange (map-side combine carries
+    // bucket-count-scale rows), final agg after, one ordering
+    // exchange on the tiny result — nothing else
+    val exchanges = "(?m)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected <=2 exchanges (agg + order), found $exchanges:\n" +
+        plan.take(900))
+    assert("(?m)HashAggregate".r.findAllIn(plan).size >= 2,
+      "map-side partial aggregation missing")
+    // column pruning: only o_totalprice leaves the scan
+    assert(plan.contains("ReadSchema: struct<o_totalprice:double>"),
+      s"scan reads more than the priced column:\n${plan.take(900)}")
+  }
+
+  test("retention cohort: first-touch window and roll-up share two exchanges") {
+    val df = SparkEntry.queries("adv_retention_cohort")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // user-keyed window exchange + (cohort, offset) agg exchange +
+    // the final tiny ordering — countDistinct adds its own expand
+    // pass but must not add extra data-scale shuffles
+    val exchanges = "(?m)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 4,
+      s"expected <=4 exchanges, found $exchanges:\n${plan.take(900)}")
+    // events scan prunes to the two columns the matrix needs
+    assert(plan.contains("struct<ts:") || plan.contains("struct<user_id:"),
+      s"scan pruning lost:\n${plan.take(900)}")
+  }
+
   test("plan shape: one exchange per side, no extra shuffle") {
     val df = Advanced.asofCustom(spark, sf)
     df.collect() // force AQE final plan
