@@ -699,24 +699,39 @@ object PipelineOracles {
         |WHERE doc_id % 7 NOT IN (3, 5)
         |ORDER BY doc_id""".stripMargin,
 
-    // Mirrors Multimodal.videoSamples' planted layout arithmetic:
-    // first_off = ftyp(16) + optional free(13) + moov(108 + 4n) +
-    // mdat header(8); sizes/fills are pure doc_id arithmetic — the
-    // Spark side walks stsz/stco and SLICES, the oracle computes
+    // Mirrors Multimodal.videoSamples' planted layout arithmetic,
+    // one row PER SAMPLE: n = id%5+1 samples packed spc = id%3+1 per
+    // chunk into k = ceil(n/spc) chunks (e stsc run entries: 2 when
+    // the last chunk is partial, else 1) with a 4-byte gap between
+    // chunks; mdat payload starts at ftyp(16) + optional free(13) +
+    // moov(120 + 4n + 12e + 4k) + mdat header(8) = 144 + extra + 4n
+    // + 12e + 4k. The Spark side walks stsz/stsc/stco and SLICES;
+    // the oracle recomputes every offset, size, and fill digest.
     "mm_video_samples" ->
-      """SELECT doc_id,
-        |  CAST(doc_id % 5 + 1 AS BIGINT) AS n_samples,
-        |  CAST(132 + 4 * (doc_id % 5 + 1) +
-        |    CASE WHEN doc_id % 2 = 0 THEN 13 ELSE 0 END AS BIGINT)
-        |    AS first_off,
-        |  CAST(20 + (doc_id % 7) * 10 AS BIGINT) AS first_size,
-        |  (SELECT CAST(sum(20 + ((doc_id + g) % 7) * 10) AS BIGINT)
-        |     FROM unnest(generate_series(0, CAST(doc_id % 5 AS INT)))
-        |       AS t(g)) AS sample_bytes,
-        |  md5(repeat(chr(CAST(65 + doc_id % 26 AS INT)),
-        |    CAST(20 + (doc_id % 7) * 10 AS INT))) AS first_digest
-        |FROM documents WHERE doc_id % 7 NOT IN (3, 5)
-        |ORDER BY doc_id""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 + 1 AS n, doc_id % 3 + 1 AS spc,
+        |    CASE WHEN doc_id % 2 = 0 THEN 13 ELSE 0 END AS extra
+        |  FROM documents WHERE doc_id % 7 NOT IN (3, 5)),
+        |p2 AS (
+        |  SELECT *, (n + spc - 1) // spc AS k,
+        |    CASE WHEN (n + spc - 1) // spc > 1 AND n % spc <> 0
+        |         THEN 2 ELSE 1 END AS e
+        |  FROM p),
+        |s AS (
+        |  SELECT doc_id, n, spc, extra, k, e, g AS i,
+        |    20 + ((doc_id + g) % 7) * 10 AS sz,
+        |    g // spc AS chunk_idx
+        |  FROM p2, unnest(generate_series(0, CAST(n - 1 AS INT))) AS t(g))
+        |SELECT doc_id, CAST(i AS BIGINT) AS sample_idx,
+        |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(144 + extra + 4 * n + 12 * e + 4 * k
+        |    + COALESCE(sum(sz) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + chunk_idx * 4 AS BIGINT) AS s_off,
+        |  CAST(sz AS BIGINT) AS s_size,
+        |  md5(repeat(chr(CAST(65 + (doc_id + i) % 26 AS INT)),
+        |    CAST(sz AS INT))) AS digest
+        |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
 
     // Mirrors Multimodal.shardManifest: the same two-level prefix sum
     // (bucket offsets + within-bucket window), 256 KB shard target

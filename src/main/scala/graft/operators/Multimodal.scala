@@ -32,8 +32,8 @@ case class MediaFrames(doc_id: Long, n_frames: Long, frame0_digest: String)
 case class MediaVec(doc_id: Long, vec: Array[Float])
 case class ImageMeta(doc_id: Long, format: String, width: Long,
     height: Long, thumb_w: Long, thumb_h: Long)
-case class VideoSamples(doc_id: Long, n_samples: Long, first_off: Long,
-    first_size: Long, sample_bytes: Long, first_digest: String)
+case class VideoSample(doc_id: Long, sample_idx: Long, chunk_idx: Long,
+    s_off: Long, s_size: Long, digest: String)
 
 /** REAL byte-level image header parsers — public format knowledge
   * only: PNG (ISO/IEC 15948 §5.3/11.2.2: 8-byte signature, IHDR is
@@ -451,16 +451,27 @@ private[graft] object VideoHeaders {
     None
   }
 
-  /** Per-sample (absoluteOffset, size) of the first track, from the
-    * sample tables (ISO/IEC 14496-12 §8.7.3 stsz, §8.7.5 stco):
-    * trak→mdia→minf→stbl walked as plain containers, stsz read in
+  /** Per-sample (chunkIdx, absoluteOffset, size) for EVERY sample of
+    * the first track, from the full sample-table triple (ISO/IEC
+    * 14496-12 §8.7.3 stsz, §8.7.4 stsc, §8.7.5 stco):
+    * trak→mdia→minf→stbl walked as plain containers; stsz read in
     * both its fixed-size (sample_size != 0) and per-sample-table
-    * forms, stco's first chunk offset anchoring the contiguous run.
+    * forms; stsc's run-length (first_chunk, samples_per_chunk)
+    * entries expanded against stco's chunk offsets, so multi-chunk
+    * layouts (chunks scattered through mdat with gaps between them)
+    * resolve to exact byte ranges — samples are contiguous only
+    * WITHIN a chunk, never across chunks. A missing stsc degrades to
+    * the single-chunk contiguous run (the pre-stsc behavior) so
+    * one-chunk writers without the box still parse.
     * This is the byte-range slice of "frame sampling" an engine owns
-    * with no codec: WHERE the sample bytes live, so a clipper or
-    * sharder can extract them without decoding. None on any
-    * truncation/desync, never throws. */
-  def parseSamples(b: Array[Byte]): Option[Seq[(Long, Long)]] = {
+    * with no codec: WHERE each sample's bytes live, so a clipper or
+    * shard writer can extract them all without decoding.
+    * None on any truncation/desync — and, so the never-throws
+    * contract survives legal-but-unplanted files, None whenever the
+    * table is empty, a sample count is absurd, samples outlast the
+    * chunk list, or any resolved (offset, offset+size) range falls
+    * outside [0, b.length] or past Int range. Never throws. */
+  def parseSamples(b: Array[Byte]): Option[Seq[(Int, Long, Long)]] = {
     if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
     var i = 0
     var moov = Option.empty[(Int, Int)]
@@ -484,21 +495,75 @@ private[graft] object VideoHeaders {
         else {
           val fixed = be32(b, zs + 4)
           val n = be32(b, zs + 8)
-          if (n < 0 || n > (1 << 20)) None
+          if (n < 1 || n > (1 << 20)) None // empty table ⇒ no samples
           else if (fixed != 0L) Some(Seq.fill(n.toInt)(fixed))
           else if (zs + 12 + 4 * n > ze) None
           else Some((0 until n.toInt).map(k => be32(b, zs + 12 + 4 * k)))
         }
       }
-      chunk0 <- {
-        if (cs + 8 > ce || be32(b, cs + 4) < 1) None
-        else if (cs + 12 > ce) None
-        else Some(be32(b, cs + 8))
+      chunkOffs <- {
+        if (cs + 8 > ce) None
+        else {
+          val k = be32(b, cs + 4)
+          if (k < 1 || k > (1 << 20)) None
+          else if (cs + 8 + 4 * k > ce) None
+          else Some((0 until k.toInt).map(j => be32(b, cs + 8 + 4 * j)))
+        }
       }
-    } yield {
-      var off = chunk0
-      sizes.map { sz => val o = off; off += sz; (o, sz) }
-    }
+      stscRuns <- firstChild(b, ss, se, "stsc") match {
+        // absent stsc: one contiguous chunk (the lenient fallback)
+        case None => Some(Seq((1L, sizes.length.toLong)))
+        case Some((xs, xe)) =>
+          if (xs + 8 > xe) None
+          else {
+            val e = be32(b, xs + 4)
+            if (e < 1 || e > (1 << 16)) None
+            else if (xs + 8 + 12 * e > xe) None
+            else {
+              val runs = (0 until e.toInt).map { j =>
+                (be32(b, xs + 8 + 12 * j), be32(b, xs + 12 + 12 * j))
+              }
+              // first_chunk must be ascending from >= 1 and counts > 0
+              // or the run expansion below is meaningless
+              val ascending = runs.head._1 == 1L &&
+                runs.sliding(2).forall {
+                  case Seq((a, _), (c, _)) => c > a
+                  case _                   => true
+                } && runs.forall(_._2 > 0)
+              if (ascending) Some(runs) else None
+            }
+          }
+      }
+      expanded <- {
+        // expand stsc runs over stco's chunks, clipping at the stsz
+        // sample count (last chunk may be partial)
+        val out = Seq.newBuilder[(Int, Long, Long)]
+        val n = sizes.length
+        var si = 0
+        var c = 0
+        while (c < chunkOffs.length && si < n) {
+          val chunkNo = c + 1L
+          val spc = stscRuns.takeWhile(_._1 <= chunkNo).last._2
+          var off = chunkOffs(c)
+          var cnt = 0L
+          while (cnt < spc && si < n) {
+            out += ((c, off, sizes(si)))
+            off += sizes(si)
+            si += 1
+            cnt += 1
+          }
+          c += 1
+        }
+        // samples left over after the chunk list ⇒ tables desynced
+        if (si < n) None else Some(out.result())
+      }
+      validated <- {
+        val ok = expanded.forall { case (_, o, sz) =>
+          o >= 0 && sz >= 0 && o + sz <= b.length && o + sz <= Int.MaxValue
+        }
+        if (ok) Some(expanded) else None
+      }
+    } yield validated
   }
 
   // SQL entry points (StaticInvoke forwarders, like ImageHeaders)
@@ -542,45 +607,81 @@ private[graft] object VideoSynth {
   }
 
   /** A movie whose first trak carries REAL sample tables
-    * (trak→mdia→minf→stbl with per-sample stsz + one-chunk stco
-    * anchoring the contiguous run in mdat) and whose mdat holds the
-    * actual sample bytes: sample i is filled with the single ASCII
-    * byte 65 + ((id + i) mod 26), sized 20 + ((id + i) mod 7)·10 —
-    * deterministic content an oracle can size and md5 in pure
+    * (trak→mdia→minf→stbl with per-sample stsz + run-length stsc +
+    * multi-chunk stco) and whose mdat holds the actual sample bytes
+    * CHUNKED: samples_per_chunk = (id mod 3) + 1, so docs land on 1–5
+    * chunks, the last possibly partial (a two-entry stsc run list);
+    * chunks are separated by 4 zero GAP bytes inside mdat, so a
+    * parser that assumes one contiguous run slices garbage and
+    * hash-mismatches. Sample i is filled with the single ASCII byte
+    * 65 + ((id + i) mod 26), sized 20 + ((id + i) mod 7)·10 —
+    * deterministic content an oracle can place and md5 in pure
     * arithmetic while the Spark side genuinely parses and SLICES. */
+  val chunkGap = 4
   def mp4Sampled(id: Long, timescale: Int, duration: Long,
       nSamples: Int, extraBox: Boolean): Array[Byte] = {
     val sizes = (0 until nSamples).map(i => 20 + ((id + i) % 7).toInt * 10)
-    val mdatOff = 16 + (if (extraBox) 13 else 0) + 108 + 4 * nSamples + 8
+    val spc = (id % 3).toInt + 1
+    val nChunks = (nSamples + spc - 1) / spc
+    val rem = nSamples % spc
+    val stscRuns =
+      if (nChunks > 1 && rem != 0) Seq((1, spc), (nChunks, rem))
+      else Seq((1, spc))
+    val chunkBytes = (0 until nChunks).map { j =>
+      sizes.slice(j * spc, math.min(nSamples, (j + 1) * spc)).sum
+    }
+    val stszLen = 8 + 12 + 4 * nSamples
+    val stscLen = 8 + 8 + 12 * stscRuns.length
+    val stcoLen = 8 + 8 + 4 * nChunks
+    val moovLen = 8 + 28 + (8 + 8 + 8 + (8 + stszLen + stscLen + stcoLen))
+    val mdatOff = 16 + (if (extraBox) 13 else 0) + moovLen + 8
+    // chunk j starts after all prior chunks' bytes plus j gaps
+    val chunkOffs = chunkBytes.scanLeft(mdatOff.toLong)(_ + _ + chunkGap).init
     val stsz = {
       val p = java.nio.ByteBuffer.allocate(12 + 4 * nSamples)
       p.putInt(0).putInt(0).putInt(nSamples)
       sizes.foreach(p.putInt)
       box("stsz", p.array())
     }
+    val stsc = {
+      val p = java.nio.ByteBuffer.allocate(8 + 12 * stscRuns.length)
+      p.putInt(0).putInt(stscRuns.length)
+      stscRuns.foreach { case (fc, c) => p.putInt(fc).putInt(c).putInt(1) }
+      box("stsc", p.array())
+    }
     val stco = {
-      val p = java.nio.ByteBuffer.allocate(12)
-      p.putInt(0).putInt(1).putInt(mdatOff)
+      val p = java.nio.ByteBuffer.allocate(8 + 4 * nChunks)
+      p.putInt(0).putInt(nChunks)
+      chunkOffs.foreach(o => p.putInt(o.toInt))
       box("stco", p.array())
     }
     val trak = box("trak", box("mdia", box("minf",
-      box("stbl", stsz ++ stco))))
+      box("stbl", stsz ++ stsc ++ stco))))
     val mvhd = {
       val p = java.nio.ByteBuffer.allocate(20)
       p.putInt(0).putInt(0).putInt(0)
       p.putInt(timescale).putInt(duration.toInt)
       box("mvhd", p.array())
     }
-    val samples = sizes.zipWithIndex.flatMap { case (sz, i) =>
-      Array.fill(sz)((65 + ((id + i) % 26)).toByte)
-    }.toArray
+    val mdatPayload = {
+      val m = new java.io.ByteArrayOutputStream()
+      (0 until nChunks).foreach { j =>
+        if (j > 0) m.write(Array.fill(chunkGap)(0.toByte))
+        sizes.zipWithIndex
+          .slice(j * spc, math.min(nSamples, (j + 1) * spc))
+          .foreach { case (sz, i) =>
+            m.write(Array.fill(sz)((65 + ((id + i) % 26)).toByte))
+          }
+      }
+      m.toByteArray
+    }
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(box("ftyp",
       "isom".getBytes(StandardCharsets.US_ASCII) ++ Array[Byte](0, 0, 2, 0)))
     if (extraBox)
       bos.write(box("free", "graft".getBytes(StandardCharsets.US_ASCII)))
     bos.write(box("moov", mvhd ++ trak))
-    bos.write(box("mdat", samples))
+    bos.write(box("mdat", mdatPayload))
     bos.toByteArray
   }
 
@@ -899,14 +1000,17 @@ object Multimodal {
   }
 
   /** Frame/sample EXTRACTION made real: where [[videoMeta]] reads the
-    * movie header, this walks the first track's SAMPLE TABLES
-    * (trak→mdia→minf→stbl: per-sample stsz sizes, stco chunk anchor)
-    * and then actually SLICES the first sample's bytes out of mdat
-    * and digests them — the byte-range operation a clipper or shard
-    * writer runs per sample, with no codec involved. The oracle
-    * recomputes every offset/size from the planted layout arithmetic
-    * and the digest from the planted fill bytes, so a parser that
-    * misread stsz/stco — or sliced one byte off — hash-mismatches.
+    * movie header, this walks the first track's FULL sample tables
+    * (trak→mdia→minf→stbl: per-sample stsz sizes, run-length stsc
+    * chunk mapping, multi-chunk stco anchors) and then actually
+    * SLICES every sample's bytes out of mdat and digests them — the
+    * per-sample byte-range operation a clipper or shard writer runs,
+    * with no codec involved. One output row PER SAMPLE. The planted
+    * movies scatter samples across 1–5 chunks with gap bytes between
+    * chunks, so a parser that assumed one contiguous run (or misread
+    * stsc's run list, or sliced one byte off) hash-mismatches; the
+    * oracle recomputes every offset/size from the planted layout
+    * arithmetic and every digest from the planted fill bytes.
     * mapPartitions tier (imperative byte-range work), map-only, zero
     * shuffles at any scale. */
   def videoSamples(s: SparkSession, d: String): DataFrame = {
@@ -923,16 +1027,16 @@ object Multimodal {
             case _ => VideoSynth.mp4Sampled(id, 1000, 1000L,
               (id % 5 + 1).toInt, extraBox = id % 2 == 0)
           }
-          VideoHeaders.parseSamples(bytes).map { samples =>
-            val (o0, s0) = samples.head
-            md.reset()
-            md.update(bytes, o0.toInt, s0.toInt)
-            val digest = md.digest().map("%02x".format(_)).mkString
-            VideoSamples(id, samples.size.toLong, o0, s0,
-              samples.map(_._2).sum, digest)
+          VideoHeaders.parseSamples(bytes).toSeq.flatMap { samples =>
+            samples.zipWithIndex.map { case ((chunk, off, sz), i) =>
+              md.reset()
+              md.update(bytes, off.toInt, sz.toInt)
+              val digest = md.digest().map("%02x".format(_)).mkString
+              VideoSample(id, i.toLong, chunk.toLong, off, sz, digest)
+            }
           }
         }
-      }.toDF().orderBy(col("doc_id"))
+      }.toDF().orderBy(col("doc_id"), col("sample_idx"))
   }
 
   /** WebDataset-style shard manifest: pack documents (in doc_id

@@ -561,24 +561,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("MP4 sample tables: stsz/stco walk slices the exact sample bytes") {
+  test("MP4 sample tables: stsz/stsc/stco walk slices chunked samples") {
     import graft.operators.{VideoHeaders, VideoSynth}
+    // id=9 → spc=1: every sample its own chunk, 4-byte gaps between
     val b = VideoSynth.mp4Sampled(9L, 1000, 1000L, 3, extraBox = true)
     val samples = VideoHeaders.parseSamples(b).get
     assert(samples.size == 3)
-    // offsets are contiguous from the stco anchor, sizes per stsz
-    samples.sliding(2).foreach { case Seq((o1, s1), (o2, _)) =>
-      assert(o2 == o1 + s1, "samples must be contiguous in the chunk")
+    assert(samples.map(_._1) == Seq(0, 1, 2), "one chunk per sample")
+    // chunks are NOT contiguous: each next offset skips the gap
+    samples.sliding(2).foreach { case Seq((_, o1, s1), (_, o2, _)) =>
+      assert(o2 == o1 + s1 + VideoSynth.chunkGap,
+        "next chunk must start after the inter-chunk gap")
     }
-    samples.zipWithIndex.foreach { case ((off, sz), i) =>
+    samples.zipWithIndex.foreach { case ((_, off, sz), i) =>
       assert(sz == 20 + ((9 + i) % 7) * 10)
       // the sliced bytes ARE the planted fill — byte-exact extraction
       val fill = (65 + ((9 + i) % 26)).toByte
       (off.toInt until (off + sz).toInt).foreach(j => assert(b(j) == fill))
     }
     // the last sample ends exactly at end-of-file (mdat fully used)
-    val (lo, ls) = samples.last
+    val (_, lo, ls) = samples.last
     assert(lo + ls == b.length)
+    // id=4 → n=5, spc=2: k=3 chunks, last partial ⇒ 2-entry stsc run
+    // list (1,2),(3,1) — the multi-chunk multi-entry layout
+    val b4 = VideoSynth.mp4Sampled(4L, 1000, 1000L, 5, extraBox = true)
+    val s4 = VideoHeaders.parseSamples(b4).get
+    assert(s4.map(_._1) == Seq(0, 0, 1, 1, 2), "stsc run expansion")
+    // within a chunk samples are contiguous; across chunks gapped
+    assert(s4(1)._2 == s4(0)._2 + s4(0)._3)
+    assert(s4(2)._2 == s4(1)._2 + s4(1)._3 + VideoSynth.chunkGap)
+    assert(s4(4)._2 == s4(3)._2 + s4(3)._3 + VideoSynth.chunkGap)
+    s4.zipWithIndex.foreach { case ((_, off, sz), i) =>
+      assert(sz == 20 + ((4 + i) % 7) * 10)
+      val fill = (65 + ((4 + i) % 26)).toByte
+      (off.toInt until (off + sz).toInt).foreach(j => assert(b4(j) == fill))
+    }
+    assert(s4.last._2 + s4.last._3 == b4.length)
     // fixed-size stsz form (sample_size != 0): patch it in
     val fixed = {
       val c = b.clone()
@@ -594,11 +612,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       c
     }
     val fixedSamples = VideoHeaders.parseSamples(fixed).get
-    assert(fixedSamples.map(_._2) == Seq(25L, 25L, 25L),
+    assert(fixedSamples.map(_._3) == Seq(25L, 25L, 25L),
       "fixed-size stsz form must be honored")
     // truncation and garbage: None, never throw
     assert(VideoHeaders.parseSamples(b.take(40)).isEmpty)
     assert(VideoHeaders.parseSamples("ftypnope".getBytes).isEmpty)
+    // legal-but-hostile tables never throw either (the ADVICE
+    // contract): a moov whose stco points past EOF, and an empty
+    // stsz, both resolve to None instead of AIOOBE/NoSuchElement
+    val clipped = b4.take(b4.length - 30) // moov intact, mdat short
+    assert(VideoHeaders.parseSamples(clipped).isEmpty,
+      "sample ranges past EOF must be rejected, not sliced")
+    val emptyStsz = {
+      val c = b.clone()
+      val i = {
+        var k = 0
+        while (!(c(k) == 's' && c(k + 1) == 't' && c(k + 2) == 's' &&
+          c(k + 3) == 'z')) k += 1
+        k + 4
+      }
+      // zero the sample count: [verflags][sample_size][count=0]
+      c(i + 8) = 0; c(i + 9) = 0; c(i + 10) = 0; c(i + 11) = 0
+      c
+    }
+    assert(VideoHeaders.parseSamples(emptyStsz).isEmpty,
+      "an empty sample table must yield None, not head-of-empty")
   }
 
   test("split audit: complete, disjoint, deterministic, near target shares") {
