@@ -289,6 +289,44 @@ object PipelineOracles {
         |GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY 1, 2""".stripMargin,
 
+    // Mirrors Dedup.substringMax: same 8-token window keys as
+    // dedup_substring, cross-doc keys kept, per-doc gaps-and-islands
+    // (pos − row_number) merged into maximal runs, each run re-sliced
+    // from the token array and fingerprinted corpus-wide.
+    "dedup_substring_max" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${rollFold("array_to_string(list_slice(t, i, i + 7), ' ')")}
+         |      AS wfp,
+         |    md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wmd5
+         |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+         |  WHERE len(t) >= 8
+         |), dupk AS (
+         |  SELECT wfp, wmd5 FROM keyed
+         |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+         |), isl AS (
+         |  SELECT k.doc_id, k.pos,
+         |    k.pos - row_number() OVER (PARTITION BY k.doc_id
+         |      ORDER BY k.pos) AS g
+         |  FROM keyed k JOIN dupk USING (wfp, wmd5)
+         |), runs AS (
+         |  SELECT doc_id, min(pos) AS start,
+         |    max(pos) - min(pos) + 8 AS len_tokens
+         |  FROM isl GROUP BY doc_id, g
+         |), pass AS (
+         |  SELECT r.doc_id, CAST(r.len_tokens AS BIGINT) AS len_tokens,
+         |    md5(array_to_string(
+         |      list_slice(t.t, r.start, r.start + r.len_tokens - 1), ' '))
+         |      AS passage_fp
+         |  FROM runs r JOIN toks t USING (doc_id))
+         |SELECT passage_fp, len_tokens,
+         |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM pass GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     "dedup_survivor" ->
       """SELECT fp, keep_id, keep_chars, n_dups FROM (
         |  SELECT fp, doc_id AS keep_id, n_chars AS keep_chars,

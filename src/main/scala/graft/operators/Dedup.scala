@@ -437,6 +437,77 @@ object Dedup {
       .orderBy(col("wfp"), col("wmd5"))
   }
 
+  /** Variable-length substring dedup — [[substring]]'s fixed 8-token
+    * windows GROWN into MAXIMAL shared passages, the production
+    * training-data shape (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", ExactSubstr: remove the
+    * maximal repeated span, not a fixed window of it). Every shared
+    * span of >= w tokens appears as a RUN of consecutive shared
+    * windows, so maximality at window granularity is a
+    * gaps-and-islands merge over window start positions:
+    *
+    *  1. per-doc w-token windows with their start position
+    *     (row-local explode, no shuffle);
+    *  2. the cross-document window keys (one hash shuffle — the same
+    *     shuffle class [[substring]] already pays), semi-joined back
+    *     to positions (co-keyed with #2's exchange);
+    *  3. islands: pos − row_number() over (doc, pos) groups each
+    *     doc's consecutive shared positions into one run — a per-doc
+    *     window, partition-scale because a doc's windows are
+    *     doc-length-bounded, never corpus-scale;
+    *  4. each run [start, end] is the maximal passage
+    *     tokens[start, end + w − 1]; its text is re-sliced from the
+    *     doc's token array and fingerprinted, and identical maximal
+    *     passages are grouped corpus-wide (second hash shuffle).
+    *
+    * Everything shuffled is linear in corpus token count — runs only
+    * ever merge windows, and a passage shared by 10^6 docs is one
+    * group, never C(10^6,2) pairs. n_docs can be 1 for a group: a
+    * doc's maximal run may be a strict sub-span of its partner's
+    * longer run (the partner's fingerprint then differs), but every
+    * emitted passage is made of cross-document windows by
+    * construction — exactly the span an ExactSubstr scrubber would
+    * cut from that document. Deterministic, so the DuckDB oracle
+    * merges the same chains and hash-matches. */
+  def substringMax(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    val winExpr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= w)
+    val keyed = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${w - 1}),
+            i -> array_join(slice(t, i, $w), ' '))""")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        graft.functions.RollingHash.rollingHash(col("col")).as("wfp"),
+        md5(col("col").cast("binary")).as("wmd5"))
+    val dupKeys = keyed
+      .groupBy(col("wfp"), col("wmd5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wfp"), col("wmd5"))
+    val runs = keyed
+      .join(dupKeys, Seq("wfp", "wmd5"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("isl", col("pos") - row_number().over(winExpr))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) - min(col("pos")) + w).cast("long").as("len_tokens"))
+    runs
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("len_tokens"),
+        md5(expr("cast(array_join(slice(t, start, len_tokens), ' ') as binary)"))
+          .as("passage_fp"))
+      .groupBy(col("passage_fp"), col("len_tokens"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("passage_fp"))
+  }
+
   /** Duplicate CLUSTERS from the near-dup pair graph — pairs are only
     * half of dedup; acting on them needs connected components and one
     * canonical survivor per cluster. Labels start as each doc's own

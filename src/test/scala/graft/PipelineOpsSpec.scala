@@ -57,6 +57,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(corpus.count() > 0)
   }
 
+  test("substring max-growth merges window chains into maximal passages") {
+    import spark.implicits._
+    // a 12-token passage shared by docs 1/2 spans FIVE overlapping
+    // 8-token windows; maximal growth must merge them into ONE
+    // passage of len_tokens=12 — not five 8-token reports. Doc 3
+    // shares only the first 8 tokens (a strict sub-span): its own
+    // maximal run is the 8-token window, reported as a separate
+    // passage with n_docs=1 (its partners' runs are longer).
+    val p12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val p8 = p12.split(" ").take(8).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-submax-")
+    Seq(
+      (1L, s"intro words lead here $p12 tail one two three"),
+      (2L, s"different opening text $p12 and another close"),
+      (3L, s"only the short prefix $p8 nothing more shared"),
+      (4L, "a fully unique document with no overlap at all present"))
+      .toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val rows = graft.operators.Dedup.substringMax(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // the full 12-token passage: one group, docs 1+2, merged length
+    val full = rows.filter(t => t._2 == 12L)
+    assert(full.length == 1, s"expected one 12-token passage: ${rows.mkString(";")}")
+    assert(full.head._3 == 2L && full.head._5 == 1L && full.head._6 == 2L)
+    // doc 3's maximal run is exactly the 8-token prefix, alone
+    val sub = rows.filter(t => t._2 == 8L)
+    assert(sub.length == 1 && sub.head._3 == 1L && sub.head._5 == 3L)
+    // no group ever reports a passage shorter than the window
+    assert(rows.forall(_._2 >= 8L))
+    // and NOTHING else: the unique doc contributes no passage
+    assert(rows.length == 2, s"unexpected extra passages: ${rows.mkString(";")}")
+    // fingerprints really are the passage md5s
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(x: String) = md.digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(full.head._1 == m(p12) && sub.head._1 == m(p8))
+    // on the real corpus: passages exist and are never shorter than
+    // the window; the corpus' exact-duplicate docs must surface as
+    // full-document passages with n_docs >= 2
+    val corpus = graft.operators.Dedup.substringMax(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(_.getLong(1) >= 8L))
+    assert(corpus.exists(_.getLong(2) >= 2L),
+      "expected at least one genuinely cross-document maximal passage")
+  }
+
   test("duplicate clusters: components agree with the pair graph") {
     val rows = Dedup.components(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
