@@ -771,6 +771,67 @@ object PipelineOracles {
         |    CAST(sz AS INT))) AS digest
         |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
 
+    // Mirrors Multimodal.phashGroups in pure integer arithmetic: the
+    // planted 9×8 field (palette index (o + h·gx + v·gy) mod 5 with
+    // base-derived o/h/v, one-block +1 perturbation for d=1) aligns
+    // 1:1 with dHash's grid, so each hash bit is an index comparison;
+    // bit 63 lands via the BIGINT min-value term. Groups, PNG/JPEG
+    // membership, 4×16-bit band keys (arithmetic >> then mask — the
+    // same two's-complement band Spark computes), and nearest-
+    // neighbor hamming all recomputed from doc_id alone.
+    "mm_phash_neardup" ->
+      """WITH imgs AS (
+        |  SELECT DISTINCT doc_id % 40 AS base, (doc_id // 80) % 2 AS d
+        |  FROM documents
+        |), cells AS (
+        |  SELECT base, d, gx, gy,
+        |    ((base % 5) + (2 + (base // 5) % 2) * gx
+        |      + ((base // 5) % 5) * gy
+        |      + CASE WHEN d = 1 AND gx = base % 9 AND gy = (base * 3) % 8
+        |             THEN 1 ELSE 0 END) % 5 AS idx
+        |  FROM imgs,
+        |    unnest(generate_series(0, 8)) AS t1(gx),
+        |    unnest(generate_series(0, 7)) AS t2(gy)
+        |), hashes AS (
+        |  SELECT a.base, a.d, CAST(SUM(CASE WHEN a.idx > b.idx THEN
+        |      CASE WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775808
+        |           ELSE (1::BIGINT << CAST(a.gy * 8 + a.gx AS INT)) END
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells a JOIN cells b
+        |    ON a.base = b.base AND a.d = b.d AND a.gy = b.gy
+        |    AND b.gx = a.gx + 1
+        |  GROUP BY a.base, a.d
+        |), docs AS (
+        |  SELECT doc_id, h.phash
+        |  FROM documents JOIN hashes h
+        |    ON h.base = doc_id % 40 AND h.d = (doc_id // 80) % 2
+        |), grp AS (
+        |  SELECT phash, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN (doc_id // 40) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_png,
+        |    CAST(sum(CASE WHEN (doc_id // 40) % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_jpeg,
+        |    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |  FROM docs GROUP BY 1
+        |), bands AS (
+        |  SELECT phash, band, (phash >> (band * 16)) & 65535 AS key
+        |  FROM (SELECT DISTINCT phash FROM grp),
+        |    unnest(generate_series(0, 3)) AS tb(band)
+        |), pairs AS (
+        |  SELECT DISTINCT a.phash AS pa, b.phash AS pb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.phash <> b.phash
+        |), nn AS (
+        |  SELECT pa, CAST(min(bit_count(xor(pa, pb))) AS BIGINT)
+        |      AS nn_hamming,
+        |    count(*) AS nn_pairs
+        |  FROM pairs WHERE bit_count(xor(pa, pb)) <= 6 GROUP BY 1)
+        |SELECT g.phash, g.n_docs, g.n_png, g.n_jpeg, g.first_doc,
+        |  g.last_doc, nn.nn_hamming,
+        |  CAST(COALESCE(nn.nn_pairs, 0) AS BIGINT) AS nn_pairs
+        |FROM grp g LEFT JOIN nn ON g.phash = nn.pa
+        |ORDER BY g.phash""".stripMargin,
+
     // Mirrors Multimodal.shardManifest: the same two-level prefix sum
     // (bucket offsets + within-bucket window), 256 KB shard target
     "mm_shard_manifest" ->

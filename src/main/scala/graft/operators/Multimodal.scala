@@ -200,6 +200,86 @@ private[graft] object ImageSynth {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** Planted 9×8 block field behind [[realImage]] — 5-level gray
+    * palette indexed by (offset + h·bx + v·by) mod 5 with
+    * base-derived (offset, h, v). Parameters are chosen so EVERY
+    * horizontally adjacent block pair lands on different palette
+    * levels (h ∈ {2,3} and the +1 perturbation keep all deltas
+    * nonzero mod 5): a ≥55-gray-level margin on every dHash
+    * comparison, which is what makes the hash survive JPEG's lossy
+    * round-trip bit-exactly. Variant d=1 bumps exactly one block one
+    * palette step — a 0–2-bit perceptual near-dup of d=0. */
+  def fieldIdx(base: Long, d: Long, bx: Int, by: Int): Int = {
+    val o = (base % 5).toInt
+    val q = base / 5
+    val h = 2 + (q % 2).toInt
+    val v = (q % 5).toInt
+    val raw = (o + h * bx + v * by) % 5
+    if (d == 1 && bx == (base % 9).toInt && by == ((base * 3) % 8).toInt)
+      (raw + 1) % 5
+    else raw
+  }
+
+  /** A COMPLETE, pixel-decodable image in the codec chosen by the
+    * id: 36×32 gray of 4×4 blocks over the [[fieldIdx]] field,
+    * encoded by the JDK's own PNG writer for (id/40) even and its
+    * JPEG writer for (id/40) odd — the SAME pixel field lands in
+    * BOTH codecs, so perceptual identity must survive a genuinely
+    * lossy round-trip. 36 wide so dHash's 9-column grid aligns
+    * 1:1 with the planted blocks (every grid cell IS one block,
+    * margins stay at full palette distance). base = id mod 40 picks
+    * the field; d = (id/80) mod 2 picks the one-block perturbation. */
+  def realImage(id: Long): Array[Byte] = {
+    val base = id % 40
+    val d = (id / 80) % 2
+    val img = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        val c = 15 + 55 * fieldIdx(base, d, bx, by)
+        val rgb = (c << 16) | (c << 8) | c
+        var py = 0
+        while (py < 4) {
+          var px = 0
+          while (px < 4) {
+            img.setRGB(bx * 4 + px, by * 4 + py, rgb); px += 1
+          }
+          py += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img,
+      if ((id / 40) % 2 == 0) "png" else "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** The dHash [[realImage]] MUST decode to, computed from the
+    * planted field alone (grid cells align 1:1 with blocks, palette
+    * is monotone, so each hash bit is just an index comparison) —
+    * the arithmetic the DuckDB oracle mirrors. */
+  def plantedHash(id: Long): Long = {
+    val base = id % 40
+    val d = (id / 80) % 2
+    var hash = 0L
+    var bit = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (fieldIdx(base, d, gx, gy) > fieldIdx(base, d, gx + 1, gy))
+          hash |= 1L << bit
+        bit += 1; gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
 }
 
 /** 64-bit difference hash (dHash — the public perceptual-hash
@@ -1121,5 +1201,62 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Cross-codec perceptual near-dup report — [[phashNearDup]]'s
+    * machinery promoted to an oracle-backed query over payloads that
+    * mix REAL codecs: the same planted pixel field is encoded PNG
+    * for half the ids and JPEG (genuinely lossy) for the other half
+    * ([[ImageSynth.realImage]]), so identical phash groups holding
+    * both n_png and n_jpeg members prove the hash survives a lossy
+    * round-trip, not just a byte copy.
+    *
+    * Scale shape: per-doc decode+hash is one map-only projection of
+    * the registered image_dhash function; docs then collapse into
+    * identical-hash GROUPS first (≤80 distinct hashes here, and at
+    * 100 TB the group count tracks distinct content, not corpus
+    * rows) — the quadratic trap of emitting every same-hash doc pair
+    * never exists. Banded Hamming LSH (4×16-bit bands) runs over
+    * the DISTINCT hashes only, annotating each group with its
+    * nearest-neighbor distance and partner count; candidate volume
+    * tracks distinct-hash near-dup structure. The planted field's
+    * ≥55-level margins make the decoded hash equal the planted-field
+    * arithmetic exactly (spec-pinned across all 160 variants), so
+    * the DuckDB oracle recomputes every hash, group count, and
+    * neighbor distance in pure integer arithmetic. */
+  def phashGroups(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.install(s)
+    val sp = s
+    import sp.implicits._
+    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaPayload(id, ImageSynth.realImage(id))))
+      .toDF()
+      .select(col("doc_id"), expr("image_dhash(bytes)").as("phash"))
+    val groups = hashes.groupBy(col("phash")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(expr("(doc_id div 40) % 2 = 0"), 1L).otherwise(0L))
+        .as("n_png"),
+      sum(when(expr("(doc_id div 40) % 2 = 1"), 1L).otherwise(0L))
+        .as("n_jpeg"),
+      min(col("doc_id")).as("first_doc"),
+      max(col("doc_id")).as("last_doc"))
+    val banded = groups.select(col("phash"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("key", expr("(phash >> (band * 16)) & 65535"))
+    val nn = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.phash") =!= col("b.phash"))
+      .select(col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .filter(col("hamming") <= 6)
+      .groupBy(col("pa"))
+      .agg(min(col("hamming")).as("nn_hamming"),
+        count(lit(1)).as("nn_pairs"))
+    groups.join(nn, groups("phash") === nn("pa"), "left")
+      .select(col("phash"), col("n_docs"), col("n_png"), col("n_jpeg"),
+        col("first_doc"), col("last_doc"), col("nn_hamming"),
+        coalesce(col("nn_pairs"), lit(0L)).as("nn_pairs"))
+      .orderBy(col("phash"))
   }
 }

@@ -763,4 +763,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("cross-codec phash: JPEG round-trip hashes bit-equal to planted field") {
+    import graft.operators.{ImageSynth, DHash, Multimodal}
+    // EXHAUSTIVE over the payload universe: ids mod 160 cover every
+    // (base, codec, perturbation) combination — if each codec's
+    // decoded dHash equals the planted-field arithmetic for all 160,
+    // it does at every corpus scale, which is what licenses the
+    // DuckDB oracle to recompute hashes arithmetically
+    (0L until 160L).foreach { id =>
+      val h = DHash.ofBytes(ImageSynth.realImage(id))
+      val codec = if ((id / 40) % 2 == 0) "png" else "jpeg"
+      assert(h != null, s"id $id ($codec) failed to decode")
+      assert(h.longValue == ImageSynth.plantedHash(id),
+        s"id $id ($codec): decoded hash ${h.longValue} != planted " +
+          s"${ImageSynth.plantedHash(id)} — lossy round-trip broke a bit")
+    }
+    // cross-codec identity: same (base, d) through PNG and through
+    // JPEG are the SAME perceptual hash (ids 40 apart, same id/80)
+    (0L until 40L).foreach { base =>
+      assert(DHash.ofBytes(ImageSynth.realImage(base)).longValue ==
+        DHash.ofBytes(ImageSynth.realImage(base + 40)).longValue,
+        s"base $base: PNG and JPEG encodings hash apart")
+    }
+    // the perturbed variant is a near-dup, never far: hamming ≤ 2
+    (0L until 80L).foreach { id =>
+      val d0 = ImageSynth.plantedHash(id)
+      val d1 = ImageSynth.plantedHash(id + 80)
+      assert(java.lang.Long.bitCount(d0 ^ d1) <= 2,
+        s"id $id: perturbation moved ${java.lang.Long.bitCount(d0 ^ d1)} bits")
+    }
+    // the query groups cross-codec docs under one hash
+    val rows = Multimodal.phashGroups(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(r => r.getLong(2) > 0 && r.getLong(3) > 0),
+      "no phash group holds both PNG and JPEG members")
+    // group doc counts cover the whole corpus exactly once
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
 }
