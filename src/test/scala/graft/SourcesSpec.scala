@@ -10,6 +10,79 @@ import graft.sources.{Formats, Tables}
 class SourcesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("parquet modular encryption: column keys, ciphertext on disk, wrong-key refusal") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pqenc-")
+    val path = dir.resolve("enc").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    def b64(seed: Int) = java.util.Base64.getEncoder.encodeToString(
+      Array.tabulate[Byte](16)(i => (seed + i).toByte))
+    val (kf, kc, bad) = (b64(1), b64(101), b64(53))
+    def setKeys(list: String): Unit = {
+      hc.set("parquet.crypto.factory.class",
+        "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
+      hc.set("parquet.encryption.kms.client.class",
+        "graft.sources.GraftKmsClient")
+      hc.set(graft.sources.GraftKmsClient.KeyListProp, list)
+      // parquet caches unwrapped keys per access token — purge so a
+      // key-list change actually reaches the next read
+      org.apache.parquet.crypto.keytools.KeyToolkit
+        .removeCacheEntriesForAllTokens()
+    }
+    try {
+      setKeys(s"kf:$kf, kc:$kc")
+      (0 until 100).map(i => (i.toLong, s"SECRETPAYLOAD-$i", i * 2L))
+        .toDF("id", "secret_text", "open_val")
+        .coalesce(1).write
+        .option("parquet.encryption.footer.key", "kf")
+        .option("parquet.encryption.column.keys", "kc:secret_text")
+        .mode("overwrite").parquet(path)
+      // ciphertext on disk: encrypted-footer files trade the PAR1
+      // magic for PARE, and the secret column's plaintext is absent
+      val part = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val raw = java.nio.file.Files.readAllBytes(part.toPath)
+      assert(new String(raw.takeRight(4), "US-ASCII") == "PARE",
+        "encrypted-footer file must end with the PARE magic")
+      assert(new String(raw.take(4), "US-ASCII") == "PARE",
+        "encrypted-footer file must start with the PARE magic")
+      val needle = "SECRETPAYLOAD".getBytes("US-ASCII")
+      assert(!raw.sliding(needle.length).exists(_.sameElements(needle)),
+        "secret column plaintext leaked to disk")
+      // the right keys decrypt transparently through the reader
+      val back = spark.read.parquet(path)
+        .orderBy(col("id")).collect()
+      assert(back.length == 100)
+      assert(back(7).getString(1) == "SECRETPAYLOAD-7")
+      assert(back(7).getLong(2) == 14L)
+      // wrong COLUMN key: the footer opens but the column refuses
+      setKeys(s"kf:$kf, kc:$bad")
+      val colErr = intercept[Exception] {
+        spark.read.parquet(path).select(col("secret_text")).collect()
+      }
+      val chain = Iterator.iterate(colErr: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.toString.toLowerCase).mkString(" | ")
+      assert(chain.matches("(?s).*(tag|gcm|decrypt).*"),
+        s"unexpected wrong-column-key failure: $chain")
+      // wrong FOOTER key: nothing opens at all
+      setKeys(s"kf:$bad, kc:$kc")
+      intercept[Exception] {
+        spark.read.parquet(path).select(col("open_val")).collect()
+      }
+      // no crypto config at all: the PARE file must not read as plain
+      hc.unset("parquet.crypto.factory.class")
+      intercept[Exception] {
+        spark.read.parquet(path).count()
+      }
+    } finally {
+      hc.unset("parquet.crypto.factory.class")
+      hc.unset("parquet.encryption.kms.client.class")
+      hc.unset(graft.sources.GraftKmsClient.KeyListProp)
+      org.apache.parquet.crypto.keytools.KeyToolkit
+        .removeCacheEntriesForAllTokens()
+    }
+  }
+
   test("har write analog: 50-file scatter round-trips through part+index") {
     import graft.sources.Harchive
     val rng = new scala.util.Random(42)
