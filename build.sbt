@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness parses the LAST stdout line as JSON; sbt's
+// trailing "[success] Total time: ..." banner lands after the Bench
+// main's JSON line and breaks that parse, so suppress it globally —
+// and pass forked run output through unprefixed (no "[info] " in
+// front of the JSON line) so the line parses as-is.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
