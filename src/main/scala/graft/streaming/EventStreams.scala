@@ -247,7 +247,21 @@ object EventStreams {
     * per-user fold as [[sessionize]]; requires the RocksDB state
     * store provider (the API is implemented only there — which is
     * also the production backend). Emission: one cumulative snapshot
-    * per user per micro-batch, upsert semantics (Update mode). */
+    * per user per micro-batch, upsert semantics (Update mode).
+    *
+    * RESET-ON-RETURN caveat (the price of horizon-bounded state): a
+    * user idle past watermark + gap has their state dropped by the
+    * timer, so if they RETURN the fold restarts from zero and the
+    * next snapshot REGRESSES that user's cumulative totals under
+    * upsert semantics — "cumulative" here means within a state
+    * lifetime, not forever. This is the deliberate trade every
+    * bounded-state sessionizer makes (keeping all users ever seen is
+    * exactly the unbounded-state failure the timer exists to
+    * prevent); a consumer needing true lifetime totals folds the
+    * per-lifetime snapshots downstream (sum on expire-then-return,
+    * e.g. max-per-epoch + sum), it does not widen the stream's
+    * horizon. Spec-pinned: an expired user's return restarts at the
+    * new events' counts. */
   private class SessionCounter
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, SessionEvent, UserSessions] {
@@ -289,8 +303,11 @@ object EventStreams {
         timers: org.apache.spark.sql.streaming.TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[UserSessions] = {
-      // the last emitted snapshot already carried this user's final
-      // totals (Update-mode upsert semantics) — just drop the state
+      // the last emitted snapshot carried this user's final totals
+      // FOR THIS STATE LIFETIME (Update-mode upsert semantics) — drop
+      // the state. If the user returns later, the fold restarts from
+      // zero and the next snapshot supersedes this one (the
+      // reset-on-return caveat in the class doc).
       state.clear()
       Iterator.empty
     }

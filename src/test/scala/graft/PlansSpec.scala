@@ -323,9 +323,18 @@ class PlansSpec extends AnyFunSuite {
       .findAllIn(plan).size
     assert(joins == 1, s"expected 1 join, found $joins:\n${plan.take(900)}")
     assert(plan.contains("Union"), "null bypass union missing")
-    // the join's streamed side filters nulls out before any exchange
-    assert("isnotnull".r.findAllIn(plan.toLowerCase).nonEmpty,
-      "matchable side lost its not-null filter")
+    // the join's streamed side filters nulls out BEFORE the join:
+    // the explicit pkey-not-null filter pushes through the pkey
+    // projection as `CASE WHEN (event_type = purchase) THEN
+    // isnotnull(user_id) ELSE false END` at the scan — a shape no
+    // inferred join constraint produces (LEFT OUTER infers nothing
+    // on the streamed side), so this fails if the explicit filter is
+    // dropped (the r10 ADVICE: a bare `isnotnull` match was vacuous)
+    assert(
+      ("(?s)Filter CASE WHEN \\(event_type#\\d+ = purchase\\) " +
+        "THEN isnotnull\\(user_id#\\d+L?\\) ELSE false END").r
+        .findFirstIn(plan).nonEmpty,
+      s"matchable side lost its explicit not-null filter:\n${plan.take(1500)}")
   }
 
   test("profile histogram: constant-key hash agg, no data-scale sort") {

@@ -191,8 +191,22 @@ class StreamingSpec extends AnyFunSuite {
       // user 2 saw 2 events / 1 session before expiring
       val last = spark.table("tws_expiry").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-      q.stop()
       assert(last(1L) == (4L, 2L) && last(2L) == (2L, 1L))
+      // RESET-ON-RETURN (the documented caveat): user 2's state was
+      // dropped by the timer, so when they come back their fold
+      // restarts from zero — the new snapshot counts ONLY the new
+      // events (1 event, 1 session), regressing the (2,1) row above
+      // under upsert semantics rather than resuming it
+      mem.addData((2L, ts(242)))
+      q.processAllAvailable()
+      val returned = spark.table("tws_expiry").collect()
+        .filter(_.getLong(0) == 2L)
+        .map(r => (r.getLong(1), r.getLong(2)))
+      q.stop()
+      assert(returned.contains((1L, 1L)),
+        s"expired user's return must restart from zero: ${returned.mkString(",")}")
+      assert(!returned.contains((3L, 2L)),
+        "expired user's return must NOT resume the dropped totals")
     } finally saved match {
       case Some(v) => conf.set(key, v)
       case None => conf.unset(key)
