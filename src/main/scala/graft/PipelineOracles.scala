@@ -327,6 +327,49 @@ object PipelineOracles {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM pass GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
+    // Mirrors Dedup.substringScrub: the substring_max island runs as
+    // token spans, every covered token dropped, the kept tokens
+    // re-joined single-spaced and fingerprinted per doc.
+    "dedup_substring_scrub" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${rollFold("array_to_string(list_slice(t, i, i + 7), ' ')")}
+         |      AS wfp,
+         |    md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wmd5
+         |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+         |  WHERE len(t) >= 8
+         |), dupk AS (
+         |  SELECT wfp, wmd5 FROM keyed
+         |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+         |), isl AS (
+         |  SELECT k.doc_id, k.pos,
+         |    k.pos - row_number() OVER (PARTITION BY k.doc_id
+         |      ORDER BY k.pos) AS g
+         |  FROM keyed k JOIN dupk USING (wfp, wmd5)
+         |), runs AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM isl GROUP BY doc_id, g
+         |), tok_idx AS (
+         |  SELECT doc_id, i, t[i] AS tok
+         |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+         |), kept AS (
+         |  SELECT k.doc_id, k.i, k.tok
+         |  FROM tok_idx k
+         |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+         |    WHERE r.doc_id = k.doc_id AND k.i BETWEEN r.s AND r.e)
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY i) AS clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(a.clean, '')) AS clean_fp
+         |FROM toks LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_survivor" ->
       """SELECT fp, keep_id, keep_chars, n_dups FROM (
         |  SELECT fp, doc_id AS keep_id, n_chars AS keep_chars,

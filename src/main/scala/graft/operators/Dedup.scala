@@ -508,6 +508,66 @@ object Dedup {
       .orderBy(col("passage_fp"))
   }
 
+  /** The APPLY side of ExactSubstr — [[substringMax]] finds the
+    * maximal shared passages; this one actually REMOVES them and
+    * emits the cleaned corpus, which is what a training-data
+    * pipeline ships downstream (Lee et al. 2022 drop the repeated
+    * span from all but one occurrence; this is the stricter
+    * drop-everywhere form — boilerplate is noise in every copy).
+    *
+    * Per doc: the same island runs become token spans
+    * [start, start + len − 1]; the kept text is the tokens covered
+    * by NO span (a row-local array filter over the collected span
+    * list — spans per doc are few, token work is linear), re-joined
+    * single-spaced. Docs without any shared passage pass through
+    * (left join), including docs too short to window. Output is one
+    * row per doc with counts and the cleaned text's md5 — corpus
+    * text never ships to the driver or the result. Shuffle classes:
+    * the [[substringMax]] pipeline plus one doc-keyed span
+    * collect + one doc join — all linear. The DuckDB oracle
+    * recomputes the kept-token join per doc, so the cleaned text is
+    * verified byte-for-byte via its fingerprint. */
+  def substringScrub(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    val winExpr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val allToks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val toks = allToks.filter(size(col("t")) >= w)
+    val keyed = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${w - 1}),
+            i -> array_join(slice(t, i, $w), ' '))""")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        graft.functions.RollingHash.rollingHash(col("col")).as("wfp"),
+        md5(col("col").cast("binary")).as("wmd5"))
+    val dupKeys = keyed
+      .groupBy(col("wfp"), col("wmd5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wfp"), col("wmd5"))
+    val spans = keyed
+      .join(dupKeys, Seq("wfp", "wmd5"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("isl", col("pos") - row_number().over(winExpr))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + (w - 1)).cast("long").as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    allToks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("""filter(transform(t, (tok, i) ->
+            CASE WHEN spans IS NULL
+                   OR NOT exists(spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e)
+                 THEN tok END), x -> x IS NOT NULL)""").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(expr("cast(array_join(kept, ' ') as binary)")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate CLUSTERS from the near-dup pair graph — pairs are only
     * half of dedup; acting on them needs connected components and one
     * canonical survivor per cluster. Labels start as each doc's own

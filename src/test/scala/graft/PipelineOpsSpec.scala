@@ -103,6 +103,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(corpus.forall(_.getLong(1) >= 8L))
     assert(corpus.exists(_.getLong(2) >= 2L),
       "expected at least one genuinely cross-document maximal passage")
+
+    // the APPLY side on the same planted corpus: every shared span
+    // is removed, everything else survives byte-for-byte
+    val mdScrub = java.security.MessageDigest.getInstance("MD5")
+    def fp(x: String) = mdScrub.digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val scrub = graft.operators.Dedup.substringScrub(spark, dir.toString)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: 20 tokens, the 12-token passage removed, frame kept
+    assert(scrub(1L) == (20L, 12L,
+      fp("intro words lead here tail one two three")))
+    // doc 3: only the 8-token prefix goes
+    assert(scrub(3L) == (15L, 8L,
+      fp("only the short prefix nothing more shared")))
+    // doc 4: untouched, fingerprint of the (re-joined) original
+    assert(scrub(4L) == (10L, 0L,
+      fp("a fully unique document with no overlap at all present")))
   }
 
   test("duplicate clusters: components agree with the pair graph") {

@@ -356,6 +356,58 @@ class PlansSpec extends AnyFunSuite {
       s"scan reads more than the priced column:\n${plan.take(900)}")
   }
 
+  test("substring max-growth: per-doc windows, partial aggs, no pair blowup") {
+    val df = SparkEntry.queries("dedup_substring_max")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // nothing pairwise anywhere: candidate volume is window-linear
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise operator crept in:\n${plan.take(900)}")
+    // the island window is PARTITIONED by doc (a global-order window
+    // would single-task the corpus)
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"island window lost its doc partition:\n${plan.take(900)}")
+    assert(!plan.contains("windowspecdefinition(pos"),
+      "unpartitioned window over positions")
+    // passage grouping combines map-side before its exchange
+    assert(("(?s)Exchange hashpartitioning\\(passage_fp[^\\n]*\\n[^\\n]*" +
+      "HashAggregate[^\\n]*merge_").r.findFirstIn(plan).nonEmpty ||
+      plan.contains("partial_count"),
+      s"no map-side partials before the passage exchange:\n${plan.take(900)}")
+    // column pruning: the documents scans read only (doc_id, text) —
+    // never lang/source/n_chars
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan reads beyond doc_id/text:\n${plan.take(900)}")
+  }
+
+  test("phash groups: map-only decode, group collapse before LSH, reused distinct") {
+    val df = SparkEntry.queries("mm_phash_neardup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // decode+hash is ONE codegen projection straight off the payload
+    // (no UDF boundary, no shuffle before hashing)
+    assert(plan.contains("static_invoke(graft.operators.DHash.ofBytes"),
+      s"image_dhash not inlined as a codegen projection:\n${plan.take(900)}")
+    // docs collapse into hash groups map-side: a partial aggregate on
+    // phash exists UNDER the group exchange (child prints below), so
+    // the exchange never carries doc-scale rows
+    assert(("(?s)Exchange hashpartitioning\\(phash[^\\n]*\\n[^\\n]*" +
+      "HashAggregate\\(keys=\\[phash[^\\n]*partial_").r
+      .findFirstIn(plan).nonEmpty,
+      s"no map-side group collapse before the phash exchange:\n${plan.take(1200)}")
+    // the LSH branch reuses the distinct-hash exchange instead of
+    // recomputing the decode pipeline
+    assert(plan.contains("ReusedExchange"),
+      s"distinct-hash exchange not reused:\n${plan.take(900)}")
+    // nothing pairwise at doc scale
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise operator crept in:\n${plan.take(900)}")
+  }
+
   test("retention cohort: first-touch window and roll-up share two exchanges") {
     val df = SparkEntry.queries("adv_retention_cohort")(spark, sf)
     df.collect()
