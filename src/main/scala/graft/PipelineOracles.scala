@@ -814,6 +814,42 @@ object PipelineOracles {
         |    CAST(sz AS INT))) AS digest
         |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
 
+    // Mirrors Multimodal.audioSamples' planted layout: data chunk at
+    // 44 + optional LIST(18), blockAlign = ch·bits/8 from the same
+    // doc_id arithmetic as mm_audio_meta, 100-frame windows (last
+    // partial), every window's bytes rebuilt with chr() and digested.
+    "mm_audio_samples" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2 + 1) *
+        |     (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END)) // 8 AS align,
+        |    (doc_id % 100 + 1) * 10 AS n,
+        |    CASE WHEN doc_id % 2 = 0 THEN 18 ELSE 0 END AS extra
+        |  FROM documents WHERE doc_id % 7 NOT IN (3, 5)
+        |), wins AS (
+        |  SELECT doc_id, align, n, extra, w,
+        |    44 + extra + w * 100 * align AS byte_off,
+        |    least(n - w * 100, 100) AS win_frames
+        |  FROM p, unnest(generate_series(0,
+        |    CAST((n - 1) // 100 AS INT))) AS t(w)
+        |), bytes AS (
+        |  SELECT doc_id, w, j,
+        |    chr(CAST(32 + (doc_id + 7 * j) % 95 AS INT)) AS c
+        |  FROM wins, unnest(generate_series(
+        |    CAST(w * 100 * align AS INT),
+        |    CAST(w * 100 * align + win_frames * align - 1 AS INT))) AS u(j)
+        |), agg AS (
+        |  SELECT doc_id, w, count(*) AS nb,
+        |    md5(string_agg(c, '' ORDER BY j)) AS digest
+        |  FROM bytes GROUP BY 1, 2)
+        |SELECT ww.doc_id, CAST(ww.w AS BIGINT) AS win_idx,
+        |  CAST(ww.byte_off AS BIGINT) AS byte_off,
+        |  CAST(ww.win_frames AS BIGINT) AS win_frames,
+        |  CAST(a.nb AS BIGINT) AS win_bytes,
+        |  a.digest
+        |FROM wins ww JOIN agg a ON ww.doc_id = a.doc_id AND ww.w = a.w
+        |ORDER BY ww.doc_id, win_idx""".stripMargin,
+
     // Mirrors Multimodal.phashGroups in pure integer arithmetic: the
     // planted 9×8 field (palette index (o + h·gx + v·gy) mod 5 with
     // base-derived o/h/v, one-block +1 perturbation for d=1) aligns

@@ -34,6 +34,8 @@ case class ImageMeta(doc_id: Long, format: String, width: Long,
     height: Long, thumb_w: Long, thumb_h: Long)
 case class VideoSample(doc_id: Long, sample_idx: Long, chunk_idx: Long,
     s_off: Long, s_size: Long, digest: String)
+case class AudioWindow(doc_id: Long, win_idx: Long, byte_off: Long,
+    win_frames: Long, win_bytes: Long, digest: String)
 
 /** REAL byte-level image header parsers — public format knowledge
   * only: PNG (ISO/IEC 15948 §5.3/11.2.2: 8-byte signature, IHDR is
@@ -382,6 +384,36 @@ private[graft] object AudioHeaders {
     for (f <- fmt; d <- dataBytes) yield (f._1, f._2, f._3, d)
   }
 
+  /** (dataOffset, dataBytes, blockAlign) of the PCM payload — the
+    * byte-range view an audio clipper slices without decoding, the
+    * WAV twin of VideoHeaders.parseSamples. Same chunk walk as
+    * [[parse]]; None when the file isn't a WAV, fmt is malformed,
+    * blockAlign would be zero, or the data range falls outside the
+    * buffer. Never throws. */
+  def dataRange(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return None
+    var i = 12
+    var align: Option[Long] = None
+    var data: Option[(Long, Long)] = None
+    while (i + 8 <= b.length && (align.isEmpty || data.isEmpty)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (tag(b, i, "fmt ")) {
+        if (size < 16) return None
+        val ch = le16(b, i + 10).toLong
+        val bits = le16(b, i + 22).toLong
+        if (ch < 1 || bits < 8 || bits % 8 != 0) return None
+        align = Some(ch * bits / 8)
+      } else if (tag(b, i, "data")) {
+        data = Some(((i + 8).toLong, size))
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    for (a <- align; (off, len) <- data
+         if off + len <= b.length) yield (off, len, a)
+  }
+
   // SQL entry points (StaticInvoke forwarders, like ImageHeaders)
   def wavChannels(b: Array[Byte]): java.lang.Long =
     if (b == null) null
@@ -403,7 +435,23 @@ private[graft] object AudioHeaders {
   * those files wrong). */
 private[graft] object AudioSynth {
   def wav(ch: Int, rate: Int, bits: Int, nSamples: Int,
-      extraChunk: Boolean): Array[Byte] = {
+      extraChunk: Boolean): Array[Byte] =
+    build(ch, rate, bits, nSamples, extraChunk,
+      _ => new Array[Byte](0)) // zero-filled below when fill is empty
+
+  /** Same framing with REAL deterministic PCM content: data byte j
+    * is the printable ASCII 32 + ((id + 7·j) mod 95) — single-byte
+    * UTF-8, so a SQL oracle can rebuild any byte range with
+    * chr()/string_agg and md5 it, while the Spark side genuinely
+    * walks the chunks and SLICES. */
+  def wavPcm(id: Long, ch: Int, rate: Int, bits: Int, nSamples: Int,
+      extraChunk: Boolean): Array[Byte] =
+    build(ch, rate, bits, nSamples, extraChunk, { dataLen =>
+      Array.tabulate[Byte](dataLen)(j => (32 + ((id + 7L * j) % 95)).toByte)
+    })
+
+  private def build(ch: Int, rate: Int, bits: Int, nSamples: Int,
+      extraChunk: Boolean, fill: Int => Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def le32(v: Int): Unit = {
@@ -426,7 +474,9 @@ private[graft] object AudioSynth {
     le16(ch); le32(rate); le32(rate * blockAlign)
     le16(blockAlign); le16(bits)
     bos.write("data".getBytes(StandardCharsets.US_ASCII)); le32(dataLen)
-    bos.write(new Array[Byte](dataLen))
+    val payload = fill(dataLen)
+    if (payload.length == dataLen) bos.write(payload)
+    else bos.write(new Array[Byte](dataLen))
     bos.toByteArray
   }
 }
@@ -1032,6 +1082,55 @@ object Multimodal {
       .withColumn("duration_ms", expr("n_frames * 1000 div sample_rate"))
       .drop("data_bytes")
       .orderBy(col("doc_id"))
+  }
+
+  /** The audio twin of [[videoSamples]]: where [[audioMeta]] reads
+    * the fmt header, this locates the PCM payload's byte range
+    * (AudioHeaders.dataRange — offset, length, blockAlign from the
+    * same bounds-checked chunk walk) and SLICES it into fixed
+    * 100-frame windows with a per-window md5 — the clip/window
+    * extraction an audio pipeline runs before any codec or model
+    * sees bytes. Payload params mirror [[audioMeta]] exactly, but
+    * the data chunk carries REAL deterministic PCM
+    * ([[AudioSynth.wavPcm]]: printable-ASCII bytes in pure doc_id
+    * arithmetic), so the oracle rebuilds every window byte-for-byte
+    * with chr()/string_agg and recomputes each digest; the last
+    * window is partial whenever 100 doesn't divide the frame count.
+    * mapPartitions tier, map-only, zero shuffles at any scale. */
+  def audioSamples(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val framesPerWin = 100L
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { id =>
+          val bytes = (id % 7) match {
+            case 3 => s"doc-$id is not audio".getBytes("UTF-8")
+            case 5 => AudioSynth.wavPcm(id, 1, 8000, 16, 4,
+              extraChunk = false).take(20) // truncated mid-fmt
+            case _ => AudioSynth.wavPcm(id,
+              (id % 2 + 1).toInt,
+              (8000 + (id % 5) * 2000).toInt,
+              if (id % 3 == 0) 8 else 16,
+              ((id % 100 + 1) * 10).toInt,
+              extraChunk = id % 2 == 0)
+          }
+          AudioHeaders.dataRange(bytes).toSeq.flatMap {
+            case (off, len, align) =>
+              val winBytes = framesPerWin * align
+              val nWins = ((len + winBytes - 1) / winBytes).toInt
+              (0 until nWins).map { w =>
+                val o = off + w * winBytes
+                val nb = math.min(len - w * winBytes, winBytes)
+                md.reset()
+                md.update(bytes, o.toInt, nb.toInt)
+                val digest = md.digest().map("%02x".format(_)).mkString
+                AudioWindow(id, w.toLong, o, nb / align, nb, digest)
+              }
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("win_idx"))
   }
 
   /** The VIDEO row of the modality matrix: ISO-BMFF container

@@ -395,6 +395,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(AudioHeaders.parse(noData).isEmpty)
   }
 
+  test("WAV PCM windows: dataRange walk slices byte-exact 100-frame windows") {
+    import graft.operators.{AudioHeaders, AudioSynth, Multimodal}
+    // id=9: ch=2, bits=16 (9%3!=0), align=4, 230 frames (planted
+    // directly, not via the query's id%100 arithmetic), LIST chunk
+    val b = AudioSynth.wavPcm(9L, 2, 16000, 16, 230, extraChunk = true)
+    val (off, len, align) = AudioHeaders.dataRange(b).get
+    assert((off, len, align) == (62L, 920L, 4L)) // 44 + 18 LIST, 230*4
+    // the planted fill really is at the resolved range
+    (0 until len.toInt).foreach { j =>
+      assert(b(off.toInt + j) == (32 + ((9 + 7L * j) % 95)).toByte)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def dgOf(buf: Array[Byte], o: Int, n: Int) = { md.reset()
+      md.update(buf, o, n); md.digest().map("%02x".format(_)).mkString }
+    // hostile inputs: never throw
+    assert(AudioHeaders.dataRange(b.take(30)).isEmpty)
+    assert(AudioHeaders.dataRange("RIFFWAVEnope".getBytes).isEmpty)
+    // the query emits exactly the per-window digests for planted docs
+    val rows = Multimodal.audioSamples(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val align2 = (id % 2 + 1) * (if (id % 3 == 0) 8 else 16) / 8
+      val n = (id % 100 + 1) * 10
+      assert(id % 7 != 3 && id % 7 != 5, "rejected kinds leaked through")
+      assert(r.getLong(3) <= 100 && r.getLong(4) == r.getLong(3) * align2)
+      assert(r.getLong(2) == 44 + (if (id % 2 == 0) 18 else 0) +
+        r.getLong(1) * 100 * align2)
+      // last window is partial iff 100 does not divide the count
+      if (r.getLong(1) == (n - 1) / 100) {
+        val expect = n - r.getLong(1) * 100
+        assert(r.getLong(3) == expect, s"doc $id last window frames")
+      }
+    }
+    // spot-check one digest against a locally rebuilt payload
+    val r0 = rows.find(r => r.getLong(0) % 7 != 3 && r.getLong(0) % 7 != 5).get
+    val id0 = r0.getLong(0)
+    val b0 = AudioSynth.wavPcm(id0, (id0 % 2 + 1).toInt,
+      (8000 + (id0 % 5) * 2000).toInt, if (id0 % 3 == 0) 8 else 16,
+      ((id0 % 100 + 1) * 10).toInt, extraChunk = id0 % 2 == 0)
+    assert(r0.getString(5) ==
+      dgOf(b0, r0.getLong(2).toInt, r0.getLong(4).toInt))
+  }
+
   test("BPE: deterministic merge table, application conserves bounds") {
     import org.apache.spark.sql.functions._
     val m = SparkEntry.queries("txt_bpe")(spark, sf).collect()
