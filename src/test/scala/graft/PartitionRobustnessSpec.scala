@@ -44,7 +44,13 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // round 10: the decay score's corpus-max broadcast + two-level
     // integer-division aggregate (the division must see complete
     // group sums regardless of partitioning)
-    "adv_decay_score")
+    "adv_decay_score",
+    // round 11: the gaps-and-islands chain merge (row_number inside a
+    // doc partition — island ids must not depend on how docs land in
+    // partitions), its scrub twin (collected span lists feed an array
+    // filter), and the distinct-hash LSH grouping (band candidates
+    // deduped across partitions)
+    "dedup_substring_max", "dedup_substring_scrub", "mm_phash_neardup")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of

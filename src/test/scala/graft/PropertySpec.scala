@@ -67,6 +67,45 @@ class PropertySpec extends AnyFunSuite {
     }, n = 50)
   }
 
+  test("sample-table and PCM-range parsers are total on hostile bytes") {
+    import graft.operators.{VideoHeaders, AudioHeaders, VideoSynth, AudioSynth}
+    // arbitrary bytes: degrade to None, never to a task failure
+    val bytesGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray)
+    check("samples-total", Prop.forAll(bytesGen) { b =>
+      VideoHeaders.parseSamples(b)
+      AudioHeaders.dataRange(b)
+      true
+    }, n = 200)
+    // truncating a VALID payload at ANY byte: parse or reject, never
+    // throw, and never yield a byte range outside the buffer — the
+    // exact contract the r10 ADVICE asked the sample walk to keep
+    val mp4 = VideoSynth.mp4Sampled(4L, 1000, 1000L, 5, extraBox = true)
+    check("mp4-truncation", Prop.forAll(Gen.chooseNum(0, mp4.length)) { k =>
+      val cut = mp4.take(k)
+      VideoHeaders.parseSamples(cut).forall(_.forall {
+        case (_, off, sz) => off >= 0 && off + sz <= cut.length
+      })
+    }, n = 150)
+    val wav = AudioSynth.wavPcm(11L, 2, 16000, 16, 77, extraChunk = true)
+    check("wav-truncation", Prop.forAll(Gen.chooseNum(0, wav.length)) { k =>
+      val cut = wav.take(k)
+      AudioHeaders.dataRange(cut).forall {
+        case (off, len, align) =>
+          off >= 0 && off + len <= cut.length && align > 0
+      }
+    }, n = 150)
+    // single-byte corruption anywhere in the header region: still
+    // total, and any returned ranges stay inside the buffer
+    check("mp4-corruption", Prop.forAll(
+      Gen.chooseNum(0, mp4.length - 1), Gen.chooseNum(-128, 127)) { (i, v) =>
+      val c = mp4.clone(); c(i) = v.toByte
+      VideoHeaders.parseSamples(c).forall(_.forall {
+        case (_, off, sz) => off >= 0 && off + sz <= c.length
+      })
+    }, n = 200)
+  }
+
   test("salted join equals plain join on generated key distributions") {
     val keysGen = Gen.listOfN(200, Gen.chooseNum(1L, 10L)).suchThat(_.nonEmpty)
     check("salted-join", Prop.forAll(keysGen) { keys =>
