@@ -183,7 +183,51 @@ object TextOracles {
       |           greatest(st, seq_id * 2048)) AS BIGINT) AS tokens_filled
       |FROM ex GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  /** Batch-perceptron training unroll (ml_perceptron_quality):
+    * epoch e computes margins under w_{e-1}, the misclassified set,
+    * and w_e — the frozen-unroll discipline the PageRank oracle
+    * uses, applied to supervised learning. All-integer, so the
+    * replay is exact. */
+  private def perceptronEpoch(e: Int): String = {
+    val p = s"w${e - 1}"
+    s"""m$e AS (
+       |  SELECT f.doc_id, f.y, sum($p.w * f.x) AS m
+       |  FROM pfeats f JOIN $p USING (bucket) GROUP BY 1, 2),
+       |e$e AS (SELECT doc_id FROM m$e WHERE y * m <= 0),
+       |w$e AS (
+       |  SELECT p.bucket, p.w + COALESCE(u.dw, 0) AS w
+       |  FROM $p p LEFT JOIN (
+       |    SELECT f.bucket, sum(f.y * f.x) AS dw
+       |    FROM pfeats f JOIN e$e USING (doc_id) GROUP BY 1) u
+       |  USING (bucket))""".stripMargin
+  }
+
+  private val perceptronCtes: String =
+    s"""pbase AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents
+       |), pfeats AS (
+       |  SELECT doc_id, y, bucket, count(*) AS x FROM (
+       |    SELECT doc_id, y, ${fold("word")} % 64 AS bucket FROM (
+       |      SELECT doc_id,
+       |        CASE WHEN len(t) BETWEEN 20 AND 400
+       |              AND list_sum(list_transform(t, w -> length(w)))
+       |                  <= len(t) * 8
+       |             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+       |        unnest(t) AS word
+       |      FROM pbase))
+       |  GROUP BY 1, 2, 3
+       |), w0 AS (
+       |  SELECT CAST(b AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+       |  FROM range(64) t(b)),
+       |${(1 to 5).map(perceptronEpoch).mkString(",\n")}""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "ml_perceptron_quality" ->
+      s"""WITH $perceptronCtes
+         |SELECT w5.bucket, CAST(w5.w AS BIGINT) AS weight,
+         |  (SELECT count(*) FROM e5) AS final_errors
+         |FROM w5 ORDER BY bucket""".stripMargin,
     "mr_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM ($words)
          |WHERE length(word) > 0 GROUP BY 1 ORDER BY 1""".stripMargin,

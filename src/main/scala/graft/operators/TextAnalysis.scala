@@ -694,4 +694,72 @@ object TextAnalysis {
         expr("sm div n_bigrams").as("score_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** Supervised QUALITY-CLASSIFIER training — the fastText-style
+    * linear filter every LLM data pipeline trains on weak labels
+    * (keep/drop from cheap heuristics, then generalize). Features:
+    * 64-bucket hashed bag-of-words counts (rolling-hash mod K — the
+    * hashing trick, feature space constant no matter the vocabulary).
+    * Weak label: +1 when the doc LOOKS like natural prose by pure
+    * integer tests (20 ≤ tokens ≤ 400 and total chars ≤ 8·tokens),
+    * −1 otherwise. Training: 5 epochs of the BATCH PERCEPTRON in
+    * exact integer arithmetic — margin mᵈ = Σ w·x, misclassified iff
+    * y·mᵈ ≤ 0, w += Σ_misclassified y·x — no learning-rate float, no
+    * exp(), so the whole training run is bit-reproducible and the
+    * DuckDB oracle REPLAYS it epoch by epoch (the txt_bpe /
+    * mr_pagerank frozen-unroll discipline applied to supervised
+    * learning).
+    *
+    * Scale shape: the model is K=64 longs of DRIVER state (the
+    * ml_kmeans centroid pattern) folded back in as a literal array —
+    * broadcast-free constant plan state; each epoch is ONE pass over
+    * the checkpointed (doc, bucket, x, y) features (doc-keyed margin
+    * aggregate + bucket-keyed update aggregate, both map-side
+    * combined); features materialize once. Output: the learned
+    * per-bucket weights plus the final epoch's error count — the
+    * model card, not the corpus. */
+  def perceptronQuality(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    val epochs = 5
+    val sp = s
+    import sp.implicits._
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("aggregate(t, 0L, (a, w) -> a + length(w))").as("n_chars"),
+        explode(col("t")).as("word"))
+      .select(col("doc_id"),
+        when(col("n_tokens").between(20, 400) &&
+          col("n_chars") <= col("n_tokens") * 8, 1L).otherwise(-1L).as("y"),
+        (graft.functions.RollingHash.rollingHash(col("word")) % K)
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // one materialization feeds every epoch
+    var w = Array.fill(K)(0L)
+    var lastErrors = 0L
+    for (_ <- 1 to epochs) {
+      val arr = array(w.toIndexedSeq.map(lit(_)): _*)
+      val mis = feats
+        .withColumn("wx",
+          element_at(arr, (col("bucket") + 1).cast("int")) * col("x"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("wx")).as("m"))
+        .filter(col("y") * col("m") <= 0)
+        .select(col("doc_id"))
+      val upd = feats.join(mis, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("y") * col("x")).as("dw"))
+        .collect() // ≤ K rows — constant model state, driver-scale
+      lastErrors = mis.count()
+      upd.foreach { r =>
+        w(r.getLong(0).toInt) += r.getLong(1)
+      }
+    }
+    w.toIndexedSeq.zipWithIndex.map { case (wt, b) =>
+      (b.toLong, wt, lastErrors)
+    }.toDF("bucket", "weight", "final_errors")
+      .orderBy(col("bucket"))
+  }
 }

@@ -50,7 +50,11 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // partitions), its scrub twin (collected span lists feed an array
     // filter), and the distinct-hash LSH grouping (band candidates
     // deduped across partitions)
-    "dedup_substring_max", "dedup_substring_scrub", "mm_phash_neardup")
+    "dedup_substring_max", "dedup_substring_scrub", "mm_phash_neardup",
+    // round 11: supervised training — every epoch's margin and update
+    // aggregates are integer sums (associative), so the learned model
+    // must be identical under any partitioning
+    "ml_perceptron_quality")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of

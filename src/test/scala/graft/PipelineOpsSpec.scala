@@ -439,6 +439,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       dgOf(b0, r0.getLong(2).toInt, r0.getLong(4).toInt))
   }
 
+  test("perceptron quality classifier: integer training learns and reproduces") {
+    val rows = SparkEntry.queries("ml_perceptron_quality")(spark, sf)
+      .collect()
+    // the model card: one weight per hash bucket, in order
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 64L))
+    val errors = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) == errors), "final_errors must be constant")
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    // it LEARNED: the final epoch misclassifies far fewer docs than
+    // the all-zero model (which misclassifies everything)
+    assert(errors < docs / 2,
+      s"final errors $errors of $docs — model failed to learn")
+    assert(rows.exists(_.getLong(1) != 0L), "no feature weight moved")
+    // bit-reproducible: a full retrain yields the identical model
+    val again = SparkEntry.queries("ml_perceptron_quality")(spark, sf)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("BPE: deterministic merge table, application conserves bounds") {
     import org.apache.spark.sql.functions._
     val m = SparkEntry.queries("txt_bpe")(spark, sf).collect()
