@@ -121,6 +121,10 @@ private[graft] object ImageHeaders {
   * framing (a PNG IHDR chunk; a JPEG with APP0 + COM segments before
   * the SOF0, so segment-walking is actually exercised). */
 private[graft] object ImageSynth {
+  // in-memory ImageIO streams (see DHash): the synth side encodes
+  // through the same JDK writers and pays the same scratch files
+  javax.imageio.ImageIO.setUseCache(false)
+
   def png(w: Int, h: Int): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(33)
     out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -292,6 +296,12 @@ private[graft] object ImageSynth {
   * cross-multiplied (sumA·cntB > sumB·cntA ⇔ avgA > avgB) so no
   * division ever rounds — the same hash on any platform. */
 private[graft] object DHash {
+  // ImageIO defaults to a DISK-backed stream cache: every encode and
+  // decode creates (and deletes) a scratch file under java.io.tmpdir
+  // — 2 filesystem round-trips per image, pure overhead for the
+  // small in-memory payloads this engine hashes. Keep it in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** StaticInvoke target (the image_dhash SQL function): REAL pixel
     * decode through the JDK's registered codecs, then [[of]]. NULL
     * for anything the platform cannot decode — garbage, truncated
