@@ -741,6 +741,10 @@ object TextAnalysis {
     var lastErrors = 0L
     for (_ <- 1 to epochs) {
       val arr = array(w.toIndexedSeq.map(lit(_)): _*)
+      // the epoch's error count rides the SAME job as the update
+      // aggregate (the counters pattern, cf. pageRankConverged):
+      // one action per epoch, not a separate count() pass
+      val obs = new org.apache.spark.sql.Observation()
       val mis = feats
         .withColumn("wx",
           element_at(arr, (col("bucket") + 1).cast("int")) * col("x"))
@@ -748,11 +752,12 @@ object TextAnalysis {
         .agg(sum(col("wx")).as("m"))
         .filter(col("y") * col("m") <= 0)
         .select(col("doc_id"))
+        .observe(obs, count(lit(1)).as("n_err"))
       val upd = feats.join(mis, Seq("doc_id"))
         .groupBy(col("bucket"))
         .agg(sum(col("y") * col("x")).as("dw"))
         .collect() // ≤ K rows — constant model state, driver-scale
-      lastErrors = mis.count()
+      lastErrors = obs.get("n_err").asInstanceOf[Long]
       upd.foreach { r =>
         w(r.getLong(0).toInt) += r.getLong(1)
       }
