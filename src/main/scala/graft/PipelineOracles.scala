@@ -236,6 +236,24 @@ object PipelineOracles {
          |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
          |FROM corpus GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // Mirrors Dedup.semantic: the SAME trained corpus assignment,
+    // intra-cell pairwise exact cosine, drop-on-lower-id-neighbor at
+    // the shared 0.45 threshold.
+    "dedup_semantic" ->
+      s"""WITH $ivfTrainedCorpus,
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM corpus a
+         |  JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |          CAST(eb.embedding AS DOUBLE[])) >= 0.45)
+         |SELECT c.vec_id, c.cell,
+         |  CAST(d.vec_id IS NULL AS BIGINT) AS kept
+         |FROM corpus c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
+
     // Mirrors Similarity.clusterSample: same trained cells, same
     // md5-fold rank, same per-cell cutoff.
     "ml_cluster_sample" ->

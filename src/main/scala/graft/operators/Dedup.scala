@@ -748,4 +748,57 @@ object Dedup {
       .select(col("x"), col("y"))
       .orderBy(col("x"), col("y"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    * dedup, the third blocking strategy of the embedding family:
+    * where [[embeddingLsh]] blocks by hyperplane buckets, this one
+    * blocks by the k-means cells the IVF index already trains
+    * (Similarity.trainedCells — the SAME clustering ml_kmeans
+    * audits and sim_knn_ivf probes, computed once per pipeline and
+    * reused here, exactly as the paper prescribes). Pairwise exact
+    * cosine runs ONLY within a cell; a vector is dropped when a
+    * LOWER-id cell-mate sits at cosine ≥ 0.45 (the shared
+    * embedding-dedup threshold; margin to the nearest pair cosine
+    * measured ≥ 1.0e-4 at every test SF, orders of magnitude above
+    * fixed-order double-fold noise). Keep-lowest-id is the
+    * deterministic stand-in for the paper's keep-one-per-ε-ball:
+    * cross-cell near-dups are invisible by design — that is
+    * SemDeDup's documented approximation, bought so the all-pairs
+    * O(n²) collapses to Σ n_c² with k cells (k grows with the
+    * corpus, so n_c stays bounded; at 100 TB the cell self-join
+    * shuffles each side once on `cell` and never materializes a
+    * cross-cell pair). The dropped set is true-duplicate-scale, so
+    * the verdict join broadcasts. Emits the full per-vector verdict
+    * (vec_id, cell, kept) — the admission list a curation pipeline
+    * feeds downstream. */
+  def semantic(s: SparkSession, d: String): DataFrame =
+    // Materialize the corpus assignment ONCE (the components-edges
+    // pattern): the verdict references it three times (both self-join
+    // sides + the verdict spine), and without the checkpoint the whole
+    // k-means training chain re-executes for each — measured 9.7 s →
+    // 1.0 s at sf0.01. At 100 TB the assignment is written to storage
+    // once per pipeline run and shared with ml_kmeans/sim_knn_ivf
+    // anyway; localCheckpoint (memory-and-disk) is the local analog.
+    semanticOn(Similarity.trainedCells(s, d).localCheckpoint())
+
+  /** The verdict pipeline over any (vec_id, cell, embedding)
+    * assignment — exposed so specs can plant duplicates into chosen
+    * cells and prove the drop/keep contract directly. */
+  private[graft] def semanticOn(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("vec_id").as("a_id"), col("cell"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("cell"),
+      col("embedding").as("b_emb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        VectorFunctions.cosineSim(col("a_emb"), col("b_emb")) >= 0.45)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(dropped.withColumn("dup", lit(true))),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup").isNull.cast("long").as("kept"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -54,7 +54,11 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // round 11: supervised training — every epoch's margin and update
     // aggregates are integer sums (associative), so the learned model
     // must be identical under any partitioning
-    "ml_perceptron_quality")
+    "ml_perceptron_quality",
+    // round 11 second half: cell-blocked pairwise dedup — the cell
+    // assignment (sample-trained k-means) and the within-cell pair
+    // set must both be partitioning-independent
+    "dedup_semantic")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of

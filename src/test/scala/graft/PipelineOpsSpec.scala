@@ -299,6 +299,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(found.subsetOf(exact), s"non-near-dup pairs: ${found -- exact}")
   }
 
+  test("semantic dedup: planted cell-mates drop, verdict matches brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val assigned = graft.operators.Similarity.trainedCells(spark, sf)
+    // plant exact duplicates INTO their original's cell: ids 0..9
+    // re-appear as 20000..20009 with identical vectors and cells
+    val dups = assigned.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("cell"),
+        col("embedding"))
+    val verdict = Dedup.semanticOn(assigned.unionByName(dups))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = verdict.map(v => v._1 -> v._3).toMap
+    // an exact copy sits at cosine 1.0 from its lower-id original in
+    // the same cell -> MUST be dropped
+    (20000L until 20010L).foreach { i =>
+      assert(byId(i) == 0L, s"planted dup $i not dropped")
+    }
+    // the verdict IS the brute-force within-cell rule: dropped iff a
+    // lower-id cell-mate at cosine >= 0.45 exists
+    val rows = assigned.unionByName(dups).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray.map(_.toDouble)))
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    rows.foreach { case (id, cell, emb) =>
+      val hasLower = rows.exists { case (id2, cell2, emb2) =>
+        cell2 == cell && id2 < id && cos(emb2, emb) >= 0.45
+      }
+      assert(byId(id) == (if (hasLower) 0L else 1L),
+        s"verdict for $id disagrees with brute force")
+    }
+    assert(verdict.length == rows.length, "verdict must cover every vector")
+  }
+
   test("embedding LSH dedup: corpus-driven bandBits keeps candidates ~linear") {
     import graft.operators.Dedup
     // the derivation itself: occupancy n/2^bandBits pinned at ~16
