@@ -435,6 +435,44 @@ object TextOracles {
         |    '<REDACTED>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextAnalysis.piiScrub: identical planted augmentation
+    // (e-mail / IPv4 / phone from doc_id arithmetic), identical
+    // boundary-anchored patterns, identical replace order.
+    "txt_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |         || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+        |         || CAST(doc_id % 100 AS VARCHAR)
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END AS a
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id, a,
+        |    regexp_replace(regexp_replace(regexp_replace(a,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+1-555-\d{4}', '<PHONE>', 'g') AS c
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(a, '\+1-555-\d{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(length(c) AS BIGINT) AS len_clean,
+        |  md5(c) AS clean_fp
+        |FROM clean ORDER BY doc_id""".stripMargin,
+
     "txt_length_profile" ->
       """SELECT bucket, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

@@ -305,6 +305,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction — the removal pass a training-data pipeline runs
+    * over every document before anything ships: e-mail addresses,
+    * dotted-quad IPs, and NANP-style phone numbers detected with
+    * boundary-anchored regexes, replaced with typed placeholders, and
+    * accounted per document. The corpus text is a digit-free
+    * synthetic vocabulary, so PII is PLANTED deterministically from
+    * doc_id (the multimodal payload pattern): docs ≡ 0 (mod 3) gain a
+    * contact e-mail, ≡ 0 (mod 4) an IPv4, ≡ 0 (mod 5) a phone — the
+    * oracle rebuilds the identical augmented text with string
+    * concatenation and mirrors every count and the redacted
+    * fingerprint byte-for-byte. All three patterns avoid
+    * lookaround/backrefs so Java regex and RE2 agree. Map-only: one
+    * projection, zero shuffles at any scale. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\+1-555-\\d{4}"
+    Tables.documents(s, d)
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          expr("cast((doc_id div 256) % 256 as string)"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise("")))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(col("clean")).cast("long").as("len_clean"),
+        md5(col("clean").cast("binary")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus length profile — the histogram a training pipeline reads
     * before picking truncation/packing budgets: docs bucketed by
     * 64-token bands, with per-bucket doc and token totals (integer
