@@ -435,6 +435,35 @@ object TextOracles {
         |    '<REDACTED>', 'g')) AS scrubbed_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextAnalysis.gopherFilter: same integer-div stats, same
+    // rule thresholds, kept = product of the four rule flags.
+    "txt_gopher_filter" ->
+      """WITH stats AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w IN ('the','a','of','to','and','in','is','it')))
+        |      AS BIGINT) AS stop_hits,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text),
+        |      '\s+'))) AS BIGINT) AS n_distinct,
+        |    CAST(length(replace(trim(text), ' ', '')) AS BIGINT)
+        |      AS nospace_len
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    (100 * nospace_len) // n_tokens AS mwl_x100,
+        |    stop_hits,
+        |    (100 * n_distinct) // n_tokens AS distinct_x100,
+        |    CAST(n_tokens >= 20 AS BIGINT) AS r_len,
+        |    CAST((100 * nospace_len) // n_tokens BETWEEN 300 AND 1000
+        |      AS BIGINT) AS r_mwl,
+        |    CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+        |    CAST((100 * n_distinct) // n_tokens >= 50 AS BIGINT) AS r_rep
+        |  FROM stats)
+        |SELECT *, CAST(r_len * r_mwl * r_stop * r_rep AS BIGINT) AS kept
+        |FROM flags ORDER BY doc_id""".stripMargin,
+
     // Mirrors TextAnalysis.piiScrub: identical planted augmentation
     // (e-mail / IPv4 / phone from doc_id arithmetic), identical
     // boundary-anchored patterns, identical replace order.

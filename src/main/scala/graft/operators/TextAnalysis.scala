@@ -305,6 +305,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style quality-rule FILTER matrix (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1 — the rule family, parameterized for
+    * this corpus): where [[quality]] publishes raw stats, this one
+    * makes the keep/drop DECISION a curation pipeline acts on, with
+    * one flag column per rule so the drop ACCOUNTING (which rule
+    * fired, how often, per source) falls out of a group-by
+    * downstream. Rules, all in exact integer arithmetic (`div`
+    * semantics mirrored in the oracle): document length ≥ 20 tokens
+    * (Gopher's 50-word floor scaled to this corpus's 10–100-token
+    * docs), mean word length within [3, 10] chars ×100, ≥ 2 stopword
+    * hits (Gopher's "2 of a fixed stop set" rule verbatim), and
+    * distinct-token ratio ≥ 50% (the repetition family reduced to
+    * token level — the corpus is single-line, so line-dup rules are
+    * vacuous here). kept = every rule passes. Map-only, zero
+    * shuffles. */
+  def gopherFilter(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val stopHits = size(filter(t, w => w.isin(STOPWORDS: _*)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(t).cast("long").as("n_tokens"),
+        stopHits.cast("long").as("stop_hits"),
+        size(array_distinct(t)).cast("long").as("n_distinct"))
+      .withColumn("mwl_x100",
+        expr("(100 * length(replace(trim(text), ' ', ''))) div n_tokens"))
+      .withColumn("distinct_x100", expr("(100 * n_distinct) div n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("mwl_x100"), col("stop_hits"), col("distinct_x100"),
+        (col("n_tokens") >= 20).cast("long").as("r_len"),
+        (col("mwl_x100") >= 300 && col("mwl_x100") <= 1000)
+          .cast("long").as("r_mwl"),
+        (col("stop_hits") >= 2).cast("long").as("r_stop"),
+        (col("distinct_x100") >= 50).cast("long").as("r_rep"))
+      .withColumn("kept",
+        (col("r_len") * col("r_mwl") * col("r_stop") * col("r_rep"))
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII redaction — the removal pass a training-data pipeline runs
     * over every document before anything ships: e-mail addresses,
     * dotted-quad IPs, and NANP-style phone numbers detected with

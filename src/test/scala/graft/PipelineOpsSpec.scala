@@ -221,6 +221,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher filter: flags recompute from stats, every varying rule fires") {
+    val rows = SparkEntry.queries("txt_gopher_filter")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, mwl, stop, dist) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (rl, rm, rs, rr, kept) = (r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10))
+      assert(rl == (if (n >= 20) 1L else 0L))
+      assert(rm == (if (mwl >= 300 && mwl <= 1000) 1L else 0L))
+      assert(rs == (if (stop >= 2) 1L else 0L))
+      assert(rr == (if (dist >= 50) 1L else 0L))
+      assert(kept == rl * rm * rs * rr)
+    }
+    // the corpus-splitting rules must each fire both ways — a filter
+    // that keeps (or drops) everything tests nothing
+    Seq(6 -> "r_len", 8 -> "r_stop", 9 -> "r_rep").foreach { case (i, nm) =>
+      val vals = rows.map(_.getLong(i)).toSet
+      assert(vals == Set(0L, 1L), s"$nm never splits the corpus")
+    }
+  }
+
   test("pii scrub: planted contacts detected, redacted text is pattern-free") {
     val rows = SparkEntry.queries("txt_pii_scrub")(spark, sf).collect()
     assert(rows.length == 500)
