@@ -833,6 +833,34 @@ object PipelineOracles {
         |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
 
     // Mirrors Multimodal.audioSamples' planted layout: data chunk at
+    // Mirrors Multimodal.audioFeatures: channel-0 sample of frame f
+    // is byte f·align (+ the LE high byte for 16-bit) of the planted
+    // data chunk, byte j = 32 + (doc_id + 7j) % 95 — always below the
+    // sign bit for 16-bit, biased by 128 for 8-bit WAV PCM; every
+    // per-window aggregate recomputes in exact integers.
+    "mm_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2 + 1) *
+        |     (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END)) // 8 AS align,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    (doc_id % 100 + 1) * 10 AS n
+        |  FROM documents WHERE doc_id % 7 NOT IN (3, 5)
+        |), samp AS (
+        |  SELECT doc_id, f // 100 AS w,
+        |    CASE WHEN bits = 16
+        |      THEN (32 + (doc_id + 7 * (f * align)) % 95)
+        |           + 256 * (32 + (doc_id + 7 * (f * align + 1)) % 95)
+        |      ELSE (32 + (doc_id + 7 * (f * align)) % 95) - 128 END AS v
+        |  FROM p, unnest(generate_series(0, CAST(n - 1 AS INT))) AS t(f))
+        |SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
+        |  count(*) AS n_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(min(v) AS BIGINT) AS min_amp
+        |FROM samp GROUP BY 1, 2 ORDER BY doc_id, win_idx""".stripMargin,
+
     // 44 + optional LIST(18), blockAlign = ch·bits/8 from the same
     // doc_id arithmetic as mm_audio_meta, 100-frame windows (last
     // partial), every window's bytes rebuilt with chr() and digested.

@@ -36,6 +36,8 @@ case class VideoSample(doc_id: Long, sample_idx: Long, chunk_idx: Long,
     s_off: Long, s_size: Long, digest: String)
 case class AudioWindow(doc_id: Long, win_idx: Long, byte_off: Long,
     win_frames: Long, win_bytes: Long, digest: String)
+case class AudioFeatures(doc_id: Long, win_idx: Long, n_frames: Long,
+    sum_amp: Long, energy: Long, peak_abs: Long, min_amp: Long)
 
 /** REAL byte-level image header parsers — public format knowledge
   * only: PNG (ISO/IEC 15948 §5.3/11.2.2: 8-byte signature, IHDR is
@@ -1142,6 +1144,75 @@ object Multimodal {
         }
       }.toDF().orderBy(col("doc_id"), col("win_idx"))
   }
+
+  /** The feature-extraction step after [[audioSamples]]' window
+    * slicing: per-window CHANNEL-0 amplitude statistics — frame
+    * count, amplitude sum, energy (Σ s², the RMS numerator), peak
+    * |s|, and min amplitude — the silence/clipping screen an audio
+    * pipeline runs before any model sees a clip. The engine-owned
+    * part of "decode" goes one level deeper than byte slicing here:
+    * REAL PCM decoding (16-bit little-endian signed, 8-bit unsigned
+    * biased by 128, WAV's two PCM conventions) from the same
+    * bounds-checked chunk walk, in exact int64 arithmetic — the
+    * planted payloads keep every sample below the sign bit, so the
+    * oracle rebuilds each value arithmetically from doc_id and
+    * recomputes every aggregate. Map-only, zero shuffles. */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val framesPerWin = 100L
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val bits = if (id % 3 == 0) 8 else 16
+          val bytes = (id % 7) match {
+            case 3 => s"doc-$id is not audio".getBytes("UTF-8")
+            case 5 => AudioSynth.wavPcm(id, 1, 8000, 16, 4,
+              extraChunk = false).take(20) // truncated mid-fmt
+            case _ => AudioSynth.wavPcm(id,
+              (id % 2 + 1).toInt,
+              (8000 + (id % 5) * 2000).toInt,
+              bits,
+              ((id % 100 + 1) * 10).toInt,
+              extraChunk = id % 2 == 0)
+          }
+          pcmWindowStats(id, bytes, bits, framesPerWin)
+        }
+      }.toDF().orderBy(col("doc_id"), col("win_idx"))
+  }
+
+  /** Channel-0 window statistics of a WAV payload's PCM — the
+    * decode + aggregate kernel of [[audioFeatures]], exposed so
+    * specs can feed hand-built payloads with genuinely NEGATIVE
+    * 16-bit samples (the planted corpus never sets the sign bit;
+    * the sign-extension path still has to be right). Empty for
+    * unparseable bytes. */
+  private[graft] def pcmWindowStats(id: Long, bytes: Array[Byte],
+      bits: Int, framesPerWin: Long): Seq[AudioFeatures] =
+    AudioHeaders.dataRange(bytes).toSeq.flatMap {
+      case (off, len, align) =>
+        val nFrames = len / align
+        val nWins = ((nFrames + framesPerWin - 1) / framesPerWin).toInt
+        (0 until nWins).map { w =>
+          val f0 = w * framesPerWin
+          val f1 = math.min(nFrames, f0 + framesPerWin)
+          var sum = 0L; var energy = 0L
+          var peak = 0L; var minA = Long.MaxValue
+          var f = f0
+          while (f < f1) {
+            val j = (off + f * align).toInt
+            val v: Long =
+              if (bits == 16)
+                ((bytes(j) & 0xff) | (bytes(j + 1) << 8)).toShort.toLong
+              else (bytes(j) & 0xff) - 128L
+            sum += v; energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (v < minA) minA = v
+            f += 1
+          }
+          AudioFeatures(id, w.toLong, f1 - f0, sum, energy, peak, minA)
+        }
+    }
 
   /** The VIDEO row of the modality matrix: ISO-BMFF container
     * metadata (major brand, movie timescale/duration, track count)

@@ -728,6 +728,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(best > worst, "scorer assigns one score to every doc")
   }
 
+  test("audio features: signed 16-bit decode, window aggregates exact") {
+    // hand-built mono 16-bit WAV: 3 frames with a NEGATIVE sample —
+    // the planted corpus never sets the sign bit, so pin the
+    // sign-extension path explicitly
+    val pcm = Seq[Short](1000, -2000, 300)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + pcm.length * 2)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    bos.write("data".getBytes("US-ASCII")); le32(pcm.length * 2)
+    pcm.foreach(v => le16(v & 0xffff))
+    val wins = graft.operators.Multimodal
+      .pcmWindowStats(7L, bos.toByteArray, bits = 16, framesPerWin = 2L)
+    assert(wins.map(_.win_idx) == Seq(0L, 1L), "two windows (last partial)")
+    val w0 = wins.head
+    assert(w0.n_frames == 2L && w0.sum_amp == -1000L &&
+      w0.energy == 1000L * 1000 + 2000L * 2000 &&
+      w0.peak_abs == 2000L && w0.min_amp == -2000L,
+      s"window 0 stats wrong: $w0")
+    val w1 = wins(1)
+    assert(w1.n_frames == 1L && w1.sum_amp == 300L && w1.energy == 90000L &&
+      w1.peak_abs == 300L && w1.min_amp == 300L, s"window 1 stats wrong: $w1")
+    // garbage never yields rows
+    assert(graft.operators.Multimodal
+      .pcmWindowStats(9L, "not a wav".getBytes, 16, 2L).isEmpty)
+  }
+
   test("MP4 box walk: real ISO-BMFF framing, v0/v1/largesize/to-EOF, robust") {
     import graft.operators.{VideoHeaders, VideoSynth}
     // parameters round-trip through a real big-endian box walk
