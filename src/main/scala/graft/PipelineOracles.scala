@@ -236,6 +236,49 @@ object PipelineOracles {
          |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
          |FROM corpus GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // Mirrors Dedup.bloomAdmit: same count-derived bitmap width
+    // (smallest power of two >= 16n), same badm{i}- md5-fold probe
+    // family, hit = all three positions set, exact verify on hits.
+    "dedup_bloom_admit" -> {
+      def pos(i: Int): String =
+        "(" + rollFold(s"md5('badm$i-' || fp)") + ") % mb.m"
+      s"""WITH fps AS (
+         |  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+         |corpus AS (
+         |  SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0),
+         |nn AS (SELECT count(*) AS n FROM corpus),
+         |mb AS (
+         |  SELECT CASE WHEN n <= 0 THEN 16 ELSE CAST(1 AS BIGINT) <<
+         |    (coalesce((SELECT max(j) + 1 FROM range(63) g(j), nn
+         |               WHERE (CAST(1 AS BIGINT) << j) < 16 * nn.n), 0))
+         |    END AS m
+         |  FROM nn),
+         |bits AS (
+         |  SELECT DISTINCT ${pos(0)} AS pos FROM corpus, mb
+         |  UNION SELECT DISTINCT ${pos(1)} FROM corpus, mb
+         |  UNION SELECT DISTINCT ${pos(2)} FROM corpus, mb),
+         |batch AS (
+         |  SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, fp FROM fps
+         |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3),
+         |probed AS (
+         |  SELECT doc_id, fp,
+         |    CAST(${pos(0)} IN (SELECT pos FROM bits)
+         |     AND ${pos(1)} IN (SELECT pos FROM bits)
+         |     AND ${pos(2)} IN (SELECT pos FROM bits) AS BIGINT) AS hit,
+         |    CAST(fp IN (SELECT fp FROM corpus) AS BIGINT) AS in_corpus
+         |  FROM batch, mb)
+         |SELECT count(*) AS batch_size,
+         |  CAST(sum(hit) AS BIGINT) AS n_bloom_hit,
+         |  CAST(sum(in_corpus) AS BIGINT) AS n_true_dup,
+         |  CAST(sum(hit * (1 - in_corpus)) AS BIGINT) AS n_false_pos,
+         |  CAST(sum(1 - in_corpus) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN in_corpus = 0 THEN doc_id ELSE 0 END)
+         |    AS BIGINT) AS admitted_id_sum
+         |FROM probed""".stripMargin
+    },
+
     // Mirrors Dedup.semantic: the SAME trained corpus assignment,
     // intra-cell pairwise exact cosine, drop-on-lower-id-neighbor at
     // the shared 0.45 threshold.

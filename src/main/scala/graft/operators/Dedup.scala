@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{SimHashAgg, VectorFunctions}
 import graft.sources.Tables
@@ -747,6 +747,90 @@ object Dedup {
       .filter(VectorFunctions.cosineSim(col("ea"), col("eb")) >= 0.45)
       .select(col("x"), col("y"))
       .orderBy(col("x"), col("y"))
+  }
+
+  /** Bloom bit-position i for a fingerprint: md5-then-fold (the
+    * repo's reservoir of independent DuckDB-expressible hashes),
+    * reduced mod m. */
+  private def bloomAdmitPos(fp: Column, i: Int, mBits: Long): Column =
+    graft.functions.RollingHash.rollingHash(
+      md5(concat(lit(s"badm$i-"), fp).cast("binary"))) % mBits
+
+  /** Smallest power of two ≥ 16·n — the bloom width that pins the
+    * fill factor at ≤ 3/16 (k = 3 probes), i.e. a ~0.5% worst-case
+    * false-positive rate REGARDLESS of corpus size. The same
+    * count-derived-constant pattern as [[lshBandBits]]; the oracle
+    * recomputes it from count(*). */
+  private[graft] def bloomAdmitBits(n: Long): Long =
+    if (n <= 0L) 16L
+    else 1L << (64 - java.lang.Long.numberOfLeadingZeros(16L * n - 1))
+
+  /** Bloom-gated incremental admission — [[incremental]] at 100 TB:
+    * instead of anti-joining every batch document against the FULL
+    * corpus fingerprint set (corpus-scale shuffle per batch), the
+    * corpus is folded ONCE into a constant-size bloom bitmap
+    * (count-derived width, broadcast as one sorted position array —
+    * the BloomMapFile-sidecar geometry of src_bloom_lookup), and only
+    * the bloom HITS pay the exact corpus join. Bloom misses are
+    * definite non-members (no false negatives by construction) and
+    * admit with zero join I/O; hits are either true duplicates or
+    * accounted FALSE POSITIVES — the audit column that measures the
+    * filter's quality in production. Every count is exact and the
+    * hash family is deterministic, so the DuckDB oracle replays the
+    * bitmap and the verdict arithmetically. Output is one audit row.
+    *
+    * The batch is the fresh %5≡0 slice PLUS a deterministic REPLAY of
+    * corpus docs (%7≡3, re-keyed past 10⁶) — the re-crawled-page
+    * scenario, planted because this corpus has no cross-slice exact
+    * dups at the small SFs and an admission gate whose duplicate
+    * path never fires would verify nothing. */
+  def bloomAdmit(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(lower(trim(col("text"))).cast("binary"))
+    val docs = Tables.documents(s, d)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), fp.as("fp"))
+    val replay = docs
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), fp.as("fp"))
+    val batch = fresh.unionByName(replay)
+    val corpusFps = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(fp.as("fp")).distinct()
+    bloomAdmitOn(batch, corpusFps, bloomAdmitBits(corpusFps.count()))
+  }
+
+  /** The admission pipeline over any (doc_id, fp) batch and fp corpus
+    * — exposed so specs can force collisions with a tiny bitmap and
+    * prove the false-positive accounting directly. */
+  private[graft] def bloomAdmitOn(batch: DataFrame, corpusFps: DataFrame,
+      mBits: Long): DataFrame = {
+    val k = 3
+    val bitsRow = corpusFps
+      .select(explode(array(
+        (0 until k).map(i => bloomAdmitPos(col("fp"), i, mBits)): _*))
+        .as("pos"))
+      .groupBy()
+      .agg(sort_array(collect_set(col("pos"))).as("bits"))
+    val probed = batch
+      .withColumn("pp", array(
+        (0 until k).map(i => bloomAdmitPos(col("fp"), i, mBits)): _*))
+      .crossJoin(broadcast(bitsRow))
+      .withColumn("hit", expr("forall(pp, p -> array_contains(bits, p))"))
+    // only the HIT subset (true dups + rare false positives) pays the
+    // exact corpus join; misses bypass it entirely
+    val hitVerdict = probed.filter(col("hit"))
+      .join(corpusFps.withColumn("inC", lit(1L)), Seq("fp"), "left")
+      .select(col("doc_id"), lit(1L).as("hit"),
+        coalesce(col("inC"), lit(0L)).as("in_corpus"))
+    val missVerdict = probed.filter(!col("hit"))
+      .select(col("doc_id"), lit(0L).as("hit"), lit(0L).as("in_corpus"))
+    hitVerdict.unionByName(missVerdict)
+      .agg(count(lit(1)).as("batch_size"),
+        sum(col("hit")).as("n_bloom_hit"),
+        sum(col("in_corpus")).as("n_true_dup"),
+        sum(col("hit") * (lit(1L) - col("in_corpus"))).as("n_false_pos"),
+        sum(lit(1L) - col("in_corpus")).as("n_admitted"),
+        sum(when(col("in_corpus") === 0L, col("doc_id"))
+          .otherwise(0L)).as("admitted_id_sum"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC

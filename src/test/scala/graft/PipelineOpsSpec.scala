@@ -357,6 +357,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(found.subsetOf(exact), s"non-near-dup pairs: ${found -- exact}")
   }
 
+  test("bloom admission: no false negatives, forced collisions accounted as FPs") {
+    import spark.implicits._
+    val corpus = Seq("fpA", "fpB", "fpC", "fpD", "fpE", "fpF", "fpG", "fpH")
+      .toDF("fp")
+    val batch = Seq((1L, "fpA"), (2L, "fresh1"), (3L, "fresh2"),
+      (4L, "fresh3")).toDF("doc_id", "fp")
+    def run(m: Long): (Long, Long, Long, Long, Long, Long) = {
+      val r = Dedup.bloomAdmitOn(batch, corpus, m).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    // tiny bitmap: 8 fps x 3 probes over 4 bits saturate it, so every
+    // fresh doc is a bloom FALSE POSITIVE and must be accounted
+    val (bs, hit, dup, fp, adm, idSum) = run(4L)
+    assert(bs == 4L && dup == 1L && adm == 3L && idSum == 2L + 3 + 4)
+    assert(hit == 4L, s"saturated 4-bit bloom must hit everything, got $hit")
+    assert(fp == hit - dup, "FP accounting must close the hit ledger")
+    // wide bitmap: the true dup still hits (no false negatives is
+    // structural), and with 2^20 bits the fresh docs all miss
+    val (_, hitW, dupW, fpW, admW, idSumW) = run(1L << 20)
+    assert(dupW == 1L && hitW == 1L && fpW == 0L && admW == 3L &&
+      idSumW == 9L, s"wide bloom: hit=$hitW fp=$fpW")
+    // count-derived geometry: smallest power of two >= 16n
+    assert(Dedup.bloomAdmitBits(400L) == 8192L)
+    assert(Dedup.bloomAdmitBits(512L) == 8192L)
+    assert(Dedup.bloomAdmitBits(513L) == 16384L)
+    assert(Dedup.bloomAdmitBits(0L) == 16L)
+  }
+
   test("semantic dedup: planted cell-mates drop, verdict matches brute force") {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
