@@ -286,6 +286,41 @@ object TextOracles {
         |FROM bg b JOIN model m USING (bg)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors TextAnalysis.lmBuckets: the txt_lm_score chain + the
+    // per-language ntile(3) tercile split on (score desc, doc_id).
+    "txt_lm_buckets" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS t
+        |  FROM documents
+        |  WHERE len(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')))
+        |    >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> substr(t, CAST(i AS INTEGER), 2))) AS bg
+        |  FROM d2),
+        |counts AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |prefix AS (
+        |  SELECT substr(bg, 1, 1) AS pre, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM counts GROUP BY 1),
+        |model AS (
+        |  SELECT bg, (1000000 * c2) // c1 AS p_micro
+        |  FROM counts JOIN prefix ON substr(bg, 1, 1) = pre),
+        |scored AS (
+        |  SELECT b.doc_id, CAST(sum(m.p_micro) AS BIGINT) // count(*)
+        |    AS score_micro
+        |  FROM bg b JOIN model m USING (bg) GROUP BY 1),
+        |bucketed AS (
+        |  SELECT s.doc_id, d.lang, s.score_micro,
+        |    CAST(ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.score_micro DESC, s.doc_id) AS BIGINT) AS bucket
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, score_micro, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket_name
+        |FROM bucketed ORDER BY doc_id""".stripMargin,
+
     // same (degree, id)-orientation: every triangle counted once via
     // the wedge self-join + closure equi-join
     "mr_triangles" ->

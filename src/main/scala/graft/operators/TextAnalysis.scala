@@ -779,6 +779,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** txt_lm_buckets — the SPLIT step CCNet runs right after
+    * [[lmScore]] (Wenzek et al. 2020 §4.3): per LANGUAGE, rank
+    * documents by LM quality and cut the corpus into head / middle /
+    * tail terciles — head feeds training, tail gets dropped or
+    * down-weighted. Deterministic ntile(3) over (score desc, doc_id)
+    * inside each language partition; ntile's uneven-remainder rule is
+    * identical in Spark and DuckDB, so the assignment hash-matches.
+    * Scale: one shuffle on lang + a within-language sort (the q31
+    * exact-quantile posture — languages sort in parallel; a skewed
+    * language goes through q36's row-budgeted sampled boundaries,
+    * and production CCNet freezes the two cutoff scores as constants
+    * after one calibration run, making steady-state scoring map-only). */
+  def lmBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    lmScore(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("score_micro"), col("bucket"),
+        when(col("bucket") === 1L, "head")
+          .when(col("bucket") === 2L, "middle")
+          .otherwise("tail").as("bucket_name"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Supervised QUALITY-CLASSIFIER training — the fastText-style
     * linear filter every LLM data pipeline trains on weak labels
     * (keep/drop from cheap heuristics, then generalize). Features:

@@ -731,6 +731,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lm buckets: per-language terciles are balanced and score-ordered") {
+    val rows = SparkEntry.queries("txt_lm_buckets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val sizes = docs.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+      // ntile(3): bucket sizes within 1 of each other
+      val s = (1L to 3L).map(b => sizes.getOrElse(b, 0L))
+      assert(s.max - s.min <= 1, s"$lang tercile sizes skewed: $s")
+      // ordering: the head's worst score is no worse than the
+      // middle's best, and so on down (ties may touch, never cross)
+      def scores(b: Long) = docs.filter(_._4 == b).map(_._3)
+      for (b <- 1L to 2L if scores(b).nonEmpty && scores(b + 1).nonEmpty)
+        assert(scores(b).min >= scores(b + 1).max,
+          s"$lang bucket $b not score-ordered vs ${b + 1}")
+    }
+    val names = rows.map(r => r._4 -> r._5).distinct.toMap
+    assert(names == Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
+  }
+
   test("lm score: proper probabilities, model-typical text beats shuffled text") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("txt_lm_score")(spark, sf).collect()
