@@ -947,6 +947,28 @@ object PipelineOracles {
     // membership, 4×16-bit band keys (arithmetic >> then mask — the
     // same two's-complement band Spark computes), and nearest-
     // neighbor hamming all recomputed from doc_id alone.
+    // Mirrors Multimodal.imageFeatures: the planted fieldIdx
+    // arithmetic per (base, d) block grid, joined back to every doc —
+    // the decoded-then-quantized index must equal it in BOTH codecs.
+    "mm_image_features" ->
+      """WITH imgs AS (
+        |  SELECT DISTINCT doc_id % 40 AS base, (doc_id // 80) % 2 AS d
+        |  FROM documents
+        |), cells AS (
+        |  SELECT base, d, gx, gy,
+        |    ((base % 5) + (2 + (base // 5) % 2) * gx
+        |      + ((base // 5) % 5) * gy
+        |      + CASE WHEN d = 1 AND gx = base % 9 AND gy = (base * 3) % 8
+        |             THEN 1 ELSE 0 END) % 5 AS idx
+        |  FROM imgs,
+        |    unnest(generate_series(0, 8)) AS t1(gx),
+        |    unnest(generate_series(0, 7)) AS t2(gy))
+        |SELECT doc_id, CAST(gx AS BIGINT) AS bx, CAST(gy AS BIGINT) AS by,
+        |  CAST(idx AS BIGINT) AS level_idx
+        |FROM documents JOIN cells
+        |  ON cells.base = doc_id % 40 AND cells.d = (doc_id // 80) % 2
+        |ORDER BY doc_id, by, bx""".stripMargin,
+
     "mm_phash_neardup" ->
       """WITH imgs AS (
         |  SELECT DISTINCT doc_id % 40 AS base, (doc_id // 80) % 2 AS d

@@ -38,6 +38,7 @@ case class AudioWindow(doc_id: Long, win_idx: Long, byte_off: Long,
     win_frames: Long, win_bytes: Long, digest: String)
 case class AudioFeatures(doc_id: Long, win_idx: Long, n_frames: Long,
     sum_amp: Long, energy: Long, peak_abs: Long, min_amp: Long)
+case class ImageBlock(doc_id: Long, bx: Long, by: Long, level_idx: Long)
 
 /** REAL byte-level image header parsers — public format knowledge
   * only: PNG (ISO/IEC 15948 §5.3/11.2.2: 8-byte signature, IHDR is
@@ -1404,6 +1405,47 @@ object Multimodal {
     * arithmetic exactly (spec-pinned across all 160 variants), so
     * the DuckDB oracle recomputes every hash, group count, and
     * neighbor distance in pure integer arithmetic. */
+  /** The image column's feature-extraction step — [[audioFeatures]]'
+    * visual twin: REAL pixel decode (the JDK codecs behind
+    * image_dhash) of every [[ImageSynth.realImage]] payload, then
+    * per-4×4-block luma means QUANTIZED to the 5-level planted
+    * palette — the tile-statistics pass (brightness histograms,
+    * silence/flat-region screens) an image pipeline runs before any
+    * model. Quantization is what makes this oracle-exact ACROSS the
+    * lossy JPEG path: block means sit ≥ 27 gray levels from every
+    * palette midpoint, far beyond JPEG's ringing on these fields, so
+    * the decoded index equals the planted [[ImageSynth.fieldIdx]]
+    * bit-for-bit in both codecs and the DuckDB oracle recomputes it
+    * arithmetically. Map-only (72 rows per doc), zero shuffles. */
+  def imageFeatures(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(ImageSynth.realImage(id)))
+          for (by <- 0 until 8; bx <- 0 until 9) yield {
+            var sum = 0L
+            var py = 0
+            while (py < 4) {
+              var px = 0
+              while (px < 4) {
+                val rgb = img.getRGB(bx * 4 + px, by * 4 + py)
+                sum += (299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                px += 1
+              }
+              py += 1
+            }
+            val mean = sum / 16
+            val q = math.max(0L, math.min(4L, (mean - 15 + 27) / 55))
+            ImageBlock(id, bx.toLong, by.toLong, q)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
+  }
+
   def phashGroups(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.install(s)
     val sp = s

@@ -1024,6 +1024,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("image features: quantized tile decode equals the planted field in both codecs") {
+    import graft.operators.{ImageSynth, Multimodal}
+    // all 160 payload variants: 40 bases x {png, jpeg} x {d=0, d=1}
+    (0L until 160L).foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ImageSynth.realImage(id)))
+      val base = id % 40
+      val d = (id / 80) % 2
+      for (by <- 0 until 8; bx <- 0 until 9) {
+        var sum = 0L
+        for (py <- 0 until 4; px <- 0 until 4) {
+          val rgb = img.getRGB(bx * 4 + px, by * 4 + py)
+          sum += (299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+        }
+        val q = math.max(0L, math.min(4L, (sum / 16 - 15 + 27) / 55))
+        assert(q == ImageSynth.fieldIdx(base, d, bx, by).toLong,
+          s"id=$id block ($bx,$by): decoded level $q != planted")
+      }
+    }
+  }
+
   test("cross-codec phash: JPEG round-trip hashes bit-equal to planted field") {
     import graft.operators.{ImageSynth, DHash, Multimodal}
     // EXHAUSTIVE over the payload universe: ids mod 160 cover every
