@@ -286,6 +286,35 @@ object TextOracles {
         |FROM bg b JOIN model m USING (bg)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors TextAnalysis.mixSample: index-proportional weights, the
+    // scarcest-source feasible total, integer-div rates, md5-fold coin.
+    "txt_mix_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
+         |  FROM documents),
+         |bs AS (SELECT source, w, count(*) AS n_docs FROM d GROUP BY 1, 2),
+         |wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum FROM bs),
+         |fz AS (
+         |  SELECT min((n_docs * w_sum) // w) AS t_max FROM bs, wt),
+         |rates AS (
+         |  SELECT source, n_docs,
+         |    least(10000, (10000 * w * t_max) // (w_sum * n_docs))
+         |      AS rate_bps
+         |  FROM bs, wt, fz),
+         |coin AS (
+         |  SELECT doc_id, source,
+         |    (${fold("md5('mix-' || CAST(doc_id AS VARCHAR))")}) % 10000
+         |      AS c
+         |  FROM d)
+         |SELECT r.source, r.n_docs, r.rate_bps,
+         |  CAST(sum(CASE WHEN c.c < r.rate_bps THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN c.c < r.rate_bps THEN c.doc_id ELSE 0 END)
+         |    AS BIGINT) AS admitted_id_sum
+         |FROM coin c JOIN rates r USING (source)
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
     // Mirrors TextAnalysis.lmBuckets: the txt_lm_score chain + the
     // per-language ntile(3) tercile split on (score desc, doc_id).
     "txt_lm_buckets" ->

@@ -779,6 +779,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** txt_mix_sample — EXECUTE a target data mixture (the step after
+    * [[sourceMix]]'s audit): given per-source target weights, find
+    * the largest feasible corpus (T = min over sources of
+    * n_s·W ÷ w_s — the scarcest source binds the whole mixture,
+    * exactly how production mixtures are solved), derive each
+    * source's admission rate in basis points, and admit documents by
+    * the deterministic md5-fold coin the repo's samplers share —
+    * reproducible run-to-run, unlike sample()'s partition-seeded RNG.
+    * Weights here are source-index-proportional (w = idx+1, a
+    * deliberately skewed target so every rate differs). Scale shape:
+    * one catalog-scale source count, the tiny rate table broadcast
+    * back, then a map-only coin flip per doc and one source-keyed
+    * aggregate. Emits the per-source audit (n_docs, rate_bps,
+    * n_admitted, admitted_id_sum). */
+  def mixSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (expr("cast(substring(source, 4) as bigint)") + 1L).as("w"))
+    val bySource = docs.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wTotal = bySource.agg(sum(col("w")).as("w_sum"))
+    val feasible = bySource.crossJoin(broadcast(wTotal))
+      .select(expr("(n_docs * w_sum) div w").as("t"))
+      .agg(min(col("t")).as("t_max"))
+    val rates = bySource.crossJoin(broadcast(wTotal))
+      .crossJoin(broadcast(feasible))
+      .select(col("source"), col("n_docs"),
+        least(lit(10000L),
+          expr("(10000 * w * t_max) div (w_sum * n_docs)")).as("rate_bps"))
+    val coin = pmod(graft.functions.RollingHash.rollingHash(
+      md5(concat(lit("mix-"), col("doc_id").cast("string"))
+        .cast("binary"))), lit(10000L))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("admit", (coin < col("rate_bps")).cast("long"))
+      .groupBy(col("source"), col("n_docs"), col("rate_bps"))
+      .agg(sum(col("admit")).as("n_admitted"),
+        sum(col("admit") * col("doc_id")).as("admitted_id_sum"))
+      .orderBy(col("source"))
+  }
+
   /** txt_lm_buckets — the SPLIT step CCNet runs right after
     * [[lmScore]] (Wenzek et al. 2020 §4.3): per LANGUAGE, rank
     * documents by LM quality and cut the corpus into head / middle /

@@ -731,6 +731,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mix sample: rates track target weights, scarcest source binds at ~100%") {
+    val rows = SparkEntry.queries("txt_mix_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    val byIdx = rows.map { case (src, n, rate, adm) =>
+      (src.drop(3).toInt, n, rate, adm)
+    }.sortBy(_._1)
+    // admission rate is monotone in the target weight (idx + 1)
+    byIdx.sliding(2).foreach { pair =>
+      val (a, b) = (pair(0), pair(1))
+      assert(a._3 < b._3, s"rate not increasing: src${a._1} -> src${b._1}")
+    }
+    // the heaviest-weight source is the scarce one — it binds the
+    // feasible mixture, so its rate saturates near 10000 bps
+    assert(byIdx.last._3 >= 9900L && byIdx.last._3 <= 10000L)
+    byIdx.foreach { case (i, n, rate, adm) =>
+      assert(rate >= 0L && rate <= 10000L)
+      assert(adm >= 0L && adm <= n, s"src$i admitted more than it has")
+    }
+  }
+
   test("lm buckets: per-language terciles are balanced and score-ordered") {
     val rows = SparkEntry.queries("txt_lm_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
