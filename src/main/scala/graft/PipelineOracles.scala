@@ -646,6 +646,30 @@ object PipelineOracles {
         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // Mirrors Similarity.knnMrl: 32-dim-prefix cosine shortlist of
+    // 64 (ties on vec_id), exact 64-dim cosine re-rank to top 5.
+    "sim_knn_mrl" ->
+      """WITH coarse AS (
+        |  SELECT q_id, neighbor_id, q_emb, c_emb FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |      q.embedding AS q_emb, c.embedding AS c_emb,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |          CAST(q.embedding[1:32] AS DOUBLE[]),
+        |          CAST(c.embedding[1:32] AS DOUBLE[])) DESC, c.vec_id)
+        |        AS prank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |  WHERE prank <= 64)
+        |SELECT q_id, neighbor_id, rank FROM (
+        |  SELECT q_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+        |        CAST(c_emb AS DOUBLE[])) DESC, neighbor_id) AS BIGINT)
+        |      AS rank
+        |  FROM coarse)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     // Mirrors Similarity.knnLsh: 12 ±1 hyperplanes from md5("j-k")
     // hex parity, dot in double in index order (bit-identical to the
     // codegen loop), 4 bands x 3 bits, exact cosine re-rank.
