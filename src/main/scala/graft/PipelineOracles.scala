@@ -646,6 +646,21 @@ object PipelineOracles {
         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // Mirrors Similarity.knnFiltered: per-query target label
+    // (q_id+3)%10 restricts the candidate set BEFORE ranking.
+    "sim_knn_filtered" ->
+      """SELECT q_id, target_label, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, (q.vec_id + 3) % 10 AS target_label,
+        |    c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT)
+        |      AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        |    AND CAST(c.label AS BIGINT) = (q.vec_id + 3) % 10)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     // Mirrors Similarity.knnMrl: 32-dim-prefix cosine shortlist of
     // 64 (ties on vec_id), exact 64-dim cosine re-rank to top 5.
     "sim_knn_mrl" ->

@@ -531,5 +531,23 @@ object RelationalOracles {
          |WHERE n_supp > 1 AND n_fail = 1
          |GROUP BY 1, 2
          |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    // Mirrors Relational.q46Unpivot: the UNION-ALL melt of the same
+    // three integer measures, aggregated per (returnflag, metric).
+    "q46_unpivot" ->
+      """WITH melted AS (
+        |  SELECT l_returnflag, 'price_cents' AS metric,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'qty', CAST(l_quantity AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount_bp',
+        |    CAST(round(l_discount * 10000) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT l_returnflag, metric, CAST(sum(value) AS BIGINT) AS total,
+        |  count(*) AS n_rows
+        |FROM melted GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

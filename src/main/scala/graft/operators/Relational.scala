@@ -965,6 +965,26 @@ object Relational {
       .limit(20)
   }
 
+  /** q46 — UNPIVOT, the inverse of q20's pivot: melt three per-row
+    * measures into (metric, value) rows with Spark's native unpivot
+    * (one Expand node — no self-union, the input is scanned ONCE),
+    * then aggregate per (returnflag, metric). The melt triples row
+    * count map-locally; the shuffle is the tiny post-aggregate one.
+    * Exact integer measures (cents / units / basis points) so the
+    * DuckDB UNION-ALL mirror hash-matches. */
+  def q46Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 10000).cast("long").as("discount_bp"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("price_cents"), col("qty"), col("discount_bp")),
+        "metric", "value")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("metric"))
+
   /** Register `df` under a name unique per (query, input dir), so
     * concurrent runs of the SQL-text queries against DIFFERENT data
     * dirs cannot race on a shared view name (two calls with the same

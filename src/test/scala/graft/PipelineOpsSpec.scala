@@ -731,6 +731,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered search: every neighbor carries the query's target label") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("sim_knn_filtered")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, tgt, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(tgt == (q + 3) % 10)
+      assert(labels(n) == tgt, s"query $q neighbor $n label ${labels(n)}")
+      assert(n != q)
+    }
+    // exactly 5 ranked rows per query — pre-filtering, never a
+    // post-filter that comes up short
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        s"query $q ranks malformed")
+    }
+  }
+
   test("mrl search: shortlist rerank recalls most exact neighbors") {
     def pairs(q: String) = SparkEntry.queries(q)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

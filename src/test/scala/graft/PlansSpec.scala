@@ -310,6 +310,20 @@ class PlansSpec extends AnyFunSuite {
       s"top-20 is a global sort:\n${plan.take(900)}")
   }
 
+  test("q46 unpivot: one Expand over one lineitem scan, no self-union") {
+    val df = SparkEntry.queries("q46_unpivot")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the UNION-ALL melt (what the oracle does) reads the fact three
+    // times; the native unpivot must plan a single Expand over ONE scan
+    val liScans = "(?m)Scan parquet[^\\n]*lineitem".r.findAllIn(plan).size
+    assert(liScans == 1,
+      s"expected 1 lineitem scan, found $liScans:\n${plan.take(900)}")
+    assert(plan.contains("Expand"),
+      s"unpivot did not plan an Expand:\n${plan.take(900)}")
+  }
+
   test("null-skew rewrite: the NULL population bypasses the join entirely") {
     val df = SparkEntry.queries("adv_null_skew_join")(spark, sf)
     df.collect()
