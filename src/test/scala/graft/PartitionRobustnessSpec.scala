@@ -58,7 +58,13 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // round 11 second half: cell-blocked pairwise dedup — the cell
     // assignment (sample-trained k-means) and the within-cell pair
     // set must both be partitioning-independent
-    "dedup_semantic")
+    "dedup_semantic",
+    // round 11 third wave: the count-derived bloom bitmap (collect_set
+    // across partitions), the count-derived mixture rates, per-language
+    // ntile terciles, and the two staged top-k searches (shortlist
+    // boundaries resolve via cross-partition windows)
+    "dedup_bloom_admit", "txt_mix_sample", "txt_lm_buckets",
+    "sim_knn_mrl", "sim_knn_filtered")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
