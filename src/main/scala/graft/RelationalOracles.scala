@@ -549,5 +549,21 @@ object RelationalOracles {
         |SELECT l_returnflag, metric, CAST(sum(value) AS BIGINT) AS total,
         |  count(*) AS n_rows
         |FROM melted GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors Relational.q47WindowProfile: unique (spend, cust)
+    // ordering, the same integer-operand IEEE divisions.
+    "q47_window_profile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT c_nationkey AS nation, cust, spend_cents,
+        |  percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY spend_cents, cust) AS pr,
+        |  cume_dist() OVER (PARTITION BY c_nationkey
+        |    ORDER BY spend_cents, cust) AS cd
+        |FROM spend JOIN customer ON cust = c_custkey
+        |ORDER BY nation, cust""".stripMargin,
   )
 }

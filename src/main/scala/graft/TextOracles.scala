@@ -286,6 +286,62 @@ object TextOracles {
         |FROM bg b JOIN model m USING (bg)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors TextAnalysis.pipelineV2: the gopher flags and pii chain
+    // composed, per-source rollup with the summed fingerprint fold.
+    "txt_pipeline_v2" ->
+      s"""WITH stats AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ('the','a','of','to','and','in','is','it')))
+         |      AS BIGINT) AS stop_hits,
+         |    CAST(len(list_distinct(regexp_split_to_array(trim(text),
+         |      '\\s+'))) AS BIGINT) AS n_distinct,
+         |    CAST(length(replace(trim(text), ' ', '')) AS BIGINT)
+         |      AS nospace_len
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, source FROM stats
+         |  WHERE n_tokens >= 20
+         |    AND (100 * nospace_len) // n_tokens BETWEEN 300 AND 1000
+         |    AND stop_hits >= 2
+         |    AND (100 * n_distinct) // n_tokens >= 50),
+         |aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+         |         || CAST(doc_id AS VARCHAR) || '@example.com'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+         |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |         || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+         |         || CAST(doc_id % 100 AS VARCHAR)
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END AS a
+         |  FROM documents),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(a,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |      + len(regexp_extract_all(a,
+         |          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |      + len(regexp_extract_all(a, '\\+1-555-\\d{4}')) AS BIGINT)
+         |      AS pii_hits,
+         |    regexp_replace(regexp_replace(regexp_replace(a,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |      '\\+1-555-\\d{4}', '<PHONE>', 'g') AS c
+         |  FROM aug)
+         |SELECT k.source, count(*) AS n_kept,
+         |  CAST(sum(p.pii_hits) AS BIGINT) AS n_pii_hits,
+         |  CAST(sum(length(p.c)) AS BIGINT) AS clean_len_sum,
+         |  CAST(sum(${fold("md5(p.c)")}) AS BIGINT) AS clean_fp_fold_sum
+         |FROM kept k JOIN perdoc p USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Mirrors TextAnalysis.mixSample: index-proportional weights, the
     // scarcest-source feasible total, integer-div rates, md5-fold coin.
     "txt_mix_sample" ->

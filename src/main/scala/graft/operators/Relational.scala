@@ -985,6 +985,31 @@ object Relational {
       .agg(sum(col("value")).as("total"), count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** q47 — the DISTRIBUTION window functions q11/q31 left uncovered:
+    * percent_rank and cume_dist of each customer's spend within
+    * their nation. Both are exact IEEE divisions of integers
+    * ((rank−1)/(n−1), rows≤current/n) over a UNIQUE ordering
+    * (spend, custkey), so the doubles hash-match DuckDB bit-for-bit;
+    * one customer aggregate + a broadcast dim join + one
+    * nation-keyed window. Every nation holds ≥3 customers at every
+    * SF, so the (n−1) denominator never degenerates. */
+  def q47WindowProfile(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nation"))
+      .orderBy(col("spend_cents"), col("cust"))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("spend_cents"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("nation")),
+        col("cust") === col("c_custkey"))
+      .select(col("nation"), col("cust"), col("spend_cents"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy(col("nation"), col("cust"))
+  }
+
   /** Register `df` under a name unique per (query, input dir), so
     * concurrent runs of the SQL-text queries against DIFFERENT data
     * dirs cannot race on a shared view name (two calls with the same

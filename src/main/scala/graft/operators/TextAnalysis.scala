@@ -779,6 +779,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** txt_pipeline_v2 — the round-11 curation ops COMPOSED the way a
+    * production pass actually runs them: [[gopherFilter]] decides
+    * keep/drop, [[piiScrub]] cleans what survives, and the per-source
+    * shipping audit rolls up kept counts, PII hit totals, cleaned
+    * byte volume, and an order-independent content checksum (the
+    * per-doc cleaned fingerprint folded to a long and SUMMED — sums
+    * commute, so shuffle order can't perturb it, and any single
+    * changed byte in any cleaned doc changes the total). Shuffle
+    * classes: the two map-only passes + one doc_id join + one
+    * source-keyed aggregate. */
+  def pipelineV2(s: SparkSession, d: String): DataFrame =
+    gopherFilter(s, d).filter(col("kept") === 1L)
+      .select(col("doc_id"), col("source"))
+      .join(piiScrub(s, d), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_emails") + col("n_ips") + col("n_phones"))
+          .as("n_pii_hits"),
+        sum(col("len_clean")).as("clean_len_sum"),
+        sum(graft.functions.RollingHash.rollingHash(col("clean_fp")))
+          .as("clean_fp_fold_sum"))
+      .orderBy(col("source"))
+
   /** txt_mix_sample — EXECUTE a target data mixture (the step after
     * [[sourceMix]]'s audit): given per-source target weights, find
     * the largest feasible corpus (T = min over sources of

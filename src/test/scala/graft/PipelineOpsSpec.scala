@@ -221,6 +221,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline v2: per-source rollup reconciles with its stages") {
+    val rows = SparkEntry.queries("txt_pipeline_v2")(spark, sf).collect()
+    val keptTotal = rows.map(_.getLong(1)).sum
+    val gopherKept = SparkEntry.queries("txt_gopher_filter")(spark, sf)
+      .collect().count(_.getLong(10) == 1L)
+    assert(keptTotal == gopherKept,
+      s"pipeline keeps $keptTotal docs, gopher filter kept $gopherKept")
+    rows.foreach { r =>
+      // each doc plants at most one of each PII kind
+      assert(r.getLong(2) <= 3 * r.getLong(1), s"${r.getString(0)} pii bound")
+      assert(r.getLong(3) > 0, "cleaned corpus has bytes")
+    }
+  }
+
   test("gopher filter: flags recompute from stats, every varying rule fires") {
     val rows = SparkEntry.queries("txt_gopher_filter")(spark, sf).collect()
     assert(rows.length == 500)

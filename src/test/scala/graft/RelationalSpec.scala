@@ -65,6 +65,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q47 distribution windows: pr/cd bounded and spend-monotone per nation") {
+    val rows = SparkEntry.queries("q47_window_profile")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (nation, cs) =>
+      val sorted = cs.sortBy(c => (c._2, c._3))
+      assert(sorted.head._3 == 0.0, s"nation $nation min pr must be 0")
+      assert(sorted.last._3 == 1.0 && sorted.last._4 == 1.0,
+        s"nation $nation max pr/cd must be 1")
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2) {
+          assert(p(0)._3 <= p(1)._3 && p(0)._4 < p(1)._4,
+            s"nation $nation pr/cd not monotone in spend order")
+        }
+      }
+    }
+  }
+
   test("q1 groups by (returnflag, linestatus) with exact cent sums") {
     val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
     assert(rows.length >= 4 && rows.length <= 9)
