@@ -64,7 +64,10 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // ntile terciles, and the two staged top-k searches (shortlist
     // boundaries resolve via cross-partition windows)
     "dedup_bloom_admit", "txt_mix_sample", "txt_lm_buckets",
-    "sim_knn_mrl", "sim_knn_filtered")
+    "sim_knn_mrl", "sim_knn_filtered",
+    // the composed curation rollup (summed fingerprint folds) and the
+    // distribution windows (rank divisions over a unique ordering)
+    "txt_pipeline_v2", "q47_window_profile")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
