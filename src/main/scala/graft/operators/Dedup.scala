@@ -768,10 +768,17 @@ object Dedup {
   /** Bloom-gated incremental admission — [[incremental]] at 100 TB:
     * instead of anti-joining every batch document against the FULL
     * corpus fingerprint set (corpus-scale shuffle per batch), the
-    * corpus is folded ONCE into a constant-size bloom bitmap
-    * (count-derived width, broadcast as one sorted position array —
-    * the BloomMapFile-sidecar geometry of src_bloom_lookup), and only
-    * the bloom HITS pay the exact corpus join. Bloom misses are
+    * corpus is folded ONCE into a bloom whose width is
+    * count-proportional at CONSTANT FILL (m = 16n bits — Θ(n) like
+    * any bloom, but ~2 bits of packed state per corpus doc versus
+    * the 16-byte fingerprints the exact join ships, and it is built
+    * once per corpus epoch, not per batch). Here the set positions
+    * ride as one sorted long array in a single broadcast row (the
+    * BloomMapFile-sidecar geometry of src_bloom_lookup); a
+    * production deployment packs the same positions 12× denser into
+    * an m-bit bitmap and ships it exactly like the bloom sidecar
+    * files — or shards it — once n pushes the broadcast past memory.
+    * Only the bloom HITS pay the exact corpus join. Bloom misses are
     * definite non-members (no false negatives by construction) and
     * admit with zero join I/O; hits are either true duplicates or
     * accounted FALSE POSITIVES — the audit column that measures the
