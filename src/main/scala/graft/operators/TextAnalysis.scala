@@ -790,17 +790,62 @@ object TextAnalysis {
     * classes: the two map-only passes + one doc_id join + one
     * source-keyed aggregate. */
   def pipelineV2(s: SparkSession, d: String): DataFrame =
-    gopherFilter(s, d).filter(col("kept") === 1L)
-      .select(col("doc_id"), col("source"))
-      .join(piiScrub(s, d), "doc_id")
+    curationRows(Tables.documents(s, d))
+      .filter(col("kept") === 1L)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
-        sum(col("n_emails") + col("n_ips") + col("n_phones"))
-          .as("n_pii_hits"),
+        sum(col("pii_hits")).as("n_pii_hits"),
         sum(col("len_clean")).as("clean_len_sum"),
         sum(graft.functions.RollingHash.rollingHash(col("clean_fp")))
           .as("clean_fp_fold_sum"))
       .orderBy(col("source"))
+
+  /** The per-document curation row — [[gopherFilter]]'s verdict and
+    * [[piiScrub]]'s cleaned output computed in ONE projection (both
+    * stages are row-local, so composing them needs no join; the
+    * batch rollup and the streaming ingest share exactly this).
+    * Works on any (doc_id, text, source) frame, batch or stream. */
+  private[graft] def curationRows(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val stopHits = size(filter(t, w => w.isin(STOPWORDS: _*)))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\+1-555-\\d{4}"
+    docs
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("stop_hits", stopHits.cast("long"))
+      .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
+      .withColumn("mwl_x100",
+        expr("(100 * length(replace(trim(text), ' ', ''))) div n_tokens"))
+      .withColumn("distinct_x100", expr("(100 * n_distinct) div n_tokens"))
+      .withColumn("kept",
+        (col("n_tokens") >= 20 && col("mwl_x100").between(300, 1000) &&
+          col("stop_hits") >= 2 && col("distinct_x100") >= 50)
+          .cast("long"))
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          expr("cast((doc_id div 256) % 256 as string)"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise("")))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+      .withColumn("pii_hits",
+        (size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))) +
+          size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))) +
+          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))))
+          .cast("long"))
+      .select(col("doc_id"), col("source"), col("kept"), col("pii_hits"),
+        length(col("clean")).cast("long").as("len_clean"),
+        md5(col("clean").cast("binary")).as("clean_fp"))
+  }
 
   /** txt_mix_sample — EXECUTE a target data mixture (the step after
     * [[sourceMix]]'s audit): given per-source target weights, find

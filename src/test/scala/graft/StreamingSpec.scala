@@ -339,6 +339,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("fp").distinct().count() == batchExpected)
   }
 
+  test("streaming curation: gopher gate + pii scrub rollup equals batch pipeline_v2") {
+    // the SAME single-projection curation row feeds batch and stream
+    // (TextAnalysis.curationRows is row-local, so it lifts to a
+    // streaming frame unchanged); the per-source rollup runs in
+    // complete mode and its final state must equal the batch rollup
+    val docs = graft.streaming.DocumentStreams.readDocuments(spark, sf)
+    val rolled = graft.operators.TextAnalysis
+      .curationRows(docs.select(col("doc_id"), col("text"), col("source")))
+      .filter(col("kept") === 1L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("pii_hits")).as("n_pii_hits"),
+        sum(col("len_clean")).as("clean_len_sum"),
+        sum(graft.functions.RollingHash.rollingHash(col("clean_fp")))
+          .as("clean_fp_fold_sum"))
+    val q = rolled.writeStream.outputMode("complete")
+      .format("memory").queryName("curation_rollup")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curation_rollup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    val batch = SparkEntry.queries("txt_pipeline_v2")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(streamed == batch, "streaming rollup diverges from batch")
+  }
+
   test("AvailableNow drains a multi-file backlog in bounded micro-batches") {
     // the 100 TB reprocessing story: a large backlog must stream
     // through as MANY bounded batches (maxFilesPerTrigger), not one
