@@ -297,6 +297,30 @@ object PipelineOracles {
          |FROM corpus c LEFT JOIN dropped d ON c.vec_id = d.vec_id
          |ORDER BY c.vec_id""".stripMargin,
 
+    // Mirrors Similarity.kmeansUpdate: the %5 batch assigned to the
+    // SAME trained centroids (c2 of the shared chain), fit cosine in
+    // floor-micro units, per-cell freshness stats.
+    "ml_kmeans_update" ->
+      s"""WITH $ivfTrainedCorpus,
+         |fit AS (
+         |  SELECT vec_id, cell,
+         |    CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+         |  FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        CAST(c.centroid AS DOUBLE[])) AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c
+         |    WHERE e.vec_id % 5 = 0)
+         |  WHERE rn = 1)
+         |SELECT cell, count(*) AS n_new,
+         |  min(cos_micro) AS min_cos_micro,
+         |  CAST(sum(cos_micro) AS BIGINT) AS sum_cos_micro,
+         |  max(cos_micro) AS max_cos_micro
+         |FROM fit GROUP BY 1 ORDER BY cell""".stripMargin,
+
     // Mirrors Similarity.clusterSample: same trained cells, same
     // md5-fold rank, same per-cell cutoff.
     "ml_cluster_sample" ->

@@ -220,6 +220,39 @@ object Similarity {
       .select(col("cell"), col("rk"), col("vec_id"))
       .orderBy(col("cell"), col("rk"))
 
+  /** Index MAINTENANCE audit — what a vector pipeline runs on every
+    * arriving batch to decide whether the trained k-means index is
+    * going stale: assign the new batch (the %5≡0 slice, the repo's
+    * batch convention) to the EXISTING trained centroids without
+    * retraining, and publish per-cell freshness stats — how many new
+    * vectors landed, and how well they fit (min / mean / max cosine
+    * to their centroid, in floor-micro units: floor(cos·10⁶) is the
+    * same IEEE multiply-then-floor on both engines, where a raw cast
+    * truncates in Spark but rounds in DuckDB). Drops in fit cosine
+    * signal drift → retrain. Constant centroid broadcast, map-side
+    * argmax partials, cell-scale output. */
+  def kmeansUpdate(s: SparkSession, d: String): DataFrame = {
+    val cent = trainedCentroids(s, d)
+    val batch = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    batch.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        VectorFunctions.cosineSim(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).as("cell"),
+        floor(col("b.cos") * 1000000).cast("long").as("cos_micro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"),
+        min(col("cos_micro")).as("min_cos_micro"),
+        // sum not mean: integer division of a possibly-NEGATIVE sum
+        // truncates toward zero in Spark but floors in DuckDB
+        sum(col("cos_micro")).as("sum_cos_micro"),
+        max(col("cos_micro")).as("max_cos_micro"))
+      .orderBy(col("cell"))
+  }
+
   /** Metadata-FILTERED vector search — the production "WHERE
     * metadata = X" ANN query (every real vector store call carries
     * one): each query searches only the corpus slice with its target

@@ -745,6 +745,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans update: batch fully assigned, fit stats internally consistent") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val rows = SparkEntry.queries("ml_kmeans_update")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val batchSize = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(rows.map(_._2).sum == batchSize,
+      "every batch vector must land in exactly one cell")
+    rows.foreach { case (cell, n, mn, sm, mx) =>
+      assert(n > 0)
+      assert(mn <= mx && mn * n <= sm && sm <= mx * n,
+        s"cell $cell stats inconsistent: n=$n min=$mn sum=$sm max=$mx")
+      assert(mx <= 1000000L, s"cell $cell cosine above 1")
+    }
+    // assignment agrees with the corpus-wide trained assignment for
+    // the overlapping vectors (same centroids, same argmax)
+    val corpusCells = graft.operators.Similarity.trainedCells(spark, sf)
+      .filter(col("vec_id") % 5 === 0)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == corpusCells,
+      "update assignment diverges from the trained corpus assignment")
+  }
+
   test("filtered search: every neighbor carries the query's target label") {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
