@@ -279,5 +279,22 @@ object AdvancedOracles {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Advanced.outlierEvents: the division-free 3-sigma test
+    // in HUGEINT (Spark evaluates the same inequality in decimal(38,0)).
+    "adv_outlier_events" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(v) AS s, sum(v * v) AS ss
+        |  FROM ev GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN (st.n*e.v - st.s)*(st.n*e.v - st.s)
+        |                     > 9*(st.n*st.ss - st.s*st.s)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev e JOIN st USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -532,4 +532,34 @@ object Advanced {
         sum(col("cents")).as("sum_cents"))
       .orderBy(col("bucket"))
   }
+
+  /** 3σ outlier screen per event type — the data-quality gate an
+    * ingest runs before anomalies poison downstream aggregates — in
+    * EXACT integer arithmetic: the float test |v − μ| > 3σ is
+    * algebraically cleared of divisions to
+    * (n·v − S)² > 9·(n·SS − S²) over value cents, evaluated in
+    * decimal(38,0) (Spark) / HUGEINT (DuckDB) so no rounding mode
+    * can disagree — a z-score in doubles would hinge on libm sqrt
+    * and summation order. Shuffle classes: one type-keyed stats
+    * aggregate (map-side partials), the tiny per-type stats row
+    * broadcast back, one map-side flag + final aggregate. The
+    * two-pass shape (stats, then flag) is how a 100 TB screen runs —
+    * nothing is ever sorted or windowed per event. */
+  def outlierEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as decimal(38,0))").as("v"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v")).as("s"),
+        sum(expr("v * v")).as("ss"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("is_out",
+        expr("case when (n*v - s)*(n*v - s) > 9*(n*ss - s*s)" +
+          " then 1L else 0L end"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_out")).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -8,6 +8,30 @@ import graft.sources.Tables
 class AdvancedSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("outlier screen: integer 3-sigma inequality equals the float z-score") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("adv_outlier_events")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    // recompute per type with plain doubles; the exact-integer test
+    // must agree wherever the float margin is not razor-thin (here
+    // the synthetic values sit far from the 3-sigma boundary)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long")
+        .as("c")).collect().map(r => (r.getString(0), r.getLong(1)))
+    ev.groupBy(_._1).foreach { case (t, vs) =>
+      val xs = vs.map(_._2.toDouble)
+      val n = xs.length
+      val mu = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / n)
+      val floatOut = xs.count(x => math.abs(x - mu) > 3 * sd)
+      val (cnt, out) = rows(t)
+      assert(cnt == n.toLong, s"$t count")
+      assert(out == floatOut.toLong,
+        s"$t integer test ($out) vs float z-score ($floatOut)")
+    }
+  }
+
   test("as-of join only ever matches strictly-prior clicks") {
     val rows = Advanced.asofJoin(spark, sf).collect()
     assert(rows.nonEmpty)
