@@ -280,6 +280,27 @@ object AdvancedOracles {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors Advanced.transitionMatrix: lead over the same
+    // (user, µs, event_id) order, type-pair counts + integer bps.
+    "adv_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type, next_type, count(*)
+        |    AS n_transitions
+        |  FROM (
+        |    SELECT user_id, event_type,
+        |      lead(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS next_type
+        |    FROM events)
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n_transitions) AS BIGINT)
+        |    AS from_total
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.from_type, p.next_type, p.n_transitions,
+        |  (10000 * p.n_transitions) // t.from_total AS share_bps
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY 1, 2""".stripMargin,
+
     // Mirrors Advanced.outlierEvents: the division-free 3-sigma test
     // in HUGEINT (Spark evaluates the same inequality in decimal(38,0)).
     "adv_outlier_events" ->

@@ -533,6 +533,32 @@ object Advanced {
       .orderBy(col("bucket"))
   }
 
+  /** Event-transition matrix — the first-order Markov model product
+    * analytics fits over user journeys (what follows what, and how
+    * often): each user's event stream in (ts, event_id) order yields
+    * (type → next type) pairs via ONE lead window, counted corpus-wide
+    * with the share of each source type in integer basis points
+    * ((10000·n) div from-total — exact on both engines). Shuffle
+    * classes: the user-keyed window exchange, then a type²-keyed
+    * (constant-cardinality) aggregate — transition state never
+    * exceeds |types|² rows at any event volume. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("from_total"))
+    pairs.join(broadcast(fromTotals), "from_type")
+      .select(col("from_type"), col("next_type"), col("n_transitions"),
+        expr("(10000 * n_transitions) div from_total").as("share_bps"))
+      .orderBy(col("from_type"), col("next_type"))
+  }
+
   /** 3σ outlier screen per event type — the data-quality gate an
     * ingest runs before anomalies poison downstream aggregates — in
     * EXACT integer arithmetic: the float test |v − μ| > 3σ is

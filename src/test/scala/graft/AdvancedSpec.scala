@@ -8,6 +8,25 @@ import graft.sources.Tables
 class AdvancedSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("transition matrix: conserves transitions, shares total ~10000 bps") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("adv_transition_matrix")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // total transitions = total events minus one per active user
+    val ev = graft.sources.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == expected,
+      "every adjacent event pair must appear exactly once")
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val bpsSum = ts.map(_._4).sum
+      // integer div loses at most (n_pairs - 1) bps to truncation
+      assert(bpsSum <= 10000L && bpsSum >= 10000L - ts.length + 1,
+        s"$from shares sum to $bpsSum bps")
+    }
+  }
+
   test("outlier screen: integer 3-sigma inequality equals the float z-score") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("adv_outlier_events")(spark, sf).collect()
