@@ -301,6 +301,46 @@ object AdvancedOracles {
         |FROM pairs p JOIN tot t USING (from_type)
         |ORDER BY 1, 2""".stripMargin,
 
+    // Mirrors Advanced.robustOutlier: doubled median (lo+hi via
+    // row_number positions), quadrupled MAD, the 2|2v-med2| > 3 mad4
+    // test — positions pick the same VALUES regardless of tie order.
+    "adv_robust_outlier" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |r1 AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN rn = (n-1)//2 + 1 THEN c ELSE 0 END)
+        |       + sum(CASE WHEN rn = n//2 + 1 THEN c ELSE 0 END) AS BIGINT)
+        |      AS med2
+        |  FROM r1 GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(2*e.c - m.med2) AS d
+        |  FROM ev e JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, d,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN rn = (n-1)//2 + 1 THEN d ELSE 0 END)
+        |       + sum(CASE WHEN rn = n//2 + 1 THEN d ELSE 0 END) AS BIGINT)
+        |      AS mad4
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_events,
+        |  min(m.med2) AS med2_cents, min(a.mad4) AS mad4_cents,
+        |  CAST(sum(CASE WHEN 2*d.d > 3*a.mad4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN med m USING (event_type)
+        |JOIN mad a USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Mirrors Advanced.outlierEvents: the division-free 3-sigma test
     // in HUGEINT (Spark evaluates the same inequality in decimal(38,0)).
     "adv_outlier_events" ->

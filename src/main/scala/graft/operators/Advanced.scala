@@ -559,6 +559,57 @@ object Advanced {
       .orderBy(col("from_type"), col("next_type"))
   }
 
+  /** Doubled exact median (lo + hi of the two bracketing sorted
+    * positions — 2·median as an INTEGER even when n is even) per
+    * group, via the q25 distributed-histogram pattern: the window
+    * runs over the (group, value)-DISTINCT histogram, never the raw
+    * rows, so a billion events with a bounded value domain cost a
+    * histogram-scale sort. */
+  private def doubledMedian(vals: DataFrame, g: String, v: String,
+      out: String): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(g)).orderBy(col(v))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(g))
+    vals.groupBy(col(g), col(v)).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("k1", expr("(n - 1) div 2"))
+      .withColumn("k2", expr("n div 2"))
+      .groupBy(col(g))
+      .agg((max(when(col("cum") - col("c") <= col("k1") &&
+          col("k1") <= col("cum") - 1, col(v))) +
+        max(when(col("cum") - col("c") <= col("k2") &&
+          col("k2") <= col("cum") - 1, col(v)))).as(out))
+  }
+
+  /** ROBUST outlier screen — [[outlierEvents]]' median/MAD twin, the
+    * screen that still works when the anomalies themselves poison
+    * mean and variance (the classic failure of z-scores on heavy
+    * tails): flag |v − median| > 3·MAD, computed entirely in exact
+    * integers by carrying the median DOUBLED (med2 = lo+hi) and the
+    * MAD QUADRUPLED (mad4 = doubled median of already-doubled
+    * deviations), so the test is 2·|2v − med2| > 3·mad4 with no
+    * halves ever materialized. Two histogram-scale median passes +
+    * two constant-size broadcasts + one map-side flag — nothing
+    * event-scale is sorted. */
+  def robustOutlier(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val med = doubledMedian(ev, "event_type", "cents", "med2_cents")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(lit(2L) * col("cents") - col("med2_cents")))
+    val mad = doubledMedian(dev, "event_type", "dev", "mad4_cents")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med2_cents")).as("med2_cents"),
+        min(col("mad4_cents")).as("mad4_cents"),
+        sum(when(lit(2L) * col("dev") > lit(3L) * col("mad4_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** 3σ outlier screen per event type — the data-quality gate an
     * ingest runs before anomalies poison downstream aggregates — in
     * EXACT integer arithmetic: the float test |v − μ| > 3σ is

@@ -8,6 +8,31 @@ import graft.sources.Tables
 class AdvancedSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("robust outlier: doubled median and quadrupled MAD match a local sort") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("adv_robust_outlier")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n - 1) / 2) + s(n / 2)
+    }
+    ev.groupBy(_._1).foreach { case (t, vs) =>
+      val cs = vs.map(_._2).toSeq
+      val m2 = med2(cs)
+      val devs = cs.map(c => math.abs(2 * c - m2))
+      val m4 = med2(devs)
+      val out = devs.count(d => 2 * d > 3 * m4).toLong
+      val (n, gm2, gm4, gout) = rows(t)
+      assert(n == cs.length.toLong && gm2 == m2 && gm4 == m4 && gout == out,
+        s"$t: got ($n,$gm2,$gm4,$gout) expected " +
+          s"(${cs.length},$m2,$m4,$out)")
+    }
+  }
+
   test("transition matrix: conserves transitions, shares total ~10000 bps") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("adv_transition_matrix")(spark, sf)
