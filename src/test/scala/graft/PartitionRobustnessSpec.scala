@@ -67,7 +67,11 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     "sim_knn_mrl", "sim_knn_filtered",
     // the composed curation rollup (summed fingerprint folds) and the
     // distribution windows (rank divisions over a unique ordering)
-    "txt_pipeline_v2", "q47_window_profile")
+    "txt_pipeline_v2", "q47_window_profile",
+    // round 11 fourth wave: broadcast-argmax index audit, decimal-sum
+    // z-test, lead-window transitions, histogram-median MAD screen
+    "ml_kmeans_update", "adv_outlier_events", "adv_transition_matrix",
+    "adv_robust_outlier")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
