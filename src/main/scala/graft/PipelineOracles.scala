@@ -938,7 +938,6 @@ object PipelineOracles {
         |    CAST(sz AS INT))) AS digest
         |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
 
-    // Mirrors Multimodal.audioSamples' planted layout: data chunk at
     // Mirrors Multimodal.audioFeatures: channel-0 sample of frame f
     // is byte f·align (+ the LE high byte for 16-bit) of the planted
     // data chunk, byte j = 32 + (doc_id + 7j) % 95 — always below the
@@ -967,6 +966,7 @@ object PipelineOracles {
         |  CAST(min(v) AS BIGINT) AS min_amp
         |FROM samp GROUP BY 1, 2 ORDER BY doc_id, win_idx""".stripMargin,
 
+    // Mirrors Multimodal.audioSamples' planted layout: data chunk at
     // 44 + optional LIST(18), blockAlign = ch·bits/8 from the same
     // doc_id arithmetic as mm_audio_meta, 100-frame windows (last
     // partial), every window's bytes rebuilt with chr() and digested.

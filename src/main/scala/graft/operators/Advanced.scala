@@ -617,7 +617,15 @@ object Advanced {
     * (n·v − S)² > 9·(n·SS − S²) over value cents, evaluated in
     * decimal(38,0) (Spark) / HUGEINT (DuckDB) so no rounding mode
     * can disagree — a z-score in doubles would hinge on libm sqrt
-    * and summation order. Shuffle classes: one type-keyed stats
+    * and summation order. Exactness holds while the largest term
+    * (n·v − S)² stays inside 38 digits, i.e. n·max|cents| < ~10¹⁹
+    * per type — ~10¹² events averaging 10⁷ cents. Beyond that,
+    * non-ANSI decimal overflow yields NULL, which a naive
+    * `else 0` would silently count as "not an outlier"; instead the
+    * three-valued case below routes the NULL comparison into
+    * assert_true, so Spark fails as loudly as DuckDB's HUGEINT
+    * does — an overflow is an error on BOTH engines, never a
+    * silent undercount. Shuffle classes: one type-keyed stats
     * aggregate (map-side partials), the tiny per-type stats row
     * broadcast back, one map-side flag + final aggregate. The
     * two-pass shape (stats, then flag) is how a 100 TB screen runs —
@@ -632,8 +640,10 @@ object Advanced {
         sum(expr("v * v")).as("ss"))
     ev.join(broadcast(stats), "event_type")
       .withColumn("is_out",
-        expr("case when (n*v - s)*(n*v - s) > 9*(n*ss - s*s)" +
-          " then 1L else 0L end"))
+        expr("case when (n*v - s)*(n*v - s) > 9*(n*ss - s*s) then 1L" +
+          " when (n*v - s)*(n*v - s) <= 9*(n*ss - s*s) then 0L" +
+          " else cast(assert_true(false," +
+          " 'decimal(38,0) overflow in 3-sigma screen') as long) end"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("is_out")).as("n_outliers"))

@@ -469,13 +469,23 @@ object Dedup {
     * construction — exactly the span an ExactSubstr scrubber would
     * cut from that document. Deterministic, so the DuckDB oracle
     * merges the same chains and hash-matches. */
-  def substringMax(s: SparkSession, d: String): DataFrame = {
-    val w = 8
+  /** Shared ExactSubstr front half — [[substringMax]] (find) and
+    * [[substringScrub]] (apply) MUST agree on the window width, hash
+    * family, dup threshold, and island merge or the two sides of the
+    * dedup silently diverge, so the whole chain lives here once.
+    * Returns (allToks, toks, runs): every doc's token array, the
+    * windowable (>= w tokens) subset, and one row per MAXIMAL island
+    * run of cross-document w-token windows as
+    * (doc_id, start, endw) — 1-based positions of the run's first
+    * and last window START (the passage covers tokens
+    * [start, endw + w − 1]). */
+  private def sharedWindowRuns(s: SparkSession, d: String, w: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val winExpr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = Tables.documents(s, d)
+    val allToks = Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .filter(size(col("t")) >= w)
+    val toks = allToks.filter(size(col("t")) >= w)
     val keyed = toks
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, size(t) - ${w - 1}),
@@ -493,8 +503,15 @@ object Dedup {
       .select(col("doc_id"), col("pos"))
       .withColumn("isl", col("pos") - row_number().over(winExpr))
       .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("pos")).as("start"),
-        (max(col("pos")) - min(col("pos")) + w).cast("long").as("len_tokens"))
+      .agg(min(col("pos")).as("start"), max(col("pos")).as("endw"))
+    (allToks, toks, runs)
+  }
+
+  def substringMax(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    val (_, toks, runs0) = sharedWindowRuns(s, d, w)
+    val runs = runs0.select(col("doc_id"), col("start"),
+      (col("endw") - col("start") + w).cast("long").as("len_tokens"))
     runs
       .join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("len_tokens"),
@@ -529,30 +546,10 @@ object Dedup {
     * verified byte-for-byte via its fingerprint. */
   def substringScrub(s: SparkSession, d: String): DataFrame = {
     val w = 8
-    val winExpr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val allToks = Tables.documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-    val toks = allToks.filter(size(col("t")) >= w)
-    val keyed = toks
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(t) - ${w - 1}),
-            i -> array_join(slice(t, i, $w), ' '))""")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        graft.functions.RollingHash.rollingHash(col("col")).as("wfp"),
-        md5(col("col").cast("binary")).as("wmd5"))
-    val dupKeys = keyed
-      .groupBy(col("wfp"), col("wmd5"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("wfp"), col("wmd5"))
-    val spans = keyed
-      .join(dupKeys, Seq("wfp", "wmd5"))
-      .select(col("doc_id"), col("pos"))
-      .withColumn("isl", col("pos") - row_number().over(winExpr))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("pos")).as("s"),
-        (max(col("pos")) + (w - 1)).cast("long").as("e"))
+    val (allToks, _, runs0) = sharedWindowRuns(s, d, w)
+    val spans = runs0
+      .select(col("doc_id"), col("start").as("s"),
+        (col("endw") + (w - 1)).cast("long").as("e"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
     allToks.join(spans, Seq("doc_id"), "left")
@@ -800,8 +797,11 @@ object Dedup {
       .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 3)
       .select((col("doc_id") + 1000000L).as("doc_id"), fp.as("fp"))
     val batch = fresh.unionByName(replay)
+    // the corpus fingerprint set is read three times (width count,
+    // bloom-bit fold, exact hit-verdict join) — materialize it once
+    // rather than re-scanning + re-distincting the corpus per use
     val corpusFps = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(fp.as("fp")).distinct()
+      .select(fp.as("fp")).distinct().localCheckpoint()
     bloomAdmitOn(batch, corpusFps, bloomAdmitBits(corpusFps.count()))
   }
 

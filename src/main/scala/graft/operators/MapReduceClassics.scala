@@ -173,7 +173,10 @@ object MapReduceClassics {
   val PrEps = 200000L
   /** Round cap — the driver-loop budget that bounds a slow-mixing
     * graph (bipartite structure keeps |λ₂| near the damping factor,
-    * so Δ decays ~0.85× per round). */
+    * so Δ decays ~0.85× per round). MUST stay even: the converged
+    * loop advances two steps per materialization, so an odd cap
+    * would overshoot the budget by one step on cap-exit (enforced
+    * by a require at the loop head). */
   val PrCap = 30
 
   /** mr_pagerank_converged — the reference's driver-loop semantics:
@@ -219,6 +222,8 @@ object MapReduceClassics {
     var ranks: DataFrame = ranksChk
     var rounds = 0
     var converged = false
+    require(PrCap % 2 == 0,
+      "PrCap must be even: each materialization advances two steps")
     while (!converged && rounds < PrCap) {
       // TWO chained steps ride in each materialization (r11: halves
       // the job count — convergence checking pays one ACTION per

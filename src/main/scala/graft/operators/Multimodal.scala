@@ -684,9 +684,14 @@ private[graft] object VideoHeaders {
         val n = sizes.length
         var si = 0
         var c = 0
+        var ri = 0 // current stsc run; runs are ascending, chunks walk
+        // forward, so a single pointer advance keeps this linear in
+        // (chunks + runs) — a per-chunk prefix scan would let a legal
+        // 2^20-chunk x 2^16-run table pin a task for hours
         while (c < chunkOffs.length && si < n) {
           val chunkNo = c + 1L
-          val spc = stscRuns.takeWhile(_._1 <= chunkNo).last._2
+          while (ri + 1 < stscRuns.length && stscRuns(ri + 1)._1 <= chunkNo) ri += 1
+          val spc = stscRuns(ri)._2
           var off = chunkOffs(c)
           var cnt = 0L
           while (cnt < spc && si < n) {
@@ -1384,27 +1389,6 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Cross-codec perceptual near-dup report — [[phashNearDup]]'s
-    * machinery promoted to an oracle-backed query over payloads that
-    * mix REAL codecs: the same planted pixel field is encoded PNG
-    * for half the ids and JPEG (genuinely lossy) for the other half
-    * ([[ImageSynth.realImage]]), so identical phash groups holding
-    * both n_png and n_jpeg members prove the hash survives a lossy
-    * round-trip, not just a byte copy.
-    *
-    * Scale shape: per-doc decode+hash is one map-only projection of
-    * the registered image_dhash function; docs then collapse into
-    * identical-hash GROUPS first (≤80 distinct hashes here, and at
-    * 100 TB the group count tracks distinct content, not corpus
-    * rows) — the quadratic trap of emitting every same-hash doc pair
-    * never exists. Banded Hamming LSH (4×16-bit bands) runs over
-    * the DISTINCT hashes only, annotating each group with its
-    * nearest-neighbor distance and partner count; candidate volume
-    * tracks distinct-hash near-dup structure. The planted field's
-    * ≥55-level margins make the decoded hash equal the planted-field
-    * arithmetic exactly (spec-pinned across all 160 variants), so
-    * the DuckDB oracle recomputes every hash, group count, and
-    * neighbor distance in pure integer arithmetic. */
   /** The image column's feature-extraction step — [[audioFeatures]]'
     * visual twin: REAL pixel decode (the JDK codecs behind
     * image_dhash) of every [[ImageSynth.realImage]] payload, then
@@ -1446,6 +1430,27 @@ object Multimodal {
       }.toDF().orderBy(col("doc_id"), col("by"), col("bx"))
   }
 
+  /** Cross-codec perceptual near-dup report — [[phashNearDup]]'s
+    * machinery promoted to an oracle-backed query over payloads that
+    * mix REAL codecs: the same planted pixel field is encoded PNG
+    * for half the ids and JPEG (genuinely lossy) for the other half
+    * ([[ImageSynth.realImage]]), so identical phash groups holding
+    * both n_png and n_jpeg members prove the hash survives a lossy
+    * round-trip, not just a byte copy.
+    *
+    * Scale shape: per-doc decode+hash is one map-only projection of
+    * the registered image_dhash function; docs then collapse into
+    * identical-hash GROUPS first (≤80 distinct hashes here, and at
+    * 100 TB the group count tracks distinct content, not corpus
+    * rows) — the quadratic trap of emitting every same-hash doc pair
+    * never exists. Banded Hamming LSH (4×16-bit bands) runs over
+    * the DISTINCT hashes only, annotating each group with its
+    * nearest-neighbor distance and partner count; candidate volume
+    * tracks distinct-hash near-dup structure. The planted field's
+    * ≥55-level margins make the decoded hash equal the planted-field
+    * arithmetic exactly (spec-pinned across all 160 variants), so
+    * the DuckDB oracle recomputes every hash, group count, and
+    * neighbor distance in pure integer arithmetic. */
   def phashGroups(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.install(s)
     val sp = s

@@ -320,6 +320,16 @@ object TextAnalysis {
     * token level — the corpus is single-line, so line-dup rules are
     * vacuous here). kept = every rule passes. Map-only, zero
     * shuffles. */
+  // Gopher rule thresholds — shared by gopherFilter (the per-rule
+  // matrix) and curationRows (the composed keep decision); one
+  // definition so the standalone query and txt_pipeline_v2 can
+  // never silently disagree on what "kept" means
+  private val GopherMinTokens = 20
+  private val GopherMwlLoX100 = 300
+  private val GopherMwlHiX100 = 1000
+  private val GopherMinStopHits = 2
+  private val GopherMinDistinctX100 = 50
+
   def gopherFilter(s: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     val stopHits = size(filter(t, w => w.isin(STOPWORDS: _*)))
@@ -333,11 +343,12 @@ object TextAnalysis {
       .withColumn("distinct_x100", expr("(100 * n_distinct) div n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("mwl_x100"), col("stop_hits"), col("distinct_x100"),
-        (col("n_tokens") >= 20).cast("long").as("r_len"),
-        (col("mwl_x100") >= 300 && col("mwl_x100") <= 1000)
-          .cast("long").as("r_mwl"),
-        (col("stop_hits") >= 2).cast("long").as("r_stop"),
-        (col("distinct_x100") >= 50).cast("long").as("r_rep"))
+        (col("n_tokens") >= GopherMinTokens).cast("long").as("r_len"),
+        (col("mwl_x100") >= GopherMwlLoX100 &&
+          col("mwl_x100") <= GopherMwlHiX100).cast("long").as("r_mwl"),
+        (col("stop_hits") >= GopherMinStopHits).cast("long").as("r_stop"),
+        (col("distinct_x100") >= GopherMinDistinctX100)
+          .cast("long").as("r_rep"))
       .withColumn("kept",
         (col("r_len") * col("r_mwl") * col("r_stop") * col("r_rep"))
           .cast("long"))
@@ -357,37 +368,42 @@ object TextAnalysis {
     * fingerprint byte-for-byte. All three patterns avoid
     * lookaround/backrefs so Java regex and RE2 agree. Map-only: one
     * projection, zero shuffles at any scale. */
-  def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phoneRe = "\\+1-555-\\d{4}"
+  // PII detection + planting, shared by piiScrub and curationRows —
+  // one definition of each regex and of the doc_id-derived augmented
+  // text, so the standalone query and txt_pipeline_v2's composed
+  // pass redact exactly the same bytes
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+1-555-\\d{4}"
+  private def piiAugmented: Column = concat(col("text"),
+    when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(""),
+    when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      expr("cast((doc_id div 256) % 256 as string)"),
+      lit("."), (col("doc_id") % 100).cast("string")))
+      .otherwise(""),
+    when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(""))
+  private def piiCleaned(aug: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(aug,
+      EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")
+  private def piiHits(aug: Column, re: String): Column =
+    size(regexp_extract_all(aug, lit(re), lit(0)))
+
+  def piiScrub(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("aug", concat(col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com")))
-          .otherwise(""),
-        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
-          (col("doc_id") % 256).cast("string"), lit("."),
-          expr("cast((doc_id div 256) % 256 as string)"),
-          lit("."), (col("doc_id") % 100).cast("string")))
-          .otherwise(""),
-        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise("")))
-      .withColumn("clean",
-        regexp_replace(regexp_replace(regexp_replace(col("aug"),
-          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+      .withColumn("aug", piiAugmented)
+      .withColumn("clean", piiCleaned(col("aug")))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
-          .cast("long").as("n_ips"),
-        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
-          .cast("long").as("n_phones"),
+        piiHits(col("aug"), EmailRe).cast("long").as("n_emails"),
+        piiHits(col("aug"), IpRe).cast("long").as("n_ips"),
+        piiHits(col("aug"), PhoneRe).cast("long").as("n_phones"),
         length(col("clean")).cast("long").as("len_clean"),
         md5(col("clean").cast("binary")).as("clean_fp"))
       .orderBy(col("doc_id"))
-  }
 
   /** Corpus length profile — the histogram a training pipeline reads
     * before picking truncation/packing budgets: docs bucketed by
@@ -808,9 +824,6 @@ object TextAnalysis {
   private[graft] def curationRows(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val stopHits = size(filter(t, w => w.isin(STOPWORDS: _*)))
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phoneRe = "\\+1-555-\\d{4}"
     docs
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("stop_hits", stopHits.cast("long"))
@@ -819,29 +832,16 @@ object TextAnalysis {
         expr("(100 * length(replace(trim(text), ' ', ''))) div n_tokens"))
       .withColumn("distinct_x100", expr("(100 * n_distinct) div n_tokens"))
       .withColumn("kept",
-        (col("n_tokens") >= 20 && col("mwl_x100").between(300, 1000) &&
-          col("stop_hits") >= 2 && col("distinct_x100") >= 50)
+        (col("n_tokens") >= GopherMinTokens &&
+          col("mwl_x100").between(GopherMwlLoX100, GopherMwlHiX100) &&
+          col("stop_hits") >= GopherMinStopHits &&
+          col("distinct_x100") >= GopherMinDistinctX100)
           .cast("long"))
-      .withColumn("aug", concat(col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com")))
-          .otherwise(""),
-        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
-          (col("doc_id") % 256).cast("string"), lit("."),
-          expr("cast((doc_id div 256) % 256 as string)"),
-          lit("."), (col("doc_id") % 100).cast("string")))
-          .otherwise(""),
-        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise("")))
-      .withColumn("clean",
-        regexp_replace(regexp_replace(regexp_replace(col("aug"),
-          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+      .withColumn("aug", piiAugmented)
+      .withColumn("clean", piiCleaned(col("aug")))
       .withColumn("pii_hits",
-        (size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))) +
-          size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))) +
-          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))))
-          .cast("long"))
+        (piiHits(col("aug"), EmailRe) + piiHits(col("aug"), IpRe) +
+          piiHits(col("aug"), PhoneRe)).cast("long"))
       .select(col("doc_id"), col("source"), col("kept"), col("pii_hits"),
         length(col("clean")).cast("long").as("len_clean"),
         md5(col("clean").cast("binary")).as("clean_fp"))
