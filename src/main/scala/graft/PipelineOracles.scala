@@ -53,6 +53,51 @@ object PipelineOracles {
     * E-steps, then the corpus-wide assignment to the trained cells.
     * Shared by sim_knn_ivf (which probes it) and ml_kmeans (which
     * audits it). Usable as `WITH $ivfTrainedCorpus, more AS (...)`. */
+  /** The IVF query path as CTEs (nprobe=3 probe + exact re-rank to
+    * rank ≤ 5 in `approx`), usable after [[ivfTrainedCorpus]].
+    * Shared by sim_knn_ivf and sim_recall_audit — one definition of
+    * what "the index returned" means for both the query and its
+    * quality audit. */
+  private val ivfTopK: String =
+    """probed AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT q.vec_id AS q_id, c.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS crank
+      |    FROM embeddings q CROSS JOIN c2 c
+      |    WHERE q.vec_id < 20)
+      |  WHERE crank <= 3),
+      |icand AS (
+      |  SELECT p.q_id, a.vec_id
+      |  FROM probed p JOIN corpus a ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.q_id),
+      |approx AS (
+      |  SELECT q_id, neighbor_id, rank FROM (
+      |    SELECT icand.q_id, icand.vec_id AS neighbor_id,
+      |      CAST(row_number() OVER (PARTITION BY icand.q_id
+      |        ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+      |          CAST(ce.embedding AS DOUBLE[])) DESC, icand.vec_id) AS BIGINT)
+      |        AS rank
+      |    FROM icand
+      |    JOIN embeddings qe ON qe.vec_id = icand.q_id
+      |    JOIN embeddings ce ON ce.vec_id = icand.vec_id)
+      |  WHERE rank <= 5)""".stripMargin
+
+  /** Exact brute-force top-5 as a `truth` CTE — shared by
+    * sim_knn_brute and sim_recall_audit's ground-truth side. */
+  private val bruteTopK: String =
+    """truth AS (
+      |  SELECT q_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |      CAST(row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT)
+      |        AS rank
+      |    FROM embeddings q, embeddings c
+      |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5)""".stripMargin
+
   private val ivfTrainedCorpus: String =
     """samp AS (
       |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell
@@ -660,15 +705,27 @@ object PipelineOracles {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "sim_knn_brute" ->
-      """SELECT q_id, neighbor_id, rank FROM (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-        |    CAST(row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT)
-        |      AS rank
-        |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      s"""WITH $bruteTopK
+        |SELECT q_id, neighbor_id, rank FROM truth
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Similarity.recallAudit: the IVF approx set left-joined
+    // against the brute-force truth set, both via the SAME shared
+    // CTE chains the standalone queries use.
+    "sim_recall_audit" ->
+      s"""WITH $ivfTrainedCorpus,
+        |$ivfTopK,
+        |$bruteTopK
+        |SELECT t.q_id, count(*) AS k,
+        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN t.neighbor_id
+        |    ELSE 0 END) AS BIGINT) AS missed_id_sum,
+        |  (10000 * CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT)) // count(*) AS recall_bps
+        |FROM truth t LEFT JOIN approx a
+        |  ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
 
     // Mirrors Similarity.knnFiltered: per-query target label
     // (q_id+3)%10 restricts the candidate set BEFORE ranking.
@@ -756,29 +813,9 @@ object PipelineOracles {
     // assignment to the trained cells, nprobe=3 probe, exact re-rank.
     "sim_knn_ivf" ->
       s"""WITH $ivfTrainedCorpus,
-        |probed AS (
-        |  SELECT q_id, cell FROM (
-        |    SELECT q.vec_id AS q_id, c.cell,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |          CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS crank
-        |    FROM embeddings q CROSS JOIN c2 c
-        |    WHERE q.vec_id < 20)
-        |  WHERE crank <= 3),
-        |cand AS (
-        |  SELECT p.q_id, a.vec_id
-        |  FROM probed p JOIN corpus a ON a.cell = p.cell
-        |  WHERE a.vec_id <> p.q_id)
-        |SELECT q_id, neighbor_id, rank FROM (
-        |  SELECT cand.q_id, cand.vec_id AS neighbor_id,
-        |    CAST(row_number() OVER (PARTITION BY cand.q_id
-        |      ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-        |        CAST(ce.embedding AS DOUBLE[])) DESC, cand.vec_id) AS BIGINT)
-        |      AS rank
-        |  FROM cand
-        |  JOIN embeddings qe ON qe.vec_id = cand.q_id
-        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+        |$ivfTopK
+        |SELECT q_id, neighbor_id, rank FROM approx
+        |ORDER BY q_id, rank""".stripMargin,
 
     "emb_quantize" ->
       """SELECT vec_id,

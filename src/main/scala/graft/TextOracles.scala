@@ -12,6 +12,32 @@ object TextOracles {
     """SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
       |FROM documents""".stripMargin
 
+  /** Cavnar-Trenkle trigram language-ID scoring: the latin-language
+    * score expressions and the argmax/margin CASEs are the SAME
+    * generated SQL text the Spark operator evaluates
+    * (TextAnalysis.langScoreSql et al.) — only the CJK class syntax
+    * differs (RE2 \x{..} here, Java [一-鿿] there) and DuckDB needs
+    * the 'g' flag for replace-all semantics. No ORDER BY so both the
+    * per-doc query and the confusion-matrix aggregate can wrap it. */
+  private val langidSql: String = {
+    import graft.operators.TextAnalysis._
+    val latinScores = LATIN_LANGS
+      .map(l => s"${langScoreSql(l)} AS s_$l").mkString(",\n    ")
+    s"""WITH padded AS (
+       |  SELECT *, concat(' ', lower(text), ' ') AS pad FROM documents),
+       |scored AS (SELECT *,
+       |    $latinScores,
+       |    12 * (length(text) - length(regexp_replace(text,
+       |      '[\\x{4e00}-\\x{9fff}]', '', 'g'))) AS s_zh
+       |  FROM padded),
+       |ranked AS (SELECT *, $langTopSql AS top_score FROM scored),
+       |argd AS (SELECT *, $langArgSql AS arg FROM ranked),
+       |secd AS (SELECT *, $langSecondSql AS second_score FROM argd)
+       |SELECT doc_id, lang AS labeled_lang,
+       |  $langPredSql AS pred_lang, top_score, second_score
+       |FROM secd""".stripMargin
+  }
+
   /** Rolling-hash fold of string expression `e`, mirroring
     * graft.functions.RollingHash ('(?s).' so every codepoint folds). */
   private def fold(e: String): String =
@@ -662,24 +688,17 @@ object TextOracles {
     // et al.) — only the CJK class syntax differs (RE2 \x{..} here,
     // Java [一-鿿] there) and DuckDB needs the 'g' flag for
     // replace-all semantics.
-    "txt_langid" -> {
-      import graft.operators.TextAnalysis._
-      val latinScores = LATIN_LANGS
-        .map(l => s"${langScoreSql(l)} AS s_$l").mkString(",\n    ")
-      s"""WITH padded AS (
-         |  SELECT *, concat(' ', lower(text), ' ') AS pad FROM documents),
-         |scored AS (SELECT *,
-         |    $latinScores,
-         |    12 * (length(text) - length(regexp_replace(text,
-         |      '[\\x{4e00}-\\x{9fff}]', '', 'g'))) AS s_zh
-         |  FROM padded),
-         |ranked AS (SELECT *, $langTopSql AS top_score FROM scored),
-         |argd AS (SELECT *, $langArgSql AS arg FROM ranked),
-         |secd AS (SELECT *, $langSecondSql AS second_score FROM argd)
-         |SELECT doc_id, lang AS labeled_lang,
-         |  $langPredSql AS pred_lang, top_score, second_score
-         |FROM secd ORDER BY doc_id""".stripMargin
-    },
+    "txt_langid" -> s"$langidSql ORDER BY doc_id",
+
+    // txt_langid's generated scoring chain wrapped in a CTE and
+    // aggregated to (labeled, predicted) cells — one definition of
+    // the classifier (langidSql), two views of it.
+    "txt_lang_confusion" ->
+      s"""WITH li AS ($langidSql)
+         |SELECT labeled_lang, pred_lang, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM li GROUP BY 1, 2
+         |ORDER BY labeled_lang, pred_lang""".stripMargin,
 
     "txt_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp

@@ -315,6 +315,34 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ANN index-quality audit — recall@k of the IVF index against the
+    * exact brute-force ground truth, the evaluation every production
+    * vector deployment publishes before (and while) serving an
+    * approximate index: per query, how many of the true top-k the
+    * probed index returned, the ids it missed (as an id checksum so
+    * the full miss set is pinned without shipping rows), and recall
+    * in basis points. Composes [[knnBrute]] and [[knnIvf]] — both
+    * emit result-scale (NQ·K) rows — so the audit join itself is
+    * free at any corpus size; at 100 TB the ground-truth side is the
+    * one-off expensive pass (run over a SAMPLED query set, exactly
+    * the shape here), the index side is the cheap probe, and this is
+    * the number that decides nprobe/retrain. Both sub-pipelines are
+    * deterministic with pinned rank margins, so the DuckDB twin
+    * recomputes truth, approximation, and every per-query count. */
+  def recallAudit(s: SparkSession, d: String): DataFrame = {
+    val truth = knnBrute(s, d).select(col("q_id"), col("neighbor_id"))
+    val approx = knnIvf(s, d)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        sum(when(col("hit").isNull, col("neighbor_id")).otherwise(0L))
+          .as("missed_id_sum"))
+      .withColumn("recall_bps", expr("(10000 * n_hits) div k"))
+      .orderBy(col("q_id"))
+  }
+
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 3
     val c2 = trainedCentroids(s, d)

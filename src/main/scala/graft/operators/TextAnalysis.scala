@@ -143,6 +143,24 @@ object TextAnalysis {
   def langId(s: SparkSession, d: String): DataFrame =
     langIdOn(Tables.documents(s, d))
 
+  /** Classifier-evaluation audit for [[langId]] — the confusion
+    * matrix between the corpus's DECLARED language labels and the
+    * trigram classifier's predictions, the report a curation
+    * pipeline publishes before trusting either side (a hot
+    * off-diagonal cell means mislabeled ingest metadata OR a
+    * classifier blind spot — both show up here first). Per
+    * (labeled, predicted) cell: doc count and a doc-id checksum
+    * that pins the exact membership without shipping rows. One
+    * map-only scoring pass (the [[langId]] projection) + one
+    * constant-key aggregate — the output is |langs|²-scale no
+    * matter the corpus size. */
+  def langConfusion(s: SparkSession, d: String): DataFrame =
+    langIdOn(Tables.documents(s, d))
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("labeled_lang"), col("pred_lang"))
+
   /** Content fingerprint: md5 over the UTF-8 bytes of the normalized
     * (trimmed, lowercased) text — identical definition in DuckDB. */
   def fingerprint(s: SparkSession, d: String): DataFrame =

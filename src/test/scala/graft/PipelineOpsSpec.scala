@@ -1188,4 +1188,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     val n = graft.sources.Tables.documents(spark, sf).count()
     assert(rows.map(_.getLong(1)).sum == n)
   }
+
+  test("recall audit: hits and misses reconcile against both sub-pipelines") {
+    import graft.operators.Similarity
+    val truth = Similarity.knnBrute(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = Similarity.knnIvf(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audit = Similarity.recallAudit(spark, sf).collect()
+    assert(audit.length == 20, s"expected 20 query rows, got ${audit.length}")
+    audit.foreach { r =>
+      val (q, k, hits, missSum, bps) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val tq = truth.filter(_._1 == q)
+      assert(k == tq.length, s"q$q: k $k != true top-k size ${tq.length}")
+      assert(hits == tq.count(approx.contains),
+        s"q$q: n_hits $hits != recomputed ${tq.count(approx.contains)}")
+      assert(missSum == tq.filterNot(approx.contains).map(_._2).sum,
+        s"q$q: missed_id_sum does not pin the miss set")
+      assert(bps == 10000 * hits / k, s"q$q: recall_bps $bps inconsistent")
+    }
+    // the index is useful but not perfect here — the audit must be
+    // able to show BOTH (all-10000 or all-0 would verify nothing)
+    val bpsVals = audit.map(_.getLong(4))
+    assert(bpsVals.max == 10000, "no query achieved full recall")
+    assert(bpsVals.min < 10000, "nprobe=3 missed nothing — audit vacuous")
+  }
+
+  test("lang confusion: cells partition the corpus and mirror the per-doc audit") {
+    import graft.operators.TextAnalysis
+    val perDoc = TextAnalysis.langId(spark, sf)
+      .select("labeled_lang", "pred_lang", "doc_id").collect()
+    val expected = perDoc.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        (k, (rs.length.toLong, rs.map(_.getLong(2)).sum)) }
+    val cells = TextAnalysis.langConfusion(spark, sf).collect()
+    assert(cells.length == expected.size,
+      s"cell count ${cells.length} != distinct (labeled, pred) pairs ${expected.size}")
+    assert(cells.map(_.getLong(2)).sum == perDoc.length,
+      "cells do not partition the corpus")
+    cells.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(expected(k) == ((r.getLong(2), r.getLong(3))),
+        s"cell $k disagrees with the per-doc audit")
+    }
+  }
 }
