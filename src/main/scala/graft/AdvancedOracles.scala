@@ -357,5 +357,45 @@ object AdvancedOracles {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM ev e JOIN st USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Advanced.attribution: linear split in micro-cents, the
+    // most recent touch (same (ts, event_id) DESC total order) absorbs
+    // the remainder; untouched purchases credit 'direct'. Operands are
+    // non-negative so DuckDB's floor // and Spark's truncating div
+    // cannot disagree.
+    "adv_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    value
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts_us AS p_ts,
+        |    CAST(round(value*100) AS BIGINT) * 1000000 AS micros
+        |  FROM ev WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT event_id AS touch_id, user_id, ts_us AS t_ts,
+        |    event_type AS touch_type
+        |  FROM ev WHERE event_type IN ('view','click','signup')),
+        |pairs AS (
+        |  SELECT p.purchase_id, p.micros, t.touch_id, t.t_ts,
+        |    t.touch_type
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 3600000000),
+        |ranked AS (
+        |  SELECT touch_type, micros,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY t_ts DESC, touch_id DESC) AS rk,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n
+        |  FROM pairs)
+        |SELECT touch_type, count(*) AS n_credits,
+        |  CAST(sum(micros // n +
+        |    CASE WHEN rk = 1 THEN micros % n ELSE 0 END) AS BIGINT)
+        |    AS credited_micros
+        |FROM ranked GROUP BY 1
+        |UNION ALL
+        |SELECT 'direct' AS touch_type, count(*) AS n_credits,
+        |  CAST(sum(micros) AS BIGINT) AS credited_micros
+        |FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM pairs)
+        |ORDER BY touch_type""".stripMargin,
   )
 }

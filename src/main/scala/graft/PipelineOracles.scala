@@ -709,6 +709,53 @@ object PipelineOracles {
         |SELECT q_id, neighbor_id, rank FROM truth
         |ORDER BY q_id, rank""".stripMargin,
 
+    // Mirrors Similarity.hybridRrf: keyword top-10 by distinct-token
+    // overlap (same trim+\s+ tokenization mirror as txt_tokens),
+    // vector top-10 by the same cosine ranking as bruteTopK, fused by
+    // integer RRF (1e6 // (60+rank)), final top-5 by (score, id).
+    "sim_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+'))
+        |      AS toks
+        |  FROM documents),
+        |kw AS (
+        |  SELECT q_id, cand_id, rank FROM (
+        |    SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
+        |      CAST(row_number() OVER (PARTITION BY q.doc_id
+        |        ORDER BY len(list_intersect(c.toks, q.toks)) DESC,
+        |          c.doc_id) AS BIGINT) AS rank
+        |    FROM toks q, toks c
+        |    WHERE q.doc_id < 20 AND c.doc_id <> q.doc_id)
+        |  WHERE rank <= 10),
+        |vec AS (
+        |  SELECT q_id, cand_id, rank FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |          CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id)
+        |        AS BIGINT) AS rank
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(k.q_id, v.q_id) AS q_id,
+        |    coalesce(k.cand_id, v.cand_id) AS cand_id,
+        |    coalesce(1000000 // (60 + k.rank), 0) +
+        |      coalesce(1000000 // (60 + v.rank), 0) AS rrf_score
+        |  FROM kw k FULL OUTER JOIN vec v
+        |    ON k.q_id = v.q_id AND k.cand_id = v.cand_id),
+        |fin AS (
+        |  SELECT q_id, cand_id, rrf_score,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rrf_score DESC, cand_id) AS BIGINT)
+        |      AS final_rank
+        |  FROM fused)
+        |SELECT q_id, cand_id, rrf_score, final_rank
+        |FROM fin WHERE final_rank <= 5
+        |ORDER BY q_id, final_rank""".stripMargin,
+
     // Mirrors Similarity.recallAudit: the IVF approx set left-joined
     // against the brute-force truth set, both via the SAME shared
     // CTE chains the standalone queries use.

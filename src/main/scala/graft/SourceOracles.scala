@@ -117,6 +117,21 @@ object SourceOracles {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents""".stripMargin,
 
+    // Mirrors SourceOps.txnlogSnapshot: v1 holds slices l_orderkey%4
+    // in {0,1}; latest holds every row (the compaction commit is
+    // logically invariant, which this equality proves).
+    "src_txnlog_snapshot" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents, 'v1' AS snap
+        |FROM lineitem WHERE l_orderkey % 4 <= 1 GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents, 'latest' AS snap
+        |FROM lineitem GROUP BY 1
+        |ORDER BY snap, l_returnflag""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -743,6 +743,34 @@ object TextOracles {
         |    AS share_bps
         |FROM s ORDER BY split""".stripMargin,
 
+    // Mirrors TextAnalysis.epochShuffle: the same RollingHash fold
+    // over md5('ep'||epoch||'_'||doc_id), shard = h % 8, within-shard
+    // rank over (h, doc_id), order-sensitive checksum Σ rank·doc_id.
+    "txt_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT d.doc_id, d.n_chars, ep.epoch,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('ep' || CAST(ep.epoch AS VARCHAR) || '_' ||
+        |            CAST(d.doc_id AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647) AS h
+        |  FROM documents d,
+        |    (SELECT CAST(1 AS BIGINT) AS epoch
+        |     UNION ALL SELECT CAST(2 AS BIGINT)) ep),
+        |r AS (
+        |  SELECT epoch, h % 8 AS shard, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY epoch, h % 8
+        |      ORDER BY h, doc_id) AS BIGINT) AS rk
+        |  FROM e)
+        |SELECT epoch, shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN rk = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS first_doc,
+        |  CAST(sum(rk * doc_id) AS BIGINT) AS order_check
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "txt_pack_sequences" ->
       s"""WITH sized AS (
          |  SELECT doc_id,

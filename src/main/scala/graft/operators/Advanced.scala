@@ -649,4 +649,55 @@ object Advanced {
         sum(col("is_out")).as("n_outliers"))
       .orderBy(col("event_type"))
   }
+
+  /** Multi-touch attribution — the event-pipeline op that turns a raw
+    * click-stream into channel credit. Each purchase's value is split
+    * LINEARLY across the same user's view/click/signup touches in the
+    * preceding hour; purchases with no touch in the window credit a
+    * synthetic `direct` channel. Exact to the last unit: value rides
+    * as micro-cents (cents × 10⁶), each touch takes total div n, and
+    * the MOST RECENT touch (row_number over (ts, event_id) desc — a
+    * total order, so deterministic) absorbs the remainder, making
+    * credit conservation an identity, not a float approximation
+    * (AdvancedSpec pins Σcredits == Σ purchase micro-cents).
+    * Shuffle classes: one user-keyed equi-join (the bounded
+    * interval-join shape of [[intervalJoin]] — per-user fan-out is
+    * window-bounded, so the intermediate tracks output, never
+    * |purchases|×|touches|), one purchase-keyed window, one
+    * constant-key final aggregate. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("p_ts"),
+        (round(col("value") * 100).cast("long") * 1000000L).as("micros"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("ts_us").as("t_ts"), col("event_type").as("touch_type"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - hourUs)
+    val byRecency = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("t_ts").desc, col("touch_id").desc)
+    val perPurchase = Window.partitionBy(col("purchase_id"))
+    val credited = pairs
+      .withColumn("rk", row_number().over(byRecency))
+      .withColumn("n", count(lit(1)).over(perPurchase))
+      .withColumn("credit",
+        expr("micros div n") +
+          when(col("rk") === 1, col("micros") % col("n")).otherwise(0L))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).as("credited_micros"))
+    val direct = purchases
+      .join(pairs.select(col("purchase_id")).distinct(),
+        Seq("purchase_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("micros")).as("credited_micros"))
+      .select(lit("direct").as("touch_type"),
+        col("n_credits"), col("credited_micros"))
+    credited.unionByName(direct).orderBy(col("touch_type"))
+  }
 }

@@ -610,4 +610,55 @@ object Similarity {
     pqCodebookOf(pqAssign(sampComps, b1)
       .select(col("vec_id"), col("ss"), col("cell")), sampComps)
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the production
+    * search shape that neither list alone gives: a KEYWORD top-10
+    * (distinct-token overlap between the query doc and each corpus
+    * doc over documents, joined to its embedding twin by the shared
+    * id) fused with the VECTOR top-10 (cosine, same ranking as
+    * knnBrute) via integer RRF: score = Σ 1e6 div (60 + rank) over
+    * the lists containing the candidate (Cormack et al. SIGIR'09
+    * constant k=60; integer division so both engines compute the
+    * identical score — 1/(60+r) in doubles would hash-differ). Final
+    * top-5 per query by (score desc, id). Both legs are the
+    * broadcast-queries / stream-corpus shape: the corpus is never
+    * shuffled, each leg reduces map-side via WindowGroupLimit, and
+    * the fusion join runs on two result-scale (NQ×10-row) sides.
+    * Token overlap uses the codegen O(n+m) sorted-merge intersect
+    * (functions.SortedIntersectSize), not array_intersect's per-row
+    * hash build. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val k2 = 10
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(trim(col("text")), "\\s+"))).as("toks"))
+    val qToks = toks.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))
+    val kwScored = toks.crossJoin(broadcast(qToks))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("overlap", graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("toks"), col("q_toks")))
+    val kw = topKPerGroup(kwScored, col("q_id"), col("overlap"),
+        col("doc_id"), k2)
+      .select(col("q_id"), col("doc_id").as("cand_id"),
+        col("rank").as("kw_rank"))
+    val vecScored = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        VectorFunctions.cosineSim(col("q_emb"), col("embedding")))
+    val vec = topKPerGroup(vecScored, col("q_id"), col("cos"),
+        col("vec_id"), k2)
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        col("rank").as("vec_rank"))
+    val fused = kw.join(vec, Seq("q_id", "cand_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 div (60 + kw_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+    topKPerGroup(fused, col("q_id"), col("rrf"), col("cand_id"), K)
+      .select(col("q_id"), col("cand_id"), col("rrf").as("rrf_score"),
+        col("rank").as("final_rank"))
+      .orderBy(col("q_id"), col("final_rank"))
+  }
 }

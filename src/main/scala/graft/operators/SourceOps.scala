@@ -760,6 +760,34 @@ object SourceOps {
         min(col("l_orderkey")).as("min_order"),
         max(col("l_orderkey")).as("max_order"))
 
+  /** Lakehouse transaction log (sources/TxnLog.scala): lineitem lands
+    * in four append commits (v0-v3, one l_orderkey%4 slice each), then
+    * an OPTIMIZE rewrite (v4) compacts the live set in one
+    * remove+add commit. The result unions a TIME-TRAVEL read at v1
+    * (exactly slices 0-1 — snapshot isolation over the manifest, no
+    * directory listing) with the latest read (all rows THROUGH the
+    * compaction — the oracle equality proves the rewrite is logically
+    * invariant). Commit atomicity, the concurrent-writer race, stale
+    * rewrite refusal, and vacuum semantics are pinned in TxnLogSpec. */
+  def txnlogSnapshot(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txnlog-").resolve("tbl"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    (0 until 4).foreach { slice =>
+      graft.sources.TxnLog.append(s, t, li.filter(col("l_orderkey") % 4 === slice))
+    }
+    graft.sources.TxnLog.compact(s, t)
+    def profile(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .withColumn("snap", lit(tag))
+    profile(graft.sources.TxnLog.read(s, t, Some(1L)), "v1")
+      .unionByName(profile(graft.sources.TxnLog.read(s, t), "latest"))
+      .orderBy(col("snap"), col("l_returnflag"))
+  }
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Text-analysis operators for an LLM training-data pipeline
@@ -490,6 +491,41 @@ object TextAnalysis {
       .select(col("split"), col("n_docs"), col("n_chars"),
         expr("(10000 * n_docs) div total_docs").as("share_bps"))
       .orderBy(col("split"))
+  }
+
+  /** Epoch-seeded deterministic data ordering — the reproducibility
+    * primitive under multi-epoch training: epoch E's permutation is
+    * BY CONSTRUCTION a pure function of (E, doc_id) — shard =
+    * hash(E, key) mod S picks the output shard map-locally (the
+    * [[splitAudit]] membership law: no stored table, no migration as
+    * the corpus grows), and the within-shard order is (hash, doc_id)
+    * ascending — so any number of writers, or a rerun months later,
+    * reproduces the identical byte order, while distinct epochs get
+    * statistically independent permutations. The audit emits per
+    * (epoch, shard): docs, chars, the rank-1 doc and an
+    * ORDER-SENSITIVE checksum Σ rank·doc_id that pins the whole
+    * permutation, not just membership. Shuffle classes: one
+    * shard-keyed exchange + per-shard sort (exactly the
+    * sortWithinPartitions a shard writer pays — there is no global
+    * sort), then an aggregate on the same partitioning. */
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    val shards = 8
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .crossJoin(s.range(1, 3).select(col("id").as("epoch")))
+      .withColumn("h", graft.functions.RollingHash.rollingHash(
+        md5(concat(lit("ep"), col("epoch").cast("string"), lit("_"),
+          col("doc_id").cast("string")).cast("binary"))))
+      .withColumn("shard", col("h") % shards)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("rk") === 1L, col("doc_id")).otherwise(0L))
+          .as("first_doc"),
+        sum(col("rk") * col("doc_id")).as("order_check"))
+      .orderBy(col("epoch"), col("shard"))
   }
 
   /** Concat-and-chunk sequence packing — the sample-construction step

@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal ACID commit log for a parquet table directory — the
+  * lakehouse transaction layer (snapshot isolation, time travel,
+  * optimistic concurrency, compaction, vacuum) expressed against the
+  * filesystem's atomic-namespace contract, the same primitive the
+  * reference's job commit protocol serializes on (reference:
+  * hadoop-mapreduce-project/.../output/FileOutputCommitter.java:1
+  * rename-based commit; hadoop-common/.../fs/FileSystem.java:1
+  * atomic create/rename semantics).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<uuid>/part-*.parquet   -- immutable data files
+  *   <root>/_txnlog/%020d.log            -- one action log per version
+  * }}}
+  *
+  * A version file holds one tab-separated action per line
+  * (`add <relpath>` / `remove <relpath>`), the analog of Delta Lake's
+  * JSON action lines. A version COMMITS by hard-linking a fully
+  * written temp file to its version-numbered name:
+  * `Files.createLink` is a single atomic syscall that fails with
+  * EEXIST when the slot is taken, so (a) exactly one writer wins each
+  * version, (b) a version name never exists with partial content, and
+  * (c) the log is dense and gap-free — a reader listing `_txnlog` can
+  * never observe version N without every version below it. On HDFS
+  * the same step is `create(path, overwrite=false)`; on an object
+  * store, put-if-absent.
+  *
+  * Concurrency rules (optimistic): blind APPENDS retry into the next
+  * slot — they conflict with nothing. Commits carrying REMOVES
+  * (compaction, deletes) validated their read set at snapshot time,
+  * so if any commit landed since, the rewrite is stale and aborts
+  * with ConcurrentModificationException rather than resurrecting or
+  * double-deleting rows.
+  *
+  * 100 TB posture: the log is metadata-scale (file lists, not data);
+  * a snapshot read plans from the live-file manifest — no directory
+  * listing of the data tree, no eventual-consistency exposure — and
+  * commit coordination is O(1) regardless of table size.
+  */
+object TxnLog {
+
+  final case class Snapshot(version: Long, liveFiles: Seq[String])
+
+  /** A table rooted at `root` (created if absent). */
+  final case class Table(root: Path) {
+    val logDir: Path = root.resolve("_txnlog")
+    val dataDir: Path = root.resolve("data")
+    Files.createDirectories(logDir)
+    Files.createDirectories(dataDir)
+  }
+
+  private def versionOf(p: Path): Long = {
+    val n = p.getFileName.toString
+    n.stripSuffix(".log").toLong
+  }
+
+  private def versionFiles(t: Table): Seq[Path] =
+    Files.list(t.logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.log"))
+      .toSeq.sortBy(versionOf)
+
+  /** Latest committed version, or -1 for an empty table. */
+  def latestVersion(t: Table): Long =
+    versionFiles(t).lastOption.map(versionOf).getOrElse(-1L)
+
+  /** Replay the action log through `asOf` (latest when None). The
+    * live set is insertion-ordered so file order — and thus scan
+    * planning — is deterministic across replays. */
+  def snapshot(t: Table, asOf: Option[Long] = None): Snapshot = {
+    val all = versionFiles(t)
+    val upTo = asOf match {
+      case Some(v) =>
+        val have = all.filter(versionOf(_) <= v)
+        require(have.nonEmpty && versionOf(have.last) == v,
+          s"version $v does not exist in ${t.logDir} " +
+            s"(latest=${latestVersion(t)})")
+        have
+      case None => all
+    }
+    require(upTo.nonEmpty, s"empty transaction log at ${t.logDir}")
+    val live = new java.util.LinkedHashSet[String]()
+    for (vf <- upTo; line <- Files.readAllLines(vf).asScala
+         if line.nonEmpty) {
+      line.split('\t') match {
+        case Array("add", rel)    => live.add(rel)
+        case Array("remove", rel) => live.remove(rel)
+        case other => throw new IllegalStateException(
+          s"corrupt action in $vf: ${other.mkString("\t")}")
+      }
+    }
+    Snapshot(versionOf(upTo.last), live.asScala.toSeq)
+  }
+
+  /** Atomically publish one version holding `adds`/`removes`.
+    * `base` is the version the writer's read set was computed at
+    * (latest at snapshot time; -1 for a fresh table). Returns the
+    * committed version. */
+  def commit(t: Table, base: Long, adds: Seq[String],
+             removes: Seq[String] = Nil): Long = {
+    val body = (removes.map(r => s"remove\t$r") ++
+      adds.map(a => s"add\t$a")).mkString("", "\n", "\n")
+    val tmp = t.logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, body)
+    try {
+      // A rewrite's read set is valid only if NOTHING landed after
+      // `base`, so removes must claim exactly base+1 — EEXIST there IS
+      // the conflict. Appends start from the freshest slot and walk up.
+      var v = if (removes.nonEmpty) base + 1
+              else math.max(latestVersion(t), base) + 1
+      var committed = -1L
+      while (committed < 0) {
+        val target = t.logDir.resolve(f"$v%020d.log")
+        try {
+          Files.createLink(target, tmp)
+          committed = v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            if (removes.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"commit with removes based on stale snapshot v$base: " +
+                  s"version $v was taken concurrently; recompute the " +
+                  "rewrite against the current snapshot and retry")
+            v += 1 // blind append: nothing to invalidate, take next slot
+        }
+      }
+      committed
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Stage `df` as parquet under a fresh uuid directory and commit it
+    * as one append. The staged files are invisible to every reader
+    * until the version link lands. */
+  def append(s: SparkSession, t: Table, df: DataFrame): Long = {
+    val base = latestVersion(t)
+    val stage = t.dataDir.resolve(UUID.randomUUID().toString)
+    df.write.parquet(stage.toString)
+    commit(t, base, adds = stagedFiles(t, stage))
+  }
+
+  private def stagedFiles(t: Table, stage: Path): Seq[String] =
+    Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => t.root.relativize(p).toString).toSeq.sorted
+
+  /** OPTIMIZE: rewrite the current live files into `targetFiles`
+    * compacted ones in one remove+add commit — logically a no-op,
+    * physically fewer files. Fails (rather than losing a concurrent
+    * append's rows) if any commit lands between snapshot and publish. */
+  def compact(s: SparkSession, t: Table, targetFiles: Int = 1): Long = {
+    val snap = snapshot(t)
+    val stage = t.dataDir.resolve(UUID.randomUUID().toString)
+    read(s, t, Some(snap.version)).coalesce(targetFiles)
+      .write.parquet(stage.toString)
+    commit(t, snap.version, adds = stagedFiles(t, stage),
+      removes = snap.liveFiles)
+  }
+
+  /** Read the table at `asOf` (latest when None) straight from the
+    * manifest — the scan plans over exactly the live files. */
+  def read(s: SparkSession, t: Table, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(t, asOf)
+    val paths = snap.liveFiles.map(rel => t.root.resolve(rel).toString)
+    s.read.parquet(paths: _*)
+  }
+
+  /** Delete every data file no longer live at the LATEST version.
+    * Time travel to versions whose files are vacuumed stops working —
+    * the same trade Delta's VACUUM makes. Returns deleted count. */
+  def vacuum(t: Table): Int = {
+    val live = snapshot(t).liveFiles.toSet
+    val all = Files.walk(t.dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => t.root.relativize(p).toString).toSeq
+    val dead = all.filterNot(live)
+    dead.foreach(rel => Files.deleteIfExists(t.root.resolve(rel)))
+    dead.length
+  }
+}

@@ -368,4 +368,19 @@ class AdvancedSpec extends AnyFunSuite {
     val total = rows.map(_.getLong(1)).sum
     assert(total == Tables.orders(spark, sf).count())
   }
+
+  test("attribution conserves every micro-cent of purchase value") {
+    import org.apache.spark.sql.functions._
+    val rows = Advanced.attribution(spark, sf).collect()
+    val channels = rows.map(_.getString(0)).toSeq
+    assert(channels == channels.sorted && channels.contains("direct"))
+    val credited = rows.filter(!_.isNullAt(2)).map(_.getLong(2)).sum
+    val totalMicros = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long") * 1000000L))
+      .head().getLong(0)
+    // exact identity, not a tolerance: floor shares + remainder to the
+    // most recent touch partition the purchase total perfectly
+    assert(credited == totalMicros)
+  }
 }

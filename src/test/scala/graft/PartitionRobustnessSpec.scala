@@ -71,7 +71,12 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // round 11 fourth wave: broadcast-argmax index audit, decimal-sum
     // z-test, lead-window transitions, histogram-median MAD screen
     "ml_kmeans_update", "adv_outlier_events", "adv_transition_matrix",
-    "adv_robust_outlier")
+    "adv_robust_outlier",
+    // round 11 fifth wave: the per-purchase recency window assigning
+    // the remainder micro-cents, the two fused top-k rankings + the
+    // full-outer fusion join, and the per-(epoch, shard) order
+    // checksum (rank over an exchange-dependent partition layout)
+    "adv_attribution", "sim_hybrid_rrf", "txt_epoch_shuffle")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.TxnLog
+
+/** Pins the transaction-log guarantees src_txnlog_snapshot's oracle
+  * can't see: commit atomicity (no partial version is ever visible),
+  * the concurrent-writer race (every slot has exactly one winner and
+  * no append is lost), stale-rewrite refusal, and vacuum's
+  * time-travel trade. */
+class TxnLogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshTable(): TxnLog.Table =
+    TxnLog.Table(Files.createTempDirectory("graft-txnspec-").resolve("t"))
+
+  private def oneRowDf(id: Long) = {
+    import spark.implicits._
+    Seq(id).toDF("id")
+  }
+
+  test("txnlog: staged data and tmp log files are invisible until the version links") {
+    val t = freshTable()
+    TxnLog.append(spark, t, oneRowDf(1))
+    // a crashed writer's leftovers: staged parquet with no commit, and
+    // a fully written but never-linked tmp action file
+    val orphan = t.dataDir.resolve("orphan-stage")
+    oneRowDf(99).write.parquet(orphan.toString)
+    val rel = t.root.relativize(
+      Files.list(orphan).iterator().next()).toString
+    Files.writeString(t.logDir.resolve(".tmp-crashed"), s"add\t$rel\n")
+    val snap = TxnLog.snapshot(t)
+    assert(snap.version === 0L)
+    assert(snap.liveFiles.size === 1)
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("txnlog: racing appends all land, versions stay dense, no row lost or doubled") {
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    val n = 8
+    // pre-stage serially (Spark writes share the session), then race
+    // ONLY the commit protocol on raw action files
+    val staged = (0 until n).map { i =>
+      val stage = t.dataDir.resolve(s"stage-$i")
+      oneRowDf(i.toLong).write.parquet(stage.toString)
+      Files.list(stage).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => t.root.relativize(p).toString).toSeq
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxnLog.commit(t, base = -1L, adds = staged(i))
+        })
+      }
+      val versions = futures.map(_.get()).sorted
+      assert(versions === (0L until n.toLong))
+    } finally pool.shutdown()
+    val ids = TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until n.toLong))
+  }
+
+  test("txnlog: a rewrite based on a stale snapshot refuses instead of losing the concurrent append") {
+    val t = freshTable()
+    TxnLog.append(spark, t, oneRowDf(1))
+    val stale = TxnLog.snapshot(t) // v0
+    TxnLog.append(spark, t, oneRowDf(2)) // v1 lands after the read set
+    val stage = t.dataDir.resolve("rewrite-stage")
+    oneRowDf(1).write.parquet(stage.toString)
+    import scala.jdk.CollectionConverters._
+    val adds = Files.list(stage).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => t.root.relativize(p).toString).toSeq
+    intercept[java.util.ConcurrentModificationException] {
+      TxnLog.commit(t, base = stale.version, adds = adds,
+        removes = stale.liveFiles)
+    }
+    // nothing was published; both rows still read
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L))
+  }
+
+  test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
+    val t = freshTable()
+    (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
+    val vCompact = TxnLog.compact(spark, t)
+    assert(vCompact === 3L)
+    assert(TxnLog.snapshot(t).liveFiles.size === 1)
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    // v1 still replays pre-vacuum
+    assert(TxnLog.read(spark, t, Some(1L)).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    val deleted = TxnLog.vacuum(t)
+    assert(deleted === 3) // the three original single-row files
+    // latest unaffected, pre-compaction history gone (the VACUUM trade)
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    intercept[Exception] {
+      TxnLog.read(spark, t, Some(1L)).collect()
+    }
+  }
+}
