@@ -358,6 +358,25 @@ object AdvancedOracles {
         |FROM ev e JOIN st USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors Advanced.userPaths: two leads over the same
+    // (user, µs, event_id) order, 3-path counts + integer bps share.
+    "adv_user_paths" ->
+      """WITH p AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id)),
+        |c AS (
+        |  SELECT step1, step2, step3, count(*) AS n_paths
+        |  FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT step1, step2, step3, n_paths,
+        |  (10000 * n_paths) //
+        |    CAST((SELECT sum(n_paths) FROM c) AS BIGINT) AS share_bps
+        |FROM c ORDER BY 1, 2, 3""".stripMargin,
+
     // Mirrors Advanced.attribution: linear split in micro-cents, the
     // most recent touch (same (ts, event_id) DESC total order) absorbs
     // the remainder; untouched purchases credit 'direct'. Operands are

@@ -273,6 +273,27 @@ object TextOracles {
          |FROM allwords a JOIN fin f USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors TextAnalysis.bpeCoverage: allwords joined back to the
+    // doc's language, fin's per-word ntok weighted by occurrence count;
+    // fertility = integer percent, unmerged = ntok == word length.
+    "txt_bpe_coverage" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes,
+         |$bpeApplyCtes,
+         |wl AS (
+         |  SELECT d.lang, a.word, a.n
+         |  FROM allwords a JOIN documents d USING (doc_id)),
+         |sc AS (
+         |  SELECT w.lang, w.n, f.ntok, length(w.word) AS wlen
+         |  FROM wl w JOIN fin f USING (word))
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(n * ntok) AS BIGINT) AS n_subwords,
+         |  CAST(sum(CASE WHEN ntok = wlen THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_unmerged,
+         |  (100 * CAST(sum(n * ntok) AS BIGINT)) //
+         |    CAST(sum(n) AS BIGINT) AS fertility_pct
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // packSequences budgeted in the LEARNED vocabulary's tokens:
     // sized = per-doc BPE subword totals, then the same pack tail
     "txt_pack_bpe" ->

@@ -650,6 +650,35 @@ object Advanced {
       .orderBy(col("event_type"))
   }
 
+  /** Order-3 journey mining — [[transitionMatrix]]'s higher-order
+    * sibling: every 3-step path of consecutive event types in a
+    * user's (ts, event_id)-ordered stream, counted corpus-wide with
+    * integer-bps share of all complete 3-paths. TWO lead windows over
+    * the SAME user-keyed sort (one exchange, one sort — Catalyst
+    * collapses same-spec windows), then a path-keyed count whose
+    * state is bounded by |types|³ = 125 rows at any event volume;
+    * the total for shares rides a 1-row broadcast. The full bounded
+    * table is emitted — no top-k truncation to go nondeterministic
+    * under ties. */
+  def userPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val paths = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+    val total = paths.agg(sum(col("n_paths")).as("total_paths"))
+    paths.crossJoin(broadcast(total))
+      .select(col("step1"), col("step2"), col("step3"), col("n_paths"),
+        expr("(10000 * n_paths) div total_paths").as("share_bps"))
+      .orderBy(col("step1"), col("step2"), col("step3"))
+  }
+
   /** Multi-touch attribution — the event-pipeline op that turns a raw
     * click-stream into channel credit. Each purchase's value is split
     * LINEARLY across the same user's view/click/signup touches in the

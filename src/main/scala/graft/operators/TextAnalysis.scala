@@ -801,6 +801,33 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("ntok")).as("n_subwords"))
 
+  /** Tokenizer-quality audit over the TRAINED merge table — the
+    * evaluation a pipeline publishes before committing a tokenizer:
+    * per language, word volume, subword volume, FERTILITY (subwords
+    * per 100 words, integer percent — the compression the vocabulary
+    * actually buys on each language's distribution) and the unmerged
+    * share (words the merge table leaves fully character-split — the
+    * byte-fallback analog that flags a vocabulary trained on the
+    * wrong mix). Same plan family as [[bpeTokens]]: the merge table
+    * is a plan constant inside the ONE codegen encode expression,
+    * so the whole audit is a map-local pass + a |langs|-key
+    * aggregate — constant reduce state at any corpus size. */
+  def bpeCoverage(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d).map { case (a, b, _) => (a, b) }
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .withColumn("ntok",
+        graft.functions.BpeEncode.bpeEncode(col("word"), merges))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("n_subwords"),
+        sum(when(col("ntok") === length(col("word")).cast("long"), 1L)
+          .otherwise(0L)).as("n_unmerged"))
+      .withColumn("fertility_pct", expr("(100 * n_subwords) div n_words"))
+      .orderBy(col("lang"))
+  }
+
   /** txt_pack_bpe — [[packSequences]] fed with REAL subword counts:
     * the 2048-token training sequences are budgeted in the learned
     * BPE vocabulary's tokens (what the trained model actually

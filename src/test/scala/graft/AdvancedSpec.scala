@@ -369,6 +369,21 @@ class AdvancedSpec extends AnyFunSuite {
     assert(total == Tables.orders(spark, sf).count())
   }
 
+  test("user paths conserve complete 3-step windows, shares total ~10000 bps") {
+    import org.apache.spark.sql.functions._
+    val rows = Advanced.userPaths(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ n_paths == Σ_user max(0, n_events − 2): every user stream of
+    // n events holds exactly n−2 complete 3-windows
+    val expected = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(greatest(col("n") - 2, lit(0L)))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == expected)
+    // integer-floor shares must land just under the full 10^4 bps
+    val bps = rows.map(_.getLong(4)).sum
+    assert(bps <= 10000 && bps > 10000 - rows.length)
+  }
+
   test("attribution conserves every micro-cent of purchase value") {
     import org.apache.spark.sql.functions._
     val rows = Advanced.attribution(spark, sf).collect()

@@ -76,7 +76,9 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // the remainder micro-cents, the two fused top-k rankings + the
     // full-outer fusion join, and the per-(epoch, shard) order
     // checksum (rank over an exchange-dependent partition layout)
-    "adv_attribution", "sim_hybrid_rrf", "txt_epoch_shuffle")
+    "adv_attribution", "sim_hybrid_rrf", "txt_epoch_shuffle",
+    // the double-lead journey windows
+    "adv_user_paths")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of

@@ -666,6 +666,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).sum == total)
   }
 
+  test("BPE coverage audit reconciles with the per-doc token counts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("txt_bpe_coverage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // subword volume across languages equals the per-doc pipeline's
+    val perDoc = SparkEntry.queries("txt_bpe_tokens")(spark, sf)
+      .agg(sum("n_subwords")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == perDoc)
+    rows.foreach { r =>
+      val (words, subwords, unmerged, fert) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // a word is at least one subword; unmerged words are a subset
+      assert(subwords >= words && unmerged <= words)
+      // fertility is the integer percent of exactly those two sums
+      assert(fert == 100 * subwords / words)
+    }
+    // the trained table compresses the corpus: somewhere a multi-char
+    // word merged below its character count
+    assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(1)).sum)
+  }
+
   test("BPE application plan: ONE projection regardless of merge count") {
     import org.apache.spark.sql.functions.sum
     val merges = graft.operators.TextAnalysis.bpeMerges(spark, sf)
