@@ -398,23 +398,21 @@ object AdvancedOracles {
         |pairs AS (
         |  SELECT p.purchase_id, p.micros, t.touch_id, t.t_ts,
         |    t.touch_type
-        |  FROM p JOIN t USING (user_id)
-        |  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 3600000000),
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 3600000000),
         |ranked AS (
-        |  SELECT touch_type, micros,
+        |  SELECT coalesce(touch_type, 'direct') AS touch_type, micros,
+        |    touch_id,
         |    row_number() OVER (PARTITION BY purchase_id
         |      ORDER BY t_ts DESC, touch_id DESC) AS rk,
-        |    count(*) OVER (PARTITION BY purchase_id) AS n
+        |    count(touch_id) OVER (PARTITION BY purchase_id) AS n
         |  FROM pairs)
         |SELECT touch_type, count(*) AS n_credits,
-        |  CAST(sum(micros // n +
-        |    CASE WHEN rk = 1 THEN micros % n ELSE 0 END) AS BIGINT)
-        |    AS credited_micros
+        |  CAST(sum(CASE WHEN touch_id IS NULL THEN micros
+        |    ELSE micros // n +
+        |      CASE WHEN rk = 1 THEN micros % n ELSE 0 END END)
+        |    AS BIGINT) AS credited_micros
         |FROM ranked GROUP BY 1
-        |UNION ALL
-        |SELECT 'direct' AS touch_type, count(*) AS n_credits,
-        |  CAST(sum(micros) AS BIGINT) AS credited_micros
-        |FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM pairs)
         |ORDER BY touch_type""".stripMargin,
   )
 }

@@ -672,8 +672,12 @@ object Advanced {
       .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
         col("e3").as("step3"))
       .agg(count(lit(1)).as("n_paths"))
-    val total = paths.agg(sum(col("n_paths")).as("total_paths"))
-    paths.crossJoin(broadcast(total))
+    // the total rides an unpartitioned window over the ALREADY-BOUNDED
+    // ≤125-row path table — one event-scale pass total, where an
+    // agg-and-rejoin total would re-run the scan+window pipeline
+    paths
+      .withColumn("total_paths",
+        sum(col("n_paths")).over(Window.partitionBy()))
       .select(col("step1"), col("step2"), col("step3"), col("n_paths"),
         expr("(10000 * n_paths) div total_paths").as("share_bps"))
       .orderBy(col("step1"), col("step2"), col("step3"))
@@ -704,29 +708,27 @@ object Advanced {
         col("ts_us").as("p_ts"),
         (round(col("value") * 100).cast("long") * 1000000L).as("micros"))
     val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
-      .select(col("event_id").as("touch_id"), col("user_id"),
+      .select(col("event_id").as("touch_id"), col("user_id").as("t_user"),
         col("ts_us").as("t_ts"), col("event_type").as("touch_type"))
-    val pairs = purchases.join(touches, Seq("user_id"))
-      .filter(col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - hourUs)
+    // ONE pass: a left join keeps untouched purchases as null-touch
+    // rows (the `direct` channel) instead of a second scan + anti-join
+    val pairs = purchases.join(touches,
+      col("user_id") === col("t_user") &&
+        col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - hourUs,
+      "left")
     val byRecency = Window.partitionBy(col("purchase_id"))
       .orderBy(col("t_ts").desc, col("touch_id").desc)
     val perPurchase = Window.partitionBy(col("purchase_id"))
-    val credited = pairs
+    pairs
       .withColumn("rk", row_number().over(byRecency))
-      .withColumn("n", count(lit(1)).over(perPurchase))
+      .withColumn("n", count(col("touch_id")).over(perPurchase))
       .withColumn("credit",
-        expr("micros div n") +
-          when(col("rk") === 1, col("micros") % col("n")).otherwise(0L))
-      .groupBy(col("touch_type"))
+        when(col("touch_id").isNull, col("micros"))
+          .otherwise(expr("micros div n") +
+            when(col("rk") === 1, col("micros") % col("n")).otherwise(0L)))
+      .groupBy(coalesce(col("touch_type"), lit("direct")).as("touch_type"))
       .agg(count(lit(1)).as("n_credits"),
         sum(col("credit")).as("credited_micros"))
-    val direct = purchases
-      .join(pairs.select(col("purchase_id")).distinct(),
-        Seq("purchase_id"), "left_anti")
-      .agg(count(lit(1)).as("n_credits"),
-        sum(col("micros")).as("credited_micros"))
-      .select(lit("direct").as("touch_type"),
-        col("n_credits"), col("credited_micros"))
-    credited.unionByName(direct).orderBy(col("touch_type"))
+      .orderBy(col("touch_type"))
   }
 }
