@@ -132,6 +132,23 @@ object SourceOracles {
         |FROM lineitem GROUP BY 1
         |ORDER BY snap, l_returnflag""".stripMargin,
 
+    // Mirrors SourceOps.txnlogChanges: both ranges insert exactly
+    // slices 2-3 and delete nothing — the fast (log-resolved) and
+    // diff (exceptAll) paths must agree, and the compaction commit
+    // must be row-level invisible.
+    "src_txnlog_changes" ->
+      """WITH s23 AS (
+        |  SELECT l_returnflag, count(*) AS n_rows,
+        |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |      AS qty_cents
+        |  FROM lineitem WHERE l_orderkey % 4 IN (2, 3) GROUP BY 1)
+        |SELECT l_returnflag, n_rows, qty_cents,
+        |  'v1..latest' AS vrange, 'insert' AS change FROM s23
+        |UNION ALL
+        |SELECT l_returnflag, n_rows, qty_cents,
+        |  'v1..v3' AS vrange, 'insert' AS change FROM s23
+        |ORDER BY vrange, change, l_returnflag""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -769,7 +769,11 @@ object SourceOps {
     * compaction — the oracle equality proves the rewrite is logically
     * invariant). Commit atomicity, the concurrent-writer race, stale
     * rewrite refusal, and vacuum semantics are pinned in TxnLogSpec. */
-  def txnlogSnapshot(s: SparkSession, d: String): DataFrame = {
+  /** The five-commit demo table both txnlog queries drive: four
+    * append commits (v0-v3, one l_orderkey%4 slice each) + an
+    * OPTIMIZE rewrite (v4) compacting the live set. */
+  private def txnlogDemoTable(s: SparkSession,
+      d: String): graft.sources.TxnLog.Table = {
     val t = graft.sources.TxnLog.Table(
       graft.sources.TempDirs.scratch("graft-txnlog-").resolve("tbl"))
     val li = Tables.lineitem(s, d)
@@ -778,14 +782,46 @@ object SourceOps {
       graft.sources.TxnLog.append(s, t, li.filter(col("l_orderkey") % 4 === slice))
     }
     graft.sources.TxnLog.compact(s, t)
+    t
+  }
+
+  private def txnlogProfile(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+
+  def txnlogSnapshot(s: SparkSession, d: String): DataFrame = {
+    val t = txnlogDemoTable(s, d)
     def profile(df: DataFrame, tag: String): DataFrame =
-      df.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
-        .withColumn("snap", lit(tag))
+      txnlogProfile(df).withColumn("snap", lit(tag))
     profile(graft.sources.TxnLog.read(s, t, Some(1L)), "v1")
       .unionByName(profile(graft.sources.TxnLog.read(s, t), "latest"))
       .orderBy(col("snap"), col("l_returnflag"))
+  }
+
+  /** Change-data-feed read over the same five-commit table: the
+    * incremental-consumer primitive. v1→v3 spans append-only commits,
+    * so TxnLog.changes resolves it from the LOG — a metadata walk
+    * plus a scan of exactly the added files, the few-minute
+    * incremental-sync shape at 100 TB. v1→latest crosses the
+    * compaction rewrite and falls back to the generic multiset row
+    * diff of the two snapshots. Both ranges must produce the SAME
+    * inserts (slices 2-3) and ZERO deletes — the oracle equality
+    * proves the fast path equals the diff path AND that the rewrite
+    * is row-level invisible to a change consumer. Delete groups ride
+    * through the union: any unexpected delete row breaks the hash. */
+  def txnlogChanges(s: SparkSession, d: String): DataFrame = {
+    val t = txnlogDemoTable(s, d)
+    def tagged(df: DataFrame, vrange: String, change: String): DataFrame =
+      txnlogProfile(df).withColumn("vrange", lit(vrange))
+        .withColumn("change", lit(change))
+    val (insFast, delFast) = graft.sources.TxnLog.changes(s, t, 1L, 3L)
+    val (insDiff, delDiff) = graft.sources.TxnLog.changes(s, t, 1L, 4L)
+    tagged(insFast, "v1..v3", "insert")
+      .unionByName(tagged(delFast, "v1..v3", "delete"))
+      .unionByName(tagged(insDiff, "v1..latest", "insert"))
+      .unionByName(tagged(delDiff, "v1..latest", "delete"))
+      .orderBy(col("vrange"), col("change"), col("l_returnflag"))
   }
 
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered

@@ -172,6 +172,51 @@ object TxnLog {
     s.read.parquet(paths: _*)
   }
 
+  /** Change-data-feed read: the row-level (inserts, deletes) between
+    * snapshot `from` (exclusive) and `to` (inclusive). When no commit
+    * in the range carries removes, the log IS the change feed —
+    * inserts are exactly the rows of the files those commits added, a
+    * metadata resolution plus a scan of only the new files (the shape
+    * an incremental consumer runs every few minutes at 100 TB).
+    * A range containing removes (rewrites, deletes) falls back to the
+    * generic multiset row diff of the two snapshots — which is also
+    * what PROVES a compaction commit contributes no logical change. */
+  def changes(s: SparkSession, t: Table, from: Long,
+              to: Long): (DataFrame, DataFrame) = {
+    require(from <= to, s"empty change range: v$from..v$to")
+    val snapFrom = snapshot(t, Some(from)) // validates `from` exists
+    val range = versionFiles(t)
+      .filter(p => versionOf(p) > from && versionOf(p) <= to)
+    require(range.nonEmpty && versionOf(range.last) == to,
+      s"version $to does not exist in ${t.logDir}")
+    val actions = range.flatMap(vf => Files.readAllLines(vf).asScala)
+      .filter(_.nonEmpty)
+    if (!actions.exists(_.startsWith("remove\t"))) {
+      val added = actions.collect {
+        case a if a.startsWith("add\t") =>
+          t.root.resolve(a.split('\t')(1)).toString
+      }
+      val none = read(s, t, Some(from)).limit(0)
+      (if (added.isEmpty) none else s.read.parquet(added: _*), none)
+    } else {
+      // a snapshot CAN be empty (a delete-everything commit) — plan
+      // it as the other side's schema with no rows
+      val aFiles = snapFrom.liveFiles
+      val bFiles = snapshot(t, Some(to)).liveFiles
+      require(aFiles.nonEmpty || bFiles.nonEmpty,
+        s"both snapshots v$from and v$to are empty")
+      def rd(files: Seq[String], fallback: Seq[String]): DataFrame = {
+        val use = if (files.nonEmpty) files else fallback
+        val df = s.read.parquet(
+          use.map(rel => t.root.resolve(rel).toString): _*)
+        if (files.nonEmpty) df else df.limit(0)
+      }
+      val a = rd(aFiles, bFiles)
+      val b = rd(bFiles, aFiles)
+      (b.exceptAll(a), a.exceptAll(b))
+    }
+  }
+
   /** Delete every data file no longer live at the LATEST version.
     * Time travel to versions whose files are vacuumed stops working —
     * the same trade Delta's VACUUM makes. Returns deleted count. */

@@ -450,4 +450,65 @@ class PlansSpec extends AnyFunSuite {
     val exchanges = "(?m)Exchange".r.findAllIn(plan).size
     assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$plan")
   }
+
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+  }
+
+  test("attribution: ONE event join, ONE pass over each side") {
+    val plan = finalPlanOf("adv_attribution")
+    // the direct channel must ride the left join, not a second
+    // scan + anti-join: exactly two scans (purchases, touches) and
+    // exactly one join of any strategy
+    assert("(?m)Scan parquet".r.findAllIn(plan).size == 2,
+      s"extra event pass crept in:\n${plan.take(900)}")
+    val joins = "(?m)(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+      .r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 join, found $joins:\n" +
+      plan.take(900))
+    // both windows share the purchase partitioning: one window
+    // exchange at most (plus join-side + final order exchanges)
+    assert(plan.contains("windowspecdefinition(purchase_id"),
+      s"purchase window lost its partition:\n${plan.take(900)}")
+  }
+
+  test("hybrid RRF: both legs broadcast the query block and group-limit map-side") {
+    val plan = finalPlanOf("sim_hybrid_rrf")
+    // the corpus is never the build side of anything: the only
+    // pairwise operators are the two query-block broadcasts
+    assert("(?m)BroadcastNestedLoopJoin".r.findAllIn(plan).size == 2,
+      s"expected the two query-block broadcasts:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian crept in:\n${plan.take(900)}")
+    // WindowGroupLimit pairs (partial + final) on both legs and the
+    // fusion ranking: map-side candidate reduction everywhere
+    assert("(?m)WindowGroupLimit".r.findAllIn(plan).size >= 4,
+      s"map-side group limits missing:\n${plan.take(900)}")
+  }
+
+  test("epoch shuffle: one shard exchange, shard-partitioned order, pruned scan") {
+    val plan = finalPlanOf("txt_epoch_shuffle")
+    // one SHUFFLE exchange to the (epoch, shard) layout + the final
+    // tiny orderBy — never a global sort of the corpus (the epoch
+    // constant rides a BroadcastExchange, which is not a shuffle)
+    assert("(?m)Exchange (hash|range)".r.findAllIn(plan).size <= 2,
+      s"extra shuffle:\n${plan.take(900)}")
+    assert(plan.contains("windowspecdefinition(epoch"),
+      s"rank window lost the shard partition:\n${plan.take(900)}")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"documents scan reads beyond doc_id/n_chars:\n${plan.take(900)}")
+  }
+
+  test("user paths: a single event scan feeds both the counts and the share total") {
+    val plan = finalPlanOf("adv_user_paths")
+    // the share total is a window over the bounded path table — a
+    // second event-scale pass is the regression this pins out
+    assert("(?m)Scan parquet".r.findAllIn(plan).size == 1,
+      s"the total re-ran the event pipeline:\n${plan.take(900)}")
+    assert(plan.contains("windowspecdefinition(user_id"),
+      s"journey window lost its user partition:\n${plan.take(900)}")
+  }
 }

@@ -85,6 +85,27 @@ class TxnLogSpec extends AnyFunSuite {
       .toSeq === Seq(1L, 2L))
   }
 
+  test("txnlog: change feed — fast path on append ranges, real deletes surface, rewrite invisible") {
+    val t = freshTable()
+    (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
+    // append-only range: log-resolved inserts, no deletes
+    val (ins0, del0) = TxnLog.changes(spark, t, 0L, 2L)
+    assert(ins0.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    assert(del0.count() === 0)
+    // a compaction rewrite is row-level invisible to the diff path
+    TxnLog.compact(spark, t) // v3
+    val (ins1, del1) = TxnLog.changes(spark, t, 2L, 3L)
+    assert(ins1.count() === 0 && del1.count() === 0)
+    // a REAL delete commit (remove a live file, re-add nothing)
+    val snap = TxnLog.snapshot(t)
+    val victim = snap.liveFiles.head
+    TxnLog.commit(t, snap.version, adds = Nil, removes = Seq(victim)) // v4
+    val (ins2, del2) = TxnLog.changes(spark, t, 3L, 4L)
+    assert(ins2.count() === 0)
+    assert(del2.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L)) // the compacted single file held all rows
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
