@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -215,6 +215,48 @@ object TxnLog {
       val b = rd(bFiles, aFiles)
       (b.exceptAll(a), a.exceptAll(b))
     }
+  }
+
+  /** Incremental-sync consumer — the AvailableNow-style downstream a
+    * 100 TB table feeds every few minutes. [[pending]] reads
+    * everything that changed since the consumer's durable cursor;
+    * the caller processes the batch, then [[ack]]s the delivered
+    * version. A crash before the ack re-delivers the batch —
+    * at-least-once, the standard contract — and the cursor file is
+    * published with the same write-tmp-then-link atomicity as
+    * versions, so it advances completely or not at all. Returns None
+    * when already caught up. */
+  def pending(s: SparkSession, t: Table,
+              consumer: String): Option[(Long, DataFrame, DataFrame)] = {
+    val from = cursorOf(t, consumer)
+    val to = latestVersion(t)
+    if (to <= from) None
+    else if (from < 0)
+      Some((to, read(s, t, Some(to)), read(s, t, Some(to)).limit(0)))
+    else {
+      val (ins, del) = changes(s, t, from, to)
+      Some((to, ins, del))
+    }
+  }
+
+  /** Durably advance `consumer`'s cursor to `version` (processed). */
+  def ack(t: Table, consumer: String, version: Long): Unit = {
+    val tmp = t.logDir.resolve(s".tmp-cursor-${UUID.randomUUID()}")
+    Files.writeString(tmp, s"$version\n")
+    try {
+      Files.deleteIfExists(cursorPath(t, consumer))
+      Files.createLink(cursorPath(t, consumer), tmp)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def cursorPath(t: Table, consumer: String): Path = {
+    require(consumer.matches("[A-Za-z0-9_-]+"), s"bad consumer id: $consumer")
+    t.logDir.resolve(s".cursor-$consumer")
+  }
+
+  private def cursorOf(t: Table, consumer: String): Long = {
+    val p = cursorPath(t, consumer)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
   }
 
   /** Delete every data file no longer live at the LATEST version.

@@ -106,6 +106,70 @@ class TxnLogSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L)) // the compacted single file held all rows
   }
 
+  test("txnlog: incremental consumer — pending/ack lifecycle, at-least-once on crash") {
+    val t = freshTable()
+    TxnLog.append(spark, t, oneRowDf(1))
+    TxnLog.append(spark, t, oneRowDf(2))
+    // first contact: the whole table is the backlog
+    val Some((v0, ins0, del0)) = TxnLog.pending(spark, t, "etl")
+    assert(v0 === 1L && del0.count() === 0)
+    assert(ins0.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // crash BEFORE ack: the same batch is re-delivered, nothing lost
+    val Some((v1, ins1, _)) = TxnLog.pending(spark, t, "etl")
+    assert(v1 === v0)
+    assert(ins1.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    TxnLog.ack(t, "etl", v0)
+    // caught up
+    assert(TxnLog.pending(spark, t, "etl").isEmpty)
+    // new commits deliver ONLY the delta; a compaction alone delivers
+    // nothing at row level
+    TxnLog.append(spark, t, oneRowDf(3))
+    TxnLog.compact(spark, t)
+    val Some((v2, ins2, del2)) = TxnLog.pending(spark, t, "etl")
+    assert(v2 === TxnLog.latestVersion(t))
+    assert(ins2.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(del2.count() === 0)
+    TxnLog.ack(t, "etl", v2)
+    assert(TxnLog.pending(spark, t, "etl").isEmpty)
+    // independent consumers keep independent cursors
+    assert(TxnLog.pending(spark, t, "audit").nonEmpty)
+  }
+
+  test("txnlog: a random operation history always matches the multiset model") {
+    val rnd = new scala.util.Random(11)
+    val t = freshTable()
+    var model = Vector.empty[Long] // expected multiset at latest
+    var next = 100L
+    val history = scala.collection.mutable.ArrayBuffer.empty[Vector[Long]]
+    for (step <- 0 until 12) {
+      rnd.nextInt(3) match {
+        case 0 | 1 => // append 1-3 fresh rows
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            next += 1; next
+          }
+          import spark.implicits._
+          TxnLog.append(spark, t, rows.toDF("id"))
+          model = model ++ rows
+        case 2 if model.nonEmpty => // compact (logical no-op)
+          TxnLog.compact(spark, t)
+        case _ => // nothing to compact yet: append one row instead
+          next += 1
+          TxnLog.append(spark, t, oneRowDf(next))
+          model = model :+ next
+      }
+      history += model
+      val got = TxnLog.read(spark, t).collect().map(_.getLong(0))
+      assert(got.sorted.toSeq === model.sorted,
+        s"step $step diverged from the model")
+    }
+    // time travel replays every historical state exactly
+    history.zipWithIndex.foreach { case (expected, v) =>
+      val got = TxnLog.read(spark, t, Some(v.toLong)).collect()
+        .map(_.getLong(0))
+      assert(got.sorted.toSeq === expected.sorted, s"version $v diverged")
+    }
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
