@@ -132,6 +132,15 @@ object SourceOracles {
         |FROM lineitem GROUP BY 1
         |ORDER BY snap, l_returnflag""".stripMargin,
 
+    // Mirrors SourceOps.txnlogSkipping: the manifest prune must be
+    // invisible to the result — same filter on the flat table.
+    "src_txnlog_skipping" ->
+      """SELECT count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1200""".stripMargin,
+
     // Mirrors SourceOps.txnlogChanges: both ranges insert exactly
     // slices 2-3 and delete nothing — the fast (log-resolved) and
     // diff (exceptAll) paths must agree, and the compaction commit

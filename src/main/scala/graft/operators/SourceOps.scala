@@ -824,6 +824,41 @@ object SourceOps {
       .orderBy(col("vrange"), col("change"), col("l_returnflag"))
   }
 
+  /** Manifest data skipping — the lakehouse file-pruning story on top
+    * of the transaction log: orders lands in 8 append commits, each
+    * one contiguous o_orderkey range staged as one sorted file with
+    * its (min, max) EMBEDDED IN THE ADD ACTION
+    * (TxnLog.appendWithStats), so a BETWEEN probe plans from the
+    * manifest alone — TxnLogSpec pins that the narrow probe reaches
+    * the scan with 1-2 of the 8 files and that an out-of-domain probe
+    * plans ZERO files without touching data. This is src_range_lookup
+    * one level up: there parquet row-group stats prune after the file
+    * opens; here the COMMIT LOG prunes before any file is listed or
+    * opened — at 100 TB, query planning that reads no data at all.
+    * The oracle is the same filter on the flat table. */
+  def txnlogSkipping(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txnskip-").resolve("tbl"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // catalog-scale scalar: the key domain, to cut 8 contiguous ranges
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val step = maxKey / 8 + 1
+    (0 until 8).foreach { i =>
+      graft.sources.TxnLog.appendWithStats(s, t,
+        o.filter(col("o_orderkey") >= i * step &&
+          col("o_orderkey") < (i + 1) * step)
+          .sortWithinPartitions(col("o_orderkey")).coalesce(1),
+        Seq("o_orderkey"))
+    }
+    graft.sources.TxnLog.readPruned(s, t, "o_orderkey", 1000L, 1200L)
+      .filter(col("o_orderkey").between(1000L, 1200L))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */

@@ -48,7 +48,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxnLog {
 
-  final case class Snapshot(version: Long, liveFiles: Seq[String])
+  /** `fileStats`: per live file, per column, the (min, max) embedded
+    * in its add action — the manifest's data-skipping index. Files
+    * added without stats (plain appends, compaction rewrites) simply
+    * never prune: conservative, always correct. */
+  final case class Snapshot(version: Long, liveFiles: Seq[String],
+      fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   /** A table rooted at `root` (created if absent). */
   final case class Table(root: Path) {
@@ -88,16 +93,27 @@ object TxnLog {
     }
     require(upTo.nonEmpty, s"empty transaction log at ${t.logDir}")
     val live = new java.util.LinkedHashSet[String]()
+    var stats = Map.empty[String, Map[String, (Long, Long)]]
     for (vf <- upTo; line <- Files.readAllLines(vf).asScala
          if line.nonEmpty) {
       line.split('\t') match {
         case Array("add", rel)    => live.add(rel)
-        case Array("remove", rel) => live.remove(rel)
+        case arr if arr.length > 2 && arr(0) == "add" =>
+          // stats-bearing add: trailing col:min:max triples
+          live.add(arr(1))
+          stats += arr(1) -> arr.drop(2).map { triple =>
+            val Array(c, lo, hi) = triple.split(':')
+            c -> (lo.toLong, hi.toLong)
+          }.toMap
+        case Array("remove", rel) =>
+          live.remove(rel)
+          stats -= rel
         case other => throw new IllegalStateException(
           s"corrupt action in $vf: ${other.mkString("\t")}")
       }
     }
-    Snapshot(versionOf(upTo.last), live.asScala.toSeq)
+    Snapshot(versionOf(upTo.last), live.asScala.toSeq,
+      stats.view.filterKeys(live.contains).toMap)
   }
 
   /** Atomically publish one version holding `adds`/`removes`.
@@ -144,6 +160,69 @@ object TxnLog {
     val stage = t.dataDir.resolve(UUID.randomUUID().toString)
     df.write.parquet(stage.toString)
     commit(t, base, adds = stagedFiles(t, stage))
+  }
+
+  /** [[append]], plus per-file (min, max) of `statsCols` (long-typed
+    * columns) embedded in the add actions — the write-side price of
+    * manifest data skipping, paid once per commit with ONE aggregate
+    * over the staged files (grouped by input_file_name), exactly how
+    * a stats-collecting lakehouse writer works. */
+  def appendWithStats(s: SparkSession, t: Table, df: DataFrame,
+                      statsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = latestVersion(t)
+    val stage = t.dataDir.resolve(UUID.randomUUID().toString)
+    df.write.parquet(stage.toString)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    val byFile = s.read.parquet(stage.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // file-count-scale: one row per staged file
+      .map { r =>
+        val name = r.getString(0).split('/').last
+        name -> statsCols.map(c =>
+          s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}")
+      }.toMap
+    val adds = stagedFiles(t, stage).map { rel =>
+      byFile.get(rel.split('/').last) match {
+        case Some(triples) => (rel +: triples).mkString("\t")
+        case None          => rel
+      }
+    }
+    commit(t, base, adds = adds)
+  }
+
+  /** Plan a range probe on `colName` from the MANIFEST: only live
+    * files whose embedded stats intersect [lo, hi] reach the scan —
+    * files without stats are kept (cannot skip, stays correct). At
+    * 100 TB this is the query-planning step that touches no data
+    * file at all. Returns the pruned frame; callers still apply
+    * their own row-level predicate. */
+  def readPruned(s: SparkSession, t: Table, colName: String,
+                 lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(t, asOf)
+    val keep = pruneFiles(snap, colName, lo, hi)
+    val paths = (if (keep.nonEmpty) keep else snap.liveFiles)
+      .map(rel => t.root.resolve(rel).toString)
+    val df = s.read.parquet(paths: _*)
+    if (keep.nonEmpty) df else df.limit(0)
+  }
+
+  private def pruneFiles(snap: Snapshot, colName: String,
+                         lo: Long, hi: Long): Seq[String] =
+    snap.liveFiles.filter { f =>
+      snap.fileStats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+
+  /** (files planned, files live) for a probe — the skipping audit. */
+  def plannedFiles(t: Table, colName: String, lo: Long,
+                   hi: Long): (Int, Int) = {
+    val snap = snapshot(t)
+    (pruneFiles(snap, colName, lo, hi).length, snap.liveFiles.length)
   }
 
   private def stagedFiles(t: Table, stage: Path): Seq[String] =

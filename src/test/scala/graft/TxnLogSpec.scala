@@ -170,6 +170,35 @@ class TxnLogSpec extends AnyFunSuite {
     }
   }
 
+  test("txnlog: manifest stats prune files at planning time, never rows from results") {
+    import spark.implicits._
+    val t = freshTable()
+    // four disjoint key ranges, one file each, stats in the manifest
+    (0 until 4).foreach { i =>
+      val rows = (i * 100L until i * 100L + 50L).toSeq
+      TxnLog.appendWithStats(spark, t,
+        rows.toDF("id").coalesce(1), Seq("id"))
+    }
+    // a stats-less append must never be skipped (conservative keep)
+    TxnLog.append(spark, t, Seq(1000L).toDF("id"))
+    // narrow probe: 1 stats file intersects + the stats-less file
+    val (kept, total) = TxnLog.plannedFiles(t, "id", 120L, 130L)
+    assert(total === 5 && kept === 2, s"planned $kept of $total")
+    val got = TxnLog.readPruned(spark, t, "id", 120L, 130L)
+      .filter($"id".between(120L, 130L)).collect().map(_.getLong(0))
+    assert(got.sorted.toSeq === (120L to 130L).toSeq)
+    // pruned read equals the unpruned read under the same predicate
+    val full = TxnLog.read(spark, t)
+      .filter($"id".between(120L, 130L)).collect().map(_.getLong(0))
+    assert(got.sorted.toSeq === full.sorted.toSeq)
+    // out-of-domain probe: only the stats-less file is planned
+    assert(TxnLog.plannedFiles(t, "id", 5000L, 6000L)._1 === 1)
+    // a probe matching nothing anywhere still returns a sane empty
+    val none = TxnLog.readPruned(spark, t, "id", 5000L, 6000L)
+      .filter($"id".between(5000L, 6000L))
+    assert(none.count() === 0)
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
