@@ -108,6 +108,7 @@ object TxnLog {
         case Array("remove", rel) =>
           live.remove(rel)
           stats -= rel
+        case Array("txn", _, _) => () // streaming batch marker
         case other => throw new IllegalStateException(
           s"corrupt action in $vf: ${other.mkString("\t")}")
       }
@@ -150,6 +151,57 @@ object TxnLog {
       }
       committed
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Attempt to publish `lines` as exactly version `v`; false when
+    * the slot is already taken. The single-syscall link claim from
+    * [[commit]], exposed for protocols that must re-validate their
+    * read set between attempts. */
+  private def tryPublish(t: Table, v: Long, lines: Seq[String]): Boolean = {
+    val tmp = t.logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    try {
+      Files.createLink(t.logDir.resolve(f"$v%020d.log"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Highest streaming batch id `appId` has committed, if any. */
+  def lastBatch(t: Table, appId: String): Option[Long] =
+    versionFiles(t).flatMap(vf =>
+      Files.readAllLines(vf).asScala.collect {
+        case l if l.startsWith("txn\t") =>
+          val Array(_, a, b) = l.split('\t')
+          (a, b.toLong)
+      }).filter(_._1 == appId).map(_._2).maxOption
+
+  /** EXACTLY-ONCE streaming append — the foreachBatch sink contract:
+    * the commit carries a `txn appId batchId` marker, and a replayed
+    * batch (restart, retry, a racing twin) recognizes a marker at or
+    * above its id and no-ops. The check-then-publish races through
+    * the version-slot claim itself: each attempt targets exactly
+    * latest+1, and an EEXIST loss re-reads the log — if the twin that
+    * won WAS this batch, the re-check sees its marker and returns
+    * false, so the pair (batch staged, marker linked) lands at most
+    * once no matter how many writers replay it. Returns true iff THIS
+    * call committed the batch; a false leaves only invisible staged
+    * files, which vacuum reclaims. */
+  def appendBatch(s: SparkSession, t: Table, df: DataFrame,
+                  appId: String, batchId: Long): Boolean = {
+    require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")
+    if (lastBatch(t, appId).exists(_ >= batchId)) return false
+    val stage = t.dataDir.resolve(UUID.randomUUID().toString)
+    df.write.parquet(stage.toString)
+    val lines = stagedFiles(t, stage).map(a => s"add\t$a") :+
+      s"txn\t$appId\t$batchId"
+    while (true) {
+      val base = latestVersion(t)
+      if (lastBatch(t, appId).exists(_ >= batchId)) return false
+      if (tryPublish(t, base + 1, lines)) return true
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Stage `df` as parquet under a fresh uuid directory and commit it

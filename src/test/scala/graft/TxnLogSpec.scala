@@ -170,6 +170,57 @@ class TxnLogSpec extends AnyFunSuite {
     }
   }
 
+  test("txnlog: exactly-once batch append — replays no-op, racing twins elect one writer") {
+    val t = freshTable()
+    assert(TxnLog.appendBatch(spark, t, oneRowDf(1), "etl", 0L))
+    // restart replay of an already-committed batch: no-op
+    assert(!TxnLog.appendBatch(spark, t, oneRowDf(1), "etl", 0L))
+    assert(TxnLog.appendBatch(spark, t, oneRowDf(2), "etl", 1L))
+    // a LATER marker also fences earlier replays
+    assert(!TxnLog.appendBatch(spark, t, oneRowDf(1), "etl", 0L))
+    // distinct apps do not fence each other
+    assert(TxnLog.appendBatch(spark, t, oneRowDf(3), "other", 0L))
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    assert(TxnLog.lastBatch(t, "etl") === Some(1L))
+    // racing twins replaying ONE batch: exactly one commits
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val wins = (0 until 6).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            TxnLog.appendBatch(spark, t, oneRowDf(4), "etl", 2L)
+        })
+      }.count(_.get())
+      assert(wins === 1, s"$wins twins committed batch 2")
+    } finally pool.shutdown()
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("txnlog: foreachBatch streaming ingestion lands each micro-batch as one version") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = spark.sqlContext
+    val t = freshTable()
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("id").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        TxnLog.appendBatch(spark, t, df, "ingest", id); ()
+      }
+      .start()
+    try {
+      mem.addData(1L, 2L); q.processAllAvailable()
+      mem.addData(3L); q.processAllAvailable()
+      mem.addData(4L, 5L); q.processAllAvailable()
+    } finally q.stop()
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(TxnLog.latestVersion(t) === 2L) // one version per batch
+    assert(TxnLog.lastBatch(t, "ingest") === Some(2L))
+  }
+
   test("txnlog: manifest stats prune files at planning time, never rows from results") {
     import spark.implicits._
     val t = freshTable()
