@@ -68,10 +68,17 @@ object TxnLog {
     n.stripSuffix(".log").toLong
   }
 
+  /** Drain a directory stream EAGERLY and close it — Files.list/walk
+    * hold an open directory fd until closed, and the log is listed on
+    * every snapshot/latestVersion/lastBatch call, so an unclosed
+    * stream here would leak fds for the life of the JVM. */
+  private def listing(stream: java.util.stream.Stream[Path]): Seq[Path] =
+    try stream.iterator().asScala.toSeq finally stream.close()
+
   private def versionFiles(t: Table): Seq[Path] =
-    Files.list(t.logDir).iterator().asScala
+    listing(Files.list(t.logDir))
       .filter(_.getFileName.toString.matches("\\d{20}\\.log"))
-      .toSeq.sortBy(versionOf)
+      .sortBy(versionOf)
 
   /** Latest committed version, or -1 for an empty table. */
   def latestVersion(t: Table): Long =
@@ -278,9 +285,9 @@ object TxnLog {
   }
 
   private def stagedFiles(t: Table, stage: Path): Seq[String] =
-    Files.list(stage).iterator().asScala
+    listing(Files.list(stage))
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => t.root.relativize(p).toString).toSeq.sorted
+      .map(p => t.root.relativize(p).toString).sorted
 
   /** OPTIMIZE: rewrite the current live files into `targetFiles`
     * compacted ones in one remove+add commit — logically a no-op,
@@ -395,10 +402,10 @@ object TxnLog {
     * the same trade Delta's VACUUM makes. Returns deleted count. */
   def vacuum(t: Table): Int = {
     val live = snapshot(t).liveFiles.toSet
-    val all = Files.walk(t.dataDir).iterator().asScala
+    val all = listing(Files.walk(t.dataDir))
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
-      .map(p => t.root.relativize(p).toString).toSeq
+      .map(p => t.root.relativize(p).toString)
     val dead = all.filterNot(live)
     dead.foreach(rel => Files.deleteIfExists(t.root.resolve(rel)))
     dead.length
