@@ -194,7 +194,10 @@ object TxnLog {
     * false, so the pair (batch staged, marker linked) lands at most
     * once no matter how many writers replay it. Returns true iff THIS
     * call committed the batch; a false leaves only invisible staged
-    * files, which vacuum reclaims. */
+    * files, which vacuum reclaims. Contract: one app's batch ids are
+    * SEQUENTIAL (the foreachBatch guarantee — batch b+1 only runs
+    * after b committed), which is what makes the at-or-above fence
+    * sound; concurrent independent writers are distinct appIds. */
   def appendBatch(s: SparkSession, t: Table, df: DataFrame,
                   appId: String, batchId: Long): Boolean = {
     require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")

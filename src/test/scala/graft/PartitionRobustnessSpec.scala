@@ -78,7 +78,11 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // checksum (rank over an exchange-dependent partition layout)
     "adv_attribution", "sim_hybrid_rrf", "txt_epoch_shuffle",
     // the double-lead journey windows
-    "adv_user_paths")
+    "adv_user_paths",
+    // round 11 sixth wave: the commit-log family — snapshot/time-travel
+    // reads over staged commits, the two-sided exceptAll row diff, and
+    // the manifest-stats prune must all be partitioning-independent
+    "src_txnlog_snapshot", "src_txnlog_changes", "src_txnlog_skipping")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of

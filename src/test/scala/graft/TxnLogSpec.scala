@@ -221,6 +221,49 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.lastBatch(t, "ingest") === Some(2L))
   }
 
+  test("txnlog: concurrent batch appends and compactions never lose or double a row") {
+    val t = freshTable()
+    TxnLog.append(spark, t, oneRowDf(0)) // seed so compact has work
+    // NOTE the appendBatch contract: batch ids of ONE app are
+    // sequential (Structured Streaming's foreachBatch guarantee) —
+    // a marker fences every id at or below it, so concurrent DISTINCT
+    // batches of one app would fence each other by design. Concurrent
+    // WRITERS are therefore modeled as distinct apps, each replaying
+    // its own batch, racing three compactions.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val compactWins = new java.util.concurrent.atomic.AtomicInteger
+    try {
+      val tasks = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            TxnLog.appendBatch(spark, t, oneRowDf(i.toLong), s"app$i", 0L)
+            // immediate replay must no-op regardless of the races
+            assert(!TxnLog.appendBatch(spark, t, oneRowDf(i.toLong), s"app$i", 0L))
+          }
+        })
+      } ++ (0 until 3).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            // a compaction may lose the optimistic race — that is the
+            // contract (refuse rather than lose a concurrent append);
+            // what it must NEVER do is alter row content
+            try { TxnLog.compact(spark, t); compactWins.incrementAndGet(); () }
+            catch { case _: java.util.ConcurrentModificationException => () }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    // every appended row exactly once, no matter how the races fell
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === (0L to 8L))
+    // every app's marker recorded
+    (1 to 8).foreach(i => assert(TxnLog.lastBatch(t, s"app$i") === Some(0L)))
+    // versions stay dense through the mixed history
+    val latest = TxnLog.latestVersion(t)
+    assert(latest === 8L + compactWins.get())
+    (0L to latest).foreach(v => TxnLog.snapshot(t, Some(v))) // all replay
+  }
+
   test("txnlog: manifest stats prune files at planning time, never rows from results") {
     import spark.implicits._
     val t = freshTable()
