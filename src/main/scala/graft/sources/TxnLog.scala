@@ -306,11 +306,18 @@ object TxnLog {
   }
 
   /** Read the table at `asOf` (latest when None) straight from the
-    * manifest — the scan plans over exactly the live files. */
-  def read(s: SparkSession, t: Table, asOf: Option[Long] = None): DataFrame = {
+    * manifest — the scan plans over exactly the live files.
+    * `mergeSchema=true` unions the live files' schemas (additive
+    * evolution: a commit may add columns; older rows null-fill) at
+    * the cost of reading every live footer — the demo form of what a
+    * production log avoids by REGISTERING the schema in the log
+    * itself; left off by default so ordinary reads stay
+    * footer-count-independent. */
+  def read(s: SparkSession, t: Table, asOf: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val snap = snapshot(t, asOf)
     val paths = snap.liveFiles.map(rel => t.root.resolve(rel).toString)
-    s.read.parquet(paths: _*)
+    s.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
   }
 
   /** Change-data-feed read: the row-level (inserts, deletes) between
@@ -402,7 +409,12 @@ object TxnLog {
 
   /** Delete every data file no longer live at the LATEST version.
     * Time travel to versions whose files are vacuumed stops working —
-    * the same trade Delta's VACUUM makes. Returns deleted count. */
+    * the same trade Delta's VACUUM makes. Production deployments gate
+    * this behind a retention horizon (only files dead LONGER than the
+    * longest plausible reader/time-travel window are deleted) so an
+    * in-flight snapshot read can always finish; this immediate form
+    * is the zero-retention setting of that contract. Returns deleted
+    * count. */
   def vacuum(t: Table): Int = {
     val live = snapshot(t).liveFiles.toSet
     val all = listing(Files.walk(t.dataDir))

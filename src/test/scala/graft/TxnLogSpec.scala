@@ -221,6 +221,24 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.lastBatch(t, "ingest") === Some(2L))
   }
 
+  test("txnlog: additive schema evolution — later commits add columns, history keeps its shape") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq(1L, 2L).toDF("id"))
+    // v1 adds a column; v0's files stay untouched on disk
+    TxnLog.append(spark, t, Seq((3L, "x")).toDF("id", "tag"))
+    val merged = TxnLog.read(spark, t, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq === Seq("id", "tag"))
+    val rows = merged.collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        Option(r.getAs[String]("tag")))).sortBy(_._1)
+    // old rows null-fill the new column; the new row carries it
+    assert(rows.toSeq === Seq((1L, None), (2L, None), (3L, Some("x"))))
+    // time travel to v0 replays the ORIGINAL shape, not the merged one
+    assert(TxnLog.read(spark, t, Some(0L), mergeSchema = true)
+      .columns.toSeq === Seq("id"))
+  }
+
   test("txnlog: concurrent batch appends and compactions never lose or double a row") {
     val t = freshTable()
     TxnLog.append(spark, t, oneRowDf(0)) // seed so compact has work
