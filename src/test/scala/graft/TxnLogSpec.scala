@@ -221,6 +221,23 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.lastBatch(t, "ingest") === Some(2L))
   }
 
+  test("txnlog: corrupt actions fail loudly naming the file; stray log-dir files are ignored") {
+    val t = freshTable()
+    TxnLog.append(spark, t, oneRowDf(1))
+    // stray files that are NOT version logs must not confuse replay
+    Files.writeString(t.logDir.resolve("README"), "not a log\n")
+    Files.writeString(t.logDir.resolve("0001.log"), "add\tx\n") // wrong width
+    assert(TxnLog.latestVersion(t) === 0L)
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // an unknown verb in a REAL version file is corruption, not data:
+    // replay must stop loudly, naming the file — never skip silently
+    val bad = t.logDir.resolve(f"${1L}%020d.log")
+    Files.writeString(bad, "frobnicate\tx\n")
+    val e = intercept[IllegalStateException] { TxnLog.snapshot(t) }
+    assert(e.getMessage.contains("corrupt") &&
+      e.getMessage.contains(bad.getFileName.toString))
+  }
+
   test("txnlog: additive schema evolution — later commits add columns, history keeps its shape") {
     import spark.implicits._
     val t = freshTable()
