@@ -119,4 +119,19 @@ class PropertySpec extends AnyFunSuite {
       salted == plain
     }, n = 5)
   }
+
+  test("driver contract: every query has an oracle and every oracle a query") {
+    // an entry missing from oracleSql silently downgrades the
+    // driver's correctness gate to a rows-only check; a dangling
+    // oracle is dead SQL that drifts — both are contract breaks
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+    // oracle SQL must be non-empty and free of unresolved interpolation
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty && !sql.contains("${"),
+        s"$k oracle looks malformed")
+    }
+  }
 }
