@@ -858,10 +858,13 @@ object Dedup {
     * O(n²) collapses to Σ n_c² with k cells (k grows with the
     * corpus, so n_c stays bounded; at 100 TB the cell self-join
     * shuffles each side once on `cell` and never materializes a
-    * cross-cell pair). The dropped set is true-duplicate-scale, so
-    * the verdict join broadcasts. Emits the full per-vector verdict
-    * (vec_id, cell, kept) — the admission list a curation pipeline
-    * feeds downstream. */
+    * cross-cell pair). The dropped set is true-duplicate-scale — on a
+    * dup-heavy corpus a constant FRACTION of it — so the verdict join
+    * carries NO broadcast hint: it shuffles on vec_id and AQE is free
+    * to choose broadcast only when the runtime size actually fits
+    * (the q3/q5 rule: never force an SF-proportional side into the
+    * driver). Emits the full per-vector verdict (vec_id, cell, kept)
+    * — the admission list a curation pipeline feeds downstream. */
   def semantic(s: SparkSession, d: String): DataFrame =
     // Materialize the corpus assignment ONCE (the components-edges
     // pattern): the verdict references it three times (both self-join
@@ -886,8 +889,7 @@ object Dedup {
       .select(col("b_id").as("vec_id"))
       .distinct()
     assigned.select(col("vec_id"), col("cell"))
-      .join(broadcast(dropped.withColumn("dup", lit(true))),
-        Seq("vec_id"), "left")
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         col("dup").isNull.cast("long").as("kept"))
       .orderBy(col("vec_id"))

@@ -133,6 +133,17 @@ class PlansSpec extends AnyFunSuite {
       s"q5 must hint only nation+region, found $hints broadcast marks:\n${l5.take(800)}")
   }
 
+  test("dedup_semantic never force-broadcasts a data-scale side") {
+    // the dropped-id verdict set is true-duplicate-scale — a constant
+    // FRACTION of a dup-heavy corpus — so no side of the verdict join
+    // may carry a broadcast hint (the q3/q5/q17 rule). AQE may still
+    // CHOOSE broadcast at tiny SF; what must be absent is the hint.
+    val df = SparkEntry.queries("dedup_semantic")(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!logical.contains("broadcast"),
+      s"dedup_semantic still carries a broadcast hint:\n${logical.take(800)}")
+  }
+
   test("q33 computes gaps and aggregates in ONE customer-keyed shuffle") {
     val df = SparkEntry.queries("q33_order_gaps")(spark, sf)
     df.collect()
