@@ -453,6 +453,63 @@ object TextOracles {
         |       ELSE 'tail' END AS bucket_name
         |FROM bucketed ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextAnalysis.lmBucketsSampled: the txt_lm_score chain,
+    // the q36-style hash-sampled per-lang tercile cutoffs, then the
+    // map-side boundary-count assignment and per-(lang,bucket) audit.
+    "txt_lm_buckets_sampled" ->
+      s"""WITH d2 AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS t
+         |  FROM documents
+         |  WHERE len(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')))
+         |    >= 2),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> substr(t, CAST(i AS INTEGER), 2))) AS bg
+         |  FROM d2),
+         |counts AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+         |prefix AS (
+         |  SELECT substr(bg, 1, 1) AS pre, CAST(sum(c2) AS BIGINT) AS c1
+         |  FROM counts GROUP BY 1),
+         |model AS (
+         |  SELECT bg, (1000000 * c2) // c1 AS p_micro
+         |  FROM counts JOIN prefix ON substr(bg, 1, 1) = pre),
+         |scored AS (
+         |  SELECT b.doc_id, d.lang,
+         |    CAST(sum(m.p_micro) AS BIGINT) // count(*) AS score_micro
+         |  FROM bg b JOIN model m USING (bg)
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2),
+         |mm AS (
+         |  SELECT greatest(20, (count(*) + 99999) // 100000) AS m
+         |  FROM scored),
+         |samp AS (
+         |  SELECT s.* FROM scored s, mm
+         |  WHERE (${fold("md5('lmb-' || CAST(doc_id AS VARCHAR))")})
+         |    % mm.m = 0),
+         |tiles AS (
+         |  SELECT lang, score_micro,
+         |    ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY score_micro DESC, doc_id) AS tile
+         |  FROM samp),
+         |bounds AS (
+         |  SELECT lang, tile, min(score_micro) AS b FROM tiles
+         |  WHERE tile < 3 GROUP BY 1, 2),
+         |assigned AS (
+         |  SELECT s.doc_id, s.lang, s.score_micro,
+         |    1 + (SELECT count(*) FROM bounds bo
+         |         WHERE bo.lang = s.lang AND s.score_micro < bo.b)
+         |      AS bucket
+         |  FROM scored s)
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+         |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket_name,
+         |  count(*) AS n_docs,
+         |  min(score_micro) AS min_micro, max(score_micro) AS max_micro,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM assigned GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
     // same (degree, id)-orientation: every triangle counted once via
     // the wedge self-join + closure equi-join
     "mr_triangles" ->

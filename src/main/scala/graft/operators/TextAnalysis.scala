@@ -995,6 +995,67 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** txt_lm_buckets_sampled — [[lmBuckets]]'s 100-TB form: the q36
+    * row-budgeted escape hatch applied to the per-language tercile
+    * split. The exact form sorts each language's whole corpus inside
+    * one window task per language (~5 languages ⇒ lang-share ×
+    * corpus per task, the low-cardinality-window straggler); here
+    * the head/middle/tail CUTOFF SCORES come from a deterministic
+    * hash sample capped at Relational.Q36SampleBudget rows — the
+    * modulus grows with the corpus, so the sampled boundary sort is
+    * constant-bounded at any scale — and full-corpus assignment is a
+    * broadcast of ≤ 2 boundary scores per language plus a map-side
+    * comparison. No corpus-scale window anywhere: this is CCNet's
+    * production posture (calibrate cutoffs once on a sample, then
+    * score+assign map-only; Wenzek et al. 2020 §4.3), with
+    * [[lmBuckets]] kept as its q31-style exact validation twin.
+    * Emits the per-(lang, bucket) audit — doc count, score range,
+    * and the summed doc_id membership fold that pins the exact
+    * assignment set. */
+  def lmBucketsSampled(s: SparkSession, d: String): DataFrame = {
+    // Materialize the scored corpus ONCE (the dedup_semantic
+    // checkpoint pattern): three consumers follow — the corpus count
+    // fixing the sample modulus, the boundary sample, and the final
+    // assignment spine — and each would otherwise re-run the whole
+    // lmScore train+score chain. At 100 TB the scored table is
+    // written to storage once per pipeline run anyway.
+    val scored = lmScore(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("score_micro"))
+      .localCheckpoint()
+    // catalog-scale scalar: corpus size, to fix the sample modulus
+    val m = Relational.q36Modulus(scored.count())
+    val samp = scored.filter(
+      graft.functions.RollingHash.rollingHash(
+        md5(concat(lit("lmb-"), col("doc_id").cast("string"))
+          .cast("binary"))) % m === 0)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val bounds = samp
+      .withColumn("tile", ntile(3).over(w))
+      .filter(col("tile") < 3)
+      .groupBy(col("lang"), col("tile"))
+      .agg(min(col("score_micro")).as("b"))
+      .groupBy(col("lang"))
+      .agg(collect_list(col("b")).as("bs")) // ≤ 2 cutoffs per language
+    scored.join(broadcast(bounds), Seq("lang"), "left")
+      .withColumn("bucket", coalesce(expr(
+        "1 + aggregate(bs, 0L, (acc, b) ->" +
+          " acc + IF(score_micro < b, 1L, 0L))"), lit(1L)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_micro")).as("min_micro"),
+        max(col("score_micro")).as("max_micro"),
+        sum(col("doc_id")).as("id_sum"))
+      .select(col("lang"), col("bucket"),
+        when(col("bucket") === 1L, "head")
+          .when(col("bucket") === 2L, "middle")
+          .otherwise("tail").as("bucket_name"),
+        col("n_docs"), col("min_micro"), col("max_micro"), col("id_sum"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Supervised QUALITY-CLASSIFIER training — the fastText-style
     * linear filter every LLM data pipeline trains on weak labels
     * (keep/drop from cheap heuristics, then generalize). Features:
