@@ -1,15 +1,17 @@
 package graft.sources
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal ACID commit log for a parquet table directory — the
   * lakehouse transaction layer (snapshot isolation, time travel,
-  * optimistic concurrency, compaction, vacuum) expressed against the
+  * optimistic concurrency, row-level delete with a change-data feed,
+  * compaction, checkpoints, vacuum) expressed against the
   * filesystem's atomic-namespace contract, the same primitive the
   * reference's job commit protocol serializes on (reference:
   * hadoop-mapreduce-project/.../output/FileOutputCommitter.java:1
@@ -19,53 +21,83 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout:
   * {{{
   *   <root>/data/<uuid>/part-*.parquet   -- immutable data files
+  *   <root>/data/.inflight-<uuid>        -- staging marker (pre-commit)
+  *   <root>/cdc/<uuid>/part-*.parquet    -- row-level change files
   *   <root>/_txnlog/%020d.log            -- one action log per version
+  *   <root>/_txnlog/%020d.ckpt           -- replay checkpoint (every 10)
   * }}}
   *
-  * A version file holds one tab-separated action per line
-  * (`add <relpath>` / `remove <relpath>`), the analog of Delta Lake's
-  * JSON action lines. A version COMMITS by hard-linking a fully
-  * written temp file to its version-numbered name:
-  * `Files.createLink` is a single atomic syscall that fails with
-  * EEXIST when the slot is taken, so (a) exactly one writer wins each
-  * version, (b) a version name never exists with partial content, and
-  * (c) the log is dense and gap-free — a reader listing `_txnlog` can
-  * never observe version N without every version below it. On HDFS
-  * the same step is `create(path, overwrite=false)`; on an object
-  * store, put-if-absent.
+  * A version file holds one tab-separated action per line, the
+  * analog of Delta Lake's JSON action lines:
+  * {{{
+  *   add <relpath>[ <col>:<min>:<max> ...]   file joins the live set
+  *   remove <relpath>                        file leaves the live set
+  *   schema <spark StructType json>          registered table schema
+  *   txn <appId> <batchId>                   streaming batch marker
+  *   cdc none                                rewrite, no logical change
+  *   cdc <relpath> insert|delete             row-level change file
+  * }}}
+  *
+  * A version COMMITS by hard-linking a fully written temp file to its
+  * version-numbered name: `Files.createLink` is a single atomic
+  * syscall that fails with EEXIST when the slot is taken, so (a)
+  * exactly one writer wins each version, (b) a version name never
+  * exists with partial content, and (c) the log is dense and gap-free
+  * — a reader listing `_txnlog` can never observe version N without
+  * every version below it. On HDFS the same step is
+  * `create(path, overwrite=false)`; on an object store, put-if-absent.
   *
   * Concurrency rules (optimistic): blind APPENDS retry into the next
   * slot — they conflict with nothing. Commits carrying REMOVES
   * (compaction, deletes) validated their read set at snapshot time,
   * so if any commit landed since, the rewrite is stale and aborts
   * with ConcurrentModificationException rather than resurrecting or
-  * double-deleting rows.
+  * double-deleting rows. Schema-CHANGING appends serialize the same
+  * way (claim exactly latest+1, re-merge on loss) so two concurrent
+  * column additions can never overwrite each other's registration.
   *
   * 100 TB posture: the log is metadata-scale (file lists, not data);
   * a snapshot read plans from the live-file manifest — no directory
   * listing of the data tree, no eventual-consistency exposure — and
-  * commit coordination is O(1) regardless of table size.
+  * commit coordination is O(1) regardless of table size. Replay cost
+  * is bounded by CHECKPOINTS: every [[CheckpointInterval]] commits the
+  * full replayed state (live set + stats + schema + txn high-water)
+  * lands in one `.ckpt` file, so snapshot/lastBatch/schema reads touch
+  * at most [[CheckpointInterval]] log files — a year-old streaming
+  * table replays like a fresh one.
   */
 object TxnLog {
 
+  /** Commits between automatic replay checkpoints. */
+  val CheckpointInterval = 10L
+
+  /** Files dead for less than this keep their staging grace (see
+    * [[vacuum]]): an in-flight writer's staged-but-uncommitted files
+    * are never reclaimed under it. */
+  val VacuumGraceMs: Long = 24L * 3600 * 1000
+
   /** `fileStats`: per live file, per column, the (min, max) embedded
     * in its add action — the manifest's data-skipping index. Files
-    * added without stats (plain appends, compaction rewrites) simply
-    * never prune: conservative, always correct. */
+    * added without stats simply never prune: conservative, always
+    * correct. `schemaJson`: the schema REGISTERED in the log at this
+    * version (one `schema` action per schema-changing commit), which
+    * makes evolved reads footer-count-independent. */
   final case class Snapshot(version: Long, liveFiles: Seq[String],
-      fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      schemaJson: Option[String] = None)
 
   /** A table rooted at `root` (created if absent). */
   final case class Table(root: Path) {
     val logDir: Path = root.resolve("_txnlog")
     val dataDir: Path = root.resolve("data")
+    val cdcDir: Path = root.resolve("cdc")
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
   }
 
   private def versionOf(p: Path): Long = {
     val n = p.getFileName.toString
-    n.stripSuffix(".log").toLong
+    n.stripSuffix(".log").stripSuffix(".ckpt").toLong
   }
 
   /** Drain a directory stream EAGERLY and close it — Files.list/walk
@@ -80,14 +112,64 @@ object TxnLog {
       .filter(_.getFileName.toString.matches("\\d{20}\\.log"))
       .sortBy(versionOf)
 
+  private def checkpointFiles(t: Table): Seq[Path] =
+    listing(Files.list(t.logDir))
+      .filter(_.getFileName.toString.matches("\\d{20}\\.ckpt"))
+      .sortBy(versionOf)
+
   /** Latest committed version, or -1 for an empty table. */
   def latestVersion(t: Table): Long =
     versionFiles(t).lastOption.map(versionOf).getOrElse(-1L)
 
-  /** Replay the action log through `asOf` (latest when None). The
-    * live set is insertion-ordered so file order — and thus scan
-    * planning — is deterministic across replays. */
-  def snapshot(t: Table, asOf: Option[Long] = None): Snapshot = {
+  // ---------------------------------------------------------------
+  // Replay
+  // ---------------------------------------------------------------
+
+  /** Mutable replay accumulator — the full log state at one version. */
+  private final class State {
+    val live = new java.util.LinkedHashSet[String]()
+    var stats = Map.empty[String, Map[String, (Long, Long)]]
+    var schemaJson: Option[String] = None
+    var txns = Map.empty[String, Long]
+  }
+
+  private def corrupt(src: Path, line: String): Nothing =
+    throw new IllegalStateException(s"corrupt action in $src: $line")
+
+  /** Apply one action line to the replay state. Any malformed line —
+    * unknown verb, short split, non-numeric stats triple — fails
+    * LOUDLY naming the file (the TxnLogSpec corruption contract):
+    * silently skipping could resurrect deleted rows. */
+  private def applyLine(st: State, src: Path, line: String): Unit =
+    line.split('\t') match {
+      case Array("add", rel) => st.live.add(rel); ()
+      case arr if arr.length > 2 && arr(0) == "add" =>
+        // stats-bearing add: trailing col:min:max triples
+        st.live.add(arr(1))
+        st.stats += arr(1) -> arr.drop(2).map { triple =>
+          triple.split(':') match {
+            case Array(c, lo, hi) =>
+              try c -> (lo.toLong, hi.toLong)
+              catch { case _: NumberFormatException => corrupt(src, line) }
+            case _ => corrupt(src, line)
+          }
+        }.toMap
+      case Array("remove", rel) =>
+        st.live.remove(rel)
+        st.stats -= rel
+      case Array("schema", js) => st.schemaJson = Some(js)
+      case Array("txn", a, b) =>
+        val id = try b.toLong
+        catch { case _: NumberFormatException => corrupt(src, line) }
+        st.txns += a -> math.max(st.txns.getOrElse(a, Long.MinValue), id)
+      case Array("cdc", _) | Array("cdc", _, _) => () // change-feed refs
+      case _ => corrupt(src, line)
+    }
+
+  /** Replay the log through `asOf`, starting from the newest
+    * checkpoint at or below it — at most [[CheckpointInterval]] log
+    * files are read no matter how old the table is. */
+  private def replayState(t: Table, asOf: Option[Long]): (Long, State) = {
     val all = versionFiles(t)
     val upTo = asOf match {
       case Some(v) =>
@@ -99,39 +181,75 @@ object TxnLog {
       case None => all
     }
     require(upTo.nonEmpty, s"empty transaction log at ${t.logDir}")
-    val live = new java.util.LinkedHashSet[String]()
-    var stats = Map.empty[String, Map[String, (Long, Long)]]
-    for (vf <- upTo; line <- Files.readAllLines(vf).asScala
-         if line.nonEmpty) {
-      line.split('\t') match {
-        case Array("add", rel)    => live.add(rel)
-        case arr if arr.length > 2 && arr(0) == "add" =>
-          // stats-bearing add: trailing col:min:max triples
-          live.add(arr(1))
-          stats += arr(1) -> arr.drop(2).map { triple =>
-            val Array(c, lo, hi) = triple.split(':')
-            c -> (lo.toLong, hi.toLong)
-          }.toMap
-        case Array("remove", rel) =>
-          live.remove(rel)
-          stats -= rel
-        case Array("txn", _, _) => () // streaming batch marker
-        case other => throw new IllegalStateException(
-          s"corrupt action in $vf: ${other.mkString("\t")}")
-      }
+    val target = versionOf(upTo.last)
+    val st = new State
+    val ckpt = checkpointFiles(t).filter(versionOf(_) <= target).lastOption
+    val from = ckpt match {
+      case Some(c) =>
+        for (line <- Files.readAllLines(c).asScala if line.nonEmpty)
+          applyLine(st, c, line)
+        versionOf(c)
+      case None => -1L
     }
-    Snapshot(versionOf(upTo.last), live.asScala.toSeq,
-      stats.view.filterKeys(live.contains).toMap)
+    for (vf <- upTo if versionOf(vf) > from;
+         line <- Files.readAllLines(vf).asScala if line.nonEmpty)
+      applyLine(st, vf, line)
+    (target, st)
   }
+
+  /** Replay the action log through `asOf` (latest when None). The
+    * live set is insertion-ordered so file order — and thus scan
+    * planning — is deterministic across replays. */
+  def snapshot(t: Table, asOf: Option[Long] = None): Snapshot = {
+    val (v, st) = replayState(t, asOf)
+    val live = st.live.asScala.toSeq
+    Snapshot(v, live, st.stats.view.filterKeys(st.live.contains).toMap,
+      st.schemaJson)
+  }
+
+  /** Write the `.ckpt` replay checkpoint for version `v` (best
+    * effort, idempotent): the replay is deterministic, so racing
+    * checkpointers produce identical content and the createLink
+    * EEXIST loser simply drops out. */
+  def checkpoint(t: Table, v: Long): Unit = {
+    val (_, st) = replayState(t, Some(v))
+    val lines =
+      st.schemaJson.map(js => s"schema\t$js").toSeq ++
+      st.live.asScala.toSeq.map { rel =>
+        st.stats.get(rel) match {
+          case Some(cols) =>
+            (s"add\t$rel" +: cols.toSeq.sortBy(_._1).map {
+              case (c, (lo, hi)) => s"$c:$lo:$hi"
+            }).mkString("\t")
+          case None => s"add\t$rel"
+        }
+      } ++
+      st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"txn\t$a\t$b" }
+    val tmp = t.logDir.resolve(s".tmp-ckpt-${UUID.randomUUID()}")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    try Files.createLink(t.logDir.resolve(f"$v%020d.ckpt"), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  private def maybeCheckpoint(t: Table, v: Long): Unit =
+    if (v > 0 && v % CheckpointInterval == 0)
+      try checkpoint(t, v) catch { case _: Exception => () } // best effort
+
+  // ---------------------------------------------------------------
+  // Commit protocol
+  // ---------------------------------------------------------------
 
   /** Atomically publish one version holding `adds`/`removes`.
     * `base` is the version the writer's read set was computed at
-    * (latest at snapshot time; -1 for a fresh table). Returns the
-    * committed version. */
+    * (latest at snapshot time; -1 for a fresh table). `extra` lines
+    * (cdc refs, txn markers) ride in the same atomic commit. Returns
+    * the committed version. */
   def commit(t: Table, base: Long, adds: Seq[String],
-             removes: Seq[String] = Nil): Long = {
+             removes: Seq[String] = Nil,
+             extra: Seq[String] = Nil): Long = {
     val body = (removes.map(r => s"remove\t$r") ++
-      adds.map(a => s"add\t$a")).mkString("", "\n", "\n")
+      adds.map(a => s"add\t$a") ++ extra).mkString("", "\n", "\n")
     val tmp = t.logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, body)
     try {
@@ -156,6 +274,7 @@ object TxnLog {
             v += 1 // blind append: nothing to invalidate, take next slot
         }
       }
+      maybeCheckpoint(t, committed)
       committed
     } finally Files.deleteIfExists(tmp)
   }
@@ -169,20 +288,176 @@ object TxnLog {
     Files.writeString(tmp, lines.mkString("", "\n", "\n"))
     try {
       Files.createLink(t.logDir.resolve(f"$v%020d.log"), tmp)
+      maybeCheckpoint(t, v)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Highest streaming batch id `appId` has committed, if any. */
-  def lastBatch(t: Table, appId: String): Option[Long] =
-    versionFiles(t).flatMap(vf =>
-      Files.readAllLines(vf).asScala.collect {
+  // ---------------------------------------------------------------
+  // Schema registration
+  // ---------------------------------------------------------------
+
+  /** The schema registered in the log, scanning NEWEST-FIRST with
+    * early exit — a `schema` action beats everything below it, and
+    * the newest checkpoint summarizes everything at or below itself,
+    * so the walk is bounded by [[CheckpointInterval]] files. */
+  def registeredSchema(t: Table): Option[StructType] = {
+    val ckptV = checkpointFiles(t).lastOption.map(versionOf).getOrElse(-1L)
+    val newerFirst = versionFiles(t).filter(versionOf(_) > ckptV).reverse
+    for (vf <- newerFirst; line <- Files.readAllLines(vf).asScala.reverse)
+      if (line.startsWith("schema\t"))
+        return Some(parseSchema(line.split('\t')(1)))
+    checkpointFiles(t).lastOption.flatMap { c =>
+      Files.readAllLines(c).asScala.find(_.startsWith("schema\t"))
+        .map(l => parseSchema(l.split('\t')(1)))
+    }
+  }
+
+  private def parseSchema(js: String): StructType =
+    DataType.fromJson(js).asInstanceOf[StructType]
+
+  /** Merge `incoming` into the registered schema: shared names must
+    * keep their types (refuse-rather-than-corrupt), genuinely new
+    * fields append — the ADDITIVE evolution contract. Returns the
+    * merged schema and whether registration is needed. */
+  private def mergedSchema(cur: Option[StructType],
+                           incoming: StructType): (StructType, Boolean) =
+    cur match {
+      case None => (incoming, true)
+      case Some(c) =>
+        val byName = c.fields.map(f => f.name -> f.dataType).toMap
+        incoming.fields.foreach { f =>
+          byName.get(f.name).foreach { dt =>
+            require(dt == f.dataType,
+              s"non-additive schema change on '${f.name}': " +
+                s"$dt -> ${f.dataType}")
+          }
+        }
+        val fresh = incoming.fields.filterNot(f => byName.contains(f.name))
+        (StructType(c.fields ++ fresh), fresh.nonEmpty)
+    }
+
+  // ---------------------------------------------------------------
+  // Writes
+  // ---------------------------------------------------------------
+
+  private def inflightMarker(t: Table, stage: Path): Path =
+    stage.getParent.resolve(s".inflight-${stage.getFileName}")
+
+  /** Reserve a staging directory and mark it in-flight so [[vacuum]]
+    * never reclaims files a live writer has staged but not yet
+    * committed. The marker is removed once the commit resolves either
+    * way (a loser's files become ordinary vacuumable garbage); a
+    * CRASHED writer's marker expires after the vacuum grace window. */
+  private def newStage(t: Table, parent: Path): Path = {
+    Files.createDirectories(parent)
+    val stage = parent.resolve(UUID.randomUUID().toString)
+    Files.writeString(inflightMarker(t, stage), "")
+    stage
+  }
+
+  private def seal(t: Table, stages: Path*): Unit =
+    stages.foreach(st => Files.deleteIfExists(inflightMarker(t, st)))
+
+  /** Stage `df` as parquet under a fresh uuid directory and commit it
+    * as one append. The staged files are invisible to every reader
+    * until the version link lands. A schema-CHANGING append registers
+    * the merged schema in the same commit, serialized through the
+    * exact-slot claim so concurrent column additions merge instead of
+    * overwriting each other. */
+  def append(s: SparkSession, t: Table, df: DataFrame): Long =
+    appendLines(s, t, df, extraLines = Nil, statsCols = Nil)
+
+  /** [[append]], plus per-file (min, max) of `statsCols` (long-typed
+    * columns) embedded in the add actions — the write-side price of
+    * manifest data skipping, paid once per commit with ONE aggregate
+    * over the staged files (grouped by input_file_name), exactly how
+    * a stats-collecting lakehouse writer works. */
+  def appendWithStats(s: SparkSession, t: Table, df: DataFrame,
+                      statsCols: Seq[String]): Long =
+    appendLines(s, t, df, extraLines = Nil, statsCols = statsCols)
+
+  private def appendLines(s: SparkSession, t: Table, df: DataFrame,
+                          extraLines: Seq[String],
+                          statsCols: Seq[String]): Long = {
+    val stage = newStage(t, t.dataDir)
+    try {
+      df.write.parquet(stage.toString)
+      val adds = addLinesFor(s, t, stage, statsCols)
+      var committed = -1L
+      while (committed < 0) {
+        val base = latestVersion(t)
+        val (schema, changed) = mergedSchema(registeredSchema(t), df.schema)
+        val lines = (if (changed || base < 0)
+          Seq(s"schema\t${schema.json}") else Nil) ++ adds ++ extraLines
+        if (changed && base >= 0) {
+          // schema registration must merge against the TRUE latest:
+          // claim exactly base+1, re-merge and retry on loss
+          if (tryPublish(t, base + 1, lines)) committed = base + 1
+        } else {
+          committed = commit(t, base, adds = Nil, extra = lines)
+        }
+      }
+      committed
+    } finally seal(t, stage)
+  }
+
+  /** `add` action lines for the staged files, with (min, max) triples
+    * for `statsCols` computed in ONE file-count-scale aggregate. */
+  private def addLinesFor(s: SparkSession, t: Table, stage: Path,
+                          statsCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val rels = stagedFiles(t, stage)
+    if (statsCols.isEmpty || rels.isEmpty) return rels.map(r => s"add\t$r")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    val byFile = s.read.parquet(stage.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // file-count-scale: one row per staged file
+      .flatMap { r =>
+        val name = r.getString(0).split('/').last
+        // an all-null or empty file yields null aggregates: add the
+        // file with NO stats (conservative, never prunes) rather than
+        // fabricating a range
+        if (statsCols.exists(c => r.isNullAt(r.fieldIndex(s"lo_$c")))) None
+        else Some(name -> statsCols.map(c =>
+          s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}"))
+      }.toMap
+    rels.map { rel =>
+      byFile.get(rel.split('/').last) match {
+        case Some(triples) => (s"add\t$rel" +: triples).mkString("\t")
+        case None          => s"add\t$rel"
+      }
+    }
+  }
+
+  /** Highest streaming batch id `appId` has committed, if any —
+    * scanning NEWEST-FIRST with early exit (batch ids of one app are
+    * sequential, so the newest marker IS the high-water mark) and
+    * falling back to the newest checkpoint's txn summary. A
+    * long-running stream pays O(1) log reads per micro-batch, not
+    * O(versions). */
+  def lastBatch(t: Table, appId: String): Option[Long] = {
+    val ckpt = checkpointFiles(t).lastOption
+    val ckptV = ckpt.map(versionOf).getOrElse(-1L)
+    for (vf <- versionFiles(t).filter(versionOf(_) > ckptV).reverse) {
+      val here = Files.readAllLines(vf).asScala.collect {
         case l if l.startsWith("txn\t") =>
-          val Array(_, a, b) = l.split('\t')
-          (a, b.toLong)
-      }).filter(_._1 == appId).map(_._2).maxOption
+          l.split('\t') match {
+            case Array(_, a, b) if a == appId => Some(b.toLong)
+            case Array(_, _, _)               => None
+            case _                            => corrupt(vf, l)
+          }
+      }.flatten
+      if (here.nonEmpty) return Some(here.max)
+    }
+    ckpt.flatMap(c => Files.readAllLines(c).asScala.collectFirst {
+      case l if l.startsWith(s"txn\t$appId\t") => l.split('\t')(2).toLong
+    })
+  }
 
   /** EXACTLY-ONCE streaming append — the foreachBatch sink contract:
     * the commit carries a `txn appId batchId` marker, and a replayed
@@ -202,57 +477,50 @@ object TxnLog {
                   appId: String, batchId: Long): Boolean = {
     require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")
     if (lastBatch(t, appId).exists(_ >= batchId)) return false
-    val stage = t.dataDir.resolve(UUID.randomUUID().toString)
-    df.write.parquet(stage.toString)
-    val lines = stagedFiles(t, stage).map(a => s"add\t$a") :+
-      s"txn\t$appId\t$batchId"
-    while (true) {
-      val base = latestVersion(t)
-      if (lastBatch(t, appId).exists(_ >= batchId)) return false
-      if (tryPublish(t, base + 1, lines)) return true
-    }
-    throw new IllegalStateException("unreachable")
-  }
-
-  /** Stage `df` as parquet under a fresh uuid directory and commit it
-    * as one append. The staged files are invisible to every reader
-    * until the version link lands. */
-  def append(s: SparkSession, t: Table, df: DataFrame): Long = {
-    val base = latestVersion(t)
-    val stage = t.dataDir.resolve(UUID.randomUUID().toString)
-    df.write.parquet(stage.toString)
-    commit(t, base, adds = stagedFiles(t, stage))
-  }
-
-  /** [[append]], plus per-file (min, max) of `statsCols` (long-typed
-    * columns) embedded in the add actions — the write-side price of
-    * manifest data skipping, paid once per commit with ONE aggregate
-    * over the staged files (grouped by input_file_name), exactly how
-    * a stats-collecting lakehouse writer works. */
-  def appendWithStats(s: SparkSession, t: Table, df: DataFrame,
-                      statsCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    val base = latestVersion(t)
-    val stage = t.dataDir.resolve(UUID.randomUUID().toString)
-    df.write.parquet(stage.toString)
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
-    val byFile = s.read.parquet(stage.toString)
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // file-count-scale: one row per staged file
-      .map { r =>
-        val name = r.getString(0).split('/').last
-        name -> statsCols.map(c =>
-          s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}")
-      }.toMap
-    val adds = stagedFiles(t, stage).map { rel =>
-      byFile.get(rel.split('/').last) match {
-        case Some(triples) => (rel +: triples).mkString("\t")
-        case None          => rel
+    val stage = newStage(t, t.dataDir)
+    try {
+      df.write.parquet(stage.toString)
+      val adds = stagedFiles(t, stage).map(a => s"add\t$a")
+      val marker = s"txn\t$appId\t$batchId"
+      while (true) {
+        val base = latestVersion(t)
+        if (lastBatch(t, appId).exists(_ >= batchId)) return false
+        val (schema, changed) = mergedSchema(registeredSchema(t), df.schema)
+        val lines = (if (changed || base < 0)
+          Seq(s"schema\t${schema.json}") else Nil) ++ adds :+ marker
+        if (tryPublish(t, base + 1, lines)) return true
       }
+      throw new IllegalStateException("unreachable")
+    } finally seal(t, stage)
+  }
+
+  // ---------------------------------------------------------------
+  // Reads
+  // ---------------------------------------------------------------
+
+  /** Read the table at `asOf` (latest when None) straight from the
+    * manifest — the scan plans over exactly the live files. When the
+    * log registered a schema (every append-family commit does), the
+    * scan is pinned to it: additive evolution null-fills old files'
+    * missing columns WITHOUT reading any footer — the
+    * footer-count-independent production path. `mergeSchema` remains
+    * only as the fallback for raw-commit logs that never registered
+    * one (it unions live-file footers). */
+  def read(s: SparkSession, t: Table, asOf: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
+    val snap = snapshot(t, asOf)
+    readFiles(s, t, snap.liveFiles, snap.schemaJson, mergeSchema)
+  }
+
+  private def readFiles(s: SparkSession, t: Table, rels: Seq[String],
+                        schemaJson: Option[String],
+                        mergeSchema: Boolean = false): DataFrame = {
+    val paths = rels.map(rel => t.root.resolve(rel).toString)
+    schemaJson match {
+      case Some(js) => s.read.schema(parseSchema(js)).parquet(paths: _*)
+      case None =>
+        s.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
     }
-    commit(t, base, adds = adds)
   }
 
   /** Plan a range probe on `colName` from the MANIFEST: only live
@@ -265,9 +533,8 @@ object TxnLog {
                  lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(t, asOf)
     val keep = pruneFiles(snap, colName, lo, hi)
-    val paths = (if (keep.nonEmpty) keep else snap.liveFiles)
-      .map(rel => t.root.resolve(rel).toString)
-    val df = s.read.parquet(paths: _*)
+    val df = readFiles(s, t, if (keep.nonEmpty) keep else snap.liveFiles,
+      snap.schemaJson)
     if (keep.nonEmpty) df else df.limit(0)
   }
 
@@ -292,43 +559,118 @@ object TxnLog {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => t.root.relativize(p).toString).sorted
 
+  // ---------------------------------------------------------------
+  // Rewrites: OPTIMIZE and row-level DELETE
+  // ---------------------------------------------------------------
+
   /** OPTIMIZE: rewrite the current live files into `targetFiles`
     * compacted ones in one remove+add commit — logically a no-op,
-    * physically fewer files. Fails (rather than losing a concurrent
-    * append's rows) if any commit lands between snapshot and publish. */
+    * physically fewer files. The commit carries a `cdc none` marker
+    * (dataChange=false), so a change-feed consumer resolves the range
+    * FROM THE LOG and never rescans the table, and the rewritten
+    * files KEEP per-file (min, max) for every column the old manifest
+    * had stats on — compaction no longer costs the skipping index.
+    * Fails (rather than losing a concurrent append's rows) if any
+    * commit lands between snapshot and publish. */
   def compact(s: SparkSession, t: Table, targetFiles: Int = 1): Long = {
     val snap = snapshot(t)
-    val stage = t.dataDir.resolve(UUID.randomUUID().toString)
-    read(s, t, Some(snap.version)).coalesce(targetFiles)
-      .write.parquet(stage.toString)
-    commit(t, snap.version, adds = stagedFiles(t, stage),
-      removes = snap.liveFiles)
+    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val stage = newStage(t, t.dataDir)
+    try {
+      readFiles(s, t, snap.liveFiles, snap.schemaJson)
+        .coalesce(targetFiles).write.parquet(stage.toString)
+      val adds = addLinesFor(s, t, stage, statsCols)
+      commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
+        extra = adds :+ "cdc\tnone")
+    } finally seal(t, stage)
   }
 
-  /** Read the table at `asOf` (latest when None) straight from the
-    * manifest — the scan plans over exactly the live files.
-    * `mergeSchema=true` unions the live files' schemas (additive
-    * evolution: a commit may add columns; older rows null-fill) at
-    * the cost of reading every live footer — the demo form of what a
-    * production log avoids by REGISTERING the schema in the log
-    * itself; left off by default so ordinary reads stay
-    * footer-count-independent. */
-  def read(s: SparkSession, t: Table, asOf: Option[Long] = None,
-           mergeSchema: Boolean = false): DataFrame = {
-    val snap = snapshot(t, asOf)
-    val paths = snap.liveFiles.map(rel => t.root.resolve(rel).toString)
-    s.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
+  /** Row-level DELETE: remove every row matching `predicate` in one
+    * rewrite commit. Only files that actually CONTAIN matching rows
+    * are rewritten (located with one file-count-scale distinct over
+    * input_file_name — at 100 TB a selective delete touches a sliver
+    * of the table); survivors restage with their stats recomputed,
+    * and the deleted rows are WRITTEN OUT as change files referenced
+    * by `cdc <relpath> delete` actions in the same atomic commit —
+    * the Delta CDF contract that lets [[changes]] resolve any
+    * remove-bearing range from the log instead of diffing two full
+    * snapshots. Returns the committed version (the current one when
+    * nothing matched). */
+  def delete(s: SparkSession, t: Table, predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, not}
+    val snap = snapshot(t)
+    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val byAbs = snap.liveFiles
+      .map(rel => t.root.resolve(rel).normalize.toString -> rel).toMap
+    val affectedRel = readFiles(s, t, snap.liveFiles, snap.schemaJson)
+      .withColumn("_f", input_file_name())
+      .filter(predicate)
+      .select(col("_f")).distinct()
+      .collect() // file-count scale: one row per affected file
+      .map(r => java.nio.file.Paths.get(
+        new java.net.URI(r.getString(0)).getPath).normalize.toString)
+      .flatMap(byAbs.get)
+      .toSeq.sorted
+    if (affectedRel.isEmpty) return snap.version
+    val affected = readFiles(s, t, affectedRel, snap.schemaJson)
+    val stage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
+    try {
+      affected.filter(not(predicate)).write.parquet(stage.toString)
+      affected.filter(predicate).write.parquet(cdcStage.toString)
+      val adds = addLinesFor(s, t, stage, statsCols)
+      val cdcLines = stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+      commit(t, snap.version, adds = Nil, removes = affectedRel,
+        extra = adds ++ cdcLines)
+    } finally seal(t, stage, cdcStage)
+  }
+
+  // ---------------------------------------------------------------
+  // Change-data feed
+  // ---------------------------------------------------------------
+
+  /** One version file parsed into its change-relevant pieces. */
+  private final case class CommitActions(adds: Seq[String],
+      hasRemoves: Boolean, cdcNone: Boolean,
+      cdcFiles: Seq[(String, String)]) // (relpath, insert|delete)
+
+  private def commitActions(vf: Path): CommitActions = {
+    val lines = Files.readAllLines(vf).asScala.filter(_.nonEmpty)
+    CommitActions(
+      adds = lines.collect {
+        case l if l.startsWith("add\t") => l.split('\t')(1)
+      }.toSeq,
+      hasRemoves = lines.exists(_.startsWith("remove\t")),
+      cdcNone = lines.contains("cdc\tnone"),
+      cdcFiles = lines.collect {
+        case l if l.startsWith("cdc\t") && l != "cdc\tnone" =>
+          l.split('\t') match {
+            case Array(_, rel, kind) => rel -> kind
+            case _                   => corrupt(vf, l)
+          }
+      }.toSeq)
   }
 
   /** Change-data-feed read: the row-level (inserts, deletes) between
-    * snapshot `from` (exclusive) and `to` (inclusive). When no commit
-    * in the range carries removes, the log IS the change feed —
-    * inserts are exactly the rows of the files those commits added, a
-    * metadata resolution plus a scan of only the new files (the shape
-    * an incremental consumer runs every few minutes at 100 TB).
-    * A range containing removes (rewrites, deletes) falls back to the
-    * generic multiset row diff of the two snapshots — which is also
-    * what PROVES a compaction commit contributes no logical change. */
+    * snapshot `from` (exclusive) and `to` (inclusive).
+    *
+    * LOG-RESOLVED path — used whenever every remove-bearing commit in
+    * the range carries cdc information (compactions stamp `cdc none`,
+    * [[delete]] writes change files): inserts are the rows of the
+    * files that append commits added, deletes are the rows of the
+    * recorded change files — a metadata resolution plus a scan of
+    * ONLY new/changed files, the shape an incremental consumer runs
+    * every few minutes at 100 TB, across any number of rewrites.
+    * This path returns the change EVENT feed: a row inserted and then
+    * deleted inside the range appears on both sides (applying inserts
+    * then deletes converges to the `to` snapshot, the standard CDF
+    * contract).
+    *
+    * FALLBACK — a remove-bearing commit WITHOUT cdc info (a raw
+    * [[commit]] caller) degrades the range to the generic multiset
+    * row diff of the two snapshots, schema-aligned under additive
+    * evolution so a column-adding commit inside the range cannot
+    * break the comparison. */
   def changes(s: SparkSession, t: Table, from: Long,
               to: Long): (DataFrame, DataFrame) = {
     require(from <= to, s"empty change range: v$from..v$to")
@@ -337,43 +679,63 @@ object TxnLog {
       .filter(p => versionOf(p) > from && versionOf(p) <= to)
     require(range.nonEmpty && versionOf(range.last) == to,
       s"version $to does not exist in ${t.logDir}")
-    val actions = range.flatMap(vf => Files.readAllLines(vf).asScala)
-      .filter(_.nonEmpty)
-    if (!actions.exists(_.startsWith("remove\t"))) {
-      val added = actions.collect {
-        case a if a.startsWith("add\t") =>
-          t.root.resolve(a.split('\t')(1)).toString
-      }
-      val none = read(s, t, Some(from)).limit(0)
-      (if (added.isEmpty) none else s.read.parquet(added: _*), none)
+    val acts = range.map(commitActions)
+    val schemaAtTo = snapshot(t, Some(to)).schemaJson
+    val none = readFiles(s, t, snapFrom.liveFiles,
+      schemaAtTo.orElse(snapFrom.schemaJson)).limit(0)
+    def rd(rels: Seq[String]): DataFrame =
+      if (rels.isEmpty) none
+      else readFiles(s, t, rels, schemaAtTo, mergeSchema = true)
+    if (acts.forall(a => !a.hasRemoves || a.cdcNone || a.cdcFiles.nonEmpty)) {
+      // every rewrite in the range explains itself: resolve from the
+      // log. A rewrite's adds are restaged survivors, NOT inserts —
+      // only no-remove commits contribute their add files.
+      val insertFiles =
+        acts.filter(!_.hasRemoves).flatMap(_.adds) ++
+        acts.flatMap(_.cdcFiles).collect { case (rel, "insert") => rel }
+      val deleteFiles =
+        acts.flatMap(_.cdcFiles).collect { case (rel, "delete") => rel }
+      (rd(insertFiles), rd(deleteFiles))
     } else {
       // a snapshot CAN be empty (a delete-everything commit) — plan
-      // it as the other side's schema with no rows
+      // it as an empty frame on the other side's schema
       val aFiles = snapFrom.liveFiles
       val bFiles = snapshot(t, Some(to)).liveFiles
       require(aFiles.nonEmpty || bFiles.nonEmpty,
         s"both snapshots v$from and v$to are empty")
-      def rd(files: Seq[String], fallback: Seq[String]): DataFrame = {
-        val use = if (files.nonEmpty) files else fallback
-        val df = s.read.parquet(
-          use.map(rel => t.root.resolve(rel).toString): _*)
-        if (files.nonEmpty) df else df.limit(0)
-      }
-      val a = rd(aFiles, bFiles)
-      val b = rd(bFiles, aFiles)
+      def side(files: Seq[String], fallback: Seq[String]): DataFrame =
+        if (files.nonEmpty) rd(files) else rd(fallback).limit(0)
+      val (a, b) = aligned(side(aFiles, bFiles), side(bFiles, aFiles))
       (b.exceptAll(a), a.exceptAll(b))
     }
   }
+
+  /** Pad each frame with the other's missing columns (null-filled)
+    * and project both to one column order, so exceptAll compares
+    * rows across an additive schema change instead of failing. */
+  private def aligned(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def pad(x: DataFrame, other: DataFrame): DataFrame = {
+      val have = x.columns.toSet
+      val padded = other.schema.fields.filterNot(f => have.contains(f.name))
+        .foldLeft(x)((d, f) => d.withColumn(f.name,
+          lit(null).cast(f.dataType)))
+      padded.select(padded.columns.sorted.map(col).toIndexedSeq: _*)
+    }
+    (pad(a, b), pad(b, a))
+  }
+
+  // ---------------------------------------------------------------
+  // Incremental consumers
+  // ---------------------------------------------------------------
 
   /** Incremental-sync consumer — the AvailableNow-style downstream a
     * 100 TB table feeds every few minutes. [[pending]] reads
     * everything that changed since the consumer's durable cursor;
     * the caller processes the batch, then [[ack]]s the delivered
     * version. A crash before the ack re-delivers the batch —
-    * at-least-once, the standard contract — and the cursor file is
-    * published with the same write-tmp-then-link atomicity as
-    * versions, so it advances completely or not at all. Returns None
-    * when already caught up. */
+    * at-least-once, the standard contract. Returns None when already
+    * caught up. */
   def pending(s: SparkSession, t: Table,
               consumer: String): Option[(Long, DataFrame, DataFrame)] = {
     val from = cursorOf(t, consumer)
@@ -387,14 +749,18 @@ object TxnLog {
     }
   }
 
-  /** Durably advance `consumer`'s cursor to `version` (processed). */
+  /** Durably advance `consumer`'s cursor to `version` (processed).
+    * The cursor swaps by write-tmp-then-ATOMIC_MOVE — one rename
+    * syscall, so the cursor file always holds EXACTLY the old or the
+    * new value: a crash mid-ack can re-deliver one batch (the
+    * at-least-once contract) but can never regress the consumer to a
+    * full-table replay, and racing acks simply last-write-win. */
   def ack(t: Table, consumer: String, version: Long): Unit = {
     val tmp = t.logDir.resolve(s".tmp-cursor-${UUID.randomUUID()}")
     Files.writeString(tmp, s"$version\n")
-    try {
-      Files.deleteIfExists(cursorPath(t, consumer))
-      Files.createLink(cursorPath(t, consumer), tmp)
-    } finally Files.deleteIfExists(tmp)
+    try Files.move(tmp, cursorPath(t, consumer),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    finally Files.deleteIfExists(tmp)
   }
 
   private def cursorPath(t: Table, consumer: String): Path = {
@@ -407,22 +773,44 @@ object TxnLog {
     if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
   }
 
+  // ---------------------------------------------------------------
+  // Vacuum
+  // ---------------------------------------------------------------
+
   /** Delete every data file no longer live at the LATEST version.
     * Time travel to versions whose files are vacuumed stops working —
-    * the same trade Delta's VACUUM makes. Production deployments gate
-    * this behind a retention horizon (only files dead LONGER than the
-    * longest plausible reader/time-travel window are deleted) so an
-    * in-flight snapshot read can always finish; this immediate form
-    * is the zero-retention setting of that contract. Returns deleted
-    * count. */
-  def vacuum(t: Table): Int = {
+    * the same trade Delta's VACUUM makes; production deployments gate
+    * it behind a retention horizon so an in-flight snapshot read can
+    * always finish, and this immediate form is the zero-retention
+    * setting of that contract FOR COMMITTED HISTORY ONLY: files under
+    * a staging directory whose in-flight marker is younger than
+    * `graceMs` belong to a LIVE WRITER that has staged but not yet
+    * committed, and are never touched — reclaiming them would let the
+    * writer's subsequent commit publish adds that point at deleted
+    * files. A crashed writer's marker ages past the grace window and
+    * its garbage is collected then. Change files under cdc/ are the
+    * change feed, not table data — never vacuumed here. Returns
+    * deleted count. */
+  def vacuum(t: Table, graceMs: Long = VacuumGraceMs): Int = {
     val live = snapshot(t).liveFiles.toSet
-    val all = listing(Files.walk(t.dataDir))
+    val now = System.currentTimeMillis()
+    val protectedStages = listing(Files.list(t.dataDir))
+      .filter(_.getFileName.toString.startsWith(".inflight-"))
+      .filter(m => now - Files.getLastModifiedTime(m).toMillis < graceMs)
+      .map(_.getFileName.toString.stripPrefix(".inflight-"))
+      .toSet
+    val dead = listing(Files.walk(t.dataDir))
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => !protectedStages.contains(p.getParent.getFileName.toString))
       .map(p => t.root.relativize(p).toString)
-    val dead = all.filterNot(live)
+      .filterNot(live)
     dead.foreach(rel => Files.deleteIfExists(t.root.resolve(rel)))
+    // expired markers guard nothing anymore — sweep them with the files
+    listing(Files.list(t.dataDir))
+      .filter(_.getFileName.toString.startsWith(".inflight-"))
+      .filter(m => now - Files.getLastModifiedTime(m).toMillis >= graceMs)
+      .foreach(Files.deleteIfExists(_))
     dead.length
   }
 }

@@ -328,6 +328,161 @@ class TxnLogSpec extends AnyFunSuite {
     assert(none.count() === 0)
   }
 
+  test("txnlog: row-level delete rewrites only affected files and records the change feed") {
+    import spark.implicits._
+    val t = freshTable()
+    // four disjoint single-file ranges with manifest stats
+    (0 until 4).foreach { i =>
+      TxnLog.appendWithStats(spark, t,
+        (i * 100L until i * 100L + 50L).toDF("id").coalesce(1), Seq("id"))
+    }
+    val before = TxnLog.snapshot(t)
+    val vDel = TxnLog.delete(spark, t, col("id").between(120L, 230L))
+    val after = TxnLog.snapshot(t, Some(vDel))
+    // untouched files keep their identity — only files 1 and 2 rewrote
+    val untouched = before.liveFiles.toSet intersect after.liveFiles.toSet
+    assert(untouched.size === 2, s"expected 2 untouched files, " +
+      s"kept ${untouched.size}")
+    // rows: matching gone, survivors intact
+    val got = TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+    val want = (0L until 400L).filter(id => id % 100 < 50)
+      .filterNot(id => id >= 120L && id <= 230L)
+    assert(got.toSeq === want)
+    // rewritten survivors keep manifest stats: a probe outside every
+    // surviving range plans ZERO files, an in-range probe a subset
+    assert(TxnLog.plannedFiles(t, "id", 5000L, 6000L)._1 === 0)
+    val (kept, total) = TxnLog.plannedFiles(t, "id", 0L, 10L)
+    assert(kept >= 1 && kept < total, s"planned $kept of $total")
+    // the deleted rows came out as cdc change files: the range is
+    // LOG-RESOLVED (no snapshot diff) and replays exactly the victims
+    val (ins, del) = TxnLog.changes(spark, t, before.version, vDel)
+    assert(ins.count() === 0)
+    assert(del.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 400L).filter(id => id % 100 < 50)
+        .filter(id => id >= 120L && id <= 230L))
+    // a delete matching nothing commits nothing
+    assert(TxnLog.delete(spark, t, col("id") > 99999L) === vDel)
+    assert(TxnLog.latestVersion(t) === vDel)
+  }
+
+  test("txnlog: compaction keeps the data-skipping index and the change feed stays log-resolved across it") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 4).foreach { i =>
+      TxnLog.appendWithStats(spark, t,
+        (i * 100L until i * 100L + 50L).toDF("id").coalesce(1), Seq("id"))
+    }
+    TxnLog.compact(spark, t, targetFiles = 2) // v4
+    // rewritten files carry recomputed (min, max): an out-of-domain
+    // probe plans ZERO files even though every file is post-compaction
+    assert(TxnLog.plannedFiles(t, "id", 5000L, 6000L)._1 === 0)
+    // an in-domain narrow probe prunes to a strict subset
+    val (kept, total) = TxnLog.plannedFiles(t, "id", 10L, 20L)
+    assert(total === 2 && kept === 1, s"planned $kept of $total")
+    // the compaction range resolves from the log (cdc none): both
+    // sides empty without any snapshot diff
+    val (ins, del) = TxnLog.changes(spark, t, 3L, 4L)
+    assert(ins.count() === 0 && del.count() === 0)
+  }
+
+  test("txnlog: checkpoints bound replay and lastBatch reads O(1) log files") {
+    import spark.implicits._
+    val t = freshTable()
+    (0 until 13).foreach(i =>
+      assert(TxnLog.appendBatch(spark, t, oneRowDf(i.toLong), "app", i.toLong)))
+    // interval hit at v10: the checkpoint exists
+    assert(Files.exists(t.logDir.resolve(f"${10L}%020d.ckpt")))
+    // replay through the checkpoint equals the ground truth
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === (0L until 13L))
+    assert(TxnLog.lastBatch(t, "app") === Some(12L))
+    // a marker BELOW the newest checkpoint still resolves (summary)
+    assert(TxnLog.appendBatch(spark, t, Seq(99L).toDF("id"), "other", 0L))
+    (13 until 21).foreach(i =>
+      assert(TxnLog.appendBatch(spark, t, oneRowDf(i.toLong), "app", i.toLong)))
+    assert(Files.exists(t.logDir.resolve(f"${20L}%020d.ckpt")))
+    assert(TxnLog.lastBatch(t, "other") === Some(0L))
+    // time travel BEFORE the first checkpoint still replays
+    assert(TxnLog.read(spark, t, Some(3L)).collect().map(_.getLong(0))
+      .sorted.toSeq === (0L until 4L))
+  }
+
+  test("txnlog: registered schema survives a remove-bearing diff across additive evolution") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq(1L, 2L).toDF("id").coalesce(1))
+    TxnLog.append(spark, t, Seq((3L, "x")).toDF("id", "tag"))
+    // ordinary reads are schema-pinned now — no footer union needed
+    assert(TxnLog.read(spark, t).columns.sorted.toSeq === Seq("id", "tag"))
+    // a RAW remove commit (no cdc info) inside a schema-evolving range
+    // forces the snapshot-diff fallback; both sides must align
+    val snap = TxnLog.snapshot(t)
+    TxnLog.commit(t, snap.version, adds = Nil,
+      removes = Seq(snap.liveFiles.head)) // v2 removes v0's file
+    val (ins, del) = TxnLog.changes(spark, t, 0L, 2L)
+    val insRows = ins.collect().map(r => r.getLong(r.fieldIndex("id")))
+    val delRows = del.collect().map(r => r.getLong(r.fieldIndex("id")))
+    assert(insRows.sorted.toSeq === Seq(3L))
+    assert(delRows.sorted.toSeq === Seq(1L, 2L))
+    // non-additive evolution refuses instead of corrupting
+    intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t, Seq("oops").toDF("id"))
+    }
+  }
+
+  test("txnlog: corrupt stats triples fail loudly naming the file") {
+    val t = freshTable()
+    TxnLog.append(spark, t, oneRowDf(1))
+    val bad = t.logDir.resolve(f"${1L}%020d.log")
+    Files.writeString(bad, "add\tdata/x/p.parquet\tid:12\n")
+    val e = intercept[IllegalStateException] { TxnLog.snapshot(t) }
+    assert(e.getMessage.contains("corrupt") &&
+      e.getMessage.contains(bad.getFileName.toString))
+    Files.writeString(bad, "add\tdata/x/p.parquet\tid:a:b\n")
+    val e2 = intercept[IllegalStateException] { TxnLog.snapshot(t) }
+    assert(e2.getMessage.contains("corrupt"))
+  }
+
+  test("txnlog: vacuum spares an in-flight writer's staged files until the grace window expires") {
+    val t = freshTable()
+    TxnLog.append(spark, t, oneRowDf(1))
+    TxnLog.compact(spark, t) // makes v0's file dead
+    // simulate a concurrent writer mid-stage: files + fresh marker
+    val stage = t.dataDir.resolve("mid-stage")
+    oneRowDf(50).write.parquet(stage.toString)
+    Files.writeString(t.dataDir.resolve(".inflight-mid-stage"), "")
+    import scala.jdk.CollectionConverters._
+    // default grace: the dead committed file goes, the staged one stays
+    assert(TxnLog.vacuum(t) === 1)
+    assert(Files.list(stage).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")),
+      "vacuum reclaimed a live writer's staged files")
+    // grace 0: the crashed writer's garbage is collected, marker swept
+    assert(TxnLog.vacuum(t, graceMs = 0L) === 1)
+    assert(!Files.exists(t.dataDir.resolve(".inflight-mid-stage")))
+    // the table itself is untouched throughout
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("txnlog: racing acks never leave the cursor missing or torn") {
+    val t = freshTable()
+    (1 to 4).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
+    TxnLog.ack(t, "etl", 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (1L to 3L).map { v =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = TxnLog.ack(t, "etl", v)
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    // the cursor file exists and holds one of the acked versions —
+    // never absent (no full-table re-delivery), never partial
+    val cur = Files.readString(t.logDir.resolve(".cursor-etl")).trim.toLong
+    assert((1L to 3L).contains(cur), s"cursor regressed to $cur")
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
