@@ -158,6 +158,35 @@ object SourceOracles {
         |  'v1..v3' AS vrange, 'insert' AS change FROM s23
         |ORDER BY vrange, change, l_returnflag""".stripMargin,
 
+    "src_txnlog_delete" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  'deleted' AS side
+        |FROM lineitem WHERE l_orderkey % 10 = 3 GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  'latest' AS side
+        |FROM lineitem WHERE l_orderkey % 10 <> 3 GROUP BY 1
+        |ORDER BY side, l_returnflag""".stripMargin,
+
+    "src_txnlog_cdf" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  'delete' AS change
+        |FROM lineitem
+        |WHERE l_orderkey % 3 IN (0, 1) AND l_quantity >= 45 GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  'insert' AS change
+        |FROM lineitem WHERE l_orderkey % 3 IN (1, 2) GROUP BY 1
+        |ORDER BY change, l_returnflag""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -804,12 +804,13 @@ object SourceOps {
     * so TxnLog.changes resolves it from the LOG — a metadata walk
     * plus a scan of exactly the added files, the few-minute
     * incremental-sync shape at 100 TB. v1→latest crosses the
-    * compaction rewrite and falls back to the generic multiset row
-    * diff of the two snapshots. Both ranges must produce the SAME
-    * inserts (slices 2-3) and ZERO deletes — the oracle equality
-    * proves the fast path equals the diff path AND that the rewrite
-    * is row-level invisible to a change consumer. Delete groups ride
-    * through the union: any unexpected delete row breaks the hash. */
+    * compaction rewrite — since r12 ALSO log-resolved (the rewrite
+    * stamps `cdc none`, so the range never diffs two snapshots; the
+    * raw-commit fallback diff is pinned in TxnLogSpec instead). Both
+    * ranges must produce the SAME inserts (slices 2-3) and ZERO
+    * deletes — the oracle equality proves the rewrite is row-level
+    * invisible to a change consumer. Delete groups ride through the
+    * union: any unexpected delete row breaks the hash. */
   def txnlogChanges(s: SparkSession, d: String): DataFrame = {
     val t = txnlogDemoTable(s, d)
     def tagged(df: DataFrame, vrange: String, change: String): DataFrame =
@@ -822,6 +823,65 @@ object SourceOps {
       .unionByName(tagged(insDiff, "v1..latest", "insert"))
       .unionByName(tagged(delDiff, "v1..latest", "delete"))
       .orderBy(col("vrange"), col("change"), col("l_returnflag"))
+  }
+
+  /** Row-level DELETE through the transaction log: lineitem lands in
+    * two append commits, then `TxnLog.delete` removes every row of
+    * one l_orderkey slice — rewriting ONLY the files that contain
+    * matches and writing the removed rows out as cdc change files in
+    * the same atomic commit. The result unions the post-delete table
+    * profile with the profile of the change-feed DELETE rows read
+    * back through `TxnLog.changes` (log-resolved — no snapshot diff),
+    * so the oracle equality proves both that the delete removed
+    * exactly the predicate's rows and that the recorded change files
+    * replay them exactly. At 100 TB a selective delete touches a
+    * sliver of the table and its change feed is a metadata read plus
+    * a scan of just the change files. */
+  def txnlogDelete(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txndel-").resolve("tbl"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    (0 until 2).foreach { slice =>
+      graft.sources.TxnLog.append(s, t,
+        li.filter(col("l_orderkey") % 2 === slice))
+    }
+    val base = graft.sources.TxnLog.latestVersion(t) // v1
+    val vDel = graft.sources.TxnLog.delete(s, t, col("l_orderkey") % 10 === 3)
+    val (_, del) = graft.sources.TxnLog.changes(s, t, base, vDel)
+    txnlogProfile(graft.sources.TxnLog.read(s, t))
+      .withColumn("side", lit("latest"))
+      .unionByName(txnlogProfile(del).withColumn("side", lit("deleted")))
+      .orderBy(col("side"), col("l_returnflag"))
+  }
+
+  /** The change-data feed resolved FROM THE LOG across a full mixed
+    * history — append, append, OPTIMIZE, row-level DELETE, append:
+    * every rewrite in the range explains itself (`cdc none` from the
+    * compaction, change files from the delete), so `changes(v0,
+    * latest)` never diffs two snapshots; it scans exactly the files
+    * the appends added plus the recorded change files. The feed is
+    * the change EVENT stream: a second-slice row that the delete later
+    * removed appears on BOTH sides (applying inserts then deletes
+    * converges to the latest snapshot — the standard CDF contract the
+    * oracle replays directly against lineitem). */
+  def txnlogCdf(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txncdf-").resolve("tbl"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    def slice(i: Int) = li.filter(col("l_orderkey") % 3 === i)
+    graft.sources.TxnLog.append(s, t, slice(0))          // v0
+    graft.sources.TxnLog.append(s, t, slice(1))          // v1
+    graft.sources.TxnLog.compact(s, t)                   // v2 (cdc none)
+    graft.sources.TxnLog.delete(s, t,
+      col("l_quantity") >= 45.0)                         // v3 (cdc files)
+    graft.sources.TxnLog.append(s, t, slice(2))          // v4
+    val (ins, del) = graft.sources.TxnLog.changes(s, t, 0L,
+      graft.sources.TxnLog.latestVersion(t))
+    txnlogProfile(ins).withColumn("change", lit("insert"))
+      .unionByName(txnlogProfile(del).withColumn("change", lit("delete")))
+      .orderBy(col("change"), col("l_returnflag"))
   }
 
   /** Manifest data skipping — the lakehouse file-pruning story on top
