@@ -512,8 +512,8 @@ object TxnLog {
     readFiles(s, t, snap.liveFiles, snap.schemaJson, mergeSchema)
   }
 
-  private def readFiles(s: SparkSession, t: Table, rels: Seq[String],
-                        schemaJson: Option[String],
+  private[sources] def readFiles(s: SparkSession, t: Table,
+                        rels: Seq[String], schemaJson: Option[String],
                         mergeSchema: Boolean = false): DataFrame = {
     val paths = rels.map(rel => t.root.resolve(rel).toString)
     schemaJson match {
@@ -649,6 +649,36 @@ object TxnLog {
             case _                   => corrupt(vf, l)
           }
       }.toSeq)
+  }
+
+  /** The APPEND feed for the streaming source: the files whose rows
+    * entered the table in (from, to], resolved purely from the log.
+    * Compactions (`cdc none`) contribute nothing; a commit with
+    * row-level deletes either fails the stream (default — the Delta
+    * posture: a consumer that assumed append-only must find out) or
+    * is skipped with `ignoreDeletes`; a remove-bearing commit with NO
+    * cdc info can never stream. */
+  private[sources] def appendFeed(t: Table, from: Long, to: Long,
+                                  ignoreDeletes: Boolean): Seq[String] = {
+    val range = versionFiles(t)
+      .filter(p => versionOf(p) > from && versionOf(p) <= to)
+    range.flatMap { vf =>
+      val a = commitActions(vf)
+      if (!a.hasRemoves)
+        a.adds ++ a.cdcFiles.collect { case (rel, "insert") => rel }
+      else if (a.cdcNone) Nil
+      else if (a.cdcFiles.nonEmpty) {
+        if (a.cdcFiles.exists(_._2 == "delete") && !ignoreDeletes)
+          throw new IllegalStateException(
+            s"commit ${vf.getFileName} contains row-level deletes; the " +
+              "txnlog stream replays the APPEND feed — set " +
+              "ignoreDeletes=true to skip delete commits, or rebuild " +
+              "the downstream from a fresh full snapshot")
+        a.cdcFiles.collect { case (rel, "insert") => rel }
+      } else throw new IllegalStateException(
+        s"commit ${vf.getFileName} rewrites files without cdc info; " +
+          "the stream cannot resolve it from the log")
+    }
   }
 
   /** Change-data-feed read: the row-level (inserts, deletes) between

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftglue.StreamShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[TxnLog]] table — the read
+  * half of the lakehouse streaming loop (the write half is the
+  * exactly-once `appendBatch` sink): `readStream.format("txnlog")
+  * .option("path", root)` replays the table's change feed into a
+  * streaming query, the way Delta/Iceberg tables feed downstream
+  * pipelines.
+  *
+  * Offsets ARE log versions — the natural total order the commit
+  * protocol already provides — so offset tracking is one long per
+  * batch and a restart resumes from the engine's checkpointed
+  * version with no source-side state at all. Batch planning is a
+  * metadata walk: the first batch is the snapshot at the starting
+  * version (the initial backlog); every later batch reads EXACTLY
+  * the files that append commits added in (start, end] (plus any
+  * recorded cdc insert files), resolved from the log the same way
+  * [[TxnLog.changes]]'s fast path is. Compactions are invisible
+  * (`cdc none`); row-level delete commits FAIL the stream by default
+  * — a downstream that assumed append-only must find out — or are
+  * skipped with `ignoreDeletes=true`, both Delta's semantics.
+  *
+  * 100 TB posture: per micro-batch the source lists only the version
+  * files past the last offset (checkpoint-bounded, O(1) for a live
+  * stream) and scans only the new data files; nothing rescans the
+  * table. Exactly-once end-to-end composes with the appendBatch
+  * sink: versions give the source its replayable offsets, txn
+  * markers give the sink its idempotence.
+  *
+  * Spark wires V1 sources through `StreamSourceProvider` (the same
+  * interface FileStreamSource ships on); `DataSourceRegister` + the
+  * META-INF services entry make the short name `txnlog` resolvable. */
+class TxnLogStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "txnlog"
+
+  private def tableOf(parameters: Map[String, String]): TxnLog.Table =
+    TxnLog.Table(java.nio.file.Paths.get(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txnlog source requires option 'path'"))))
+
+  private def schemaOf(sqlContext: SQLContext,
+                       schema: Option[StructType],
+                       parameters: Map[String, String]): StructType =
+    schema.orElse(TxnLog.registeredSchema(tableOf(parameters))).getOrElse {
+      // raw-commit tables never registered one: fall back to the live
+      // snapshot's footers, once, at stream definition time
+      val t = tableOf(parameters)
+      TxnLog.readFiles(sqlContext.sparkSession, t,
+        TxnLog.snapshot(t).liveFiles, None, mergeSchema = true).schema
+    }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("txnlog", schemaOf(sqlContext, schema, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxnLogSource(sqlContext, tableOf(parameters),
+      schemaOf(sqlContext, schema, parameters),
+      parameters.get("ignoreDeletes").exists(_.toBoolean))
+}
+
+/** See [[TxnLogStreamProvider]]. */
+class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
+    override val schema: StructType, ignoreDeletes: Boolean)
+    extends Source {
+
+  /** The engine replays checkpointed offsets as SerializedOffset;
+    * both carry the version as their json. */
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    TxnLog.latestVersion(t) match {
+      case -1L => None
+      case v   => Some(LongOffset(v))
+    }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start match {
+      case None =>
+        // initial backlog: the full snapshot at the first offset
+        TxnLog.read(ctx.sparkSession, t, Some(endV))
+      case Some(s0) =>
+        val files = TxnLog.appendFeed(t, versionOf(s0), endV, ignoreDeletes)
+        TxnLog.readFiles(ctx.sparkSession, t, files, Some(schema.json))
+    }
+    StreamShim.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -464,6 +464,58 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("txnlog: readStream replays the append feed exactly once across restart, compaction-invisible") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq(1L, 2L).toDF("id"))
+    TxnLog.append(spark, t, Seq(3L).toDF("id"))
+    val ckpt = Files.createTempDirectory("graft-txnstream-ckpt-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def startQ(ignoreDeletes: Boolean = false) =
+      spark.readStream.format("txnlog")
+        .option("path", t.root.toString)
+        .option("ignoreDeletes", ignoreDeletes.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0))); ()
+        }.start()
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      // initial backlog: the whole table, once
+      assert(got.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
+      // live appends arrive; a compaction rewrite is invisible
+      TxnLog.append(spark, t, Seq(4L).toDF("id"))
+      TxnLog.compact(spark, t)
+      q1.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === (1L to 4L))
+    } finally q1.stop()
+    // rows landing while the stream is DOWN arrive after restart —
+    // exactly once, resumed from the engine's checkpointed version
+    TxnLog.append(spark, t, Seq(5L, 6L).toDF("id"))
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === (1L to 6L))
+    } finally q2.stop()
+    // a row-level delete fails the append-feed stream by default...
+    TxnLog.delete(spark, t, col("id") === 1L)
+    TxnLog.append(spark, t, Seq(7L).toDF("id"))
+    val q3 = startQ()
+    try intercept[Exception] { q3.processAllAvailable() }
+    finally q3.stop()
+    assert(!got.asScala.toSeq.contains(7L))
+    // ...and with ignoreDeletes the delete commit is skipped, the
+    // append after it arrives, and nothing is re-delivered
+    val q4 = startQ(ignoreDeletes = true)
+    try {
+      q4.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === (1L to 7L))
+    } finally q4.stop()
+  }
+
   test("txnlog: racing acks never leave the cursor missing or torn") {
     val t = freshTable()
     (1 to 4).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
