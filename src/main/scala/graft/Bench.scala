@@ -95,7 +95,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // full line first (for logs and the file artifacts), then a
+    // COMPACT summary as the LAST stdout line: the driver parses a
+    // bounded tail window, and the 180+-entry per-query map outgrew
+    // it — the summary always fits, and the complete map still lands
+    // in BENCH_run_last.json below. Only the first few errors ride
+    // along; the count is always exact.
     println(line)
+    val errHead = errors.toSeq.sortBy(_._1).take(3)
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.length},"n_errors":${errors.size},"errors":$errHead,"sf":"$sfDir","full":"BENCH_run_last.json"}""")
     Console.out.flush()
     // BENCH_last.json is the AUTHORITATIVE quiet-box median, written only
     // by tools/bench_stamp.py from fresh-JVM runs — a plain Bench run

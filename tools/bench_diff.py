@@ -20,10 +20,14 @@ def load(path):
     # driver wrapper: the JSON line is embedded in the "tail" field
     for line in doc.get("tail", "").splitlines():
         line = line.strip()
-        if line.startswith('[info] {"metric"'):
-            return json.loads(line.split(" ", 1)[1])["queries"]
+        if line.startswith("[info] "):
+            line = line.split(" ", 1)[1]
         if line.startswith('{"metric"'):
-            return json.loads(line)["queries"]
+            # Bench emits the full line then a compact summary (no
+            # per-query map) — only the full one is diffable
+            parsed = json.loads(line)
+            if "queries" in parsed:
+                return parsed["queries"]
     raise SystemExit(f"no bench JSON found in {path}")
 
 
