@@ -187,6 +187,37 @@ object SourceOracles {
         |FROM lineitem WHERE l_orderkey % 3 IN (1, 2) GROUP BY 1
         |ORDER BY change, l_returnflag""".stripMargin,
 
+    "src_txnlog_merge" ->
+      """WITH odds AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0),
+        |news AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |olds AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0),
+        |latest AS (
+        |  SELECT * FROM odds UNION ALL SELECT * FROM news)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, 'deleted' AS side
+        |FROM olds GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, 'inserted' AS side
+        |FROM news GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM latest GROUP BY 1
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

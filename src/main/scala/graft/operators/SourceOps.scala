@@ -855,6 +855,43 @@ object SourceOps {
       .orderBy(col("side"), col("l_returnflag"))
   }
 
+  /** MERGE (upsert) through the transaction log — the op a CDC-fed
+    * lakehouse table runs every sync: orders (minus the %5==0 keys)
+    * lands in two append commits, then a source of EVERY even key —
+    * doubled price — merges in: even keys already present get
+    * REPLACED, the %10==0 keys (absent from the table) get INSERTED.
+    * The result unions the post-merge profile with the merge's own
+    * change feed (old images as deletes, new images as inserts, all
+    * log-resolved), so the oracle equality pins replace-vs-insert
+    * routing AND the CDF contract in one hash. Only files containing
+    * matched keys rewrite — at 100 TB the cost is one key join plus
+    * the touched sliver. */
+  def txnlogMerge(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txnmrg-").resolve("tbl"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.filter(col("o_orderkey") % 5 =!= 0)
+    (0 until 2).foreach { p =>
+      graft.sources.TxnLog.append(s, t,
+        base.filter(col("o_orderkey") % 2 === p))
+    }
+    val src = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val preV = graft.sources.TxnLog.latestVersion(t)
+    val vM = graft.sources.TxnLog.merge(s, t, src, "o_orderkey")
+    val (ins, del) = graft.sources.TxnLog.changes(s, t, preV, vM)
+    def prof(df: DataFrame): DataFrame = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+    prof(graft.sources.TxnLog.read(s, t)).withColumn("side", lit("latest"))
+      .unionByName(prof(del).withColumn("side", lit("deleted")))
+      .unionByName(prof(ins).withColumn("side", lit("inserted")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** The change-data feed resolved FROM THE LOG across a full mixed
     * history — append, append, OPTIMIZE, row-level DELETE, append:
     * every rewrite in the range explains itself (`cdc none` from the

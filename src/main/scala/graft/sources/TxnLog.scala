@@ -625,6 +625,66 @@ object TxnLog {
     } finally seal(t, stage, cdcStage)
   }
 
+  /** MERGE (upsert): for every `source` row, REPLACE the table row
+    * matching on `keyCol` or INSERT it when absent — the whole-row
+    * upsert a CDC-fed lakehouse table runs every sync (callers dedup
+    * the source to one row per key first). Only files that actually
+    * CONTAIN matched keys are rewritten (located with one
+    * left-semi-join + file-count-scale distinct over
+    * input_file_name); survivors restage with recomputed stats, the
+    * OLD images of matched rows come out as `cdc delete` change
+    * files, and the source rows — updates' new images and fresh
+    * inserts alike — stage as new data files that the commit ALSO
+    * references as `cdc insert` actions (change files may point at
+    * live data files; nothing is written twice). So the change feed
+    * of a merge is exactly (delete old images, insert new images),
+    * and [[changes]]/the streaming source resolve it from the log.
+    * A source with no matched key degrades to a plain append. At
+    * 100 TB the cost is one key join over the table plus a rewrite
+    * of the touched sliver. Returns the committed version. */
+  def merge(s: SparkSession, t: Table, source: DataFrame,
+            keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val snap = snapshot(t)
+    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val keys = source.select(col(keyCol)).distinct()
+    val byAbs = snap.liveFiles
+      .map(rel => t.root.resolve(rel).normalize.toString -> rel).toMap
+    val affectedRel = readFiles(s, t, snap.liveFiles, snap.schemaJson)
+      .withColumn("_f", input_file_name())
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("_f")).distinct()
+      .collect() // file-count scale: one row per affected file
+      .map(r => java.nio.file.Paths.get(
+        new java.net.URI(r.getString(0)).getPath).normalize.toString)
+      .flatMap(byAbs.get)
+      .toSeq.sorted
+    if (affectedRel.isEmpty)
+      return appendLines(s, t, source, extraLines = Nil,
+        statsCols = statsCols)
+    val affected = readFiles(s, t, affectedRel, snap.schemaJson)
+    val survivorStage = newStage(t, t.dataDir)
+    val sourceStage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
+    try {
+      affected.join(keys, Seq(keyCol), "left_anti")
+        .write.parquet(survivorStage.toString)
+      source.write.parquet(sourceStage.toString)
+      affected.join(keys, Seq(keyCol), "left_semi")
+        .write.parquet(cdcStage.toString) // old images of matched rows
+      val (schema, changed) = mergedSchema(registeredSchema(t),
+        source.schema)
+      val adds = addLinesFor(s, t, survivorStage, statsCols) ++
+        addLinesFor(s, t, sourceStage, statsCols)
+      val cdcLines =
+        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
+        stagedFiles(t, sourceStage).map(r => s"cdc\t$r\tinsert")
+      val schemaLine = if (changed) Seq(s"schema\t${schema.json}") else Nil
+      commit(t, snap.version, adds = Nil, removes = affectedRel,
+        extra = schemaLine ++ adds ++ cdcLines)
+    } finally seal(t, survivorStage, sourceStage, cdcStage)
+  }
+
   // ---------------------------------------------------------------
   // Change-data feed
   // ---------------------------------------------------------------

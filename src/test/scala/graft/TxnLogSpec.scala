@@ -365,6 +365,44 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.latestVersion(t) === vDel)
   }
 
+  test("txnlog: merge upserts — matched rows replaced, new rows inserted, only touched files rewrite") {
+    import spark.implicits._
+    val t = freshTable()
+    // four disjoint single-file key ranges with manifest stats
+    (0 until 4).foreach { i =>
+      TxnLog.appendWithStats(spark, t,
+        (i * 100L until i * 100L + 50L).map(k => (k, k * 10L))
+          .toDF("id", "v").coalesce(1), Seq("id"))
+    }
+    val before = TxnLog.snapshot(t)
+    // source: update two keys of file 1, insert two fresh keys
+    val src = Seq((110L, -1L), (120L, -2L), (9000L, -3L), (9001L, -4L))
+      .toDF("id", "v")
+    val vM = TxnLog.merge(spark, t, src, "id")
+    // only file 1 rewrote; files 0/2/3 keep their identity
+    val untouched = before.liveFiles.toSet intersect
+      TxnLog.snapshot(t).liveFiles.toSet
+    assert(untouched.size === 3, s"expected 3 untouched, ${untouched.size}")
+    val got = TxnLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 202)
+    assert(got(110L) === -1L && got(120L) === -2L)
+    assert(got(9000L) === -3L && got(9001L) === -4L)
+    assert(got(111L) === 1110L) // untouched neighbor in the same file
+    // the merge's change feed is (delete old images, insert new ones)
+    val (ins, del) = TxnLog.changes(spark, t, before.version, vM)
+    assert(del.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(110L -> 1100L, 120L -> 1200L))
+    assert(ins.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(110L -> -1L, 120L -> -2L, 9000L -> -3L, 9001L -> -4L))
+    // a source matching nothing is a plain append (no removes)
+    val v2 = TxnLog.merge(spark, t,
+      Seq((9100L, -5L)).toDF("id", "v"), "id")
+    val (ins2, del2) = TxnLog.changes(spark, t, vM, v2)
+    assert(del2.count() === 0)
+    assert(ins2.collect().map(_.getLong(0)).toSeq === Seq(9100L))
+  }
+
   test("txnlog: compaction keeps the data-skipping index and the change feed stays log-resolved across it") {
     import spark.implicits._
     val t = freshTable()
