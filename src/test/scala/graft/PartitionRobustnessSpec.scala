@@ -82,7 +82,13 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // round 11 sixth wave: the commit-log family — snapshot/time-travel
     // reads over staged commits, the two-sided exceptAll row diff, and
     // the manifest-stats prune must all be partitioning-independent
-    "src_txnlog_snapshot", "src_txnlog_changes", "src_txnlog_skipping")
+    "src_txnlog_snapshot", "src_txnlog_changes", "src_txnlog_skipping",
+    // round 12: the sampled boundary calibration (hash sample + per-
+    // lang window over it), and the rewrite family — touched-file
+    // location via input_file_name, survivor/cdc staging, and the
+    // log-resolved event feed must all survive any partition layout
+    "txt_lm_buckets_sampled", "src_txnlog_delete", "src_txnlog_cdf",
+    "src_txnlog_merge")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
