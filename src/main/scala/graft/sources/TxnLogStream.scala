@@ -54,6 +54,9 @@ class TxnLogStreamProvider extends StreamSourceProvider
       // raw-commit tables never registered one: fall back to the live
       // snapshot's footers, once, at stream definition time
       val t = tableOf(parameters)
+      require(TxnLog.latestVersion(t) >= 0,
+        s"txnlog table at ${t.root} has no commits and no registered " +
+          "schema; commit first or pass .schema(...) explicitly")
       TxnLog.readFiles(sqlContext.sparkSession, t,
         TxnLog.snapshot(t).liveFiles, None, mergeSchema = true).schema
     }
@@ -68,13 +71,29 @@ class TxnLogStreamProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new TxnLogSource(sqlContext, tableOf(parameters),
       schemaOf(sqlContext, schema, parameters),
-      parameters.get("ignoreDeletes").exists(_.toBoolean))
+      parameters.get("ignoreDeletes").exists(_.toBoolean),
+      parameters.get("maxVersionsPerBatch").map(_.toLong))
 }
 
-/** See [[TxnLogStreamProvider]]. */
+/** See [[TxnLogStreamProvider]]. `maxVersionsPerBatch` is the
+  * maxFilesPerTrigger analog: without it, a consumer starting (or
+  * restarting) against a long backlog plans ONE batch spanning the
+  * whole gap; with it each micro-batch advances at most N versions,
+  * so backlog recovery is a stream of bounded batches — the shape
+  * that keeps executor memory and commit sizes flat at 100 TB. */
 class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
-    override val schema: StructType, ignoreDeletes: Boolean)
+    override val schema: StructType, ignoreDeletes: Boolean,
+    maxVersionsPerBatch: Option[Long] = None)
     extends Source {
+
+  maxVersionsPerBatch.foreach(n =>
+    require(n > 0, s"maxVersionsPerBatch must be positive, got $n"))
+
+  /** High-water mark of versions this source has already offered or
+    * been asked for — rate-limited offsets must never move backward
+    * (after a restart the engine's checkpointed offset re-seeds it
+    * through getBatch before anything else matters). */
+  private var lastSeen: Long = -1L
 
   /** The engine replays checkpointed offsets as SerializedOffset;
     * both carry the version as their json. */
@@ -83,14 +102,25 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
     case other         => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] =
-    TxnLog.latestVersion(t) match {
-      case -1L => None
-      case v   => Some(LongOffset(v))
+  override def getOffset: Option[Offset] = {
+    val latest = TxnLog.latestVersion(t)
+    if (latest < 0) None
+    else {
+      val target = maxVersionsPerBatch
+        .map(n => math.min(latest, lastSeen + n)).getOrElse(latest)
+      val eff = math.max(target, lastSeen)
+      if (eff < 0) None
+      else {
+        lastSeen = eff
+        Some(LongOffset(eff))
+      }
     }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
+    lastSeen = math.max(lastSeen, endV)
+    start.foreach(s0 => lastSeen = math.max(lastSeen, versionOf(s0)))
     val batch = start match {
       case None =>
         // initial backlog: the full snapshot at the first offset

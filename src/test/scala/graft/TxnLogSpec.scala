@@ -554,6 +554,40 @@ class TxnLogSpec extends AnyFunSuite {
     } finally q4.stop()
   }
 
+  test("txnlog: readStream rate limit bounds every micro-batch to N versions") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
+    val ckpt = Files.createTempDirectory("graft-txnrate-ckpt-").toString
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def startQ() = spark.readStream.format("txnlog")
+      .option("path", t.root.toString)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.collect().map(_.getLong(0)).toSeq); ()
+      }.start()
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // the 3-version backlog drains as one-version batches: the first
+    // is the snapshot AT the starting version (one commit), each
+    // later one a single commit — never one catch-all batch
+    val drained = batches.asScala.filter(_.nonEmpty).toSeq
+    assert(drained.forall(_.size == 1),
+      s"a rate-limited batch spanned multiple versions: $drained")
+    assert(drained.flatten.sorted === Seq(1L, 2L, 3L))
+    // backlog built while DOWN also drains bounded after restart
+    (4 to 5).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = batches.asScala.filter(_.nonEmpty).toSeq
+    assert(all.forall(_.size == 1), s"unbounded batch after restart: $all")
+    assert(all.flatten.sorted === (1L to 5L))
+  }
+
   test("txnlog: source-to-sink lakehouse loop stays exactly-once across restart") {
     import spark.implicits._
     val src = freshTable()
