@@ -187,6 +187,18 @@ object SourceOracles {
         |FROM lineitem WHERE l_orderkey % 3 IN (1, 2) GROUP BY 1
         |ORDER BY change, l_returnflag""".stripMargin,
 
+    "src_txnlog_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST('APPEND' AS VARCHAR),
+        |   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (1, 'APPEND',    1, 0, 0),
+        |  (2, 'OPTIMIZE',  1, 2, 0),
+        |  (3, 'DELETE',    1, 1, 1),
+        |  (4, 'MERGE',     2, 1, 2),
+        |  (5, 'STREAMING', 1, 0, 0))
+        |  AS t(version, operation, n_adds, n_removes, n_cdc)
+        |ORDER BY version""".stripMargin,
+
     "src_txnlog_merge" ->
       """WITH odds AS (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice AS p

@@ -892,6 +892,41 @@ object SourceOps {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** DESCRIBE HISTORY over the transaction log — the audit surface a
+    * lakehouse table exposes: one row per commit with the operation
+    * inferred from the commit's action shape (append / streaming
+    * append / OPTIMIZE / DELETE / MERGE) and its add/remove/
+    * change-file counts, resolved from the log alone (no data file
+    * touched). The demo drives one commit of each kind with
+    * single-file staging so the counts are layout-deterministic, and
+    * the oracle pins the full audit table as literals — any drift in
+    * the commit protocol's action shapes breaks the hash. */
+  def txnlogHistory(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txnhist-").resolve("tbl"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+    def slice(i: Int): DataFrame =
+      li.filter(col("l_orderkey") % 2 === i).coalesce(1)
+    graft.sources.TxnLog.append(s, t, slice(0))              // v0 APPEND
+    graft.sources.TxnLog.append(s, t, slice(1))              // v1 APPEND
+    graft.sources.TxnLog.compact(s, t)                       // v2 OPTIMIZE
+    graft.sources.TxnLog.delete(s, t,
+      col("l_orderkey") % 10 === 3)                          // v3 DELETE
+    graft.sources.TxnLog.merge(s, t,
+      li.filter(col("l_orderkey") % 10 === 4)
+        .withColumn("l_quantity", col("l_quantity") * 2).coalesce(1),
+      "l_orderkey")                                          // v4 MERGE
+    graft.sources.TxnLog.appendBatch(s, t,
+      li.filter(col("l_orderkey") % 10 === 7).coalesce(1),
+      "hist", 0L)                                            // v5 STREAMING
+    val sp = s
+    import sp.implicits._
+    graft.sources.TxnLog.history(t)
+      .toDF("version", "operation", "n_adds", "n_removes", "n_cdc")
+      .orderBy(col("version"))
+  }
+
   /** The change-data feed resolved FROM THE LOG across a full mixed
     * history — append, append, OPTIMIZE, row-level DELETE, append:
     * every rewrite in the range explains itself (`cdc none` from the

@@ -711,6 +711,43 @@ object TxnLog {
       }.toSeq)
   }
 
+  /** DESCRIBE HISTORY: one row per committed version — the operation
+    * (inferred from the commit's action shape, the way a lakehouse
+    * surfaces its audit log) plus add/remove/change-file counts. A
+    * metadata walk over the version files; never touches data. */
+  def history(t: Table): Seq[(Long, String, Long, Long, Long)] =
+    versionFiles(t).map { vf =>
+      val a = commitActions(vf)
+      val lines = Files.readAllLines(vf).asScala
+      val removes = lines.count(_.startsWith("remove\t"))
+      val hasTxn = lines.exists(_.startsWith("txn\t"))
+      val dels = a.cdcFiles.count(_._2 == "delete")
+      val inss = a.cdcFiles.count(_._2 == "insert")
+      val op =
+        if (a.hasRemoves && a.cdcNone) "OPTIMIZE"
+        else if (dels > 0 && inss > 0) "MERGE"
+        else if (dels > 0) "DELETE"
+        else if (a.hasRemoves) "REWRITE"
+        else if (hasTxn) "STREAMING"
+        else "APPEND"
+      (versionOf(vf), op, a.adds.length.toLong, removes.toLong,
+        a.cdcFiles.length.toLong)
+    }
+
+  /** Time travel BY TIMESTAMP: the latest version committed at or
+    * before `ts` (epoch millis) — the version file's mtime IS its
+    * commit instant (the hard link lands fully written). The Delta
+    * `timestampAsOf` contract: a caller replaying "the table as of
+    * last night" without knowing version numbers. */
+  def versionAt(t: Table, ts: Long): Long = {
+    val at = versionFiles(t)
+      .filter(vf => Files.getLastModifiedTime(vf).toMillis <= ts)
+      .lastOption
+    require(at.nonEmpty,
+      s"no version committed at or before $ts in ${t.logDir}")
+    versionOf(at.get)
+  }
+
   /** The APPEND feed for the streaming source: the files whose rows
     * entered the table in (from, to], resolved purely from the log.
     * Compactions (`cdc none`) contribute nothing; a commit with

@@ -554,6 +554,46 @@ class TxnLogSpec extends AnyFunSuite {
     } finally q4.stop()
   }
 
+  test("txnlog: time travel by timestamp resolves the latest version at or before the instant") {
+    val t = freshTable()
+    (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
+    // pin distinct commit instants (link mtime IS the commit record)
+    (0L to 2L).foreach { v =>
+      Files.setLastModifiedTime(t.logDir.resolve(f"$v%020d.log"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + v * 60000L))
+    }
+    assert(TxnLog.versionAt(t, 1000000L) === 0L)         // exactly at v0
+    assert(TxnLog.versionAt(t, 1000000L + 59999L) === 0L) // before v1
+    assert(TxnLog.versionAt(t, 1000000L + 60000L) === 1L)
+    assert(TxnLog.versionAt(t, 9999999999L) === 2L)      // far future
+    intercept[IllegalArgumentException] {
+      TxnLog.versionAt(t, 999999L)                       // before v0
+    }
+    // the resolved version replays the table as of that instant
+    assert(TxnLog.read(spark, t,
+      Some(TxnLog.versionAt(t, 1000000L + 60000L))).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("txnlog: readStream drains a backlog under Trigger.AvailableNow and terminates") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
+    val ckpt = Files.createTempDirectory("graft-txnan-ckpt-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("txnlog")
+      .option("path", t.root.toString).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.getLong(0))); ()
+      }.start()
+    // AvailableNow must process the backlog then STOP on its own
+    assert(q.awaitTermination(120000L), "AvailableNow query did not stop")
+    assert(got.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
+  }
+
   test("txnlog: readStream rate limit bounds every micro-batch to N versions") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
