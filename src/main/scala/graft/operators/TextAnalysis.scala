@@ -846,31 +846,57 @@ object TextAnalysis {
     * bigram counts over [a-z ]-normalized text — the model is ≤27²
     * rows of CONSTANT state, like ml_kmeans' centroids. SCORE: each
     * doc's mean bigram probability in exact integer micro-units —
-    * p_micro(xy) = 10⁶·c(xy) div c(x·) — via one broadcast join of
-    * the constant model against the re-exploded bigrams; long sums
-    * are associative so the score can never flip on shuffle order
-    * (a log-prob double sum would). Map-only until the per-doc
-    * aggregate; at 100 TB the model build is one tiny aggregate and
+    * p_micro(xy) = 10⁶·c(xy) div c(x·) — with the constant model
+    * folded back in as a LITERAL map and the per-doc sum computed by
+    * one higher-order fold over the doc's own characters (r12: this
+    * replaced a re-explode + broadcast join + doc-keyed shuffle with
+    * a purely map-side pass — the corpus is touched twice total:
+    * once to train, once to score). Long sums are associative and
+    * the fold order is the document's own character order, so the
+    * score can never flip on shuffle order (a log-prob double sum
+    * would). At 100 TB the model build is one tiny aggregate and
     * scoring is embarrassingly parallel. */
   def lmScore(s: SparkSession, d: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "[^a-z]+", " "))
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), norm.as("t"))
       .filter(length(col("t")) >= 2)
-    val bigrams = docs.select(col("doc_id"),
-      explode(expr("transform(sequence(1, length(t) - 1)," +
-        " i -> substring(t, i, 2))")).as("bg"))
-    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    // Bigrams as dense 27×27 indices (alphabet is [a-z ] after
+    // normalization): one split into chars — NOT per-position
+    // substring, which re-scans the string each call — then adjacent
+    // code pairs. Shared by the train and score passes.
+    val codes = transform(split(col("t"), ""), c =>
+      when(c === " ", lit(26)).otherwise(ascii(c) - 97))
+    val n = (length(col("t")) - 1).cast("int")
+    def pairIdx(arr: org.apache.spark.sql.Column) =
+      zip_with(slice(arr, lit(1), n), slice(arr, lit(2), n),
+        (a, b) => (a * 27 + b).cast("int"))
+    // TRAIN: one explode pass collapsing to the ≤27² bigram model
+    val counts = docs.select(explode(pairIdx(codes)).as("idx"))
+      .groupBy(col("idx")).agg(count(lit(1)).as("c2"))
     val prefix = counts
-      .groupBy(substring(col("bg"), 1, 1).as("pre"))
+      .groupBy(expr("idx div 27").as("pre"))
       .agg(sum(col("c2")).as("c1"))
     val model = counts
-      .withColumn("pre", substring(col("bg"), 1, 1))
+      .withColumn("pre", expr("idx div 27"))
       .join(prefix, "pre")
-      .select(col("bg"), expr("(1000000 * c2) div c1").as("p_micro"))
-    bigrams.join(broadcast(model), "bg")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sm"))
+      .select(col("idx"), expr("(1000000 * c2) div c1").as("p_micro"))
+      .collect() // ≤ 27² rows — constant model state, the kmeans-
+                 // centroid pattern: fold it back in as a literal
+    // element_at on an array literal is O(1), where a map literal
+    // would linear-scan its 729 entries per bigram. Slots for
+    // bigrams absent from the corpus are never read — every bigram
+    // being scored was trained from this corpus.
+    val slots = Array.fill(27 * 27)(0L)
+    model.foreach(r => slots(r.getInt(0)) = r.getLong(1))
+    val arrLit = array(slots.toIndexedSeq.map(lit(_)): _*)
+    // SCORE: map-only — no second explode, no join, no doc-keyed
+    // shuffle; the fold runs in the document's own character order
+    val sm = aggregate(
+      transform(pairIdx(codes), i => element_at(arrLit, i + 1)),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col("doc_id"),
+      (length(col("t")) - 1).cast("long").as("n_bigrams"), sm.as("sm"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sm div n_bigrams").as("score_micro"))
       .orderBy(col("doc_id"))
