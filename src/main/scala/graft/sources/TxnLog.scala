@@ -175,8 +175,9 @@ object TxnLog {
       case Some(v) =>
         val have = all.filter(versionOf(_) <= v)
         require(have.nonEmpty && versionOf(have.last) == v,
-          s"version $v does not exist in ${t.logDir} " +
-            s"(latest=${latestVersion(t)})")
+          s"version $v does not exist in ${t.logDir} (retained " +
+            all.headOption.map(h => s"${versionOf(h)}..").getOrElse("") +
+            s"${latestVersion(t)}; older versions may be expired)")
         have
       case None => all
     }
@@ -759,6 +760,10 @@ object TxnLog {
                                   ignoreDeletes: Boolean): Seq[String] = {
     val range = versionFiles(t)
       .filter(p => versionOf(p) > from && versionOf(p) <= to)
+    range.headOption.foreach(h => require(versionOf(h) == from + 1,
+      s"stream range v$from..v$to is partially expired: earliest " +
+        s"retained log in range is v${versionOf(h)} — restart the " +
+        "stream from a fresh checkpoint"))
     range.flatMap { vf =>
       val a = commitActions(vf)
       if (!a.hasRemoves)
@@ -806,6 +811,10 @@ object TxnLog {
       .filter(p => versionOf(p) > from && versionOf(p) <= to)
     require(range.nonEmpty && versionOf(range.last) == to,
       s"version $to does not exist in ${t.logDir}")
+    require(versionOf(range.head) == from + 1,
+      s"change range v$from..v$to is partially expired: earliest " +
+        s"retained log in range is v${versionOf(range.head)} — " +
+        "resync from a full snapshot instead")
     val acts = range.map(commitActions)
     val schemaAtTo = snapshot(t, Some(to)).schemaJson
     val none = readFiles(s, t, snapFrom.liveFiles,
@@ -918,6 +927,51 @@ object TxnLog {
     * its garbage is collected then. Change files under cdc/ are the
     * change feed, not table data — never vacuumed here. Returns
     * deleted count. */
+  /** Expire every log file BELOW the newest checkpoint (which
+    * summarizes all of them): the log-retention half of the cleanup
+    * story — a year-old streaming table's _txnlog stays O(interval)
+    * files after its data was long since compacted. Replay at or
+    * above the checkpoint is untouched (it starts from the
+    * checkpoint); snapshot/changes/stream requests BELOW it now fail
+    * loudly with a retained-range message instead of resolving
+    * incompletely. Superseded checkpoints go with their logs.
+    * Returns the number of expired files. */
+  def expireLog(t: Table): Int = {
+    val ck = checkpointFiles(t).lastOption
+    require(ck.nonEmpty,
+      s"no checkpoint in ${t.logDir} yet: nothing can expire " +
+        s"(checkpoints land every $CheckpointInterval commits)")
+    val cv = versionOf(ck.get)
+    val dead = versionFiles(t).filter(versionOf(_) < cv) ++
+      checkpointFiles(t).filter(versionOf(_) < cv)
+    dead.foreach(Files.deleteIfExists(_))
+    dead.length
+  }
+
+  /** Reclaim change files under cdc/ that no RETAINED version file
+    * references anymore — the companion of [[expireLog]] (expired
+    * commits' change files become unreachable) honoring the same
+    * in-flight staging grace as [[vacuum]]. Returns deleted count. */
+  def vacuumChanges(t: Table, graceMs: Long = VacuumGraceMs): Int = {
+    if (!Files.isDirectory(t.cdcDir)) return 0
+    val referenced = versionFiles(t).flatMap(vf =>
+      commitActions(vf).cdcFiles.map(_._1)).toSet
+    val now = System.currentTimeMillis()
+    val protectedStages = listing(Files.list(t.cdcDir))
+      .filter(_.getFileName.toString.startsWith(".inflight-"))
+      .filter(m => now - Files.getLastModifiedTime(m).toMillis < graceMs)
+      .map(_.getFileName.toString.stripPrefix(".inflight-"))
+      .toSet
+    val dead = listing(Files.walk(t.cdcDir))
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => !protectedStages.contains(p.getParent.getFileName.toString))
+      .map(p => t.root.relativize(p).toString)
+      .filterNot(referenced)
+    dead.foreach(rel => Files.deleteIfExists(t.root.resolve(rel)))
+    dead.length
+  }
+
   def vacuum(t: Table, graceMs: Long = VacuumGraceMs): Int = {
     val live = snapshot(t).liveFiles.toSet
     val now = System.currentTimeMillis()

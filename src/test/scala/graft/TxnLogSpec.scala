@@ -664,6 +664,67 @@ class TxnLogSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("txnlog: log expiry keeps the checkpointed tail replayable and fails expired reads loudly") {
+    val t = freshTable()
+    (0 until 13).foreach(i =>
+      assert(TxnLog.appendBatch(spark, t, oneRowDf(i.toLong), "app", i.toLong)))
+    assert(TxnLog.expireLog(t) === 10) // logs v0..v9, summarized by v10.ckpt
+    // everything at or above the checkpoint replays exactly
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === (0L until 13L))
+    assert(TxnLog.read(spark, t, Some(10L)).collect().map(_.getLong(0))
+      .sorted.toSeq === (0L until 11L))
+    assert(TxnLog.lastBatch(t, "app") === Some(12L))
+    // a read below the retained range fails loudly, naming it
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.read(spark, t, Some(5L))
+    }
+    assert(e.getMessage.contains("retained"))
+    // an incremental range inside the tail resolves; one reaching
+    // into the expired region refuses rather than under-delivering
+    val (ins, _) = TxnLog.changes(spark, t, 10L, 12L)
+    assert(ins.collect().map(_.getLong(0)).sorted.toSeq === Seq(11L, 12L))
+    intercept[IllegalArgumentException] {
+      TxnLog.changes(spark, t, 5L, 12L)
+    }
+    // a FRESH stream still starts (backlog = the latest snapshot)
+    val ckpt = Files.createTempDirectory("graft-txnexp-ckpt-").toString
+    import scala.jdk.CollectionConverters._
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("txnlog")
+      .option("path", t.root.toString).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.getLong(0))); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.asScala.toSeq.sorted === (0L until 13L))
+  }
+
+  test("txnlog: expired delete commits release their change files to vacuumChanges") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t, (0L until 100L).toDF("id").coalesce(1))
+    TxnLog.delete(spark, t, col("id") < 10L) // v1: writes a change file
+    def cdcFiles() = {
+      import scala.jdk.CollectionConverters._
+      if (!Files.isDirectory(t.cdcDir)) Seq.empty
+      else Files.walk(t.cdcDir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    assert(cdcFiles().nonEmpty)
+    // while the delete commit is retained, its change file is pinned
+    assert(TxnLog.vacuumChanges(t) === 0)
+    // march to the next checkpoint, expire the head of the log
+    (2 to 10).foreach(i => TxnLog.append(spark, t, oneRowDf(i * 1000L)))
+    assert(TxnLog.expireLog(t) > 0)
+    // the delete commit is gone from the log: its change file frees
+    assert(TxnLog.vacuumChanges(t) === 1)
+    assert(cdcFiles().isEmpty)
+    // the table itself is untouched
+    assert(TxnLog.read(spark, t).count() === 99L)
+  }
+
   test("txnlog: racing acks never leave the cursor missing or torn") {
     val t = freshTable()
     (1 to 4).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
