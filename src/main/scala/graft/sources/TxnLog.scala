@@ -715,7 +715,10 @@ object TxnLog {
   /** DESCRIBE HISTORY: one row per committed version — the operation
     * (inferred from the commit's action shape, the way a lakehouse
     * surfaces its audit log) plus add/remove/change-file counts. A
-    * metadata walk over the version files; never touches data. */
+    * metadata walk over the version files; never touches data. After
+    * [[expireLog]] the audit covers the RETAINED commits (expired
+    * history is gone with its logs — the same truncation Delta's
+    * DESCRIBE HISTORY shows under log retention). */
   def history(t: Table): Seq[(Long, String, Long, Long, Long)] =
     versionFiles(t).map { vf =>
       val a = commitActions(vf)

@@ -121,6 +121,18 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
     val endV = versionOf(end)
     lastSeen = math.max(lastSeen, endV)
     start.foreach(s0 => lastSeen = math.max(lastSeen, versionOf(s0)))
+    // the engine holds ONE schema for the stream's lifetime; a
+    // column-adding commit mid-stream would otherwise be silently
+    // projected away — fail loudly instead (the Delta posture: a
+    // schema change requires a stream restart, which re-reads the
+    // registered schema and picks the new columns up)
+    TxnLog.registeredSchema(t).foreach { reg =>
+      val pinned = schema.fieldNames.toSet
+      val extra = reg.fieldNames.filterNot(pinned.contains)
+      if (extra.nonEmpty) throw new IllegalStateException(
+        s"txnlog table at ${t.root} evolved mid-stream (new columns: " +
+          s"${extra.mkString(", ")}); restart the stream to pick them up")
+    }
     val batch = start match {
       case None =>
         // initial backlog: the full snapshot at the first offset

@@ -664,6 +664,36 @@ class TxnLogSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("txnlog: a mid-stream schema evolution fails the stream; a restart picks the column up") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq(1L).toDF("id"))
+    val ckpt = Files.createTempDirectory("graft-txnsev-ckpt-").toString
+    val cols = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    def startQ() = spark.readStream.format("txnlog")
+      .option("path", t.root.toString).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) cols.add(df.columns.toSeq); ()
+      }.start()
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      assert(cols.asScala.toSeq === Seq(Seq("id")))
+      // a column-adding commit mid-stream must FAIL the query —
+      // silently projecting the new column away is data loss
+      TxnLog.append(spark, t, Seq((2L, "x")).toDF("id", "tag"))
+      intercept[Exception] { q1.processAllAvailable() }
+    } finally q1.stop()
+    // the restart re-reads the registered schema: new column flows
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(cols.asScala.toSeq.last.sorted === Seq("id", "tag"))
+    } finally q2.stop()
+  }
+
   test("txnlog: log expiry keeps the checkpointed tail replayable and fails expired reads loudly") {
     val t = freshTable()
     (0 until 13).foreach(i =>
