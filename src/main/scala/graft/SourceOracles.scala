@@ -199,6 +199,15 @@ object SourceOracles {
         |  AS t(version, operation, n_adds, n_removes, n_cdc)
         |ORDER BY version""".stripMargin,
 
+    "src_txnlog_zorder" ->
+      """SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  min(l_orderkey) AS min_order, max(l_orderkey) AS max_order
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 200
+        |  AND l_suppkey BETWEEN 5 AND 20""".stripMargin,
+
     "src_txnlog_merge" ->
       """WITH odds AS (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice AS p

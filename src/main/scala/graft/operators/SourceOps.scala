@@ -695,14 +695,10 @@ object SourceOps {
 
   // ---- Z-order clustered layout ------------------------------------
 
-  /** Morton (Z-order) value interleaving the low 16 bits of two keys:
-    * bit i of a lands at position 2i, bit i of b at 2i+1. Pure integer
-    * ops, write-side only (queries filter on the ORIGINAL columns —
-    * the layout, not the z value, is what they consume). */
-  private def zValue(a: String, b: String) = expr(
-    s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
-        acc + shiftleft(shiftright($a, i) & 1, 2 * i)
-            + shiftleft(shiftright($b, i) & 1, 2 * i + 1))""")
+  /** Morton value — hoisted to [[graft.functions.ZOrder]] (r12) so
+    * the transaction log's OPTIMIZE ZORDER shares one definition. */
+  private def zValue(a: String, b: String) =
+    graft.functions.ZOrder.zValue(a, b)
 
   /** Stage (once per JVM + input dir) lineitem clustered by
     * z(l_partkey, l_suppkey) into range-partitioned, within-sorted
@@ -823,6 +819,37 @@ object SourceOps {
       .unionByName(tagged(insDiff, "v1..latest", "insert"))
       .unionByName(tagged(delDiff, "v1..latest", "delete"))
       .orderBy(col("vrange"), col("change"), col("l_returnflag"))
+  }
+
+  /** OPTIMIZE ZORDER through the transaction log — src_zorder_lookup
+    * one level up, the same two-level story as src_txnlog_skipping:
+    * lineitem lands in four appends, then `TxnLog.compactZorder`
+    * rewrites the live set clustered on the Morton interleave of
+    * (l_partkey, l_suppkey) with BOTH dimensions' (min, max) embedded
+    * in the add actions, so a 2-D box probe prunes files from the
+    * MANIFEST before any footer opens (TxnLogSpec reads the planning
+    * audit: the box plans a strict subset of the clustered files and
+    * a plain compaction control cannot prune the box at all). The
+    * oracle is the flat-table filter. */
+  def txnlogZorder(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txnz-").resolve("tbl"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    (0 until 4).foreach { p =>
+      graft.sources.TxnLog.appendWithStats(s, t,
+        li.filter(col("l_orderkey") % 4 === p),
+        Seq("l_partkey", "l_suppkey"))
+    }
+    graft.sources.TxnLog.compactZorder(s, t, "l_partkey", "l_suppkey")
+    graft.sources.TxnLog.readPrunedBox(s, t,
+      Seq(("l_partkey", 100L, 200L), ("l_suppkey", 5L, 20L)))
+      .filter(col("l_partkey").between(100L, 200L) &&
+        col("l_suppkey").between(5L, 20L))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        min(col("l_orderkey")).as("min_order"),
+        max(col("l_orderkey")).as("max_order"))
   }
 
   /** Row-level DELETE through the transaction log: lineitem lands in

@@ -541,12 +541,7 @@ object TxnLog {
 
   private def pruneFiles(snap: Snapshot, colName: String,
                          lo: Long, hi: Long): Seq[String] =
-    snap.liveFiles.filter { f =>
-      snap.fileStats.get(f).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => true
-      }
-    }
+    pruneBox(snap, Seq((colName, lo, hi)))
 
   /** (files planned, files live) for a probe — the skipping audit. */
   def plannedFiles(t: Table, colName: String, lo: Long,
@@ -585,6 +580,66 @@ object TxnLog {
         extra = adds :+ "cdc\tnone")
     } finally seal(t, stage)
   }
+
+  /** OPTIMIZE ZORDER BY (colA, colB): [[compact]]'s clustered form —
+    * the live set rewrites range-partitioned and sorted on the Morton
+    * interleave of the two keys, and the add actions embed recomputed
+    * (min, max) for BOTH dimensions (plus whatever the manifest
+    * already tracked). Because the z curve keeps both key ranges
+    * tight per file, a 2-D box probe prunes files from the MANIFEST
+    * alone — the commit log's answer to multi-dimensional data
+    * skipping, before any parquet footer is opened. Same
+    * dataChange=false / stale-rewrite-refusal contract as compact. */
+  def compactZorder(s: SparkSession, t: Table, colA: String,
+                    colB: String, targetFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(t)
+    val statsCols = (snap.fileStats.values.flatMap(_.keys).toSeq ++
+      Seq(colA, colB)).distinct.sorted
+    val stage = newStage(t, t.dataDir)
+    try {
+      readFiles(s, t, snap.liveFiles, snap.schemaJson)
+        .withColumn("_z", graft.functions.ZOrder.zValue(colA, colB))
+        .repartitionByRange(targetFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.parquet(stage.toString)
+      val adds = addLinesFor(s, t, stage, statsCols)
+      commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
+        extra = adds :+ "cdc\tnone")
+    } finally seal(t, stage)
+  }
+
+  /** [[readPruned]] for a conjunction of range predicates — the box
+    * probe a z-ordered manifest answers: only files whose stats
+    * intersect EVERY range are planned (stats-less files always
+    * kept). */
+  def readPrunedBox(s: SparkSession, t: Table,
+                    preds: Seq[(String, Long, Long)],
+                    asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(t, asOf)
+    val keep = pruneBox(snap, preds)
+    val df = readFiles(s, t, if (keep.nonEmpty) keep else snap.liveFiles,
+      snap.schemaJson)
+    if (keep.nonEmpty) df else df.limit(0)
+  }
+
+  /** (files planned, files live) for a box probe. */
+  def plannedFilesBox(t: Table,
+                      preds: Seq[(String, Long, Long)]): (Int, Int) = {
+    val snap = snapshot(t)
+    (pruneBox(snap, preds).length, snap.liveFiles.length)
+  }
+
+  private def pruneBox(snap: Snapshot,
+                       preds: Seq[(String, Long, Long)]): Seq[String] =
+    preds.foldLeft(snap.liveFiles)((files, p) =>
+      files.filter { f =>
+        snap.fileStats.get(f).flatMap(_.get(p._1)) match {
+          case Some((mn, mx)) => mx >= p._2 && mn <= p._3
+          case None           => true
+        }
+      })
 
   /** Row-level DELETE: remove every row matching `predicate` in one
     * rewrite commit. Only files that actually CONTAIN matching rows

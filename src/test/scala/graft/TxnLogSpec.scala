@@ -423,6 +423,41 @@ class TxnLogSpec extends AnyFunSuite {
     assert(ins.count() === 0 && del.count() === 0)
   }
 
+  test("txnlog: zorder compaction makes 2-D box probes prune from the manifest") {
+    import spark.implicits._
+    def mkTable(): TxnLog.Table = {
+      val t = freshTable()
+      // keys deliberately anti-correlated so single-key sorting
+      // cannot make both dimensions tight
+      val rows = (0L until 4096L).map(i => (i, i % 64L, (i / 64L) % 64L))
+      TxnLog.appendWithStats(spark, t,
+        rows.toDF("id", "a", "b").repartition(4), Seq("a", "b"))
+      t
+    }
+    val zt = mkTable()
+    TxnLog.compactZorder(spark, zt, "a", "b", targetFiles = 16)
+    // control: the un-clustered table (hash-spread files — every file
+    // spans both key domains, so the box cannot prune at all)
+    val ct = mkTable()
+    val box = Seq(("a", 10L, 20L), ("b", 10L, 20L))
+    val (zKept, zTotal) = TxnLog.plannedFilesBox(zt, box)
+    val (cKept, cTotal) = TxnLog.plannedFilesBox(ct, box)
+    assert(zTotal === 16 && cTotal === 4)
+    // compare pruned FRACTIONS: the z layout must plan a strictly
+    // smaller share of its files than the hash layout does
+    assert(zKept * cTotal < cKept * zTotal,
+      s"zorder planned $zKept/$zTotal vs control $cKept/$cTotal")
+    assert(zKept <= zTotal / 2, s"weak z pruning: $zKept of $zTotal")
+    // pruned read ≡ full read under the same predicate
+    val probe = TxnLog.readPrunedBox(spark, zt, box)
+      .filter($"a".between(10L, 20L) && $"b".between(10L, 20L))
+      .collect().map(_.getLong(0)).sorted
+    val full = TxnLog.read(spark, zt)
+      .filter($"a".between(10L, 20L) && $"b".between(10L, 20L))
+      .collect().map(_.getLong(0)).sorted
+    assert(probe.toSeq === full.toSeq && probe.nonEmpty)
+  }
+
   test("txnlog: checkpoints bound replay and lastBatch reads O(1) log files") {
     import spark.implicits._
     val t = freshTable()
