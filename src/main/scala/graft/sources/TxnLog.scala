@@ -641,6 +641,17 @@ object TxnLog {
         }
       })
 
+  /** Map input_file_name URIs back to the snapshot's relative live
+    * paths — the rewrite ops' touched-file resolution. */
+  private def relsOf(t: Table, snap: Snapshot,
+                     uris: Seq[String]): Seq[String] = {
+    val byAbs = snap.liveFiles
+      .map(rel => t.root.resolve(rel).normalize.toString -> rel).toMap
+    uris.map(u => java.nio.file.Paths.get(
+        new java.net.URI(u).getPath).normalize.toString)
+      .flatMap(byAbs.get).sorted
+  }
+
   /** Row-level DELETE: remove every row matching `predicate` in one
     * rewrite commit. Only files that actually CONTAIN matching rows
     * are rewritten (located with one file-count-scale distinct over
@@ -656,17 +667,13 @@ object TxnLog {
     import org.apache.spark.sql.functions.{col, input_file_name, not}
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val byAbs = snap.liveFiles
-      .map(rel => t.root.resolve(rel).normalize.toString -> rel).toMap
-    val affectedRel = readFiles(s, t, snap.liveFiles, snap.schemaJson)
-      .withColumn("_f", input_file_name())
-      .filter(predicate)
-      .select(col("_f")).distinct()
-      .collect() // file-count scale: one row per affected file
-      .map(r => java.nio.file.Paths.get(
-        new java.net.URI(r.getString(0)).getPath).normalize.toString)
-      .flatMap(byAbs.get)
-      .toSeq.sorted
+    val affectedRel = relsOf(t, snap,
+      readFiles(s, t, snap.liveFiles, snap.schemaJson)
+        .withColumn("_f", input_file_name())
+        .filter(predicate)
+        .select(col("_f")).distinct()
+        .collect() // file-count scale: one row per affected file
+        .map(_.getString(0)).toSeq)
     if (affectedRel.isEmpty) return snap.version
     val affected = readFiles(s, t, affectedRel, snap.schemaJson)
     val stage = newStage(t, t.dataDir)
@@ -704,17 +711,13 @@ object TxnLog {
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val keys = source.select(col(keyCol)).distinct()
-    val byAbs = snap.liveFiles
-      .map(rel => t.root.resolve(rel).normalize.toString -> rel).toMap
-    val affectedRel = readFiles(s, t, snap.liveFiles, snap.schemaJson)
-      .withColumn("_f", input_file_name())
-      .join(keys, Seq(keyCol), "left_semi")
-      .select(col("_f")).distinct()
-      .collect() // file-count scale: one row per affected file
-      .map(r => java.nio.file.Paths.get(
-        new java.net.URI(r.getString(0)).getPath).normalize.toString)
-      .flatMap(byAbs.get)
-      .toSeq.sorted
+    val affectedRel = relsOf(t, snap,
+      readFiles(s, t, snap.liveFiles, snap.schemaJson)
+        .withColumn("_f", input_file_name())
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(col("_f")).distinct()
+        .collect() // file-count scale: one row per affected file
+        .map(_.getString(0)).toSeq)
     if (affectedRel.isEmpty)
       return appendLines(s, t, source, extraLines = Nil,
         statsCols = statsCols)
