@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftglue.StreamShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  RelationProvider, SchemaRelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[TxnLog]] table — the read
@@ -38,9 +39,50 @@ import org.apache.spark.sql.types.StructType
   * interface FileStreamSource ships on); `DataSourceRegister` + the
   * META-INF services entry make the short name `txnlog` resolvable. */
 class TxnLogStreamProvider extends StreamSourceProvider
+    with RelationProvider with SchemaRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "txnlog"
+
+  /** BATCH reads through the same short name —
+    * `spark.read.format("txnlog").option("path", root).load()` and
+    * SQL `CREATE ... USING txnlog OPTIONS (path ...)` — resolved to
+    * a plain parquet HadoopFsRelation over exactly the snapshot's
+    * live files, so filter pushdown / column pruning / whole-stage
+    * codegen all apply as if the manifest were a directory listing.
+    * Time travel rides the options: `versionAsOf` (a log version) or
+    * `timestampAsOf` (epoch millis or an ISO-8601 instant). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    relationOf(sqlContext, parameters, None)
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    relationOf(sqlContext, parameters, Some(schema))
+
+  private def relationOf(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      userSchema: Option[StructType]): BaseRelation = {
+    val t = tableOf(parameters)
+    val asOf: Option[Long] = parameters.get("versionAsOf") match {
+      case Some(v) => Some(v.toLong)
+      case None => parameters.get("timestampAsOf").map { ts =>
+        val millis =
+          try ts.toLong
+          catch { case _: NumberFormatException =>
+            java.time.Instant.parse(ts).toEpochMilli }
+        TxnLog.versionAt(t, millis)
+      }
+    }
+    val snap = TxnLog.snapshot(t, asOf)
+    val paths = snap.liveFiles.map(rel => t.root.resolve(rel).toString)
+    val schema = userSchema.orElse(
+      snap.schemaJson.map(js =>
+        org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[StructType]))
+    StreamShim.resolveParquet(sqlContext.sparkSession, paths, schema)
+  }
 
   private def tableOf(parameters: Map[String, String]): TxnLog.Table =
     TxnLog.Table(java.nio.file.Paths.get(parameters.getOrElse("path",

@@ -25,4 +25,21 @@ object StreamShim {
     }
     classic.Dataset.ofRows(cdf.sparkSession, plan)
   }
+
+  /** Resolve a plain parquet `BaseRelation` over an explicit file
+    * list — what a `RelationProvider` must hand back so a custom
+    * format's batch reads plan as ordinary HadoopFsRelation scans
+    * (whole-stage codegen, filter pushdown, column pruning), instead
+    * of an opaque RDD[Row]. `DataSource.resolveRelation` is the
+    * constructor Spark's own paths use; it is private[sql], hence
+    * this bridge. */
+  def resolveParquet(session: org.apache.spark.sql.SparkSession,
+                     paths: Seq[String],
+                     schema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.sources.BaseRelation =
+    org.apache.spark.sql.execution.datasources.DataSource(
+      sparkSession = session.asInstanceOf[classic.SparkSession],
+      className = "parquet",
+      paths = paths,
+      userSpecifiedSchema = schema).resolveRelation()
 }

@@ -699,6 +699,41 @@ class TxnLogSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("txnlog: batch format reads push filters to the scan and time-travel by option") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq(1L, 2L).toDF("id").coalesce(1)) // v0
+    TxnLog.append(spark, t, Seq(3L, 4L).toDF("id").coalesce(1)) // v1
+    (0L to 1L).foreach { v =>
+      Files.setLastModifiedTime(t.logDir.resolve(f"$v%020d.log"),
+        java.nio.file.attribute.FileTime.fromMillis(2000000L + v * 60000L))
+    }
+    // plain read: the snapshot through the format short name
+    val df = spark.read.format("txnlog")
+      .option("path", t.root.toString).load()
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (1L to 4L))
+    // the scan is a REAL parquet relation: predicates push down
+    val filtered = df.filter($"id" > 2L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,2"),
+      s"filter did not reach the scan:\n${plan.take(600)}")
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    // time travel by version and by timestamp options
+    assert(spark.read.format("txnlog").option("path", t.root.toString)
+      .option("versionAsOf", "0").load()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(spark.read.format("txnlog").option("path", t.root.toString)
+      .option("timestampAsOf", "2000001")
+      .load().collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // the SQL surface: a view over the format
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_txv USING txnlog " +
+      s"OPTIONS (path '${t.root}')")
+    try {
+      assert(spark.sql("SELECT sum(id) AS s FROM graft_txv")
+        .head().getLong(0) === 10L)
+    } finally spark.sql("DROP VIEW IF EXISTS graft_txv")
+  }
+
   test("txnlog: a mid-stream schema evolution fails the stream; a restart picks the column up") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
