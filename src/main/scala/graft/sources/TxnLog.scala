@@ -641,6 +641,36 @@ object TxnLog {
         }
       })
 
+  /** Atomic REPLACE (the `mode("overwrite")` path): ONE commit
+    * removes every live file and adds the staged rows — readers see
+    * the old table or the new one, never a mix; a concurrent append
+    * aborts the replace (stale-rewrite refusal) instead of being
+    * silently dropped. The change feed stays log-resolved at zero
+    * extra cost: the commit references the OLD live files as
+    * `cdc delete` and its own new files as `cdc insert` (change
+    * files may point at data files; the old ones stay on disk until
+    * vacuum, the same horizon as time travel). A replace RESETS the
+    * registered schema to `df`'s — the table's new truth — while
+    * historical versions keep theirs. An empty table degrades to a
+    * plain first append. */
+  def replace(s: SparkSession, t: Table, df: DataFrame): Long = {
+    if (latestVersion(t) < 0)
+      return appendLines(s, t, df, extraLines = Nil, statsCols = Nil)
+    val snap = snapshot(t)
+    val stage = newStage(t, t.dataDir)
+    try {
+      df.write.parquet(stage.toString)
+      val rels = stagedFiles(t, stage)
+      val schemaLine =
+        if (snap.schemaJson.contains(df.schema.json)) Nil
+        else Seq(s"schema\t${df.schema.json}")
+      val cdc = snap.liveFiles.map(r => s"cdc\t$r\tdelete") ++
+        rels.map(r => s"cdc\t$r\tinsert")
+      commit(t, snap.version, adds = rels, removes = snap.liveFiles,
+        extra = schemaLine ++ cdc)
+    } finally seal(t, stage)
+  }
+
   /** Map input_file_name URIs back to the snapshot's relative live
     * paths — the rewrite ops' touched-file resolution. */
   private def relsOf(t: Table, snap: Snapshot,
@@ -781,14 +811,21 @@ object TxnLog {
     versionFiles(t).map { vf =>
       val a = commitActions(vf)
       val lines = Files.readAllLines(vf).asScala
-      val removes = lines.count(_.startsWith("remove\t"))
+      val removeRels = lines.collect {
+        case l if l.startsWith("remove\t") => l.split('\t')(1)
+      }
+      val removes = removeRels.length
       val hasTxn = lines.exists(_.startsWith("txn\t"))
-      val dels = a.cdcFiles.count(_._2 == "delete")
+      val delRels = a.cdcFiles.collect { case (r, "delete") => r }
       val inss = a.cdcFiles.count(_._2 == "insert")
       val op =
         if (a.hasRemoves && a.cdcNone) "OPTIMIZE"
-        else if (dels > 0 && inss > 0) "MERGE"
-        else if (dels > 0) "DELETE"
+        // a REPLACE's delete side IS its remove set (old data files
+        // referenced as change files); a MERGE's lives under cdc/
+        else if (delRels.nonEmpty && inss > 0 &&
+          delRels.toSet == removeRels.toSet) "REPLACE"
+        else if (delRels.nonEmpty && inss > 0) "MERGE"
+        else if (delRels.nonEmpty) "DELETE"
         else if (a.hasRemoves) "REWRITE"
         else if (hasTxn) "STREAMING"
         else "APPEND"

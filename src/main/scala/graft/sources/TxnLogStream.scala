@@ -1,11 +1,12 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftglue.StreamShim
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider, SchemaRelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider, SchemaRelationProvider,
+  StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[TxnLog]] table — the read
@@ -40,7 +41,36 @@ import org.apache.spark.sql.types.StructType
   * META-INF services entry make the short name `txnlog` resolvable. */
 class TxnLogStreamProvider extends StreamSourceProvider
     with RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider
     with DataSourceRegister {
+
+  /** BATCH writes — `df.write.format("txnlog").mode(...).save()`:
+    * Append is one append commit; Overwrite is one atomic REPLACE
+    * commit (remove every live file + add the staged ones — readers
+    * see the old table or the new one, never a mix, and a concurrent
+    * append aborts the replace instead of being silently dropped);
+    * ErrorIfExists/Ignore follow their contracts against a non-empty
+    * table. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val t = tableOf(parameters)
+    val empty = TxnLog.latestVersion(t) < 0
+    mode match {
+      case SaveMode.Append =>
+        TxnLog.append(sqlContext.sparkSession, t, data)
+      case SaveMode.Overwrite =>
+        TxnLog.replace(sqlContext.sparkSession, t, data)
+      case SaveMode.ErrorIfExists if !empty =>
+        throw new IllegalStateException(
+          s"txnlog table at ${t.root} already exists (latest version " +
+            s"${TxnLog.latestVersion(t)}); use mode(\"append\") or " +
+            "mode(\"overwrite\")")
+      case SaveMode.Ignore if !empty => ()
+      case _ => // ErrorIfExists / Ignore on an empty table: first write
+        TxnLog.append(sqlContext.sparkSession, t, data)
+    }
+    relationOf(sqlContext, parameters, None)
+  }
 
   override def shortName(): String = "txnlog"
 

@@ -734,6 +734,33 @@ class TxnLogSpec extends AnyFunSuite {
     } finally spark.sql("DROP VIEW IF EXISTS graft_txv")
   }
 
+  test("txnlog: format writes — append appends, overwrite is one atomic replace with a log-resolved feed") {
+    import spark.implicits._
+    val t = freshTable()
+    def write(rows: Seq[Long], mode: String): Unit =
+      rows.toDF("id").coalesce(1).write.format("txnlog")
+        .mode(mode).option("path", t.root.toString).save()
+    write(Seq(1L, 2L), "append")  // v0
+    write(Seq(3L), "append")      // v1
+    write(Seq(10L, 11L), "overwrite") // v2: atomic replace
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(10L, 11L))
+    // history: the old table is still one time-travel away
+    assert(TxnLog.read(spark, t, Some(1L)).collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 2L, 3L))
+    // the replace's change feed is log-resolved at zero copy: old
+    // rows as deletes (referencing the removed files), new as inserts
+    val (ins, del) = TxnLog.changes(spark, t, 1L, 2L)
+    assert(ins.collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 11L))
+    assert(del.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(TxnLog.history(t).map(_._2) === Seq("APPEND", "APPEND", "REPLACE"))
+    // errorifexists refuses a live table; ignore no-ops
+    intercept[IllegalStateException] { write(Seq(99L), "errorifexists") }
+    write(Seq(99L), "ignore")
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(10L, 11L))
+  }
+
   test("txnlog: a mid-stream schema evolution fails the stream; a restart picks the column up") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
