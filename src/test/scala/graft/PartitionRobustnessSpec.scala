@@ -88,7 +88,11 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // location via input_file_name, survivor/cdc staging, and the
     // log-resolved event feed must all survive any partition layout
     "txt_lm_buckets_sampled", "src_txnlog_delete", "src_txnlog_cdf",
-    "src_txnlog_merge")
+    "src_txnlog_merge",
+    // the audit-table op inference (single-file staging must stay
+    // single-file under any layout) and the clustered rewrite's
+    // box-pruned aggregate
+    "src_txnlog_history", "src_txnlog_zorder")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
