@@ -391,11 +391,15 @@ object TxnLog {
       while (committed < 0) {
         val base = latestVersion(t)
         val (schema, changed) = mergedSchema(registeredSchema(t), df.schema)
-        val lines = (if (changed || base < 0)
+        val schemaLine = changed || base < 0
+        val lines = (if (schemaLine)
           Seq(s"schema\t${schema.json}") else Nil) ++ adds ++ extraLines
-        if (changed && base >= 0) {
-          // schema registration must merge against the TRUE latest:
-          // claim exactly base+1, re-merge and retry on loss
+        if (schemaLine) {
+          // EVERY schema-bearing commit must merge against the TRUE
+          // latest: claim exactly base+1, re-merge and retry on loss.
+          // This includes the base < 0 first write — a blind-append
+          // retry there would republish a stale schema over a racing
+          // first-writer's columns (last-schema-wins replay).
           if (tryPublish(t, base + 1, lines)) committed = base + 1
         } else {
           committed = commit(t, base, adds = Nil, extra = lines)
@@ -513,7 +517,7 @@ object TxnLog {
     readFiles(s, t, snap.liveFiles, snap.schemaJson, mergeSchema)
   }
 
-  private[sources] def readFiles(s: SparkSession, t: Table,
+  private[graft] def readFiles(s: SparkSession, t: Table,
                         rels: Seq[String], schemaJson: Option[String],
                         mergeSchema: Boolean = false): DataFrame = {
     val paths = rels.map(rel => t.root.resolve(rel).toString)
@@ -594,6 +598,18 @@ object TxnLog {
                     colB: String, targetFiles: Int = 8): Long = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(t)
+    // zValue interleaves 31 bits per key: out-of-range keys alias on
+    // the curve (clustering degrades silently). When the manifest
+    // already tracks the key columns, validate the range for free —
+    // a metadata check, no data read.
+    for (c <- Seq(colA, colB);
+         (lo, hi) <- snap.fileStats.values.flatMap(_.get(c))
+           .reduceOption((p, q) => (math.min(p._1, q._1),
+             math.max(p._2, q._2))))
+      require(lo >= 0 && hi < graft.functions.ZOrder.MaxKeyExclusive,
+        s"zorder key '$c' has values in [$lo, $hi] outside " +
+          s"[0, ${graft.functions.ZOrder.MaxKeyExclusive}): keys would " +
+          "alias on the z curve — rescale the column first")
     val statsCols = (snap.fileStats.values.flatMap(_.keys).toSeq ++
       Seq(colA, colB)).distinct.sorted
     val stage = newStage(t, t.dataDir)
@@ -691,16 +707,22 @@ object TxnLog {
     * by `cdc <relpath> delete` actions in the same atomic commit —
     * the Delta CDF contract that lets [[changes]] resolve any
     * remove-bearing range from the log instead of diffing two full
-    * snapshots. Returns the committed version (the current one when
-    * nothing matched). */
+    * snapshots. A predicate that evaluates to NULL on a row (a null
+    * operand) deletes NOTHING for that row — SQL DELETE's "condition
+    * is true" contract — so the split is on `coalesce(pred, false)`
+    * and such rows survive instead of silently vanishing from both
+    * sides of the rewrite. Returns the committed version (the
+    * current one when nothing matched). */
   def delete(s: SparkSession, t: Table, predicate: Column): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, not}
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name,
+      lit, not}
+    val cond = coalesce(predicate, lit(false))
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val affectedRel = relsOf(t, snap,
       readFiles(s, t, snap.liveFiles, snap.schemaJson)
         .withColumn("_f", input_file_name())
-        .filter(predicate)
+        .filter(cond)
         .select(col("_f")).distinct()
         .collect() // file-count scale: one row per affected file
         .map(_.getString(0)).toSeq)
@@ -709,8 +731,8 @@ object TxnLog {
     val stage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
-      affected.filter(not(predicate)).write.parquet(stage.toString)
-      affected.filter(predicate).write.parquet(cdcStage.toString)
+      affected.filter(not(cond)).write.parquet(stage.toString)
+      affected.filter(cond).write.parquet(cdcStage.toString)
       val adds = addLinesFor(s, t, stage, statsCols)
       val cdcLines = stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
       commit(t, snap.version, adds = Nil, removes = affectedRel,
@@ -850,12 +872,20 @@ object TxnLog {
   /** The APPEND feed for the streaming source: the files whose rows
     * entered the table in (from, to], resolved purely from the log.
     * Compactions (`cdc none`) contribute nothing; a commit with
-    * row-level deletes either fails the stream (default — the Delta
-    * posture: a consumer that assumed append-only must find out) or
-    * is skipped with `ignoreDeletes`; a remove-bearing commit with NO
-    * cdc info can never stream. */
-  private[sources] def appendFeed(t: Table, from: Long, to: Long,
-                                  ignoreDeletes: Boolean): Seq[String] = {
+    * row-level deletes fails the stream by default (the Delta
+    * posture: a consumer that assumed append-only must find out).
+    * The two opt-outs mirror Delta's split exactly:
+    * `ignoreDeletes` skips PURE delete commits — whole commits whose
+    * only row-level changes are deletes — and still fails on a
+    * rewrite that also carries new images (a MERGE/REPLACE), because
+    * emitting those inserts would double-count every updated row in
+    * an append-only downstream. `ignoreChanges` (subsumes
+    * ignoreDeletes) accepts such rewrites and RE-EMITS their new
+    * images; the downstream must tolerate re-delivered rows. A
+    * remove-bearing commit with NO cdc info can never stream. */
+  private[graft] def appendFeed(t: Table, from: Long, to: Long,
+                                  ignoreDeletes: Boolean,
+                                  ignoreChanges: Boolean = false): Seq[String] = {
     val range = versionFiles(t)
       .filter(p => versionOf(p) > from && versionOf(p) <= to)
     range.headOption.foreach(h => require(versionOf(h) == from + 1,
@@ -868,13 +898,22 @@ object TxnLog {
         a.adds ++ a.cdcFiles.collect { case (rel, "insert") => rel }
       else if (a.cdcNone) Nil
       else if (a.cdcFiles.nonEmpty) {
-        if (a.cdcFiles.exists(_._2 == "delete") && !ignoreDeletes)
-          throw new IllegalStateException(
-            s"commit ${vf.getFileName} contains row-level deletes; the " +
-              "txnlog stream replays the APPEND feed — set " +
-              "ignoreDeletes=true to skip delete commits, or rebuild " +
-              "the downstream from a fresh full snapshot")
-        a.cdcFiles.collect { case (rel, "insert") => rel }
+        val inserts = a.cdcFiles.collect { case (rel, "insert") => rel }
+        val hasDeletes = a.cdcFiles.exists(_._2 == "delete")
+        if (!hasDeletes || ignoreChanges) inserts
+        else if (ignoreDeletes && inserts.isEmpty) Nil // pure delete: skip
+        else if (ignoreDeletes) throw new IllegalStateException(
+          s"commit ${vf.getFileName} rewrites rows (deletes AND new " +
+            "images); ignoreDeletes skips only pure-delete commits — " +
+            "set ignoreChanges=true to re-emit the new images (the " +
+            "downstream must tolerate re-delivered rows), or rebuild " +
+            "it from a fresh full snapshot")
+        else throw new IllegalStateException(
+          s"commit ${vf.getFileName} contains row-level deletes; the " +
+            "txnlog stream replays the APPEND feed — set " +
+            "ignoreDeletes=true to skip pure-delete commits, " +
+            "ignoreChanges=true to also re-emit rewrites' new images, " +
+            "or rebuild the downstream from a fresh full snapshot")
       } else throw new IllegalStateException(
         s"commit ${vf.getFileName} rewrites files without cdc info; " +
           "the stream cannot resolve it from the log")

@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.StructType
   * recorded cdc insert files), resolved from the log the same way
   * [[TxnLog.changes]]'s fast path is. Compactions are invisible
   * (`cdc none`); row-level delete commits FAIL the stream by default
-  * — a downstream that assumed append-only must find out — or are
-  * skipped with `ignoreDeletes=true`, both Delta's semantics.
+  * — a downstream that assumed append-only must find out. Delta's
+  * two opt-outs apply: `ignoreDeletes=true` skips PURE delete
+  * commits only; `ignoreChanges=true` also accepts update rewrites
+  * (MERGE/REPLACE) by re-emitting their new images — the downstream
+  * must tolerate re-delivered rows.
   *
   * 100 TB posture: per micro-batch the source lists only the version
   * files past the last offset (checkpoint-bounded, O(1) for a live
@@ -144,7 +147,8 @@ class TxnLogStreamProvider extends StreamSourceProvider
     new TxnLogSource(sqlContext, tableOf(parameters),
       schemaOf(sqlContext, schema, parameters),
       parameters.get("ignoreDeletes").exists(_.toBoolean),
-      parameters.get("maxVersionsPerBatch").map(_.toLong))
+      parameters.get("maxVersionsPerBatch").map(_.toLong),
+      parameters.get("ignoreChanges").exists(_.toBoolean))
 }
 
 /** See [[TxnLogStreamProvider]]. `maxVersionsPerBatch` is the
@@ -155,7 +159,8 @@ class TxnLogStreamProvider extends StreamSourceProvider
   * that keeps executor memory and commit sizes flat at 100 TB. */
 class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
     override val schema: StructType, ignoreDeletes: Boolean,
-    maxVersionsPerBatch: Option[Long] = None)
+    maxVersionsPerBatch: Option[Long] = None,
+    ignoreChanges: Boolean = false)
     extends Source {
 
   maxVersionsPerBatch.foreach(n =>
@@ -210,7 +215,8 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
         // initial backlog: the full snapshot at the first offset
         TxnLog.read(ctx.sparkSession, t, Some(endV))
       case Some(s0) =>
-        val files = TxnLog.appendFeed(t, versionOf(s0), endV, ignoreDeletes)
+        val files = TxnLog.appendFeed(t, versionOf(s0), endV,
+          ignoreDeletes, ignoreChanges)
         TxnLog.readFiles(ctx.sparkSession, t, files, Some(schema.json))
     }
     StreamShim.asStreamingBatch(batch)

@@ -871,6 +871,116 @@ class TxnLogSpec extends AnyFunSuite {
     assert((1L to 3L).contains(cur), s"cursor regressed to $cur")
   }
 
+  test("txnlog: delete with a NULL-evaluating predicate keeps those rows (SQL condition-is-true contract)") {
+    import spark.implicits._
+    val t = freshTable()
+    // v is nullable: the predicate v > 10 is NULL on the null rows
+    val rows = Seq((1L, Some(5L)), (2L, Some(15L)), (3L, None),
+      (4L, Some(20L)), (5L, None))
+    TxnLog.append(spark, t, rows.toDF("id", "v").coalesce(1))
+    val before = TxnLog.latestVersion(t)
+    val vDel = TxnLog.delete(spark, t, col("v") > 10L)
+    // null-predicate rows SURVIVE (they are not "condition is true")
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 3L, 5L))
+    // and the change feed carries exactly the true-predicate rows
+    val (_, del) = TxnLog.changes(spark, t, before, vDel)
+    assert(del.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
+  }
+
+  test("txnlog: racing first writers with different columns both register their schema") {
+    import spark.implicits._
+    // empty table, two concurrent FIRST appends with different extra
+    // columns: the exact-slot schema protocol makes the loser re-merge
+    // against the winner, so neither column is ever dropped
+    (0 until 3).foreach { _ =>
+      val t = freshTable()
+      val dfA = Seq((1L, "x")).toDF("id", "a")
+      val dfB = Seq((2L, 9L)).toDF("id", "b")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxnLog.append(spark, t, dfA)
+        })
+        val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxnLog.append(spark, t, dfB)
+        })
+        fa.get(); fb.get()
+      } finally pool.shutdown()
+      val reg = TxnLog.registeredSchema(t).get.fieldNames.toSet
+      assert(reg === Set("id", "a", "b"),
+        s"schema race dropped a column: registered $reg")
+      // the registered schema null-fills each file's missing column
+      val got = TxnLog.read(spark, t).collect()
+      assert(got.length === 2)
+    }
+  }
+
+  test("txnlog: zorder prunes for keys past 16 bits and refuses out-of-range keys") {
+    import spark.implicits._
+    val t = freshTable()
+    // keys around 1e6 — aliasing in a 16-bit interleave would smear
+    // the curve; 31 bits keep it exact
+    val base = 1000000L
+    val rows = (0L until 4096L).map(i =>
+      (i, base + i % 64L * 1000L, base + (i / 64L) % 64L * 1000L))
+    TxnLog.appendWithStats(spark, t,
+      rows.toDF("id", "a", "b").repartition(4), Seq("a", "b"))
+    TxnLog.compactZorder(spark, t, "a", "b", targetFiles = 16)
+    val box = Seq(("a", base + 10000L, base + 20000L),
+      ("b", base + 10000L, base + 20000L))
+    val (kept, total) = TxnLog.plannedFilesBox(t, box)
+    assert(total === 16 && kept <= total / 2,
+      s"weak z pruning at large keys: $kept of $total")
+    // pruned read ≡ full read under the same predicate
+    val probe = TxnLog.readPrunedBox(spark, t, box)
+      .filter($"a".between(box(0)._2, box(0)._3) &&
+        $"b".between(box(1)._2, box(1)._3))
+      .collect().map(_.getLong(0)).sorted
+    val full = TxnLog.read(spark, t)
+      .filter($"a".between(box(0)._2, box(0)._3) &&
+        $"b".between(box(1)._2, box(1)._3))
+      .collect().map(_.getLong(0)).sorted
+    assert(probe.toSeq === full.toSeq && probe.nonEmpty)
+    // a key column the manifest shows out of [0, 2^31) refuses loudly
+    val bad = freshTable()
+    TxnLog.appendWithStats(spark, bad,
+      Seq((1L, -5L, 2L)).toDF("id", "a", "b").coalesce(1), Seq("a", "b"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.compactZorder(spark, bad, "a", "b")
+    }
+    assert(e.getMessage.contains("alias on the z curve"))
+  }
+
+  test("txnlog: ignoreDeletes skips only pure-delete commits; ignoreChanges re-emits rewrite images") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1))                                            // v0
+    TxnLog.delete(spark, t, col("id") === 1L)                  // v1 pure delete
+    TxnLog.merge(spark, t, Seq((2L, "B"), (3L, "c")).toDF("id", "s")
+      .coalesce(1), "id")                                      // v2 rewrite
+    val to = TxnLog.latestVersion(t)
+    // default: the delete commit fails the append feed
+    intercept[IllegalStateException] {
+      TxnLog.appendFeed(t, 0L, to, ignoreDeletes = false)
+    }
+    // ignoreDeletes alone: the pure delete is skipped, but the MERGE
+    // (deletes AND new images) still fails — emitting its inserts
+    // would double-count row 2 downstream
+    val e = intercept[IllegalStateException] {
+      TxnLog.appendFeed(t, 0L, to, ignoreDeletes = true)
+    }
+    assert(e.getMessage.contains("ignoreChanges"))
+    // ignoreChanges: the merge's new images are re-emitted
+    val files = TxnLog.appendFeed(t, 0L, to, ignoreDeletes = true,
+      ignoreChanges = true)
+    val rows = TxnLog.readFiles(spark, t, files,
+      TxnLog.snapshot(t).schemaJson).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq === Seq((2L, "B"), (3L, "c")))
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
