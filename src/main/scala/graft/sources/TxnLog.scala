@@ -687,6 +687,33 @@ object TxnLog {
     } finally seal(t, stage)
   }
 
+  /** The manifest box a DML predicate implies: its top-level AND
+    * conjuncts of the shape `col <op> <integral literal>` become
+    * min/max ranges (`pruneBox` keeps stats-less files, so an
+    * untracked column simply never prunes). Everything else — OR
+    * branches, arithmetic, functions — contributes no range, which
+    * degrades to the full locating scan, never to a wrong answer. */
+  private def dmlBox(pred: Column): Seq[(String, Long, Long)] =
+    org.apache.spark.sql.graftshim.Shim.comparisonConjuncts(pred).flatMap {
+      case (c, "=", v)  => Some((c, v, v))
+      case (c, "<=", v) => Some((c, Long.MinValue, v))
+      case (c, ">=", v) => Some((c, v, Long.MaxValue))
+      case (c, "<", v) if v != Long.MinValue =>
+        Some((c, Long.MinValue, v - 1))
+      case (c, ">", v) if v != Long.MaxValue =>
+        Some((c, v + 1, Long.MaxValue))
+      case _ => None
+    }
+
+  /** (candidate files the DML locating scan would open, files live)
+    * for `predicate` — the stats-pruned DML audit, data-free. */
+  def plannedFilesDml(t: Table, predicate: Column): (Int, Int) = {
+    val snap = snapshot(t)
+    val box = dmlBox(predicate)
+    val cand = if (box.isEmpty) snap.liveFiles else pruneBox(snap, box)
+    (cand.length, snap.liveFiles.length)
+  }
+
   /** Map input_file_name URIs back to the snapshot's relative live
     * paths — the rewrite ops' touched-file resolution. */
   private def relsOf(t: Table, snap: Snapshot,
@@ -719,8 +746,18 @@ object TxnLog {
     val cond = coalesce(predicate, lit(false))
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    // manifest pruning BEFORE the locating scan: a selective delete on
+    // a stats-tracked column opens only the sliver whose (min, max)
+    // intersects the predicate's ranges — at 100 TB the difference
+    // between touching a few files and scanning the table once per
+    // delete. Untranslatable predicates fall back to the full scan.
+    val candidates = {
+      val box = dmlBox(predicate)
+      if (box.isEmpty) snap.liveFiles else pruneBox(snap, box)
+    }
+    if (candidates.isEmpty) return snap.version
     val affectedRel = relsOf(t, snap,
-      readFiles(s, t, snap.liveFiles, snap.schemaJson)
+      readFiles(s, t, candidates, snap.schemaJson)
         .withColumn("_f", input_file_name())
         .filter(cond)
         .select(col("_f")).distinct()
@@ -759,12 +796,26 @@ object TxnLog {
     * of the touched sliver. Returns the committed version. */
   def merge(s: SparkSession, t: Table, source: DataFrame,
             keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val keys = source.select(col(keyCol)).distinct()
-    val affectedRel = relsOf(t, snap,
-      readFiles(s, t, snap.liveFiles, snap.schemaJson)
+    // manifest pruning BEFORE the locating join: when the key column
+    // is stats-tracked, one source-scale min/max aggregate bounds the
+    // key range and only files whose (min, max) intersect it are
+    // opened to find matches — the CDC-sync posture at 100 TB (the
+    // source is sync-sized; the table is not).
+    val candidates =
+      if (!snap.fileStats.values.exists(_.contains(keyCol))) snap.liveFiles
+      else keys.agg(min(col(keyCol)), max(col(keyCol))).head() match {
+        case r if r.isNullAt(0) => Nil // empty source: nothing matches
+        case r => (r.get(0), r.get(1)) match {
+          case (lo: Long, hi: Long) => pruneBox(snap, Seq((keyCol, lo, hi)))
+          case _ => snap.liveFiles // non-long key: cannot prune
+        }
+      }
+    val affectedRel = if (candidates.isEmpty) Nil else relsOf(t, snap,
+      readFiles(s, t, candidates, snap.schemaJson)
         .withColumn("_f", input_file_name())
         .join(keys, Seq(keyCol), "left_semi")
         .select(col("_f")).distinct()

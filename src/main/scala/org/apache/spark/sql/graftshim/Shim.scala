@@ -25,4 +25,51 @@ object Shim {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
+
+  /** Flatten an UNRESOLVED predicate Column into its top-level AND
+    * conjuncts of the shape `<column> <op> <integral literal>`, as
+    * (columnName, op, value) with op ∈ {=, <, <=, >, >=} and reversed
+    * comparisons normalized (`5 <= a` → (a, >=, 5)). Anything else —
+    * OR branches, arithmetic, functions, non-integral literals,
+    * qualified names — contributes NO conjunct (the caller must treat
+    * that as "cannot constrain", never as "false"). This is the
+    * manifest-pruning front end for DML: the commit log's min/max
+    * stats understand exactly these shapes. Walks the public
+    * ColumnNode tree (Columns no longer carry catalyst Expressions
+    * in the Connect-era API). */
+  def comparisonConjuncts(c: Column): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.internal.{ColumnNode,
+      Literal => NodeLiteral, UnresolvedAttribute => NodeAttr,
+      UnresolvedFunction => NodeFn}
+    val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=",
+      "=" -> "=")
+    def longOf(n: ColumnNode): Option[Long] = n match {
+      case l: NodeLiteral => l.value match {
+        case v: Int   => Some(v.toLong)
+        case v: Long  => Some(v)
+        case v: Short => Some(v.toLong)
+        case v: Byte  => Some(v.toLong)
+        case _        => None
+      }
+      case _ => None
+    }
+    def attrOf(n: ColumnNode): Option[String] = n match {
+      case a: NodeAttr if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    def walk(n: ColumnNode): Seq[(String, String, Long)] = n match {
+      case f: NodeFn if f.functionName == "and" && f.arguments.length == 2 =>
+        walk(f.arguments(0)) ++ walk(f.arguments(1))
+      case f: NodeFn if flip.contains(f.functionName) &&
+          f.arguments.length == 2 =>
+        val Seq(l, r) = f.arguments
+        (attrOf(l), longOf(r), attrOf(r), longOf(l)) match {
+          case (Some(a), Some(v), _, _) => Seq((a, f.functionName, v))
+          case (_, _, Some(a), Some(v)) => Seq((a, flip(f.functionName), v))
+          case _                        => Nil
+        }
+      case _ => Nil
+    }
+    walk(c.node)
+  }
 }

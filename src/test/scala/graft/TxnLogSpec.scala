@@ -981,6 +981,45 @@ class TxnLogSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((2L, "B"), (3L, "c")))
   }
 
+  test("txnlog: DML locates its files through manifest stats — selective delete/merge opens a strict subset") {
+    import spark.implicits._
+    val t = freshTable()
+    // 8 contiguous key ranges, one stats-bearing file each
+    (0 until 8).foreach { i =>
+      val rows = (i * 100 until (i + 1) * 100).map(k =>
+        (k.toLong, s"s$k"))
+      TxnLog.appendWithStats(spark, t, rows.toDF("k", "s").coalesce(1),
+        Seq("k"))
+    }
+    // a range predicate on the tracked column prunes to ONE candidate
+    val (cand, live) = TxnLog.plannedFilesDml(t, col("k").between(250L, 260L))
+    assert(live === 8 && cand === 1, s"planned $cand of $live")
+    // equality prunes too; conjuncts with an untranslatable arm still
+    // prune on the translatable one
+    assert(TxnLog.plannedFilesDml(t, col("k") === 425L)._1 === 1)
+    assert(TxnLog.plannedFilesDml(t,
+      col("k") >= 700L && col("s") =!= "x")._1 === 1)
+    // untracked column / non-range predicate: full-scan fallback
+    assert(TxnLog.plannedFilesDml(t, col("s") === "s10")._1 === 8)
+    assert(TxnLog.plannedFilesDml(t, col("k") % 7L === 0L)._1 === 8)
+    // the pruned delete removes exactly the predicate's rows and the
+    // commit rewrote exactly the one candidate file
+    val vDel = TxnLog.delete(spark, t, col("k").between(250L, 260L))
+    assert(TxnLog.read(spark, t).count() === 800L - 11L)
+    val (_, _, _, delRemoves, _) = TxnLog.history(t)
+      .find(_._1 == vDel).get
+    assert(delRemoves === 1L, s"delete rewrote $delRemoves files")
+    // merge with source keys confined to one range: one file rewritten
+    val src = Seq((310L, "u310"), (320L, "u320")).toDF("k", "s")
+      .coalesce(1)
+    val vM = TxnLog.merge(spark, t, src, "k")
+    val (_, _, _, mrgRemoves, _) = TxnLog.history(t).find(_._1 == vM).get
+    assert(mrgRemoves === 1L, s"merge rewrote $mrgRemoves files")
+    assert(TxnLog.read(spark, t).filter(col("k") === 310L)
+      .head().getString(1) === "u310")
+    assert(TxnLog.read(spark, t).count() === 800L - 11L)
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
