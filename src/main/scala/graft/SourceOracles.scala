@@ -239,6 +239,55 @@ object SourceOracles {
         |FROM latest GROUP BY 1
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    "src_txnlog_merge_into" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |upd AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus, t.p + s.p AS p
+        |  FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.p > 150000),
+        |gone AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus, t.p
+        |  FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.p <= 50000),
+        |ins AS (
+        |  SELECT o_orderkey, o_orderstatus, p FROM src
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 2 = 0),
+        |latest AS (
+        |  SELECT * FROM tgt
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM gone)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |oldimg AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus, t.p
+        |  FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.p > 150000 OR s.p <= 50000),
+        |newimg AS (
+        |  SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, 'deleted' AS side
+        |FROM oldimg GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, 'inserted' AS side
+        |FROM newimg GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM latest GROUP BY 1
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

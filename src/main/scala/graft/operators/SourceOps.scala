@@ -919,6 +919,54 @@ object SourceOps {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** Conditional MERGE through the transaction log — the WHEN-clause
+    * form a tombstoned CDC feed needs, all three clause kinds in ONE
+    * commit: orders (minus the %5==0 keys) lands in two appends, then
+    * a source of every %3==0 key merges with
+    * WHEN MATCHED AND s.price > 150k THEN UPDATE SET price = t+s
+    * (column-level — the other columns keep their values),
+    * WHEN MATCHED AND s.price <= 50k THEN DELETE, and
+    * WHEN NOT MATCHED AND even-key THEN INSERT; matched rows in the
+    * 50k..150k band hit NO clause and stay untouched — crucially they
+    * appear in NEITHER side of the change feed. The result unions the
+    * post-merge profile with both CDF sides, so the oracle equality
+    * pins first-match clause routing, the untouched band, column-level
+    * assignment, and the (delete old images, insert new images) feed
+    * in one hash. TxnLogSpec pins the ambiguous-source refusal and
+    * the degenerate forms. */
+  def txnlogMergeInto(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txnmic-").resolve("tbl"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.filter(col("o_orderkey") % 5 =!= 0)
+    (0 until 2).foreach { p =>
+      graft.sources.TxnLog.append(s, t,
+        base.filter(col("o_orderkey") % 2 === p))
+    }
+    val src = o.filter(col("o_orderkey") % 3 === 0)
+    val preV = graft.sources.TxnLog.latestVersion(t)
+    val vM = graft.sources.TxnLog.mergeInto(s, t, src, "o_orderkey", Seq(
+      graft.sources.TxnLog.MergeClause.Update(
+        Some(col("s.o_totalprice") > 150000.0),
+        Map("o_totalprice" ->
+          (col("t.o_totalprice") + col("s.o_totalprice")))),
+      graft.sources.TxnLog.MergeClause.Delete(
+        Some(col("s.o_totalprice") <= 50000.0)),
+      graft.sources.TxnLog.MergeClause.Insert(
+        Some(col("s.o_orderkey") % 2 === 0))))
+    val (ins, del) = graft.sources.TxnLog.changes(s, t, preV, vM)
+    def prof(df: DataFrame): DataFrame = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+    prof(graft.sources.TxnLog.read(s, t)).withColumn("side", lit("latest"))
+      .unionByName(prof(del).withColumn("side", lit("deleted")))
+      .unionByName(prof(ins).withColumn("side", lit("inserted")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** DESCRIBE HISTORY over the transaction log — the audit surface a
     * lakehouse table exposes: one row per commit with the operation
     * inferred from the commit's action shape (append / streaming

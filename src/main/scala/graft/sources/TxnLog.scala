@@ -555,7 +555,10 @@ object TxnLog {
   }
 
   private def stagedFiles(t: Table, stage: Path): Seq[String] =
-    listing(Files.list(stage))
+    // a reserved stage nothing wrote to (e.g. a merge with no insert
+    // clause) contributes no files
+    if (!Files.isDirectory(stage)) Nil
+    else listing(Files.list(stage))
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => t.root.relativize(p).toString).sorted
 
@@ -845,6 +848,172 @@ object TxnLog {
       commit(t, snap.version, adds = Nil, removes = affectedRel,
         extra = schemaLine ++ adds ++ cdcLines)
     } finally seal(t, survivorStage, sourceStage, cdcStage)
+  }
+
+  /** One WHEN clause of [[mergeInto]]. Conditions and SET expressions
+    * reference the target as `t.<col>` and the source as `s.<col>`
+    * (the aliases are overridable for the SQL front end). */
+  sealed trait MergeClause
+  object MergeClause {
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ... —
+      * column-level: unlisted target columns keep their values. */
+    final case class Update(cond: Option[Column],
+        set: Map[String, Column]) extends MergeClause
+    /** WHEN MATCHED [AND cond] THEN DELETE. */
+    final case class Delete(cond: Option[Column]) extends MergeClause
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT (the whole source
+      * row). */
+    final case class Insert(cond: Option[Column]) extends MergeClause
+  }
+
+  /** Conditional MERGE — the full WHEN-clause form a tombstoned CDC
+    * feed needs ([[merge]] is the whole-row replace-or-insert special
+    * case): for every target row with a source match, the FIRST
+    * matched clause whose condition holds applies (UPDATE SET with
+    * column-level assignments, or DELETE); a matched row no clause
+    * accepts stays untouched — it is rewritten byte-identical and
+    * does NOT enter the change feed. Source rows matching nothing
+    * insert when some not-matched clause accepts them, else drop.
+    *
+    * A source with more than one row per key is REFUSED loudly (one
+    * source-scale aggregate): two source rows hitting the same target
+    * row would make the result depend on join order — the silent
+    * contract [[merge] documents becomes a checked one here.
+    *
+    * Plan shape at 100 TB: the same stats-pruned locate as [[merge]]
+    * (source key range → manifest box → candidate files → one semi
+    * join), then ONE left-outer join of the touched sliver against
+    * the sync-sized source evaluates every clause; old images of
+    * updated+deleted rows become `cdc delete` change files and
+    * updated new images + accepted inserts stage as data files the
+    * commit also references as `cdc insert` — the exact
+    * (delete old, insert new) event feed [[changes]] resolves from
+    * the log. Returns the committed version. */
+  def mergeInto(s: SparkSession, t: Table, source: DataFrame,
+      keyCol: String, clauses: Seq[MergeClause],
+      targetAlias: String = "t", sourceAlias: String = "s"): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name,
+      lit, max, min, when}
+    require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
+    val matched = clauses.collect {
+      case u: MergeClause.Update => u
+      case d: MergeClause.Delete => d
+    }
+    val inserts = clauses.collect { case i: MergeClause.Insert => i }
+    val (ta, sa) = (targetAlias, sourceAlias)
+
+    // loud ambiguity refusal: one aggregate over the sync-sized source
+    val worst = source.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n"))).head()
+    require(worst.isNullAt(0) || worst.getLong(0) <= 1L,
+      s"merge source has up to ${worst.getLong(0)} rows per '$keyCol': " +
+        "a multi-row-per-key source makes the merge order-dependent — " +
+        "dedup the source (e.g. keep the newest row per key) first")
+
+    val snap = snapshot(t)
+    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val keys = source.select(col(keyCol)).distinct()
+    val candidates =
+      if (!snap.fileStats.values.exists(_.contains(keyCol))) snap.liveFiles
+      else keys.agg(min(col(keyCol)), max(col(keyCol))).head() match {
+        case r if r.isNullAt(0) => Nil
+        case r => (r.get(0), r.get(1)) match {
+          case (lo: Long, hi: Long) => pruneBox(snap, Seq((keyCol, lo, hi)))
+          case _ => snap.liveFiles
+        }
+      }
+    val affectedRel = if (candidates.isEmpty) Nil else relsOf(t, snap,
+      readFiles(s, t, candidates, snap.schemaJson)
+        .withColumn("_f", input_file_name())
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(col("_f")).distinct()
+        .collect() // file-count scale: one row per affected file
+        .map(_.getString(0)).toSeq)
+
+    def insertable(unmatched: DataFrame): Option[DataFrame] =
+      if (inserts.isEmpty) None
+      else Some(unmatched.filter(
+        inserts.map(_.cond.getOrElse(lit(true))).reduce(_ || _)))
+
+    if (affectedRel.isEmpty) {
+      // nothing matched: the merge degrades to the insert clauses
+      return insertable(source.alias(sa)) match {
+        case Some(rows) => appendLines(s, t, rows, extraLines = Nil,
+          statsCols = statsCols)
+        case None => snap.version
+      }
+    }
+
+    val affected = readFiles(s, t, affectedRel, snap.schemaJson)
+    val tCols = affected.columns.toSeq
+    val badSets = matched.collect { case u: MergeClause.Update =>
+      u.set.keySet.diff(tCols.toSet) }.flatten
+    require(badSets.isEmpty,
+      s"UPDATE SET targets unknown column(s): ${badSets.mkString(", ")}")
+
+    val joined = affected.alias(ta).join(source.alias(sa),
+      col(s"$ta.$keyCol") === col(s"$sa.$keyCol"), "left_outer")
+    // first-match clause index: -1 unmatched target row, 0 matched but
+    // no clause accepts, i >= 1 the i-th matched clause applies
+    val idx = when(col(s"$sa.$keyCol").isNull, lit(-1)).otherwise(
+      matched.zipWithIndex.foldRight(lit(0): Column) {
+        case ((cl, i), acc) =>
+          val cond = (cl match {
+            case u: MergeClause.Update => u.cond
+            case d: MergeClause.Delete => d.cond
+          }).getOrElse(lit(true))
+          when(cond, lit(i + 1)).otherwise(acc)
+      })
+    val withIdx = joined.withColumn("_clause", idx)
+    val updateIdx = matched.zipWithIndex.collect {
+      case (_: MergeClause.Update, i) => i + 1 }
+    val tSel = tCols.map(c => col(s"$ta.$c").as(c))
+    // rows the merge leaves alone: no source match, or no clause fired
+    val survivors = withIdx.filter(col("_clause") <= 0).select(tSel: _*)
+    // old images of every row an update/delete clause touched
+    val oldImages = withIdx.filter(col("_clause") > 0).select(tSel: _*)
+    // new images: target row with the applying clause's SET columns
+    // overridden (cast back to the column's type — parquet schema
+    // stability over arbitrary SET expressions)
+    val updatedNew =
+      if (updateIdx.isEmpty) None
+      else Some(withIdx.filter(col("_clause").isInCollection(updateIdx))
+        .select(tCols.map { c =>
+          matched.zipWithIndex.foldRight(col(s"$ta.$c")) {
+            case ((u: MergeClause.Update, i), acc) if u.set.contains(c) =>
+              when(col("_clause") === (i + 1),
+                u.set(c).cast(affected.schema(c).dataType)).otherwise(acc)
+            case (_, acc) => acc
+          }.as(c)
+        }: _*))
+    val affKeys = affected.select(col(keyCol).as("_tk"))
+    val inserted = insertable(source.alias(sa)
+      .join(affKeys, col(s"$sa.$keyCol") === col("_tk"), "left_anti"))
+
+    val survivorStage = newStage(t, t.dataDir)
+    val updatedStage = newStage(t, t.dataDir)
+    val insertStage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
+    try {
+      survivors.write.parquet(survivorStage.toString)
+      oldImages.write.parquet(cdcStage.toString)
+      updatedNew.foreach(_.write.parquet(updatedStage.toString))
+      inserted.foreach(_.write.parquet(insertStage.toString))
+      val (schema, changed) = inserted match {
+        case Some(_) => mergedSchema(registeredSchema(t), source.schema)
+        case None    => (affected.schema, false)
+      }
+      val adds = addLinesFor(s, t, survivorStage, statsCols) ++
+        addLinesFor(s, t, updatedStage, statsCols) ++
+        addLinesFor(s, t, insertStage, statsCols)
+      val cdcLines =
+        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
+        (stagedFiles(t, updatedStage) ++ stagedFiles(t, insertStage))
+          .map(r => s"cdc\t$r\tinsert")
+      val schemaLine = if (changed) Seq(s"schema\t${schema.json}") else Nil
+      commit(t, snap.version, adds = Nil, removes = affectedRel,
+        extra = schemaLine ++ adds ++ cdcLines)
+    } finally seal(t, survivorStage, updatedStage, insertStage, cdcStage)
   }
 
   // ---------------------------------------------------------------

@@ -1020,6 +1020,69 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, t).count() === 800L - 11L)
   }
 
+  test("txnlog: mergeInto routes rows through first-matching WHEN clauses, CDF pinned, ambiguity refused") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+        .toDF("k", "v", "s").coalesce(1))
+    val src = Seq(
+      (1L, 100L, "A"), // matched, s.v >= 50      -> UPDATE v := t.v+s.v
+      (2L, 5L, "B"),   // matched, s.v < 10       -> DELETE
+      (3L, 20L, "C"),  // matched, NO clause fires -> untouched, no CDF
+      (5L, 51L, "E"),  // unmatched, k odd         -> INSERT
+      (6L, 60L, "F"))  // unmatched, k even        -> dropped
+      .toDF("k", "v", "s").coalesce(1)
+    val before = TxnLog.latestVersion(t)
+    val v = TxnLog.mergeInto(spark, t, src, "k", Seq(
+      TxnLog.MergeClause.Update(Some(col("s.v") >= 50L),
+        Map("v" -> (col("t.v") + col("s.v")))),
+      TxnLog.MergeClause.Delete(Some(col("s.v") < 10L)),
+      TxnLog.MergeClause.Insert(Some(col("s.k") % 2 === 1))))
+    val got = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got === Seq((1L, 110L, "a"), (3L, 30L, "c"), (4L, 40L, "d"),
+      (5L, 51L, "E")))
+    // change feed: old images of updated+deleted; new images of
+    // updated+inserted; the untouched matched row (k=3) in NEITHER
+    val (ins, del) = TxnLog.changes(spark, t, before, v)
+    assert(del.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq === Seq((1L, 10L), (2L, 20L)))
+    assert(ins.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq === Seq((1L, 110L), (5L, 51L)))
+    // two source rows on one key: refused loudly, nothing committed
+    val dup = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k", "v", "s")
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.mergeInto(spark, t, dup, "k",
+        Seq(TxnLog.MergeClause.Delete(None)))
+    }
+    assert(e.getMessage.contains("dedup the source"))
+    assert(TxnLog.latestVersion(t) === v)
+  }
+
+  test("txnlog: mergeInto insert-only and delete-only degenerate forms") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1))
+    // source matches nothing: pure conditional insert (one append)
+    val v1 = TxnLog.mergeInto(spark, t,
+      Seq((7L, 70L), (8L, 80L)).toDF("k", "v").coalesce(1), "k",
+      Seq(TxnLog.MergeClause.Insert(Some(col("s.v") > 75L))))
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 8L))
+    // matched delete-only: a pure tombstone feed
+    val v2 = TxnLog.mergeInto(spark, t,
+      Seq((2L, 0L), (8L, 0L)).toDF("k", "v").coalesce(1), "k",
+      Seq(TxnLog.MergeClause.Delete(None)))
+    assert(v2 > v1)
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L))
+    // the delete-only commit streams as a rewrite: pure append feed
+    // consumers with ignoreDeletes skip it (no insert images ride)
+    assert(TxnLog.appendFeed(t, v1, v2, ignoreDeletes = true) === Nil)
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
