@@ -49,12 +49,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Concurrency rules (optimistic): blind APPENDS retry into the next
   * slot — they conflict with nothing. Commits carrying REMOVES
-  * (compaction, deletes) validated their read set at snapshot time,
-  * so if any commit landed since, the rewrite is stale and aborts
-  * with ConcurrentModificationException rather than resurrecting or
-  * double-deleting rows. Schema-CHANGING appends serialize the same
-  * way (claim exactly latest+1, re-merge on loss) so two concurrent
-  * column additions can never overwrite each other's registration.
+  * validated their read set at snapshot time: row-CHANGING rewrites
+  * (delete, merge) abort with ConcurrentModificationException if
+  * anything landed since — rather than resurrecting or
+  * double-deleting rows — while logical no-op rewrites (compaction)
+  * reconcile at FILE granularity: intervening commits that left the
+  * compacted files untouched commute and the rewrite rebases into
+  * the next slot; intervening rewrites of those files still abort.
+  * Schema-CHANGING appends serialize the same way (claim exactly
+  * latest+1, re-merge on loss) so two concurrent column additions
+  * can never overwrite each other's registration.
   *
   * 100 TB posture: the log is metadata-scale (file lists, not data);
   * a snapshot read plans from the live-file manifest — no directory
@@ -244,11 +248,23 @@ object TxnLog {
   /** Atomically publish one version holding `adds`/`removes`.
     * `base` is the version the writer's read set was computed at
     * (latest at snapshot time; -1 for a fresh table). `extra` lines
-    * (cdc refs, txn markers) ride in the same atomic commit. Returns
-    * the committed version. */
+    * (cdc refs, txn markers) ride in the same atomic commit.
+    *
+    * `reconcileDisjoint` is the file-granularity conflict check a
+    * LOGICAL NO-OP rewrite (compaction) may opt into: on losing its
+    * slot it re-reads the intervening commits, and when NONE of them
+    * removed a file in this rewrite's read set (its `removes`), the
+    * rewrite rebases and retries into the next slot — a blind append
+    * and an OPTIMIZE commute, so steady ingest can no longer starve
+    * compaction. Any intervening commit that touched the read set
+    * (a delete, another compaction, a replace) still refuses. Row-
+    * changing rewrites (delete/merge) keep the strict refusal: their
+    * predicates read the whole table semantically, not just the
+    * files they rewrote. Returns the committed version. */
   def commit(t: Table, base: Long, adds: Seq[String],
              removes: Seq[String] = Nil,
-             extra: Seq[String] = Nil): Long = {
+             extra: Seq[String] = Nil,
+             reconcileDisjoint: Boolean = false): Long = {
     val body = (removes.map(r => s"remove\t$r") ++
       adds.map(a => s"add\t$a") ++ extra).mkString("", "\n", "\n")
     val tmp = t.logDir.resolve(s".tmp-${UUID.randomUUID()}")
@@ -257,8 +273,9 @@ object TxnLog {
       // A rewrite's read set is valid only if NOTHING landed after
       // `base`, so removes must claim exactly base+1 — EEXIST there IS
       // the conflict. Appends start from the freshest slot and walk up.
-      var v = if (removes.nonEmpty) base + 1
-              else math.max(latestVersion(t), base) + 1
+      var myBase = base
+      var v = if (removes.nonEmpty) myBase + 1
+              else math.max(latestVersion(t), myBase) + 1
       var committed = -1L
       while (committed < 0) {
         val target = t.logDir.resolve(f"$v%020d.log")
@@ -267,12 +284,29 @@ object TxnLog {
           committed = v
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            if (removes.nonEmpty)
-              throw new java.util.ConcurrentModificationException(
-                s"commit with removes based on stale snapshot v$base: " +
-                  s"version $v was taken concurrently; recompute the " +
-                  "rewrite against the current snapshot and retry")
-            v += 1 // blind append: nothing to invalidate, take next slot
+            if (removes.isEmpty)
+              v += 1 // blind append: nothing to invalidate, next slot
+            else {
+              def refuse(why: String): Nothing =
+                throw new java.util.ConcurrentModificationException(
+                  s"commit with removes based on stale snapshot " +
+                    s"v$myBase: $why; recompute the rewrite against " +
+                    "the current snapshot and retry")
+              if (!reconcileDisjoint)
+                refuse(s"version $v was taken concurrently")
+              val latest = latestVersion(t)
+              val touched = versionFiles(t)
+                .filter(p => versionOf(p) > myBase && versionOf(p) <= latest)
+                .flatMap(vf => Files.readAllLines(vf).asScala.collect {
+                  case l if l.startsWith("remove\t") => l.split('\t')(1)
+                }).toSet
+              val conflict = removes.filter(touched)
+              if (conflict.nonEmpty)
+                refuse(s"concurrent commits rewrote read-set file(s) " +
+                  conflict.take(3).mkString(", "))
+              myBase = latest // append-only interlopers: rebase, retry
+              v = latest + 1
+            }
         }
       }
       maybeCheckpoint(t, committed)
@@ -573,8 +607,11 @@ object TxnLog {
     * FROM THE LOG and never rescans the table, and the rewritten
     * files KEEP per-file (min, max) for every column the old manifest
     * had stats on — compaction no longer costs the skipping index.
-    * Fails (rather than losing a concurrent append's rows) if any
-    * commit lands between snapshot and publish. */
+    * Conflict handling is FILE-GRANULAR: blind appends landing
+    * between snapshot and publish commute (the rewrite rebases and
+    * retries — steady ingest cannot starve OPTIMIZE), while any
+    * concurrent commit that rewrote one of the compacted files still
+    * fails rather than resurrecting its rows. */
   def compact(s: SparkSession, t: Table, targetFiles: Int = 1): Long = {
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
@@ -584,7 +621,7 @@ object TxnLog {
         .coalesce(targetFiles).write.parquet(stage.toString)
       val adds = addLinesFor(s, t, stage, statsCols)
       commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
-        extra = adds :+ "cdc\tnone")
+        extra = adds :+ "cdc\tnone", reconcileDisjoint = true)
     } finally seal(t, stage)
   }
 
@@ -625,7 +662,7 @@ object TxnLog {
         .write.parquet(stage.toString)
       val adds = addLinesFor(s, t, stage, statsCols)
       commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
-        extra = adds :+ "cdc\tnone")
+        extra = adds :+ "cdc\tnone", reconcileDisjoint = true)
     } finally seal(t, stage)
   }
 

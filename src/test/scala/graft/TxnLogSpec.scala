@@ -1083,6 +1083,41 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.appendFeed(t, v1, v2, ignoreDeletes = true) === Nil)
   }
 
+  test("txnlog: a blind append landing during OPTIMIZE commutes; a conflicting rewrite still refuses") {
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxnLog.append(spark, t, oneRowDf(1))                      // v0 -> f1
+    TxnLog.append(spark, t, oneRowDf(2))                      // v1 -> f2
+    val snap = TxnLog.snapshot(t)
+    // replay OPTIMIZE's internals with an append interleaved between
+    // its snapshot and its publish (the race, made deterministic)
+    val stage = t.dataDir.resolve("compact-stage")
+    TxnLog.read(spark, t).coalesce(1).write.parquet(stage.toString)
+    val adds = Files.list(stage).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => s"add\t${t.root.relativize(p)}").toSeq
+    TxnLog.append(spark, t, oneRowDf(3))                      // v2 lands first
+    val v = TxnLog.commit(t, snap.version, adds = Nil,
+      removes = snap.liveFiles, extra = adds :+ "cdc\tnone",
+      reconcileDisjoint = true)
+    assert(v === 3L, s"compaction rebased to v$v")
+    // BOTH commits' rows survive — nothing lost, nothing doubled
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    assert(TxnLog.snapshot(t).liveFiles.length === 2) // compacted + appended
+    // now an interleaved commit REWRITES a read-set file: refuse
+    val snap2 = TxnLog.snapshot(t)
+    TxnLog.delete(spark, t, col("id") === 3L) // rewrites the appended file
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxnLog.commit(t, snap2.version, adds = Nil,
+        removes = snap2.liveFiles, extra = Seq("cdc\tnone"),
+        reconcileDisjoint = true)
+    }
+    assert(e.getMessage.contains("read-set file"))
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L))
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
