@@ -288,6 +288,26 @@ object SourceOracles {
         |FROM latest GROUP BY 1
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    "src_txnlog_partitioned" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  'dropped' AS side
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  'latest' AS side
+        |FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents,
+        |  'pruned' AS side
+        |FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+        |ORDER BY side, l_returnflag""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -1031,6 +1031,39 @@ object SourceOps {
       .orderBy(col("change"), col("l_returnflag"))
   }
 
+  /** Hive-partitioned tables THROUGH the transaction log — partition
+    * metadata in the add actions (`part=col=val`), so three ops are
+    * metadata-only at any table size: the partition-pruned read (only
+    * the partition's files are planned), the partition column itself
+    * (reconstituted as a typed literal, never stored in the files),
+    * and [[TxnLog.dropPartition]] — retention's drop-a-day as ONE
+    * remove-only commit whose cdc lines reference the dropped files
+    * zero-copy (no data file read or written; the API takes no
+    * SparkSession). lineitem lands partitioned by l_returnflag, the
+    * R partition drops, and the result unions the post-drop profile,
+    * the drop's own change feed (the R rows, partition column
+    * reconstituted), and a pruned single-partition read — pinning
+    * layout, drop, CDF, and prune in one hash. TxnLogSpec pins the
+    * commit shape (removes+cdc only) and the planned-file subset. */
+  def txnlogPartitioned(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.TxnLog.Table(
+      graft.sources.TempDirs.scratch("graft-txnpart-").resolve("tbl"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    graft.sources.TxnLog.appendPartitioned(s, t, li, Seq("l_returnflag"))
+    val before = graft.sources.TxnLog.latestVersion(t)
+    val vDrop = graft.sources.TxnLog.dropPartition(t,
+      Map("l_returnflag" -> "R"))
+    val (_, del) = graft.sources.TxnLog.changes(s, t, before, vDrop)
+    val pruned = graft.sources.TxnLog.readPartition(s, t,
+      Map("l_returnflag" -> "A"))
+    txnlogProfile(graft.sources.TxnLog.read(s, t))
+      .withColumn("side", lit("latest"))
+      .unionByName(txnlogProfile(del).withColumn("side", lit("dropped")))
+      .unionByName(txnlogProfile(pruned).withColumn("side", lit("pruned")))
+      .orderBy(col("side"), col("l_returnflag"))
+  }
+
   /** Manifest data skipping — the lakehouse file-pruning story on top
     * of the transaction log: orders lands in 8 append commits, each
     * one contiguous o_orderkey range staged as one sorted file with

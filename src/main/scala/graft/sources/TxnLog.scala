@@ -85,10 +85,15 @@ object TxnLog {
     * added without stats simply never prune: conservative, always
     * correct. `schemaJson`: the schema REGISTERED in the log at this
     * version (one `schema` action per schema-changing commit), which
-    * makes evolved reads footer-count-independent. */
+    * makes evolved reads footer-count-independent. `filePartitions`:
+    * per live file, the hive-style partition values recorded in its
+    * add action (`part=<col>=<val>` tokens) — the column is NOT in
+    * the data file; reads reconstitute it and partition ops (prune,
+    * drop) resolve from this map alone. */
   final case class Snapshot(version: Long, liveFiles: Seq[String],
       fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      filePartitions: Map[String, Map[String, String]] = Map.empty)
 
   /** A table rooted at `root` (created if absent). */
   final case class Table(root: Path) {
@@ -133,6 +138,7 @@ object TxnLog {
   private final class State {
     val live = new java.util.LinkedHashSet[String]()
     var stats = Map.empty[String, Map[String, (Long, Long)]]
+    var parts = Map.empty[String, Map[String, String]]
     var schemaJson: Option[String] = None
     var txns = Map.empty[String, Long]
   }
@@ -148,19 +154,30 @@ object TxnLog {
     line.split('\t') match {
       case Array("add", rel) => st.live.add(rel); ()
       case arr if arr.length > 2 && arr(0) == "add" =>
-        // stats-bearing add: trailing col:min:max triples
+        // decorated add: `part=<col>=<val>` partition tokens and/or
+        // col:min:max stats triples
         st.live.add(arr(1))
-        st.stats += arr(1) -> arr.drop(2).map { triple =>
-          triple.split(':') match {
-            case Array(c, lo, hi) =>
-              try c -> (lo.toLong, hi.toLong)
-              catch { case _: NumberFormatException => corrupt(src, line) }
-            case _ => corrupt(src, line)
-          }
-        }.toMap
+        val (pTok, sTok) = arr.drop(2).partition(_.startsWith("part="))
+        if (pTok.nonEmpty)
+          st.parts += arr(1) -> pTok.map { tok =>
+            tok.stripPrefix("part=").split("=", 2) match {
+              case Array(c, v) if c.nonEmpty => c -> v
+              case _                         => corrupt(src, line)
+            }
+          }.toMap
+        if (sTok.nonEmpty)
+          st.stats += arr(1) -> sTok.map { triple =>
+            triple.split(':') match {
+              case Array(c, lo, hi) =>
+                try c -> (lo.toLong, hi.toLong)
+                catch { case _: NumberFormatException => corrupt(src, line) }
+              case _ => corrupt(src, line)
+            }
+          }.toMap
       case Array("remove", rel) =>
         st.live.remove(rel)
         st.stats -= rel
+        st.parts -= rel
       case Array("schema", js) => st.schemaJson = Some(js)
       case Array("txn", a, b) =>
         val id = try b.toLong
@@ -209,7 +226,8 @@ object TxnLog {
     val (v, st) = replayState(t, asOf)
     val live = st.live.asScala.toSeq
     Snapshot(v, live, st.stats.view.filterKeys(st.live.contains).toMap,
-      st.schemaJson)
+      st.schemaJson,
+      st.parts.view.filterKeys(st.live.contains).toMap)
   }
 
   /** Write the `.ckpt` replay checkpoint for version `v` (best
@@ -221,13 +239,11 @@ object TxnLog {
     val lines =
       st.schemaJson.map(js => s"schema\t$js").toSeq ++
       st.live.asScala.toSeq.map { rel =>
-        st.stats.get(rel) match {
-          case Some(cols) =>
-            (s"add\t$rel" +: cols.toSeq.sortBy(_._1).map {
-              case (c, (lo, hi)) => s"$c:$lo:$hi"
-            }).mkString("\t")
-          case None => s"add\t$rel"
-        }
+        val pTok = st.parts.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+          .map { case (c, v) => s"part=$c=$v" }
+        val sTok = st.stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
+        (s"add\t$rel" +: (pTok ++ sTok)).mkString("\t")
       } ++
       st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"txn\t$a\t$b" }
     val tmp = t.logDir.resolve(s".tmp-ckpt-${UUID.randomUUID()}")
@@ -420,27 +436,128 @@ object TxnLog {
     val stage = newStage(t, t.dataDir)
     try {
       df.write.parquet(stage.toString)
-      val adds = addLinesFor(s, t, stage, statsCols)
-      var committed = -1L
-      while (committed < 0) {
-        val base = latestVersion(t)
-        val (schema, changed) = mergedSchema(registeredSchema(t), df.schema)
-        val schemaLine = changed || base < 0
-        val lines = (if (schemaLine)
-          Seq(s"schema\t${schema.json}") else Nil) ++ adds ++ extraLines
-        if (schemaLine) {
-          // EVERY schema-bearing commit must merge against the TRUE
-          // latest: claim exactly base+1, re-merge and retry on loss.
-          // This includes the base < 0 first write — a blind-append
-          // retry there would republish a stale schema over a racing
-          // first-writer's columns (last-schema-wins replay).
-          if (tryPublish(t, base + 1, lines)) committed = base + 1
-        } else {
-          committed = commit(t, base, adds = Nil, extra = lines)
-        }
-      }
-      committed
+      commitRegistering(t, df.schema,
+        addLinesFor(s, t, stage, statsCols) ++ extraLines)
     } finally seal(t, stage)
+  }
+
+  /** The append-commit protocol shared by flat and partitioned
+    * appends: publish `lines0` as one commit, registering the merged
+    * schema when it changed. EVERY schema-bearing commit must merge
+    * against the TRUE latest: claim exactly base+1, re-merge and
+    * retry on loss. This includes the base < 0 first write — a
+    * blind-append retry there would republish a stale schema over a
+    * racing first-writer's columns (last-schema-wins replay). */
+  private def commitRegistering(t: Table, incoming: StructType,
+                                lines0: Seq[String]): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(t)
+      val (schema, changed) = mergedSchema(registeredSchema(t), incoming)
+      val schemaLine = changed || base < 0
+      val lines = (if (schemaLine)
+        Seq(s"schema\t${schema.json}") else Nil) ++ lines0
+      if (schemaLine) {
+        if (tryPublish(t, base + 1, lines)) committed = base + 1
+      } else {
+        committed = commit(t, base, adds = Nil, extra = lines)
+      }
+    }
+    committed
+  }
+
+  /** Hive-style PARTITIONED append: `df` stages via
+    * `write.partitionBy(partCols)` — the partition columns live in
+    * the directory layout, not the files — and each add action
+    * records its file's partition values as `part=<col>=<val>`
+    * tokens. That makes three things metadata-only at any table
+    * size: partition-pruned reads ([[readPartition]] plans only the
+    * partition's files), [[dropPartition]] (one remove-only commit,
+    * zero data files read — retention's drop-a-day), and the
+    * partition column itself on read (reconstituted as a typed
+    * literal per scan group, never stored). Row-level rewrites
+    * (delete/merge) still work on such tables but restage their
+    * touched sliver OUT of the partition layout (the column
+    * re-materializes as data); keep partition-grain retention on
+    * partition-disciplined tables. */
+  def appendPartitioned(s: SparkSession, t: Table, df: DataFrame,
+                        partCols: Seq[String],
+                        statsCols: Seq[String] = Nil): Long = {
+    require(partCols.nonEmpty, "appendPartitioned needs partition columns")
+    val stage = newStage(t, t.dataDir)
+    try {
+      df.write.partitionBy(partCols: _*).parquet(stage.toString)
+      val stageRel = t.root.relativize(stage).toString
+      val adds = addLinesFor(s, t, stage, statsCols).map { line =>
+        val arr = line.split('\t')
+        val segs = arr(1).stripPrefix(stageRel + "/").split('/').dropRight(1)
+        val pTok = segs.map { seg =>
+          seg.split("=", 2) match {
+            case Array(c, v) if c.nonEmpty => s"part=$c=$v"
+            case _ => throw new IllegalStateException(
+              s"staged file ${arr(1)} is not under a <col>=<val> layout")
+          }
+        }
+        (arr.take(2) ++ pTok ++ arr.drop(2)).mkString("\t")
+      }
+      commitRegistering(t, df.schema, adds)
+    } finally seal(t, stage)
+  }
+
+  /** Does a file's recorded partition spec admit `spec`? Files with
+    * NO recorded value for a spec column may hold any value — kept
+    * (correct, never prunes). */
+  private def mayHold(p: Map[String, String],
+                      spec: Map[String, String]): Boolean =
+    spec.forall { case (c, v) => p.get(c).forall(_ == v) }
+
+  /** Partition-pruned read: plans ONLY the files whose recorded
+    * partition values admit `spec` (metadata-less files stay — they
+    * may hold anything) and filters residually, so the result is
+    * exactly the partition's rows regardless of file provenance. */
+  def readPartition(s: SparkSession, t: Table, spec: Map[String, String],
+                    asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(t, asOf)
+    val keep = snap.liveFiles.filter(rel =>
+      mayHold(snap.filePartitions.getOrElse(rel, Map.empty), spec))
+    val df = readRels(s, t, snap,
+      if (keep.nonEmpty) keep else snap.liveFiles)
+    val filtered = spec.foldLeft(df) { case (d, (c, v)) =>
+      d.filter(col(c) === partValue(v).cast(d.schema(c).dataType))
+    }
+    if (keep.nonEmpty) filtered else filtered.limit(0)
+  }
+
+  /** (files planned, files live) for a partition probe. */
+  def plannedFilesPartition(t: Table,
+                            spec: Map[String, String]): (Int, Int) = {
+    val snap = snapshot(t)
+    (snap.liveFiles.count(rel =>
+      mayHold(snap.filePartitions.getOrElse(rel, Map.empty), spec)),
+      snap.liveFiles.length)
+  }
+
+  /** METADATA-ONLY partition drop — retention's "drop a day" as one
+    * remove-only commit: every live file whose add action recorded
+    * exactly `spec`'s values is removed, and the commit references
+    * those same data files as `cdc delete` change files (zero-copy —
+    * the old files ARE the old images, on disk until vacuum). No
+    * data file is read or written; the signature takes no
+    * SparkSession. Files WITHOUT recorded values for the spec
+    * columns are left alone — a sliver some rewrite flattened out of
+    * the partition layout needs [[delete]] instead. Returns the
+    * committed version (unchanged when nothing matched). */
+  def dropPartition(t: Table, spec: Map[String, String]): Long = {
+    require(spec.nonEmpty, "dropPartition needs a partition spec")
+    val snap = snapshot(t)
+    val victims = snap.liveFiles.filter { rel =>
+      val p = snap.filePartitions.getOrElse(rel, Map.empty)
+      spec.forall { case (c, v) => p.get(c).contains(v) }
+    }
+    if (victims.isEmpty) return snap.version
+    commit(t, snap.version, adds = Nil, removes = victims,
+      extra = victims.map(r => s"cdc\t$r\tdelete"))
   }
 
   /** `add` action lines for the staged files, with (min, max) triples
@@ -452,21 +569,25 @@ object TxnLog {
     if (statsCols.isEmpty || rels.isEmpty) return rels.map(r => s"add\t$r")
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
-    val byFile = s.read.parquet(stage.toString)
+    val byPath = s.read.parquet(stage.toString)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // file-count-scale: one row per staged file
       .flatMap { r =>
-        val name = r.getString(0).split('/').last
+        // key by the full normalized path, not the file name — a
+        // partitionBy stage reuses part file names across its
+        // <col>=<val> subdirectories
+        val abs = java.nio.file.Paths.get(
+          new java.net.URI(r.getString(0)).getPath).normalize.toString
         // an all-null or empty file yields null aggregates: add the
         // file with NO stats (conservative, never prunes) rather than
         // fabricating a range
         if (statsCols.exists(c => r.isNullAt(r.fieldIndex(s"lo_$c")))) None
-        else Some(name -> statsCols.map(c =>
+        else Some(abs -> statsCols.map(c =>
           s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}"))
       }.toMap
     rels.map { rel =>
-      byFile.get(rel.split('/').last) match {
+      byPath.get(t.root.resolve(rel).normalize.toString) match {
         case Some(triples) => (s"add\t$rel" +: triples).mkString("\t")
         case None          => s"add\t$rel"
       }
@@ -548,7 +669,65 @@ object TxnLog {
   def read(s: SparkSession, t: Table, asOf: Option[Long] = None,
            mergeSchema: Boolean = false): DataFrame = {
     val snap = snapshot(t, asOf)
-    readFiles(s, t, snap.liveFiles, snap.schemaJson, mergeSchema)
+    readRels(s, t, snap, snap.liveFiles, mergeSchema)
+  }
+
+  /** Partition-aware file-set read: files carrying `part=` metadata
+    * read WITHOUT their partition columns (the files don't store
+    * them) and get each column reconstituted as a typed literal —
+    * one scan group per distinct partition spec, the hive layout's
+    * plan shape. Metadata-less files (an unpartitioned table, or a
+    * sliver a row-level rewrite flattened) read as-is; both unify
+    * under the registered schema. */
+  private def readRels(s: SparkSession, t: Table, snap: Snapshot,
+                       rels: Seq[String],
+                       mergeSchema: Boolean = false): DataFrame =
+    if (snap.filePartitions.isEmpty || !rels.exists(snap.filePartitions.contains))
+      readFiles(s, t, rels, snap.schemaJson, mergeSchema)
+    else readGrouped(s, t, rels, snap.filePartitions, snap.schemaJson)
+
+  private def readGrouped(s: SparkSession, t: Table, rels: Seq[String],
+      parts: Map[String, Map[String, String]],
+      schemaJson: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = schemaJson.map(parseSchema).getOrElse(
+      throw new IllegalStateException(
+        "partitioned txnlog reads need a log-registered schema"))
+    if (rels.isEmpty) return s.read.schema(schema).parquet()
+    val groups = rels.groupBy(rel => parts.getOrElse(rel, Map.empty))
+      .toSeq.sortBy(_._1.toSeq.sorted.mkString(",")) // deterministic plan
+    groups.map { case (spec, files) =>
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => spec.contains(f.name)))
+      val base = s.read.schema(dataSchema)
+        .parquet(files.map(r => t.root.resolve(r).toString): _*)
+      val full = spec.foldLeft(base) { case (df, (c, v)) =>
+        val dt = schema.fields.find(_.name == c)
+          .map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        df.withColumn(c, partValue(v).cast(dt))
+      }
+      full.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** A partition directory token as a literal: hive's escaped form
+    * (%XX) decoded, the null sentinel honored. */
+  private def partValue(v: String): Column = {
+    import org.apache.spark.sql.functions.lit
+    if (v == "__HIVE_DEFAULT_PARTITION__") lit(null)
+    else if (!v.contains('%')) lit(v)
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        if (v.charAt(i) == '%' && i + 2 < v.length) {
+          sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(v.charAt(i)); i += 1 }
+      }
+      lit(sb.toString)
+    }
   }
 
   private[graft] def readFiles(s: SparkSession, t: Table,
@@ -572,8 +751,8 @@ object TxnLog {
                  lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(t, asOf)
     val keep = pruneFiles(snap, colName, lo, hi)
-    val df = readFiles(s, t, if (keep.nonEmpty) keep else snap.liveFiles,
-      snap.schemaJson)
+    val df = readRels(s, t, snap,
+      if (keep.nonEmpty) keep else snap.liveFiles)
     if (keep.nonEmpty) df else df.limit(0)
   }
 
@@ -590,10 +769,12 @@ object TxnLog {
 
   private def stagedFiles(t: Table, stage: Path): Seq[String] =
     // a reserved stage nothing wrote to (e.g. a merge with no insert
-    // clause) contributes no files
+    // clause) contributes no files; the walk is recursive so a
+    // partitionBy stage's <col>=<val>/ subdirectories are included
     if (!Files.isDirectory(stage)) Nil
-    else listing(Files.list(stage))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+    else listing(Files.walk(stage))
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
       .map(p => t.root.relativize(p).toString).sorted
 
   // ---------------------------------------------------------------
@@ -675,8 +856,8 @@ object TxnLog {
                     asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(t, asOf)
     val keep = pruneBox(snap, preds)
-    val df = readFiles(s, t, if (keep.nonEmpty) keep else snap.liveFiles,
-      snap.schemaJson)
+    val df = readRels(s, t, snap,
+      if (keep.nonEmpty) keep else snap.liveFiles)
     if (keep.nonEmpty) df else df.limit(0)
   }
 
@@ -998,6 +1179,7 @@ object TxnLog {
           val cond = (cl match {
             case u: MergeClause.Update => u.cond
             case d: MergeClause.Delete => d.cond
+            case _: MergeClause.Insert => None // not in `matched`
           }).getOrElse(lit(true))
           when(cond, lit(i + 1)).otherwise(acc)
       })
@@ -1060,14 +1242,14 @@ object TxnLog {
   /** One version file parsed into its change-relevant pieces. */
   private final case class CommitActions(adds: Seq[String],
       hasRemoves: Boolean, cdcNone: Boolean,
-      cdcFiles: Seq[(String, String)]) // (relpath, insert|delete)
+      cdcFiles: Seq[(String, String)], // (relpath, insert|delete)
+      addParts: Map[String, Map[String, String]]) // partitioned adds
 
   private def commitActions(vf: Path): CommitActions = {
     val lines = Files.readAllLines(vf).asScala.filter(_.nonEmpty)
+    val addArrs = lines.filter(_.startsWith("add\t")).map(_.split('\t'))
     CommitActions(
-      adds = lines.collect {
-        case l if l.startsWith("add\t") => l.split('\t')(1)
-      }.toSeq,
+      adds = addArrs.map(_(1)).toSeq,
       hasRemoves = lines.exists(_.startsWith("remove\t")),
       cdcNone = lines.contains("cdc\tnone"),
       cdcFiles = lines.collect {
@@ -1076,7 +1258,15 @@ object TxnLog {
             case Array(_, rel, kind) => rel -> kind
             case _                   => corrupt(vf, l)
           }
-      }.toSeq)
+      }.toSeq,
+      addParts = addArrs.collect {
+        case arr if arr.exists(_.startsWith("part=")) =>
+          arr(1) -> arr.drop(2).filter(_.startsWith("part="))
+            .map(_.stripPrefix("part=").split("=", 2) match {
+              case Array(c, v) => c -> v
+              case _           => corrupt(vf, arr.mkString("\t"))
+            }).toMap
+      }.toMap)
   }
 
   /** DESCRIBE HISTORY: one row per committed version — the operation
@@ -1151,6 +1341,10 @@ object TxnLog {
         "stream from a fresh checkpoint"))
     range.flatMap { vf =>
       val a = commitActions(vf)
+      if (a.addParts.nonEmpty) throw new IllegalStateException(
+        s"commit ${vf.getFileName} adds hive-partitioned files; the " +
+          "txnlog stream cannot reconstitute partition columns yet — " +
+          "consume partitioned tables with batch reads")
       if (!a.hasRemoves)
         a.adds ++ a.cdcFiles.collect { case (rel, "insert") => rel }
       else if (a.cdcNone) Nil
@@ -1213,8 +1407,14 @@ object TxnLog {
     val schemaAtTo = snapshot(t, Some(to)).schemaJson
     val none = readFiles(s, t, snapFrom.liveFiles,
       schemaAtTo.orElse(snapFrom.schemaJson)).limit(0)
+    // partition metadata for every file the range can reference:
+    // the from-snapshot's live set plus the range commits' adds
+    val partsMap = snapFrom.filePartitions ++ acts.flatMap(_.addParts)
     def rd(rels: Seq[String]): DataFrame =
       if (rels.isEmpty) none
+      else if (rels.exists(partsMap.contains))
+        readGrouped(s, t, rels, partsMap,
+          schemaAtTo.orElse(snapFrom.schemaJson))
       else readFiles(s, t, rels, schemaAtTo, mergeSchema = true)
     if (acts.forall(a => !a.hasRemoves || a.cdcNone || a.cdcFiles.nonEmpty)) {
       // every rewrite in the range explains itself: resolve from the

@@ -1118,6 +1118,58 @@ class TxnLogSpec extends AnyFunSuite {
       .toSeq === Seq(1L, 2L))
   }
 
+  test("txnlog: partitioned appends make pruning and drop-a-day metadata-only, CDF typed") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    val rows = Seq((1L, "2026-01-01", 10L), (2L, "2026-01-01", 20L),
+      (3L, "2026-01-02", 30L), (4L, "2026-01-03", 40L))
+    TxnLog.appendPartitioned(spark, t, rows.toDF("id", "day", "v"),
+      Seq("day"))
+    // the partition column is NOT in the files; reads reconstitute it
+    val got = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got === rows.sorted)
+    // partition-pruned read plans a strict subset of the live files
+    val (kept, live) = TxnLog.plannedFilesPartition(t,
+      Map("day" -> "2026-01-02"))
+    assert(live >= 3 && kept < live, s"planned $kept of $live")
+    assert(TxnLog.readPartition(spark, t, Map("day" -> "2026-01-01"))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // drop-a-day: ONE remove-only commit — no SparkSession in the
+    // signature, no data file read or written
+    val before = TxnLog.latestVersion(t)
+    val vDrop = TxnLog.dropPartition(t, Map("day" -> "2026-01-01"))
+    assert(vDrop === before + 1)
+    val logLines = Files.readAllLines(
+      t.logDir.resolve(f"$vDrop%020d.log")).asScala.filter(_.nonEmpty)
+    assert(logLines.nonEmpty && logLines.forall(l =>
+      l.startsWith("remove\t") || l.startsWith("cdc\t")),
+      s"drop commit carries more than removes+cdc: $logLines")
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(3L, 4L))
+    // the change feed delivers the dropped day as typed old images
+    // (zero-copy: the cdc deletes reference the dropped data files)
+    val (ins, del) = TxnLog.changes(spark, t, before, vDrop)
+    assert(ins.count() === 0)
+    assert(del.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .toSeq === Seq((1L, "2026-01-01"), (2L, "2026-01-01")))
+    // time travel still sees the day before the drop
+    assert(TxnLog.read(spark, t, Some(before)).count() === 4)
+    // partition metadata round-trips through a replay checkpoint
+    TxnLog.checkpoint(t, vDrop)
+    assert(TxnLog.snapshot(t).filePartitions.nonEmpty)
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((3L, "2026-01-02"), (4L, "2026-01-03")))
+    // dropping an absent partition is a no-op; streaming refuses
+    assert(TxnLog.dropPartition(t, Map("day" -> "1999-01-01")) === vDrop)
+    val e = intercept[IllegalStateException] {
+      TxnLog.appendFeed(t, before - 1, vDrop, ignoreDeletes = true)
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
