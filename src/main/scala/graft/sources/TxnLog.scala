@@ -1371,6 +1371,47 @@ object TxnLog {
     }
   }
 
+  /** Log-resolved change-feed FILE LISTS for (from, to] — the CDF
+    * streaming source's batch planner: (insert files, delete change
+    * files). Unlike [[changes]] this REFUSES a rewrite without cdc
+    * info instead of snapshot-diffing (a stream cannot diff
+    * incrementally), and refuses partition-recorded files (the
+    * stream path cannot reconstitute partition columns yet). */
+  private[graft] def changeFeedFiles(t: Table, from: Long,
+      to: Long): (Seq[String], Seq[String]) = {
+    val range = versionFiles(t)
+      .filter(p => versionOf(p) > from && versionOf(p) <= to)
+    range.headOption.foreach(h => require(versionOf(h) == from + 1,
+      s"stream range v$from..v$to is partially expired: earliest " +
+        s"retained log in range is v${versionOf(h)} — restart the " +
+        "stream from a fresh checkpoint"))
+    val acts = range.map(commitActions)
+    range.zip(acts).foreach { case (vf, a) =>
+      if (a.addParts.nonEmpty) throw new IllegalStateException(
+        s"commit ${vf.getFileName} adds hive-partitioned files; the " +
+          "txnlog stream cannot reconstitute partition columns yet — " +
+          "consume partitioned tables with batch reads")
+      if (a.hasRemoves && !a.cdcNone && a.cdcFiles.isEmpty)
+        throw new IllegalStateException(
+          s"commit ${vf.getFileName} rewrites files without cdc info; " +
+            "the stream cannot resolve it from the log")
+    }
+    val deletes = acts.flatMap(_.cdcFiles)
+      .collect { case (rel, "delete") => rel }
+    if (deletes.nonEmpty) {
+      // cdc deletes may reference DATA files zero-copy (replace,
+      // dropPartition): refuse the ones recorded as partitioned
+      val partRecorded = snapshot(t, Some(from)).filePartitions.keySet
+      if (deletes.exists(partRecorded)) throw new IllegalStateException(
+        "the change range deletes hive-partitioned files; the txnlog " +
+          "stream cannot reconstitute partition columns yet — consume " +
+          "partitioned tables with batch reads")
+    }
+    (acts.filter(!_.hasRemoves).flatMap(_.adds) ++
+      acts.flatMap(_.cdcFiles).collect { case (rel, "insert") => rel },
+      deletes)
+  }
+
   /** Change-data-feed read: the row-level (inserts, deletes) between
     * snapshot `from` (exclusive) and `to` (inclusive).
     *

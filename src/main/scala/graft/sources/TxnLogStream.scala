@@ -136,10 +136,26 @@ class TxnLogStreamProvider extends StreamSourceProvider
         TxnLog.snapshot(t).liveFiles, None, mergeSchema = true).schema
     }
 
+  /** `readChangeFeed=true` turns the source into a CDF stream: rows
+    * arrive with a trailing `_change_type` column ("insert" or
+    * "delete" — a merge delivers delete-old-image + insert-new-image
+    * pairs), so a delete commit mid-stream becomes typed delete
+    * events instead of fail-or-skip, and replaying inserts-then-
+    * deletes converges to the snapshot. */
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  private def withChangeType(schema: StructType): StructType =
+    StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    ("txnlog", schemaOf(sqlContext, schema, parameters))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schemaOf(sqlContext, schema, parameters)
+    ("txnlog", if (isCdf(parameters)) withChangeType(base) else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -148,7 +164,8 @@ class TxnLogStreamProvider extends StreamSourceProvider
       schemaOf(sqlContext, schema, parameters),
       parameters.get("ignoreDeletes").exists(_.toBoolean),
       parameters.get("maxVersionsPerBatch").map(_.toLong),
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      isCdf(parameters))
 }
 
 /** See [[TxnLogStreamProvider]]. `maxVersionsPerBatch` is the
@@ -158,10 +175,17 @@ class TxnLogStreamProvider extends StreamSourceProvider
   * so backlog recovery is a stream of bounded batches — the shape
   * that keeps executor memory and commit sizes flat at 100 TB. */
 class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
-    override val schema: StructType, ignoreDeletes: Boolean,
+    tableSchema: StructType, ignoreDeletes: Boolean,
     maxVersionsPerBatch: Option[Long] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    readChangeFeed: Boolean = false)
     extends Source {
+
+  override val schema: StructType =
+    if (!readChangeFeed) tableSchema
+    else StructType(tableSchema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false))
 
   maxVersionsPerBatch.foreach(n =>
     require(n > 0, s"maxVersionsPerBatch must be positive, got $n"))
@@ -204,20 +228,32 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
     // schema change requires a stream restart, which re-reads the
     // registered schema and picks the new columns up)
     TxnLog.registeredSchema(t).foreach { reg =>
-      val pinned = schema.fieldNames.toSet
+      val pinned = tableSchema.fieldNames.toSet
       val extra = reg.fieldNames.filterNot(pinned.contains)
       if (extra.nonEmpty) throw new IllegalStateException(
         s"txnlog table at ${t.root} evolved mid-stream (new columns: " +
           s"${extra.mkString(", ")}); restart the stream to pick them up")
     }
-    val batch = start match {
-      case None =>
+    import org.apache.spark.sql.functions.lit
+    def typed(df: DataFrame, kind: String): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+    val batch = (start, readChangeFeed) match {
+      case (None, false) =>
         // initial backlog: the full snapshot at the first offset
         TxnLog.read(ctx.sparkSession, t, Some(endV))
-      case Some(s0) =>
+      case (None, true) =>
+        // CDF backlog: the snapshot arrives as one insert wave
+        typed(TxnLog.read(ctx.sparkSession, t, Some(endV)), "insert")
+      case (Some(s0), false) =>
         val files = TxnLog.appendFeed(t, versionOf(s0), endV,
           ignoreDeletes, ignoreChanges)
-        TxnLog.readFiles(ctx.sparkSession, t, files, Some(schema.json))
+        TxnLog.readFiles(ctx.sparkSession, t, files, Some(tableSchema.json))
+      case (Some(s0), true) =>
+        val (ins, del) = TxnLog.changeFeedFiles(t, versionOf(s0), endV)
+        def rd(files: Seq[String]): DataFrame =
+          TxnLog.readFiles(ctx.sparkSession, t, files,
+            Some(tableSchema.json))
+        typed(rd(ins), "insert").unionByName(typed(rd(del), "delete"))
     }
     StreamShim.asStreamingBatch(batch)
   }

@@ -1170,6 +1170,60 @@ class TxnLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("txnlog: readStream with readChangeFeed delivers deletes as typed change rows and converges") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1))
+    val ckpt = Files.createTempDirectory("graft-txncdfstream-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    def startQ() = spark.readStream.format("txnlog")
+      .option("path", t.root.toString)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          got.add((r.getLong(0), r.getString(1), r.getString(2)))); ()
+      }.start()
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      // initial backlog: one insert wave
+      assert(got.asScala.toSeq.sorted ===
+        Seq((1L, "a", "insert"), (2L, "b", "insert")))
+      // a delete commit mid-stream arrives as TYPED delete events —
+      // the fail-or-skip posture of the append feed is gone here
+      TxnLog.delete(spark, t, col("id") === 1L)
+      // a merge arrives as delete-old + insert-new; compaction stays
+      // invisible; a plain append arrives as inserts
+      TxnLog.merge(spark, t, Seq((2L, "B")).toDF("id", "s").coalesce(1),
+        "id")
+      TxnLog.compact(spark, t)
+      TxnLog.append(spark, t, Seq((3L, "c")).toDF("id", "s").coalesce(1))
+      q.processAllAvailable()
+      val events = got.asScala.toSeq
+      assert(events.sorted === Seq(
+        (1L, "a", "delete"), (1L, "a", "insert"), (2L, "B", "insert"),
+        (2L, "b", "delete"), (2L, "b", "insert"), (3L, "c", "insert")))
+      // replay convergence: inserts minus deletes == the snapshot
+      val net = events.foldLeft(Map.empty[(Long, String), Int]) {
+        case (m, (id, s, "insert")) => m.updated((id, s),
+          m.getOrElse((id, s), 0) + 1)
+        case (m, (id, s, _)) => m.updated((id, s),
+          m.getOrElse((id, s), 0) - 1)
+      }.filter(_._2 > 0).keySet
+      val snap = TxnLog.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(net === snap, s"CDF replay diverged: $net vs $snap")
+      // an isolated delete-only micro-batch (no insert files at all)
+      TxnLog.delete(spark, t, col("id") === 3L)
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.count(_ == (3L, "c", "delete")) === 1)
+    } finally q.stop()
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
