@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom physical operators (AsofJoin.asof also self-registers via
     // experimental.extraStrategies for sessions built without this)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL DML for txnlog tables (DELETE FROM / MERGE INTO / OPTIMIZE /
+    // VACUUM) — a delegating parser front end; see GraftSqlParser.
+    // Parser injection is build-time only: sessions get it through
+    // .withExtensions(new GraftExtensions) or
+    // spark.sql.extensions=graft.GraftExtensions, not install().
+    e.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
   }
 }
 

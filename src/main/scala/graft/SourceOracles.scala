@@ -308,6 +308,29 @@ object SourceOracles {
         |FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
         |ORDER BY side, l_returnflag""".stripMargin,
 
+    "src_txnlog_sql_dml" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 1),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 6 = 0),
+        |latest AS (
+        |  SELECT k, st, p FROM tgt
+        |  WHERE k NOT IN (SELECT k FROM src)
+        |  UNION ALL
+        |  SELECT k, st, p FROM src
+        |  WHERE k IN (SELECT k FROM tgt) AND p > 200000
+        |  UNION ALL
+        |  SELECT k, st, p FROM src WHERE k NOT IN (SELECT k FROM tgt))
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -1064,6 +1064,43 @@ object SourceOps {
       .orderBy(col("side"), col("l_returnflag"))
   }
 
+  /** The SQL DML surface end-to-end — every statement here runs as
+    * SQL TEXT through the injected parser (GraftSqlParser, wired via
+    * spark.sql.extensions), not the Scala API: DELETE FROM prunes a
+    * key slice, MERGE INTO routes a doubled-price source through
+    * conditional UPDATE/DELETE/INSERT clauses, and OPTIMIZE compacts
+    * — a logical no-op the oracle equality proves. The target
+    * addresses by path (the Delta `format.\`/path\`` convention);
+    * ExtensionsSpec pins the catalog-table form, VACUUM, and ZORDER.
+    * Requires a session built with the graft extensions (every main
+    * and test session in this library is). */
+  def txnlogSqlDml(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnsql-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.append(s, t, o.filter(col("o_orderkey") % 4 =!= 3))
+    s.sql(s"DELETE FROM txnlog.`$root` WHERE o_orderkey % 10 = 1")
+    o.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .createOrReplaceTempView("graft_sqldml_src")
+    s.sql(
+      s"""MERGE INTO txnlog.`$root` t USING graft_sqldml_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_totalprice > 200000 THEN
+         |  UPDATE SET o_totalprice = s.o_totalprice
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"OPTIMIZE txnlog.`$root`")
+    graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Manifest data skipping — the lakehouse file-pruning story on top
     * of the transaction log: orders lands in 8 append commits, each
     * one contiguous o_orderkey range staged as one sorted file with

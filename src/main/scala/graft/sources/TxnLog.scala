@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -94,6 +94,13 @@ object TxnLog {
       fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       schemaJson: Option[String] = None,
       filePartitions: Map[String, Map[String, String]] = Map.empty)
+
+  /** A filesystem path from a string that may arrive URI-form —
+    * Spark normalizes a table's `path` option to `file:/...` in
+    * places (CREATE TABLE resolution among them). */
+  private[sources] def pathOf(raw: String): Path =
+    Paths.get(if (raw.startsWith("file:")) raw.stripPrefix("file:")
+              else raw)
 
   /** A table rooted at `root` (created if absent). */
   final case class Table(root: Path) {

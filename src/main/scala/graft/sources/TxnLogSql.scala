@@ -1,0 +1,262 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL entry points for the transaction-log DML the Scala API
+  * already provides — the statement surface a SQL-first lakehouse
+  * user expects:
+  *
+  * {{{
+  *   DELETE FROM txnlog.`/path/to/table` WHERE k % 10 = 3
+  *   MERGE INTO txnlog.`/p` t USING src s ON t.k = s.k
+  *     WHEN MATCHED AND s.v > 5 THEN UPDATE SET v = t.v + s.v
+  *     WHEN MATCHED THEN DELETE
+  *     WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT *
+  *   OPTIMIZE txnlog.`/p` [ZORDER BY (a, b)]
+  *   VACUUM txnlog.`/p` [RETAIN 168 HOURS]
+  * }}}
+  *
+  * Tables address either by path (the Delta `format.\`/path\``
+  * convention) or by a catalog table created with
+  * `CREATE TABLE ... USING txnlog OPTIONS (path ...)`. The parser is
+  * a DELEGATING front end (the SparkSessionExtensions injectParser
+  * mechanism, the same seam Delta's own SQL support rides): the four
+  * statement shapes above are recognized textually and lower onto
+  * [[TxnLog.delete]]/[[TxnLog.mergeInto]]/[[TxnLog.compact]]/
+  * [[TxnLog.compactZorder]]/[[TxnLog.vacuum]]; everything else
+  * passes through untouched. Conditions and SET expressions stay SQL
+  * text until run time, where they resolve against the target/source
+  * aliases exactly as the Scala clause API does. A DELETE/MERGE on a
+  * non-txnlog table fails at run time with a clear message (vanilla
+  * Spark rejects v1 DML too — there is nothing to take over from). */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseDml(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  private val Ident = """[\w.]+|txnlog\.`[^`]+`"""
+  private val DeleteRe =
+    s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
+  private val OptimizeRe =
+    s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?\\s*;?\\s*$$""".r
+  private val VacuumRe =
+    s"""(?is)^\\s*VACUUM\\s+($Ident)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""".r
+  private val MergeRe =
+    (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?(?:\\s+(?!USING\\b)(\\w+))?""" +
+      s"""\\s+USING\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|$Ident)(?:\\s+AS\\b)?(?:\\s+(?!ON\\b)(\\w+))?""" +
+      """\s+ON\s+(.+?)\s+(WHEN\s.+?)\s*;?\s*$""").r
+  private val MatchedUpdateRe =
+    """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
+  private val MatchedDeleteRe =
+    """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
+  private val NotMatchedInsertRe =
+    """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*$""".r
+  private val PathIdent = """(?is)^txnlog\.`([^`]+)`\s*$""".r
+  private[sources] val OnKeyRe =
+    """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
+  private val AssignRe = """(?s)^\s*([\w.]+)\s*=\s*(.+?)\s*$""".r
+
+  private[graft] def parseDml(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case DeleteRe(tbl, where) =>
+        Some(TxnLogDeleteCommand(tbl, Option(where)))
+      case OptimizeRe(tbl, a, b) =>
+        Some(TxnLogOptimizeCommand(tbl,
+          (Option(a), Option(b)) match {
+            case (Some(x), Some(y)) => Some((x, y))
+            case _                  => None
+          }))
+      case VacuumRe(tbl, hours) =>
+        Some(TxnLogVacuumCommand(tbl, Option(hours).map(_.toLong)))
+      case MergeRe(tbl, tAlias, src, sAlias, onCond, whenText) =>
+        Some(TxnLogMergeCommand(tbl, Option(tAlias), src.trim,
+          Option(sAlias), onCond.trim, parseWhenClauses(whenText)))
+      case _ => None
+    }
+
+  /** One WHEN clause as raw text pieces: (kind, condition,
+    * assignment list) — resolved against the live frames at run. */
+  private[sources] final case class ClauseText(kind: String,
+      cond: Option[String], sets: Seq[(String, String)])
+
+  private def parseWhenClauses(whenText: String): Seq[ClauseText] = {
+    val pieces = whenText.split("""(?i)\bWHEN\b""").map(_.trim)
+      .filter(_.nonEmpty)
+    require(pieces.nonEmpty, "MERGE needs at least one WHEN clause")
+    pieces.toSeq.map {
+      case MatchedUpdateRe(cond, sets) =>
+        ClauseText("update", Option(cond).map(_.trim),
+          splitTopLevel(sets, ',').map {
+            case AssignRe(col, rhs) =>
+              // the left side may be alias-qualified: strip it
+              (col.split('.').last, rhs)
+            case bad => throw new IllegalArgumentException(
+              s"cannot parse SET assignment: $bad")
+          })
+      case MatchedDeleteRe(cond) =>
+        ClauseText("delete", Option(cond).map(_.trim), Nil)
+      case NotMatchedInsertRe(cond) =>
+        ClauseText("insert", Option(cond).map(_.trim), Nil)
+      case bad => throw new IllegalArgumentException(
+        s"cannot parse MERGE clause: WHEN $bad (supported: " +
+          "WHEN MATCHED [AND c] THEN UPDATE SET a = e, ... | " +
+          "WHEN MATCHED [AND c] THEN DELETE | " +
+          "WHEN NOT MATCHED [AND c] THEN INSERT *)")
+    }
+  }
+
+  /** Split on `sep` at parenthesis/quote depth zero. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQuote = false; var start = 0
+    for (i <- s.indices) s.charAt(i) match {
+      case '\'' => inQuote = !inQuote
+      case '(' if !inQuote => depth += 1
+      case ')' if !inQuote => depth -= 1
+      case c if c == sep && depth == 0 && !inQuote =>
+        out += s.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Resolve a DML target: a `txnlog.\`/path\`` literal, or a
+    * catalog table whose provider is txnlog. */
+  private[sources] def resolveTable(spark: SparkSession,
+                                    ident: String): TxnLog.Table =
+    ident.trim match {
+      case PathIdent(p) => TxnLog.Table(TxnLog.pathOf(p))
+      case name =>
+        val tid = spark.sessionState.sqlParser
+          .parseMultipartIdentifier(name) match {
+          case Seq(tb)     => TableIdentifier(tb)
+          case Seq(db, tb) => TableIdentifier(tb, Some(db))
+          case parts => throw new IllegalArgumentException(
+            s"cannot resolve DML target ${parts.mkString(".")}")
+        }
+        val meta = spark.sessionState.catalog.getTableMetadata(tid)
+        require(meta.provider.exists(_.equalsIgnoreCase("txnlog")),
+          s"$name is not a txnlog table (provider " +
+            s"${meta.provider.getOrElse("none")}); txnlog DML only " +
+            "applies to USING txnlog tables or txnlog.`/path` targets")
+        val path = meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.getPath))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name has no path/location"))
+        TxnLog.Table(TxnLog.pathOf(path))
+    }
+
+  /** A MERGE source: `txnlog.\`/path\``, a (subquery), or any
+    * catalog/temp-view name. */
+  private[sources] def resolveSource(spark: SparkSession,
+                                     src: String): DataFrame =
+    src.trim match {
+      case PathIdent(p) =>
+        TxnLog.read(spark, TxnLog.Table(TxnLog.pathOf(p)))
+      case s if s.startsWith("(") && s.endsWith(")") =>
+        spark.sql(s.substring(1, s.length - 1))
+      case name => spark.table(name)
+    }
+}
+
+/** `DELETE FROM <txnlog table> [WHERE cond]` → [[TxnLog.delete]]
+  * (no WHERE = delete everything, the SQL contract). */
+final case class TxnLogDeleteCommand(table: String,
+    where: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, table)
+    TxnLog.delete(spark, t, where.map(expr).getOrElse(lit(true)))
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE <table> [ZORDER BY (a, b)]` → [[TxnLog.compact]] /
+  * [[TxnLog.compactZorder]]. */
+final case class TxnLogOptimizeCommand(table: String,
+    zorder: Option[(String, String)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, table)
+    zorder match {
+      case Some((a, b)) => TxnLog.compactZorder(spark, t, a, b)
+      case None         => TxnLog.compact(spark, t)
+    }
+    Seq.empty
+  }
+}
+
+/** `VACUUM <table> [RETAIN n HOURS]` → [[TxnLog.vacuum]] with the
+  * retention window as the staging grace. */
+final case class TxnLogVacuumCommand(table: String,
+    retainHours: Option[Long]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, table)
+    TxnLog.vacuum(t,
+      retainHours.map(_ * 3600L * 1000L).getOrElse(TxnLog.VacuumGraceMs))
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO tgt t USING src s ON t.k = s.k WHEN ...` →
+  * [[TxnLog.mergeInto]] with the SQL aliases as the clause
+  * qualifiers. The ON condition must be the single-key equi form
+  * `<tgtAlias>.<col> = <srcAlias>.<col>` (same column name both
+  * sides) — the key the Scala API merges on. */
+final case class TxnLogMergeCommand(table: String,
+    tAlias: Option[String], source: String, sAlias: Option[String],
+    onCond: String,
+    clauses: Seq[GraftSqlParser.ClauseText]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, table)
+    val src = GraftSqlParser.resolveSource(spark, source)
+    val ta = tAlias.getOrElse("t")
+    val sa = sAlias.getOrElse("s")
+    val key = onCond match {
+      case GraftSqlParser.OnKeyRe(q1, c1, q2, c2)
+        if c1 == c2 && Set(q1, q2) == Set(ta, sa) => c1
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON must be $ta.<col> = $sa.<col> with the same " +
+          s"column name on both sides, got: $other")
+    }
+    val mcs = clauses.map {
+      case GraftSqlParser.ClauseText("update", cond, sets) =>
+        TxnLog.MergeClause.Update(cond.map(expr),
+          sets.map { case (c, rhs) => c -> expr(rhs) }.toMap)
+      case GraftSqlParser.ClauseText("delete", cond, _) =>
+        TxnLog.MergeClause.Delete(cond.map(expr))
+      case GraftSqlParser.ClauseText(_, cond, _) =>
+        TxnLog.MergeClause.Insert(cond.map(expr))
+    }
+    TxnLog.mergeInto(spark, t, src, key, mcs,
+      targetAlias = ta, sourceAlias = sa)
+    Seq.empty
+  }
+}

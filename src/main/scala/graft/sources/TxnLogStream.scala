@@ -118,7 +118,7 @@ class TxnLogStreamProvider extends StreamSourceProvider
   }
 
   private def tableOf(parameters: Map[String, String]): TxnLog.Table =
-    TxnLog.Table(java.nio.file.Paths.get(parameters.getOrElse("path",
+    TxnLog.Table(TxnLog.pathOf(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "txnlog source requires option 'path'"))))
 

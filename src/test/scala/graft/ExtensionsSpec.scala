@@ -96,6 +96,71 @@ class ExtensionsSpec extends AnyFunSuite {
       s"image_dhash fell out of codegen:\n$plan")
   }
 
+  test("SQL DML statements lower onto the txnlog ops") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqldml-").resolve("t")
+    val t = TxnLog.Table(root)
+    TxnLog.append(spark, t,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v")
+        .coalesce(1))
+    TxnLog.append(spark, t, Seq((5L, 50L)).toDF("k", "v").coalesce(1))
+    val p = root.toString
+    // DELETE FROM path target with WHERE
+    spark.sql(s"DELETE FROM txnlog.`$p` WHERE k % 2 = 0")
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 3L, 5L))
+    // MERGE INTO with a temp-view source, all three clause kinds
+    Seq((1L, 100L), (3L, 1L), (7L, 70L), (8L, 80L)).toDF("k", "v")
+      .createOrReplaceTempView("sqldml_src")
+    spark.sql(
+      s"""MERGE INTO txnlog.`$p` t USING sqldml_src s ON t.k = s.k
+         |WHEN MATCHED AND s.v >= 100 THEN UPDATE SET v = t.v + s.v
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.k % 2 = 1 THEN INSERT *""".stripMargin)
+    // 1 updated (110), 3 deleted, 5 untouched, 7 inserted, 8 dropped
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((1L, 110L), (5L, 50L), (7L, 70L)))
+    // OPTIMIZE compacts the live set; VACUUM frees the dead files
+    spark.sql(s"OPTIMIZE txnlog.`$p`")
+    assert(TxnLog.snapshot(t).liveFiles.length === 1)
+    def dataFiles(): Int = {
+      val s = java.nio.file.Files.walk(root.resolve("data"))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(dataFiles() > 1)
+    spark.sql(s"VACUUM txnlog.`$p` RETAIN 0 HOURS")
+    assert(dataFiles() === 1)
+    assert(TxnLog.read(spark, t).count() === 3)
+    // a catalog table created USING txnlog is addressable by name
+    spark.sql("DROP TABLE IF EXISTS sqldml_cat")
+    spark.sql(s"CREATE TABLE sqldml_cat USING txnlog OPTIONS (path '$p')")
+    try {
+      spark.sql("DELETE FROM sqldml_cat WHERE k = 7")
+      assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+        .toSeq === Seq(1L, 5L))
+      // DELETE without WHERE wipes the table (the SQL contract)
+      spark.sql(s"DELETE FROM txnlog.`$p`")
+      assert(TxnLog.read(spark, t).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_cat")
+    // OPTIMIZE ZORDER BY parses and clusters
+    val zroot = java.nio.file.Files
+      .createTempDirectory("graft-sqlz-").resolve("t")
+    val zt = TxnLog.Table(zroot)
+    val rows = (0L until 1024L).map(i => (i, i % 32L, (i / 32L) % 32L))
+    TxnLog.appendWithStats(spark, zt,
+      rows.toDF("id", "a", "b").repartition(4), Seq("a", "b"))
+    spark.sql(s"OPTIMIZE txnlog.`$zroot` ZORDER BY (a, b)")
+    assert(TxnLog.read(spark, zt).count() === 1024L)
+    val (kept, total) = TxnLog.plannedFilesBox(zt,
+      Seq(("a", 4L, 8L), ("b", 4L, 8L)))
+    assert(kept < total, s"zorder SQL path did not cluster: $kept/$total")
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -42,6 +42,9 @@ object TestSpark {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // build-time extension wiring: the txnlog SQL DML parser (and the
+    // function/strategy injections) ride on every test session
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh-").toString)
     .config("spark.ui.enabled", "false")
