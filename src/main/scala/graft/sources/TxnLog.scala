@@ -1279,12 +1279,22 @@ object TxnLog {
   /** DESCRIBE HISTORY: one row per committed version — the operation
     * (inferred from the commit's action shape, the way a lakehouse
     * surfaces its audit log) plus add/remove/change-file counts. A
-    * metadata walk over the version files; never touches data. After
-    * [[expireLog]] the audit covers the RETAINED commits (expired
-    * history is gone with its logs — the same truncation Delta's
-    * DESCRIBE HISTORY shows under log retention). */
-  def history(t: Table): Seq[(Long, String, Long, Long, Long)] =
-    versionFiles(t).map { vf =>
+    * metadata walk over the version files; never touches data.
+    *
+    * DRIVER-COST BOUND: the walk reads every RETAINED version file,
+    * so its cost is governed by log retention, not table age — under
+    * [[expireLog]] discipline the log stays O([[CheckpointInterval]])
+    * files and a year-old streaming table audits like a fresh one
+    * (expired history is gone with its logs, the same truncation
+    * Delta's DESCRIBE HISTORY shows under log retention; replay
+    * checkpoints summarize STATE, not per-commit operations, so they
+    * cannot serve the audit). On a never-expired table, pass `limit`
+    * — DESCRIBE HISTORY LIMIT n — to read only the NEWEST n version
+    * files; [[versionAt]] shares the same retention-bounded listing
+    * (one directory scan, no file contents). */
+  def history(t: Table,
+              limit: Int = Int.MaxValue): Seq[(Long, String, Long, Long, Long)] =
+    versionFiles(t).takeRight(limit).map { vf =>
       val a = commitActions(vf)
       val lines = Files.readAllLines(vf).asScala
       val removeRels = lines.collect {

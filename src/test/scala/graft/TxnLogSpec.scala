@@ -1224,6 +1224,26 @@ class TxnLogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("txnlog: history walks stay bounded — LIMIT reads only the newest files; expireLog caps the default walk") {
+    val t = freshTable()
+    // 30 raw append commits (metadata only: history never opens data)
+    (0 until 30).foreach(i =>
+      TxnLog.commit(t, base = -1L, adds = Seq(s"data/x/f$i.parquet")))
+    // LIMIT n = DESCRIBE HISTORY LIMIT n: exactly the newest n rows
+    val tail = TxnLog.history(t, limit = 5)
+    assert(tail.map(_._1) === Seq(25L, 26L, 27L, 28L, 29L))
+    assert(tail.forall(_._2 == "APPEND"))
+    // expireLog caps the DEFAULT walk: only retained commits remain
+    // (checkpoints land every 10 commits; newest covers v20)
+    val expired = TxnLog.expireLog(t)
+    assert(expired > 0)
+    val all = TxnLog.history(t)
+    assert(all.map(_._1) === (20L to 29L),
+      s"retained audit should start at the newest checkpoint: ${all.map(_._1)}")
+    // versionAt shares the retention-bounded listing
+    assert(TxnLog.versionAt(t, System.currentTimeMillis()) === 29L)
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
