@@ -565,5 +565,45 @@ object RelationalOracles {
         |    ORDER BY spend_cents, cust) AS cd
         |FROM spend JOIN customer ON cust = c_custkey
         |ORDER BY nation, cust""".stripMargin,
+
+    // Mirrors Relational.q47WindowProfileSampled: the q36 rolling-
+    // hash sample replayed per nation, quartile cutoffs, map-side
+    // bucket assignment.
+    "q47_window_profile_sampled" ->
+      """WITH spend AS (
+        |  SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT greatest(20, (count(*) + 99999) // 100000) AS m
+        |  FROM spend),
+        |samp AS (
+        |  SELECT spend.* FROM spend, mm
+        |  WHERE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(
+        |          md5('q47-' || CAST(cust AS VARCHAR)), '(?s).'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647) % mm.m = 0),
+        |tiles AS (
+        |  SELECT nation, cust, spend_cents,
+        |    ntile(4) OVER (PARTITION BY nation
+        |      ORDER BY spend_cents, cust) AS tile
+        |  FROM samp),
+        |bounds AS (
+        |  SELECT nation, tile, max(spend_cents) AS b FROM tiles
+        |  WHERE tile < 4 GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT s.nation, s.spend_cents,
+        |    1 + (SELECT count(*) FROM bounds b
+        |         WHERE b.nation = s.nation AND b.b < s.spend_cents)
+        |      AS bucket
+        |  FROM spend s)
+        |SELECT nation, bucket, count(*) AS n_cust,
+        |  min(spend_cents) AS min_cents, max(spend_cents) AS max_cents,
+        |  CAST(sum(spend_cents) AS BIGINT) AS sum_cents
+        |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

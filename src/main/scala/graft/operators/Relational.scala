@@ -1010,6 +1010,51 @@ object Relational {
       .orderBy(col("nation"), col("cust"))
   }
 
+  /** q47's PRODUCTION-SCALE twin — the q36 posture applied to the
+    * per-nation spend distribution: q47_window_profile ranks every
+    * customer inside a 25-value partitionBy window, so per-task rows
+    * grow linearly with customers; this variant never runs a
+    * customer-scale window at all. One row-budgeted deterministic
+    * hash-sample (the q36 modulus) calibrates ≤3 quartile cutoffs
+    * per nation in a SAMPLE-sized window, the ≤25×3 cutoff table
+    * broadcasts, and every customer buckets MAP-SIDE — the output is
+    * nation×4 rows, not one per customer. The oracle replays the
+    * identical sample (rolling-hash of md5, the q36 trick) so the
+    * cutoffs — and therefore every bucket count — hash-match
+    * exactly. */
+  def q47WindowProfileSampled(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("nation")),
+        col("cust") === col("c_custkey"))
+      .select(col("nation"), col("cust"), col("spend_cents"))
+    val m = q36Modulus(spend.count())
+    val samp = spend.filter(
+      graft.functions.RollingHash.rollingHash(
+        md5(concat(lit("q47-"), col("cust").cast("string"))
+          .cast("binary"))) % m === 0)
+    val bounds = samp
+      .withColumn("tile", ntile(4).over(Window.partitionBy(col("nation"))
+        .orderBy(col("spend_cents"), col("cust"))))
+      .filter(col("tile") < 4)
+      .groupBy(col("nation"), col("tile"))
+      .agg(max(col("spend_cents")).as("b"))
+      .groupBy(col("nation"))
+      .agg(array_sort(collect_list(col("b"))).as("bs"))
+    spend.join(broadcast(bounds), Seq("nation"), "left")
+      .withColumn("bucket", expr(
+        "1 + aggregate(coalesce(bs, array()), 0L, " +
+          "(acc, b) -> acc + IF(spend_cents > b, 1L, 0L))"))
+      .groupBy(col("nation"), col("bucket"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("spend_cents")).as("min_cents"),
+        max(col("spend_cents")).as("max_cents"),
+        sum(col("spend_cents")).as("sum_cents"))
+      .orderBy(col("nation"), col("bucket"))
+  }
+
   /** Register `df` under a name unique per (query, input dir), so
     * concurrent runs of the SQL-text queries against DIFFERENT data
     * dirs cannot race on a shared view name (two calls with the same
