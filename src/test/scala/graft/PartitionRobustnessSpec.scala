@@ -92,7 +92,13 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // the audit-table op inference (single-file staging must stay
     // single-file under any layout) and the clustered rewrite's
     // box-pruned aggregate
-    "src_txnlog_history", "src_txnlog_zorder")
+    "src_txnlog_history", "src_txnlog_zorder",
+    // round 13: conditional-merge clause routing, the partitioned
+    // layout (per-partition file groups + metadata-only drop), the
+    // SQL-text DML path, and the sampled per-nation calibration must
+    // all be partitioning-independent
+    "src_txnlog_merge_into", "src_txnlog_partitioned",
+    "src_txnlog_sql_dml", "q47_window_profile_sampled")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
