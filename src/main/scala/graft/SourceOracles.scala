@@ -331,6 +331,47 @@ object SourceOracles {
         |  CAST(sum(k) AS BIGINT) AS key_sum
         |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "src_txnlog_merge_sync" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |upd AS (
+        |  SELECT t.k, t.st, s.p FROM tgt t JOIN src s ON t.k = s.k),
+        |ins AS (SELECT k, st, p FROM src WHERE k % 5 = 0),
+        |bys AS (SELECT k, st, p FROM tgt WHERE k % 2 = 1),
+        |bysupd AS (
+        |  SELECT k, 'Z' AS st, p FROM bys WHERE p > 100000),
+        |latest AS (
+        |  SELECT k, st, p FROM upd
+        |  UNION ALL SELECT k, st, p FROM ins
+        |  UNION ALL SELECT k, st, p FROM bysupd),
+        |oldimg AS (
+        |  SELECT t.k, t.st, t.p FROM tgt t
+        |  WHERE t.k % 2 = 0
+        |  UNION ALL SELECT k, st, p FROM bys)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'deleted' AS side
+        |FROM oldimg GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'inserted' AS side
+        |FROM latest GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM latest GROUP BY 1
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -1101,6 +1101,50 @@ object SourceOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** FULL-SYNC reconciliation MERGE — the WHEN NOT MATCHED BY SOURCE
+    * clause family that mirrors a snapshot into a table (the missing
+    * third of the clause triad; Delta's notMatchedBySource): the
+    * source is the NEW truth for the even keys, so matched rows take
+    * the source price, unmatched source rows insert, and target rows
+    * ABSENT from the source either delete (cheap ones) or get flagged
+    * stale — their presence puts every live file in the rewrite set,
+    * the semantics of a reconciliation read. Driven as SQL TEXT
+    * through the injected parser, so the statement grammar for BY
+    * SOURCE clauses is oracle-pinned too; both CDF sides ride the
+    * hash. */
+  def txnlogMergeSync(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnsync-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.append(s, t, o.filter(col("o_orderkey") % 5 =!= 0))
+    o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .createOrReplaceTempView("graft_sync_src")
+    val before = graft.sources.TxnLog.latestVersion(t)
+    s.sql(
+      s"""MERGE INTO txnlog.`$root` t USING graft_sync_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice <= 100000 THEN
+         |  DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN
+         |  UPDATE SET o_orderstatus = 'Z'""".stripMargin)
+    val ver = graft.sources.TxnLog.latestVersion(t)
+    val (ins, del) = graft.sources.TxnLog.changes(s, t, before, ver)
+    def prof(df: DataFrame): DataFrame = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+    prof(graft.sources.TxnLog.read(s, t)).withColumn("side", lit("latest"))
+      .unionByName(prof(del).withColumn("side", lit("deleted")))
+      .unionByName(prof(ins).withColumn("side", lit("inserted")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** Manifest data skipping — the lakehouse file-pruning story on top
     * of the transaction log: orders lands in 8 append commits, each
     * one contiguous o_orderkey range staged as one sorted file with

@@ -1089,6 +1089,14 @@ object TxnLog {
     /** WHEN NOT MATCHED [AND cond] THEN INSERT (the whole source
       * row). */
     final case class Insert(cond: Option[Column]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET — the
+      * full-sync reconciliation clause (condition and SET reference
+      * only target columns). */
+    final case class BySourceUpdate(cond: Option[Column],
+        set: Map[String, Column]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+    final case class BySourceDelete(cond: Option[Column])
+      extends MergeClause
   }
 
   /** Conditional MERGE — the full WHEN-clause form a tombstoned CDC
@@ -1099,6 +1107,12 @@ object TxnLog {
     * accepts stays untouched — it is rewritten byte-identical and
     * does NOT enter the change feed. Source rows matching nothing
     * insert when some not-matched clause accepts them, else drop.
+    * WHEN NOT MATCHED BY SOURCE clauses (UPDATE SET / DELETE,
+    * conditions over target columns only) complete the triad: target
+    * rows absent from the source route through them — the full-sync
+    * reconciliation a snapshot-mirroring feed runs; their presence
+    * puts EVERY live file in the rewrite set, because such rows can
+    * live anywhere (the read is the table, by definition).
     *
     * A source with more than one row per key is REFUSED loudly (one
     * source-scale aggregate): two source rows hitting the same target
@@ -1125,6 +1139,14 @@ object TxnLog {
       case d: MergeClause.Delete => d
     }
     val inserts = clauses.collect { case i: MergeClause.Insert => i }
+    // WHEN NOT MATCHED BY SOURCE: target rows with NO source match
+    // can live in any file, so these clauses put EVERY live file in
+    // the rewrite set — the full-sync reconciliation semantics; the
+    // read is the table, by definition
+    val bySource = clauses.collect {
+      case u: MergeClause.BySourceUpdate => u
+      case d: MergeClause.BySourceDelete => d
+    }
     val (ta, sa) = (targetAlias, sourceAlias)
 
     // loud ambiguity refusal: one aggregate over the sync-sized source
@@ -1147,13 +1169,16 @@ object TxnLog {
           case _ => snap.liveFiles
         }
       }
-    val affectedRel = if (candidates.isEmpty) Nil else relsOf(t, snap,
-      readFiles(s, t, candidates, snap.schemaJson)
-        .withColumn("_f", input_file_name())
-        .join(keys, Seq(keyCol), "left_semi")
-        .select(col("_f")).distinct()
-        .collect() // file-count scale: one row per affected file
-        .map(_.getString(0)).toSeq)
+    val affectedRel =
+      if (bySource.nonEmpty) snap.liveFiles
+      else if (candidates.isEmpty) Nil
+      else relsOf(t, snap,
+        readFiles(s, t, candidates, snap.schemaJson)
+          .withColumn("_f", input_file_name())
+          .join(keys, Seq(keyCol), "left_semi")
+          .select(col("_f")).distinct()
+          .collect() // file-count scale: one row per affected file
+          .map(_.getString(0)).toSeq)
 
     def insertable(unmatched: DataFrame): Option[DataFrame] =
       if (inserts.isEmpty) None
@@ -1171,33 +1196,41 @@ object TxnLog {
 
     val affected = readFiles(s, t, affectedRel, snap.schemaJson)
     val tCols = affected.columns.toSeq
-    val badSets = matched.collect { case u: MergeClause.Update =>
-      u.set.keySet.diff(tCols.toSet) }.flatten
+    val badSets = (matched.collect { case u: MergeClause.Update =>
+      u.set.keySet.diff(tCols.toSet) } ++
+      bySource.collect { case u: MergeClause.BySourceUpdate =>
+        u.set.keySet.diff(tCols.toSet) }).flatten
     require(badSets.isEmpty,
       s"UPDATE SET targets unknown column(s): ${badSets.mkString(", ")}")
 
     val joined = affected.alias(ta).join(source.alias(sa),
       col(s"$ta.$keyCol") === col(s"$sa.$keyCol"), "left_outer")
-    // first-match clause index: -1 unmatched target row, 0 matched but
-    // no clause accepts, i >= 1 the i-th matched clause applies
-    val idx = when(col(s"$sa.$keyCol").isNull, lit(-1)).otherwise(
-      matched.zipWithIndex.foldRight(lit(0): Column) {
-        case ((cl, i), acc) =>
-          val cond = (cl match {
-            case u: MergeClause.Update => u.cond
-            case d: MergeClause.Delete => d.cond
-            case _: MergeClause.Insert => None // not in `matched`
-          }).getOrElse(lit(true))
-          when(cond, lit(i + 1)).otherwise(acc)
-      })
+    // first-match clause index: i >= 1 the i-th MATCHED clause
+    // applies, -j <= -1 the j-th NOT-MATCHED-BY-SOURCE clause
+    // applies, 0 no clause fires (row untouched, absent from CDF)
+    def chain(cls: Seq[MergeClause], sign: Int): Column =
+      cls.zipWithIndex.foldRight(lit(0): Column) { case ((cl, i), acc) =>
+        val cond = (cl match {
+          case u: MergeClause.Update         => u.cond
+          case d: MergeClause.Delete         => d.cond
+          case u: MergeClause.BySourceUpdate => u.cond
+          case d: MergeClause.BySourceDelete => d.cond
+          case _: MergeClause.Insert         => None // never listed here
+        }).getOrElse(lit(true))
+        when(cond, lit(sign * (i + 1))).otherwise(acc)
+      }
+    val idx = when(col(s"$sa.$keyCol").isNull, chain(bySource, -1))
+      .otherwise(chain(matched, 1))
     val withIdx = joined.withColumn("_clause", idx)
     val updateIdx = matched.zipWithIndex.collect {
-      case (_: MergeClause.Update, i) => i + 1 }
+      case (_: MergeClause.Update, i) => i + 1 } ++
+      bySource.zipWithIndex.collect {
+        case (_: MergeClause.BySourceUpdate, i) => -(i + 1) }
     val tSel = tCols.map(c => col(s"$ta.$c").as(c))
-    // rows the merge leaves alone: no source match, or no clause fired
-    val survivors = withIdx.filter(col("_clause") <= 0).select(tSel: _*)
+    // rows the merge leaves alone: no clause fired
+    val survivors = withIdx.filter(col("_clause") === 0).select(tSel: _*)
     // old images of every row an update/delete clause touched
-    val oldImages = withIdx.filter(col("_clause") > 0).select(tSel: _*)
+    val oldImages = withIdx.filter(col("_clause") =!= 0).select(tSel: _*)
     // new images: target row with the applying clause's SET columns
     // overridden (cast back to the column's type — parquet schema
     // stability over arbitrary SET expressions)
@@ -1205,9 +1238,17 @@ object TxnLog {
       if (updateIdx.isEmpty) None
       else Some(withIdx.filter(col("_clause").isInCollection(updateIdx))
         .select(tCols.map { c =>
-          matched.zipWithIndex.foldRight(col(s"$ta.$c")) {
-            case ((u: MergeClause.Update, i), acc) if u.set.contains(c) =>
-              when(col("_clause") === (i + 1),
+          val viaMatched = matched.zipWithIndex
+            .foldRight(col(s"$ta.$c")) {
+              case ((u: MergeClause.Update, i), acc) if u.set.contains(c) =>
+                when(col("_clause") === (i + 1),
+                  u.set(c).cast(affected.schema(c).dataType)).otherwise(acc)
+              case (_, acc) => acc
+            }
+          bySource.zipWithIndex.foldRight(viaMatched) {
+            case ((u: MergeClause.BySourceUpdate, i), acc)
+              if u.set.contains(c) =>
+              when(col("_clause") === -(i + 1),
                 u.set(c).cast(affected.schema(c).dataType)).otherwise(acc)
             case (_, acc) => acc
           }.as(c)

@@ -79,6 +79,10 @@ object GraftSqlParser {
     """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
   private val NotMatchedInsertRe =
     """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*$""".r
+  private val BySourceUpdateRe =
+    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
+  private val BySourceDeleteRe =
+    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
   private val PathIdent = """(?is)^txnlog\.`([^`]+)`\s*$""".r
   private[sources] val OnKeyRe =
     """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
@@ -123,13 +127,25 @@ object GraftSqlParser {
           })
       case MatchedDeleteRe(cond) =>
         ClauseText("delete", Option(cond).map(_.trim), Nil)
+      // BY SOURCE forms before the plain NOT MATCHED insert
+      case BySourceUpdateRe(cond, sets) =>
+        ClauseText("bysource_update", Option(cond).map(_.trim),
+          splitTopLevel(sets, ',').map {
+            case AssignRe(col, rhs) => (col.split('.').last, rhs)
+            case bad => throw new IllegalArgumentException(
+              s"cannot parse SET assignment: $bad")
+          })
+      case BySourceDeleteRe(cond) =>
+        ClauseText("bysource_delete", Option(cond).map(_.trim), Nil)
       case NotMatchedInsertRe(cond) =>
         ClauseText("insert", Option(cond).map(_.trim), Nil)
       case bad => throw new IllegalArgumentException(
         s"cannot parse MERGE clause: WHEN $bad (supported: " +
           "WHEN MATCHED [AND c] THEN UPDATE SET a = e, ... | " +
           "WHEN MATCHED [AND c] THEN DELETE | " +
-          "WHEN NOT MATCHED [AND c] THEN INSERT *)")
+          "WHEN NOT MATCHED [AND c] THEN INSERT * | " +
+          "WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | " +
+          "WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE)")
     }
   }
 
@@ -252,6 +268,11 @@ final case class TxnLogMergeCommand(table: String,
           sets.map { case (c, rhs) => c -> expr(rhs) }.toMap)
       case GraftSqlParser.ClauseText("delete", cond, _) =>
         TxnLog.MergeClause.Delete(cond.map(expr))
+      case GraftSqlParser.ClauseText("bysource_update", cond, sets) =>
+        TxnLog.MergeClause.BySourceUpdate(cond.map(expr),
+          sets.map { case (c, rhs) => c -> expr(rhs) }.toMap)
+      case GraftSqlParser.ClauseText("bysource_delete", cond, _) =>
+        TxnLog.MergeClause.BySourceDelete(cond.map(expr))
       case GraftSqlParser.ClauseText(_, cond, _) =>
         TxnLog.MergeClause.Insert(cond.map(expr))
     }

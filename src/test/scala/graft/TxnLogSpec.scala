@@ -1060,6 +1060,36 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.latestVersion(t) === v)
   }
 
+  test("txnlog: mergeInto NOT MATCHED BY SOURCE clauses reconcile a full-sync snapshot") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+        (4L, 40L, "d"), (6L, 60L, "f")).toDF("k", "v", "s").coalesce(1))
+    val src = Seq((1L, 100L, "A"), (5L, 50L, "E")).toDF("k", "v", "s")
+      .coalesce(1)
+    val before = TxnLog.latestVersion(t)
+    val ver = TxnLog.mergeInto(spark, t, src, "k", Seq(
+      TxnLog.MergeClause.Update(None, Map("v" -> col("s.v"))),
+      TxnLog.MergeClause.Insert(None),
+      TxnLog.MergeClause.BySourceDelete(Some(col("t.v") >= 40L)),
+      TxnLog.MergeClause.BySourceUpdate(None,
+        Map("s" -> org.apache.spark.sql.functions.lit("stale")))))
+    // 1 updated from source; 2,3 absent from source -> marked stale;
+    // 4,6 absent and v>=40 -> deleted; 5 inserted
+    val got = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got === Seq((1L, 100L, "a"), (2L, 20L, "stale"),
+      (3L, 30L, "stale"), (5L, 50L, "E")))
+    // CDF: every touched row's old image; new images for upd/ins
+    val (ins, del) = TxnLog.changes(spark, t, before, ver)
+    assert(del.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 6L))
+    assert(ins.collect().map(r => (r.getLong(0), r.getString(2))).sorted
+      .toSeq === Seq((1L, "a"), (2L, "stale"), (3L, "stale"),
+      (5L, "E")))
+  }
+
   test("txnlog: mergeInto insert-only and delete-only degenerate forms") {
     import spark.implicits._
     val t = freshTable()
