@@ -813,6 +813,70 @@ object TxnLog {
     } finally seal(t, stage)
   }
 
+  /** Incremental OPTIMIZE — the steady-state maintenance shape: only
+    * live files SMALLER than `minFileBytes` compact; right-sized
+    * files are not touched, so a table compacted hourly rewrites its
+    * latest small appends and never the whole history. Victims are
+    * found from file sizes alone (one metadata stat per live file,
+    * no data read), grouped by partition spec and compacted WITHIN
+    * each partition (tokens re-emitted, the hive maintenance op —
+    * one write job per partition group that holds ≥2 small files,
+    * all published in ONE atomic dataChange=false commit). A lone
+    * small file gains nothing and stays. Combined with the
+    * file-disjoint reconciliation, appends landing mid-compaction
+    * commute. Returns the committed version (unchanged when there is
+    * nothing to do). */
+  def compactSmall(s: SparkSession, t: Table, minFileBytes: Long,
+                   targetFiles: Int = 1): Long = {
+    val snap = snapshot(t)
+    val bySpec = snap.liveFiles
+      .filter { rel =>
+        val p = t.root.resolve(rel)
+        Files.exists(p) && Files.size(p) < minFileBytes
+      }
+      .groupBy(rel => snap.filePartitions.getOrElse(rel, Map.empty))
+      .filter(_._2.length >= 2)
+    if (bySpec.isEmpty) return snap.version
+    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val groups = bySpec.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (spec, files) =>
+          val stage = newStage(t, t.dataDir)
+          stages += stage
+          val df =
+            if (spec.isEmpty) readFiles(s, t, files, snap.schemaJson)
+            else {
+              // partitioned victims: the partition column is NOT in
+              // the files — read with the data schema and re-emit the
+              // tokens, keeping the layout intact
+              val schema = snap.schemaJson.map(parseSchema).getOrElse(
+                throw new IllegalStateException(
+                  "partitioned compaction needs a registered schema"))
+              s.read.schema(StructType(schema.fields
+                  .filterNot(f => spec.contains(f.name))))
+                .parquet(files.map(r => t.root.resolve(r).toString): _*)
+            }
+          df.coalesce(targetFiles).write.parquet(stage.toString)
+          val lines = addLinesFor(s, t, stage,
+            statsCols.filterNot(spec.contains))
+          val decorated =
+            if (spec.isEmpty) lines
+            else lines.map { line =>
+              val arr = line.split('\t')
+              val pTok = spec.toSeq.sortBy(_._1)
+                .map { case (c, v) => s"part=$c=$v" }
+              (arr.take(2) ++ pTok ++ arr.drop(2)).mkString("\t")
+            }
+          (files, decorated)
+        }
+      commit(t, snap.version, adds = Nil,
+        removes = groups.flatMap(_._1),
+        extra = groups.flatMap(_._2) :+ "cdc\tnone",
+        reconcileDisjoint = true)
+    } finally seal(t, stages.toSeq: _*)
+  }
+
   /** OPTIMIZE ZORDER BY (colA, colB): [[compact]]'s clustered form —
     * the live set rewrites range-partitioned and sorted on the Morton
     * interleave of the two keys, and the add actions embed recomputed

@@ -1274,6 +1274,45 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.versionAt(t, System.currentTimeMillis()) === 29L)
   }
 
+  test("txnlog: compactSmall rewrites only small files, per partition, in one commit") {
+    import spark.implicits._
+    val t = freshTable()
+    // one big file + five tiny single-row appends
+    TxnLog.append(spark, t,
+      (1000L until 11000L).map(i => (i, i % 7L)).toDF("k", "v")
+        .coalesce(1))
+    (0L until 5L).foreach(i =>
+      TxnLog.append(spark, t, Seq((i, i)).toDF("k", "v").coalesce(1)))
+    val bigRel = TxnLog.snapshot(t).liveFiles.head
+    val v = TxnLog.compactSmall(spark, t, minFileBytes = 5000L)
+    val snap = TxnLog.snapshot(t)
+    // the big file is untouched (same manifest entry); tinies merged
+    assert(snap.liveFiles.contains(bigRel))
+    assert(snap.liveFiles.length === 2, snap.liveFiles.mkString(","))
+    assert(TxnLog.read(spark, t).count() === 10005L)
+    // a second pass finds a single small file: nothing to do
+    assert(TxnLog.compactSmall(spark, t, 5000L) === v)
+    // partitioned table: small files compact WITHIN their partition,
+    // tokens re-emitted, metadata-only drop still works after
+    val pt = freshTable()
+    (0 until 2).foreach { i =>
+      TxnLog.appendPartitioned(spark, pt,
+        Seq((i.toLong, "d1", 1L), (i + 10L, "d2", 2L))
+          .toDF("id", "day", "x"), Seq("day"))
+    }
+    assert(TxnLog.snapshot(pt).liveFiles.length >= 4)
+    TxnLog.compactSmall(spark, pt, minFileBytes = 100000L)
+    val psnap = TxnLog.snapshot(pt)
+    assert(psnap.liveFiles.length === 2, psnap.liveFiles.mkString(","))
+    assert(psnap.filePartitions.size === 2) // tokens survived
+    assert(TxnLog.read(spark, pt).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((0L, "d1"), (1L, "d1"), (10L, "d2"), (11L, "d2")))
+    TxnLog.dropPartition(pt, Map("day" -> "d1"))
+    assert(TxnLog.read(spark, pt).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(10L, 11L))
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
