@@ -494,21 +494,28 @@ object TxnLog {
     val stage = newStage(t, t.dataDir)
     try {
       df.write.partitionBy(partCols: _*).parquet(stage.toString)
-      val stageRel = t.root.relativize(stage).toString
-      val adds = addLinesFor(s, t, stage, statsCols).map { line =>
-        val arr = line.split('\t')
-        val segs = arr(1).stripPrefix(stageRel + "/").split('/').dropRight(1)
-        val pTok = segs.map { seg =>
-          seg.split("=", 2) match {
-            case Array(c, v) if c.nonEmpty => s"part=$c=$v"
-            case _ => throw new IllegalStateException(
-              s"staged file ${arr(1)} is not under a <col>=<val> layout")
-          }
-        }
-        (arr.take(2) ++ pTok ++ arr.drop(2)).mkString("\t")
-      }
-      commitRegistering(t, df.schema, adds)
+      commitRegistering(t, df.schema,
+        partitionedAddLines(s, t, stage, statsCols))
     } finally seal(t, stage)
+  }
+
+  /** Add-action lines for a partitionBy-written stage: each file's
+    * `<col>=<val>` path segments become `part=` tokens. */
+  private def partitionedAddLines(s: SparkSession, t: Table, stage: Path,
+                                  statsCols: Seq[String]): Seq[String] = {
+    val stageRel = t.root.relativize(stage).toString
+    addLinesFor(s, t, stage, statsCols).map { line =>
+      val arr = line.split('\t')
+      val segs = arr(1).stripPrefix(stageRel + "/").split('/').dropRight(1)
+      val pTok = segs.map { seg =>
+        seg.split("=", 2) match {
+          case Array(c, v) if c.nonEmpty => s"part=$c=$v"
+          case _ => throw new IllegalStateException(
+            s"staged file ${arr(1)} is not under a <col>=<val> layout")
+        }
+      }
+      (arr.take(2) ++ pTok ++ arr.drop(2)).mkString("\t")
+    }
   }
 
   /** Does a file's recorded partition spec admit `spec`? Files with
@@ -805,7 +812,7 @@ object TxnLog {
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val stage = newStage(t, t.dataDir)
     try {
-      readFiles(s, t, snap.liveFiles, snap.schemaJson)
+      readRels(s, t, snap, snap.liveFiles)
         .coalesce(targetFiles).write.parquet(stage.toString)
       val adds = addLinesFor(s, t, stage, statsCols)
       commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
@@ -906,7 +913,7 @@ object TxnLog {
       Seq(colA, colB)).distinct.sorted
     val stage = newStage(t, t.dataDir)
     try {
-      readFiles(s, t, snap.liveFiles, snap.schemaJson)
+      readRels(s, t, snap, snap.liveFiles)
         .withColumn("_z", graft.functions.ZOrder.zValue(colA, colB))
         .repartitionByRange(targetFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
@@ -1049,20 +1056,36 @@ object TxnLog {
     }
     if (candidates.isEmpty) return snap.version
     val affectedRel = relsOf(t, snap,
-      readFiles(s, t, candidates, snap.schemaJson)
+      readRels(s, t, snap, candidates)
         .withColumn("_f", input_file_name())
         .filter(cond)
         .select(col("_f")).distinct()
         .collect() // file-count scale: one row per affected file
         .map(_.getString(0)).toSeq)
     if (affectedRel.isEmpty) return snap.version
-    val affected = readFiles(s, t, affectedRel, snap.schemaJson)
+    val affected = readRels(s, t, snap, affectedRel)
     val stage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
-      affected.filter(not(cond)).write.parquet(stage.toString)
+      // on a partitioned table the survivors restage THROUGH the
+      // partition layout (partitionBy + re-emitted part tokens), so a
+      // delete never flattens files out of partition discipline —
+      // dropPartition and partition pruning keep working afterwards.
+      // The change files stay flat (they are the feed, not the table).
+      val partCols = snap.filePartitions.values
+        .flatMap(_.keys).toSeq.distinct.sorted
+      val survivors = affected.filter(not(cond))
+      val adds =
+        if (partCols.isEmpty) {
+          survivors.write.parquet(stage.toString)
+          addLinesFor(s, t, stage, statsCols)
+        } else {
+          survivors.write.partitionBy(partCols: _*)
+            .parquet(stage.toString)
+          partitionedAddLines(s, t, stage,
+            statsCols.filterNot(partCols.contains))
+        }
       affected.filter(cond).write.parquet(cdcStage.toString)
-      val adds = addLinesFor(s, t, stage, statsCols)
       val cdcLines = stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
       commit(t, snap.version, adds = Nil, removes = affectedRel,
         extra = adds ++ cdcLines)
@@ -1107,7 +1130,7 @@ object TxnLog {
         }
       }
     val affectedRel = if (candidates.isEmpty) Nil else relsOf(t, snap,
-      readFiles(s, t, candidates, snap.schemaJson)
+      readRels(s, t, snap, candidates)
         .withColumn("_f", input_file_name())
         .join(keys, Seq(keyCol), "left_semi")
         .select(col("_f")).distinct()
@@ -1116,7 +1139,7 @@ object TxnLog {
     if (affectedRel.isEmpty)
       return appendLines(s, t, source, extraLines = Nil,
         statsCols = statsCols)
-    val affected = readFiles(s, t, affectedRel, snap.schemaJson)
+    val affected = readRels(s, t, snap, affectedRel)
     val survivorStage = newStage(t, t.dataDir)
     val sourceStage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
@@ -1237,7 +1260,7 @@ object TxnLog {
       if (bySource.nonEmpty) snap.liveFiles
       else if (candidates.isEmpty) Nil
       else relsOf(t, snap,
-        readFiles(s, t, candidates, snap.schemaJson)
+        readRels(s, t, snap, candidates)
           .withColumn("_f", input_file_name())
           .join(keys, Seq(keyCol), "left_semi")
           .select(col("_f")).distinct()
@@ -1258,7 +1281,7 @@ object TxnLog {
       }
     }
 
-    val affected = readFiles(s, t, affectedRel, snap.schemaJson)
+    val affected = readRels(s, t, snap, affectedRel)
     val tCols = affected.columns.toSeq
     val badSets = (matched.collect { case u: MergeClause.Update =>
       u.set.keySet.diff(tCols.toSet) } ++

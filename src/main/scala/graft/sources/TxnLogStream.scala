@@ -109,6 +109,13 @@ class TxnLogStreamProvider extends StreamSourceProvider
       }
     }
     val snap = TxnLog.snapshot(t, asOf)
+    // a hive-partitioned table's files do NOT store the partition
+    // columns; resolving them as a flat parquet relation would
+    // silently null-fill those columns — refuse instead
+    require(snap.filePartitions.isEmpty,
+      s"txnlog table at ${t.root} is hive-partitioned; the format " +
+        "relation cannot reconstitute partition columns yet — read " +
+        "it with TxnLog.read / TxnLog.readPartition")
     val paths = snap.liveFiles.map(rel => t.root.resolve(rel).toString)
     val schema = userSchema.orElse(
       snap.schemaJson.map(js =>

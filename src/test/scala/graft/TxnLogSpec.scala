@@ -1313,6 +1313,41 @@ class TxnLogSpec extends AnyFunSuite {
       .toSeq === Seq(10L, 11L))
   }
 
+  test("txnlog: DML on a partitioned table reconstitutes columns and delete preserves the layout") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.appendPartitioned(spark, t,
+      Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L),
+        (4L, "d2", 40L)).toDF("id", "day", "v"), Seq("day"))
+    // a predicate ON THE PARTITION COLUMN works (reconstituted, not
+    // null-filled) and survivors restage THROUGH the layout
+    TxnLog.delete(spark, t, col("day") === "d1" && col("v") > 15L)
+    val got = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq((1L, "d1", 10L), (3L, "d2", 30L), (4L, "d2", 40L)))
+    // layout preserved: every live file still carries its part token,
+    // so drop-a-day stays metadata-only after the delete
+    val snap = TxnLog.snapshot(t)
+    assert(snap.liveFiles.forall(snap.filePartitions.contains),
+      s"delete flattened files out of the layout: ${snap.liveFiles}")
+    TxnLog.dropPartition(t, Map("day" -> "d1"))
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(3L, 4L))
+    // merge on a partitioned table keeps values correct (the touched
+    // sliver re-materializes the column as data — documented)
+    TxnLog.merge(spark, t,
+      Seq((3L, "d2", 300L)).toDF("id", "day", "v").coalesce(1), "id")
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      .toSeq === Seq((3L, "d2", 300L), (4L, "d2", 40L)))
+    // the flat batch-format relation refuses rather than null-fills
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("txnlog").option("path", t.root.toString)
+        .load().collect()
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
