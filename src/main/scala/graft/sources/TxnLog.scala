@@ -1217,9 +1217,23 @@ object TxnLog {
     * the log. Returns the committed version. */
   def mergeInto(s: SparkSession, t: Table, source: DataFrame,
       keyCol: String, clauses: Seq[MergeClause],
+      targetAlias: String = "t", sourceAlias: String = "s"): Long =
+    mergeIntoKeys(s, t, source, Seq(keyCol), clauses, targetAlias,
+      sourceAlias)
+
+  /** [[mergeInto]] on a COMPOSITE key: rows match when every key
+    * column is equal (a source row with a NULL key component matches
+    * nothing and routes through the NOT MATCHED clauses — SQL equi-
+    * join semantics). Everything else — clause routing, ambiguity
+    * refusal, stats-pruned locate (each stats-tracked key column
+    * contributes a manifest range), CDF shape — is the single-key
+    * contract verbatim. */
+  def mergeIntoKeys(s: SparkSession, t: Table, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause],
       targetAlias: String = "t", sourceAlias: String = "s"): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name,
       lit, max, min, when}
+    require(keyCols.nonEmpty, "mergeIntoKeys needs at least one key column")
     require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
     val matched = clauses.collect {
       case u: MergeClause.Update => u
@@ -1237,23 +1251,36 @@ object TxnLog {
     val (ta, sa) = (targetAlias, sourceAlias)
 
     // loud ambiguity refusal: one aggregate over the sync-sized source
-    val worst = source.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
-      .agg(max(col("_n"))).head()
+    val worst = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
     require(worst.isNullAt(0) || worst.getLong(0) <= 1L,
-      s"merge source has up to ${worst.getLong(0)} rows per '$keyCol': " +
-        "a multi-row-per-key source makes the merge order-dependent — " +
-        "dedup the source (e.g. keep the newest row per key) first")
+      s"merge source has up to ${worst.getLong(0)} rows per key " +
+        s"(${keyCols.mkString(", ")}): a multi-row-per-key source makes " +
+        "the merge order-dependent — dedup the source (e.g. keep the " +
+        "newest row per key) first")
 
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val keys = source.select(col(keyCol)).distinct()
+    val keys = source.select(keyCols.map(col): _*).distinct()
+    // each stats-tracked key column bounds the candidate set by the
+    // source's range on it — one sync-sized aggregate for all of them
+    val trackedKeys = keyCols.filter(k =>
+      snap.fileStats.values.exists(_.contains(k)))
     val candidates =
-      if (!snap.fileStats.values.exists(_.contains(keyCol))) snap.liveFiles
-      else keys.agg(min(col(keyCol)), max(col(keyCol))).head() match {
-        case r if r.isNullAt(0) => Nil
-        case r => (r.get(0), r.get(1)) match {
-          case (lo: Long, hi: Long) => pruneBox(snap, Seq((keyCol, lo, hi)))
-          case _ => snap.liveFiles
+      if (trackedKeys.isEmpty) snap.liveFiles
+      else {
+        val aggs = trackedKeys.flatMap(k =>
+          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+        val r = keys.agg(aggs.head, aggs.tail: _*).head()
+        if (r.isNullAt(0)) Nil // empty source: nothing matches
+        else {
+          val preds = trackedKeys.flatMap { k =>
+            (r.getAs[Any](s"lo_$k"), r.getAs[Any](s"hi_$k")) match {
+              case (lo: Long, hi: Long) => Some((k, lo, hi))
+              case _                    => None
+            }
+          }
+          if (preds.isEmpty) snap.liveFiles else pruneBox(snap, preds)
         }
       }
     val affectedRel =
@@ -1262,7 +1289,7 @@ object TxnLog {
       else relsOf(t, snap,
         readRels(s, t, snap, candidates)
           .withColumn("_f", input_file_name())
-          .join(keys, Seq(keyCol), "left_semi")
+          .join(keys, keyCols, "left_semi")
           .select(col("_f")).distinct()
           .collect() // file-count scale: one row per affected file
           .map(_.getString(0)).toSeq)
@@ -1290,8 +1317,10 @@ object TxnLog {
     require(badSets.isEmpty,
       s"UPDATE SET targets unknown column(s): ${badSets.mkString(", ")}")
 
-    val joined = affected.alias(ta).join(source.alias(sa),
-      col(s"$ta.$keyCol") === col(s"$sa.$keyCol"), "left_outer")
+    val joined = affected.alias(ta)
+      .join(source.withColumn("_graft_m", lit(true)).alias(sa),
+        keyCols.map(k => col(s"$ta.$k") === col(s"$sa.$k"))
+          .reduce(_ && _), "left_outer")
     // first-match clause index: i >= 1 the i-th MATCHED clause
     // applies, -j <= -1 the j-th NOT-MATCHED-BY-SOURCE clause
     // applies, 0 no clause fires (row untouched, absent from CDF)
@@ -1306,7 +1335,7 @@ object TxnLog {
         }).getOrElse(lit(true))
         when(cond, lit(sign * (i + 1))).otherwise(acc)
       }
-    val idx = when(col(s"$sa.$keyCol").isNull, chain(bySource, -1))
+    val idx = when(col(s"$sa._graft_m").isNull, chain(bySource, -1))
       .otherwise(chain(matched, 1))
     val withIdx = joined.withColumn("_clause", idx)
     val updateIdx = matched.zipWithIndex.collect {
@@ -1340,9 +1369,11 @@ object TxnLog {
             case (_, acc) => acc
           }.as(c)
         }: _*))
-    val affKeys = affected.select(col(keyCol).as("_tk"))
+    val affKeys = affected.select(
+      keyCols.map(k => col(k).as(s"_tk_$k")): _*)
     val inserted = insertable(source.alias(sa)
-      .join(affKeys, col(s"$sa.$keyCol") === col("_tk"), "left_anti"))
+      .join(affKeys, keyCols.map(k =>
+        col(s"$sa.$k") === col(s"_tk_$k")).reduce(_ && _), "left_anti"))
 
     val survivorStage = newStage(t, t.dataDir)
     val updatedStage = newStage(t, t.dataDir)

@@ -241,11 +241,11 @@ final case class TxnLogVacuumCommand(table: String,
   }
 }
 
-/** `MERGE INTO tgt t USING src s ON t.k = s.k WHEN ...` →
-  * [[TxnLog.mergeInto]] with the SQL aliases as the clause
-  * qualifiers. The ON condition must be the single-key equi form
-  * `<tgtAlias>.<col> = <srcAlias>.<col>` (same column name both
-  * sides) — the key the Scala API merges on. */
+/** `MERGE INTO tgt t USING src s ON t.k = s.k [AND t.k2 = s.k2 ...]
+  * WHEN ...` → [[TxnLog.mergeIntoKeys]] with the SQL aliases as the
+  * clause qualifiers. The ON condition must be an equi conjunction
+  * with the same column name on both sides of every term — the
+  * (composite) key the Scala API merges on. */
 final case class TxnLogMergeCommand(table: String,
     tAlias: Option[String], source: String, sAlias: Option[String],
     onCond: String,
@@ -255,12 +255,14 @@ final case class TxnLogMergeCommand(table: String,
     val src = GraftSqlParser.resolveSource(spark, source)
     val ta = tAlias.getOrElse("t")
     val sa = sAlias.getOrElse("s")
-    val key = onCond match {
+    // ON is an equi conjunction: t.a = s.a [AND t.b = s.b ...] with
+    // the same column name on both sides of every conjunct
+    val keys = onCond.split("""(?i)\bAND\b""").toSeq.map {
       case GraftSqlParser.OnKeyRe(q1, c1, q2, c2)
         if c1 == c2 && Set(q1, q2) == Set(ta, sa) => c1
       case other => throw new IllegalArgumentException(
-        s"MERGE ON must be $ta.<col> = $sa.<col> with the same " +
-          s"column name on both sides, got: $other")
+        s"MERGE ON must be a conjunction of $ta.<col> = $sa.<col> " +
+          s"terms with the same column name on both sides, got: $other")
     }
     val mcs = clauses.map {
       case GraftSqlParser.ClauseText("update", cond, sets) =>
@@ -276,7 +278,7 @@ final case class TxnLogMergeCommand(table: String,
       case GraftSqlParser.ClauseText(_, cond, _) =>
         TxnLog.MergeClause.Insert(cond.map(expr))
     }
-    TxnLog.mergeInto(spark, t, src, key, mcs,
+    TxnLog.mergeIntoKeys(spark, t, src, keys, mcs,
       targetAlias = ta, sourceAlias = sa)
     Seq.empty
   }

@@ -1090,6 +1090,43 @@ class TxnLogSpec extends AnyFunSuite {
       (5L, "E")))
   }
 
+  test("txnlog: mergeIntoKeys matches on composite keys; null key components never match") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L))
+        .toDF("k1", "k2", "v").coalesce(1))
+    val src = Seq((Some(1L), "a", 100L), (Some(2L), "b", 200L),
+      (None: Option[Long], "a", 999L)).toDF("k1", "k2", "v").coalesce(1)
+    val ver = TxnLog.mergeIntoKeys(spark, t, src, Seq("k1", "k2"), Seq(
+      TxnLog.MergeClause.Update(None, Map("v" -> col("s.v"))),
+      TxnLog.MergeClause.Insert(Some(col("s.k1").isNotNull))))
+    // (1,a) updated; (1,b),(2,a) untouched; (2,b) inserted; the
+    // null-k1 source row matches nothing and its insert cond drops it
+    val got = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq((1L, "a", 100L), (1L, "b", 20L), (2L, "a", 30L),
+      (2L, "b", 200L)))
+    // ambiguity is judged on the FULL composite key: two rows sharing
+    // k1 but not k2 are fine (above); sharing both refuses
+    intercept[IllegalArgumentException] {
+      TxnLog.mergeIntoKeys(spark, t,
+        Seq((1L, "a", 1L), (1L, "a", 2L)).toDF("k1", "k2", "v"),
+        Seq("k1", "k2"), Seq(TxnLog.MergeClause.Delete(None)))
+    }
+    // the SQL grammar takes the composite ON conjunction
+    val root = t.root
+    src.filter(col("k1").isNotNull).createOrReplaceTempView("graft_ck_src")
+    spark.sql(
+      s"""MERGE INTO txnlog.`$root` t USING graft_ck_src s
+         |ON t.k1 = s.k1 AND t.k2 = s.k2
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "b"), (2L, "a")))
+    assert(TxnLog.latestVersion(t) === ver + 1)
+  }
+
   test("txnlog: mergeInto insert-only and delete-only degenerate forms") {
     import spark.implicits._
     val t = freshTable()
