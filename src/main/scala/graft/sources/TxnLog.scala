@@ -1517,10 +1517,6 @@ object TxnLog {
         "stream from a fresh checkpoint"))
     range.flatMap { vf =>
       val a = commitActions(vf)
-      if (a.addParts.nonEmpty) throw new IllegalStateException(
-        s"commit ${vf.getFileName} adds hive-partitioned files; the " +
-          "txnlog stream cannot reconstitute partition columns yet — " +
-          "consume partitioned tables with batch reads")
       if (!a.hasRemoves)
         a.adds ++ a.cdcFiles.collect { case (rel, "insert") => rel }
       else if (a.cdcNone) Nil
@@ -1551,8 +1547,7 @@ object TxnLog {
     * streaming source's batch planner: (insert files, delete change
     * files). Unlike [[changes]] this REFUSES a rewrite without cdc
     * info instead of snapshot-diffing (a stream cannot diff
-    * incrementally), and refuses partition-recorded files (the
-    * stream path cannot reconstitute partition columns yet). */
+    * incrementally). */
   private[graft] def changeFeedFiles(t: Table, from: Long,
       to: Long): (Seq[String], Seq[String]) = {
     val range = versionFiles(t)
@@ -1563,29 +1558,57 @@ object TxnLog {
         "stream from a fresh checkpoint"))
     val acts = range.map(commitActions)
     range.zip(acts).foreach { case (vf, a) =>
-      if (a.addParts.nonEmpty) throw new IllegalStateException(
-        s"commit ${vf.getFileName} adds hive-partitioned files; the " +
-          "txnlog stream cannot reconstitute partition columns yet — " +
-          "consume partitioned tables with batch reads")
       if (a.hasRemoves && !a.cdcNone && a.cdcFiles.isEmpty)
         throw new IllegalStateException(
           s"commit ${vf.getFileName} rewrites files without cdc info; " +
             "the stream cannot resolve it from the log")
     }
-    val deletes = acts.flatMap(_.cdcFiles)
-      .collect { case (rel, "delete") => rel }
-    if (deletes.nonEmpty) {
-      // cdc deletes may reference DATA files zero-copy (replace,
-      // dropPartition): refuse the ones recorded as partitioned
-      val partRecorded = snapshot(t, Some(from)).filePartitions.keySet
-      if (deletes.exists(partRecorded)) throw new IllegalStateException(
-        "the change range deletes hive-partitioned files; the txnlog " +
-          "stream cannot reconstitute partition columns yet — consume " +
-          "partitioned tables with batch reads")
-    }
     (acts.filter(!_.hasRemoves).flatMap(_.adds) ++
       acts.flatMap(_.cdcFiles).collect { case (rel, "insert") => rel },
-      deletes)
+      acts.flatMap(_.cdcFiles).collect { case (rel, "delete") => rel })
+  }
+
+  /** Partition metadata for every file a feed over (from, to] can
+    * reference: the from-snapshot's live files plus the range
+    * commits' partitioned adds. Metadata-scale; empty for
+    * unpartitioned tables (the common case pays one map lookup). */
+  private def feedPartsMap(t: Table, from: Long,
+      to: Long): Map[String, Map[String, String]] = {
+    val rangeParts = versionFiles(t)
+      .filter(p => versionOf(p) > from && versionOf(p) <= to)
+      .flatMap(vf => commitActions(vf).addParts)
+    val base = // a feed from the table's very beginning has no base
+      if (from < 0) Map.empty[String, Map[String, String]]
+      else snapshot(t, Some(from)).filePartitions
+    if (rangeParts.isEmpty && base.isEmpty) Map.empty
+    else base ++ rangeParts
+  }
+
+  /** One streaming micro-batch of the APPEND feed as a DataFrame,
+    * partition columns reconstituted when the table is partitioned —
+    * the read the V1 source's getBatch hands the engine. */
+  private[graft] def readFeedBatch(s: SparkSession, t: Table, from: Long,
+      to: Long, ignoreDeletes: Boolean, ignoreChanges: Boolean,
+      schemaJson: String): DataFrame = {
+    val files = appendFeed(t, from, to, ignoreDeletes, ignoreChanges)
+    val parts = feedPartsMap(t, from, to)
+    if (files.exists(parts.contains))
+      readGrouped(s, t, files, parts, Some(schemaJson))
+    else readFiles(s, t, files, Some(schemaJson))
+  }
+
+  /** One CDF micro-batch as (inserts, deletes) DataFrames, partition
+    * columns reconstituted (zero-copy deletes from dropPartition
+    * reference partition-recorded data files). */
+  private[graft] def readChangeFeedBatch(s: SparkSession, t: Table,
+      from: Long, to: Long, schemaJson: String): (DataFrame, DataFrame) = {
+    val (ins, del) = changeFeedFiles(t, from, to)
+    val parts = feedPartsMap(t, from, to)
+    def rd(files: Seq[String]): DataFrame =
+      if (files.exists(parts.contains))
+        readGrouped(s, t, files, parts, Some(schemaJson))
+      else readFiles(s, t, files, Some(schemaJson))
+    (rd(ins), rd(del))
   }
 
   /** Change-data-feed read: the row-level (inserts, deletes) between

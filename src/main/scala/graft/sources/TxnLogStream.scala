@@ -110,12 +110,18 @@ class TxnLogStreamProvider extends StreamSourceProvider
     }
     val snap = TxnLog.snapshot(t, asOf)
     // a hive-partitioned table's files do NOT store the partition
-    // columns; resolving them as a flat parquet relation would
-    // silently null-fill those columns — refuse instead
-    require(snap.filePartitions.isEmpty,
-      s"txnlog table at ${t.root} is hive-partitioned; the format " +
-        "relation cannot reconstitute partition columns yet — read " +
-        "it with TxnLog.read / TxnLog.readPartition")
+    // columns, so the flat parquet relation would null-fill them —
+    // such tables resolve through the partition-aware scan instead
+    // (pinned to the observed version, the same point-in-time
+    // semantics the flat path's captured file list has)
+    if (snap.filePartitions.nonEmpty)
+      return new TxnLogPartitionedRelation(sqlContext, t,
+        Some(snap.version),
+        userSchema.orElse(snap.schemaJson.map(js =>
+          org.apache.spark.sql.types.DataType.fromJson(js)
+            .asInstanceOf[StructType])).getOrElse(
+          throw new IllegalStateException(
+            "partitioned txnlog reads need a log-registered schema")))
     val paths = snap.liveFiles.map(rel => t.root.resolve(rel).toString)
     val schema = userSchema.orElse(
       snap.schemaJson.map(js =>
@@ -173,6 +179,60 @@ class TxnLogStreamProvider extends StreamSourceProvider
       parameters.get("maxVersionsPerBatch").map(_.toLong),
       parameters.get("ignoreChanges").exists(_.toBoolean),
       isCdf(parameters))
+}
+
+/** Batch relation for a HIVE-PARTITIONED txnlog table: wraps the
+  * partition-aware grouped read (typed reconstitution of the
+  * partition columns) behind V1's PrunedFilteredScan. Column pruning
+  * reaches the parquet scans through the inner plan's select, and
+  * exactly-translated filters push into it — including filters on
+  * the partition columns, which collapse to the reconstituted
+  * literals and prune whole scan groups in the optimizer. Spark
+  * re-applies every filter above a V1 relation, so partially
+  * untranslatable predicates stay correct. */
+private[sources] class TxnLogPartitionedRelation(
+    override val sqlContext: SQLContext, t: TxnLog.Table,
+    asOf: Option[Long], override val schema: StructType)
+  extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  // rows are produced by an internal Dataset plan: already InternalRow
+  override def needConversion: Boolean = false
+
+  /** Exact translation or None — Or/Not over a dropped branch would
+    * change semantics, so nothing partial survives below the top
+    * level (top-level array elements are implicitly ANDed, where
+    * dropping an element is always safe). */
+  private def exact(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case And(l, r) => for (a <- exact(l); b <- exact(r)) yield a && b
+    case Or(l, r)  => for (a <- exact(l); b <- exact(r)) yield a || b
+    case Not(x)    => exact(x).map(!_)
+    case _         => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.Row] = {
+    val base = TxnLog.read(sqlContext.sparkSession, t, asOf)
+    val filtered = filters.flatMap(exact).foldLeft(base)(_.filter(_))
+    val pruned = filtered.select(
+      requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
 }
 
 /** See [[TxnLogStreamProvider]]. `maxVersionsPerBatch` is the
@@ -252,15 +312,12 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
         // CDF backlog: the snapshot arrives as one insert wave
         typed(TxnLog.read(ctx.sparkSession, t, Some(endV)), "insert")
       case (Some(s0), false) =>
-        val files = TxnLog.appendFeed(t, versionOf(s0), endV,
-          ignoreDeletes, ignoreChanges)
-        TxnLog.readFiles(ctx.sparkSession, t, files, Some(tableSchema.json))
+        TxnLog.readFeedBatch(ctx.sparkSession, t, versionOf(s0), endV,
+          ignoreDeletes, ignoreChanges, tableSchema.json)
       case (Some(s0), true) =>
-        val (ins, del) = TxnLog.changeFeedFiles(t, versionOf(s0), endV)
-        def rd(files: Seq[String]): DataFrame =
-          TxnLog.readFiles(ctx.sparkSession, t, files,
-            Some(tableSchema.json))
-        typed(rd(ins), "insert").unionByName(typed(rd(del), "delete"))
+        val (ins, del) = TxnLog.readChangeFeedBatch(ctx.sparkSession, t,
+          versionOf(s0), endV, tableSchema.json)
+        typed(ins, "insert").unionByName(typed(del, "delete"))
     }
     StreamShim.asStreamingBatch(batch)
   }

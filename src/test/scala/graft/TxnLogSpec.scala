@@ -1229,12 +1229,17 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
       Seq((3L, "2026-01-02"), (4L, "2026-01-03")))
-    // dropping an absent partition is a no-op; streaming refuses
+    // dropping an absent partition is a no-op
     assert(TxnLog.dropPartition(t, Map("day" -> "1999-01-01")) === vDrop)
-    val e = intercept[IllegalStateException] {
-      TxnLog.appendFeed(t, before - 1, vDrop, ignoreDeletes = true)
-    }
-    assert(e.getMessage.contains("partition"))
+    // the append feed reconstitutes partition columns (the drop is a
+    // pure delete commit, skipped under ignoreDeletes; the feed
+    // replays the original append's files — all four rows, typed)
+    val feed = TxnLog.readFeedBatch(spark, t, before - 1, vDrop,
+      ignoreDeletes = true, ignoreChanges = false,
+      TxnLog.registeredSchema(t).get.json)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(feed === Seq((1L, "2026-01-01"), (2L, "2026-01-01"),
+      (3L, "2026-01-02"), (4L, "2026-01-03")))
   }
 
   test("txnlog: readStream with readChangeFeed delivers deletes as typed change rows and converges") {
@@ -1377,12 +1382,58 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
       .toSeq === Seq((3L, "d2", 300L), (4L, "d2", 40L)))
-    // the flat batch-format relation refuses rather than null-fills
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("txnlog").option("path", t.root.toString)
-        .load().collect()
-    }
-    assert(e.getMessage.contains("partition"))
+    // the batch-format relation reconstitutes partition columns
+    // (filters on them prune scan groups; values never null-fill)
+    val viaFormat = spark.read.format("txnlog")
+      .option("path", t.root.toString).load()
+    assert(viaFormat.filter(col("day") === "d2")
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((3L, 300L), (4L, 40L)))
+    assert(viaFormat.count() === 2L)
+  }
+
+  test("txnlog: streams over partitioned tables reconstitute the partition column; drops arrive as typed CDF deletes") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxnLog.appendPartitioned(spark, t,
+      Seq((1L, "d1"), (2L, "d1")).toDF("id", "day"), Seq("day"))
+    val ckpt = Files.createTempDirectory("graft-txnpstream-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val q = spark.readStream.format("txnlog")
+      .option("path", t.root.toString)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          got.add((r.getLong(0), r.getString(1), r.getString(2)))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted ===
+        Seq((1L, "d1", "insert"), (2L, "d1", "insert")))
+      // a partitioned append mid-stream arrives with the column
+      // reconstituted, never null-filled
+      TxnLog.appendPartitioned(spark, t,
+        Seq((3L, "d2")).toDF("id", "day"), Seq("day"))
+      // a metadata-only partition drop arrives as typed delete events
+      // whose partition values come from the zero-copy old files
+      TxnLog.dropPartition(t, Map("day" -> "d1"))
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === Seq(
+        (1L, "d1", "delete"), (1L, "d1", "insert"),
+        (2L, "d1", "delete"), (2L, "d1", "insert"),
+        (3L, "d2", "insert")))
+    } finally q.stop()
+    // the plain append feed also reconstitutes (drop skipped via
+    // ignoreDeletes — it is a pure delete commit)
+    val rows = TxnLog.readFeedBatch(spark, t, 0L,
+      TxnLog.latestVersion(t), ignoreDeletes = true,
+      ignoreChanges = false, TxnLog.registeredSchema(t).get.json)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows === Seq((3L, "d2")))
   }
 
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
