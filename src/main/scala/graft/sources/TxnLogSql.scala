@@ -69,6 +69,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?\\s*;?\\s*$$""".r
   private val VacuumRe =
     s"""(?is)^\\s*VACUUM\\s+($Ident)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""".r
+  private val HistoryRe =
+    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($Ident)(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val MergeRe =
     (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?(?:\\s+(?!USING\\b)(\\w+))?""" +
       s"""\\s+USING\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|$Ident)(?:\\s+AS\\b)?(?:\\s+(?!ON\\b)(\\w+))?""" +
@@ -100,6 +102,8 @@ object GraftSqlParser {
           }))
       case VacuumRe(tbl, hours) =>
         Some(TxnLogVacuumCommand(tbl, Option(hours).map(_.toLong)))
+      case HistoryRe(tbl, limit) =>
+        Some(TxnLogHistoryCommand(tbl, Option(limit).map(_.toInt)))
       case MergeRe(tbl, tAlias, src, sAlias, onCond, whenText) =>
         Some(TxnLogMergeCommand(tbl, Option(tAlias), src.trim,
           Option(sAlias), onCond.trim, parseWhenClauses(whenText)))
@@ -238,6 +242,24 @@ final case class TxnLogVacuumCommand(table: String,
     TxnLog.vacuum(t,
       retainHours.map(_ * 3600L * 1000L).getOrElse(TxnLog.VacuumGraceMs))
     Seq.empty
+  }
+}
+
+/** `DESCRIBE HISTORY <table> [LIMIT n]` → [[TxnLog.history]]: the
+  * audit surface as a result set (version, operation, adds, removes,
+  * change files), newest-n bounded with LIMIT. */
+final case class TxnLogHistoryCommand(table: String,
+    limit: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version BIGINT, operation STRING, n_adds BIGINT, " +
+          "n_removes BIGINT, n_cdc BIGINT"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, table)
+    TxnLog.history(t, limit.getOrElse(Int.MaxValue)).map {
+      case (v, op, a, r, c) => Row(v, op, a, r, c)
+    }
   }
 }
 

@@ -147,6 +147,10 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(s"DELETE FROM txnlog.`$p`")
       assert(TxnLog.read(spark, t).count() === 0)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_cat")
+    // DESCRIBE HISTORY returns the audit as a result set, LIMIT-aware
+    val hist = spark.sql(s"DESCRIBE HISTORY txnlog.`$p`").collect()
+    assert(hist.length >= 5 && hist.exists(_.getString(1) == "OPTIMIZE"))
+    assert(spark.sql(s"DESCRIBE HISTORY txnlog.`$p` LIMIT 2").count() === 2)
     // OPTIMIZE ZORDER BY parses and clusters
     val zroot = java.nio.file.Files
       .createTempDirectory("graft-sqlz-").resolve("t")
