@@ -98,7 +98,8 @@ class PartitionRobustnessSpec extends AnyFunSuite {
     // SQL-text DML path, and the sampled per-nation calibration must
     // all be partitioning-independent
     "src_txnlog_merge_into", "src_txnlog_partitioned",
-    "src_txnlog_sql_dml", "q47_window_profile_sampled")
+    "src_txnlog_sql_dml", "src_txnlog_merge_sync",
+    "q47_window_profile_sampled")
 
   test("results are invariant with adaptive execution disabled") {
     // AQE re-plans joins and coalesces partitions at runtime; none of
