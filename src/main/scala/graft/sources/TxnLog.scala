@@ -499,22 +499,29 @@ object TxnLog {
     } finally seal(t, stage)
   }
 
+  /** Splice `part=` tokens into an add-action line (right after the
+    * path, before any stats triples) — the ONE place the decorated
+    * add grammar is produced. */
+  private def decorateAdd(line: String, pTok: Seq[String]): String = {
+    val arr = line.split('\t')
+    (arr.take(2) ++ pTok ++ arr.drop(2)).mkString("\t")
+  }
+
   /** Add-action lines for a partitionBy-written stage: each file's
     * `<col>=<val>` path segments become `part=` tokens. */
   private def partitionedAddLines(s: SparkSession, t: Table, stage: Path,
                                   statsCols: Seq[String]): Seq[String] = {
     val stageRel = t.root.relativize(stage).toString
     addLinesFor(s, t, stage, statsCols).map { line =>
-      val arr = line.split('\t')
-      val segs = arr(1).stripPrefix(stageRel + "/").split('/').dropRight(1)
-      val pTok = segs.map { seg =>
+      val rel = line.split('\t')(1)
+      val segs = rel.stripPrefix(stageRel + "/").split('/').dropRight(1)
+      decorateAdd(line, segs.toIndexedSeq.map { seg =>
         seg.split("=", 2) match {
           case Array(c, v) if c.nonEmpty => s"part=$c=$v"
           case _ => throw new IllegalStateException(
-            s"staged file ${arr(1)} is not under a <col>=<val> layout")
+            s"staged file $rel is not under a <col>=<val> layout")
         }
-      }
-      (arr.take(2) ++ pTok ++ arr.drop(2)).mkString("\t")
+      })
     }
   }
 
@@ -538,7 +545,10 @@ object TxnLog {
     val df = readRels(s, t, snap,
       if (keep.nonEmpty) keep else snap.liveFiles)
     val filtered = spec.foldLeft(df) { case (d, (c, v)) =>
-      d.filter(col(c) === partValue(v).cast(d.schema(c).dataType))
+      // null-SAFE equality: the __HIVE_DEFAULT_PARTITION__ sentinel
+      // reconstitutes as a null literal, and `=== null` would match
+      // nothing — <=> selects the null partition's rows correctly
+      d.filter(col(c) <=> partValue(v).cast(d.schema(c).dataType))
     }
     if (keep.nonEmpty) filtered else filtered.limit(0)
   }
@@ -809,12 +819,24 @@ object TxnLog {
     * fails rather than resurrecting its rows. */
   def compact(s: SparkSession, t: Table, targetFiles: Int = 1): Long = {
     val snap = snapshot(t)
-    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val partCols = snap.filePartitions.values
+      .flatMap(_.keys).toSeq.distinct.sorted
+    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq
+      .distinct.sorted.filterNot(partCols.contains)
     val stage = newStage(t, t.dataDir)
     try {
-      readRels(s, t, snap, snap.liveFiles)
-        .coalesce(targetFiles).write.parquet(stage.toString)
-      val adds = addLinesFor(s, t, stage, statsCols)
+      val df = readRels(s, t, snap, snap.liveFiles).coalesce(targetFiles)
+      // a partitioned table compacts THROUGH its layout (tokens
+      // re-emitted) — OPTIMIZE must never silently flatten the
+      // metadata dropPartition and partition pruning depend on
+      val adds =
+        if (partCols.isEmpty) {
+          df.write.parquet(stage.toString)
+          addLinesFor(s, t, stage, statsCols)
+        } else {
+          df.write.partitionBy(partCols: _*).parquet(stage.toString)
+          partitionedAddLines(s, t, stage, statsCols)
+        }
       commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
         extra = adds :+ "cdc\tnone", reconcileDisjoint = true)
     } finally seal(t, stage)
@@ -867,14 +889,11 @@ object TxnLog {
           df.coalesce(targetFiles).write.parquet(stage.toString)
           val lines = addLinesFor(s, t, stage,
             statsCols.filterNot(spec.contains))
+          val pTok = spec.toSeq.sortBy(_._1)
+            .map { case (c, v) => s"part=$c=$v" }
           val decorated =
             if (spec.isEmpty) lines
-            else lines.map { line =>
-              val arr = line.split('\t')
-              val pTok = spec.toSeq.sortBy(_._1)
-                .map { case (c, v) => s"part=$c=$v" }
-              (arr.take(2) ++ pTok ++ arr.drop(2)).mkString("\t")
-            }
+            else lines.map(decorateAdd(_, pTok))
           (files, decorated)
         }
       commit(t, snap.version, adds = Nil,
@@ -909,17 +928,32 @@ object TxnLog {
         s"zorder key '$c' has values in [$lo, $hi] outside " +
           s"[0, ${graft.functions.ZOrder.MaxKeyExclusive}): keys would " +
           "alias on the z curve — rescale the column first")
+    val partCols = snap.filePartitions.values
+      .flatMap(_.keys).toSeq.distinct.sorted
+    require(!partCols.contains(colA) && !partCols.contains(colB),
+      s"zorder keys must be data columns, not partition columns " +
+        s"(${partCols.mkString(", ")}) — the layout already clusters " +
+        "on those")
     val statsCols = (snap.fileStats.values.flatMap(_.keys).toSeq ++
-      Seq(colA, colB)).distinct.sorted
+      Seq(colA, colB)).distinct.sorted.filterNot(partCols.contains)
     val stage = newStage(t, t.dataDir)
     try {
-      readRels(s, t, snap, snap.liveFiles)
+      val clustered = readRels(s, t, snap, snap.liveFiles)
         .withColumn("_z", graft.functions.ZOrder.zValue(colA, colB))
         .repartitionByRange(targetFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_z")
-        .write.parquet(stage.toString)
-      val adds = addLinesFor(s, t, stage, statsCols)
+      // a partitioned table z-clusters WITHIN its layout (tokens
+      // re-emitted) — same no-silent-flattening rule as compact
+      val adds =
+        if (partCols.isEmpty) {
+          clustered.write.parquet(stage.toString)
+          addLinesFor(s, t, stage, statsCols)
+        } else {
+          clustered.write.partitionBy(partCols: _*)
+            .parquet(stage.toString)
+          partitionedAddLines(s, t, stage, statsCols)
+        }
       commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
         extra = adds :+ "cdc\tnone", reconcileDisjoint = true)
     } finally seal(t, stage)
@@ -1114,7 +1148,11 @@ object TxnLog {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val keys = source.select(col(keyCol)).distinct()
+    // one materialization: the upsert reads its source from several
+    // angles; a recomputed non-deterministic source could disagree
+    // with itself between them
+    val src = source.localCheckpoint()
+    val keys = src.select(col(keyCol)).distinct()
     // manifest pruning BEFORE the locating join: when the key column
     // is stats-tracked, one source-scale min/max aggregate bounds the
     // key range and only files whose (min, max) intersect it are
@@ -1137,7 +1175,7 @@ object TxnLog {
         .collect() // file-count scale: one row per affected file
         .map(_.getString(0)).toSeq)
     if (affectedRel.isEmpty)
-      return appendLines(s, t, source, extraLines = Nil,
+      return appendLines(s, t, src, extraLines = Nil,
         statsCols = statsCols)
     val affected = readRels(s, t, snap, affectedRel)
     val survivorStage = newStage(t, t.dataDir)
@@ -1146,11 +1184,11 @@ object TxnLog {
     try {
       affected.join(keys, Seq(keyCol), "left_anti")
         .write.parquet(survivorStage.toString)
-      source.write.parquet(sourceStage.toString)
+      src.write.parquet(sourceStage.toString)
       affected.join(keys, Seq(keyCol), "left_semi")
         .write.parquet(cdcStage.toString) // old images of matched rows
       val (schema, changed) = mergedSchema(registeredSchema(t),
-        source.schema)
+        src.schema)
       val adds = addLinesFor(s, t, survivorStage, statsCols) ++
         addLinesFor(s, t, sourceStage, statsCols)
       val cdcLines =
@@ -1249,9 +1287,20 @@ object TxnLog {
       case d: MergeClause.BySourceDelete => d
     }
     val (ta, sa) = (targetAlias, sourceAlias)
+    // materialize the sync-sized source ONCE: the merge evaluates it
+    // from several angles (ambiguity, key range, locate, clause join,
+    // insert anti-join) and a recomputed non-deterministic source
+    // could disagree with itself between them — the reason Delta
+    // materializes merge sources too
+    val src = source.localCheckpoint()
 
-    // loud ambiguity refusal: one aggregate over the sync-sized source
-    val worst = source.groupBy(keyCols.map(col): _*)
+    // loud ambiguity refusal: one aggregate over the source. Rows
+    // with a NULL key component are EXCLUDED — they can never match a
+    // target row (SQL equi-join), so any number of them stays
+    // order-independent (they only ever route through NOT MATCHED)
+    val worst = src
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
     require(worst.isNullAt(0) || worst.getLong(0) <= 1L,
       s"merge source has up to ${worst.getLong(0)} rows per key " +
@@ -1261,7 +1310,7 @@ object TxnLog {
 
     val snap = snapshot(t)
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val keys = source.select(keyCols.map(col): _*).distinct()
+    val keys = src.select(keyCols.map(col): _*).distinct()
     // each stats-tracked key column bounds the candidate set by the
     // source's range on it — one sync-sized aggregate for all of them
     val trackedKeys = keyCols.filter(k =>
@@ -1301,7 +1350,7 @@ object TxnLog {
 
     if (affectedRel.isEmpty) {
       // nothing matched: the merge degrades to the insert clauses
-      return insertable(source.alias(sa)) match {
+      return insertable(src.alias(sa)) match {
         case Some(rows) => appendLines(s, t, rows, extraLines = Nil,
           statsCols = statsCols)
         case None => snap.version
@@ -1318,7 +1367,7 @@ object TxnLog {
       s"UPDATE SET targets unknown column(s): ${badSets.mkString(", ")}")
 
     val joined = affected.alias(ta)
-      .join(source.withColumn("_graft_m", lit(true)).alias(sa),
+      .join(src.withColumn("_graft_m", lit(true)).alias(sa),
         keyCols.map(k => col(s"$ta.$k") === col(s"$sa.$k"))
           .reduce(_ && _), "left_outer")
     // first-match clause index: i >= 1 the i-th MATCHED clause
@@ -1371,7 +1420,7 @@ object TxnLog {
         }: _*))
     val affKeys = affected.select(
       keyCols.map(k => col(k).as(s"_tk_$k")): _*)
-    val inserted = insertable(source.alias(sa)
+    val inserted = insertable(src.alias(sa)
       .join(affKeys, keyCols.map(k =>
         col(s"$sa.$k") === col(s"_tk_$k")).reduce(_ && _), "left_anti"))
 
@@ -1385,7 +1434,7 @@ object TxnLog {
       updatedNew.foreach(_.write.parquet(updatedStage.toString))
       inserted.foreach(_.write.parquet(insertStage.toString))
       val (schema, changed) = inserted match {
-        case Some(_) => mergedSchema(registeredSchema(t), source.schema)
+        case Some(_) => mergedSchema(registeredSchema(t), src.schema)
         case None    => (affected.schema, false)
       }
       val adds = addLinesFor(s, t, survivorStage, statsCols) ++
@@ -1577,9 +1626,16 @@ object TxnLog {
     val rangeParts = versionFiles(t)
       .filter(p => versionOf(p) > from && versionOf(p) <= to)
       .flatMap(vf => commitActions(vf).addParts)
-    val base = // a feed from the table's very beginning has no base
+    // a stream may legitimately resume at the version just below the
+    // expireLog retention floor (its range is fully retained even
+    // though `from` itself is not replayable): fall back to the
+    // earliest retained state — only zero-copy deletes of files
+    // removed exactly at the floor version could lose partition
+    // metadata then, a keep-one-checkpoint-of-slack retention note
+    val floor = versionFiles(t).headOption.map(versionOf).getOrElse(0L)
+    val base =
       if (from < 0) Map.empty[String, Map[String, String]]
-      else snapshot(t, Some(from)).filePartitions
+      else snapshot(t, Some(math.max(from, floor))).filePartitions
     if (rangeParts.isEmpty && base.isEmpty) Map.empty
     else base ++ rangeParts
   }
@@ -1808,6 +1864,15 @@ object TxnLog {
 
   def vacuum(t: Table, graceMs: Long = VacuumGraceMs): Int = {
     val live = snapshot(t).liveFiles.toSet
+    // zero-copy change files (a REPLACE's removed files, a dropped
+    // partition's files) live under data/ while a RETAINED commit
+    // references them as `cdc ... delete` — reclaiming them would
+    // break changes() and any lagging CDF stream over that range.
+    // They free up once expireLog retires the referencing commit —
+    // the same lifecycle vacuumChanges applies under cdc/.
+    val referenced = versionFiles(t)
+      .flatMap(vf => commitActions(vf).cdcFiles.map(_._1)).toSet
+    val keep = live ++ referenced
     val now = System.currentTimeMillis()
     val protectedStages = listing(Files.list(t.dataDir))
       .filter(_.getFileName.toString.startsWith(".inflight-"))
@@ -1817,9 +1882,14 @@ object TxnLog {
     val dead = listing(Files.walk(t.dataDir))
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
-      .filter(p => !protectedStages.contains(p.getParent.getFileName.toString))
+      // the grace check keys on the TOP-LEVEL stage dir — a
+      // partitionBy stage nests its files one level deeper than the
+      // marker, so the parent dir would be `<col>=<val>`, not the
+      // staged uuid the marker names
+      .filter(p => !protectedStages.contains(
+        t.dataDir.relativize(p).getName(0).toString))
       .map(p => t.root.relativize(p).toString)
-      .filterNot(live)
+      .filterNot(keep)
     dead.foreach(rel => Files.deleteIfExists(t.root.resolve(rel)))
     // expired markers guard nothing anymore — sweep them with the files
     listing(Files.list(t.dataDir))

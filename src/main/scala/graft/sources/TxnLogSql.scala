@@ -33,14 +33,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * [[TxnLog.compactZorder]]/[[TxnLog.vacuum]]; everything else
   * passes through untouched. Conditions and SET expressions stay SQL
   * text until run time, where they resolve against the target/source
-  * aliases exactly as the Scala clause API does. A DELETE/MERGE on a
-  * non-txnlog table fails at run time with a clear message (vanilla
-  * Spark rejects v1 DML too — there is nothing to take over from). */
+  * aliases exactly as the Scala clause API does. A DELETE/MERGE whose
+  * target turns out NOT to be a txnlog table executes Spark's own
+  * plan for the same statement (captured from the delegate at parse
+  * time), so v2 catalogs in the same session keep their native DML. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseDml(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    parseDml(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -74,7 +75,7 @@ object GraftSqlParser {
   private val MergeRe =
     (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?(?:\\s+(?!USING\\b)(\\w+))?""" +
       s"""\\s+USING\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|$Ident)(?:\\s+AS\\b)?(?:\\s+(?!ON\\b)(\\w+))?""" +
-      """\s+ON\s+(.+?)\s+(WHEN\s.+?)\s*;?\s*$""").r
+      """\s+ON\s+(.+?)\s+(WHEN\s+(?:MATCHED|NOT\s+MATCHED)\b[\s\S]+?)\s*;?\s*$""").r
   private val MatchedUpdateRe =
     """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
   private val MatchedDeleteRe =
@@ -90,10 +91,12 @@ object GraftSqlParser {
     """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
   private val AssignRe = """(?s)^\s*([\w.]+)\s*=\s*(.+?)\s*$""".r
 
-  private[graft] def parseDml(sqlText: String): Option[LogicalPlan] =
+  private[graft] def parseDml(sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case DeleteRe(tbl, where) =>
-        Some(TxnLogDeleteCommand(tbl, Option(where)))
+        Some(TxnLogDeleteCommand(tbl, Option(where),
+          () => delegate.parsePlan(sqlText)))
       case OptimizeRe(tbl, a, b) =>
         Some(TxnLogOptimizeCommand(tbl,
           (Option(a), Option(b)) match {
@@ -106,7 +109,8 @@ object GraftSqlParser {
         Some(TxnLogHistoryCommand(tbl, Option(limit).map(_.toInt)))
       case MergeRe(tbl, tAlias, src, sAlias, onCond, whenText) =>
         Some(TxnLogMergeCommand(tbl, Option(tAlias), src.trim,
-          Option(sAlias), onCond.trim, parseWhenClauses(whenText)))
+          Option(sAlias), onCond.trim, parseWhenClauses(whenText),
+          () => delegate.parsePlan(sqlText)))
       case _ => None
     }
 
@@ -116,8 +120,11 @@ object GraftSqlParser {
       cond: Option[String], sets: Seq[(String, String)])
 
   private def parseWhenClauses(whenText: String): Seq[ClauseText] = {
-    val pieces = whenText.split("""(?i)\bWHEN\b""").map(_.trim)
-      .filter(_.nonEmpty)
+    // split only at clause STARTS — a CASE WHEN inside a condition or
+    // SET expression is not a clause boundary
+    val pieces = whenText
+      .split("""(?i)\bWHEN\b(?=\s+(?:MATCHED\b|NOT\s+MATCHED\b))""")
+      .map(_.trim).filter(_.nonEmpty)
     require(pieces.nonEmpty, "MERGE needs at least one WHEN clause")
     pieces.toSeq.map {
       case MatchedUpdateRe(cond, sets) =>
@@ -169,31 +176,41 @@ object GraftSqlParser {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Resolve a DML target: a `txnlog.\`/path\`` literal, or a
-    * catalog table whose provider is txnlog. */
-  private[sources] def resolveTable(spark: SparkSession,
-                                    ident: String): TxnLog.Table =
+  /** Resolve a DML target when it IS ours: a `txnlog.\`/path\``
+    * literal, or a catalog table whose provider is txnlog. None for
+    * anything else (unknown names, temp views, other providers) — the
+    * caller hands those statements back to Spark's native DML path,
+    * so v2 catalogs keep working in sessions with this parser. */
+  private[sources] def tryResolveTable(spark: SparkSession,
+      ident: String): Option[TxnLog.Table] =
     ident.trim match {
-      case PathIdent(p) => TxnLog.Table(TxnLog.pathOf(p))
+      case PathIdent(p) => Some(TxnLog.Table(TxnLog.pathOf(p)))
       case name =>
         val tid = spark.sessionState.sqlParser
           .parseMultipartIdentifier(name) match {
-          case Seq(tb)     => TableIdentifier(tb)
-          case Seq(db, tb) => TableIdentifier(tb, Some(db))
-          case parts => throw new IllegalArgumentException(
-            s"cannot resolve DML target ${parts.mkString(".")}")
+          case Seq(tb)     => Some(TableIdentifier(tb))
+          case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
+          case _           => None
         }
-        val meta = spark.sessionState.catalog.getTableMetadata(tid)
-        require(meta.provider.exists(_.equalsIgnoreCase("txnlog")),
-          s"$name is not a txnlog table (provider " +
-            s"${meta.provider.getOrElse("none")}); txnlog DML only " +
-            "applies to USING txnlog tables or txnlog.`/path` targets")
-        val path = meta.storage.properties.get("path")
-          .orElse(meta.storage.locationUri.map(_.getPath))
-          .getOrElse(throw new IllegalArgumentException(
-            s"$name has no path/location"))
-        TxnLog.Table(TxnLog.pathOf(path))
+        for {
+          id <- tid
+          meta <- scala.util.Try(
+            spark.sessionState.catalog.getTableMetadata(id)).toOption
+          if meta.provider.exists(_.equalsIgnoreCase("txnlog"))
+          path <- meta.storage.properties.get("path")
+            .orElse(meta.storage.locationUri.map(_.getPath))
+        } yield TxnLog.Table(TxnLog.pathOf(path))
     }
+
+  /** [[tryResolveTable]] that refuses instead of deferring — for the
+    * statements only this library defines (OPTIMIZE/VACUUM/DESCRIBE
+    * HISTORY), where there is no native path to fall back to. */
+  private[sources] def resolveTable(spark: SparkSession,
+                                    ident: String): TxnLog.Table =
+    tryResolveTable(spark, ident).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident is not a txnlog table; this statement applies to " +
+          "USING txnlog tables or txnlog.`/path` targets"))
 
   /** A MERGE source: `txnlog.\`/path\``, a (subquery), or any
     * catalog/temp-view name. */
@@ -211,12 +228,17 @@ object GraftSqlParser {
 /** `DELETE FROM <txnlog table> [WHERE cond]` → [[TxnLog.delete]]
   * (no WHERE = delete everything, the SQL contract). */
 final case class TxnLogDeleteCommand(table: String,
-    where: Option[String]) extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftSqlParser.resolveTable(spark, table)
-    TxnLog.delete(spark, t, where.map(expr).getOrElse(lit(true)))
-    Seq.empty
-  }
+    where: Option[String],
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        TxnLog.delete(spark, t, where.map(expr).getOrElse(lit(true)))
+        Seq.empty
+      case None => // not ours: run Spark's own DELETE plan (v2 tables)
+        org.apache.spark.sql.graftshim.Shim
+          .ofRows(spark, native()).collect().toSeq
+    }
 }
 
 /** `OPTIMIZE <table> [ZORDER BY (a, b)]` → [[TxnLog.compact]] /
@@ -271,9 +293,14 @@ final case class TxnLogHistoryCommand(table: String,
 final case class TxnLogMergeCommand(table: String,
     tAlias: Option[String], source: String, sAlias: Option[String],
     onCond: String,
-    clauses: Seq[GraftSqlParser.ClauseText]) extends LeafRunnableCommand {
+    clauses: Seq[GraftSqlParser.ClauseText],
+    native: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = GraftSqlParser.resolveTable(spark, table)
+    val t = GraftSqlParser.tryResolveTable(spark, table).getOrElse {
+      // not ours: run Spark's own MERGE plan (v2 tables)
+      return org.apache.spark.sql.graftshim.Shim
+        .ofRows(spark, native()).collect().toSeq
+    }
     val src = GraftSqlParser.resolveSource(spark, source)
     val ta = tAlias.getOrElse("t")
     val sa = sAlias.getOrElse("s")

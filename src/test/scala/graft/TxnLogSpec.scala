@@ -1436,6 +1436,70 @@ class TxnLogSpec extends AnyFunSuite {
     assert(rows === Seq((3L, "d2")))
   }
 
+  test("txnlog: review fixes — floor resume, partitioned OPTIMIZE, null partition, zero-copy vacuum pin, null-key sources") {
+    import spark.implicits._
+    // (1) a stream resuming at the version just below the expireLog
+    // floor replays its (fully retained) range instead of crashing
+    val t1 = freshTable()
+    (1 to 12).foreach(i => TxnLog.append(spark, t1, oneRowDf(i.toLong)))
+    TxnLog.expireLog(t1) // floor = v10 (checkpoint interval)
+    val rows = TxnLog.readFeedBatch(spark, t1, 9L, 11L,
+      ignoreDeletes = false, ignoreChanges = false,
+      TxnLog.registeredSchema(t1).get.json)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(11L, 12L)) // v10 + v11 adds
+    // (2) OPTIMIZE keeps the partition layout; zorder refuses a
+    // partition column as a clustering key
+    val t2 = freshTable()
+    (0 until 2).foreach(i => TxnLog.appendPartitioned(spark, t2,
+      Seq((i.toLong, "d1"), (i + 10L, "d2")).toDF("id", "day"),
+      Seq("day")))
+    TxnLog.compact(spark, t2, targetFiles = 1)
+    val snap2 = TxnLog.snapshot(t2)
+    assert(snap2.liveFiles.nonEmpty &&
+      snap2.liveFiles.forall(snap2.filePartitions.contains),
+      s"OPTIMIZE flattened the layout: ${snap2.liveFiles}")
+    TxnLog.dropPartition(t2, Map("day" -> "d1"))
+    assert(TxnLog.read(spark, t2).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(10L, 11L))
+    intercept[IllegalArgumentException] {
+      TxnLog.compactZorder(spark, t2, "day", "id")
+    }
+    // (3) the null partition reads back (null-safe residual filter)
+    val t3 = freshTable()
+    TxnLog.appendPartitioned(spark, t3,
+      Seq((1L, Some("d1")), (2L, None: Option[String])).toDF("id", "day"),
+      Seq("day"))
+    assert(TxnLog.read(spark, t3).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq ===
+      Seq((1L, Some("d1")), (2L, None)))
+    assert(TxnLog.readPartition(spark, t3,
+      Map("day" -> "__HIVE_DEFAULT_PARTITION__")).collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // (4) vacuum pins zero-copy change files while the referencing
+    // commit is retained; expireLog releases them
+    val t4 = freshTable()
+    TxnLog.append(spark, t4, oneRowDf(1))
+    TxnLog.replace(spark, t4, oneRowDf(2)) // references v0's file as cdc
+    assert(TxnLog.vacuum(t4, graceMs = 0L) === 0,
+      "vacuum reclaimed a change file the retained log references")
+    val (_, del4) = TxnLog.changes(spark, t4, 0L, 1L)
+    assert(del4.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    (1 to 10).foreach(i => TxnLog.append(spark, t4, oneRowDf(100L + i)))
+    TxnLog.expireLog(t4)
+    assert(TxnLog.vacuum(t4, graceMs = 0L) >= 1,
+      "expired zero-copy change files should be reclaimable")
+    // (5) multiple null-key source rows are NOT ambiguous (they can
+    // never match) and route through NOT MATCHED
+    val t5 = freshTable()
+    TxnLog.append(spark, t5, Seq((1L, "a")).toDF("k", "s").coalesce(1))
+    TxnLog.mergeIntoKeys(spark, t5,
+      Seq((None: Option[Long], "x"), (None: Option[Long], "y"))
+        .toDF("k", "s").coalesce(1), Seq("k"),
+      Seq(TxnLog.MergeClause.Insert(None)))
+    assert(TxnLog.read(spark, t5).count() === 3L)
+  }
+
   test("txnlog: compaction preserves rows; vacuum frees dead files and breaks only pre-compaction time travel") {
     val t = freshTable()
     (1 to 3).foreach(i => TxnLog.append(spark, t, oneRowDf(i.toLong)))
