@@ -89,7 +89,8 @@ object TxnLog {
     * per live file, the hive-style partition values recorded in its
     * add action (`part=<col>=<val>` tokens) — the column is NOT in
     * the data file; reads reconstitute it and partition ops (prune,
-    * drop) resolve from this map alone. */
+    * drop) resolve from this map alone. Partition values are stored
+    * DECODED (see [[unescapePart]]). */
   final case class Snapshot(version: Long, liveFiles: Seq[String],
       fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       schemaJson: Option[String] = None,
@@ -168,7 +169,9 @@ object TxnLog {
         if (pTok.nonEmpty)
           st.parts += arr(1) -> pTok.map { tok =>
             tok.stripPrefix("part=").split("=", 2) match {
-              case Array(c, v) if c.nonEmpty => c -> v
+              // on-disk tokens are hive-ESCAPED (directory names);
+              // replay state is DECODED — the one decode point
+              case Array(c, v) if c.nonEmpty => c -> unescapePart(v)
               case _                         => corrupt(src, line)
             }
           }.toMap
@@ -247,7 +250,7 @@ object TxnLog {
       st.schemaJson.map(js => s"schema\t$js").toSeq ++
       st.live.asScala.toSeq.map { rel =>
         val pTok = st.parts.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
-          .map { case (c, v) => s"part=$c=$v" }
+          .map { case (c, v) => s"part=$c=${escapePart(v)}" }
         val sTok = st.stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
         (s"add\t$rel" +: (pTok ++ sTok)).mkString("\t")
@@ -482,11 +485,13 @@ object TxnLog {
     * partition's files), [[dropPartition]] (one remove-only commit,
     * zero data files read — retention's drop-a-day), and the
     * partition column itself on read (reconstituted as a typed
-    * literal per scan group, never stored). Row-level rewrites
-    * (delete/merge) still work on such tables but restage their
-    * touched sliver OUT of the partition layout (the column
-    * re-materializes as data); keep partition-grain retention on
-    * partition-disciplined tables. */
+    * literal per scan group, never stored). Every rewrite op —
+    * delete, update, merge, mergeInto, compact, zorder — restages
+    * its touched sliver THROUGH the partition layout (partitionBy +
+    * re-emitted `part=` tokens), so partition pruning and
+    * metadata-only [[dropPartition]] keep working under a steady DML
+    * feed; only the change files under cdc/ stay flat (they are the
+    * feed, not the table). */
   def appendPartitioned(s: SparkSession, t: Table, df: DataFrame,
                         partCols: Seq[String],
                         statsCols: Seq[String] = Nil): Long = {
@@ -735,23 +740,47 @@ object TxnLog {
     }.reduce(_.unionByName(_))
   }
 
-  /** A partition directory token as a literal: hive's escaped form
-    * (%XX) decoded, the null sentinel honored. */
+  /** A partition VALUE as a literal: values are stored DECODED in
+    * replay state (see [[unescapePart]]), so only the null sentinel
+    * needs mapping here — decoding again would corrupt a value that
+    * legitimately contains '%'. */
   private def partValue(v: String): Column = {
     import org.apache.spark.sql.functions.lit
-    if (v == "__HIVE_DEFAULT_PARTITION__") lit(null)
-    else if (!v.contains('%')) lit(v)
-    else {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < v.length) {
-        if (v.charAt(i) == '%' && i + 2 < v.length) {
-          sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(v.charAt(i)); i += 1 }
-      }
-      lit(sb.toString)
+    if (v == "__HIVE_DEFAULT_PARTITION__") lit(null) else lit(v)
+  }
+
+  /** Decode hive's %XX path escaping — applied ONCE, where `part=`
+    * tokens enter replay state, so every comparison (partition spec
+    * matching, dropPartition, pruning) and the reconstituted column
+    * share one value domain: the DECODED one. A partition value
+    * containing ':', '=', '%' or '/' would otherwise silently fail
+    * to match the user's spec (the tokens are directory names, which
+    * Spark's writer escapes). The null sentinel passes through. */
+  private[sources] def unescapePart(v: String): String = {
+    if (!v.contains('%')) return v
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '%' && i + 2 < v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(v.charAt(i)); i += 1 }
     }
+    sb.toString
+  }
+
+  /** Re-escape a decoded partition value for a `part=` token — the
+    * inverse of [[unescapePart]], used wherever replay state (which
+    * is decoded) is re-emitted as action lines: checkpoints and
+    * rewrite ops that re-stamp a partition spec. Escapes the same
+    * character set Spark's partitioned writer escapes in directory
+    * names, which also keeps the token safe for the tab-separated
+    * action grammar (tab/newline are in the control range). */
+  private[sources] def escapePart(v: String): String = {
+    def needs(c: Char): Boolean =
+      c < 0x20 || c == 0x7F || "\"#%'*/:=?\\{[]^".indexOf(c) >= 0
+    if (!v.exists(needs)) v
+    else v.flatMap(c => if (needs(c)) f"%%${c.toInt}%02X" else c.toString)
   }
 
   private[graft] def readFiles(s: SparkSession, t: Table,
@@ -890,7 +919,7 @@ object TxnLog {
           val lines = addLinesFor(s, t, stage,
             statsCols.filterNot(spec.contains))
           val pTok = spec.toSeq.sortBy(_._1)
-            .map { case (c, v) => s"part=$c=$v" }
+            .map { case (c, v) => s"part=$c=${escapePart(v)}" }
           val decorated =
             if (spec.isEmpty) lines
             else lines.map(decorateAdd(_, pTok))
@@ -1047,6 +1076,24 @@ object TxnLog {
     (cand.length, snap.liveFiles.length)
   }
 
+  /** Stage `df` under `stage` and return its add-action lines,
+    * THROUGH the partition layout when the table has one — the one
+    * staging shape every rewrite op (delete, update, merge,
+    * mergeInto) shares, so none of them can silently flatten files
+    * out of partition discipline. Partitioned stats drop the
+    * partition columns (they are not in the data files). */
+  private def stageAdds(s: SparkSession, t: Table, df: DataFrame,
+      stage: Path, partCols: Seq[String],
+      statsCols: Seq[String]): Seq[String] =
+    if (partCols.isEmpty) {
+      df.write.parquet(stage.toString)
+      addLinesFor(s, t, stage, statsCols)
+    } else {
+      df.write.partitionBy(partCols: _*).parquet(stage.toString)
+      partitionedAddLines(s, t, stage,
+        statsCols.filterNot(partCols.contains))
+    }
+
   /** Map input_file_name URIs back to the snapshot's relative live
     * paths — the rewrite ops' touched-file resolution. */
   private def relsOf(t: Table, snap: Snapshot,
@@ -1101,24 +1148,13 @@ object TxnLog {
     val stage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
-      // on a partitioned table the survivors restage THROUGH the
-      // partition layout (partitionBy + re-emitted part tokens), so a
-      // delete never flattens files out of partition discipline —
-      // dropPartition and partition pruning keep working afterwards.
-      // The change files stay flat (they are the feed, not the table).
+      // survivors restage THROUGH the partition layout (stageAdds),
+      // so a delete never flattens files out of partition discipline;
+      // the change files stay flat (they are the feed, not the table)
       val partCols = snap.filePartitions.values
         .flatMap(_.keys).toSeq.distinct.sorted
-      val survivors = affected.filter(not(cond))
-      val adds =
-        if (partCols.isEmpty) {
-          survivors.write.parquet(stage.toString)
-          addLinesFor(s, t, stage, statsCols)
-        } else {
-          survivors.write.partitionBy(partCols: _*)
-            .parquet(stage.toString)
-          partitionedAddLines(s, t, stage,
-            statsCols.filterNot(partCols.contains))
-        }
+      val adds = stageAdds(s, t, affected.filter(not(cond)), stage,
+        partCols, statsCols)
       affected.filter(cond).write.parquet(cdcStage.toString)
       val cdcLines = stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
       commit(t, snap.version, adds = Nil, removes = affectedRel,
@@ -1150,8 +1186,11 @@ object TxnLog {
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
     // one materialization: the upsert reads its source from several
     // angles; a recomputed non-deterministic source could disagree
-    // with itself between them
+    // with itself between them (blocks released in the finally — a
+    // long-lived session's repeated merges must not accumulate
+    // checkpointed storage for the JVM lifetime)
     val src = source.localCheckpoint()
+    try {
     val keys = src.select(col(keyCol)).distinct()
     // manifest pruning BEFORE the locating join: when the key column
     // is stats-tracked, one source-scale min/max aggregate bounds the
@@ -1174,23 +1213,29 @@ object TxnLog {
         .select(col("_f")).distinct()
         .collect() // file-count scale: one row per affected file
         .map(_.getString(0)).toSeq)
+    // a partitioned table's survivors AND new images restage THROUGH
+    // its layout — a merge must not erode the partition metadata
+    // dropPartition and pruning depend on (same rule as delete)
+    val partCols = snap.filePartitions.values
+      .flatMap(_.keys).toSeq.distinct.sorted
     if (affectedRel.isEmpty)
-      return appendLines(s, t, src, extraLines = Nil,
-        statsCols = statsCols)
+      return if (partCols.isEmpty)
+        appendLines(s, t, src, extraLines = Nil, statsCols = statsCols)
+      else appendPartitioned(s, t, src, partCols,
+        statsCols.filterNot(partCols.contains))
     val affected = readRels(s, t, snap, affectedRel)
     val survivorStage = newStage(t, t.dataDir)
     val sourceStage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
-      affected.join(keys, Seq(keyCol), "left_anti")
-        .write.parquet(survivorStage.toString)
-      src.write.parquet(sourceStage.toString)
+      val adds =
+        stageAdds(s, t, affected.join(keys, Seq(keyCol), "left_anti"),
+          survivorStage, partCols, statsCols) ++
+        stageAdds(s, t, src, sourceStage, partCols, statsCols)
       affected.join(keys, Seq(keyCol), "left_semi")
         .write.parquet(cdcStage.toString) // old images of matched rows
       val (schema, changed) = mergedSchema(registeredSchema(t),
         src.schema)
-      val adds = addLinesFor(s, t, survivorStage, statsCols) ++
-        addLinesFor(s, t, sourceStage, statsCols)
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
         stagedFiles(t, sourceStage).map(r => s"cdc\t$r\tinsert")
@@ -1198,6 +1243,7 @@ object TxnLog {
       commit(t, snap.version, adds = Nil, removes = affectedRel,
         extra = schemaLine ++ adds ++ cdcLines)
     } finally seal(t, survivorStage, sourceStage, cdcStage)
+    } finally org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(src)
   }
 
   /** One WHEN clause of [[mergeInto]]. Conditions and SET expressions
@@ -1291,8 +1337,9 @@ object TxnLog {
     // from several angles (ambiguity, key range, locate, clause join,
     // insert anti-join) and a recomputed non-deterministic source
     // could disagree with itself between them — the reason Delta
-    // materializes merge sources too
+    // materializes merge sources too (blocks released in the finally)
     val src = source.localCheckpoint()
+    try {
 
     // loud ambiguity refusal: one aggregate over the source. Rows
     // with a NULL key component are EXCLUDED — they can never match a
@@ -1348,9 +1395,17 @@ object TxnLog {
       else Some(unmatched.filter(
         inserts.map(_.cond.getOrElse(lit(true))).reduce(_ || _)))
 
+    // a partitioned table restages survivors, updated images AND
+    // inserts THROUGH its layout (same rule as delete) — a CDC-synced
+    // partitioned table must keep metadata-only dropPartition working
+    val partCols = snap.filePartitions.values
+      .flatMap(_.keys).toSeq.distinct.sorted
     if (affectedRel.isEmpty) {
       // nothing matched: the merge degrades to the insert clauses
       return insertable(src.alias(sa)) match {
+        case Some(rows) if partCols.nonEmpty =>
+          appendPartitioned(s, t, rows, partCols,
+            statsCols.filterNot(partCols.contains))
         case Some(rows) => appendLines(s, t, rows, extraLines = Nil,
           statsCols = statsCols)
         case None => snap.version
@@ -1429,17 +1484,17 @@ object TxnLog {
     val insertStage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
-      survivors.write.parquet(survivorStage.toString)
+      val adds =
+        stageAdds(s, t, survivors, survivorStage, partCols, statsCols) ++
+        updatedNew.toSeq.flatMap(
+          stageAdds(s, t, _, updatedStage, partCols, statsCols)) ++
+        inserted.toSeq.flatMap(
+          stageAdds(s, t, _, insertStage, partCols, statsCols))
       oldImages.write.parquet(cdcStage.toString)
-      updatedNew.foreach(_.write.parquet(updatedStage.toString))
-      inserted.foreach(_.write.parquet(insertStage.toString))
       val (schema, changed) = inserted match {
         case Some(_) => mergedSchema(registeredSchema(t), src.schema)
         case None    => (affected.schema, false)
       }
-      val adds = addLinesFor(s, t, survivorStage, statsCols) ++
-        addLinesFor(s, t, updatedStage, statsCols) ++
-        addLinesFor(s, t, insertStage, statsCols)
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
         (stagedFiles(t, updatedStage) ++ stagedFiles(t, insertStage))
@@ -1448,6 +1503,7 @@ object TxnLog {
       commit(t, snap.version, adds = Nil, removes = affectedRel,
         extra = schemaLine ++ adds ++ cdcLines)
     } finally seal(t, survivorStage, updatedStage, insertStage, cdcStage)
+    } finally org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(src)
   }
 
   // ---------------------------------------------------------------
@@ -1478,7 +1534,7 @@ object TxnLog {
         case arr if arr.exists(_.startsWith("part=")) =>
           arr(1) -> arr.drop(2).filter(_.startsWith("part="))
             .map(_.stripPrefix("part=").split("=", 2) match {
-              case Array(c, v) => c -> v
+              case Array(c, v) => c -> unescapePart(v)
               case _           => corrupt(vf, arr.mkString("\t"))
             }).toMap
       }.toMap)

@@ -26,6 +26,19 @@ object Shim {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame (its plan is a LogicalRDD over the checkpointed RDD).
+    * Dataset.unpersist only consults the CacheManager, which never
+    * saw these blocks — without this, every checkpoint pins executor
+    * storage for the JVM lifetime. No-op for non-checkpoint plans. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Flatten an UNRESOLVED predicate Column into its top-level AND
     * conjuncts of the shape `<column> <op> <integral literal>`, as
     * (columnName, op, value) with op ∈ {=, <, <=, >, >=} and reversed
