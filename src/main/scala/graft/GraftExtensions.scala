@@ -31,8 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Parser injection is build-time only: sessions get it through
     // .withExtensions(new GraftExtensions) or
     // spark.sql.extensions=graft.GraftExtensions, not install().
-    e.injectParser((_, delegate) =>
-      new graft.sources.GraftSqlParser(delegate))
+    e.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(delegate, () => session))
   }
 }
 

@@ -372,6 +372,40 @@ object SourceOracles {
         |FROM latest GROUP BY 1
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    "src_txnlog_update" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders),
+        |hit AS (SELECT k, st, p FROM tgt WHERE k % 10 = 1),
+        |upd AS (SELECT k, 'U' AS st, p * 2 AS p FROM hit),
+        |latest AS (
+        |  SELECT k, st, p FROM tgt WHERE k % 10 <> 1
+        |  UNION ALL SELECT k, st, p FROM upd)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM latest GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'before' AS side
+        |FROM hit GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'deleted' AS side
+        |FROM hit GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'inserted' AS side
+        |FROM upd GROUP BY 1
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -43,4 +43,42 @@ object ZOrder {
     * when it has them. */
   def zValue(a: String, b: String): Column =
     spread(col(a)).bitwiseOR(shiftleft(spread(col(b)), 1))
+
+  /** Bits each key contributes to an n-key interleave: the 62
+    * non-sign bits split evenly, so 2 keys keep the classic 31, 3
+    * keys get 20, 4 get 15. Coarser per-key resolution is the
+    * inherent trade of higher-dimensional clustering — file-level
+    * min/max only need the curve to keep each key's range tight, not
+    * exact. */
+  def bitsPerKey(n: Int): Int = 62 / n
+
+  /** Key domain bound for an n-key interleave (2 keys reproduces
+    * [[MaxKeyExclusive]]). */
+  def maxKeyExclusive(n: Int): Long = 1L << bitsPerKey(n)
+
+  /** Round-robin Morton interleave of N long keys: bit i of key j
+    * lands at position i*n + j, so every prefix of the z value
+    * constrains ALL keys about equally — the property that keeps
+    * each key's per-file range tight under range-partitioning on the
+    * value. Two keys route through the branch-free [[zValue]] fast
+    * path; for n >= 3 the bits move individually (bitsPerKey(n)*n
+    * shift-or terms — write-side rewrite cost only, still plain
+    * integer ops inside codegen). Keys outside
+    * [0, maxKeyExclusive(n)) alias on the curve (clustering degrades,
+    * correctness is preserved); `TxnLog.compactZorder` validates the
+    * range from manifest stats when it has them. */
+  def zValueN(keys: Seq[String]): Column = {
+    require(keys.length >= 2, "zValueN needs at least two keys")
+    if (keys.length == 2) zValue(keys(0), keys(1))
+    else {
+      val n = keys.length
+      val b = bitsPerKey(n)
+      keys.zipWithIndex.map { case (k, j) =>
+        val x = col(k).bitwiseAND(lit((1L << b) - 1))
+        (0 until b).map(i =>
+          shiftleft(x.bitwiseAND(lit(1L << i)), i * (n - 1) + j))
+          .reduce(_.bitwiseOR(_))
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
 }

@@ -204,11 +204,7 @@ object MapReduceClassics {
     * harmless at sf0.1, avoidable memory pressure at a 100×-scale
     * graph (round-9 judge note). */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(df)
 
   /** (result, advanceCount) — split out so the spec can pin the
     * per-SF round count and the cap-not-binding property. */

@@ -1145,6 +1145,44 @@ object SourceOps {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** Row-level UPDATE — the most-typed DML statement after DELETE —
+    * driven end-to-end as SQL TEXT through the injected parser
+    * (`UPDATE txnlog.\`p\` SET … WHERE …` → TxnLog.update: stats-
+    * pruned locate, sliver rewrite, CDF delete+insert images), then
+    * audited from three angles the oracle hash pins together: the
+    * latest table state, BOTH sides of the change feed, and the
+    * PRE-UPDATE rows read back through SQL time travel
+    * (`SELECT … VERSION AS OF v`) — the statement a SQL-first user
+    * types right after DESCRIBE HISTORY shows them the version. */
+  def txnlogUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnupd-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.append(s, t, o)
+    val v0 = graft.sources.TxnLog.latestVersion(t)
+    s.sql(
+      s"""UPDATE txnlog.`$root`
+         |SET o_totalprice = o_totalprice * 2, o_orderstatus = 'U'
+         |WHERE o_orderkey % 10 = 1""".stripMargin)
+    val v1 = graft.sources.TxnLog.latestVersion(t)
+    val (ins, del) = graft.sources.TxnLog.changes(s, t, v0, v1)
+    val before = s.sql(
+      s"""SELECT * FROM txnlog.`$root` VERSION AS OF $v0
+         |WHERE o_orderkey % 10 = 1""".stripMargin)
+    def prof(df: DataFrame): DataFrame = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+    prof(graft.sources.TxnLog.read(s, t)).withColumn("side", lit("latest"))
+      .unionByName(prof(before).withColumn("side", lit("before")))
+      .unionByName(prof(del).withColumn("side", lit("deleted")))
+      .unionByName(prof(ins).withColumn("side", lit("inserted")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** Manifest data skipping — the lakehouse file-pruning story on top
     * of the transaction log: orders lands in 8 append commits, each
     * one contiguous o_orderkey range staged as one sorted file with

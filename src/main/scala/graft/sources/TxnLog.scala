@@ -170,8 +170,13 @@ object TxnLog {
           st.parts += arr(1) -> pTok.map { tok =>
             tok.stripPrefix("part=").split("=", 2) match {
               // on-disk tokens are hive-ESCAPED (directory names);
-              // replay state is DECODED — the one decode point
-              case Array(c, v) if c.nonEmpty => c -> unescapePart(v)
+              // replay state is DECODED — the one decode point.
+              // Column NAMES decode too: Spark's partitioned writer
+              // escapes them in directory segments the same way, and
+              // an escaped name would never match schema fields in
+              // readGrouped/dropPartition otherwise
+              case Array(c, v) if c.nonEmpty =>
+                unescapePart(c) -> unescapePart(v)
               case _                         => corrupt(src, line)
             }
           }.toMap
@@ -250,7 +255,7 @@ object TxnLog {
       st.schemaJson.map(js => s"schema\t$js").toSeq ++
       st.live.asScala.toSeq.map { rel =>
         val pTok = st.parts.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
-          .map { case (c, v) => s"part=$c=${escapePart(v)}" }
+          .map { case (c, v) => s"part=${escapePart(c)}=${escapePart(v)}" }
         val sTok = st.stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
         (s"add\t$rel" +: (pTok ++ sTok)).mkString("\t")
@@ -756,15 +761,22 @@ object TxnLog {
     * containing ':', '=', '%' or '/' would otherwise silently fail
     * to match the user's spec (the tokens are directory names, which
     * Spark's writer escapes). The null sentinel passes through. */
-  private[sources] def unescapePart(v: String): String = {
+  private[graft] def unescapePart(v: String): String = {
     if (!v.contains('%')) return v
     val sb = new StringBuilder
     var i = 0
     while (i < v.length) {
-      if (v.charAt(i) == '%' && i + 2 < v.length) {
-        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(v.charAt(i)); i += 1 }
+      val c = v.charAt(i)
+      val d = if (c == '%' && i + 2 < v.length)
+        try Integer.parseInt(v.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+      else -1
+      // an invalid %-sequence passes through verbatim — Spark's
+      // unescapePathName parity (a literal '%' someone hand-wrote
+      // into a token must not crash replay; round-tripped tokens
+      // always escape it)
+      if (d >= 0) { sb.append(d.toChar); i += 3 }
+      else { sb.append(c); i += 1 }
     }
     sb.toString
   }
@@ -919,7 +931,7 @@ object TxnLog {
           val lines = addLinesFor(s, t, stage,
             statsCols.filterNot(spec.contains))
           val pTok = spec.toSeq.sortBy(_._1)
-            .map { case (c, v) => s"part=$c=${escapePart(v)}" }
+            .map { case (c, v) => s"part=${escapePart(c)}=${escapePart(v)}" }
           val decorated =
             if (spec.isEmpty) lines
             else lines.map(decorateAdd(_, pTok))
@@ -942,33 +954,45 @@ object TxnLog {
     * skipping, before any parquet footer is opened. Same
     * dataChange=false / stale-rewrite-refusal contract as compact. */
   def compactZorder(s: SparkSession, t: Table, colA: String,
-                    colB: String, targetFiles: Int = 8): Long = {
+                    colB: String, targetFiles: Int = 8): Long =
+    compactZorderKeys(s, t, Seq(colA, colB), targetFiles)
+
+  /** [[compactZorder]] on 2+ clustering keys — three-column keys
+    * (tenant, date, id) are routine; each key gets 62/n interleave
+    * bits (round-robin, [[graft.functions.ZOrder.zValueN]]), so an
+    * n-dimensional box probe still prunes every dimension from the
+    * manifest alone. */
+  def compactZorderKeys(s: SparkSession, t: Table, keys: Seq[String],
+                        targetFiles: Int = 8): Long = {
     import org.apache.spark.sql.functions.col
+    require(keys.length >= 2,
+      s"zorder needs at least two keys, got ${keys.mkString(", ")}")
     val snap = snapshot(t)
-    // zValue interleaves 31 bits per key: out-of-range keys alias on
-    // the curve (clustering degrades silently). When the manifest
+    // zValueN interleaves 62/n bits per key: out-of-range keys alias
+    // on the curve (clustering degrades silently). When the manifest
     // already tracks the key columns, validate the range for free —
     // a metadata check, no data read.
-    for (c <- Seq(colA, colB);
+    val maxKey = graft.functions.ZOrder.maxKeyExclusive(keys.length)
+    for (c <- keys;
          (lo, hi) <- snap.fileStats.values.flatMap(_.get(c))
            .reduceOption((p, q) => (math.min(p._1, q._1),
              math.max(p._2, q._2))))
-      require(lo >= 0 && hi < graft.functions.ZOrder.MaxKeyExclusive,
+      require(lo >= 0 && hi < maxKey,
         s"zorder key '$c' has values in [$lo, $hi] outside " +
-          s"[0, ${graft.functions.ZOrder.MaxKeyExclusive}): keys would " +
+          s"[0, $maxKey): keys would " +
           "alias on the z curve — rescale the column first")
     val partCols = snap.filePartitions.values
       .flatMap(_.keys).toSeq.distinct.sorted
-    require(!partCols.contains(colA) && !partCols.contains(colB),
+    require(!keys.exists(partCols.contains),
       s"zorder keys must be data columns, not partition columns " +
         s"(${partCols.mkString(", ")}) — the layout already clusters " +
         "on those")
     val statsCols = (snap.fileStats.values.flatMap(_.keys).toSeq ++
-      Seq(colA, colB)).distinct.sorted.filterNot(partCols.contains)
+      keys).distinct.sorted.filterNot(partCols.contains)
     val stage = newStage(t, t.dataDir)
     try {
       val clustered = readRels(s, t, snap, snap.liveFiles)
-        .withColumn("_z", graft.functions.ZOrder.zValue(colA, colB))
+        .withColumn("_z", graft.functions.ZOrder.zValueN(keys))
         .repartitionByRange(targetFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_z")
@@ -1160,6 +1184,72 @@ object TxnLog {
       commit(t, snap.version, adds = Nil, removes = affectedRel,
         extra = adds ++ cdcLines)
     } finally seal(t, stage, cdcStage)
+  }
+
+  /** Row-level UPDATE: rewrite every row matching `predicate` with
+    * the `set` assignments applied (unlisted columns keep their
+    * values; assignment expressions may reference any table column
+    * and cast back to the column's type — parquet schema stability
+    * over arbitrary SET expressions). The most-typed DML statement
+    * after DELETE gets the same plan shape: stats-pruned locate
+    * (manifest box BEFORE the locating scan), only files that CONTAIN
+    * matching rows rewrite, survivors and new images restage THROUGH
+    * the partition layout (stageAdds — updating a partition column
+    * moves the row to its new partition directory), and the change
+    * feed carries old images as `cdc delete` change files plus the
+    * new-image data files as `cdc insert` — the (delete old, insert
+    * new) event pair [[changes]] resolves from the log, exactly a
+    * self-merge's CDF without the self-join a merge would pay. A
+    * predicate that evaluates to NULL updates NOTHING for that row
+    * (SQL's "condition is true" contract — `coalesce(pred, false)`).
+    * Returns the committed version (unchanged when nothing matched). */
+  def update(s: SparkSession, t: Table, set: Map[String, Column],
+             predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name,
+      lit, not}
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val cond = coalesce(predicate, lit(false))
+    val snap = snapshot(t)
+    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val candidates = {
+      val box = dmlBox(predicate)
+      if (box.isEmpty) snap.liveFiles else pruneBox(snap, box)
+    }
+    if (candidates.isEmpty) return snap.version
+    val affectedRel = relsOf(t, snap,
+      readRels(s, t, snap, candidates)
+        .withColumn("_f", input_file_name())
+        .filter(cond)
+        .select(col("_f")).distinct()
+        .collect() // file-count scale: one row per affected file
+        .map(_.getString(0)).toSeq)
+    if (affectedRel.isEmpty) return snap.version
+    val affected = readRels(s, t, snap, affectedRel)
+    val tCols = affected.columns.toSeq
+    val badSets = set.keySet.diff(tCols.toSet)
+    require(badSets.isEmpty,
+      s"UPDATE SET targets unknown column(s): ${badSets.mkString(", ")}")
+    val newImages = affected.filter(cond).select(tCols.map { c =>
+      set.get(c).map(_.cast(affected.schema(c).dataType).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    val partCols = snap.filePartitions.values
+      .flatMap(_.keys).toSeq.distinct.sorted
+    val survivorStage = newStage(t, t.dataDir)
+    val updatedStage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
+    try {
+      val adds =
+        stageAdds(s, t, affected.filter(not(cond)), survivorStage,
+          partCols, statsCols) ++
+        stageAdds(s, t, newImages, updatedStage, partCols, statsCols)
+      affected.filter(cond).write.parquet(cdcStage.toString) // old images
+      val cdcLines =
+        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
+        stagedFiles(t, updatedStage).map(r => s"cdc\t$r\tinsert")
+      commit(t, snap.version, adds = Nil, removes = affectedRel,
+        extra = adds ++ cdcLines)
+    } finally seal(t, survivorStage, updatedStage, cdcStage)
   }
 
   /** MERGE (upsert): for every `source` row, REPLACE the table row
@@ -1534,7 +1624,7 @@ object TxnLog {
         case arr if arr.exists(_.startsWith("part=")) =>
           arr(1) -> arr.drop(2).filter(_.startsWith("part="))
             .map(_.stripPrefix("part=").split("=", 2) match {
-              case Array(c, v) => c -> unescapePart(v)
+              case Array(c, v) => unescapePart(c) -> unescapePart(v)
               case _           => corrupt(vf, arr.mkString("\t"))
             }).toMap
       }.toMap)
@@ -1685,9 +1775,10 @@ object TxnLog {
     // a stream may legitimately resume at the version just below the
     // expireLog retention floor (its range is fully retained even
     // though `from` itself is not replayable): fall back to the
-    // earliest retained state — only zero-copy deletes of files
-    // removed exactly at the floor version could lose partition
-    // metadata then, a keep-one-checkpoint-of-slack retention note
+    // earliest retained state. Zero-copy deletes of files removed
+    // exactly AT the floor version recorded their partition metadata
+    // only in pre-floor state, which is gone — [[readChangeFeedBatch]]
+    // refuses those loudly instead of null-filling the columns.
     val floor = versionFiles(t).headOption.map(versionOf).getOrElse(0L)
     val base =
       if (from < 0) Map.empty[String, Map[String, String]]
@@ -1711,11 +1802,28 @@ object TxnLog {
 
   /** One CDF micro-batch as (inserts, deletes) DataFrames, partition
     * columns reconstituted (zero-copy deletes from dropPartition
-    * reference partition-recorded data files). */
+    * reference partition-recorded data files). A stream resuming ONE
+    * version below the expireLog retention floor can hit zero-copy
+    * deletes whose partition metadata lived only in pre-floor state:
+    * reading those flat would silently null-fill the partition
+    * columns, so they REFUSE with a resync message instead (change
+    * files under cdc/ carry every column and are exempt). */
   private[graft] def readChangeFeedBatch(s: SparkSession, t: Table,
       from: Long, to: Long, schemaJson: String): (DataFrame, DataFrame) = {
     val (ins, del) = changeFeedFiles(t, from, to)
     val parts = feedPartsMap(t, from, to)
+    val floor = versionFiles(t).headOption.map(versionOf).getOrElse(0L)
+    if (from >= 0 && from < floor) {
+      val unresolved = del.filterNot(parts.contains)
+        .filterNot(_.startsWith("cdc/"))
+      if (unresolved.nonEmpty) throw new IllegalStateException(
+        s"stream range v$from..v$to starts below the retained replay " +
+          s"floor v$floor and commit v$floor removes data files " +
+          s"(${unresolved.take(3).mkString(", ")}…) whose partition " +
+          "metadata expired with the pre-floor log — the delete events " +
+          "cannot be reconstituted; rebuild the downstream from a " +
+          "fresh checkpoint")
+    }
     def rd(files: Seq[String]): DataFrame =
       if (files.exists(parts.contains))
         readGrouped(s, t, files, parts, Some(schemaJson))

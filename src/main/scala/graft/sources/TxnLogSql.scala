@@ -15,12 +15,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   *   DELETE FROM txnlog.`/path/to/table` WHERE k % 10 = 3
+  *   UPDATE txnlog.`/p` SET v = v + 1, s = 'x' WHERE k % 10 = 3
   *   MERGE INTO txnlog.`/p` t USING src s ON t.k = s.k
   *     WHEN MATCHED AND s.v > 5 THEN UPDATE SET v = t.v + s.v
   *     WHEN MATCHED THEN DELETE
   *     WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT *
-  *   OPTIMIZE txnlog.`/p` [ZORDER BY (a, b)]
+  *   OPTIMIZE txnlog.`/p` [ZORDER BY (a, b[, c ...])]
   *   VACUUM txnlog.`/p` [RETAIN 168 HOURS]
+  *   SELECT ... FROM txnlog.`/p` VERSION AS OF 3       -- time travel
+  *   SELECT ... FROM txnlog.`/p` TIMESTAMP AS OF '2026-01-01T00:00:00Z'
   * }}}
   *
   * Tables address either by path (the Delta `format.\`/path\``
@@ -37,11 +40,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * target turns out NOT to be a txnlog table executes Spark's own
   * plan for the same statement (captured from the delegate at parse
   * time), so v2 catalogs in the same session keep their native DML. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+    session: () => SparkSession = () => SparkSession.active)
+  extends ParserInterface {
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    parseDml(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val sql = rewriteTimeTravel(sqlText)
+    val plan = parseDml(sql, delegate).getOrElse(delegate.parsePlan(sql))
+    resolveTxnlogPaths(session(), plan)
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -66,8 +74,10 @@ object GraftSqlParser {
   private val Ident = """[\w.]+|txnlog\.`[^`]+`"""
   private val DeleteRe =
     s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
+  private val UpdateRe =
+    s"""(?is)^\\s*UPDATE\\s+($Ident)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
   private val OptimizeRe =
-    s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val VacuumRe =
     s"""(?is)^\\s*VACUUM\\s+($Ident)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""".r
   private val HistoryRe =
@@ -75,13 +85,13 @@ object GraftSqlParser {
   private val MergeRe =
     (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?(?:\\s+(?!USING\\b)(\\w+))?""" +
       s"""\\s+USING\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|$Ident)(?:\\s+AS\\b)?(?:\\s+(?!ON\\b)(\\w+))?""" +
-      """\s+ON\s+(.+?)\s+(WHEN\s+(?:MATCHED|NOT\s+MATCHED)\b[\s\S]+?)\s*;?\s*$""").r
+      """\s+ON\s+([\s\S]+?)\s*;?\s*$""").r
   private val MatchedUpdateRe =
     """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
   private val MatchedDeleteRe =
     """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
   private val NotMatchedInsertRe =
-    """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*$""".r
+    """(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*$""".r
   private val BySourceUpdateRe =
     """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
   private val BySourceDeleteRe =
@@ -91,26 +101,63 @@ object GraftSqlParser {
     """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
   private val AssignRe = """(?s)^\s*([\w.]+)\s*=\s*(.+?)\s*$""".r
 
+  /** Rewrite `txnlog.\`/p\` VERSION AS OF n` / `TIMESTAMP AS OF ts`
+    * references into the path-suffix form (`txnlog.\`/p@vn\``) the
+    * batch relation provider peels back off — SQL time travel lowered
+    * onto the existing versionAsOf/timestampAsOf reader options. Only
+    * txnlog path references rewrite; time travel on anything else
+    * stays the delegate's problem. */
+  private val TravelVersionRe =
+    """(?is)(txnlog\.`[^`]+)`\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TravelTimestampRe =
+    """(?is)(txnlog\.`[^`]+)`\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
+
+  private[sources] def rewriteTimeTravel(sql: String): String = {
+    import scala.util.matching.Regex.quoteReplacement
+    val v = TravelVersionRe.replaceAllIn(sql, m =>
+      quoteReplacement(s"${m.group(1)}@v${m.group(2)}`"))
+    TravelTimestampRe.replaceAllIn(v, m => {
+      val ts = Option(m.group(2)).getOrElse(m.group(3))
+      quoteReplacement(s"${m.group(1)}@ts$ts`")
+    })
+  }
+
+  /** Statement recognition is TEXTUAL and must stay permissive: the
+    * target may turn out not to be a txnlog table, in which case the
+    * statement belongs to Spark's native DML path untouched. So
+    * NOTHING inside the statement (WHEN clauses, SET lists) parses
+    * here — each command carries the raw pieces and parses them in
+    * run(), AFTER tryResolveTable confirms the target is ours, so a
+    * vanilla-Spark MERGE/UPDATE against a v2 table never trips on
+    * this library's grammar subset. */
   private[graft] def parseDml(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case DeleteRe(tbl, where) =>
         Some(TxnLogDeleteCommand(tbl, Option(where),
           () => delegate.parsePlan(sqlText)))
-      case OptimizeRe(tbl, a, b) =>
+      case UpdateRe(tbl, sets, where) =>
+        Some(TxnLogUpdateCommand(tbl, sets.trim, Option(where),
+          () => delegate.parsePlan(sqlText)))
+      case OptimizeRe(tbl, zcols) =>
         Some(TxnLogOptimizeCommand(tbl,
-          (Option(a), Option(b)) match {
-            case (Some(x), Some(y)) => Some((x, y))
-            case _                  => None
-          }))
+          Option(zcols).map(_.split(',').map(_.trim).toSeq)))
       case VacuumRe(tbl, hours) =>
         Some(TxnLogVacuumCommand(tbl, Option(hours).map(_.toLong)))
       case HistoryRe(tbl, limit) =>
         Some(TxnLogHistoryCommand(tbl, Option(limit).map(_.toInt)))
-      case MergeRe(tbl, tAlias, src, sAlias, onCond, whenText) =>
-        Some(TxnLogMergeCommand(tbl, Option(tAlias), src.trim,
-          Option(sAlias), onCond.trim, parseWhenClauses(whenText),
-          () => delegate.parsePlan(sqlText)))
+      case MergeRe(tbl, tAlias, src, sAlias, rest) =>
+        // the ON-condition / first-WHEN boundary is found by the same
+        // quote/paren-aware scanner the clause splitter uses — a
+        // string literal containing 'WHEN MATCHED' inside the ON
+        // condition is not a boundary. No boundary at all means the
+        // statement isn't a MERGE we (or Spark) can run; delegate.
+        whenBounds(rest).headOption.map { b =>
+          TxnLogMergeCommand(tbl, Option(tAlias), src.trim,
+            Option(sAlias), rest.substring(0, b).trim,
+            rest.substring(b),
+            () => delegate.parsePlan(sqlText))
+        }
       case _ => None
     }
 
@@ -119,33 +166,67 @@ object GraftSqlParser {
   private[sources] final case class ClauseText(kind: String,
       cond: Option[String], sets: Seq[(String, String)])
 
-  private def parseWhenClauses(whenText: String): Seq[ClauseText] = {
-    // split only at clause STARTS — a CASE WHEN inside a condition or
-    // SET expression is not a clause boundary
-    val pieces = whenText
-      .split("""(?i)\bWHEN\b(?=\s+(?:MATCHED\b|NOT\s+MATCHED\b))""")
-      .map(_.trim).filter(_.nonEmpty)
+  /** Clause boundaries found by the same depth/quote scanner the SET
+    * splitter uses: each offset of a `WHEN` keyword at parenthesis
+    * depth zero outside string literals, followed by MATCHED / NOT
+    * MATCHED. A CASE WHEN inside an expression sits behind no such
+    * lookahead; a string literal containing the words 'WHEN MATCHED'
+    * never fractures the statement (the raw-regex-split failure
+    * mode). Shared by the ON/WHEN statement split and the clause
+    * list split. */
+  private def whenBounds(s: String): Seq[Int] = {
+    def wordAt(i: Int, w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
+          s.charAt(i - 1) != '_') &&
+        (i + w.length == s.length ||
+          !Character.isLetterOrDigit(s.charAt(i + w.length)) &&
+            s.charAt(i + w.length) != '_')
+    def skipWs(i: Int): Int = {
+      var j = i; while (j < s.length && s.charAt(j).isWhitespace) j += 1; j
+    }
+    def clauseStart(i: Int): Boolean = wordAt(i, "WHEN") && {
+      val j = skipWs(i + 4)
+      wordAt(j, "MATCHED") ||
+        (wordAt(j, "NOT") && wordAt(skipWs(j + 3), "MATCHED"))
+    }
+    val bounds = Seq.newBuilder[Int]
+    var depth = 0; var inQuote = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
+      else if (c == '\'') { inQuote = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c == 'w' || c == 'W') && clauseStart(i)) {
+        bounds += i; i += 4
+      } else i += 1
+    }
+    bounds.result()
+  }
+
+  /** The WHEN-clause pieces of a MERGE tail (text AFTER each WHEN
+    * keyword), split at [[whenBounds]]. */
+  private def splitWhenClauses(s: String): Seq[String] = {
+    val bs = whenBounds(s)
+    bs.zipAll(bs.drop(1), 0, s.length).map { case (b, e) =>
+      s.substring(b + 4, e).trim // drop the WHEN keyword itself
+    }.filter(_.nonEmpty)
+  }
+
+  private[sources] def parseWhenClauses(whenText: String): Seq[ClauseText] = {
+    val pieces = splitWhenClauses(whenText)
     require(pieces.nonEmpty, "MERGE needs at least one WHEN clause")
-    pieces.toSeq.map {
+    pieces.map {
       case MatchedUpdateRe(cond, sets) =>
         ClauseText("update", Option(cond).map(_.trim),
-          splitTopLevel(sets, ',').map {
-            case AssignRe(col, rhs) =>
-              // the left side may be alias-qualified: strip it
-              (col.split('.').last, rhs)
-            case bad => throw new IllegalArgumentException(
-              s"cannot parse SET assignment: $bad")
-          })
+          parseAssignments(sets))
       case MatchedDeleteRe(cond) =>
         ClauseText("delete", Option(cond).map(_.trim), Nil)
       // BY SOURCE forms before the plain NOT MATCHED insert
       case BySourceUpdateRe(cond, sets) =>
         ClauseText("bysource_update", Option(cond).map(_.trim),
-          splitTopLevel(sets, ',').map {
-            case AssignRe(col, rhs) => (col.split('.').last, rhs)
-            case bad => throw new IllegalArgumentException(
-              s"cannot parse SET assignment: $bad")
-          })
+          parseAssignments(sets))
       case BySourceDeleteRe(cond) =>
         ClauseText("bysource_delete", Option(cond).map(_.trim), Nil)
       case NotMatchedInsertRe(cond) =>
@@ -159,6 +240,36 @@ object GraftSqlParser {
           "WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE)")
     }
   }
+
+  /** Substitute `txnlog.\`/path\`` references in QUERIES
+    * (SELECT/INSERT sources) with the provider's resolved relation.
+    * Spark's own SQL-on-files rule admits only FileFormat sources —
+    * a DSv1 relation provider would fail analysis with
+    * UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY — so the substitution
+    * happens at the parser seam, giving SQL-first users the same
+    * direct-path syntax Delta tables get, including time travel:
+    * the `VERSION AS OF` rewrite arrives here as a `@v<n>`/`@ts<…>`
+    * path suffix the relation provider peels off. Catalog tables
+    * created `USING txnlog` already resolve natively. */
+  private[sources] def resolveTxnlogPaths(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("txnlog") =>
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          new TxnLogStreamProvider().createRelation(spark.sqlContext,
+            Map("path" -> u.multipartIdentifier(1))))
+    }
+
+  /** A SET assignment list as (column, rhs-SQL) pairs; the left side
+    * may be alias-qualified (stripped). */
+  private[sources] def parseAssignments(sets: String): Seq[(String, String)] =
+    splitTopLevel(sets, ',').map {
+      case AssignRe(col, rhs) => (col.split('.').last, rhs)
+      case bad => throw new IllegalArgumentException(
+        s"cannot parse SET assignment: $bad")
+    }
 
   /** Split on `sep` at parenthesis/quote depth zero. */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -241,18 +352,45 @@ final case class TxnLogDeleteCommand(table: String,
     }
 }
 
-/** `OPTIMIZE <table> [ZORDER BY (a, b)]` → [[TxnLog.compact]] /
-  * [[TxnLog.compactZorder]]. */
+/** `OPTIMIZE <table> [ZORDER BY (a, b[, c ...])]` →
+  * [[TxnLog.compact]] / [[TxnLog.compactZorderKeys]] (2+ clustering
+  * keys). */
 final case class TxnLogOptimizeCommand(table: String,
-    zorder: Option[(String, String)]) extends LeafRunnableCommand {
+    zorder: Option[Seq[String]]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, table)
     zorder match {
-      case Some((a, b)) => TxnLog.compactZorder(spark, t, a, b)
-      case None         => TxnLog.compact(spark, t)
+      case Some(cols) =>
+        require(cols.length >= 2 && cols.forall(_.matches("\\w+")),
+          s"ZORDER BY needs two or more column names, got " +
+            s"(${cols.mkString(", ")})")
+        TxnLog.compactZorderKeys(spark, t, cols)
+      case None => TxnLog.compact(spark, t)
     }
     Seq.empty
   }
+}
+
+/** `UPDATE <txnlog table> SET a = e, ... [WHERE cond]` →
+  * [[TxnLog.update]] (no WHERE = update every row, the SQL
+  * contract). Assignments parse in run(), after the target resolves
+  * as ours — a non-txnlog UPDATE executes Spark's own plan for the
+  * statement untouched, whatever its SET grammar. */
+final case class TxnLogUpdateCommand(table: String, setText: String,
+    where: Option[String],
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        val sets = GraftSqlParser.parseAssignments(setText)
+        TxnLog.update(spark, t,
+          sets.map { case (c, rhs) => c -> expr(rhs) }.toMap,
+          where.map(expr).getOrElse(lit(true)))
+        Seq.empty
+      case None => // not ours: run Spark's own UPDATE plan (v2 tables)
+        org.apache.spark.sql.graftshim.Shim
+          .ofRows(spark, native()).collect().toSeq
+    }
 }
 
 /** `VACUUM <table> [RETAIN n HOURS]` → [[TxnLog.vacuum]] with the
@@ -293,14 +431,18 @@ final case class TxnLogHistoryCommand(table: String,
 final case class TxnLogMergeCommand(table: String,
     tAlias: Option[String], source: String, sAlias: Option[String],
     onCond: String,
-    clauses: Seq[GraftSqlParser.ClauseText],
+    whenText: String,
     native: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.tryResolveTable(spark, table).getOrElse {
-      // not ours: run Spark's own MERGE plan (v2 tables)
+      // not ours: run Spark's own MERGE plan (v2 tables) — reached
+      // BEFORE any clause parsing, so standard MERGE grammar outside
+      // this library's subset (UPDATE SET *, INSERT (cols) VALUES)
+      // never trips on it
       return org.apache.spark.sql.graftshim.Shim
         .ofRows(spark, native()).collect().toSeq
     }
+    val clauses = GraftSqlParser.parseWhenClauses(whenText)
     val src = GraftSqlParser.resolveSource(spark, source)
     val ta = tAlias.getOrElse("t")
     val sa = sAlias.getOrElse("s")

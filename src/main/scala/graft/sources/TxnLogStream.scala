@@ -94,9 +94,28 @@ class TxnLogStreamProvider extends StreamSourceProvider
       schema: StructType): BaseRelation =
     relationOf(sqlContext, parameters, Some(schema))
 
+  /** Delta's path-embedded time-travel convention: a batch-read path
+    * may end in `@v<version>` or `@ts<millis-or-ISO-8601>`, which
+    * peel off into the versionAsOf/timestampAsOf options. This is
+    * what SQL `SELECT … FROM txnlog.\`/p\` VERSION AS OF n` lowers
+    * onto (GraftSqlParser rewrites the reference into the suffix
+    * form — the table identifier is the only channel a pure SQL text
+    * has). Explicit options win over a suffix; streams never see it
+    * (time travel is a batch concept). */
+  private val TravelSuffix = """(?s)^(.+)@(?:v(\d+)|ts([\d.:TZ+-]+))$""".r
+
   private def relationOf(sqlContext: SQLContext,
-      parameters: Map[String, String],
+      rawParameters: Map[String, String],
       userSchema: Option[StructType]): BaseRelation = {
+    val parameters = rawParameters.get("path") match {
+      case Some(TravelSuffix(p, v, ts))
+        if !rawParameters.contains("versionAsOf") &&
+          !rawParameters.contains("timestampAsOf") =>
+        rawParameters + ("path" -> p) ++
+          Option(v).map("versionAsOf" -> _) ++
+          Option(ts).map("timestampAsOf" -> _)
+      case _ => rawParameters
+    }
     val t = tableOf(parameters)
     val asOf: Option[Long] = parameters.get("versionAsOf") match {
       case Some(v) => Some(v.toLong)
@@ -190,7 +209,7 @@ class TxnLogStreamProvider extends StreamSourceProvider
   * literals and prune whole scan groups in the optimizer. Spark
   * re-applies every filter above a V1 relation, so partially
   * untranslatable predicates stay correct. */
-private[sources] class TxnLogPartitionedRelation(
+private[graft] class TxnLogPartitionedRelation(
     override val sqlContext: SQLContext, t: TxnLog.Table,
     asOf: Option[Long], override val schema: StructType)
   extends BaseRelation
@@ -222,10 +241,25 @@ private[sources] class TxnLogPartitionedRelation(
     case _         => None
   }
 
+  /** How many times the log was replayed into a base plan — the spec
+    * pins this at 1 for a multi-scan query (a self-join must not pay
+    * the log read and grouped-plan build per scan). */
+  private[graft] val logReads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The snapshot's resolved plan, built ONCE per relation instance:
+    * every buildScan (each scan of a self-join, each retry) projects
+    * and filters over the same memoized base. The version is already
+    * pinned (`asOf` captures the snapshot at relation creation), so
+    * caching adds no staleness — at a 100 TB table's history depth it
+    * removes O(versions) log-replay churn per extra scan. */
+  private lazy val base: org.apache.spark.sql.DataFrame = {
+    logReads.incrementAndGet()
+    TxnLog.read(sqlContext.sparkSession, t, asOf)
+  }
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): org.apache.spark.rdd.RDD[
         org.apache.spark.sql.Row] = {
-    val base = TxnLog.read(sqlContext.sparkSession, t, asOf)
     val filtered = filters.flatMap(exact).foldLeft(base)(_.filter(_))
     val pruned = filtered.select(
       requiredColumns.map(col).toIndexedSeq: _*)

@@ -191,6 +191,104 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(kept < total, s"zorder SQL path did not cluster: $kept/$total")
   }
 
+  test("SQL UPDATE, time travel and N-col ZORDER round out the statement surface") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqlupd-").resolve("t")
+    val t = TxnLog.Table(root)
+    val p = root.toString
+    TxnLog.append(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+        .toDF("k", "v", "s").coalesce(1))
+    // UPDATE with expressions referencing table columns, WHERE-gated
+    spark.sql(s"UPDATE txnlog.`$p` SET v = v * 10, s = 'X' WHERE k >= 2")
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      .toSeq === Seq((1L, 10L, "a"), (2L, 200L, "X"), (3L, 300L, "X")))
+    val vAfterUpdate = TxnLog.latestVersion(t)
+    // catalog-name target works too; UPDATE without WHERE hits all rows
+    spark.sql("DROP TABLE IF EXISTS sqlupd_cat")
+    spark.sql(s"CREATE TABLE sqlupd_cat USING txnlog OPTIONS (path '$p')")
+    try {
+      spark.sql("UPDATE sqlupd_cat SET v = v + 1")
+      assert(spark.sql(s"SELECT sum(v) FROM txnlog.`$p`").head().getLong(0)
+        === 10L + 200L + 300L + 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS sqlupd_cat")
+    // SQL time travel: VERSION AS OF reads the snapshot BEFORE the
+    // second UPDATE as text (lowered onto the versionAsOf option)…
+    val historic = spark.sql(
+      s"SELECT k, v FROM txnlog.`$p` VERSION AS OF $vAfterUpdate ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(historic === Seq((1L, 10L), (2L, 200L), (3L, 300L)))
+    // …an alias after the travel clause survives the rewrite, and
+    // TIMESTAMP AS OF resolves through versionAt
+    assert(spark.sql(
+      s"""SELECT x.v FROM txnlog.`$p` VERSION AS OF $vAfterUpdate x
+         |WHERE x.k = 1""".stripMargin).head().getLong(0) === 10L)
+    val now = System.currentTimeMillis() + 60000L
+    assert(spark.sql(
+      s"SELECT sum(v) FROM txnlog.`$p` TIMESTAMP AS OF $now")
+      .head().getLong(0) === 513L)
+    // a MERGE in vanilla-Spark grammar outside this library's subset
+    // (INSERT (cols) VALUES) against a NON-txnlog table must reach
+    // Spark's native path — its error names the table, not our grammar
+    Seq((1L, 1L)).toDF("k", "v").createOrReplaceTempView("sqlupd_src")
+    val nf = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """MERGE INTO graft_no_such_tbl t USING sqlupd_src s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+          .stripMargin)
+    }
+    assert(nf.getMessage.contains("graft_no_such_tbl"),
+      s"pass-through broke: ${nf.getMessage}")
+    // …and the same unsupported clause against a TXNLOG table raises
+    // the helpful grammar message at run time, not a parse crash
+    val unsupported = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO txnlog.`$p` t USING sqlupd_src s ON t.k = s.k
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+          .stripMargin)
+    }
+    assert(unsupported.getMessage.contains("supported"),
+      s"wrong txnlog grammar error: ${unsupported.getMessage}")
+    // a string literal containing 'WHEN MATCHED' inside a clause
+    // condition or SET expression does not fracture the clause list
+    // (quote-aware splitter — a raw regex split would break here)
+    spark.sql(
+      s"""MERGE INTO txnlog.`$p` t USING sqlupd_src s
+         |ON t.k = s.k
+         |WHEN MATCHED AND 'WHEN MATCHED THEN DELETE' != '' THEN
+         |  UPDATE SET s = 'WHEN MATCHED'
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(TxnLog.read(spark, t).filter($"k" === 1L).head().getString(2)
+      === "WHEN MATCHED")
+    // WHEN NOT MATCHED BY TARGET is the standard spelling of INSERT *
+    Seq((9L, 90L, "i")).toDF("k", "v", "s")
+      .createOrReplaceTempView("sqlupd_src2")
+    spark.sql(
+      s"""MERGE INTO txnlog.`$p` t USING sqlupd_src2 s ON t.k = s.k
+         |WHEN NOT MATCHED BY TARGET THEN INSERT *""".stripMargin)
+    assert(TxnLog.read(spark, t).count() === 4L)
+    // 3-column ZORDER through the grammar
+    val zroot = java.nio.file.Files
+      .createTempDirectory("graft-sqlz3-").resolve("t")
+    val zt = TxnLog.Table(zroot)
+    val rows = (0L until 4096L).map(i =>
+      (i, i % 8L * 100L, (i / 8L) % 8L * 100L, (i / 64L) % 8L * 100L))
+    TxnLog.appendWithStats(spark, zt,
+      rows.toDF("id", "a", "b", "c").repartition(4), Seq("a", "b", "c"))
+    spark.sql(s"OPTIMIZE txnlog.`$zroot` ZORDER BY (a, b, c)")
+    val (kept, total) = TxnLog.plannedFilesBox(zt,
+      Seq(("a", 0L, 100L), ("b", 0L, 100L), ("c", 0L, 100L)))
+    assert(kept < total, s"3-col SQL zorder did not cluster: $kept/$total")
+    // UPDATE against a non-txnlog target delegates to Spark's plan
+    val unf = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("UPDATE graft_no_such_tbl SET v = 1 WHERE k = 1")
+    }
+    assert(unf.getMessage.contains("graft_no_such_tbl"))
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -1375,13 +1375,21 @@ class TxnLogSpec extends AnyFunSuite {
     TxnLog.dropPartition(t, Map("day" -> "d1"))
     assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
       .toSeq === Seq(3L, 4L))
-    // merge on a partitioned table keeps values correct (the touched
-    // sliver re-materializes the column as data — documented)
+    // merge on a partitioned table keeps values correct AND restages
+    // the touched sliver (survivors + new images) THROUGH the layout —
+    // a CDC-synced partitioned table must not erode under steady DML
     TxnLog.merge(spark, t,
       Seq((3L, "d2", 300L)).toDF("id", "day", "v").coalesce(1), "id")
     assert(TxnLog.read(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
       .toSeq === Seq((3L, "d2", 300L), (4L, "d2", 40L)))
+    val msnap = TxnLog.snapshot(t)
+    assert(msnap.liveFiles.forall(msnap.filePartitions.contains),
+      s"merge flattened files out of the layout: ${msnap.liveFiles}")
+    // partition pruning still plans a strict subset after the merge
+    val (mPlanned, mLive) = TxnLog.plannedFilesPartition(t, Map("day" -> "d2"))
+    assert(mPlanned === mLive) // only d2 remains: all files carry it
+    assert(TxnLog.plannedFilesPartition(t, Map("day" -> "d1"))._1 === 0)
     // the batch-format relation reconstitutes partition columns
     // (filters on them prune scan groups; values never null-fill)
     val viaFormat = spark.read.format("txnlog")
@@ -1519,5 +1527,282 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[Exception] {
       TxnLog.read(spark, t, Some(1L)).collect()
     }
+  }
+
+  test("txnlog: merge and mergeInto restage through the partition layout — drop-a-day stays zero-copy under a steady DML feed") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.appendPartitioned(spark, t,
+      Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L),
+        (4L, "d3", 40L)).toDF("id", "day", "v"), Seq("day"))
+    // whole-row merge: update one d1 row, insert a d3 row
+    TxnLog.merge(spark, t,
+      Seq((1L, "d1", 11L), (9L, "d3", 90L)).toDF("id", "day", "v")
+        .coalesce(1), "id")
+    val s1 = TxnLog.snapshot(t)
+    assert(s1.liveFiles.forall(s1.filePartitions.contains),
+      s"merge flattened files out of the layout: ${s1.liveFiles}")
+    // conditional mergeInto: update the d2 row, insert a d4 row
+    TxnLog.mergeInto(spark, t,
+      Seq((3L, "d2", 300L), (5L, "d4", 50L)).toDF("id", "day", "v")
+        .coalesce(1), "id",
+      Seq(TxnLog.MergeClause.Update(None, Map("v" -> col("s.v"))),
+        TxnLog.MergeClause.Insert(None)))
+    val s2 = TxnLog.snapshot(t)
+    assert(s2.liveFiles.forall(s2.filePartitions.contains),
+      s"mergeInto flattened files out of the layout: ${s2.liveFiles}")
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      .toSeq === Seq((1L, "d1", 11L), (2L, "d1", 20L), (3L, "d2", 300L),
+        (4L, "d3", 40L), (5L, "d4", 50L), (9L, "d3", 90L)))
+    // partition pruning plans a strict subset after both merges
+    val (planned, live) = TxnLog.plannedFilesPartition(t, Map("day" -> "d2"))
+    assert(planned >= 1 && planned < live,
+      s"d2 probe plans $planned of $live after the merges")
+    // dropPartition is STILL metadata-only (no SparkSession in the
+    // signature): one remove-only commit, and the dropped day's rows
+    // arrive as typed CDF deletes with the column reconstituted
+    val before = TxnLog.latestVersion(t)
+    val vDrop = TxnLog.dropPartition(t, Map("day" -> "d1"))
+    assert(vDrop === before + 1)
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(3L, 4L, 5L, 9L))
+    val (_, del) = TxnLog.changes(spark, t, before, vDrop)
+    assert(del.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .toSeq === Seq((1L, "d1"), (2L, "d1")))
+  }
+
+  test("txnlog: hive-escaped partition values round-trip write → DML → checkpoint → replay") {
+    import spark.implicits._
+    val t = freshTable()
+    // values exercising the writer's escape set, plus the null
+    // sentinel — ':' '=' '%' '/' would silently fail to match a spec
+    // if tokens and state disagreed on the value domain
+    val days = Seq("d:1", "d=2", "d%3", "d/4", null)
+    val rows = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq((i * 10L, Option(d), i * 100L), (i * 10L + 1L, Option(d),
+        i * 100L + 1L))
+    }
+    TxnLog.appendPartitioned(spark, t,
+      rows.toDF("id", "day", "v"), Seq("day"))
+    val snap = TxnLog.snapshot(t)
+    assert(snap.liveFiles.forall(snap.filePartitions.contains))
+    // the recorded values are DECODED — the user's spec matches as typed
+    for ((d, i) <- days.zipWithIndex if d != null) {
+      val got = TxnLog.readPartition(spark, t, Map("day" -> d))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(i * 10L, i * 10L + 1L), s"readPartition($d)")
+      val (planned, live) = TxnLog.plannedFilesPartition(t, Map("day" -> d))
+      assert(planned < live, s"spec '$d' did not prune")
+    }
+    // a delete on one escaped partition restages survivors with the
+    // value RE-ESCAPED into its token (escapePart round-trip)
+    TxnLog.delete(spark, t, col("day") === "d:1" && col("id") === 0L)
+    val afterDel = TxnLog.read(spark, t)
+      .filter(col("day") === "d:1").collect().map(_.getLong(0)).toSeq
+    assert(afterDel === Seq(1L))
+    // checkpoint rewrites every token from decoded state; replay from
+    // it must see the same domain (values AND the null sentinel)
+    val v = TxnLog.latestVersion(t)
+    TxnLog.checkpoint(t, v)
+    TxnLog.expireLog(t)
+    val replayed = TxnLog.snapshot(t)
+    assert(replayed.liveFiles.forall(replayed.filePartitions.contains))
+    assert(TxnLog.readPartition(spark, t, Map("day" -> "d=2"))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 11L))
+    assert(TxnLog.read(spark, t).filter(col("day").isNull)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(40L, 41L))
+    // dropPartition on an escaped value is still metadata-only
+    val vd = TxnLog.dropPartition(t, Map("day" -> "d%3"))
+    assert(vd > v)
+    assert(TxnLog.read(spark, t).filter(col("day") === "d%3").count() === 0L)
+    // a malformed %-sequence someone hand-wrote passes through
+    // verbatim (Spark's unescapePathName parity) instead of crashing
+    assert(TxnLog.unescapePart("c=10%x2") === "c=10%x2")
+    assert(TxnLog.unescapePart("trail%4") === "trail%4")
+    assert(TxnLog.unescapePart("%3A%3D") === ":=")
+  }
+
+  test("txnlog: repeated merges leave no checkpointed source blocks pinned") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted()
+    (1 to 3).foreach { i =>
+      TxnLog.merge(spark, t,
+        Seq((1L, i * 100L)).toDF("k", "v").coalesce(1), "k")
+      TxnLog.mergeInto(spark, t,
+        Seq((1L, i + 1000L)).toDF("k", "v").coalesce(1), "k",
+        Seq(TxnLog.MergeClause.Update(None, Map("v" -> col("s.v")))))
+    }
+    // releaseCheckpoint unregisters synchronously (block cleanup is
+    // async); a short poll absorbs any scheduler lag
+    val deadline = System.currentTimeMillis() + 10000L
+    while (persisted() > before && System.currentTimeMillis() < deadline)
+      Thread.sleep(50L)
+    assert(persisted() <= before,
+      s"merges left ${persisted() - before} checkpointed RDD(s) registered")
+  }
+
+  test("txnlog: row-level UPDATE rewrites only matching slivers, pins CDF, honors null predicates and the partition layout") {
+    import spark.implicits._
+    val t = freshTable()
+    // 4 single-file commits with stats on k: a selective UPDATE must
+    // open a strict subset of files (the stats-pruned DML locate)
+    (0 until 4).foreach(i => TxnLog.appendWithStats(spark, t,
+      Seq((i * 10L, i * 100L)).toDF("k", "v").coalesce(1), Seq("k")))
+    val before = TxnLog.latestVersion(t)
+    val (cand, live) = TxnLog.plannedFilesDml(t, col("k") === 20L)
+    assert(live === 4 && cand === 1, s"UPDATE locate plans $cand of $live")
+    val v = TxnLog.update(spark, t, Map("v" -> (col("v") + 5L)),
+      col("k") === 20L)
+    assert(v === before + 1)
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((0L, 0L), (10L, 100L), (20L, 205L), (30L, 300L)))
+    // CDF: exactly (old image as delete, new image as insert)
+    val (ins, del) = TxnLog.changes(spark, t, before, v)
+    assert(del.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((20L, 200L)))
+    assert(ins.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((20L, 205L)))
+    // a NULL-evaluating predicate updates NOTHING for that row (SQL's
+    // condition-is-true contract), and no-match returns the version
+    val t2 = freshTable()
+    TxnLog.append(spark, t2,
+      Seq((1L, Some(5L)), (2L, None)).toDF("k", "nv").coalesce(1))
+    TxnLog.update(spark, t2, Map("k" -> (col("k") + 100L)),
+      col("nv") > 1L) // null on k=2 → row untouched
+    assert(TxnLog.read(spark, t2).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq === Seq((2L, -1L), (101L, 5L)))
+    val vSame = TxnLog.latestVersion(t2)
+    assert(TxnLog.update(spark, t2, Map("k" -> lit(0L)),
+      col("k") > 1000L) === vSame)
+    // unknown SET column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.update(spark, t2, Map("nope" -> lit(1L)), lit(true))
+    }
+    assert(e.getMessage.contains("unknown column"))
+    // partitioned: survivors and new images restage THROUGH the
+    // layout; updating the PARTITION column moves the row to its new
+    // partition directory
+    val pt = freshTable()
+    TxnLog.appendPartitioned(spark, pt,
+      Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L))
+        .toDF("id", "day", "v"), Seq("day"))
+    TxnLog.update(spark, pt, Map("day" -> lit("d9")), col("id") === 2L)
+    val snap = TxnLog.snapshot(pt)
+    assert(snap.liveFiles.forall(snap.filePartitions.contains),
+      s"update flattened files out of the layout: ${snap.liveFiles}")
+    assert(TxnLog.readPartition(spark, pt, Map("day" -> "d9"))
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val vp = TxnLog.dropPartition(pt, Map("day" -> "d9")) // still zero-copy
+    assert(TxnLog.read(spark, pt).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 3L) && vp > 0L)
+  }
+
+  test("txnlog: three-column zorder prunes every dimension from the manifest — the 2-col layout cannot") {
+    import spark.implicits._
+    val t = freshTable()
+    // an 8×8×8 lattice — three tenant/date/key style dimensions
+    val rows = (0L until 4096L).map(i =>
+      (i, i % 8L * 100L, (i / 8L) % 8L * 100L, (i / 64L) % 8L * 100L))
+    TxnLog.appendWithStats(spark, t,
+      rows.toDF("id", "a", "b", "c").repartition(4), Seq("a", "b", "c"))
+    TxnLog.compactZorderKeys(spark, t, Seq("a", "b", "c"),
+      targetFiles = 16)
+    val box = Seq(("a", 0L, 100L), ("b", 0L, 100L), ("c", 0L, 100L))
+    val (kept3, total3) = TxnLog.plannedFilesBox(t, box)
+    assert(total3 === 16 && kept3 <= total3 / 2,
+      s"weak 3-D z pruning: $kept3 of $total3")
+    // the third dimension is what the 2-col layout CANNOT prune:
+    // under zorder(a, b) every file spans the full c range, so a
+    // c-probe plans the whole table; the 3-col interleave keeps c
+    // ranges tight per file too
+    val t2 = freshTable()
+    TxnLog.appendWithStats(spark, t2,
+      rows.toDF("id", "a", "b", "c").repartition(4), Seq("a", "b", "c"))
+    TxnLog.compactZorder(spark, t2, "a", "b", targetFiles = 16)
+    val cProbe = Seq(("c", 0L, 0L))
+    val (kept2c, _) = TxnLog.plannedFilesBox(t2, cProbe)
+    val (kept3c, _) = TxnLog.plannedFilesBox(t, cProbe)
+    assert(kept2c === 16, s"2-col layout unexpectedly pruned c: $kept2c")
+    assert(kept3c < kept2c,
+      s"3-col zorder ($kept3c files) not tighter on c than 2-col ($kept2c)")
+    // pruned read ≡ full read under the same predicate
+    val probe = TxnLog.readPrunedBox(spark, t, box)
+      .filter($"a" <= 100L && $"b" <= 100L && $"c" <= 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val full = TxnLog.read(spark, t)
+      .filter($"a" <= 100L && $"b" <= 100L && $"c" <= 100L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(probe === full && probe.nonEmpty)
+    // 62/3 = 20 bits per key: the range check tightens accordingly
+    val bad = freshTable()
+    TxnLog.appendWithStats(spark, bad,
+      Seq((1L, 1L << 21, 2L, 3L)).toDF("id", "a", "b", "c").coalesce(1),
+      Seq("a", "b", "c"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.compactZorderKeys(spark, bad, Seq("a", "b", "c"))
+    }
+    assert(e.getMessage.contains("alias on the z curve"))
+  }
+
+  test("txnlog: the partitioned relation replays the log ONCE for a multi-scan query") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.appendPartitioned(spark, t,
+      Seq((1L, "d1", 10L), (2L, "d2", 20L)).toDF("id", "day", "v"),
+      Seq("day"))
+    val schema = TxnLog.registeredSchema(t).get
+    val rel = new graft.sources.TxnLogPartitionedRelation(
+      spark.sqlContext, t, Some(TxnLog.latestVersion(t)), schema)
+    val df = spark.baseRelationToDataFrame(rel)
+    // a self-join scans the relation twice; the log replay and
+    // grouped-plan build must happen once (memoized base)
+    val joined = df.alias("l").join(df.alias("r"), Seq("id"))
+      .select(col("l.day"), col("r.v"))
+    assert(joined.collect().length === 2)
+    assert(rel.logReads.get() === 1,
+      s"partitioned relation replayed the log ${rel.logReads.get()} times")
+  }
+
+  test("txnlog: a CDF stream resuming below the replay floor refuses zero-copy deletes it cannot reconstitute") {
+    import spark.implicits._
+    val t = freshTable()
+    // 9 partitioned appends land v0..v8; v9 is a zero-copy partition
+    // drop; v10 caps the range. The checkpoint at v10 becomes the
+    // expire floor — a stream checkpointed at v9 survives, one at v8
+    // (just below the floor after expiry) must refuse, not null-fill
+    (0 until 9).foreach(i => TxnLog.appendPartitioned(spark, t,
+      Seq((i.toLong, s"d${i % 3}")).toDF("id", "day"), Seq("day")))
+    TxnLog.dropPartition(t, Map("day" -> "d0")) // v9: zero-copy deletes
+    TxnLog.appendPartitioned(spark, t,
+      Seq((100L, "d9")).toDF("id", "day"), Seq("day")) // v10
+    TxnLog.checkpoint(t, 10L)
+    TxnLog.expireLog(t) // retained: v10 only; floor = 10
+    // resuming at v9 (range v10..v10, fully retained, no pre-floor
+    // deletes) still works …
+    val ok = TxnLog.readChangeFeedBatch(spark, t, 9L, 10L, schemaJson =
+      TxnLog.registeredSchema(t).get.json)
+    assert(ok._1.collect().map(_.getLong(0)).toSeq === Seq(100L))
+    // the UNRESOLVABLE shape: the zero-copy drop is the floor commit
+    // ITSELF, so the dropped files' partition metadata lived only in
+    // pre-floor state (expired) — reading them flat would null-fill
+    // the partition column; the batch must refuse instead
+    val t3 = freshTable()
+    (0 until 10).foreach(i => TxnLog.appendPartitioned(spark, t3,
+      Seq((i.toLong, s"d${i % 3}")).toDF("id", "day"), Seq("day")))
+    TxnLog.dropPartition(t3, Map("day" -> "d0")) // v10
+    TxnLog.checkpoint(t3, 10L)
+    TxnLog.expireLog(t3) // floor = 10 = the drop commit
+    val ex = intercept[IllegalStateException] {
+      TxnLog.readChangeFeedBatch(spark, t3, 9L, 10L,
+        TxnLog.registeredSchema(t3).get.json)
+    }
+    assert(ex.getMessage.contains("fresh checkpoint"),
+      s"wrong refusal: ${ex.getMessage}")
   }
 }
