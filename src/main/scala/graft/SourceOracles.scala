@@ -406,6 +406,23 @@ object SourceOracles {
         |FROM upd GROUP BY 1
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    "src_txnlog_restore" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'restored' AS side
+        |FROM tgt WHERE st = 'F' GROUP BY 1
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -1183,6 +1183,41 @@ object SourceOps {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** RESTORE — the lakehouse rollback, METADATA-ONLY through the
+    * commit log (TxnLog.restore takes no SparkSession: the live-set
+    * diff against the restored snapshot becomes one remove+re-add
+    * commit, partition tokens and stats carried forward; no data file
+    * is read or written). The demo mirrors the fat-finger incident a
+    * rollback exists for: a partitioned orders table loses a whole
+    * status partition to a zero-copy drop, then
+    * `RESTORE TABLE … TO VERSION AS OF v` as SQL text brings it back;
+    * the oracle hash pins the restored table equal to the original
+    * AND the restore commit's own change feed (the re-added rows as
+    * typed inserts, nothing deleted — metadata-only both ways). */
+  def txnlogRestore(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnrestore-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.appendPartitioned(s, t, o, Seq("o_orderstatus"))
+    val v0 = graft.sources.TxnLog.latestVersion(t)
+    graft.sources.TxnLog.dropPartition(t, Map("o_orderstatus" -> "F"))
+    val v1 = graft.sources.TxnLog.latestVersion(t)
+    s.sql(s"RESTORE TABLE txnlog.`$root` TO VERSION AS OF $v0")
+    val v2 = graft.sources.TxnLog.latestVersion(t)
+    val (ins, del) = graft.sources.TxnLog.changes(s, t, v1, v2)
+    def prof(df: DataFrame): DataFrame = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+    prof(graft.sources.TxnLog.read(s, t)).withColumn("side", lit("latest"))
+      .unionByName(prof(ins).withColumn("side", lit("restored")))
+      .unionByName(prof(del).withColumn("side", lit("deleted")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** Manifest data skipping — the lakehouse file-pruning story on top
     * of the transaction log: orders lands in 8 append commits, each
     * one contiguous o_orderkey range staged as one sorted file with

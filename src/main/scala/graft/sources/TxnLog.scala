@@ -1687,6 +1687,61 @@ object TxnLog {
     versionOf(at.get)
   }
 
+  /** RESTORE the table to the state of snapshot `v` in ONE
+    * METADATA-ONLY commit — the lakehouse rollback (Delta's RESTORE
+    * TABLE): remove every currently-live file that was not live at
+    * `v`, re-add every `v`-live file that is not currently live
+    * (partition tokens and stats carried forward from the restored
+    * snapshot — decoded state re-escaped, the checkpoint re-emission
+    * path), and re-register `v`'s schema when it differs. No data
+    * file is read or written; the signature takes no SparkSession.
+    * History going FORWARD is preserved — a restore is a new commit,
+    * so "restore the restore" works and DESCRIBE HISTORY shows both
+    * (it classifies as REPLACE: a restore IS a replace to an old
+    * state, byte-identical commit shape). The change feed stays
+    * log-resolved at zero copies: removed files are the delete side,
+    * re-added files the insert side — `changes()` and CDF streams
+    * converge to the restored state like any rewrite. Files vacuum
+    * already reclaimed REFUSE loudly naming the first missing one
+    * (the same time-travel horizon every vacuum trade documents).
+    * Returns the committed version (unchanged when the live sets
+    * already agree). */
+  def restore(t: Table, v: Long): Long = {
+    val cur = snapshot(t)
+    val tgt = snapshot(t, Some(v))
+    val curSet = cur.liveFiles.toSet
+    val tgtSet = tgt.liveFiles.toSet
+    val removes = cur.liveFiles.filterNot(tgtSet)
+    val readds = tgt.liveFiles.filterNot(curSet)
+    if (removes.isEmpty && readds.isEmpty) return cur.version
+    val missing = readds.filterNot(rel => Files.exists(t.root.resolve(rel)))
+    require(missing.isEmpty,
+      s"cannot restore ${t.root} to v$v: data file(s) already " +
+        s"vacuumed: ${missing.take(3).mkString(", ")} — the restore " +
+        "horizon is the vacuum horizon")
+    val addLines = readds.map { rel =>
+      val pTok = tgt.filePartitions.getOrElse(rel, Map.empty)
+        .toSeq.sortBy(_._1)
+        .map { case (c, pv) => s"part=${escapePart(c)}=${escapePart(pv)}" }
+      val sTok = tgt.fileStats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
+      (s"add\t$rel" +: (pTok ++ sTok)).mkString("\t")
+    }
+    // the change feed counts a NO-removes commit's adds as its insert
+    // wave already, so a pure re-add (restoring across a drop) must
+    // not ALSO reference them as cdc inserts — that would deliver
+    // every restored row twice; a remove-bearing restore needs the
+    // explicit refs (adds of rewrite commits are not auto-counted)
+    val cdc =
+      if (removes.isEmpty) Nil
+      else removes.map(r => s"cdc\t$r\tdelete") ++
+        readds.map(r => s"cdc\t$r\tinsert")
+    val schemaLine = tgt.schemaJson.filterNot(cur.schemaJson.contains)
+      .map(js => s"schema\t$js").toSeq
+    commit(t, cur.version, adds = Nil, removes = removes,
+      extra = schemaLine ++ addLines ++ cdc)
+  }
+
   /** The APPEND feed for the streaming source: the files whose rows
     * entered the table in (from, to], resolved purely from the log.
     * Compactions (`cdc none`) contribute nothing; a commit with

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT *
   *   OPTIMIZE txnlog.`/p` [ZORDER BY (a, b[, c ...])]
   *   VACUUM txnlog.`/p` [RETAIN 168 HOURS]
+  *   RESTORE TABLE txnlog.`/p` TO VERSION AS OF 3      -- rollback
   *   SELECT ... FROM txnlog.`/p` VERSION AS OF 3       -- time travel
   *   SELECT ... FROM txnlog.`/p` TIMESTAMP AS OF '2026-01-01T00:00:00Z'
   * }}}
@@ -46,8 +47,12 @@ class GraftSqlParser(delegate: ParserInterface,
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val sql = rewriteTimeTravel(sqlText)
-    val plan = parseDml(sql, delegate).getOrElse(delegate.parsePlan(sql))
+    // DML recognition sees the ORIGINAL text: RESTORE carries its own
+    // `TO VERSION AS OF` that must not be folded into a path suffix.
+    // Queries that fall through to the delegate get the time-travel
+    // rewrite plus the txnlog.`/path` relation substitution.
+    val plan = parseDml(sqlText, delegate).getOrElse(
+      delegate.parsePlan(rewriteTimeTravel(sqlText)))
     resolveTxnlogPaths(session(), plan)
   }
 
@@ -82,6 +87,10 @@ object GraftSqlParser {
     s"""(?is)^\\s*VACUUM\\s+($Ident)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""".r
   private val HistoryRe =
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($Ident)(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$""".r
+  private val RestoreRe =
+    (s"""(?is)^\\s*RESTORE\\s+TABLE\\s+($Ident)\\s+TO\\s+""" +
+      """(?:VERSION\s+AS\s+OF\s+(\d+)|""" +
+      """TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+)))\s*;?\s*$""").r
   private val MergeRe =
     (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?(?:\\s+(?!USING\\b)(\\w+))?""" +
       s"""\\s+USING\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|$Ident)(?:\\s+AS\\b)?(?:\\s+(?!ON\\b)(\\w+))?""" +
@@ -146,6 +155,9 @@ object GraftSqlParser {
         Some(TxnLogVacuumCommand(tbl, Option(hours).map(_.toLong)))
       case HistoryRe(tbl, limit) =>
         Some(TxnLogHistoryCommand(tbl, Option(limit).map(_.toInt)))
+      case RestoreRe(tbl, ver, tsQ, tsN) =>
+        Some(TxnLogRestoreCommand(tbl, Option(ver).map(_.toLong),
+          Option(tsQ).orElse(Option(tsN))))
       case MergeRe(tbl, tAlias, src, sAlias, rest) =>
         // the ON-condition / first-WHEN boundary is found by the same
         // quote/paren-aware scanner the clause splitter uses — a
@@ -367,6 +379,29 @@ final case class TxnLogOptimizeCommand(table: String,
         TxnLog.compactZorderKeys(spark, t, cols)
       case None => TxnLog.compact(spark, t)
     }
+    Seq.empty
+  }
+}
+
+/** `RESTORE TABLE <table> TO VERSION AS OF n | TO TIMESTAMP AS OF ts`
+  * → [[TxnLog.restore]] — the rollback statement (a timestamp
+  * resolves through [[TxnLog.versionAt]], epoch millis or ISO-8601).
+  * Like OPTIMIZE/VACUUM this statement exists only for txnlog
+  * tables, so an unresolvable target refuses. */
+final case class TxnLogRestoreCommand(table: String,
+    version: Option[Long],
+    timestamp: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, table)
+    val v = version.getOrElse {
+      val ts = timestamp.get
+      val millis =
+        try ts.toLong
+        catch { case _: NumberFormatException =>
+          java.time.Instant.parse(ts).toEpochMilli }
+      TxnLog.versionAt(t, millis)
+    }
+    TxnLog.restore(t, v)
     Seq.empty
   }
 }

@@ -287,6 +287,17 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("UPDATE graft_no_such_tbl SET v = 1 WHERE k = 1")
     }
     assert(unf.getMessage.contains("graft_no_such_tbl"))
+    // RESTORE TABLE rolls back as SQL text (its own VERSION AS OF is
+    // a statement clause, not a time-travel reference)…
+    spark.sql(s"RESTORE TABLE txnlog.`$p` TO VERSION AS OF $vAfterUpdate")
+    val rolled = spark.sql(
+      s"SELECT count(*) AS n, sum(v) AS sv FROM txnlog.`$p`").head()
+    assert((rolled.getLong(0), rolled.getLong(1)) === (3L, 510L))
+    // …and the TIMESTAMP AS OF form resolves through versionAt (a
+    // future instant = the current state: a no-op restore)
+    spark.sql(s"RESTORE TABLE txnlog.`$p` TO TIMESTAMP AS OF $now")
+    assert(spark.sql(s"SELECT count(*) FROM txnlog.`$p`")
+      .head().getLong(0) === 3L)
   }
 
   test("withExtensions wiring registers the same functions") {

@@ -1769,6 +1769,58 @@ class TxnLogSpec extends AnyFunSuite {
       s"partitioned relation replayed the log ${rel.logReads.get()} times")
   }
 
+  test("txnlog: RESTORE rolls back metadata-only — layout and CDF carried, vacuum horizon refused, restore-the-restore works") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.appendPartitioned(spark, t,
+      Seq((1L, "d1", 10L), (2L, "d2", 20L)).toDF("id", "day", "v"),
+      Seq("day"))
+    val v0 = TxnLog.latestVersion(t)
+    TxnLog.appendPartitioned(spark, t,
+      Seq((3L, "d3", 30L)).toDF("id", "day", "v"), Seq("day"))
+    TxnLog.dropPartition(t, Map("day" -> "d1"))
+    val v2 = TxnLog.latestVersion(t)
+    // rollback: drops the d3 file, re-adds the d1 file — no data
+    // file read or written (no SparkSession in the signature)
+    val v3 = TxnLog.restore(t, v0)
+    assert(v3 === v2 + 1)
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      .toSeq === Seq((1L, "d1", 10L), (2L, "d2", 20L)))
+    // partition tokens carried forward: pruning plans a strict
+    // subset and drop-a-day is still metadata-only after the restore
+    val snap = TxnLog.snapshot(t)
+    assert(snap.liveFiles.forall(snap.filePartitions.contains),
+      s"restore dropped partition metadata: ${snap.liveFiles}")
+    val (planned, live) = TxnLog.plannedFilesPartition(t, Map("day" -> "d1"))
+    assert(planned === 1 && live === 2)
+    // the restore commit's own change feed: d3's row out, d1's back in
+    val (ins, del) = TxnLog.changes(spark, t, v2, v3)
+    assert(del.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((3L, "d3")))
+    assert(ins.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .toSeq === Seq((1L, "d1")))
+    // a restore is itself history: restoring BACK to the pre-restore
+    // state works, and restoring to the current state is a no-op
+    TxnLog.restore(t, v2)
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(2L, 3L))
+    val cur = TxnLog.latestVersion(t)
+    assert(TxnLog.restore(t, cur) === cur)
+    // the restore horizon is the vacuum horizon: reclaimed files
+    // refuse loudly instead of committing adds that point at nothing
+    val t2 = freshTable()
+    (0 until 11).foreach(i => // v0..v10, auto-checkpoint at v10
+      TxnLog.append(spark, t2, Seq((i.toLong, 0L)).toDF("k", "v")))
+    TxnLog.compact(spark, t2) // v11 rewrites the live set (cdc none)
+    TxnLog.expireLog(t2) // floor = v10; v10 stays replayable…
+    TxnLog.vacuum(t2, graceMs = 0L) // …but its files are reclaimed
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.restore(t2, 10L)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
   test("txnlog: a CDF stream resuming below the replay floor refuses zero-copy deletes it cannot reconstitute") {
     import spark.implicits._
     val t = freshTable()
