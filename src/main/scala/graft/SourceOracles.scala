@@ -406,6 +406,23 @@ object SourceOracles {
         |FROM upd GROUP BY 1
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    "src_txnlog_insert" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt WHERE k % 3 = 0 GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'pre_overwrite' AS side
+        |FROM tgt GROUP BY 1
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "src_txnlog_restore" ->
       """WITH tgt AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p

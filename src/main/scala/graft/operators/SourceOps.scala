@@ -1183,6 +1183,43 @@ object SourceOps {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** The SQL WRITE path: `INSERT INTO` (append commits) and
+    * `INSERT OVERWRITE` (one atomic replace) against a txnlog path
+    * target, closing SQL CRUD — a SQL-first user never needs the
+    * Scala API. Two INTO commits land the odd/even halves of orders
+    * (each one version), then an OVERWRITE replaces the table with
+    * the %3 slice; the oracle pins the final state AND the
+    * pre-overwrite state read back through `VERSION AS OF` — the
+    * atomic-replace + time-travel contract in one hash. */
+  def txnlogInsert(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnins-")
+      .resolve("tbl")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.createOrReplaceTempView("graft_ins_src")
+    s.sql(
+      s"""INSERT INTO txnlog.`$root`
+         |SELECT * FROM graft_ins_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(
+      s"""INSERT INTO txnlog.`$root`
+         |SELECT * FROM graft_ins_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    val t = graft.sources.TxnLog.Table(root)
+    val vPre = graft.sources.TxnLog.latestVersion(t)
+    s.sql(
+      s"""INSERT OVERWRITE txnlog.`$root`
+         |SELECT * FROM graft_ins_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    def prof(df: DataFrame): DataFrame = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+    prof(graft.sources.TxnLog.read(s, t)).withColumn("side", lit("latest"))
+      .unionByName(prof(s.sql(
+        s"SELECT * FROM txnlog.`$root` VERSION AS OF $vPre"))
+        .withColumn("side", lit("pre_overwrite")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** RESTORE — the lakehouse rollback, METADATA-ONLY through the
     * commit log (TxnLog.restore takes no SparkSession: the live-set
     * diff against the restored snapshot becomes one remove+re-add

@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   *   DELETE FROM txnlog.`/path/to/table` WHERE k % 10 = 3
   *   UPDATE txnlog.`/p` SET v = v + 1, s = 'x' WHERE k % 10 = 3
+  *   INSERT INTO txnlog.`/p` VALUES (1, 2), (3, 4)    -- append commit
+  *   INSERT OVERWRITE txnlog.`/p` SELECT ...          -- atomic replace
   *   MERGE INTO txnlog.`/p` t USING src s ON t.k = s.k
   *     WHEN MATCHED AND s.v > 5 THEN UPDATE SET v = t.v + s.v
   *     WHEN MATCHED THEN DELETE
@@ -87,6 +89,10 @@ object GraftSqlParser {
     s"""(?is)^\\s*VACUUM\\s+($Ident)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""".r
   private val HistoryRe =
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($Ident)(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$""".r
+  private val InsertRe =
+    (s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)(?:\\s+TABLE)?\\s+($Ident)""" +
+      """\s*(\([\w\s,`]*\))?""" +
+      """\s*((?:SELECT|VALUES|WITH|FROM|TABLE)\b[\s\S]+?)\s*;?\s*$""").r
   private val RestoreRe =
     (s"""(?is)^\\s*RESTORE\\s+TABLE\\s+($Ident)\\s+TO\\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)|""" +
@@ -145,6 +151,10 @@ object GraftSqlParser {
       case DeleteRe(tbl, where) =>
         Some(TxnLogDeleteCommand(tbl, Option(where),
           () => delegate.parsePlan(sqlText)))
+      case InsertRe(mode, tbl, cols, query) =>
+        Some(TxnLogInsertCommand(tbl,
+          mode.equalsIgnoreCase("OVERWRITE"), Option(cols),
+          query.trim, () => delegate.parsePlan(sqlText)))
       case UpdateRe(tbl, sets, where) =>
         Some(TxnLogUpdateCommand(tbl, sets.trim, Option(where),
           () => delegate.parsePlan(sqlText)))
@@ -264,15 +274,28 @@ object GraftSqlParser {
     * path suffix the relation provider peels off. Catalog tables
     * created `USING txnlog` already resolve natively. */
   private[sources] def resolveTxnlogPaths(spark: SparkSession,
-      plan: LogicalPlan): LogicalPlan =
+      plan: LogicalPlan): LogicalPlan = {
+    // NEVER substitute a write target: an InsertIntoStatement whose
+    // table resolved to the read relation would reach Spark's
+    // parquet-insert path and write data files BEHIND the commit log
+    // (invisible rows or worse). Supported INSERT forms lower through
+    // TxnLogInsertCommand before this runs; exotic ones (PARTITION
+    // specs, BY NAME) keep their UnresolvedRelation and fail loudly
+    // as table-not-found instead of silently bypassing the log.
+    val writeTargets = plan.collect {
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        i.table
+    }
     plan.transformUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("txnlog") =>
+          u.multipartIdentifier.head.equalsIgnoreCase("txnlog") &&
+          !writeTargets.exists(_ eq u) =>
         org.apache.spark.sql.execution.datasources.LogicalRelation(
           new TxnLogStreamProvider().createRelation(spark.sqlContext,
             Map("path" -> u.multipartIdentifier(1))))
     }
+  }
 
   /** A SET assignment list as (column, rhs-SQL) pairs; the left side
     * may be alias-qualified (stripped). */
@@ -381,6 +404,54 @@ final case class TxnLogOptimizeCommand(table: String,
     }
     Seq.empty
   }
+}
+
+/** `INSERT INTO | OVERWRITE <txnlog table> <query>` — the SQL write
+  * path: INTO is one append commit, OVERWRITE one atomic REPLACE.
+  * The source query is any SELECT/VALUES/WITH/FROM/TABLE statement;
+  * columns align BY POSITION against the registered schema and cast
+  * to it (SQL INSERT semantics), so `VALUES (1, 2)`'s default column
+  * names and integer literals land correctly in a (bigint, bigint)
+  * table. A PARTITIONED table's inserts restage through its layout
+  * (appendPartitioned) — the SQL path must not erode what every
+  * other op preserves. Explicit column lists refuse for txnlog
+  * targets (project the source instead); non-txnlog targets run
+  * Spark's own INSERT plan untouched. */
+final case class TxnLogInsertCommand(table: String, overwrite: Boolean,
+    columnList: Option[String], query: String,
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        require(columnList.isEmpty,
+          "INSERT with an explicit column list is not supported for " +
+            "txnlog tables — project the source query instead")
+        val src = spark.sql(query)
+        val aligned = TxnLog.registeredSchema(t) match {
+          case Some(schema) =>
+            require(src.schema.length == schema.length,
+              s"INSERT source has ${src.schema.length} column(s); " +
+                s"table $table has ${schema.length}")
+            import org.apache.spark.sql.functions.col
+            src.toDF(schema.fieldNames.toIndexedSeq: _*)
+              .select(schema.fields.toIndexedSeq.map(f =>
+                col(f.name).cast(f.dataType).as(f.name)): _*)
+          case None => src // no registered schema: the source defines it
+        }
+        if (overwrite) TxnLog.replace(spark, t, aligned)
+        else {
+          val partCols =
+            if (TxnLog.latestVersion(t) < 0) Nil
+            else TxnLog.snapshot(t).filePartitions.values
+              .flatMap(_.keys).toSeq.distinct.sorted
+          if (partCols.isEmpty) TxnLog.append(spark, t, aligned)
+          else TxnLog.appendPartitioned(spark, t, aligned, partCols)
+        }
+        Seq.empty
+      case None => // not ours: run Spark's own INSERT plan
+        org.apache.spark.sql.graftshim.Shim
+          .ofRows(spark, native()).collect().toSeq
+    }
 }
 
 /** `RESTORE TABLE <table> TO VERSION AS OF n | TO TIMESTAMP AS OF ts`

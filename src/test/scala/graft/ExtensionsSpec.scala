@@ -300,6 +300,83 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0) === 3L)
   }
 
+  test("SQL INSERT statements write through the transaction log, never behind it") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqlins-").resolve("t")
+    val p = root.toString
+    // CTAS through the CreatableRelationProvider seam (the location
+    // must not pre-exist: Table() is constructed only after)
+    spark.sql("DROP TABLE IF EXISTS sqlins_cat")
+    spark.sql(s"""CREATE TABLE sqlins_cat USING txnlog
+      |OPTIONS (path '$p') AS SELECT 1L AS k, 10L AS v""".stripMargin)
+    val t = TxnLog.Table(root)
+    try {
+      assert(TxnLog.latestVersion(t) === 0L)
+      // path-form VALUES (ints cast to the registered bigint schema)
+      spark.sql(s"INSERT INTO txnlog.`$p` VALUES (2, 20), (3, 30)")
+      // catalog-form SELECT source
+      spark.sql("INSERT INTO sqlins_cat SELECT 4L, 40L")
+      assert(TxnLog.latestVersion(t) === 2L) // one commit per INSERT
+      assert(TxnLog.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+        Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+      // every row is IN THE LOG — the files the snapshot plans are
+      // exactly the files on disk (nothing written behind the log)
+      val snap = TxnLog.snapshot(t)
+      val onDisk = {
+        val s0 = java.nio.file.Files.walk(root.resolve("data"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s0.iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .map(q => root.relativize(q).toString).toSet
+        } finally s0.close()
+      }
+      assert(onDisk === snap.liveFiles.toSet,
+        s"files behind the log: ${onDisk -- snap.liveFiles.toSet}")
+      // OVERWRITE is one atomic replace; history before it survives
+      val vPre = TxnLog.latestVersion(t)
+      spark.sql(s"INSERT OVERWRITE txnlog.`$p` VALUES (9, 90)")
+      assert(TxnLog.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((9L, 90L)))
+      assert(TxnLog.read(spark, t, Some(vPre)).count() === 4L)
+      // arity mismatch and column lists refuse loudly for txnlog
+      val ar = intercept[IllegalArgumentException] {
+        spark.sql(s"INSERT INTO txnlog.`$p` VALUES (1, 2, 3)")
+      }
+      assert(ar.getMessage.contains("column"))
+      val cl = intercept[IllegalArgumentException] {
+        spark.sql(s"INSERT INTO txnlog.`$p` (k, v) VALUES (1, 2)")
+      }
+      assert(cl.getMessage.contains("column list"))
+      // a non-txnlog INSERT runs Spark's own plan (native error)
+      val nf = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT INTO graft_no_such_ins VALUES (1)")
+      }
+      assert(nf.getMessage.contains("graft_no_such_ins"))
+      // an exotic form this grammar skips must fail LOUDLY as
+      // unresolved, never silently write behind the log
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"INSERT INTO txnlog.`$p` PARTITION (k=1) SELECT 5L")
+      }
+      assert(TxnLog.read(spark, t).count() === 1L, s"bypass! $ex")
+    } finally spark.sql("DROP TABLE IF EXISTS sqlins_cat")
+    // a PARTITIONED table's SQL inserts restage through its layout
+    val proot = java.nio.file.Files
+      .createTempDirectory("graft-sqlinsp-").resolve("t")
+    val pt = TxnLog.Table(proot)
+    TxnLog.appendPartitioned(spark, pt,
+      Seq((1L, "d1")).toDF("id", "day"), Seq("day"))
+    spark.sql(s"INSERT INTO txnlog.`$proot` VALUES (2, 'd2')")
+    val psnap = TxnLog.snapshot(pt)
+    assert(psnap.liveFiles.forall(psnap.filePartitions.contains),
+      s"SQL insert flattened the layout: ${psnap.liveFiles}")
+    assert(TxnLog.readPartition(spark, pt, Map("day" -> "d2"))
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
