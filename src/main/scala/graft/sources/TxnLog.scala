@@ -668,13 +668,22 @@ object TxnLog {
     * after b committed), which is what makes the at-or-above fence
     * sound; concurrent independent writers are distinct appIds. */
   def appendBatch(s: SparkSession, t: Table, df: DataFrame,
-                  appId: String, batchId: Long): Boolean = {
+                  appId: String, batchId: Long,
+                  partCols: Seq[String] = Nil): Boolean = {
     require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")
     if (lastBatch(t, appId).exists(_ >= batchId)) return false
     val stage = newStage(t, t.dataDir)
     try {
-      df.write.parquet(stage.toString)
-      val adds = stagedFiles(t, stage).map(a => s"add\t$a")
+      // a partitioned table's streaming batches stage THROUGH its
+      // layout (tokens recorded) — same rule as every other write op
+      val adds =
+        if (partCols.isEmpty) {
+          df.write.parquet(stage.toString)
+          stagedFiles(t, stage).map(a => s"add\t$a")
+        } else {
+          df.write.partitionBy(partCols: _*).parquet(stage.toString)
+          partitionedAddLines(s, t, stage, Nil)
+        }
       val marker = s"txn\t$appId\t$batchId"
       while (true) {
         val base = latestVersion(t)

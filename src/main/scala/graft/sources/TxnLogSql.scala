@@ -49,12 +49,16 @@ class GraftSqlParser(delegate: ParserInterface,
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    // DML recognition sees the ORIGINAL text: RESTORE carries its own
-    // `TO VERSION AS OF` that must not be folded into a path suffix.
-    // Queries that fall through to the delegate get the time-travel
-    // rewrite plus the txnlog.`/path` relation substitution.
-    val plan = parseDml(sqlText, delegate).getOrElse(
-      delegate.parsePlan(rewriteTimeTravel(sqlText)))
+    // The time-travel rewrite folds `txnlog.`/p` VERSION AS OF n`
+    // into the `@v` path-suffix form EVERYWHERE except a RESTORE
+    // statement, whose own TO VERSION AS OF clause must stay a
+    // clause — so a MERGE can read a time-traveled SOURCE
+    // (`USING txnlog.`/p` VERSION AS OF 3 s`) through the same
+    // suffix resolveSource peels.
+    val sql =
+      if (RestorePrefix.findFirstIn(sqlText).isDefined) sqlText
+      else rewriteTimeTravel(sqlText)
+    val plan = parseDml(sql, delegate).getOrElse(delegate.parsePlan(sql))
     resolveTxnlogPaths(session(), plan)
   }
 
@@ -97,6 +101,9 @@ object GraftSqlParser {
     (s"""(?is)^\\s*RESTORE\\s+TABLE\\s+($Ident)\\s+TO\\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)|""" +
       """TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+)))\s*;?\s*$""").r
+  private[sources] val RestorePrefix = """(?is)^\s*RESTORE\b""".r
+  private val ShowPartsRe =
+    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($Ident)\\s*;?\\s*$$""".r
   private val MergeRe =
     (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?(?:\\s+(?!USING\\b)(\\w+))?""" +
       s"""\\s+USING\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|$Ident)(?:\\s+AS\\b)?(?:\\s+(?!ON\\b)(\\w+))?""" +
@@ -168,6 +175,9 @@ object GraftSqlParser {
       case RestoreRe(tbl, ver, tsQ, tsN) =>
         Some(TxnLogRestoreCommand(tbl, Option(ver).map(_.toLong),
           Option(tsQ).orElse(Option(tsN))))
+      case ShowPartsRe(tbl) =>
+        Some(TxnLogShowPartitionsCommand(tbl,
+          () => delegate.parsePlan(sqlText)))
       case MergeRe(tbl, tAlias, src, sAlias, rest) =>
         // the ON-condition / first-WHEN boundary is found by the same
         // quote/paren-aware scanner the clause splitter uses — a
@@ -358,11 +368,24 @@ object GraftSqlParser {
         s"$ident is not a txnlog table; this statement applies to " +
           "USING txnlog tables or txnlog.`/path` targets"))
 
-  /** A MERGE source: `txnlog.\`/path\``, a (subquery), or any
-    * catalog/temp-view name. */
+  /** A MERGE source: `txnlog.\`/path\`` (optionally time-traveled
+    * through the `@v<n>`/`@ts<…>` suffix the statement rewrite
+    * produces — sync against yesterday's snapshot), a (subquery), or
+    * any catalog/temp-view name. */
+  private val PathTravel = """(?s)^(.+)@(?:v(\d+)|ts([\d.:TZ+-]+))$""".r
   private[sources] def resolveSource(spark: SparkSession,
                                      src: String): DataFrame =
     src.trim match {
+      case PathIdent(PathTravel(p, v, ts)) =>
+        val t = TxnLog.Table(TxnLog.pathOf(p))
+        val asOf = Option(v).map(_.toLong).getOrElse {
+          val millis =
+            try ts.toLong
+            catch { case _: NumberFormatException =>
+              java.time.Instant.parse(ts).toEpochMilli }
+          TxnLog.versionAt(t, millis)
+        }
+        TxnLog.read(spark, t, Some(asOf))
       case PathIdent(p) =>
         TxnLog.read(spark, TxnLog.Table(TxnLog.pathOf(p)))
       case s if s.startsWith("(") && s.endsWith(")") =>
@@ -404,6 +427,33 @@ final case class TxnLogOptimizeCommand(table: String,
     }
     Seq.empty
   }
+}
+
+/** `SHOW PARTITIONS <txnlog table>` — the hive statement resolved
+  * from the MANIFEST alone (no directory listing, no data file):
+  * one row per distinct recorded partition spec with its live file
+  * count. A non-txnlog target runs Spark's own SHOW PARTITIONS. */
+final case class TxnLogShowPartitionsCommand(table: String,
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "partition STRING, n_files BIGINT"))
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        TxnLog.snapshot(t).filePartitions.values
+          .groupBy(spec => spec.toSeq.sortBy(_._1)
+            .map { case (c, v) => s"$c=$v" }.mkString("/"))
+          .toSeq.sortBy(_._1)
+          .map { case (spec, files) => Row(spec, files.size.toLong) }
+      case None => // not ours: Spark's own SHOW PARTITIONS plan,
+        // projected into this command's (partition, n_files) shape
+        // (catalog partitions carry no manifest file count)
+        org.apache.spark.sql.graftshim.Shim
+          .ofRows(spark, native()).collect().toSeq
+          .map(r => Row(r.getString(0), null))
+    }
 }
 
 /** `INSERT INTO | OVERWRITE <txnlog table> <query>` — the SQL write

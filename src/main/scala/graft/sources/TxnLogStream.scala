@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftglue.StreamShim
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
   DataSourceRegister, RelationProvider, SchemaRelationProvider,
-  StreamSourceProvider}
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[TxnLog]] table — the read
@@ -43,9 +43,45 @@ import org.apache.spark.sql.types.StructType
   * interface FileStreamSource ships on); `DataSourceRegister` + the
   * META-INF services entry make the short name `txnlog` resolvable. */
 class TxnLogStreamProvider extends StreamSourceProvider
+    with StreamSinkProvider
     with RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider
     with DataSourceRegister {
+
+  /** STREAMING SINK — `writeStream.format("txnlog")` closes the
+    * lakehouse streaming loop natively (the read half is the source
+    * below; foreachBatch + appendBatch remains for custom batching):
+    * Append mode lands each micro-batch as ONE exactly-once commit
+    * through [[TxnLog.appendBatch]]'s txn markers — the writer
+    * identity is the `appId` option, derived from the query's
+    * checkpointLocation when absent, so a RESTARTED query (same
+    * checkpoint) fences its replayed batches and a crashed epoch
+    * never double-delivers. Complete mode maps each batch onto one
+    * atomic REPLACE (idempotent by value). A partitioned target (or
+    * an explicit `.partitionBy(...)`) stages through the layout. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val t = tableOf(parameters)
+    val complete =
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    require(complete ||
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"txnlog sink supports Append (exactly-once commits) and " +
+        s"Complete (atomic replace) output modes, got $outputMode")
+    val appId = parameters.get("appId").getOrElse {
+      val ckpt = parameters.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "txnlog sink needs option 'appId' (a stable writer identity " +
+            "for exactly-once fencing) or a checkpointLocation to " +
+            "derive one from"))
+      "ck" + java.lang.Integer.toUnsignedString(
+        java.util.Arrays.hashCode(ckpt.getBytes("UTF-8")))
+    }
+    new TxnLogSink(sqlContext, t, appId, partitionColumns, complete)
+  }
 
   /** BATCH writes — `df.write.format("txnlog").mode(...).save()`:
     * Append is one append commit; Overwrite is one atomic REPLACE
@@ -198,6 +234,31 @@ class TxnLogStreamProvider extends StreamSourceProvider
       parameters.get("maxVersionsPerBatch").map(_.toLong),
       parameters.get("ignoreChanges").exists(_.toBoolean),
       isCdf(parameters))
+}
+
+/** See [[TxnLogStreamProvider.createSink]]. The micro-batch frame
+  * re-plans as a batch frame once (StreamShim.asBatch — V1 sinks
+  * cannot hand a streaming plan to ordinary writers), then Append
+  * rides appendBatch's exactly-once txn fencing and Complete rides
+  * the atomic REPLACE. A partitioned TARGET with no explicit
+  * partitionBy inherits the table's layout — the sink must not erode
+  * what every other write op preserves. */
+private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
+    appId: String, partitionColumns: Seq[String], complete: Boolean)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = StreamShim.asBatch(data)
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else if (TxnLog.latestVersion(t) < 0) Nil
+      else TxnLog.snapshot(t).filePartitions.values
+        .flatMap(_.keys).toSeq.distinct.sorted
+    if (complete) TxnLog.replace(ctx.sparkSession, t, batch)
+    else TxnLog.appendBatch(ctx.sparkSession, t, batch, appId, batchId,
+      partCols)
+    ()
+  }
 }
 
 /** Batch relation for a HIVE-PARTITIONED txnlog table: wraps the

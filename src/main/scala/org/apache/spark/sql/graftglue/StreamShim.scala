@@ -26,6 +26,20 @@ object StreamShim {
     classic.Dataset.ofRows(cdf.sparkSession, plan)
   }
 
+  /** The sink-side mirror of [[asStreamingBatch]]: a V1 `Sink`'s
+    * `addBatch` receives a DataFrame backed by the engine's
+    * IncrementalExecution, which ordinary writers refuse ("write on
+    * streaming dataset"). Re-issue its rows as a plain batch frame —
+    * the micro-batch's physical plan executes ONCE here and the
+    * copied rows feed the sink's writer, the same shape Spark's own
+    * V1 sinks use. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cdf.queryExecution.toRdd.map(_.copy())
+    cdf.sparkSession.internalCreateDataFrame(rdd, cdf.schema,
+      isStreaming = false)
+  }
+
   /** Resolve a plain parquet `BaseRelation` over an explicit file
     * list — what a `RelationProvider` must hand back so a custom
     * format's batch reads plan as ordinary HadoopFsRelation scans

@@ -377,6 +377,46 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("SHOW PARTITIONS and time-traveled MERGE sources complete the SQL surface") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqlshow-").resolve("t")
+    val t = TxnLog.Table(root)
+    val p = root.toString
+    TxnLog.appendPartitioned(spark, t,
+      Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L))
+        .toDF("id", "day", "v"), Seq("day"))
+    // SHOW PARTITIONS from the manifest: one row per spec + file count
+    val parts = spark.sql(s"SHOW PARTITIONS txnlog.`$p`").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(parts.map(_._1) === Seq("day=d1", "day=d2"), parts.toString)
+    assert(parts.forall(_._2 >= 1L))
+    // a non-txnlog SHOW PARTITIONS still runs Spark's own plan
+    val nf = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SHOW PARTITIONS graft_no_such_parts")
+    }
+    assert(nf.getMessage.contains("graft_no_such_parts"))
+    // MERGE against a TIME-TRAVELED source: sync a second table to
+    // yesterday's snapshot of the first
+    val v0 = TxnLog.latestVersion(t)
+    spark.sql(s"DELETE FROM txnlog.`$p` WHERE id = 1")
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-sqlttm-").resolve("t")
+    val d = TxnLog.Table(dst)
+    TxnLog.append(spark, d,
+      Seq((1L, "x", 0L)).toDF("id", "day", "v").coalesce(1))
+    spark.sql(
+      s"""MERGE INTO txnlog.`$dst` t
+         |USING txnlog.`$p` VERSION AS OF $v0 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v, day = s.day
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the PRE-delete snapshot drove the merge: id=1 updated from it
+    assert(TxnLog.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      .toSeq === Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L)))
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -1821,6 +1821,74 @@ class TxnLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"), e.getMessage)
   }
 
+  test("txnlog: the writeStream sink lands exactly-once commits; a restarted query never double-delivers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft-sinkck-").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDF().toDF("id", "s")
+      .writeStream.format("txnlog")
+      .option("path", t.root.toString)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+      in.addData((3L, "c"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // one commit per micro-batch, each fenced by a txn marker
+    val appId = "ck" + java.lang.Integer.toUnsignedString(
+      java.util.Arrays.hashCode(ckpt.getBytes("UTF-8")))
+    assert(TxnLog.lastBatch(t, appId).contains(1L))
+    // restart on the SAME checkpoint: down-time rows arrive exactly
+    // once; already-committed batches are fenced, not replayed
+    in.addData((4L, "d"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxnLog.read(spark, t).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // the full native loop: readStream FROM one txnlog table,
+    // writeStream INTO another — offsets and txn markers compose
+    val dst = freshTable()
+    val ckpt2 = Files.createTempDirectory("graft-sinkck2-").toString
+    val loop = spark.readStream.format("txnlog")
+      .option("path", t.root.toString).load()
+      .writeStream.format("txnlog")
+      .option("path", dst.root.toString)
+      .option("checkpointLocation", ckpt2)
+      .start()
+    try loop.processAllAvailable() finally loop.stop()
+    assert(TxnLog.read(spark, dst).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // a PARTITIONED target inherits its layout (tokens recorded)
+    val pt = freshTable()
+    TxnLog.appendPartitioned(spark, pt,
+      Seq((0L, "d0")).toDF("id", "day"), Seq("day"))
+    val ckpt3 = Files.createTempDirectory("graft-sinkck3-").toString
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = in3.toDF().toDF("id", "day")
+      .writeStream.format("txnlog")
+      .option("path", pt.root.toString)
+      .option("checkpointLocation", ckpt3)
+      .start()
+    try {
+      in3.addData((1L, "d1"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val psnap = TxnLog.snapshot(pt)
+    assert(psnap.liveFiles.forall(psnap.filePartitions.contains),
+      s"sink flattened the layout: ${psnap.liveFiles}")
+    assert(TxnLog.readPartition(spark, pt, Map("day" -> "d1"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("txnlog: a CDF stream resuming below the replay floor refuses zero-copy deletes it cannot reconstitute") {
     import spark.implicits._
     val t = freshTable()
