@@ -1696,6 +1696,41 @@ object TxnLog {
     versionOf(at.get)
   }
 
+  /** ADDITIVE schema evolution as explicit DDL: register `newCols`
+    * appended to the current schema in one metadata-only commit (the
+    * same `schema` action an evolving append writes, through the
+    * same serialized exact-slot claim, so racing column adds merge).
+    * Existing files simply lack the columns — reads null-fill them
+    * from the registered schema without touching a footer; time
+    * travel below the commit keeps the old shape. Re-adding an
+    * existing column with the same type is a no-op (idempotent
+    * migration scripts); a different type refuses loudly
+    * (mergedSchema's non-additive check). Returns the committed
+    * version. */
+  def addColumns(t: Table, newCols: StructType): Long = {
+    require(newCols.nonEmpty, "addColumns needs at least one column")
+    require(latestVersion(t) >= 0,
+      s"empty transaction log at ${t.logDir}: commit data first " +
+        "(the first append registers the initial schema)")
+    val cur = registeredSchema(t).getOrElse(throw new IllegalStateException(
+      s"table at ${t.root} never registered a schema (raw commits); " +
+        "append through the API once before evolving it"))
+    val (_, changed) = mergedSchema(Some(cur),
+      StructType(cur.fields ++ newCols.fields))
+    if (!changed) return latestVersion(t)
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(t)
+      // re-merge per attempt: a racing writer may register columns
+      val (m2, c2) = mergedSchema(registeredSchema(t),
+        StructType(registeredSchema(t).get.fields ++ newCols.fields))
+      if (!c2) return base
+      if (tryPublish(t, base + 1, Seq(s"schema\t${m2.json}")))
+        committed = base + 1
+    }
+    committed
+  }
+
   /** RESTORE the table to the state of snapshot `v` in ONE
     * METADATA-ONLY commit — the lakehouse rollback (Delta's RESTORE
     * TABLE): remove every currently-live file that was not live at

@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE txnlog.`/p` [ZORDER BY (a, b[, c ...])]
   *   VACUUM txnlog.`/p` [RETAIN 168 HOURS]
   *   RESTORE TABLE txnlog.`/p` TO VERSION AS OF 3      -- rollback
+  *   ALTER TABLE txnlog.`/p` ADD COLUMNS (x BIGINT)    -- evolution
+  *   SHOW PARTITIONS txnlog.`/p`                       -- manifest-only
   *   SELECT ... FROM txnlog.`/p` VERSION AS OF 3       -- time travel
   *   SELECT ... FROM txnlog.`/p` TIMESTAMP AS OF '2026-01-01T00:00:00Z'
   * }}}
@@ -102,6 +104,9 @@ object GraftSqlParser {
       """(?:VERSION\s+AS\s+OF\s+(\d+)|""" +
       """TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+)))\s*;?\s*$""").r
   private[sources] val RestorePrefix = """(?is)^\s*RESTORE\b""".r
+  private val AlterAddRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ADD\\s+COLUMNS?\\s*""" +
+      """\(([^)]+)\)\s*;?\s*$""").r
   private val ShowPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($Ident)\\s*;?\\s*$$""".r
   private val MergeRe =
@@ -177,6 +182,9 @@ object GraftSqlParser {
           Option(tsQ).orElse(Option(tsN))))
       case ShowPartsRe(tbl) =>
         Some(TxnLogShowPartitionsCommand(tbl,
+          () => delegate.parsePlan(sqlText)))
+      case AlterAddRe(tbl, cols) =>
+        Some(TxnLogAddColumnsCommand(tbl, cols.trim,
           () => delegate.parsePlan(sqlText)))
       case MergeRe(tbl, tAlias, src, sAlias, rest) =>
         // the ON-condition / first-WHEN boundary is found by the same
@@ -427,6 +435,25 @@ final case class TxnLogOptimizeCommand(table: String,
     }
     Seq.empty
   }
+}
+
+/** `ALTER TABLE <txnlog table> ADD COLUMNS (a BIGINT, b STRING)` →
+  * [[TxnLog.addColumns]]: additive schema evolution as one
+  * metadata-only `schema` commit — old files null-fill on read,
+  * time travel keeps the old shape, idempotent re-adds no-op. The
+  * column list parses with Spark's own DDL parser at run time, and
+  * a non-txnlog target runs Spark's own ALTER plan untouched. */
+final case class TxnLogAddColumnsCommand(table: String, colsDdl: String,
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        TxnLog.addColumns(t, StructType.fromDDL(colsDdl))
+        Seq.empty
+      case None => // not ours: Spark's own ALTER TABLE plan
+        org.apache.spark.sql.graftshim.Shim
+          .ofRows(spark, native()).collect().toSeq
+    }
 }
 
 /** `SHOW PARTITIONS <txnlog table>` — the hive statement resolved

@@ -415,6 +415,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
       .toSeq === Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L)))
+    // ALTER TABLE ADD COLUMNS as SQL text — metadata-only evolution
+    spark.sql(s"ALTER TABLE txnlog.`$dst` ADD COLUMNS (note STRING)")
+    val df = spark.sql(s"SELECT * FROM txnlog.`$dst` WHERE id = 1")
+    assert(df.columns.toSeq === Seq("id", "day", "v", "note"))
+    assert(df.head().isNullAt(3))
+    // a non-txnlog ALTER still runs Spark's own plan
+    val anf = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("ALTER TABLE graft_no_such_alter ADD COLUMNS (x INT)")
+    }
+    assert(anf.getMessage.contains("graft_no_such_alter"))
   }
 
   test("withExtensions wiring registers the same functions") {

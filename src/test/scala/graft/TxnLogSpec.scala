@@ -1769,6 +1769,35 @@ class TxnLogSpec extends AnyFunSuite {
       s"partitioned relation replayed the log ${rel.logReads.get()} times")
   }
 
+  test("txnlog: ADD COLUMNS evolves the registered schema metadata-only; old files null-fill, history keeps its shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq((1L, "a")).toDF("k", "s").coalesce(1))
+    val v0 = TxnLog.latestVersion(t)
+    val v1 = TxnLog.addColumns(t, StructType.fromDDL("v BIGINT"))
+    assert(v1 === v0 + 1)
+    // the old file null-fills the new column without a rewrite
+    val evolved = TxnLog.read(spark, t)
+    assert(evolved.columns.toSeq === Seq("k", "s", "v"))
+    assert(evolved.collect().map(r =>
+      (r.getLong(0), r.isNullAt(2))).toSeq === Seq((1L, true)))
+    // new appends carry it; time travel below keeps the OLD shape
+    TxnLog.append(spark, t,
+      Seq((2L, "b", 20L)).toDF("k", "s", "v").coalesce(1))
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sorted.toSeq === Seq((1L, -1L), (2L, 20L)))
+    assert(TxnLog.read(spark, t, Some(v0)).columns.toSeq === Seq("k", "s"))
+    // idempotent re-add no-ops; a type change refuses loudly
+    assert(TxnLog.addColumns(t, StructType.fromDDL("v BIGINT")) ===
+      TxnLog.latestVersion(t))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.addColumns(t, StructType.fromDDL("v STRING"))
+    }
+    assert(e.getMessage.contains("non-additive"))
+  }
+
   test("txnlog: RESTORE rolls back metadata-only — layout and CDF carried, vacuum horizon refused, restore-the-restore works") {
     import spark.implicits._
     val t = freshTable()
