@@ -776,9 +776,14 @@ object TxnLog {
     var i = 0
     while (i < v.length) {
       val c = v.charAt(i)
-      val d = if (c == '%' && i + 2 < v.length)
-        try Integer.parseInt(v.substring(i + 1, i + 3), 16)
-        catch { case _: NumberFormatException => -1 }
+      // both chars must be hex DIGITS — parseInt would also accept a
+      // sign ('%+5'), breaking pass-through parity with Spark's
+      // unescapePathName for hand-written tokens
+      val d = if (c == '%' && i + 2 < v.length &&
+          Character.digit(v.charAt(i + 1), 16) >= 0 &&
+          Character.digit(v.charAt(i + 2), 16) >= 0)
+        (Character.digit(v.charAt(i + 1), 16) << 4) |
+          Character.digit(v.charAt(i + 2), 16)
       else -1
       // an invalid %-sequence passes through verbatim — Spark's
       // unescapePathName parity (a literal '%' someone hand-wrote
@@ -1064,21 +1069,34 @@ object TxnLog {
     * registered schema to `df`'s — the table's new truth — while
     * historical versions keep theirs. An empty table degrades to a
     * plain first append. */
-  def replace(s: SparkSession, t: Table, df: DataFrame): Long = {
-    if (latestVersion(t) < 0)
+  def replace(s: SparkSession, t: Table, df: DataFrame,
+              partCols: Seq[String] = Nil): Long = {
+    if (latestVersion(t) < 0) {
+      if (partCols.nonEmpty) return appendPartitioned(s, t, df, partCols)
       return appendLines(s, t, df, extraLines = Nil, statsCols = Nil)
+    }
     val snap = snapshot(t)
     val stage = newStage(t, t.dataDir)
     try {
-      df.write.parquet(stage.toString)
+      // a replace may carry a partition layout forward (the SQL
+      // INSERT OVERWRITE / Complete-mode sink contract: no write op
+      // silently flattens a partitioned table)
+      val addLines =
+        if (partCols.isEmpty) { df.write.parquet(stage.toString); Nil }
+        else {
+          df.write.partitionBy(partCols: _*).parquet(stage.toString)
+          partitionedAddLines(s, t, stage, Nil)
+        }
       val rels = stagedFiles(t, stage)
       val schemaLine =
         if (snap.schemaJson.contains(df.schema.json)) Nil
         else Seq(s"schema\t${df.schema.json}")
       val cdc = snap.liveFiles.map(r => s"cdc\t$r\tdelete") ++
         rels.map(r => s"cdc\t$r\tinsert")
-      commit(t, snap.version, adds = rels, removes = snap.liveFiles,
-        extra = schemaLine ++ cdc)
+      commit(t, snap.version,
+        adds = if (partCols.isEmpty) rels else Nil,
+        removes = snap.liveFiles,
+        extra = schemaLine ++ addLines ++ cdc)
     } finally seal(t, stage)
   }
 
@@ -1219,6 +1237,14 @@ object TxnLog {
     require(set.nonEmpty, "update needs at least one SET assignment")
     val cond = coalesce(predicate, lit(false))
     val snap = snapshot(t)
+    // validate SET targets BEFORE the no-match early returns: a
+    // typo'd column must fail on an empty partition too, not only
+    // once rows happen to match (migration scripts dry-run empty)
+    snap.schemaJson.map(parseSchema).foreach { schema =>
+      val bad = set.keySet.diff(schema.fieldNames.toSet)
+      require(bad.isEmpty,
+        s"UPDATE SET targets unknown column(s): ${bad.mkString(", ")}")
+    }
     val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
     val candidates = {
       val box = dmlBox(predicate)
@@ -1687,6 +1713,20 @@ object TxnLog {
     * commit instant (the hard link lands fully written). The Delta
     * `timestampAsOf` contract: a caller replaying "the table as of
     * last night" without knowing version numbers. */
+  /** A user-supplied timestamp string as epoch millis: epoch millis
+    * verbatim, ISO-8601 instants, or the space-separated SQL form
+    * (`2026-01-01 00:00:00`, interpreted in UTC — the session
+    * timezone every main/test session pins). One parse shared by the
+    * reader option, the SQL rewrite suffix and RESTORE's clause. */
+  private[sources] def tsMillis(ts: String): Long =
+    try ts.trim.toLong
+    catch { case _: NumberFormatException =>
+      try java.time.Instant.parse(ts.trim).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli }
+    }
+
   def versionAt(t: Table, ts: Long): Long = {
     val at = versionFiles(t)
       .filter(vf => Files.getLastModifiedTime(vf).toMillis <= ts)
@@ -1712,20 +1752,20 @@ object TxnLog {
     require(latestVersion(t) >= 0,
       s"empty transaction log at ${t.logDir}: commit data first " +
         "(the first append registers the initial schema)")
-    val cur = registeredSchema(t).getOrElse(throw new IllegalStateException(
-      s"table at ${t.root} never registered a schema (raw commits); " +
-        "append through the API once before evolving it"))
-    val (_, changed) = mergedSchema(Some(cur),
-      StructType(cur.fields ++ newCols.fields))
-    if (!changed) return latestVersion(t)
     var committed = -1L
     while (committed < 0) {
+      // ONE replay per attempt: the base version and the schema it
+      // carries come from the same read, so a racing column add
+      // re-merges against the state the slot claim actually targets
       val base = latestVersion(t)
-      // re-merge per attempt: a racing writer may register columns
-      val (m2, c2) = mergedSchema(registeredSchema(t),
-        StructType(registeredSchema(t).get.fields ++ newCols.fields))
-      if (!c2) return base
-      if (tryPublish(t, base + 1, Seq(s"schema\t${m2.json}")))
+      val cur = registeredSchema(t).getOrElse(
+        throw new IllegalStateException(
+          s"table at ${t.root} never registered a schema (raw " +
+            "commits); append through the API once before evolving it"))
+      val (merged, changed) = mergedSchema(Some(cur),
+        StructType(cur.fields ++ newCols.fields))
+      if (!changed) return base
+      if (tryPublish(t, base + 1, Seq(s"schema\t${merged.json}")))
         committed = base + 1
     }
     committed
@@ -1915,10 +1955,21 @@ object TxnLog {
     if (from >= 0 && from < floor) {
       val unresolved = del.filterNot(parts.contains)
         .filterNot(_.startsWith("cdc/"))
-      if (unresolved.nonEmpty) throw new IllegalStateException(
+      // an unpartitioned table's zero-copy deletes (a REPLACE's old
+      // files) carry every column IN the file — one footer check per
+      // candidate proves flat-readability; only files physically
+      // MISSING schema columns (a dropped partition's) truly lost
+      // their reconstitution metadata with the pre-floor log
+      val want = parseSchema(schemaJson).fieldNames.toSet
+      val lost = unresolved.filterNot { rel =>
+        want.subsetOf(
+          s.read.parquet(t.root.resolve(rel).toString)
+            .schema.fieldNames.toSet)
+      }
+      if (lost.nonEmpty) throw new IllegalStateException(
         s"stream range v$from..v$to starts below the retained replay " +
           s"floor v$floor and commit v$floor removes data files " +
-          s"(${unresolved.take(3).mkString(", ")}…) whose partition " +
+          s"(${lost.take(3).mkString(", ")}…) whose partition " +
           "metadata expired with the pre-floor log — the delete events " +
           "cannot be reconstituted; rebuild the downstream from a " +
           "fresh checkpoint")

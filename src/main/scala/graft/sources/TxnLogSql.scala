@@ -88,7 +88,7 @@ object GraftSqlParser {
   private val DeleteRe =
     s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
   private val UpdateRe =
-    s"""(?is)^\\s*UPDATE\\s+($Ident)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*UPDATE\\s+($Ident)\\s+SET\\s+([\\s\\S]+?)\\s*;?\\s*$$""".r
   private val OptimizeRe =
     s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val VacuumRe =
@@ -167,8 +167,15 @@ object GraftSqlParser {
         Some(TxnLogInsertCommand(tbl,
           mode.equalsIgnoreCase("OVERWRITE"), Option(cols),
           query.trim, () => delegate.parsePlan(sqlText)))
-      case UpdateRe(tbl, sets, where) =>
-        Some(TxnLogUpdateCommand(tbl, sets.trim, Option(where),
+      case UpdateRe(tbl, rest) =>
+        // the SET / WHERE boundary is found by the quote-aware
+        // scanner — a SET expression containing the word ' WHERE '
+        // inside a string literal must not fracture the statement
+        val (sets, where) = splitAtKeyword(rest, "WHERE") match {
+          case Some((s0, w)) => (s0, Some(w))
+          case None          => (rest.trim, None)
+        }
+        Some(TxnLogUpdateCommand(tbl, sets, where,
           () => delegate.parsePlan(sqlText)))
       case OptimizeRe(tbl, zcols) =>
         Some(TxnLogOptimizeCommand(tbl,
@@ -234,7 +241,13 @@ object GraftSqlParser {
     var depth = 0; var inQuote = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
+      if (inQuote) {
+        // backslash-escaped quotes stay inside the literal (Spark's
+        // default string grammar); doubled quotes toggle out and
+        // straight back in, which is equivalent
+        if (c == '\\') i += 2
+        else { if (c == '\'') inQuote = false; i += 1 }
+      }
       else if (c == '\'') { inQuote = true; i += 1 }
       else if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') { depth -= 1; i += 1 }
@@ -243,6 +256,37 @@ object GraftSqlParser {
       } else i += 1
     }
     bounds.result()
+  }
+
+  /** Split `s` at the FIRST depth-zero, out-of-quote occurrence of
+    * keyword `kw` (a whole word, case-insensitive): Some((before,
+    * after)) or None when the keyword never appears at top level —
+    * the SET/WHERE statement boundary, found the same way the MERGE
+    * clause boundaries are. */
+  private def splitAtKeyword(s: String, kw: String): Option[(String, String)] = {
+    def wordAt(i: Int): Boolean =
+      s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
+          s.charAt(i - 1) != '_') &&
+        (i + kw.length == s.length ||
+          !Character.isLetterOrDigit(s.charAt(i + kw.length)) &&
+            s.charAt(i + kw.length) != '_')
+    var depth = 0; var inQuote = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 2
+        else { if (c == '\'') inQuote = false; i += 1 }
+      }
+      else if (c == '\'') { inQuote = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && wordAt(i))
+        return Some((s.substring(0, i).trim,
+          s.substring(i + kw.length).trim))
+      else i += 1
+    }
+    None
   }
 
   /** The WHEN-clause pieces of a MERGE tail (text AFTER each WHEN
@@ -306,14 +350,27 @@ object GraftSqlParser {
     }
     plan.transformUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        // only PATH-shaped identifiers substitute ('/': every real
+        // path has one) — a genuine database named txnlog keeps its
+        // catalog resolution
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("txnlog") &&
+          u.multipartIdentifier(1).contains('/') &&
           !writeTargets.exists(_ eq u) =>
         org.apache.spark.sql.execution.datasources.LogicalRelation(
           new TxnLogStreamProvider().createRelation(spark.sqlContext,
             Map("path" -> u.multipartIdentifier(1))))
     }
   }
+
+  /** Execute a statement's captured NATIVE plan (the not-ours
+    * fallback every DML command shares) — with the txnlog.`/path`
+    * READ substitution applied, so a non-txnlog INSERT/MERGE reading
+    * FROM a txnlog path still resolves its source. */
+  private[sources] def runNative(spark: SparkSession,
+      native: () => LogicalPlan): Seq[Row] =
+    org.apache.spark.sql.graftshim.Shim.ofRows(spark,
+      resolveTxnlogPaths(spark, native())).collect().toSeq
 
   /** A SET assignment list as (column, rhs-SQL) pairs; the left side
     * may be alias-qualified (stripped). */
@@ -324,17 +381,24 @@ object GraftSqlParser {
         s"cannot parse SET assignment: $bad")
     }
 
-  /** Split on `sep` at parenthesis/quote depth zero. */
+  /** Split on `sep` at parenthesis/quote depth zero
+    * (backslash-escaped quotes stay inside their literal). */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var depth = 0; var inQuote = false; var start = 0
-    for (i <- s.indices) s.charAt(i) match {
-      case '\'' => inQuote = !inQuote
-      case '(' if !inQuote => depth += 1
-      case ')' if !inQuote => depth -= 1
-      case c if c == sep && depth == 0 && !inQuote =>
+    var depth = 0; var inQuote = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inQuote = false
+      }
+      else if (c == '\'') inQuote = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == sep && depth == 0) {
         out += s.substring(start, i); start = i + 1
-      case _ => ()
+      }
+      i += 1
     }
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -380,19 +444,14 @@ object GraftSqlParser {
     * through the `@v<n>`/`@ts<…>` suffix the statement rewrite
     * produces — sync against yesterday's snapshot), a (subquery), or
     * any catalog/temp-view name. */
-  private val PathTravel = """(?s)^(.+)@(?:v(\d+)|ts([\d.:TZ+-]+))$""".r
+  private val PathTravel = """(?s)^(.+)@(?:v(\d+)|ts([\d.:TZ+\- ]+))$""".r
   private[sources] def resolveSource(spark: SparkSession,
                                      src: String): DataFrame =
     src.trim match {
       case PathIdent(PathTravel(p, v, ts)) =>
         val t = TxnLog.Table(TxnLog.pathOf(p))
-        val asOf = Option(v).map(_.toLong).getOrElse {
-          val millis =
-            try ts.toLong
-            catch { case _: NumberFormatException =>
-              java.time.Instant.parse(ts).toEpochMilli }
-          TxnLog.versionAt(t, millis)
-        }
+        val asOf = Option(v).map(_.toLong).getOrElse(
+          TxnLog.versionAt(t, TxnLog.tsMillis(ts)))
         TxnLog.read(spark, t, Some(asOf))
       case PathIdent(p) =>
         TxnLog.read(spark, TxnLog.Table(TxnLog.pathOf(p)))
@@ -413,8 +472,7 @@ final case class TxnLogDeleteCommand(table: String,
         TxnLog.delete(spark, t, where.map(expr).getOrElse(lit(true)))
         Seq.empty
       case None => // not ours: run Spark's own DELETE plan (v2 tables)
-        org.apache.spark.sql.graftshim.Shim
-          .ofRows(spark, native()).collect().toSeq
+        GraftSqlParser.runNative(spark, native)
     }
 }
 
@@ -451,8 +509,7 @@ final case class TxnLogAddColumnsCommand(table: String, colsDdl: String,
         TxnLog.addColumns(t, StructType.fromDDL(colsDdl))
         Seq.empty
       case None => // not ours: Spark's own ALTER TABLE plan
-        org.apache.spark.sql.graftshim.Shim
-          .ofRows(spark, native()).collect().toSeq
+        GraftSqlParser.runNative(spark, native)
     }
 }
 
@@ -477,8 +534,7 @@ final case class TxnLogShowPartitionsCommand(table: String,
       case None => // not ours: Spark's own SHOW PARTITIONS plan,
         // projected into this command's (partition, n_files) shape
         // (catalog partitions carry no manifest file count)
-        org.apache.spark.sql.graftshim.Shim
-          .ofRows(spark, native()).collect().toSeq
+        GraftSqlParser.runNative(spark, native)
           .map(r => Row(r.getString(0), null))
     }
 }
@@ -515,19 +571,19 @@ final case class TxnLogInsertCommand(table: String, overwrite: Boolean,
                 col(f.name).cast(f.dataType).as(f.name)): _*)
           case None => src // no registered schema: the source defines it
         }
-        if (overwrite) TxnLog.replace(spark, t, aligned)
-        else {
-          val partCols =
-            if (TxnLog.latestVersion(t) < 0) Nil
-            else TxnLog.snapshot(t).filePartitions.values
-              .flatMap(_.keys).toSeq.distinct.sorted
-          if (partCols.isEmpty) TxnLog.append(spark, t, aligned)
-          else TxnLog.appendPartitioned(spark, t, aligned, partCols)
-        }
+        // either statement keeps a partitioned target's layout: the
+        // append restages through it, the overwrite carries it into
+        // the replacing commit
+        val partCols =
+          if (TxnLog.latestVersion(t) < 0) Nil
+          else TxnLog.snapshot(t).filePartitions.values
+            .flatMap(_.keys).toSeq.distinct.sorted
+        if (overwrite) TxnLog.replace(spark, t, aligned, partCols)
+        else if (partCols.isEmpty) TxnLog.append(spark, t, aligned)
+        else TxnLog.appendPartitioned(spark, t, aligned, partCols)
         Seq.empty
       case None => // not ours: run Spark's own INSERT plan
-        org.apache.spark.sql.graftshim.Shim
-          .ofRows(spark, native()).collect().toSeq
+        GraftSqlParser.runNative(spark, native)
     }
 }
 
@@ -541,14 +597,8 @@ final case class TxnLogRestoreCommand(table: String,
     timestamp: Option[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, table)
-    val v = version.getOrElse {
-      val ts = timestamp.get
-      val millis =
-        try ts.toLong
-        catch { case _: NumberFormatException =>
-          java.time.Instant.parse(ts).toEpochMilli }
-      TxnLog.versionAt(t, millis)
-    }
+    val v = version.getOrElse(
+      TxnLog.versionAt(t, TxnLog.tsMillis(timestamp.get)))
     TxnLog.restore(t, v)
     Seq.empty
   }
@@ -571,8 +621,7 @@ final case class TxnLogUpdateCommand(table: String, setText: String,
           where.map(expr).getOrElse(lit(true)))
         Seq.empty
       case None => // not ours: run Spark's own UPDATE plan (v2 tables)
-        org.apache.spark.sql.graftshim.Shim
-          .ofRows(spark, native()).collect().toSeq
+        GraftSqlParser.runNative(spark, native)
     }
 }
 
@@ -622,8 +671,7 @@ final case class TxnLogMergeCommand(table: String,
       // BEFORE any clause parsing, so standard MERGE grammar outside
       // this library's subset (UPDATE SET *, INSERT (cols) VALUES)
       // never trips on it
-      return org.apache.spark.sql.graftshim.Shim
-        .ofRows(spark, native()).collect().toSeq
+      return GraftSqlParser.runNative(spark, native)
     }
     val clauses = GraftSqlParser.parseWhenClauses(whenText)
     val src = GraftSqlParser.resolveSource(spark, source)

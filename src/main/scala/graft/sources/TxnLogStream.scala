@@ -138,7 +138,7 @@ class TxnLogStreamProvider extends StreamSourceProvider
     * form — the table identifier is the only channel a pure SQL text
     * has). Explicit options win over a suffix; streams never see it
     * (time travel is a batch concept). */
-  private val TravelSuffix = """(?s)^(.+)@(?:v(\d+)|ts([\d.:TZ+-]+))$""".r
+  private val TravelSuffix = """(?s)^(.+)@(?:v(\d+)|ts([\d.:TZ+\- ]+))$""".r
 
   private def relationOf(sqlContext: SQLContext,
       rawParameters: Map[String, String],
@@ -155,13 +155,8 @@ class TxnLogStreamProvider extends StreamSourceProvider
     val t = tableOf(parameters)
     val asOf: Option[Long] = parameters.get("versionAsOf") match {
       case Some(v) => Some(v.toLong)
-      case None => parameters.get("timestampAsOf").map { ts =>
-        val millis =
-          try ts.toLong
-          catch { case _: NumberFormatException =>
-            java.time.Instant.parse(ts).toEpochMilli }
-        TxnLog.versionAt(t, millis)
-      }
+      case None => parameters.get("timestampAsOf").map(ts =>
+        TxnLog.versionAt(t, TxnLog.tsMillis(ts)))
     }
     val snap = TxnLog.snapshot(t, asOf)
     // a hive-partitioned table's files do NOT store the partition
@@ -254,7 +249,8 @@ private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
       else if (TxnLog.latestVersion(t) < 0) Nil
       else TxnLog.snapshot(t).filePartitions.values
         .flatMap(_.keys).toSeq.distinct.sorted
-    if (complete) TxnLog.replace(ctx.sparkSession, t, batch)
+    if (complete)
+      TxnLog.replace(ctx.sparkSession, t, batch, partCols)
     else TxnLog.appendBatch(ctx.sparkSession, t, batch, appId, batchId,
       partCols)
     ()

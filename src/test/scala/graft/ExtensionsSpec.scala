@@ -427,6 +427,73 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(anf.getMessage.contains("graft_no_such_alter"))
   }
 
+  test("statement-scanner edges: literals with keywords, spaced timestamps, txnlog-named databases, cross-source inserts") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqledge-").resolve("t")
+    val t = TxnLog.Table(root)
+    val p = root.toString
+    TxnLog.append(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1))
+    // a SET expression containing ' WHERE ' inside a string literal
+    // must not fracture the UPDATE statement
+    spark.sql(s"UPDATE txnlog.`$p` SET s = 'use WHERE wisely' WHERE k = 1")
+    assert(TxnLog.read(spark, t).filter($"k" === 1L).head().getString(1)
+      === "use WHERE wisely")
+    // backslash-escaped quotes stay inside MERGE clause literals
+    Seq((2L, "x")).toDF("k", "s").createOrReplaceTempView("edge_src")
+    spark.sql(
+      s"""MERGE INTO txnlog.`$p` t USING edge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET
+         |  s = 'O\\'Brien WHEN MATCHED style'""".stripMargin)
+    assert(TxnLog.read(spark, t).filter($"k" === 2L).head().getString(1)
+      === "O'Brien WHEN MATCHED style")
+    // TIMESTAMP AS OF with the space-separated SQL form parses
+    // (interpreted UTC) — far-future resolves to the latest version
+    val rows = spark.sql(
+      s"SELECT count(*) FROM txnlog.`$p` TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .head().getLong(0)
+    assert(rows === 2L)
+    // a REAL database named txnlog keeps catalog resolution (only
+    // path-shaped identifiers — containing '/' — substitute)
+    spark.sql("CREATE DATABASE IF NOT EXISTS txnlog")
+    try {
+      spark.sql("DROP TABLE IF EXISTS txnlog.edge_cat")
+      spark.sql(
+        "CREATE TABLE txnlog.edge_cat USING parquet AS SELECT 7L AS k")
+      assert(spark.sql("SELECT k FROM txnlog.edge_cat").head().getLong(0)
+        === 7L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS txnlog.edge_cat")
+      spark.sql("DROP DATABASE IF EXISTS txnlog")
+    }
+    // a NON-txnlog INSERT whose SOURCE is a txnlog path resolves the
+    // read through the same substitution the standalone SELECT gets
+    spark.sql("DROP TABLE IF EXISTS edge_plain")
+    spark.sql("CREATE TABLE edge_plain (k BIGINT, s STRING) USING parquet")
+    try {
+      spark.sql(s"INSERT INTO edge_plain SELECT * FROM txnlog.`$p`")
+      assert(spark.table("edge_plain").count() === 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS edge_plain")
+    // INSERT OVERWRITE keeps a partitioned target's layout (the
+    // replace carries the tokens forward)
+    val proot = java.nio.file.Files
+      .createTempDirectory("graft-sqledgep-").resolve("t")
+    val pt = TxnLog.Table(proot)
+    TxnLog.appendPartitioned(spark, pt,
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"), Seq("day"))
+    spark.sql(
+      s"INSERT OVERWRITE txnlog.`$proot` VALUES (3, 'd3'), (4, 'd4')")
+    val psnap = TxnLog.snapshot(pt)
+    assert(psnap.liveFiles.nonEmpty &&
+      psnap.liveFiles.forall(psnap.filePartitions.contains),
+      s"INSERT OVERWRITE flattened the layout: ${psnap.liveFiles}")
+    assert(TxnLog.dropPartition(pt, Map("day" -> "d3")) > 0)
+    assert(TxnLog.read(spark, pt).collect().map(_.getLong(0)).toSeq
+      === Seq(4L))
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

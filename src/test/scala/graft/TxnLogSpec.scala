@@ -1617,9 +1617,11 @@ class TxnLogSpec extends AnyFunSuite {
     assert(vd > v)
     assert(TxnLog.read(spark, t).filter(col("day") === "d%3").count() === 0L)
     // a malformed %-sequence someone hand-wrote passes through
-    // verbatim (Spark's unescapePathName parity) instead of crashing
+    // verbatim (Spark's unescapePathName parity) instead of crashing;
+    // signed "hex" ('%+5') is malformed too — parseInt would take it
     assert(TxnLog.unescapePart("c=10%x2") === "c=10%x2")
     assert(TxnLog.unescapePart("trail%4") === "trail%4")
+    assert(TxnLog.unescapePart("10%+5") === "10%+5")
     assert(TxnLog.unescapePart("%3A%3D") === ":=")
   }
 
@@ -1680,11 +1682,17 @@ class TxnLogSpec extends AnyFunSuite {
     val vSame = TxnLog.latestVersion(t2)
     assert(TxnLog.update(spark, t2, Map("k" -> lit(0L)),
       col("k") > 1000L) === vSame)
-    // unknown SET column refuses loudly
+    // unknown SET column refuses loudly — even when the predicate
+    // matches NOTHING (a migration script's typo must not pass its
+    // dry run on an empty partition)
     val e = intercept[IllegalArgumentException] {
       TxnLog.update(spark, t2, Map("nope" -> lit(1L)), lit(true))
     }
     assert(e.getMessage.contains("unknown column"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.update(spark, t2, Map("nope" -> lit(1L)), col("k") > 1000L)
+    }
+    assert(e2.getMessage.contains("unknown column"))
     // partitioned: survivors and new images restage THROUGH the
     // layout; updating the PARTITION column moves the row to its new
     // partition directory
@@ -1953,5 +1961,20 @@ class TxnLogSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("fresh checkpoint"),
       s"wrong refusal: ${ex.getMessage}")
+    // …but an UNPARTITIONED table's zero-copy deletes at the floor (a
+    // REPLACE's old files) carry every column IN the file — the batch
+    // must read them flat, not refuse (the footer check discriminates)
+    val t4 = freshTable()
+    (0 until 10).foreach(i =>
+      TxnLog.append(spark, t4, Seq((i.toLong, 0L)).toDF("k", "v")))
+    TxnLog.replace(spark, t4,
+      Seq((100L, 1L)).toDF("k", "v").coalesce(1)) // v10: floor commit
+    TxnLog.checkpoint(t4, 10L)
+    TxnLog.expireLog(t4)
+    val (ins4, del4) = TxnLog.readChangeFeedBatch(spark, t4, 9L, 10L,
+      TxnLog.registeredSchema(t4).get.json)
+    assert(ins4.collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(del4.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 10L))
   }
 }
