@@ -2176,7 +2176,10 @@ object TxnLog {
     dead.length
   }
 
-  def vacuum(t: Table, graceMs: Long = VacuumGraceMs): Int = {
+  /** The files [[vacuum]] WOULD reclaim under `graceMs` — the DRY RUN
+    * audit (`VACUUM t DRY RUN`): the same dead-set computation,
+    * nothing deleted. Root-relative paths, sorted. */
+  def vacuumCandidates(t: Table, graceMs: Long = VacuumGraceMs): Seq[String] = {
     val live = snapshot(t).liveFiles.toSet
     // zero-copy change files (a REPLACE's removed files, a dropped
     // partition's files) live under data/ while a RETAINED commit
@@ -2193,7 +2196,7 @@ object TxnLog {
       .filter(m => now - Files.getLastModifiedTime(m).toMillis < graceMs)
       .map(_.getFileName.toString.stripPrefix(".inflight-"))
       .toSet
-    val dead = listing(Files.walk(t.dataDir))
+    listing(Files.walk(t.dataDir))
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       // the grace check keys on the TOP-LEVEL stage dir — a
@@ -2203,7 +2206,12 @@ object TxnLog {
       .filter(p => !protectedStages.contains(
         t.dataDir.relativize(p).getName(0).toString))
       .map(p => t.root.relativize(p).toString)
-      .filterNot(keep)
+      .filterNot(keep).sorted
+  }
+
+  def vacuum(t: Table, graceMs: Long = VacuumGraceMs): Int = {
+    val dead = vacuumCandidates(t, graceMs)
+    val now = System.currentTimeMillis()
     dead.foreach(rel => Files.deleteIfExists(t.root.resolve(rel)))
     // expired markers guard nothing anymore — sweep them with the files
     listing(Files.list(t.dataDir))

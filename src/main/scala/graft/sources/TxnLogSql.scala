@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     WHEN MATCHED THEN DELETE
   *     WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT *
   *   OPTIMIZE txnlog.`/p` [ZORDER BY (a, b[, c ...])]
-  *   VACUUM txnlog.`/p` [RETAIN 168 HOURS]
+  *   VACUUM txnlog.`/p` [RETAIN 168 HOURS] [DRY RUN]
+  *   DESCRIBE DETAIL txnlog.`/p`                      -- manifest-only
   *   RESTORE TABLE txnlog.`/p` TO VERSION AS OF 3      -- rollback
   *   ALTER TABLE txnlog.`/p` ADD COLUMNS (x BIGINT)    -- evolution
   *   SHOW PARTITIONS txnlog.`/p`                       -- manifest-only
@@ -92,7 +93,10 @@ object GraftSqlParser {
   private val OptimizeRe =
     s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val VacuumRe =
-    s"""(?is)^\\s*VACUUM\\s+($Ident)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$$""".r
+    (s"""(?is)^\\s*VACUUM\\s+($Ident)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?""" +
+      """(?:\s+(DRY\s+RUN))?\s*;?\s*$""").r
+  private val DetailRe =
+    s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+($Ident)\\s*;?\\s*$$""".r
   private val HistoryRe =
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($Ident)(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val InsertRe =
@@ -180,10 +184,13 @@ object GraftSqlParser {
       case OptimizeRe(tbl, zcols) =>
         Some(TxnLogOptimizeCommand(tbl,
           Option(zcols).map(_.split(',').map(_.trim).toSeq)))
-      case VacuumRe(tbl, hours) =>
-        Some(TxnLogVacuumCommand(tbl, Option(hours).map(_.toLong)))
+      case VacuumRe(tbl, hours, dry) =>
+        Some(TxnLogVacuumCommand(tbl, Option(hours).map(_.toLong),
+          dryRun = dry != null))
       case HistoryRe(tbl, limit) =>
         Some(TxnLogHistoryCommand(tbl, Option(limit).map(_.toInt)))
+      case DetailRe(tbl) =>
+        Some(TxnLogDetailCommand(tbl))
       case RestoreRe(tbl, ver, tsQ, tsN) =>
         Some(TxnLogRestoreCommand(tbl, Option(ver).map(_.toLong),
           Option(tsQ).orElse(Option(tsN))))
@@ -625,15 +632,47 @@ final case class TxnLogUpdateCommand(table: String, setText: String,
     }
 }
 
-/** `VACUUM <table> [RETAIN n HOURS]` → [[TxnLog.vacuum]] with the
-  * retention window as the staging grace. */
+/** `VACUUM <table> [RETAIN n HOURS] [DRY RUN]` → [[TxnLog.vacuum]]
+  * with the retention window as the staging grace; DRY RUN returns
+  * the reclaimable paths as a result set ([[TxnLog.vacuumCandidates]])
+  * and deletes nothing — audit before reclaim. */
 final case class TxnLogVacuumCommand(table: String,
-    retainHours: Option[Long]) extends LeafRunnableCommand {
+    retainHours: Option[Long],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      org.apache.spark.sql.types.StructType.fromDDL("path STRING"))
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, table)
-    TxnLog.vacuum(t,
-      retainHours.map(_ * 3600L * 1000L).getOrElse(TxnLog.VacuumGraceMs))
-    Seq.empty
+    val grace = retainHours.map(_ * 3600L * 1000L)
+      .getOrElse(TxnLog.VacuumGraceMs)
+    if (dryRun) TxnLog.vacuumCandidates(t, grace).map(Row(_))
+    else { TxnLog.vacuum(t, grace); Seq.empty }
+  }
+}
+
+/** `DESCRIBE DETAIL <txnlog table>` — the table-metadata row every
+  * lakehouse exposes, resolved from the MANIFEST (one size stat per
+  * live file, no data read): format, location, current version, live
+  * file count and bytes, partition columns. */
+final case class TxnLogDetailCommand(table: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "format STRING, location STRING, version BIGINT, " +
+          "num_files BIGINT, size_bytes BIGINT, partition_columns STRING"))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolveTable(spark, table)
+    val snap = TxnLog.snapshot(t)
+    val bytes = snap.liveFiles.map { rel =>
+      val p = t.root.resolve(rel)
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+    }.sum
+    val partCols = snap.filePartitions.values
+      .flatMap(_.keys).toSeq.distinct.sorted.mkString(",")
+    Seq(Row("txnlog", t.root.toString, snap.version,
+      snap.liveFiles.length.toLong, bytes, partCols))
   }
 }
 

@@ -476,6 +476,19 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(s"INSERT INTO edge_plain SELECT * FROM txnlog.`$p`")
       assert(spark.table("edge_plain").count() === 2L)
     } finally spark.sql("DROP TABLE IF EXISTS edge_plain")
+    // VACUUM DRY RUN lists the reclaimable set without deleting;
+    // DESCRIBE DETAIL reports the manifest's table metadata
+    spark.sql(s"DELETE FROM txnlog.`$p` WHERE k = 2")
+    val dry = spark.sql(s"VACUUM txnlog.`$p` RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(dry.nonEmpty && dry.forall(_.endsWith(".parquet")))
+    assert(TxnLog.read(spark, t).count() === 1L) // nothing deleted
+    val detail = spark.sql(s"DESCRIBE DETAIL txnlog.`$p`").head()
+    assert(detail.getString(0) === "txnlog" &&
+      detail.getLong(3) >= 1L && detail.getLong(4) > 0L)
+    spark.sql(s"VACUUM txnlog.`$p` RETAIN 0 HOURS")
+    assert(spark.sql(s"VACUUM txnlog.`$p` RETAIN 0 HOURS DRY RUN")
+      .count() === 0L) // the dry-run set was exactly what vacuum took
     // INSERT OVERWRITE keeps a partitioned target's layout (the
     // replace carries the tokens forward)
     val proot = java.nio.file.Files
