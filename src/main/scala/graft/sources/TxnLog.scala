@@ -90,11 +90,19 @@ object TxnLog {
     * add action (`part=<col>=<val>` tokens) — the column is NOT in
     * the data file; reads reconstitute it and partition ops (prune,
     * drop) resolve from this map alone. Partition values are stored
-    * DECODED (see [[unescapePart]]). */
+    * DECODED (see [[unescapePart]]). `fileSizes`: per live file, the
+    * byte size stamped in its add action at staging time (`size=`
+    * token) — DESCRIBE DETAIL and size-driven maintenance
+    * (compactSmall) read the manifest instead of stat-walking the
+    * filesystem, which at 100 TB table scale is the difference
+    * between a log replay and O(live files) driver FS calls. Files
+    * added by legacy/raw commits simply lack an entry; consumers
+    * fall back to one stat for those. */
   final case class Snapshot(version: Long, liveFiles: Seq[String],
       fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       schemaJson: Option[String] = None,
-      filePartitions: Map[String, Map[String, String]] = Map.empty)
+      filePartitions: Map[String, Map[String, String]] = Map.empty,
+      fileSizes: Map[String, Long] = Map.empty)
 
   /** A filesystem path from a string that may arrive URI-form —
     * Spark normalizes a table's `path` option to `file:/...` in
@@ -147,6 +155,7 @@ object TxnLog {
     val live = new java.util.LinkedHashSet[String]()
     var stats = Map.empty[String, Map[String, (Long, Long)]]
     var parts = Map.empty[String, Map[String, String]]
+    var sizes = Map.empty[String, Long]
     var schemaJson: Option[String] = None
     var txns = Map.empty[String, Long]
   }
@@ -162,10 +171,16 @@ object TxnLog {
     line.split('\t') match {
       case Array("add", rel) => st.live.add(rel); ()
       case arr if arr.length > 2 && arr(0) == "add" =>
-        // decorated add: `part=<col>=<val>` partition tokens and/or
-        // col:min:max stats triples
+        // decorated add: `part=<col>=<val>` partition tokens,
+        // `size=<bytes>` and/or col:min:max stats triples
         st.live.add(arr(1))
-        val (pTok, sTok) = arr.drop(2).partition(_.startsWith("part="))
+        val (zTok, rest0) = arr.drop(2).partition(_.startsWith("size="))
+        val (pTok, sTok) = rest0.partition(_.startsWith("part="))
+        zTok.lastOption.foreach { tok =>
+          val n = try tok.stripPrefix("size=").toLong
+          catch { case _: NumberFormatException => corrupt(src, line) }
+          st.sizes += arr(1) -> n
+        }
         if (pTok.nonEmpty)
           st.parts += arr(1) -> pTok.map { tok =>
             tok.stripPrefix("part=").split("=", 2) match {
@@ -193,6 +208,7 @@ object TxnLog {
         st.live.remove(rel)
         st.stats -= rel
         st.parts -= rel
+        st.sizes -= rel
       case Array("schema", js) => st.schemaJson = Some(js)
       case Array("txn", a, b) =>
         val id = try b.toLong
@@ -242,7 +258,8 @@ object TxnLog {
     val live = st.live.asScala.toSeq
     Snapshot(v, live, st.stats.view.filterKeys(st.live.contains).toMap,
       st.schemaJson,
-      st.parts.view.filterKeys(st.live.contains).toMap)
+      st.parts.view.filterKeys(st.live.contains).toMap,
+      st.sizes.view.filterKeys(st.live.contains).toMap)
   }
 
   /** Write the `.ckpt` replay checkpoint for version `v` (best
@@ -256,9 +273,10 @@ object TxnLog {
       st.live.asScala.toSeq.map { rel =>
         val pTok = st.parts.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, v) => s"part=${escapePart(c)}=${escapePart(v)}" }
+        val zTok = st.sizes.get(rel).map(n => s"size=$n").toSeq
         val sTok = st.stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
-        (s"add\t$rel" +: (pTok ++ sTok)).mkString("\t")
+        (s"add\t$rel" +: (pTok ++ zTok ++ sTok)).mkString("\t")
       } ++
       st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"txn\t$a\t$b" }
     val tmp = t.logDir.resolve(s".tmp-ckpt-${UUID.randomUUID()}")
@@ -594,13 +612,18 @@ object TxnLog {
       extra = victims.map(r => s"cdc\t$r\tdelete"))
   }
 
-  /** `add` action lines for the staged files, with (min, max) triples
-    * for `statsCols` computed in ONE file-count-scale aggregate. */
+  /** `add` action lines for the staged files, with the staged byte
+    * size stamped as a `size=` token (one stat per STAGED file, at
+    * write time — never per live file at read time) and (min, max)
+    * triples for `statsCols` computed in ONE file-count-scale
+    * aggregate. */
   private def addLinesFor(s: SparkSession, t: Table, stage: Path,
                           statsCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val rels = stagedFiles(t, stage)
-    if (statsCols.isEmpty || rels.isEmpty) return rels.map(r => s"add\t$r")
+    def sized(rel: String): String =
+      s"add\t$rel\tsize=${Files.size(t.root.resolve(rel))}"
+    if (statsCols.isEmpty || rels.isEmpty) return rels.map(sized)
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
     val byPath = s.read.parquet(stage.toString)
@@ -622,8 +645,8 @@ object TxnLog {
       }.toMap
     rels.map { rel =>
       byPath.get(t.root.resolve(rel).normalize.toString) match {
-        case Some(triples) => (s"add\t$rel" +: triples).mkString("\t")
-        case None          => s"add\t$rel"
+        case Some(triples) => (sized(rel) +: triples).mkString("\t")
+        case None          => sized(rel)
       }
     }
   }
@@ -679,7 +702,7 @@ object TxnLog {
       val adds =
         if (partCols.isEmpty) {
           df.write.parquet(stage.toString)
-          stagedFiles(t, stage).map(a => s"add\t$a")
+          addLinesFor(s, t, stage, Nil)
         } else {
           df.write.partitionBy(partCols: _*).parquet(stage.toString)
           partitionedAddLines(s, t, stage, Nil)
@@ -901,8 +924,9 @@ object TxnLog {
     * live files SMALLER than `minFileBytes` compact; right-sized
     * files are not touched, so a table compacted hourly rewrites its
     * latest small appends and never the whole history. Victims are
-    * found from file sizes alone (one metadata stat per live file,
-    * no data read), grouped by partition spec and compacted WITHIN
+    * found from the MANIFEST's recorded sizes (zero FS calls for
+    * files whose add actions carry `size=`; one stat only as the
+    * legacy fallback), grouped by partition spec and compacted WITHIN
     * each partition (tokens re-emitted, the hive maintenance op —
     * one write job per partition group that holds ≥2 small files,
     * all published in ONE atomic dataChange=false commit). A lone
@@ -915,8 +939,12 @@ object TxnLog {
     val snap = snapshot(t)
     val bySpec = snap.liveFiles
       .filter { rel =>
-        val p = t.root.resolve(rel)
-        Files.exists(p) && Files.size(p) < minFileBytes
+        snap.fileSizes.get(rel) match {
+          case Some(n) => n < minFileBytes // manifest-recorded: no stat
+          case None => // legacy add without a size token: one stat
+            val p = t.root.resolve(rel)
+            Files.exists(p) && Files.size(p) < minFileBytes
+        }
       }
       .groupBy(rel => snap.filePartitions.getOrElse(rel, Map.empty))
       .filter(_._2.length >= 2)
@@ -1082,8 +1110,10 @@ object TxnLog {
       // INSERT OVERWRITE / Complete-mode sink contract: no write op
       // silently flattens a partitioned table)
       val addLines =
-        if (partCols.isEmpty) { df.write.parquet(stage.toString); Nil }
-        else {
+        if (partCols.isEmpty) {
+          df.write.parquet(stage.toString)
+          addLinesFor(s, t, stage, Nil)
+        } else {
           df.write.partitionBy(partCols: _*).parquet(stage.toString)
           partitionedAddLines(s, t, stage, Nil)
         }
@@ -1093,8 +1123,7 @@ object TxnLog {
         else Seq(s"schema\t${df.schema.json}")
       val cdc = snap.liveFiles.map(r => s"cdc\t$r\tdelete") ++
         rels.map(r => s"cdc\t$r\tinsert")
-      commit(t, snap.version,
-        adds = if (partCols.isEmpty) rels else Nil,
+      commit(t, snap.version, adds = Nil,
         removes = snap.liveFiles,
         extra = schemaLine ++ addLines ++ cdc)
     } finally seal(t, stage)
@@ -1229,9 +1258,14 @@ object TxnLog {
     * self-merge's CDF without the self-join a merge would pay. A
     * predicate that evaluates to NULL updates NOTHING for that row
     * (SQL's "condition is true" contract — `coalesce(pred, false)`).
-    * Returns the committed version (unchanged when nothing matched). */
+    * `alias` names the table frame for qualified references in the
+    * predicate/SET expressions (the SQL `UPDATE t x SET …` form);
+    * alias-qualified predicates skip manifest box pruning (the
+    * conjunct extractor sees only bare names) but stay correct —
+    * they locate over the full live set. Returns the committed
+    * version (unchanged when nothing matched). */
   def update(s: SparkSession, t: Table, set: Map[String, Column],
-             predicate: Column): Long = {
+             predicate: Column, alias: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name,
       lit, not}
     require(set.nonEmpty, "update needs at least one SET assignment")
@@ -1251,15 +1285,18 @@ object TxnLog {
       if (box.isEmpty) snap.liveFiles else pruneBox(snap, box)
     }
     if (candidates.isEmpty) return snap.version
+    // the alias (if any) sits ON TOP of each frame, so both bare and
+    // alias-qualified references resolve in cond and the SET rhs
+    def al(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
     val affectedRel = relsOf(t, snap,
-      readRels(s, t, snap, candidates)
-        .withColumn("_f", input_file_name())
+      al(readRels(s, t, snap, candidates)
+          .withColumn("_f", input_file_name()))
         .filter(cond)
         .select(col("_f")).distinct()
         .collect() // file-count scale: one row per affected file
         .map(_.getString(0)).toSeq)
     if (affectedRel.isEmpty) return snap.version
-    val affected = readRels(s, t, snap, affectedRel)
+    val affected = al(readRels(s, t, snap, affectedRel))
     val tCols = affected.columns.toSeq
     val badSets = set.keySet.diff(tCols.toSet)
     require(badSets.isEmpty,
@@ -1714,18 +1751,30 @@ object TxnLog {
     * `timestampAsOf` contract: a caller replaying "the table as of
     * last night" without knowing version numbers. */
   /** A user-supplied timestamp string as epoch millis: epoch millis
-    * verbatim, ISO-8601 instants, or the space-separated SQL form
-    * (`2026-01-01 00:00:00`, interpreted in UTC — the session
-    * timezone every main/test session pins). One parse shared by the
-    * reader option, the SQL rewrite suffix and RESTORE's clause. */
-  private[sources] def tsMillis(ts: String): Long =
-    try ts.trim.toLong
-    catch { case _: NumberFormatException =>
-      try java.time.Instant.parse(ts.trim).toEpochMilli
-      catch { case _: java.time.format.DateTimeParseException =>
-        java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli }
-    }
+    * verbatim, ISO-8601 instants, the space-separated SQL form
+    * (`2026-01-01 00:00:00`) or a bare date (`2026-01-01`, midnight)
+    * — the date-bearing forms interpreted in UTC, the session
+    * timezone every main/test session pins. One parse shared by the
+    * reader option, the SQL rewrite suffix and RESTORE's clause; an
+    * unparseable string fails naming the accepted forms instead of
+    * leaking a raw DateTimeParseException. */
+  private[sources] def tsMillis(ts: String): Long = {
+    val s0 = ts.trim
+    val parses: Seq[() => Long] = Seq(
+      () => s0.toLong,
+      () => java.time.Instant.parse(s0).toEpochMilli,
+      () => java.time.LocalDateTime.parse(s0.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+      () => java.time.LocalDate.parse(s0)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    parses.view.map(p => scala.util.Try(p())).collectFirst {
+      case scala.util.Success(v) => v
+    }.getOrElse(throw new IllegalArgumentException(
+      s"cannot parse timestamp '$ts': accepted forms are epoch millis " +
+        "(1767225600000), ISO-8601 instants (2026-01-01T00:00:00Z), " +
+        "SQL timestamps (2026-01-01 00:00:00, UTC) and dates " +
+        "(2026-01-01, midnight UTC)"))
+  }
 
   def versionAt(t: Table, ts: Long): Long = {
     val at = versionFiles(t)
@@ -1807,9 +1856,10 @@ object TxnLog {
       val pTok = tgt.filePartitions.getOrElse(rel, Map.empty)
         .toSeq.sortBy(_._1)
         .map { case (c, pv) => s"part=${escapePart(c)}=${escapePart(pv)}" }
+      val zTok = tgt.fileSizes.get(rel).map(n => s"size=$n").toSeq
       val sTok = tgt.fileStats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
-      (s"add\t$rel" +: (pTok ++ sTok)).mkString("\t")
+      (s"add\t$rel" +: (pTok ++ zTok ++ sTok)).mkString("\t")
     }
     // the change feed counts a NO-removes commit's adds as its insert
     // wave already, so a pure re-add (restoring across a drop) must
@@ -1962,9 +2012,12 @@ object TxnLog {
       // their reconstitution metadata with the pre-floor log
       val want = parseSchema(schemaJson).fieldNames.toSet
       val lost = unresolved.filterNot { rel =>
-        want.subsetOf(
-          s.read.parquet(t.root.resolve(rel).toString)
-            .schema.fieldNames.toSet)
+        // a candidate vacuum already reclaimed folds into the same
+        // resync refusal — a raw path-not-found from the footer read
+        // would hide what actually happened
+        val p = t.root.resolve(rel)
+        Files.exists(p) && want.subsetOf(
+          s.read.parquet(p.toString).schema.fieldNames.toSet)
       }
       if (lost.nonEmpty) throw new IllegalStateException(
         s"stream range v$from..v$to starts below the retained replay " +

@@ -73,8 +73,13 @@ class GraftSqlParser(delegate: ParserInterface,
     delegate.parseFunctionIdentifier(sqlText)
   override def parseMultipartIdentifier(sqlText: String): Seq[String] =
     delegate.parseMultipartIdentifier(sqlText)
+  // temp-view text re-parses through parseQuery at every lookup (the
+  // per-query re-resolution seam) — txnlog path references must
+  // substitute here exactly as in parsePlan, or a view over
+  // txnlog.`/p` fails analysis as SQL-on-files
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    resolveTxnlogPaths(session(),
+      delegate.parseQuery(rewriteTimeTravel(sqlText)))
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
   override def parseTableSchema(sqlText: String): StructType =
@@ -89,7 +94,8 @@ object GraftSqlParser {
   private val DeleteRe =
     s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
   private val UpdateRe =
-    s"""(?is)^\\s*UPDATE\\s+($Ident)\\s+SET\\s+([\\s\\S]+?)\\s*;?\\s*$$""".r
+    (s"""(?is)^\\s*UPDATE\\s+($Ident)(?:\\s+AS\\b)?""" +
+      """(?:\s+(?!SET\b)(\w+))?\s+SET\s+([\s\S]+?)\s*;?\s*$""").r
   private val OptimizeRe =
     s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val VacuumRe =
@@ -143,13 +149,55 @@ object GraftSqlParser {
   private val TravelTimestampRe =
     """(?is)(txnlog\.`[^`]+)`\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
 
+  /** (start, end) spans of every single-quoted string literal in `s`
+    * (backslash-escaped quotes stay inside their literal — the same
+    * convention as the other scanners in this file). Backtick-quoted
+    * identifiers are OPAQUE: a stray apostrophe inside a quoted path
+    * must not open a phantom literal that swallows the rest of the
+    * statement. */
+  private def literalSpans(s: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '`') {
+        val close = s.indexOf('`', i + 1)
+        i = if (close < 0) s.length else close + 1
+      } else if (c == '\'') {
+        val start = i; i += 1
+        var open = true
+        while (i < s.length && open) {
+          val d = s.charAt(i)
+          if (d == '\\') i += 2
+          else { if (d == '\'') open = false; i += 1 }
+        }
+        out += ((start, math.min(i, s.length)))
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** The time-travel rewrite runs only over OUT-OF-QUOTE regions: a
+    * string literal that happens to contain
+    * ``txnlog.`/p` VERSION AS OF 3`` (a logged message, a doc row)
+    * must survive an INSERT verbatim instead of being folded into the
+    * `@v` suffix form before the delegate ever parses. */
   private[sources] def rewriteTimeTravel(sql: String): String = {
     import scala.util.matching.Regex.quoteReplacement
-    val v = TravelVersionRe.replaceAllIn(sql, m =>
-      quoteReplacement(s"${m.group(1)}@v${m.group(2)}`"))
-    TravelTimestampRe.replaceAllIn(v, m => {
+    def sub(re: scala.util.matching.Regex, s: String,
+        f: scala.util.matching.Regex.Match => String): String = {
+      val lits = literalSpans(s)
+      re.replaceAllIn(s, m =>
+        quoteReplacement(
+          if (lits.exists { case (a, b) => m.start >= a && m.start < b })
+            m.matched
+          else f(m)))
+    }
+    val v = sub(TravelVersionRe, sql,
+      m => s"${m.group(1)}@v${m.group(2)}`")
+    sub(TravelTimestampRe, v, m => {
       val ts = Option(m.group(2)).getOrElse(m.group(3))
-      quoteReplacement(s"${m.group(1)}@ts$ts`")
+      s"${m.group(1)}@ts$ts`"
     })
   }
 
@@ -171,7 +219,7 @@ object GraftSqlParser {
         Some(TxnLogInsertCommand(tbl,
           mode.equalsIgnoreCase("OVERWRITE"), Option(cols),
           query.trim, () => delegate.parsePlan(sqlText)))
-      case UpdateRe(tbl, rest) =>
+      case UpdateRe(tbl, alias, rest) =>
         // the SET / WHERE boundary is found by the quote-aware
         // scanner — a SET expression containing the word ' WHERE '
         // inside a string literal must not fracture the statement
@@ -179,7 +227,7 @@ object GraftSqlParser {
           case Some((s0, w)) => (s0, Some(w))
           case None          => (rest.trim, None)
         }
-        Some(TxnLogUpdateCommand(tbl, sets, where,
+        Some(TxnLogUpdateCommand(tbl, Option(alias), sets, where,
           () => delegate.parsePlan(sqlText)))
       case OptimizeRe(tbl, zcols) =>
         Some(TxnLogOptimizeCommand(tbl,
@@ -270,7 +318,8 @@ object GraftSqlParser {
     * after)) or None when the keyword never appears at top level —
     * the SET/WHERE statement boundary, found the same way the MERGE
     * clause boundaries are. */
-  private def splitAtKeyword(s: String, kw: String): Option[(String, String)] = {
+  private[sources] def splitAtKeyword(s: String,
+      kw: String): Option[(String, String)] = {
     def wordAt(i: Int): Boolean =
       s.regionMatches(true, i, kw, 0, kw.length) &&
         (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
@@ -295,6 +344,16 @@ object GraftSqlParser {
     }
     None
   }
+
+  /** Split `s` at EVERY depth-zero, out-of-quote occurrence of `kw` —
+    * the conjunct splitter ([[splitAtKeyword]] folded to a list): an
+    * ON condition like `t.k = s.k AND t.tag = 'x AND y'` splits at
+    * the first AND only, keeping the literal whole. */
+  private[sources] def splitAtKeywordAll(s: String, kw: String): Seq[String] =
+    splitAtKeyword(s, kw) match {
+      case Some((before, after)) => before +: splitAtKeywordAll(after, kw)
+      case None                  => Seq(s.trim)
+    }
 
   /** The WHEN-clause pieces of a MERGE tail (text AFTER each WHEN
     * keyword), split at [[whenBounds]]. */
@@ -333,15 +392,20 @@ object GraftSqlParser {
   }
 
   /** Substitute `txnlog.\`/path\`` references in QUERIES
-    * (SELECT/INSERT sources) with the provider's resolved relation.
-    * Spark's own SQL-on-files rule admits only FileFormat sources —
-    * a DSv1 relation provider would fail analysis with
+    * (SELECT/INSERT sources) with a txnlog relation. Spark's own
+    * SQL-on-files rule admits only FileFormat sources — a DSv1
+    * relation provider would fail analysis with
     * UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY — so the substitution
     * happens at the parser seam, giving SQL-first users the same
-    * direct-path syntax Delta tables get, including time travel:
-    * the `VERSION AS OF` rewrite arrives here as a `@v<n>`/`@ts<…>`
-    * path suffix the relation provider peels off. Catalog tables
-    * created `USING txnlog` already resolve natively. */
+    * direct-path syntax Delta tables get. UN-suffixed references get
+    * the LIVE relation ([[TxnLogLiveRelation]]): the snapshot
+    * resolves per scan, so a temp view created over the path serves
+    * fresh data after later commits instead of pinning its
+    * creation-time file list — the reference's per-query resolution.
+    * Time travel (`VERSION AS OF` rewritten to a `@v<n>`/`@ts<…>`
+    * path suffix) resolves EAGERLY through the relation provider: a
+    * pinned version is immutable, nothing to re-resolve. Catalog
+    * tables created `USING txnlog` already resolve natively. */
   private[sources] def resolveTxnlogPaths(spark: SparkSession,
       plan: LogicalPlan): LogicalPlan = {
     // NEVER substitute a write target: an InsertIntoStatement whose
@@ -364,9 +428,15 @@ object GraftSqlParser {
           u.multipartIdentifier.head.equalsIgnoreCase("txnlog") &&
           u.multipartIdentifier(1).contains('/') &&
           !writeTargets.exists(_ eq u) =>
+        val raw = u.multipartIdentifier(1)
         org.apache.spark.sql.execution.datasources.LogicalRelation(
-          new TxnLogStreamProvider().createRelation(spark.sqlContext,
-            Map("path" -> u.multipartIdentifier(1))))
+          raw match {
+            case PathTravel(_, _, _) => // pinned: eager resolution
+              new TxnLogStreamProvider().createRelation(spark.sqlContext,
+                Map("path" -> raw))
+            case _ => // live: the snapshot resolves per scan
+              TxnLogLiveRelation.of(spark.sqlContext, raw)
+          })
     }
   }
 
@@ -554,29 +624,57 @@ final case class TxnLogShowPartitionsCommand(table: String,
   * names and integer literals land correctly in a (bigint, bigint)
   * table. A PARTITIONED table's inserts restage through its layout
   * (appendPartitioned) — the SQL path must not erode what every
-  * other op preserves. Explicit column lists refuse for txnlog
-  * targets (project the source instead); non-txnlog targets run
-  * Spark's own INSERT plan untouched. */
+  * other op preserves. An explicit column list aligns the source BY
+  * NAME against the registered schema and NULL-fills the unnamed
+  * columns (the standard SQL contract; a first write has no schema
+  * to align against, so a column list there refuses). Non-txnlog
+  * targets run Spark's own INSERT plan untouched. */
 final case class TxnLogInsertCommand(table: String, overwrite: Boolean,
     columnList: Option[String], query: String,
     native: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.tryResolveTable(spark, table) match {
       case Some(t) =>
-        require(columnList.isEmpty,
-          "INSERT with an explicit column list is not supported for " +
-            "txnlog tables — project the source query instead")
+        import org.apache.spark.sql.functions.col
         val src = spark.sql(query)
-        val aligned = TxnLog.registeredSchema(t) match {
-          case Some(schema) =>
+        val aligned = (TxnLog.registeredSchema(t), columnList) match {
+          case (Some(schema), Some(colsRaw)) =>
+            // named-subset insert: listed columns align by name (and
+            // source position), every other schema column NULL-fills
+            val names = colsRaw.stripPrefix("(").stripSuffix(")")
+              .split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .toIndexedSeq.filter(_.nonEmpty)
+            require(names.nonEmpty, "empty INSERT column list")
+            require(names.distinct.length == names.length,
+              s"duplicate column(s) in INSERT list: " +
+                names.diff(names.distinct).mkString(", "))
+            val unknown = names.filterNot(schema.fieldNames.contains)
+            require(unknown.isEmpty,
+              s"INSERT column list names unknown column(s): " +
+                s"${unknown.mkString(", ")} (table $table has " +
+                s"${schema.fieldNames.mkString(", ")})")
+            require(src.schema.length == names.length,
+              s"INSERT source has ${src.schema.length} column(s); " +
+                s"the column list names ${names.length}")
+            src.toDF(names: _*).select(schema.fields.toIndexedSeq.map {
+              f =>
+                if (names.contains(f.name))
+                  col(f.name).cast(f.dataType).as(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+            }: _*)
+          case (None, Some(_)) =>
+            throw new IllegalArgumentException(
+              s"INSERT with a column list needs a registered schema; " +
+                s"table $table has no commits yet — the first write " +
+                "defines the schema, so insert all columns")
+          case (Some(schema), None) =>
             require(src.schema.length == schema.length,
               s"INSERT source has ${src.schema.length} column(s); " +
                 s"table $table has ${schema.length}")
-            import org.apache.spark.sql.functions.col
             src.toDF(schema.fieldNames.toIndexedSeq: _*)
               .select(schema.fields.toIndexedSeq.map(f =>
                 col(f.name).cast(f.dataType).as(f.name)): _*)
-          case None => src // no registered schema: the source defines it
+          case (None, None) => src // first write: the source defines it
         }
         // either statement keeps a partitioned target's layout: the
         // append restages through it, the overwrite carries it into
@@ -611,12 +709,15 @@ final case class TxnLogRestoreCommand(table: String,
   }
 }
 
-/** `UPDATE <txnlog table> SET a = e, ... [WHERE cond]` →
+/** `UPDATE <txnlog table> [AS] [x] SET a = e, ... [WHERE cond]` →
   * [[TxnLog.update]] (no WHERE = update every row, the SQL
-  * contract). Assignments parse in run(), after the target resolves
-  * as ours — a non-txnlog UPDATE executes Spark's own plan for the
-  * statement untouched, whatever its SET grammar. */
-final case class TxnLogUpdateCommand(table: String, setText: String,
+  * contract). An optional table alias qualifies SET/WHERE references
+  * (`UPDATE t x SET v = x.v + 1 WHERE x.k > 3`). Assignments parse
+  * in run(), after the target resolves as ours — a non-txnlog UPDATE
+  * executes Spark's own plan for the statement untouched, whatever
+  * its SET grammar. */
+final case class TxnLogUpdateCommand(table: String,
+    alias: Option[String], setText: String,
     where: Option[String],
     native: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
@@ -625,7 +726,7 @@ final case class TxnLogUpdateCommand(table: String, setText: String,
         val sets = GraftSqlParser.parseAssignments(setText)
         TxnLog.update(spark, t,
           sets.map { case (c, rhs) => c -> expr(rhs) }.toMap,
-          where.map(expr).getOrElse(lit(true)))
+          where.map(expr).getOrElse(lit(true)), alias)
         Seq.empty
       case None => // not ours: run Spark's own UPDATE plan (v2 tables)
         GraftSqlParser.runNative(spark, native)
@@ -652,9 +753,11 @@ final case class TxnLogVacuumCommand(table: String,
 }
 
 /** `DESCRIBE DETAIL <txnlog table>` — the table-metadata row every
-  * lakehouse exposes, resolved from the MANIFEST (one size stat per
-  * live file, no data read): format, location, current version, live
-  * file count and bytes, partition columns. */
+  * lakehouse exposes, resolved from the MANIFEST alone (add actions
+  * record each file's byte size, so no data read AND no FS stat
+  * walk; files from legacy size-less adds fall back to one stat
+  * each): format, location, current version, live file count and
+  * bytes, partition columns. */
 final case class TxnLogDetailCommand(table: String)
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -666,8 +769,11 @@ final case class TxnLogDetailCommand(table: String)
     val t = GraftSqlParser.resolveTable(spark, table)
     val snap = TxnLog.snapshot(t)
     val bytes = snap.liveFiles.map { rel =>
-      val p = t.root.resolve(rel)
-      if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+      snap.fileSizes.getOrElse(rel, { // legacy size-less add: one stat
+        val p = t.root.resolve(rel)
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+        else 0L
+      })
     }.sum
     val partCols = snap.filePartitions.values
       .flatMap(_.keys).toSeq.distinct.sorted.mkString(",")
@@ -717,8 +823,10 @@ final case class TxnLogMergeCommand(table: String,
     val ta = tAlias.getOrElse("t")
     val sa = sAlias.getOrElse("s")
     // ON is an equi conjunction: t.a = s.a [AND t.b = s.b ...] with
-    // the same column name on both sides of every conjunct
-    val keys = onCond.split("""(?i)\bAND\b""").toSeq.map {
+    // the same column name on both sides of every conjunct — split by
+    // the quote-aware scanner, so an AND inside a string literal
+    // surfaces the intended equi-conjunction error, not a fragment
+    val keys = GraftSqlParser.splitAtKeywordAll(onCond, "AND").map {
       case GraftSqlParser.OnKeyRe(q1, c1, q2, c2)
         if c1 == c2 && Set(q1, q2) == Set(ta, sa) => c1
       case other => throw new IllegalArgumentException(

@@ -77,8 +77,13 @@ class TxnLogStreamProvider extends StreamSourceProvider
           "txnlog sink needs option 'appId' (a stable writer identity " +
             "for exactly-once fencing) or a checkpointLocation to " +
             "derive one from"))
-      "ck" + java.lang.Integer.toUnsignedString(
-        java.util.Arrays.hashCode(ckpt.getBytes("UTF-8")))
+      // a 64-bit digest prefix, not a 32-bit hash: two queries on
+      // distinct checkpoints writing one table must never collide
+      // into one writer identity (a collision silently fences out the
+      // other query's batches)
+      "ck" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(ckpt.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString
     }
     new TxnLogSink(sqlContext, t, appId, partitionColumns, complete)
   }
@@ -257,32 +262,19 @@ private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
   }
 }
 
-/** Batch relation for a HIVE-PARTITIONED txnlog table: wraps the
-  * partition-aware grouped read (typed reconstitution of the
-  * partition columns) behind V1's PrunedFilteredScan. Column pruning
-  * reaches the parquet scans through the inner plan's select, and
-  * exactly-translated filters push into it — including filters on
-  * the partition columns, which collapse to the reconstituted
-  * literals and prune whole scan groups in the optimizer. Spark
-  * re-applies every filter above a V1 relation, so partially
-  * untranslatable predicates stay correct. */
-private[graft] class TxnLogPartitionedRelation(
-    override val sqlContext: SQLContext, t: TxnLog.Table,
-    asOf: Option[Long], override val schema: StructType)
-  extends BaseRelation
-    with org.apache.spark.sql.sources.PrunedFilteredScan {
+/** Shared V1 Filter → Column translation for the txnlog relations.
+  * Exact translation or None — Or/Not over a dropped branch would
+  * change semantics, so nothing partial survives below the top
+  * level (top-level array elements are implicitly ANDed, where
+  * dropping an element is always safe); Spark re-applies every
+  * filter above a V1 relation, so untranslated predicates stay
+  * correct. */
+private[graft] object TxnLogFilters {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
 
-  // rows are produced by an internal Dataset plan: already InternalRow
-  override def needConversion: Boolean = false
-
-  /** Exact translation or None — Or/Not over a dropped branch would
-    * change semantics, so nothing partial survives below the top
-    * level (top-level array elements are implicitly ANDed, where
-    * dropping an element is always safe). */
-  private def exact(f: Filter): Option[Column] = f match {
+  def exact(f: Filter): Option[Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === lit(v))
     case GreaterThan(a, v)        => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
@@ -297,6 +289,40 @@ private[graft] class TxnLogPartitionedRelation(
     case Not(x)    => exact(x).map(!_)
     case _         => None
   }
+
+  /** Filter + prune `base` and hand back its internal-row RDD (the
+    * relations run with needConversion=false). */
+  def scan(base: org.apache.spark.sql.DataFrame,
+      requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.flatMap(exact).foldLeft(base)(_.filter(_))
+    val pruned = filtered.select(
+      requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+}
+
+/** Batch relation for a HIVE-PARTITIONED txnlog table: wraps the
+  * partition-aware grouped read (typed reconstitution of the
+  * partition columns) behind V1's PrunedFilteredScan. Column pruning
+  * reaches the parquet scans through the inner plan's select, and
+  * exactly-translated filters push into it — including filters on
+  * the partition columns, which collapse to the reconstituted
+  * literals and prune whole scan groups in the optimizer. Spark
+  * re-applies every filter above a V1 relation, so partially
+  * untranslatable predicates stay correct. */
+private[graft] class TxnLogPartitionedRelation(
+    override val sqlContext: SQLContext, t: TxnLog.Table,
+    asOf: Option[Long], override val schema: StructType)
+  extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.sources._
+
+  // rows are produced by an internal Dataset plan: already InternalRow
+  override def needConversion: Boolean = false
 
   /** How many times the log was replayed into a base plan — the spec
     * pins this at 1 for a multi-scan query (a self-join must not pay
@@ -316,13 +342,70 @@ private[graft] class TxnLogPartitionedRelation(
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): org.apache.spark.rdd.RDD[
-        org.apache.spark.sql.Row] = {
-    val filtered = filters.flatMap(exact).foldLeft(base)(_.filter(_))
-    val pruned = filtered.select(
-      requiredColumns.map(col).toIndexedSeq: _*)
-    pruned.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.toRdd
-      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+        org.apache.spark.sql.Row] =
+    TxnLogFilters.scan(base, requiredColumns, filters)
+}
+
+/** LIVE (query-time-resolved) batch relation for a `txnlog.\`/p\``
+  * SQL reference: each buildScan replays the log and plans the
+  * CURRENT snapshot, so a temp view or cached parsed plan holding
+  * this relation serves fresh data after later commits — the
+  * reference's per-query snapshot resolution, where an eagerly
+  * resolved relation would pin its creation-time file list forever
+  * (and break after vacuum). Time-traveled references (`@v`/`@ts`
+  * suffix) stay EAGER: a pinned version is immutable, so there is
+  * nothing to re-resolve. The relation's SCHEMA is captured at parse
+  * time (analysis needs fixed output attributes); additive evolution
+  * after view creation keeps working — buildScan projects the
+  * captured columns out of the wider live snapshot — and a view
+  * predating a column sees it after re-creation, Delta's posture.
+  *
+  * Consistency note: each SCAN resolves independently, so two scans
+  * of one query (a self-join through the view) may observe different
+  * versions if a commit lands between their plannings — the
+  * documented V1 trade; a job that needs one pinned snapshot across
+  * scans reads `spark.read.format("txnlog")` (the memoized
+  * [[TxnLogPartitionedRelation]] / pinned flat relation). At 100 TB
+  * the per-scan cost is one checkpoint-bounded log replay — metadata,
+  * no data file touched before the scan itself. */
+private[graft] class TxnLogLiveRelation(
+    override val sqlContext: SQLContext, t: TxnLog.Table,
+    override val schema: StructType)
+  extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  // rows are produced by an internal Dataset plan: already InternalRow
+  override def needConversion: Boolean = false
+
+  /** Log replays this relation has paid — the freshness audit
+    * (spec-pinned: one per execution THROUGH a temp view, not one
+    * ever). */
+  private[graft] val logReads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    logReads.incrementAndGet()
+    // fresh snapshot per scan; the captured schema projects out of it
+    // (additive evolution widens the live read — never narrows it)
+    val base = TxnLog.read(sqlContext.sparkSession, t, None)
+    TxnLogFilters.scan(base, requiredColumns, filters)
+  }
+}
+
+private[graft] object TxnLogLiveRelation {
+  /** Resolve the relation for a path reference: schema pinned NOW
+    * (registered, or the live footers for raw-commit logs), data
+    * re-resolved per scan. */
+  def of(ctx: SQLContext, path: String): TxnLogLiveRelation = {
+    val t = TxnLog.Table(TxnLog.pathOf(path))
+    val schema = TxnLog.registeredSchema(t).getOrElse {
+      require(TxnLog.latestVersion(t) >= 0,
+        s"empty transaction log at ${t.logDir}")
+      TxnLog.readFiles(ctx.sparkSession, t,
+        TxnLog.snapshot(t).liveFiles, None, mergeSchema = true).schema
+    }
+    new TxnLogLiveRelation(ctx, t, schema)
   }
 }
 

@@ -342,15 +342,29 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(TxnLog.read(spark, t).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((9L, 90L)))
       assert(TxnLog.read(spark, t, Some(vPre)).count() === 4L)
-      // arity mismatch and column lists refuse loudly for txnlog
+      // arity mismatch refuses loudly for txnlog
       val ar = intercept[IllegalArgumentException] {
         spark.sql(s"INSERT INTO txnlog.`$p` VALUES (1, 2, 3)")
       }
       assert(ar.getMessage.contains("column"))
-      val cl = intercept[IllegalArgumentException] {
-        spark.sql(s"INSERT INTO txnlog.`$p` (k, v) VALUES (1, 2)")
+      // an explicit column list aligns BY NAME (list order, not
+      // schema order) and NULL-fills the unnamed columns
+      spark.sql(s"INSERT INTO txnlog.`$p` (v, k) VALUES (70, 7)")
+      spark.sql(s"INSERT INTO txnlog.`$p` (k) VALUES (8)")
+      val byK = TxnLog.read(spark, t).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(byK(7L) === Some(70L), s"named insert misaligned: $byK")
+      assert(byK(8L) === None, s"unnamed column not NULL-filled: $byK")
+      // unknown / duplicate names in the list still refuse
+      val uk = intercept[IllegalArgumentException] {
+        spark.sql(s"INSERT INTO txnlog.`$p` (k, nope) VALUES (1, 2)")
       }
-      assert(cl.getMessage.contains("column list"))
+      assert(uk.getMessage.contains("nope"))
+      val dup = intercept[IllegalArgumentException] {
+        spark.sql(s"INSERT INTO txnlog.`$p` (k, k) VALUES (1, 2)")
+      }
+      assert(dup.getMessage.toLowerCase.contains("duplicate"))
       // a non-txnlog INSERT runs Spark's own plan (native error)
       val nf = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql("INSERT INTO graft_no_such_ins VALUES (1)")
@@ -361,7 +375,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val ex = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"INSERT INTO txnlog.`$p` PARTITION (k=1) SELECT 5L")
       }
-      assert(TxnLog.read(spark, t).count() === 1L, s"bypass! $ex")
+      assert(TxnLog.read(spark, t).count() === 3L, s"bypass! $ex")
     } finally spark.sql("DROP TABLE IF EXISTS sqlins_cat")
     // a PARTITIONED table's SQL inserts restage through its layout
     val proot = java.nio.file.Files
@@ -505,6 +519,143 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(TxnLog.dropPartition(pt, Map("day" -> "d3")) > 0)
     assert(TxnLog.read(spark, pt).collect().map(_.getLong(0)).toSeq
       === Seq(4L))
+  }
+
+  test("aliased UPDATE, quote-safe time travel and ON-split edges") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqlr16-").resolve("t")
+    val t = TxnLog.Table(root)
+    val p = root.toString
+    TxnLog.append(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s").coalesce(1))
+    // UPDATE t x SET … — the aliased form mutates the txnlog table
+    // with alias-qualified references in SET and WHERE
+    spark.sql(
+      s"UPDATE txnlog.`$p` x SET v = x.v + 100 WHERE x.k = 1")
+    // …and the AS spelling too
+    spark.sql(
+      s"UPDATE txnlog.`$p` AS y SET s = concat(y.s, '!') WHERE y.k = 2")
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      .toSeq === Seq((1L, 110L, "a"), (2L, 20L, "b!")))
+    // an aliased UPDATE whose target is NOT txnlog still delegates to
+    // Spark's native path (the native error names the table)
+    val nf = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("UPDATE graft_no_such_upd u SET v = u.v + 1")
+    }
+    assert(nf.getMessage.contains("graft_no_such_upd"))
+    // a string literal containing a txnlog time-travel reference
+    // survives an INSERT verbatim — the travel rewrite is quote-aware
+    val lit0 = s"see txnlog.`$p` VERSION AS OF 3 for details"
+    spark.sql(s"INSERT INTO txnlog.`$p` VALUES (9, 9, '$lit0')")
+    assert(TxnLog.read(spark, t).filter($"k" === 9L).head().getString(2)
+      === lit0)
+    // …while a REAL travel reference in the same statement still
+    // rewrites (both shapes in one text)
+    val v0 = TxnLog.latestVersion(t)
+    spark.sql(s"DELETE FROM txnlog.`$p` WHERE k = 9")
+    assert(spark.sql(
+      s"""SELECT count(*) FROM txnlog.`$p` VERSION AS OF $v0
+         |WHERE s = '$lit0'""".stripMargin).head().getLong(0) === 1L)
+    // a MERGE ON condition with an AND inside a string literal gets
+    // the intended equi-conjunction message, not a fragment error
+    Seq((1L, 1L, "x")).toDF("k", "v", "s")
+      .createOrReplaceTempView("r16_src")
+    val on = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO txnlog.`$p` t USING r16_src s
+           |ON t.k = s.k AND t.s = 'a AND b'
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(on.getMessage.contains("conjunction"),
+      s"wrong ON-split error: ${on.getMessage}")
+    // date-only TIMESTAMP AS OF parses as midnight UTC; junk fails
+    // naming the accepted forms
+    assert(spark.sql(
+      s"SELECT count(*) FROM txnlog.`$p` TIMESTAMP AS OF '2099-01-01'")
+      .head().getLong(0) === 2L)
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"SELECT * FROM txnlog.`$p` TIMESTAMP AS OF 'T::Z'").collect()
+    }
+    assert(bad.getMessage.contains("accepted forms"),
+      s"wrong timestamp error: ${bad.getMessage}")
+  }
+
+  test("txnlog path references resolve per query: temp views serve fresh data") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqllive-").resolve("t")
+    val t = TxnLog.Table(root)
+    val p = root.toString
+    TxnLog.append(spark, t, Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    spark.sql(
+      s"CREATE OR REPLACE TEMP VIEW live_v AS SELECT * FROM txnlog.`$p`")
+    try {
+      assert(spark.sql("SELECT count(*) FROM live_v").head().getLong(0)
+        === 1L)
+      // a commit AFTER view creation is visible THROUGH the view —
+      // the one seam where the old parse-time pin served stale data
+      spark.sql(s"INSERT INTO txnlog.`$p` VALUES (2, 20)")
+      assert(spark.sql("SELECT count(*) FROM live_v").head().getLong(0)
+        === 2L, "temp view pinned its creation-time snapshot")
+      // a time-traveled reference still PINS its version
+      val v0 = 0L
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW pin_v AS " +
+        s"SELECT * FROM txnlog.`$p` VERSION AS OF $v0")
+      spark.sql(s"DELETE FROM txnlog.`$p` WHERE k = 1")
+      assert(spark.sql("SELECT count(*) FROM live_v").head().getLong(0)
+        === 1L)
+      assert(spark.sql("SELECT k FROM pin_v").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L),
+        "time-traveled view lost its pin")
+      // the live view survives VACUUM: the fresh file list never
+      // references the reclaimed files (an eager pin would throw)
+      TxnLog.vacuum(t, graceMs = 0L)
+      assert(spark.sql("SELECT sum(v) FROM live_v").head().getLong(0)
+        === 20L)
+      // a DataFrame-created view stores the ANALYZED plan — one
+      // relation instance baked in — so freshness there rides the
+      // per-EXECUTION buildScan resolution, pinned by the audit
+      // counter AND by seeing a commit that lands after creation
+      val df = spark.sql(s"SELECT * FROM txnlog.`$p`")
+      df.createOrReplaceTempView("live_dfv")
+      val rel = df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation
+      }.collectFirst { case r: graft.sources.TxnLogLiveRelation => r }.get
+      val before = rel.logReads.get()
+      assert(spark.sql("SELECT count(*) FROM live_dfv").head().getLong(0)
+        === 1L)
+      spark.sql(s"INSERT INTO txnlog.`$p` VALUES (5, 50)")
+      assert(spark.sql("SELECT count(*) FROM live_dfv").head().getLong(0)
+        === 2L, "stored-analyzed-plan view pinned its snapshot")
+      assert(rel.logReads.get() >= before + 2,
+        "live relation did not re-resolve per execution")
+      // a PARTITIONED table's live view reconstitutes fresh too
+      val proot = java.nio.file.Files
+        .createTempDirectory("graft-sqllivep-").resolve("t")
+      val pt = TxnLog.Table(proot)
+      TxnLog.appendPartitioned(spark, pt,
+        Seq((1L, "d1")).toDF("id", "day"), Seq("day"))
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW live_pv AS " +
+        s"SELECT * FROM txnlog.`$proot`")
+      assert(spark.sql("SELECT count(*) FROM live_pv").head().getLong(0)
+        === 1L)
+      spark.sql(s"INSERT INTO txnlog.`$proot` VALUES (2, 'd2')")
+      assert(spark.sql(
+        "SELECT id FROM live_pv WHERE day = 'd2'").collect()
+        .map(_.getLong(0)).toSeq === Seq(2L),
+        "partitioned temp view pinned its creation-time snapshot")
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS live_v")
+      spark.sql("DROP VIEW IF EXISTS pin_v")
+      spark.sql("DROP VIEW IF EXISTS live_pv")
+      spark.sql("DROP VIEW IF EXISTS live_dfv")
+    }
   }
 
   test("withExtensions wiring registers the same functions") {

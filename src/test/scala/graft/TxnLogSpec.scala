@@ -1880,9 +1880,12 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
-    // one commit per micro-batch, each fenced by a txn marker
-    val appId = "ck" + java.lang.Integer.toUnsignedString(
-      java.util.Arrays.hashCode(ckpt.getBytes("UTF-8")))
+    // one commit per micro-batch, each fenced by a txn marker under
+    // the digest-derived writer identity (64-bit prefix — two queries
+    // on distinct checkpoints must never collide into one appId)
+    val appId = "ck" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ckpt.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
     assert(TxnLog.lastBatch(t, appId).contains(1L))
     // restart on the SAME checkpoint: down-time rows arrive exactly
     // once; already-committed batches are fenced, not replayed
@@ -1976,5 +1979,78 @@ class TxnLogSpec extends AnyFunSuite {
     assert(ins4.collect().map(_.getLong(0)).toSeq === Seq(100L))
     assert(del4.collect().map(_.getLong(0)).sorted.toSeq ===
       (0L until 10L))
+  }
+
+  test("txnlog: add actions record file sizes; DETAIL and compactSmall read the manifest, not the filesystem") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      (0L until 100L).toDF("id").coalesce(2))
+    TxnLog.appendPartitioned(spark, t,
+      Seq((200L, "d1"), (201L, "d2")).toDF("id", "day"), Seq("day"))
+    val snap = TxnLog.snapshot(t)
+    // every write path stamps size= tokens, and they match the disk
+    assert(snap.liveFiles.forall(snap.fileSizes.contains),
+      s"size-less adds: ${snap.liveFiles.filterNot(snap.fileSizes.contains)}")
+    snap.liveFiles.foreach { rel =>
+      assert(snap.fileSizes(rel) === Files.size(t.root.resolve(rel)),
+        s"manifest size diverges from disk for $rel")
+    }
+    // sizes survive checkpoint replay and ride a restore forward
+    val vPre = TxnLog.latestVersion(t)
+    TxnLog.delete(spark, t, col("id") < 50L)
+    TxnLog.restore(t, vPre)
+    TxnLog.checkpoint(t, TxnLog.latestVersion(t))
+    val snap2 = TxnLog.snapshot(t)
+    assert(snap2.liveFiles.forall(snap2.fileSizes.contains),
+      "sizes lost through restore/checkpoint")
+    // DESCRIBE DETAIL sums the MANIFEST: growing a data file on disk
+    // behind the log's back must not change the reported bytes
+    val before = spark.sql(s"DESCRIBE DETAIL txnlog.`${t.root}`")
+      .head().getLong(4)
+    val victim = t.root.resolve(snap2.liveFiles.head)
+    val origBytes = Files.readAllBytes(victim)
+    Files.write(victim, origBytes ++ new Array[Byte](4096))
+    try {
+      val after = spark.sql(s"DESCRIBE DETAIL txnlog.`${t.root}`")
+        .head().getLong(4)
+      assert(after === before,
+        "DESCRIBE DETAIL stat-walked the filesystem instead of the manifest")
+    } finally Files.write(victim, origBytes)
+    // compactSmall selects from MANIFEST sizes: a raw add whose size=
+    // token claims a huge file must not be selected even though the
+    // physical file is tiny (stat-based selection would take it)…
+    val t2 = freshTable()
+    TxnLog.append(spark, t2, Seq(1L).toDF("id").coalesce(1))
+    TxnLog.append(spark, t2, Seq(2L).toDF("id").coalesce(1))
+    val small = TxnLog.snapshot(t2).liveFiles.head
+    val claimed = TxnLog.snapshot(t2).liveFiles.last
+    // re-register the second file with a fabricated huge size
+    TxnLog.commit(t2, TxnLog.latestVersion(t2), adds = Nil,
+      extra = Seq(s"add\t$claimed\tsize=${1L << 40}"))
+    val v0 = TxnLog.latestVersion(t2)
+    assert(TxnLog.compactSmall(spark, t2, minFileBytes = 1L << 20) === v0,
+      "compactSmall trusted the filesystem over the manifest " +
+        "(needs >= 2 small files; the claimed-huge one must not count)")
+    // …and a LEGACY add with no size token falls back to one stat
+    val t3 = freshTable()
+    TxnLog.append(spark, t3, Seq(1L).toDF("id").coalesce(1))
+    val legacyRel = {
+      val stage = t3.dataDir.resolve("legacy-stage")
+      Seq(2L).toDF("id").coalesce(1).write.parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val s0 = Files.walk(stage)
+      try s0.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => t3.root.relativize(p).toString).next()
+      finally s0.close()
+    }
+    TxnLog.commit(t3, TxnLog.latestVersion(t3), adds = Seq(legacyRel))
+    val snap3 = TxnLog.snapshot(t3)
+    assert(!snap3.fileSizes.contains(legacyRel), "raw add grew a size")
+    TxnLog.compactSmall(spark, t3, minFileBytes = 1L << 20)
+    assert(TxnLog.snapshot(t3).liveFiles.length === 1,
+      "legacy stat fallback missed the small pair")
+    assert(TxnLog.read(spark, t3).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L))
   }
 }
