@@ -440,6 +440,61 @@ object SourceOracles {
         |FROM tgt WHERE st = 'F' GROUP BY 1
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    "src_txnlog_view" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'pinned' AS side
+        |FROM tgt WHERE k % 2 = 1 GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'through_view' AS side
+        |FROM tgt GROUP BY 1
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
+    "src_txnlog_constraints" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(2 AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS price_cents, CAST(0 AS BIGINT) AS key_sum,
+        |  'refused' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
+    "src_txnlog_rename" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders),
+        |ren AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 10 = 3 THEN p * 2 ELSE p END AS p
+        |  FROM tgt)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM ren GROUP BY 1
+        |UNION ALL
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'pre_rename' AS side
+        |FROM tgt GROUP BY 1
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -1290,6 +1290,128 @@ object SourceOps {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** PER-QUERY snapshot resolution — the seam where a lakehouse SQL
+    * user most easily reads stale data: a temp view created over
+    * `txnlog.\`/p\`` must serve commits that land AFTER its creation
+    * (the reference resolves relations per query; an eager parse-time
+    * pin would freeze the view's file list forever and break after
+    * vacuum). The view is created over the ODD half, the EVEN half
+    * lands afterwards through SQL INSERT, and the profile reads
+    * THROUGH THE VIEW — a stale pin would halve every group. The
+    * 'pinned' side reads `VERSION AS OF v0` through a second view,
+    * proving time-traveled references still pin. Oracle: the same
+    * two profiles straight off orders. */
+  def txnlogView(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnview-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.append(s, t, o.filter(col("o_orderkey") % 2 === 1))
+    val v0 = graft.sources.TxnLog.latestVersion(t)
+    s.sql(s"CREATE OR REPLACE TEMP VIEW graft_live_v AS " +
+      s"SELECT * FROM txnlog.`$root`")
+    s.sql(s"CREATE OR REPLACE TEMP VIEW graft_pin_v AS " +
+      s"SELECT * FROM txnlog.`$root` VERSION AS OF $v0")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .createOrReplaceTempView("graft_view_src")
+    s.sql(s"INSERT INTO txnlog.`$root` SELECT * FROM graft_view_src")
+    def prof(df: DataFrame): DataFrame = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+    prof(s.table("graft_live_v")).withColumn("side", lit("through_view"))
+      .unionByName(prof(s.table("graft_pin_v"))
+        .withColumn("side", lit("pinned")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** Table CONSTRAINTS — NOT NULL and named CHECKs declared in one
+    * metadata commit and enforced on EVERY write path with an atomic
+    * refusal (nothing commits, the txn marker never advances): the
+    * data-quality gate a lakehouse ingest runs. Two violating SQL
+    * INSERTs are attempted and must refuse (their refusals are
+    * counted into the audit row — if either landed, the 'latest'
+    * profile would also drift); a post-refusal UPDATE that satisfies
+    * the constraints lands. Oracle: the final table profiled off
+    * orders plus the hardcoded audit row. */
+  def txnlogConstraints(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txncon-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.append(s, t, o)
+    s.sql(s"ALTER TABLE txnlog.`$root` ADD CONSTRAINT price_pos " +
+      "CHECK (o_totalprice >= 0)")
+    s.sql(s"ALTER TABLE txnlog.`$root` ALTER COLUMN o_orderstatus " +
+      "SET NOT NULL")
+    var refused = 0L
+    try s.sql(s"INSERT INTO txnlog.`$root` VALUES (1, 'X', -5.0)")
+    catch { case e: IllegalArgumentException
+      if e.getMessage.contains("price_pos") => refused += 1 }
+    try s.sql(s"INSERT INTO txnlog.`$root` VALUES (2, NULL, 5.0)")
+    catch { case e: IllegalArgumentException
+      if e.getMessage.contains("NOT NULL") => refused += 1 }
+    // a conforming write still lands under the declared constraints
+    s.sql(s"UPDATE txnlog.`$root` SET o_totalprice = o_totalprice + 1 " +
+      "WHERE o_orderkey % 100 = 7")
+    graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(refused).as("n_rows"),
+        lit(0L).as("price_cents"), lit(0L).as("key_sum"),
+        lit("refused").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** RENAME/DROP COLUMN through COLUMN MAPPING — schema evolution
+    * beyond additive, as ONE metadata commit each (the registered
+    * schema carries a logical→physical name indirection; no data
+    * file is rewritten — the demo renames o_totalprice to price,
+    * UPDATEs through the new name, drops o_custkey, and the whole
+    * pipeline — mapped reads, DML locate/restage, time travel —
+    * keeps working). The 'latest' side reads THROUGH the mapping via
+    * SQL; the 'pre_rename' side time-travels below the rename and
+    * reads the OLD column name (each version's schema is its own).
+    * Oracle: the doubled slice off orders, and the original for the
+    * pinned side. */
+  def txnlogRename(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnren-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    graft.sources.TxnLog.append(s, t, o)
+    val v0 = graft.sources.TxnLog.latestVersion(t)
+    s.sql(s"ALTER TABLE txnlog.`$root` RENAME COLUMN o_totalprice TO price")
+    s.sql(s"ALTER TABLE txnlog.`$root` DROP COLUMN o_custkey")
+    s.sql(s"UPDATE txnlog.`$root` SET price = price * 2 " +
+      "WHERE o_orderkey % 10 = 3")
+    val latest = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+         |    AS price_cents,
+         |  sum(o_orderkey) AS key_sum
+         |FROM txnlog.`$root` GROUP BY 1""".stripMargin)
+    val before = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS price_cents,
+         |  sum(o_orderkey) AS key_sum
+         |FROM txnlog.`$root` VERSION AS OF $v0 GROUP BY 1""".stripMargin)
+    latest.withColumn("side", lit("latest"))
+      .unionByName(before.withColumn("side", lit("pre_rename")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */

@@ -158,6 +158,9 @@ object TxnLog {
     var sizes = Map.empty[String, Long]
     var schemaJson: Option[String] = None
     var txns = Map.empty[String, Long]
+    var notNull = Set.empty[String]
+    var checks = Map.empty[String, String] // name -> expression SQL
+    var dropped = Set.empty[String] // tombstoned PHYSICAL column names
   }
 
   private def corrupt(src: Path, line: String): Nothing =
@@ -210,6 +213,19 @@ object TxnLog {
         st.parts -= rel
         st.sizes -= rel
       case Array("schema", js) => st.schemaJson = Some(js)
+      // table constraints: declared in one metadata commit, enforced
+      // on every subsequent write (CHECK expressions hive-escaped —
+      // SQL text may contain tabs, the action separator)
+      case Array("constraint", "notnull", c)  => st.notNull += c
+      case Array("constraint", "check", n, e) =>
+        st.checks += n -> unescapePart(e)
+      case Array("dropconstraint", "notnull", c)  => st.notNull -= c
+      case Array("dropconstraint", "check", n)    => st.checks -= n
+      // DROP COLUMN's tombstone: the physical name stays forbidden
+      // for NEW columns, whose physical would default to their
+      // logical name — a fresh column reading a dropped column's
+      // bytes out of old files is the resurrection bug this blocks
+      case Array("dropped", phys) => st.dropped += phys
       case Array("txn", a, b) =>
         val id = try b.toLong
         catch { case _: NumberFormatException => corrupt(src, line) }
@@ -278,6 +294,10 @@ object TxnLog {
           .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
         (s"add\t$rel" +: (pTok ++ zTok ++ sTok)).mkString("\t")
       } ++
+      st.dropped.toSeq.sorted.map(p => s"dropped\t$p") ++
+      st.notNull.toSeq.sorted.map(c => s"constraint\tnotnull\t$c") ++
+      st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"constraint\tcheck\t$n\t${escapePart(e)}" } ++
       st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"txn\t$a\t$b" }
     val tmp = t.logDir.resolve(s".tmp-ckpt-${UUID.randomUUID()}")
     Files.writeString(tmp, lines.mkString("", "\n", "\n"))
@@ -402,24 +422,110 @@ object TxnLog {
   private def parseSchema(js: String): StructType =
     DataType.fromJson(js).asInstanceOf[StructType]
 
+  // ---------------------------------------------------------------
+  // Column mapping (RENAME / DROP COLUMN without rewriting data)
+  // ---------------------------------------------------------------
+
+  /** The metadata key carrying a field's PHYSICAL column name — the
+    * name stored in the data files. Absent = physical == logical.
+    * A RENAME changes only the logical name (one metadata commit;
+    * old files keep reading through the mapping); a DROP removes the
+    * field and tombstones its physical name. The Delta
+    * column-mapping idea expressed through Spark's own field
+    * metadata, so the mapping rides the existing `schema` action
+    * and checkpoints untouched. */
+  private[sources] val PhysicalKey = "graft.physical"
+
+  private[sources] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private[sources] def hasMapping(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** The schema as the data files hold it: fields renamed to their
+    * physical names, mapping metadata dropped. */
+  private def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalName(f), f.dataType, f.nullable)))
+
+  /** Rename a frame's columns LOGICAL -> PHYSICAL before staging —
+    * the write half of the mapping (columns outside the registered
+    * schema — an evolving append's new fields — keep their names:
+    * physical defaults to logical at registration). No-op without a
+    * mapping. */
+  private def toPhysical(df: DataFrame,
+                         schema: Option[StructType]): DataFrame =
+    schema match {
+      case Some(sc) if hasMapping(sc) =>
+        import org.apache.spark.sql.functions.col
+        val m = sc.fields.map(f => f.name -> physicalName(f)).toMap
+        df.select(df.columns.toIndexedSeq.map(c =>
+          col(c).as(m.getOrElse(c, c))): _*)
+      case _ => df
+    }
+
+  /** Select a physically-named frame back to logical names, in
+    * `fields` order — the read half of the mapping. */
+  private def toLogical(df: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(fields.map(f =>
+      col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** PHYSICAL names tombstoned by DROP COLUMN — replay-accumulated
+    * (read only on schema-registering commits, which are rare). */
+  private def droppedPhysicals(t: Table): Set[String] =
+    if (latestVersion(t) < 0) Set.empty
+    else replayState(t, None)._2.dropped
+
   /** Merge `incoming` into the registered schema: shared names must
-    * keep their types (refuse-rather-than-corrupt), genuinely new
-    * fields append — the ADDITIVE evolution contract. Returns the
-    * merged schema and whether registration is needed. */
-  private def mergedSchema(cur: Option[StructType],
+    * keep their types AND their physical mapping
+    * (refuse-rather-than-corrupt), genuinely new fields append — the
+    * ADDITIVE evolution contract. A new field whose physical name (=
+    * its logical name) was tombstoned by DROP COLUMN refuses: old
+    * files still hold the dropped column's bytes under that name,
+    * and a fresh column must never read them. Returns the merged
+    * schema and whether registration is needed. */
+  private def mergedSchema(t: Table, cur: Option[StructType],
                            incoming: StructType): (StructType, Boolean) =
     cur match {
       case None => (incoming, true)
       case Some(c) =>
-        val byName = c.fields.map(f => f.name -> f.dataType).toMap
+        val byName = c.fields.map(f => f.name -> f).toMap
         incoming.fields.foreach { f =>
-          byName.get(f.name).foreach { dt =>
-            require(dt == f.dataType,
+          byName.get(f.name).foreach { have =>
+            require(have.dataType == f.dataType,
               s"non-additive schema change on '${f.name}': " +
-                s"$dt -> ${f.dataType}")
+                s"${have.dataType} -> ${f.dataType}")
+            require(!f.metadata.contains(PhysicalKey) ||
+              physicalName(f) == physicalName(have),
+              s"conflicting physical mapping for '${f.name}': " +
+                s"${physicalName(have)} vs ${physicalName(f)}")
           }
         }
         val fresh = incoming.fields.filterNot(f => byName.contains(f.name))
+        if (fresh.nonEmpty) {
+          val dead = droppedPhysicals(t)
+          val clash = fresh.map(physicalName).filter(dead.contains)
+          require(clash.isEmpty,
+            s"column name(s) ${clash.mkString(", ")} were DROPPED from " +
+              s"this table: old data files still hold their bytes, so " +
+              "re-adding the name would resurrect deleted values — " +
+              "pick a different name or rewrite the table " +
+              "(INSERT OVERWRITE resets the schema)")
+          // same hazard through RENAME: a new column named like an
+          // existing field's physical (pre-rename) storage name would
+          // read that field's bytes out of old files
+          val curPhys = c.fields.map(physicalName).toSet
+          val clash2 = fresh.map(physicalName).filter(curPhys.contains)
+          require(clash2.isEmpty,
+            s"column name(s) ${clash2.mkString(", ")} are the physical " +
+              "storage name of an existing (renamed) column — pick a " +
+              "different name or rewrite the table")
+        }
         (StructType(c.fields ++ fresh), fresh.nonEmpty)
     }
 
@@ -468,7 +574,8 @@ object TxnLog {
                           statsCols: Seq[String]): Long = {
     val stage = newStage(t, t.dataDir)
     try {
-      df.write.parquet(stage.toString)
+      toPhysical(df, registeredSchema(t)).write.parquet(stage.toString)
+      enforceStaged(s, t, Seq(stage))
       commitRegistering(t, df.schema,
         addLinesFor(s, t, stage, statsCols) ++ extraLines)
     } finally seal(t, stage)
@@ -486,7 +593,7 @@ object TxnLog {
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(t)
-      val (schema, changed) = mergedSchema(registeredSchema(t), incoming)
+      val (schema, changed) = mergedSchema(t, registeredSchema(t), incoming)
       val schemaLine = changed || base < 0
       val lines = (if (schemaLine)
         Seq(s"schema\t${schema.json}") else Nil) ++ lines0
@@ -517,13 +624,16 @@ object TxnLog {
     * feed, not the table). */
   def appendPartitioned(s: SparkSession, t: Table, df: DataFrame,
                         partCols: Seq[String],
-                        statsCols: Seq[String] = Nil): Long = {
+                        statsCols: Seq[String] = Nil,
+                        extraLines: Seq[String] = Nil): Long = {
     require(partCols.nonEmpty, "appendPartitioned needs partition columns")
     val stage = newStage(t, t.dataDir)
     try {
-      df.write.partitionBy(partCols: _*).parquet(stage.toString)
+      toPhysical(df, registeredSchema(t))
+        .write.partitionBy(partCols: _*).parquet(stage.toString)
+      enforceStaged(s, t, Seq(stage))
       commitRegistering(t, df.schema,
-        partitionedAddLines(s, t, stage, statsCols))
+        partitionedAddLines(s, t, stage, statsCols) ++ extraLines)
     } finally seal(t, stage)
   }
 
@@ -624,8 +734,17 @@ object TxnLog {
     def sized(rel: String): String =
       s"add\t$rel\tsize=${Files.size(t.root.resolve(rel))}"
     if (statsCols.isEmpty || rels.isEmpty) return rels.map(sized)
+    // staged files hold PHYSICAL names; manifest stats stay keyed by
+    // the LOGICAL name (pruneBox matches user predicates) — aggregate
+    // the physical column under the logical label
+    val physOf: Map[String, String] = registeredSchema(t) match {
+      case Some(sc) if hasMapping(sc) =>
+        sc.fields.map(f => f.name -> physicalName(f)).toMap
+      case _ => Map.empty
+    }
+    def pn(c: String): String = physOf.getOrElse(c, c)
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+      Seq(min(col(pn(c))).as(s"lo_$c"), max(col(pn(c))).as(s"hi_$c")))
     val byPath = s.read.parquet(stage.toString)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -699,19 +818,24 @@ object TxnLog {
     try {
       // a partitioned table's streaming batches stage THROUGH its
       // layout (tokens recorded) — same rule as every other write op
+      val out = toPhysical(df, registeredSchema(t))
       val adds =
         if (partCols.isEmpty) {
-          df.write.parquet(stage.toString)
+          out.write.parquet(stage.toString)
           addLinesFor(s, t, stage, Nil)
         } else {
-          df.write.partitionBy(partCols: _*).parquet(stage.toString)
+          out.write.partitionBy(partCols: _*).parquet(stage.toString)
           partitionedAddLines(s, t, stage, Nil)
         }
+      // BEFORE the marker loop: a refused batch leaves only staged
+      // garbage and never advances the txn high-water mark, so a
+      // retried batch with fixed data still lands
+      enforceStaged(s, t, Seq(stage))
       val marker = s"txn\t$appId\t$batchId"
       while (true) {
         val base = latestVersion(t)
         if (lastBatch(t, appId).exists(_ >= batchId)) return false
-        val (schema, changed) = mergedSchema(registeredSchema(t), df.schema)
+        val (schema, changed) = mergedSchema(t, registeredSchema(t), df.schema)
         val lines = (if (changed || base < 0)
           Seq(s"schema\t${schema.json}") else Nil) ++ adds :+ marker
         if (tryPublish(t, base + 1, lines)) return true
@@ -759,14 +883,20 @@ object TxnLog {
     val schema = schemaJson.map(parseSchema).getOrElse(
       throw new IllegalStateException(
         "partitioned txnlog reads need a log-registered schema"))
-    if (rels.isEmpty) return s.read.schema(schema).parquet()
+    if (rels.isEmpty)
+      return s.read.schema(StructType(schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          f.nullable)))).parquet()
     val groups = rels.groupBy(rel => parts.getOrElse(rel, Map.empty))
       .toSeq.sortBy(_._1.toSeq.sorted.mkString(",")) // deterministic plan
     groups.map { case (spec, files) =>
-      val dataSchema = StructType(
-        schema.fields.filterNot(f => spec.contains(f.name)))
-      val base = s.read.schema(dataSchema)
-        .parquet(files.map(r => t.root.resolve(r).toString): _*)
+      val dataFields = schema.fields.filterNot(f => spec.contains(f.name))
+      // partition columns never map (rename/drop refuse on them);
+      // data columns scan PHYSICAL and alias back to logical
+      val base = toLogical(
+        s.read.schema(physicalSchema(StructType(dataFields)))
+          .parquet(files.map(r => t.root.resolve(r).toString): _*),
+        dataFields.toIndexedSeq)
       val full = spec.foldLeft(base) { case (df, (c, v)) =>
         val dt = schema.fields.find(_.name == c)
           .map(_.dataType)
@@ -837,7 +967,13 @@ object TxnLog {
                         mergeSchema: Boolean = false): DataFrame = {
     val paths = rels.map(rel => t.root.resolve(rel).toString)
     schemaJson match {
-      case Some(js) => s.read.schema(parseSchema(js)).parquet(paths: _*)
+      case Some(js) =>
+        val schema = parseSchema(js)
+        if (!hasMapping(schema))
+          s.read.schema(schema).parquet(paths: _*)
+        else // mapped: scan PHYSICAL names, alias back to logical
+          toLogical(s.read.schema(physicalSchema(schema))
+            .parquet(paths: _*), schema.fields.toIndexedSeq)
       case None =>
         s.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
     }
@@ -903,7 +1039,9 @@ object TxnLog {
       .distinct.sorted.filterNot(partCols.contains)
     val stage = newStage(t, t.dataDir)
     try {
-      val df = readRels(s, t, snap, snap.liveFiles).coalesce(targetFiles)
+      val df = toPhysical(
+        readRels(s, t, snap, snap.liveFiles).coalesce(targetFiles),
+        snap.schemaJson.map(parseSchema))
       // a partitioned table compacts THROUGH its layout (tokens
       // re-emitted) — OPTIMIZE must never silently flatten the
       // metadata dropPartition and partition pruning depend on
@@ -960,16 +1098,21 @@ object TxnLog {
             if (spec.isEmpty) readFiles(s, t, files, snap.schemaJson)
             else {
               // partitioned victims: the partition column is NOT in
-              // the files — read with the data schema and re-emit the
+              // the files — read with the data schema (physical
+              // names under a mapping, aliased back) and re-emit the
               // tokens, keeping the layout intact
               val schema = snap.schemaJson.map(parseSchema).getOrElse(
                 throw new IllegalStateException(
                   "partitioned compaction needs a registered schema"))
-              s.read.schema(StructType(schema.fields
-                  .filterNot(f => spec.contains(f.name))))
-                .parquet(files.map(r => t.root.resolve(r).toString): _*)
+              val dataFields = schema.fields
+                .filterNot(f => spec.contains(f.name)).toIndexedSeq
+              toLogical(s.read.schema(physicalSchema(StructType(dataFields)))
+                .parquet(files.map(r => t.root.resolve(r).toString): _*),
+                dataFields)
             }
-          df.coalesce(targetFiles).write.parquet(stage.toString)
+          toPhysical(df.coalesce(targetFiles),
+            snap.schemaJson.map(parseSchema))
+            .write.parquet(stage.toString)
           val lines = addLinesFor(s, t, stage,
             statsCols.filterNot(spec.contains))
           val pTok = spec.toSeq.sortBy(_._1)
@@ -1040,12 +1183,13 @@ object TxnLog {
         .drop("_z")
       // a partitioned table z-clusters WITHIN its layout (tokens
       // re-emitted) — same no-silent-flattening rule as compact
+      val out = toPhysical(clustered, snap.schemaJson.map(parseSchema))
       val adds =
         if (partCols.isEmpty) {
-          clustered.write.parquet(stage.toString)
+          out.write.parquet(stage.toString)
           addLinesFor(s, t, stage, statsCols)
         } else {
-          clustered.write.partitionBy(partCols: _*)
+          out.write.partitionBy(partCols: _*)
             .parquet(stage.toString)
           partitionedAddLines(s, t, stage, statsCols)
         }
@@ -1117,6 +1261,7 @@ object TxnLog {
           df.write.partitionBy(partCols: _*).parquet(stage.toString)
           partitionedAddLines(s, t, stage, Nil)
         }
+      enforceStaged(s, t, Seq(stage))
       val rels = stagedFiles(t, stage)
       val schemaLine =
         if (snap.schemaJson.contains(df.schema.json)) Nil
@@ -1164,15 +1309,20 @@ object TxnLog {
     * partition columns (they are not in the data files). */
   private def stageAdds(s: SparkSession, t: Table, df: DataFrame,
       stage: Path, partCols: Seq[String],
-      statsCols: Seq[String]): Seq[String] =
+      statsCols: Seq[String],
+      schemaJson: Option[String] = None): Seq[String] = {
+    // the files hold PHYSICAL names (no-op without a mapping);
+    // partition columns never map, so partitionBy stays logical
+    val out = toPhysical(df, schemaJson.map(parseSchema))
     if (partCols.isEmpty) {
-      df.write.parquet(stage.toString)
+      out.write.parquet(stage.toString)
       addLinesFor(s, t, stage, statsCols)
     } else {
-      df.write.partitionBy(partCols: _*).parquet(stage.toString)
+      out.write.partitionBy(partCols: _*).parquet(stage.toString)
       partitionedAddLines(s, t, stage,
         statsCols.filterNot(partCols.contains))
     }
+  }
 
   /** Map input_file_name URIs back to the snapshot's relative live
     * paths — the rewrite ops' touched-file resolution. */
@@ -1234,8 +1384,9 @@ object TxnLog {
       val partCols = snap.filePartitions.values
         .flatMap(_.keys).toSeq.distinct.sorted
       val adds = stageAdds(s, t, affected.filter(not(cond)), stage,
-        partCols, statsCols)
-      affected.filter(cond).write.parquet(cdcStage.toString)
+        partCols, statsCols, snap.schemaJson)
+      toPhysical(affected.filter(cond), snap.schemaJson.map(parseSchema))
+        .write.parquet(cdcStage.toString)
       val cdcLines = stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
       commit(t, snap.version, adds = Nil, removes = affectedRel,
         extra = adds ++ cdcLines)
@@ -1313,9 +1464,15 @@ object TxnLog {
     try {
       val adds =
         stageAdds(s, t, affected.filter(not(cond)), survivorStage,
-          partCols, statsCols) ++
-        stageAdds(s, t, newImages, updatedStage, partCols, statsCols)
-      affected.filter(cond).write.parquet(cdcStage.toString) // old images
+          partCols, statsCols, snap.schemaJson) ++
+        stageAdds(s, t, newImages, updatedStage, partCols, statsCols,
+          snap.schemaJson)
+      // only the NEW images can introduce a violation — survivors
+      // are rewritten byte-identical and already satisfied the
+      // constraints (declaration validates existing rows)
+      enforceStaged(s, t, Seq(updatedStage))
+      toPhysical(affected.filter(cond), snap.schemaJson.map(parseSchema))
+        .write.parquet(cdcStage.toString) // old images
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
         stagedFiles(t, updatedStage).map(r => s"cdc\t$r\tinsert")
@@ -1392,11 +1549,16 @@ object TxnLog {
     try {
       val adds =
         stageAdds(s, t, affected.join(keys, Seq(keyCol), "left_anti"),
-          survivorStage, partCols, statsCols) ++
-        stageAdds(s, t, src, sourceStage, partCols, statsCols)
-      affected.join(keys, Seq(keyCol), "left_semi")
+          survivorStage, partCols, statsCols, snap.schemaJson) ++
+        stageAdds(s, t, src, sourceStage, partCols, statsCols,
+          snap.schemaJson)
+      // only the source's new images/inserts can violate; survivors
+      // are byte-identical rewrites
+      enforceStaged(s, t, Seq(sourceStage))
+      toPhysical(affected.join(keys, Seq(keyCol), "left_semi"),
+          snap.schemaJson.map(parseSchema))
         .write.parquet(cdcStage.toString) // old images of matched rows
-      val (schema, changed) = mergedSchema(registeredSchema(t),
+      val (schema, changed) = mergedSchema(t, registeredSchema(t),
         src.schema)
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
@@ -1476,7 +1638,8 @@ object TxnLog {
     * contract verbatim. */
   def mergeIntoKeys(s: SparkSession, t: Table, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
-      targetAlias: String = "t", sourceAlias: String = "s"): Long = {
+      targetAlias: String = "t", sourceAlias: String = "s",
+      extraLines: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name,
       lit, max, min, when}
     require(keyCols.nonEmpty, "mergeIntoKeys needs at least one key column")
@@ -1564,13 +1727,18 @@ object TxnLog {
       .flatMap(_.keys).toSeq.distinct.sorted
     if (affectedRel.isEmpty) {
       // nothing matched: the merge degrades to the insert clauses
+      // (extraLines — a sink's txn marker — still ride the commit;
+      // with no insert clause they land in a marker-only commit so a
+      // fenced batch id is never re-deliverable)
       return insertable(src.alias(sa)) match {
         case Some(rows) if partCols.nonEmpty =>
           appendPartitioned(s, t, rows, partCols,
-            statsCols.filterNot(partCols.contains))
-        case Some(rows) => appendLines(s, t, rows, extraLines = Nil,
+            statsCols.filterNot(partCols.contains), extraLines)
+        case Some(rows) => appendLines(s, t, rows, extraLines = extraLines,
           statsCols = statsCols)
-        case None => snap.version
+        case None =>
+          if (extraLines.isEmpty) snap.version
+          else commit(t, snap.version, adds = Nil, extra = extraLines)
       }
     }
 
@@ -1647,14 +1815,21 @@ object TxnLog {
     val cdcStage = newStage(t, t.cdcDir)
     try {
       val adds =
-        stageAdds(s, t, survivors, survivorStage, partCols, statsCols) ++
+        stageAdds(s, t, survivors, survivorStage, partCols, statsCols,
+          snap.schemaJson) ++
         updatedNew.toSeq.flatMap(
-          stageAdds(s, t, _, updatedStage, partCols, statsCols)) ++
+          stageAdds(s, t, _, updatedStage, partCols, statsCols,
+            snap.schemaJson)) ++
         inserted.toSeq.flatMap(
-          stageAdds(s, t, _, insertStage, partCols, statsCols))
-      oldImages.write.parquet(cdcStage.toString)
+          stageAdds(s, t, _, insertStage, partCols, statsCols,
+            snap.schemaJson))
+      // updated new images + accepted inserts can violate; survivors
+      // are byte-identical rewrites
+      enforceStaged(s, t, Seq(updatedStage, insertStage))
+      toPhysical(oldImages, snap.schemaJson.map(parseSchema))
+        .write.parquet(cdcStage.toString)
       val (schema, changed) = inserted match {
-        case Some(_) => mergedSchema(registeredSchema(t), src.schema)
+        case Some(_) => mergedSchema(t, registeredSchema(t), src.schema)
         case None    => (affected.schema, false)
       }
       val cdcLines =
@@ -1663,9 +1838,53 @@ object TxnLog {
           .map(r => s"cdc\t$r\tinsert")
       val schemaLine = if (changed) Seq(s"schema\t${schema.json}") else Nil
       commit(t, snap.version, adds = Nil, removes = affectedRel,
-        extra = schemaLine ++ adds ++ cdcLines)
+        extra = schemaLine ++ adds ++ cdcLines ++ extraLines)
     } finally seal(t, survivorStage, updatedStage, insertStage, cdcStage)
     } finally org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(src)
+  }
+
+  /** EXACTLY-ONCE streaming UPSERT — the Update-output-mode sink
+    * contract ([[appendBatch]]'s keyed sibling): the micro-batch
+    * upserts into the table on `keyCols` (matched rows take the
+    * source's values column-wise, unmatched rows insert) and the
+    * commit carries the same `txn appId batchId` fence, so a
+    * RESTARTED query's replayed batch recognizes the marker and
+    * no-ops. A concurrent-commit loss recomputes the whole upsert
+    * against the fresh snapshot and re-checks the fence — a racing
+    * twin that won with THIS batch id is detected, not re-applied.
+    * Contract: one row per key per batch (the Update-mode aggregation
+    * shape; violations refuse loudly via mergeIntoKeys' ambiguity
+    * check). Returns true iff THIS call committed the batch. */
+  def upsertBatch(s: SparkSession, t: Table, df: DataFrame,
+                  keyCols: Seq[String], appId: String,
+                  batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions.col
+    require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")
+    require(keyCols.nonEmpty, "upsertBatch needs key columns")
+    val marker = s"txn\t$appId\t$batchId"
+    while (true) {
+      if (lastBatch(t, appId).exists(_ >= batchId)) return false
+      // first batch on an empty table: nothing to merge into
+      if (latestVersion(t) < 0)
+        return appendBatch(s, t, df, appId, batchId)
+      val nonKey = df.columns.filterNot(keyCols.contains).toSeq
+      val clauses =
+        (if (nonKey.isEmpty) Nil
+         else Seq(MergeClause.Update(None,
+           nonKey.map(c => c -> col(s"s.$c")).toMap))) :+
+        MergeClause.Insert(None)
+      try {
+        mergeIntoKeys(s, t, df, keyCols, clauses,
+          extraLines = Seq(marker))
+        return true
+      } catch {
+        // a concurrent commit invalidated the rewrite: recompute
+        // against the fresh snapshot (the fence re-check above
+        // catches a twin that already landed this batch)
+        case _: java.util.ConcurrentModificationException => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---------------------------------------------------------------
@@ -1811,13 +2030,252 @@ object TxnLog {
         throw new IllegalStateException(
           s"table at ${t.root} never registered a schema (raw " +
             "commits); append through the API once before evolving it"))
-      val (merged, changed) = mergedSchema(Some(cur),
+      val (merged, changed) = mergedSchema(t, Some(cur),
         StructType(cur.fields ++ newCols.fields))
       if (!changed) return base
       if (tryPublish(t, base + 1, Seq(s"schema\t${merged.json}")))
         committed = base + 1
     }
     committed
+  }
+
+  /** RENAME COLUMN as ONE metadata commit — no data file rewritten:
+    * the field keeps its PHYSICAL name (the one in the files) via
+    * [[PhysicalKey]] mapping metadata, and only the logical name the
+    * schema exposes changes. Old files read under the new name
+    * through the mapping; time travel below the commit shows the old
+    * name (each version's schema is its own); the change feed
+    * reconstitutes either side under the schema of its range end.
+    * Refused for partition columns (their name IS the layout), when
+    * the new name is taken, and when a CHECK constraint references
+    * the old name (its SQL text cannot be rewritten safely — drop
+    * and re-add the constraint around the rename). A NOT NULL
+    * constraint migrates automatically in the same commit.
+    * Manifest (min, max) stats recorded under the OLD logical name
+    * stop pruning for the new name — conservative, never wrong; the
+    * next OPTIMIZE re-stamps them. Returns the committed version. */
+  def renameColumn(t: Table, oldName: String, newName: String): Long = {
+    require(newName.nonEmpty && !newName.exists(c => c == '\t' || c == '\n'),
+      s"bad column name: '$newName'")
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(t)
+      require(base >= 0, s"empty transaction log at ${t.logDir}")
+      val cur = registeredSchema(t).getOrElse(
+        throw new IllegalStateException(
+          s"table at ${t.root} never registered a schema (raw " +
+            "commits); append through the API once before evolving it"))
+      require(cur.fieldNames.contains(oldName),
+        s"no column '$oldName' (table has ${cur.fieldNames.mkString(", ")})")
+      require(!cur.fieldNames.contains(newName),
+        s"column '$newName' already exists")
+      evolutionGuards(t, oldName, "rename")
+      val (_, st) = replayState(t, None)
+      val fields = cur.fields.map { f =>
+        if (f.name != oldName) f
+        else org.apache.spark.sql.types.StructField(newName, f.dataType,
+          f.nullable, new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysicalKey, physicalName(f)).build())
+      }
+      val migrate =
+        if (!st.notNull.contains(oldName)) Nil
+        else Seq(s"dropconstraint\tnotnull\t$oldName",
+          s"constraint\tnotnull\t$newName")
+      if (tryPublish(t, base + 1,
+          s"schema\t${StructType(fields).json}" +: migrate))
+        committed = base + 1
+    }
+    committed
+  }
+
+  /** DROP COLUMN as ONE metadata commit: the field leaves the
+    * schema, old files keep their bytes (ignored by the pinned
+    * scan), and the PHYSICAL name is tombstoned — re-adding a column
+    * under it refuses, because the new column would read the dropped
+    * column's surviving bytes out of old files (the resurrection
+    * bug; rewrite the table to truly reclaim the name). Refused for
+    * partition columns, the last remaining column, and columns a
+    * CHECK constraint references; a NOT NULL constraint drops with
+    * the column. Time travel below the commit still shows it.
+    * Returns the committed version. */
+  def dropColumn(t: Table, name: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(t)
+      require(base >= 0, s"empty transaction log at ${t.logDir}")
+      val cur = registeredSchema(t).getOrElse(
+        throw new IllegalStateException(
+          s"table at ${t.root} never registered a schema (raw " +
+            "commits); append through the API once before evolving it"))
+      require(cur.fieldNames.contains(name),
+        s"no column '$name' (table has ${cur.fieldNames.mkString(", ")})")
+      require(cur.length > 1, s"cannot drop the last column '$name'")
+      evolutionGuards(t, name, "drop")
+      val (_, st) = replayState(t, None)
+      val phys = physicalName(cur.fields.find(_.name == name).get)
+      val fields = cur.fields.filterNot(_.name == name)
+      val migrate =
+        if (st.notNull.contains(name))
+          Seq(s"dropconstraint\tnotnull\t$name")
+        else Nil
+      val lines = Seq(s"schema\t${StructType(fields).json}",
+        s"dropped\t$phys") ++ migrate
+      if (tryPublish(t, base + 1, lines)) committed = base + 1
+    }
+    committed
+  }
+
+  /** Shared refusals for rename/drop: partition columns (the layout
+    * IS the name) and columns referenced by a CHECK constraint
+    * (opaque SQL text — cannot be rewritten safely). */
+  private def evolutionGuards(t: Table, name: String, op: String): Unit = {
+    val partCols = snapshot(t).filePartitions.values
+      .flatMap(_.keys).toSet
+    require(!partCols.contains(name),
+      s"cannot $op partition column '$name': the hive layout and " +
+        "partition metadata key on it — rewrite the table to change " +
+        "its partitioning")
+    val (_, st) = replayState(t, None)
+    val refs = st.checks.filter { case (_, sql) =>
+      ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+        .findFirstIn(sql).isDefined
+    }
+    require(refs.isEmpty,
+      s"cannot $op column '$name': CHECK constraint(s) " +
+        s"${refs.keys.mkString(", ")} reference it — drop the " +
+        "constraint(s) first and re-add them after")
+  }
+
+  /** The table's declared constraints at the latest version. */
+  final case class Constraints(notNull: Set[String],
+      checks: Map[String, String]) {
+    def isEmpty: Boolean = notNull.isEmpty && checks.isEmpty
+  }
+
+  /** Constraints registered in the log (replay-accumulated —
+    * checkpoint-bounded like every other metadata read). */
+  def constraintsOf(t: Table): Constraints =
+    if (latestVersion(t) < 0) Constraints(Set.empty, Map.empty)
+    else {
+      val (_, st) = replayState(t, None)
+      Constraints(st.notNull, st.checks)
+    }
+
+  /** Declare `col NOT NULL` in one metadata commit — enforced on
+    * every subsequent write ([[enforceStaged]]) with a loud
+    * per-violation refusal BEFORE anything commits. Like Delta's
+    * ADD CONSTRAINT, existing rows must already satisfy it: one scan
+    * of the live table refuses the declaration otherwise (a
+    * constraint the data already violates would make every future
+    * rewrite of old rows fail). */
+  def addNotNull(s: SparkSession, t: Table, colName: String): Long = {
+    val schema = registeredSchema(t).getOrElse(
+      throw new IllegalStateException(
+        s"table at ${t.root} never registered a schema; append " +
+          "through the API once before constraining it"))
+    require(schema.fieldNames.contains(colName),
+      s"NOT NULL constraint targets unknown column '$colName' " +
+        s"(table has ${schema.fieldNames.mkString(", ")})")
+    val snap = snapshot(t)
+    if (snap.liveFiles.nonEmpty) {
+      val nulls = readRels(s, t, snap, snap.liveFiles)
+        .filter(org.apache.spark.sql.functions.col(colName).isNull).count()
+      require(nulls == 0L,
+        s"cannot declare $colName NOT NULL: $nulls existing row(s) " +
+          "are null — clean the data first")
+    }
+    commit(t, snap.version, adds = Nil,
+      extra = Seq(s"constraint\tnotnull\t$colName"))
+  }
+
+  /** Declare a named CHECK constraint (any boolean SQL expression
+    * over the table's columns) in one metadata commit; existing rows
+    * must satisfy it (one validating scan, like [[addNotNull]]), and
+    * every subsequent write refuses atomically on violation. A NULL
+    * check result counts as a VIOLATION on write (the conservative
+    * reading — a constraint that cannot be proven holds nothing). */
+  def addCheck(s: SparkSession, t: Table, name: String,
+               exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad constraint name: $name")
+    val snap = snapshot(t)
+    if (snap.liveFiles.nonEmpty) {
+      val bad = readRels(s, t, snap, snap.liveFiles)
+        .filter(not(coalesce(expr(exprSql), lit(false)))).count()
+      require(bad == 0L,
+        s"cannot declare CHECK $name ($exprSql): $bad existing row(s) " +
+          "violate it — clean the data first")
+    }
+    commit(t, snap.version, adds = Nil,
+      extra = Seq(s"constraint\tcheck\t$name\t${escapePart(exprSql)}"))
+  }
+
+  /** Drop a NOT NULL constraint (by column) or a CHECK constraint
+    * (by name) in one metadata commit; unknown names refuse. */
+  def dropConstraint(t: Table, name: String): Long = {
+    val c = constraintsOf(t)
+    val line =
+      if (c.notNull.contains(name)) s"dropconstraint\tnotnull\t$name"
+      else if (c.checks.contains(name)) s"dropconstraint\tcheck\t$name"
+      else throw new IllegalArgumentException(
+        s"no constraint '$name' on ${t.root} (not null: " +
+          s"${c.notNull.mkString(", ")}; checks: " +
+          s"${c.checks.keys.mkString(", ")})")
+    commit(t, latestVersion(t), adds = Nil, extra = Seq(line))
+  }
+
+  /** Enforce the table's constraints over a STAGED write before its
+    * commit — reading the staged files back (not the input frame: a
+    * non-deterministic source re-evaluated for the check could
+    * disagree with what was actually written), so a refusal leaves
+    * only invisible staged garbage for vacuum and the commit — txn
+    * marker included — never lands: the atomic-refusal contract. One
+    * local batch-sized scan; zero cost when no constraints are
+    * declared. A staged write that OMITS a NOT NULL column entirely
+    * (schema-divergent writer whose rows would null-fill on read)
+    * refuses too. */
+  private def enforceStaged(s: SparkSession, t: Table,
+                            stages: Seq[Path]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not,
+      sum, when}
+    val c = constraintsOf(t)
+    if (c.isEmpty) return
+    // one read per stage root (partition discovery reconstitutes each
+    // stage's own <col>=<val> layout — including the null sentinel —
+    // and two roots with different layouts cannot share one scan)
+    val reg = registeredSchema(t)
+    for (stg <- stages if stagedFiles(t, stg).nonEmpty) {
+      // staged files hold PHYSICAL names; constraints reference
+      // logical ones — alias back before checking
+      val raw = s.read.parquet(stg.toString)
+      val df = reg match {
+        case Some(sc) if sc.fields.exists(f => physicalName(f) != f.name) =>
+          val logOf = sc.fields.map(f => physicalName(f) -> f.name).toMap
+          raw.select(raw.columns.toIndexedSeq.map(cn =>
+            col(cn).as(logOf.getOrElse(cn, cn))): _*)
+        case _ => raw
+      }
+      val have = df.columns.toSet
+      c.notNull.foreach(cn => require(have.contains(cn),
+        s"constraint violation: NOT NULL $cn — this write omits the " +
+          "column entirely (it would null-fill on read); nothing was " +
+          "committed"))
+      val viols: Seq[(String, org.apache.spark.sql.Column)] =
+        c.notNull.toSeq.sorted.map(cn =>
+          s"NOT NULL $cn" -> col(cn).isNull) ++
+        c.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+          s"CHECK $n ($sql)" -> not(coalesce(expr(sql), lit(false))) }
+      val aggs = viols.zipWithIndex.map { case ((_, v), i) =>
+        sum(when(v, 1L).otherwise(0L)).as(s"_c$i") }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      viols.zipWithIndex.foreach { case ((label, _), i) =>
+        val n = if (row.isNullAt(i)) 0L else row.getLong(i)
+        require(n == 0L,
+          s"constraint violation: $label — $n row(s) in this write " +
+            "violate it; nothing was committed")
+      }
+    }
   }
 
   /** RESTORE the table to the state of snapshot `v` in ONE
@@ -2010,7 +2468,8 @@ object TxnLog {
       // candidate proves flat-readability; only files physically
       // MISSING schema columns (a dropped partition's) truly lost
       // their reconstitution metadata with the pre-floor log
-      val want = parseSchema(schemaJson).fieldNames.toSet
+      // footers hold PHYSICAL names — compare in that domain
+      val want = physicalSchema(parseSchema(schemaJson)).fieldNames.toSet
       val lost = unresolved.filterNot { rel =>
         // a candidate vacuum already reclaimed folds into the same
         // resync refusal — a raw path-not-found from the footer read

@@ -117,6 +117,21 @@ object GraftSqlParser {
   private val AlterAddRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ADD\\s+COLUMNS?\\s*""" +
       """\(([^)]+)\)\s*;?\s*$""").r
+  private val AlterAddCheckRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ADD\\s+CONSTRAINT\\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val AlterDropConstraintRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+DROP\\s+CONSTRAINT\\s+""" +
+      """(\w+)\s*;?\s*$""").r
+  private val AlterNotNullRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ALTER\\s+COLUMN\\s+""" +
+      """(\w+)\s+(SET|DROP)\s+NOT\s+NULL\s*;?\s*$""").r
+  private val AlterRenameColRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+RENAME\\s+COLUMN\\s+""" +
+      """(\w+)\s+TO\s+(\w+)\s*;?\s*$""").r
+  private val AlterDropColRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+DROP\\s+COLUMN\\s+""" +
+      """(\w+)\s*;?\s*$""").r
   private val ShowPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($Ident)\\s*;?\\s*$$""".r
   private val MergeRe =
@@ -248,6 +263,22 @@ object GraftSqlParser {
       case AlterAddRe(tbl, cols) =>
         Some(TxnLogAddColumnsCommand(tbl, cols.trim,
           () => delegate.parsePlan(sqlText)))
+      case AlterRenameColRe(tbl, from, to) =>
+        Some(TxnLogColumnCommand(tbl, Some(from), to,
+          () => delegate.parsePlan(sqlText)))
+      case AlterDropColRe(tbl, colName) =>
+        Some(TxnLogColumnCommand(tbl, None, colName,
+          () => delegate.parsePlan(sqlText)))
+      case AlterAddCheckRe(tbl, name, check) =>
+        Some(TxnLogConstraintCommand(tbl, "add_check", name,
+          Some(check.trim), () => delegate.parsePlan(sqlText)))
+      case AlterDropConstraintRe(tbl, name) =>
+        Some(TxnLogConstraintCommand(tbl, "drop", name, None,
+          () => delegate.parsePlan(sqlText)))
+      case AlterNotNullRe(tbl, colName, mode) =>
+        Some(TxnLogConstraintCommand(tbl,
+          if (mode.equalsIgnoreCase("SET")) "add_notnull" else "drop_notnull",
+          colName, None, () => delegate.parsePlan(sqlText)))
       case MergeRe(tbl, tAlias, src, sAlias, rest) =>
         // the ON-condition / first-WHEN boundary is found by the same
         // quote/paren-aware scanner the clause splitter uses — a
@@ -586,6 +617,58 @@ final case class TxnLogAddColumnsCommand(table: String, colsDdl: String,
         TxnLog.addColumns(t, StructType.fromDDL(colsDdl))
         Seq.empty
       case None => // not ours: Spark's own ALTER TABLE plan
+        GraftSqlParser.runNative(spark, native)
+    }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` / `ALTER TABLE t DROP
+  * COLUMN a` → [[TxnLog.renameColumn]]/[[TxnLog.dropColumn]]: column
+  * mapping makes both ONE metadata commit — old files keep their
+  * physical names and read through the mapping; DROP tombstones the
+  * physical name against resurrection. `rename` None = drop.
+  * Non-txnlog targets run Spark's own ALTER plan. */
+final case class TxnLogColumnCommand(table: String,
+    rename: Option[String], col: String,
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        rename match {
+          case Some(from) => TxnLog.renameColumn(t, from, col)
+          case None       => TxnLog.dropColumn(t, col)
+        }
+        Seq.empty
+      case None => // not ours: Spark's own ALTER plan
+        GraftSqlParser.runNative(spark, native)
+    }
+}
+
+/** The constraint DDL family:
+  * `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`,
+  * `ALTER TABLE t DROP CONSTRAINT name`,
+  * `ALTER TABLE t ALTER COLUMN c SET|DROP NOT NULL` —
+  * each one metadata commit ([[TxnLog.addCheck]]/[[TxnLog.addNotNull]]
+  * /[[TxnLog.dropConstraint]]); declaration validates existing rows,
+  * and every later write refuses atomically on violation. Non-txnlog
+  * targets run Spark's own plan for the statement (or its native
+  * parse error — Spark has no ADD CONSTRAINT grammar). */
+final case class TxnLogConstraintCommand(table: String, kind: String,
+    name: String, check: Option[String],
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        kind match {
+          case "add_check"    => TxnLog.addCheck(spark, t, name, check.get)
+          case "add_notnull"  => TxnLog.addNotNull(spark, t, name)
+          case "drop_notnull" =>
+            require(TxnLog.constraintsOf(t).notNull.contains(name),
+              s"column $name has no NOT NULL constraint on $table")
+            TxnLog.dropConstraint(t, name)
+          case _              => TxnLog.dropConstraint(t, name)
+        }
+        Seq.empty
+      case None => // not ours: Spark's own ALTER plan (or parse error)
         GraftSqlParser.runNative(spark, native)
     }
 }

@@ -57,8 +57,14 @@ class TxnLogStreamProvider extends StreamSourceProvider
     * checkpointLocation when absent, so a RESTARTED query (same
     * checkpoint) fences its replayed batches and a crashed epoch
     * never double-delivers. Complete mode maps each batch onto one
-    * atomic REPLACE (idempotent by value). A partitioned target (or
-    * an explicit `.partitionBy(...)`) stages through the layout. */
+    * atomic REPLACE (idempotent by value). Update mode — a keyed
+    * aggregation's native shape — needs option `mergeKeys` (comma-
+    * separated key columns) and lands each micro-batch as one
+    * exactly-once UPSERT ([[TxnLog.upsertBatch]]: matched keys take
+    * the batch's values, fresh keys insert, the same txn fencing as
+    * Append), converging to the batch-twin result across restarts.
+    * A partitioned target (or an explicit `.partitionBy(...)`)
+    * stages through the layout. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String],
       partitionColumns: Seq[String],
@@ -67,10 +73,19 @@ class TxnLogStreamProvider extends StreamSourceProvider
     val t = tableOf(parameters)
     val complete =
       outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
-    require(complete ||
+    val update =
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Update()
+    require(complete || update ||
       outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"txnlog sink supports Append (exactly-once commits) and " +
+      s"txnlog sink supports Append (exactly-once commits), Update " +
+        s"(exactly-once keyed upserts via option 'mergeKeys') and " +
         s"Complete (atomic replace) output modes, got $outputMode")
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toIndexedSeq)
+      .filter(_.nonEmpty)
+    require(!update || mergeKeys.nonEmpty,
+      "txnlog sink in Update output mode needs option 'mergeKeys' " +
+        "(comma-separated key columns) to upsert on")
     val appId = parameters.get("appId").getOrElse {
       val ckpt = parameters.getOrElse("checkpointLocation",
         throw new IllegalArgumentException(
@@ -85,7 +100,8 @@ class TxnLogStreamProvider extends StreamSourceProvider
         .digest(ckpt.getBytes("UTF-8")).take(8)
         .map(b => f"$b%02x").mkString
     }
-    new TxnLogSink(sqlContext, t, appId, partitionColumns, complete)
+    new TxnLogSink(sqlContext, t, appId, partitionColumns, complete,
+      if (update) mergeKeys else None)
   }
 
   /** BATCH writes — `df.write.format("txnlog").mode(...).save()`:
@@ -168,8 +184,14 @@ class TxnLogStreamProvider extends StreamSourceProvider
     // columns, so the flat parquet relation would null-fill them —
     // such tables resolve through the partition-aware scan instead
     // (pinned to the observed version, the same point-in-time
-    // semantics the flat path's captured file list has)
-    if (snap.filePartitions.nonEmpty)
+    // semantics the flat path's captured file list has). A
+    // column-MAPPED table (files hold physical names after a rename/
+    // drop) needs the same indirection: the wrapped scan aliases
+    // physical back to logical.
+    val mapped = snap.schemaJson.map(js =>
+      org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[StructType]).exists(TxnLog.hasMapping)
+    if (snap.filePartitions.nonEmpty || mapped)
       return new TxnLogPartitionedRelation(sqlContext, t,
         Some(snap.version),
         userSchema.orElse(snap.schemaJson.map(js =>
@@ -244,7 +266,8 @@ class TxnLogStreamProvider extends StreamSourceProvider
   * partitionBy inherits the table's layout — the sink must not erode
   * what every other write op preserves. */
 private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
-    appId: String, partitionColumns: Seq[String], complete: Boolean)
+    appId: String, partitionColumns: Seq[String], complete: Boolean,
+    upsertKeys: Option[Seq[String]] = None)
   extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit = {
@@ -256,8 +279,14 @@ private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
         .flatMap(_.keys).toSeq.distinct.sorted
     if (complete)
       TxnLog.replace(ctx.sparkSession, t, batch, partCols)
-    else TxnLog.appendBatch(ctx.sparkSession, t, batch, appId, batchId,
-      partCols)
+    else upsertKeys match {
+      case Some(keys) => // Update mode: exactly-once keyed upsert
+        TxnLog.upsertBatch(ctx.sparkSession, t, batch, keys, appId,
+          batchId)
+      case None =>
+        TxnLog.appendBatch(ctx.sparkSession, t, batch, appId, batchId,
+          partCols)
+    }
     ()
   }
 }

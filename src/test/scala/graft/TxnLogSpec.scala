@@ -2053,4 +2053,257 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, t3).collect().map(_.getLong(0)).sorted
       .toSeq === Seq(1L, 2L))
   }
+
+  test("txnlog: RENAME/DROP COLUMN are metadata-only through column mapping") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s").coalesce(1))
+    TxnLog.append(spark, t,
+      Seq((3L, 30L, "c")).toDF("k", "v", "s").coalesce(1))
+    val v0 = TxnLog.latestVersion(t)
+    val preFiles = TxnLog.snapshot(t).liveFiles.toSet
+    // RENAME: one metadata commit, zero data files touched
+    TxnLog.renameColumn(t, "v", "amount")
+    assert(TxnLog.snapshot(t).liveFiles.toSet === preFiles,
+      "rename rewrote data files")
+    // old data reads under the NEW name
+    val now = TxnLog.read(spark, t)
+    assert(now.columns.toSeq === Seq("k", "amount", "s"))
+    assert(now.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // time travel BELOW the rename shows the OLD name
+    assert(TxnLog.read(spark, t, Some(v0)).columns.toSeq ===
+      Seq("k", "v", "s"))
+    // writes keep storing the PHYSICAL name: an append with the new
+    // logical name lands files whose footers still say 'v'
+    TxnLog.append(spark, t,
+      Seq((4L, 40L, "d")).toDF("k", "amount", "s").coalesce(1))
+    val newFile = TxnLog.snapshot(t).liveFiles.filterNot(preFiles).head
+    assert(spark.read.parquet(t.root.resolve(newFile).toString)
+      .columns.contains("v"), "append ignored the physical mapping")
+    // DML through the mapping: SQL UPDATE on the renamed column, and
+    // the CDF of the whole range reconstitutes under the NEW schema
+    spark.sql(
+      s"UPDATE txnlog.`${t.root}` SET amount = amount + 1 WHERE k = 4")
+    assert(TxnLog.read(spark, t).filter($"k" === 4L).head().getLong(1)
+      === 41L)
+    val (ins, del) = TxnLog.changes(spark, t, v0, TxnLog.latestVersion(t))
+    assert(ins.columns.contains("amount") && del.columns.contains("amount"))
+    assert(ins.collect().map(_.getLong(1)).sorted.toSeq === Seq(40L, 41L))
+    // a fresh column named like the pre-rename storage name refuses
+    // (it would read the renamed column's bytes out of old files)
+    val e1 = intercept[IllegalArgumentException] {
+      TxnLog.addColumns(t, org.apache.spark.sql.types.StructType
+        .fromDDL("v BIGINT"))
+    }
+    assert(e1.getMessage.contains("physical"), e1.getMessage)
+    // DROP COLUMN: metadata-only; time travel still shows it; the
+    // tombstone blocks resurrection; a different name is fine
+    val vPreDrop = TxnLog.latestVersion(t)
+    TxnLog.dropColumn(t, "s")
+    assert(TxnLog.read(spark, t).columns.toSeq === Seq("k", "amount"))
+    assert(TxnLog.read(spark, t, Some(vPreDrop)).columns.contains("s"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.addColumns(t, org.apache.spark.sql.types.StructType
+        .fromDDL("s STRING"))
+    }
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+    TxnLog.addColumns(t, org.apache.spark.sql.types.StructType
+      .fromDDL("note STRING"))
+    assert(TxnLog.read(spark, t).columns.toSeq ===
+      Seq("k", "amount", "note"))
+    // OPTIMIZE after the evolution keeps values and re-stamps stats
+    // under the new logical name (pruning works again)
+    TxnLog.compactZorder(spark, t, "k", "amount", targetFiles = 2)
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 41L)))
+    val (kept, total) = TxnLog.plannedFiles(t, "amount", 0L, 15L)
+    assert(kept < total || total == 1, s"no pruning on renamed col: $kept/$total")
+    // constraints migrate/guard: NOT NULL follows the rename; a CHECK
+    // referencing the column blocks rename/drop until dropped
+    val t2 = freshTable()
+    TxnLog.append(spark, t2,
+      Seq((1L, 5L)).toDF("k", "x").coalesce(1))
+    TxnLog.addNotNull(spark, t2, "x")
+    TxnLog.addCheck(spark, t2, "x_pos", "x >= 0")
+    val e3 = intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(t2, "x", "y")
+    }
+    assert(e3.getMessage.contains("x_pos"), e3.getMessage)
+    TxnLog.dropConstraint(t2, "x_pos")
+    TxnLog.renameColumn(t2, "x", "y")
+    val e4 = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t2,
+        Seq((2L, null.asInstanceOf[java.lang.Long]))
+          .toDF("k", "y").coalesce(1))
+    }
+    assert(e4.getMessage.contains("NOT NULL y"), e4.getMessage)
+    // partition columns refuse (the layout IS the name); SQL forms
+    val pt = freshTable()
+    TxnLog.appendPartitioned(spark, pt,
+      Seq((1L, 7L, "d1")).toDF("id", "q", "day"), Seq("day"))
+    val e5 = intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(pt, "day", "dt")
+    }
+    assert(e5.getMessage.contains("partition"), e5.getMessage)
+    spark.sql(s"ALTER TABLE txnlog.`${pt.root}` RENAME COLUMN q TO qty")
+    spark.sql(s"ALTER TABLE txnlog.`${pt.root}` DROP COLUMN qty")
+    assert(TxnLog.read(spark, pt).columns.toSeq === Seq("id", "day"))
+    assert(TxnLog.readPartition(spark, pt, Map("day" -> "d1"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // partitioned table + mapping: rewrite ops keep the layout AND
+    // the mapping (merge restages through both)
+    TxnLog.renameColumn(pt, "id", "ident")
+    TxnLog.merge(spark, pt,
+      Seq((1L, "d1"), (9L, "d2")).toDF("ident", "day"), "ident")
+    val psnap = TxnLog.snapshot(pt)
+    assert(psnap.liveFiles.forall(psnap.filePartitions.contains),
+      "merge under mapping flattened the layout")
+    assert(TxnLog.read(spark, pt).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 9L))
+  }
+
+  test("txnlog: the sink's Update mode upserts keyed state exactly-once across a restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft-updck-").toString
+    val in = MemoryStream[Long]
+    def start() = in.toDF().toDF("k")
+      .groupBy($"k").agg(count(lit(1)).cast("long").as("n"))
+      .writeStream.format("txnlog")
+      .outputMode("update")
+      .option("path", t.root.toString)
+      .option("checkpointLocation", ckpt)
+      .option("mergeKeys", "k")
+      .start()
+    def state(): Map[Long, Long] = TxnLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q1 = start()
+    try {
+      in.addData(1L, 2L, 1L)
+      q1.processAllAvailable()
+      assert(state() === Map(1L -> 2L, 2L -> 1L))
+      // a later trigger UPDATES key 2 in place and INSERTS key 3 —
+      // the Update-mode contract (only changed keys arrive)
+      in.addData(2L, 3L)
+      q1.processAllAvailable()
+      assert(state() === Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+    } finally q1.stop()
+    // restart on the SAME checkpoint: the replayed/new batches
+    // converge to the batch-twin aggregation, no double counting
+    in.addData(1L, 3L)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() === Map(1L -> 3L, 2L -> 2L, 3L -> 2L),
+      s"restart diverged from the batch twin: ${state()}")
+    // mode guardrail: Update without mergeKeys refuses at start
+    val e = intercept[Exception] {
+      in.toDF().toDF("k").groupBy($"k").count()
+        .writeStream.format("txnlog").outputMode("update")
+        .option("path", t.root.toString)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-updck2-").toString)
+        .start()
+    }
+    assert(e.getMessage.contains("mergeKeys"), e.getMessage)
+  }
+
+  test("txnlog: NOT NULL / CHECK constraints refuse violating writes atomically") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq((1L, 10L, "a")).toDF("k", "v", "s").coalesce(1))
+    // declaration validates EXISTING rows: a check the data already
+    // violates refuses instead of poisoning every future rewrite
+    TxnLog.addNotNull(spark, t, "s")
+    TxnLog.addCheck(spark, t, "v_pos", "v >= 0")
+    val badDecl = intercept[IllegalArgumentException] {
+      TxnLog.addCheck(spark, t, "v_big", "v >= 100")
+    }
+    assert(badDecl.getMessage.contains("existing"))
+    val badCol = intercept[IllegalArgumentException] {
+      TxnLog.addNotNull(spark, t, "nope")
+    }
+    assert(badCol.getMessage.contains("nope"))
+    // violating writes refuse ATOMICALLY: version and rows unchanged
+    val v0 = TxnLog.latestVersion(t)
+    val e1 = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t, Seq((2L, -5L, "b")).toDF("k", "v", "s"))
+    }
+    assert(e1.getMessage.contains("v_pos"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t,
+        Seq((2L, 5L, null.asInstanceOf[String])).toDF("k", "v", "s"))
+    }
+    assert(e2.getMessage.contains("NOT NULL s"), e2.getMessage)
+    // a write OMITTING the NOT NULL column (would null-fill) refuses
+    val e3 = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t, Seq((2L, 5L)).toDF("k", "v"))
+    }
+    assert(e3.getMessage.contains("omits"), e3.getMessage)
+    assert(TxnLog.latestVersion(t) === v0)
+    assert(TxnLog.read(spark, t).count() === 1L)
+    // UPDATE whose new images violate refuses; table unchanged
+    val e4 = intercept[IllegalArgumentException] {
+      TxnLog.update(spark, t,
+        Map("v" -> org.apache.spark.sql.functions.lit(-1L)),
+        org.apache.spark.sql.functions.lit(true))
+    }
+    assert(e4.getMessage.contains("v_pos"))
+    assert(TxnLog.read(spark, t).head().getLong(1) === 10L)
+    // a conditional MERGE whose inserts violate refuses too
+    val e5 = intercept[IllegalArgumentException] {
+      TxnLog.mergeInto(spark, t,
+        Seq((9L, -9L, "x")).toDF("k", "v", "s"), "k",
+        Seq(TxnLog.MergeClause.Insert(None)))
+    }
+    assert(e5.getMessage.contains("v_pos"))
+    assert(TxnLog.latestVersion(t) === v0)
+    // constraints survive a checkpoint; valid writes pass
+    TxnLog.checkpoint(t, v0)
+    TxnLog.append(spark, t, Seq((3L, 30L, "c")).toDF("k", "v", "s"))
+    assert(TxnLog.read(spark, t).count() === 2L)
+    // sink contract: a refused batch never advances the txn marker,
+    // so the RETRIED batch with fixed data still lands
+    assert(TxnLog.appendBatch(spark, t,
+      Seq((4L, 40L, "d")).toDF("k", "v", "s"), "conspec", 0L))
+    val e6 = intercept[IllegalArgumentException] {
+      TxnLog.appendBatch(spark, t,
+        Seq((5L, -50L, "e")).toDF("k", "v", "s"), "conspec", 1L)
+    }
+    assert(e6.getMessage.contains("v_pos"))
+    assert(TxnLog.lastBatch(t, "conspec") === Some(0L),
+      "refused batch advanced the txn marker")
+    assert(TxnLog.appendBatch(spark, t,
+      Seq((5L, 50L, "e")).toDF("k", "v", "s"), "conspec", 1L))
+    assert(TxnLog.lastBatch(t, "conspec") === Some(1L))
+    // SQL DDL forms + drop reopens the gate
+    val p = t.root.toString
+    spark.sql(s"ALTER TABLE txnlog.`$p` DROP CONSTRAINT v_pos")
+    spark.sql(s"ALTER TABLE txnlog.`$p` ALTER COLUMN s DROP NOT NULL")
+    TxnLog.append(spark, t,
+      Seq((6L, -60L, null.asInstanceOf[String])).toDF("k", "v", "s"))
+    assert(TxnLog.read(spark, t).count() === 5L)
+    spark.sql(s"DELETE FROM txnlog.`$p` WHERE k = 6")
+    spark.sql(s"ALTER TABLE txnlog.`$p` ADD CONSTRAINT v_cap CHECK (v < 100)")
+    spark.sql(s"ALTER TABLE txnlog.`$p` ALTER COLUMN s SET NOT NULL")
+    val e7 = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO txnlog.`$p` VALUES (7, 700, 'g')")
+    }
+    assert(e7.getMessage.contains("v_cap"))
+    // unknown drop refuses; non-txnlog targets delegate natively
+    val e8 = intercept[IllegalArgumentException] {
+      TxnLog.dropConstraint(t, "no_such")
+    }
+    assert(e8.getMessage.contains("no_such"))
+    val nf = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_no_such_con DROP CONSTRAINT x")
+    }
+    assert(nf.getMessage.contains("graft_no_such_con") ||
+      nf.getMessage.toLowerCase.contains("parse"), nf.getMessage)
+  }
 }
