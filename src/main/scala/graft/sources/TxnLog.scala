@@ -102,7 +102,13 @@ object TxnLog {
       fileStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       schemaJson: Option[String] = None,
       filePartitions: Map[String, Map[String, String]] = Map.empty,
-      fileSizes: Map[String, Long] = Map.empty)
+      fileSizes: Map[String, Long] = Map.empty,
+      notNull: Set[String] = Set.empty,
+      checks: Map[String, String] = Map.empty) {
+    /** Declared constraints at this version — carried BY the snapshot
+      * so rewrite ops enforce without a second log replay. */
+    def constraints: Constraints = Constraints(notNull, checks)
+  }
 
   /** A filesystem path from a string that may arrive URI-form —
     * Spark normalizes a table's `path` option to `file:/...` in
@@ -275,7 +281,8 @@ object TxnLog {
     Snapshot(v, live, st.stats.view.filterKeys(st.live.contains).toMap,
       st.schemaJson,
       st.parts.view.filterKeys(st.live.contains).toMap,
-      st.sizes.view.filterKeys(st.live.contains).toMap)
+      st.sizes.view.filterKeys(st.live.contains).toMap,
+      st.notNull, st.checks)
   }
 
   /** Write the `.ckpt` replay checkpoint for version `v` (best
@@ -575,9 +582,10 @@ object TxnLog {
     val stage = newStage(t, t.dataDir)
     try {
       toPhysical(df, registeredSchema(t)).write.parquet(stage.toString)
-      enforceStaged(s, t, Seq(stage))
+      enforceStaged(s, t, Seq(stage), constraintsOf(t))
       commitRegistering(t, df.schema,
-        addLinesFor(s, t, stage, statsCols) ++ extraLines)
+        addLinesFor(s, t, stage, statsCols) ++ extraLines,
+        () => enforceStaged(s, t, Seq(stage), constraintsOf(t)))
     } finally seal(t, stage)
   }
 
@@ -589,19 +597,25 @@ object TxnLog {
     * blind-append retry there would republish a stale schema over a
     * racing first-writer's columns (last-schema-wins replay). */
   private def commitRegistering(t: Table, incoming: StructType,
-                                lines0: Seq[String]): Long = {
+                                lines0: Seq[String],
+                                onSlotLoss: () => Unit = () => ()): Long = {
     var committed = -1L
+    var first = true
     while (committed < 0) {
+      // a lost slot means SOMETHING landed since this write was
+      // staged — a constraint declaration among the possibilities, so
+      // the caller re-enforces against the fresh state before the
+      // retry (onSlotLoss). That closes the enforce-then-blind-walk
+      // window where rows staged before ADD CONSTRAINT could commit
+      // after it unchecked.
+      if (!first) onSlotLoss()
+      first = false
       val base = latestVersion(t)
       val (schema, changed) = mergedSchema(t, registeredSchema(t), incoming)
       val schemaLine = changed || base < 0
       val lines = (if (schemaLine)
         Seq(s"schema\t${schema.json}") else Nil) ++ lines0
-      if (schemaLine) {
-        if (tryPublish(t, base + 1, lines)) committed = base + 1
-      } else {
-        committed = commit(t, base, adds = Nil, extra = lines)
-      }
+      if (tryPublish(t, base + 1, lines)) committed = base + 1
     }
     committed
   }
@@ -631,9 +645,10 @@ object TxnLog {
     try {
       toPhysical(df, registeredSchema(t))
         .write.partitionBy(partCols: _*).parquet(stage.toString)
-      enforceStaged(s, t, Seq(stage))
+      enforceStaged(s, t, Seq(stage), constraintsOf(t))
       commitRegistering(t, df.schema,
-        partitionedAddLines(s, t, stage, statsCols) ++ extraLines)
+        partitionedAddLines(s, t, stage, statsCols) ++ extraLines,
+        () => enforceStaged(s, t, Seq(stage), constraintsOf(t)))
     } finally seal(t, stage)
   }
 
@@ -830,11 +845,16 @@ object TxnLog {
       // BEFORE the marker loop: a refused batch leaves only staged
       // garbage and never advances the txn high-water mark, so a
       // retried batch with fixed data still lands
-      enforceStaged(s, t, Seq(stage))
+      enforceStaged(s, t, Seq(stage), constraintsOf(t))
       val marker = s"txn\t$appId\t$batchId"
+      var first = true
       while (true) {
         val base = latestVersion(t)
         if (lastBatch(t, appId).exists(_ >= batchId)) return false
+        // a lost slot may have been a constraint declaration:
+        // re-enforce against the fresh state before retrying
+        if (!first) enforceStaged(s, t, Seq(stage), constraintsOf(t))
+        first = false
         val (schema, changed) = mergedSchema(t, registeredSchema(t), df.schema)
         val lines = (if (changed || base < 0)
           Seq(s"schema\t${schema.json}") else Nil) ++ adds :+ marker
@@ -1035,8 +1055,7 @@ object TxnLog {
     val snap = snapshot(t)
     val partCols = snap.filePartitions.values
       .flatMap(_.keys).toSeq.distinct.sorted
-    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq
-      .distinct.sorted.filterNot(partCols.contains)
+    val statsCols = liveStatsCols(snap).filterNot(partCols.contains)
     val stage = newStage(t, t.dataDir)
     try {
       val df = toPhysical(
@@ -1087,7 +1106,7 @@ object TxnLog {
       .groupBy(rel => snap.filePartitions.getOrElse(rel, Map.empty))
       .filter(_._2.length >= 2)
     if (bySpec.isEmpty) return snap.version
-    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val statsCols = liveStatsCols(snap)
     val stages = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
       val groups = bySpec.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
@@ -1172,8 +1191,8 @@ object TxnLog {
       s"zorder keys must be data columns, not partition columns " +
         s"(${partCols.mkString(", ")}) — the layout already clusters " +
         "on those")
-    val statsCols = (snap.fileStats.values.flatMap(_.keys).toSeq ++
-      keys).distinct.sorted.filterNot(partCols.contains)
+    val statsCols = (liveStatsCols(snap) ++ keys).distinct.sorted
+      .filterNot(partCols.contains)
     val stage = newStage(t, t.dataDir)
     try {
       val clustered = readRels(s, t, snap, snap.liveFiles)
@@ -1219,6 +1238,18 @@ object TxnLog {
     (pruneBox(snap, preds).length, snap.liveFiles.length)
   }
 
+  /** The stats columns a rewrite should RE-STAMP: manifest-tracked
+    * columns that still exist in the current schema — a column
+    * DROPPED (or renamed away) leaves orphaned stats triples in old
+    * add actions, and aggregating a vanished column over restaged
+    * files would fail analysis, bricking every rewrite op. Tables
+    * without a registered schema keep all tracked columns. */
+  private def liveStatsCols(snap: Snapshot): Seq[String] = {
+    val fields = snap.schemaJson.map(parseSchema(_).fieldNames.toSet)
+    snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+      .filter(c => fields.forall(_.contains(c)))
+  }
+
   private def pruneBox(snap: Snapshot,
                        preds: Seq[(String, Long, Long)]): Seq[String] =
     preds.foldLeft(snap.liveFiles)((files, p) =>
@@ -1261,7 +1292,7 @@ object TxnLog {
           df.write.partitionBy(partCols: _*).parquet(stage.toString)
           partitionedAddLines(s, t, stage, Nil)
         }
-      enforceStaged(s, t, Seq(stage))
+      enforceStaged(s, t, Seq(stage), snap.constraints)
       val rels = stagedFiles(t, stage)
       val schemaLine =
         if (snap.schemaJson.contains(df.schema.json)) Nil
@@ -1348,14 +1379,19 @@ object TxnLog {
     * operand) deletes NOTHING for that row — SQL DELETE's "condition
     * is true" contract — so the split is on `coalesce(pred, false)`
     * and such rows survive instead of silently vanishing from both
-    * sides of the rewrite. Returns the committed version (the
-    * current one when nothing matched). */
-  def delete(s: SparkSession, t: Table, predicate: Column): Long = {
+    * sides of the rewrite. `alias` names the table frame for
+    * qualified predicate references (the SQL `DELETE FROM t x` form;
+    * qualified predicates skip manifest box pruning but stay
+    * correct). Returns the committed version (the current one when
+    * nothing matched). */
+  def delete(s: SparkSession, t: Table, predicate: Column,
+             alias: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name,
       lit, not}
+    def al(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
     val cond = coalesce(predicate, lit(false))
     val snap = snapshot(t)
-    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val statsCols = liveStatsCols(snap)
     // manifest pruning BEFORE the locating scan: a selective delete on
     // a stats-tracked column opens only the sliver whose (min, max)
     // intersects the predicate's ranges — at 100 TB the difference
@@ -1367,14 +1403,14 @@ object TxnLog {
     }
     if (candidates.isEmpty) return snap.version
     val affectedRel = relsOf(t, snap,
-      readRels(s, t, snap, candidates)
-        .withColumn("_f", input_file_name())
+      al(readRels(s, t, snap, candidates)
+          .withColumn("_f", input_file_name()))
         .filter(cond)
         .select(col("_f")).distinct()
         .collect() // file-count scale: one row per affected file
         .map(_.getString(0)).toSeq)
     if (affectedRel.isEmpty) return snap.version
-    val affected = readRels(s, t, snap, affectedRel)
+    val affected = al(readRels(s, t, snap, affectedRel))
     val stage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
@@ -1430,7 +1466,7 @@ object TxnLog {
       require(bad.isEmpty,
         s"UPDATE SET targets unknown column(s): ${bad.mkString(", ")}")
     }
-    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val statsCols = liveStatsCols(snap)
     val candidates = {
       val box = dmlBox(predicate)
       if (box.isEmpty) snap.liveFiles else pruneBox(snap, box)
@@ -1470,7 +1506,7 @@ object TxnLog {
       // only the NEW images can introduce a violation — survivors
       // are rewritten byte-identical and already satisfied the
       // constraints (declaration validates existing rows)
-      enforceStaged(s, t, Seq(updatedStage))
+      enforceStaged(s, t, Seq(updatedStage), snap.constraints)
       toPhysical(affected.filter(cond), snap.schemaJson.map(parseSchema))
         .write.parquet(cdcStage.toString) // old images
       val cdcLines =
@@ -1502,7 +1538,7 @@ object TxnLog {
             keyCol: String): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val snap = snapshot(t)
-    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val statsCols = liveStatsCols(snap)
     // one materialization: the upsert reads its source from several
     // angles; a recomputed non-deterministic source could disagree
     // with itself between them (blocks released in the finally — a
@@ -1554,7 +1590,7 @@ object TxnLog {
           snap.schemaJson)
       // only the source's new images/inserts can violate; survivors
       // are byte-identical rewrites
-      enforceStaged(s, t, Seq(sourceStage))
+      enforceStaged(s, t, Seq(sourceStage), snap.constraints)
       toPhysical(affected.join(keys, Seq(keyCol), "left_semi"),
           snap.schemaJson.map(parseSchema))
         .write.parquet(cdcStage.toString) // old images of matched rows
@@ -1639,7 +1675,8 @@ object TxnLog {
   def mergeIntoKeys(s: SparkSession, t: Table, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
       targetAlias: String = "t", sourceAlias: String = "s",
-      extraLines: Seq[String] = Nil): Long = {
+      extraLines: Seq[String] = Nil,
+      fence: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name,
       lit, max, min, when}
     require(keyCols.nonEmpty, "mergeIntoKeys needs at least one key column")
@@ -1681,7 +1718,7 @@ object TxnLog {
         "newest row per key) first")
 
     val snap = snapshot(t)
-    val statsCols = snap.fileStats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val statsCols = liveStatsCols(snap)
     val keys = src.select(keyCols.map(col): _*).distinct()
     // each stats-tracked key column bounds the candidate set by the
     // source's range on it — one sync-sized aggregate for all of them
@@ -1726,17 +1763,33 @@ object TxnLog {
     val partCols = snap.filePartitions.values
       .flatMap(_.keys).toSeq.distinct.sorted
     if (affectedRel.isEmpty) {
-      // nothing matched: the merge degrades to the insert clauses
-      // (extraLines — a sink's txn marker — still ride the commit;
-      // with no insert clause they land in a marker-only commit so a
-      // fenced batch id is never re-deliverable)
-      return insertable(src.alias(sa)) match {
-        case Some(rows) if partCols.nonEmpty =>
+      // nothing matched: the merge degrades to the insert clauses.
+      // UNDER A FENCE (a sink's exactly-once batch) the degraded path
+      // must not blind-append — appendLines' slot-walk never re-checks
+      // the txn marker, so a racing replayed twin could land the same
+      // batch twice; route through appendBatch's fence-rechecking
+      // exact-slot loop instead (a no-insert batch publishes a
+      // marker-only commit through the same loop shape).
+      return (insertable(src.alias(sa)), fence) match {
+        case (Some(rows), Some((app, bid))) =>
+          appendBatch(s, t, rows, app, bid, partCols)
+          latestVersion(t)
+        case (None, Some((app, bid))) =>
+          var v = -1L
+          while (v < 0) {
+            val base = latestVersion(t)
+            if (lastBatch(t, app).exists(_ >= bid)) v = base
+            else if (tryPublish(t, base + 1, Seq(s"txn\t$app\t$bid")))
+              v = base + 1
+          }
+          v
+        case (Some(rows), None) if partCols.nonEmpty =>
           appendPartitioned(s, t, rows, partCols,
             statsCols.filterNot(partCols.contains), extraLines)
-        case Some(rows) => appendLines(s, t, rows, extraLines = extraLines,
-          statsCols = statsCols)
-        case None =>
+        case (Some(rows), None) =>
+          appendLines(s, t, rows, extraLines = extraLines,
+            statsCols = statsCols)
+        case (None, None) =>
           if (extraLines.isEmpty) snap.version
           else commit(t, snap.version, adds = Nil, extra = extraLines)
       }
@@ -1825,7 +1878,8 @@ object TxnLog {
             snap.schemaJson))
       // updated new images + accepted inserts can violate; survivors
       // are byte-identical rewrites
-      enforceStaged(s, t, Seq(updatedStage, insertStage))
+      enforceStaged(s, t, Seq(updatedStage, insertStage),
+        snap.constraints)
       toPhysical(oldImages, snap.schemaJson.map(parseSchema))
         .write.parquet(cdcStage.toString)
       val (schema, changed) = inserted match {
@@ -1854,19 +1908,22 @@ object TxnLog {
     * twin that won with THIS batch id is detected, not re-applied.
     * Contract: one row per key per batch (the Update-mode aggregation
     * shape; violations refuse loudly via mergeIntoKeys' ambiguity
-    * check). Returns true iff THIS call committed the batch. */
+    * check). Returns true when the batch is committed after this
+    * call (by it, or by a twin it detected mid-flight); false when
+    * the fence already held at entry. */
   def upsertBatch(s: SparkSession, t: Table, df: DataFrame,
                   keyCols: Seq[String], appId: String,
-                  batchId: Long): Boolean = {
+                  batchId: Long, partCols: Seq[String] = Nil): Boolean = {
     import org.apache.spark.sql.functions.col
     require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")
     require(keyCols.nonEmpty, "upsertBatch needs key columns")
     val marker = s"txn\t$appId\t$batchId"
     while (true) {
       if (lastBatch(t, appId).exists(_ >= batchId)) return false
-      // first batch on an empty table: nothing to merge into
+      // first batch on an empty table: nothing to merge into (the
+      // explicit partition layout must not be lost here — F4)
       if (latestVersion(t) < 0)
-        return appendBatch(s, t, df, appId, batchId)
+        return appendBatch(s, t, df, appId, batchId, partCols)
       val nonKey = df.columns.filterNot(keyCols.contains).toSeq
       val clauses =
         (if (nonKey.isEmpty) Nil
@@ -1875,7 +1932,7 @@ object TxnLog {
         MergeClause.Insert(None)
       try {
         mergeIntoKeys(s, t, df, keyCols, clauses,
-          extraLines = Seq(marker))
+          extraLines = Seq(marker), fence = Some((appId, batchId)))
         return true
       } catch {
         // a concurrent commit invalidated the rewrite: recompute
@@ -2154,13 +2211,12 @@ object TxnLog {
   }
 
   /** Constraints registered in the log (replay-accumulated —
-    * checkpoint-bounded like every other metadata read). */
+    * checkpoint-bounded like every other metadata read; ops that
+    * already hold a [[Snapshot]] read `snap.constraints` instead of
+    * paying this second replay). */
   def constraintsOf(t: Table): Constraints =
     if (latestVersion(t) < 0) Constraints(Set.empty, Map.empty)
-    else {
-      val (_, st) = replayState(t, None)
-      Constraints(st.notNull, st.checks)
-    }
+    else snapshot(t).constraints
 
   /** Declare `col NOT NULL` in one metadata commit — enforced on
     * every subsequent write ([[enforceStaged]]) with a loud
@@ -2170,23 +2226,31 @@ object TxnLog {
     * constraint the data already violates would make every future
     * rewrite of old rows fail). */
   def addNotNull(s: SparkSession, t: Table, colName: String): Long = {
-    val schema = registeredSchema(t).getOrElse(
-      throw new IllegalStateException(
-        s"table at ${t.root} never registered a schema; append " +
-          "through the API once before constraining it"))
-    require(schema.fieldNames.contains(colName),
-      s"NOT NULL constraint targets unknown column '$colName' " +
-        s"(table has ${schema.fieldNames.mkString(", ")})")
-    val snap = snapshot(t)
-    if (snap.liveFiles.nonEmpty) {
-      val nulls = readRels(s, t, snap, snap.liveFiles)
-        .filter(org.apache.spark.sql.functions.col(colName).isNull).count()
-      require(nulls == 0L,
-        s"cannot declare $colName NOT NULL: $nulls existing row(s) " +
-          "are null — clean the data first")
+    while (true) {
+      val schema = registeredSchema(t).getOrElse(
+        throw new IllegalStateException(
+          s"table at ${t.root} never registered a schema; append " +
+            "through the API once before constraining it"))
+      require(schema.fieldNames.contains(colName),
+        s"NOT NULL constraint targets unknown column '$colName' " +
+          s"(table has ${schema.fieldNames.mkString(", ")})")
+      val snap = snapshot(t)
+      if (snap.liveFiles.nonEmpty) {
+        val nulls = readRels(s, t, snap, snap.liveFiles)
+          .filter(org.apache.spark.sql.functions.col(colName).isNull)
+          .count()
+        require(nulls == 0L,
+          s"cannot declare $colName NOT NULL: $nulls existing row(s) " +
+            "are null — clean the data first")
+      }
+      // claim EXACTLY snap.version+1: the validating scan is only
+      // good for the snapshot it ran on — a concurrent append that
+      // slipped in must be re-validated, not blind-walked past
+      if (tryPublish(t, snap.version + 1,
+          Seq(s"constraint\tnotnull\t$colName")))
+        return snap.version + 1
     }
-    commit(t, snap.version, adds = Nil,
-      extra = Seq(s"constraint\tnotnull\t$colName"))
+    throw new IllegalStateException("unreachable")
   }
 
   /** Declare a named CHECK constraint (any boolean SQL expression
@@ -2199,16 +2263,21 @@ object TxnLog {
                exprSql: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     require(name.matches("[A-Za-z0-9_-]+"), s"bad constraint name: $name")
-    val snap = snapshot(t)
-    if (snap.liveFiles.nonEmpty) {
-      val bad = readRels(s, t, snap, snap.liveFiles)
-        .filter(not(coalesce(expr(exprSql), lit(false)))).count()
-      require(bad == 0L,
-        s"cannot declare CHECK $name ($exprSql): $bad existing row(s) " +
-          "violate it — clean the data first")
+    while (true) {
+      val snap = snapshot(t)
+      if (snap.liveFiles.nonEmpty) {
+        val bad = readRels(s, t, snap, snap.liveFiles)
+          .filter(not(coalesce(expr(exprSql), lit(false)))).count()
+        require(bad == 0L,
+          s"cannot declare CHECK $name ($exprSql): $bad existing row(s) " +
+            "violate it — clean the data first")
+      }
+      // exact-slot claim: revalidate on loss (see addNotNull)
+      if (tryPublish(t, snap.version + 1,
+          Seq(s"constraint\tcheck\t$name\t${escapePart(exprSql)}")))
+        return snap.version + 1
     }
-    commit(t, snap.version, adds = Nil,
-      extra = Seq(s"constraint\tcheck\t$name\t${escapePart(exprSql)}"))
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop a NOT NULL constraint (by column) or a CHECK constraint
@@ -2236,10 +2305,9 @@ object TxnLog {
     * (schema-divergent writer whose rows would null-fill on read)
     * refuses too. */
   private def enforceStaged(s: SparkSession, t: Table,
-                            stages: Seq[Path]): Unit = {
+                            stages: Seq[Path], c: Constraints): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not,
       sum, when}
-    val c = constraintsOf(t)
     if (c.isEmpty) return
     // one read per stage root (partition discovery reconstitutes each
     // stage's own <col>=<val> layout — including the null sentinel —
@@ -2297,19 +2365,91 @@ object TxnLog {
     * (the same time-travel horizon every vacuum trade documents).
     * Returns the committed version (unchanged when the live sets
     * already agree). */
-  def restore(t: Table, v: Long): Long = {
+  def restore(t: Table, v: Long): Long = restoreImpl(t, v, None)
+
+  /** [[restore]] with constraint validation: when the table declares
+    * constraints and the restore RE-ADDS files, the re-added rows are
+    * read back and checked — a rollback must not smuggle rows a
+    * since-declared CHECK forbids past the write-time gate (the
+    * metadata-only overload REFUSES that combination instead,
+    * pointing here). */
+  def restore(s: SparkSession, t: Table, v: Long): Long =
+    restoreImpl(t, v, Some(s))
+
+  private def restoreImpl(t: Table, v: Long,
+                          validate: Option[SparkSession]): Long = {
     val cur = snapshot(t)
     val tgt = snapshot(t, Some(v))
     val curSet = cur.liveFiles.toSet
     val tgtSet = tgt.liveFiles.toSet
     val removes = cur.liveFiles.filterNot(tgtSet)
     val readds = tgt.liveFiles.filterNot(curSet)
-    if (removes.isEmpty && readds.isEmpty) return cur.version
+    // identical live sets AND identical schema = true no-op; a
+    // schema-only difference (restoring below a rename/drop/add)
+    // still commits, restoring the shape and reconciling constraints
+    if (removes.isEmpty && readds.isEmpty &&
+      tgt.schemaJson == cur.schemaJson) return cur.version
     val missing = readds.filterNot(rel => Files.exists(t.root.resolve(rel)))
     require(missing.isEmpty,
       s"cannot restore ${t.root} to v$v: data file(s) already " +
         s"vacuumed: ${missing.take(3).mkString(", ")} — the restore " +
         "horizon is the vacuum horizon")
+    // constraints vs the restored STATE. Two interactions:
+    // (a) constraints whose columns the RESTORED schema no longer
+    //     carries (declared against a later shape — a renamed or
+    //     since-added column) cannot be evaluated on any future write
+    //     and are DROPPED in the restore commit, keeping metadata
+    //     self-consistent;
+    // (b) re-added files may hold rows violating a constraint
+    //     declared AFTER v (the declaration validated only ITS
+    //     snapshot's rows) — validating those rows needs a scan, so
+    //     the metadata-only overload refuses and restore(spark, …)
+    //     checks them.
+    val restoredFields = tgt.schemaJson.orElse(cur.schemaJson)
+      .map(parseSchema(_).fieldNames.toSet)
+    val curFields = cur.schemaJson
+      .map(parseSchema(_).fieldNames.toSet).getOrElse(Set.empty)
+    def refs(sql: String): Set[String] =
+      """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(sql).toSet
+        .intersect(curFields)
+    val keptNotNull =
+      cur.notNull.filter(c => restoredFields.forall(_.contains(c)))
+    val keptChecks = cur.checks.filter { case (_, sql) =>
+      restoredFields.forall(f => refs(sql).subsetOf(f)) }
+    val conDrops =
+      (cur.notNull -- keptNotNull).toSeq.sorted
+        .map(c => s"dropconstraint\tnotnull\t$c") ++
+      (cur.checks.keySet -- keptChecks.keySet).toSeq.sorted
+        .map(n => s"dropconstraint\tcheck\t$n")
+    val kept = Constraints(keptNotNull, keptChecks)
+    if (readds.nonEmpty && !kept.isEmpty) validate match {
+      case None => throw new IllegalStateException(
+        s"cannot restore ${t.root} to v$v metadata-only: the table " +
+          "declares constraints and the restore re-adds data files " +
+          "whose rows were never validated against them — use " +
+          "restore(spark, t, v) (SQL RESTORE does), or drop the " +
+          "constraints first")
+      case Some(s) =>
+        // validate the re-added files under the RESTORED schema (its
+        // mapping is the one the files were written beneath)
+        import org.apache.spark.sql.functions.{coalesce, col, expr,
+          lit, not}
+        val df = readRels(s, t, tgt, readds)
+        kept.notNull.foreach { cn =>
+          val n = df.filter(col(cn).isNull).count()
+          require(n == 0L,
+            s"cannot restore to v$v: $n re-added row(s) violate " +
+              s"NOT NULL $cn (declared after v$v) — drop the " +
+              "constraint or restore to a cleaner version")
+        }
+        kept.checks.foreach { case (name, sql) =>
+          val n = df.filter(not(coalesce(expr(sql), lit(false)))).count()
+          require(n == 0L,
+            s"cannot restore to v$v: $n re-added row(s) violate " +
+              s"CHECK $name ($sql) — drop the constraint or restore " +
+              "to a cleaner version")
+        }
+    }
     val addLines = readds.map { rel =>
       val pTok = tgt.filePartitions.getOrElse(rel, Map.empty)
         .toSeq.sortBy(_._1)
@@ -2331,7 +2471,7 @@ object TxnLog {
     val schemaLine = tgt.schemaJson.filterNot(cur.schemaJson.contains)
       .map(js => s"schema\t$js").toSeq
     commit(t, cur.version, adds = Nil, removes = removes,
-      extra = schemaLine ++ addLines ++ cdc)
+      extra = schemaLine ++ conDrops ++ addLines ++ cdc)
   }
 
   /** The APPEND feed for the streaming source: the files whose rows

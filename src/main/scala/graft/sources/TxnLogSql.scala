@@ -92,7 +92,8 @@ object GraftSqlParser {
 
   private val Ident = """[\w.]+|txnlog\.`[^`]+`"""
   private val DeleteRe =
-    s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
+    (s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+AS\\b)?""" +
+      """(?:\s+(?!WHERE\b)(\w+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
   private val UpdateRe =
     (s"""(?is)^\\s*UPDATE\\s+($Ident)(?:\\s+AS\\b)?""" +
       """(?:\s+(?!SET\b)(\w+))?\s+SET\s+([\s\S]+?)\s*;?\s*$""").r
@@ -184,6 +185,8 @@ object GraftSqlParser {
         while (i < s.length && open) {
           val d = s.charAt(i)
           if (d == '\\') i += 2
+          else if (d == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'')
+            i += 2 // SQL doubled-quote escape: stays inside the literal
           else { if (d == '\'') open = false; i += 1 }
         }
         out += ((start, math.min(i, s.length)))
@@ -227,8 +230,8 @@ object GraftSqlParser {
   private[graft] def parseDml(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case DeleteRe(tbl, where) =>
-        Some(TxnLogDeleteCommand(tbl, Option(where),
+      case DeleteRe(tbl, alias, where) =>
+        Some(TxnLogDeleteCommand(tbl, Option(alias), Option(where),
           () => delegate.parsePlan(sqlText)))
       case InsertRe(mode, tbl, cols, query) =>
         Some(TxnLogInsertCommand(tbl,
@@ -569,15 +572,17 @@ object GraftSqlParser {
     }
 }
 
-/** `DELETE FROM <txnlog table> [WHERE cond]` → [[TxnLog.delete]]
-  * (no WHERE = delete everything, the SQL contract). */
+/** `DELETE FROM <txnlog table> [AS] [x] [WHERE cond]` →
+  * [[TxnLog.delete]] (no WHERE = delete everything, the SQL
+  * contract); an optional alias qualifies WHERE references. */
 final case class TxnLogDeleteCommand(table: String,
-    where: Option[String],
+    alias: Option[String], where: Option[String],
     native: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.tryResolveTable(spark, table) match {
       case Some(t) =>
-        TxnLog.delete(spark, t, where.map(expr).getOrElse(lit(true)))
+        TxnLog.delete(spark, t, where.map(expr).getOrElse(lit(true)),
+          alias)
         Seq.empty
       case None => // not ours: run Spark's own DELETE plan (v2 tables)
         GraftSqlParser.runNative(spark, native)
@@ -787,7 +792,10 @@ final case class TxnLogRestoreCommand(table: String,
     val t = GraftSqlParser.resolveTable(spark, table)
     val v = version.getOrElse(
       TxnLog.versionAt(t, TxnLog.tsMillis(timestamp.get)))
-    TxnLog.restore(t, v)
+    // the validating overload: re-added rows are checked against
+    // constraints declared after v (metadata-only restore refuses
+    // that combination)
+    TxnLog.restore(spark, t, v)
     Seq.empty
   }
 }

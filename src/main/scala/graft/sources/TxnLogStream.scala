@@ -95,10 +95,18 @@ class TxnLogStreamProvider extends StreamSourceProvider
       // a 64-bit digest prefix, not a 32-bit hash: two queries on
       // distinct checkpoints writing one table must never collide
       // into one writer identity (a collision silently fences out the
-      // other query's batches)
-      "ck" + java.security.MessageDigest.getInstance("SHA-256")
-        .digest(ckpt.getBytes("UTF-8")).take(8)
+      // other query's batches). A checkpoint whose markers were
+      // committed under the LEGACY 32-bit identity keeps it —
+      // switching ids under an existing checkpoint would unfence its
+      // replayed batches (duplicate delivery on upgrade)
+      val legacy = "ck" + java.lang.Integer.toUnsignedString(
+        java.util.Arrays.hashCode(ckpt.getBytes("UTF-8")))
+      val derived = "ck" + java.security.MessageDigest
+        .getInstance("SHA-256").digest(ckpt.getBytes("UTF-8")).take(8)
         .map(b => f"$b%02x").mkString
+      if (TxnLog.lastBatch(t, derived).isEmpty &&
+          TxnLog.lastBatch(t, legacy).nonEmpty) legacy
+      else derived
     }
     new TxnLogSink(sqlContext, t, appId, partitionColumns, complete,
       if (update) mergeKeys else None)
@@ -282,7 +290,7 @@ private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
     else upsertKeys match {
       case Some(keys) => // Update mode: exactly-once keyed upsert
         TxnLog.upsertBatch(ctx.sparkSession, t, batch, keys, appId,
-          batchId)
+          batchId, partCols)
       case None =>
         TxnLog.appendBatch(ctx.sparkSession, t, batch, appId, batchId,
           partCols)

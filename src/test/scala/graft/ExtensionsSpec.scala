@@ -546,6 +546,14 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("UPDATE graft_no_such_upd u SET v = u.v + 1")
     }
     assert(nf.getMessage.contains("graft_no_such_upd"))
+    // aliased DELETE mutates too; non-txnlog target delegates
+    spark.sql(s"INSERT INTO txnlog.`$p` VALUES (3, 3, 'z')")
+    spark.sql(s"DELETE FROM txnlog.`$p` AS d WHERE d.k = 3")
+    assert(TxnLog.read(spark, t).filter($"k" === 3L).count() === 0L)
+    val dnf = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM graft_no_such_del d WHERE d.k = 1")
+    }
+    assert(dnf.getMessage.contains("graft_no_such_del"))
     // a string literal containing a txnlog time-travel reference
     // survives an INSERT verbatim — the travel rewrite is quote-aware
     val lit0 = s"see txnlog.`$p` VERSION AS OF 3 for details"

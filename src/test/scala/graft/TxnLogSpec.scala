@@ -2163,6 +2163,31 @@ class TxnLogSpec extends AnyFunSuite {
       "merge under mapping flattened the layout")
     assert(TxnLog.read(spark, pt).collect().map(_.getLong(0)).sorted
       .toSeq === Seq(1L, 9L))
+    // dropping a STATS-TRACKED column must not brick rewrites: the
+    // orphaned manifest triples are excluded from re-stamping
+    val st = freshTable()
+    TxnLog.appendWithStats(spark, st,
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b").coalesce(1), Seq("a", "b"))
+    TxnLog.dropColumn(st, "b")
+    TxnLog.delete(spark, st, col("a") === 1L) // restages survivors
+    TxnLog.compact(spark, st)                 // re-stamps live stats
+    assert(TxnLog.read(spark, st).collect().map(_.getLong(0)).toSeq
+      === Seq(3L))
+    // restoring BELOW a rename restores the old schema even though
+    // the live set is unchanged, and drops the migrated NOT NULL
+    // instead of bricking every future write
+    val rn = freshTable()
+    TxnLog.append(spark, rn, Seq((1L, 2L)).toDF("k", "x").coalesce(1))
+    val vPreRename = TxnLog.latestVersion(rn)
+    TxnLog.addNotNull(spark, rn, "x")
+    TxnLog.renameColumn(rn, "x", "y")
+    TxnLog.restore(spark, rn, vPreRename)
+    assert(TxnLog.read(spark, rn).columns.toSeq === Seq("k", "x"),
+      "schema-only restore did not re-register the old shape")
+    TxnLog.append(spark, rn,
+      Seq((2L, null.asInstanceOf[java.lang.Long])).toDF("k", "x")
+        .coalesce(1)) // the migrated 'y' constraint must be gone
+    assert(TxnLog.read(spark, rn).count() === 2L)
   }
 
   test("txnlog: the sink's Update mode upserts keyed state exactly-once across a restart") {
@@ -2210,6 +2235,44 @@ class TxnLogSpec extends AnyFunSuite {
         .start()
     }
     assert(e.getMessage.contains("mergeKeys"), e.getMessage)
+    // the DEGRADED (no key matched) path is fenced too: a replayed
+    // insert-only batch routes through the marker-rechecking append,
+    // never a blind one — rows land once
+    val ut = freshTable()
+    TxnLog.append(spark, ut,
+      Seq((100L, 0L)).toDF("k", "n").coalesce(1)) // non-matching row
+    val b = Seq((1L, 1L)).toDF("k", "n")
+    assert(TxnLog.upsertBatch(spark, ut, b, Seq("k"), "fencespec", 0L))
+    assert(!TxnLog.upsertBatch(spark, ut, b, Seq("k"), "fencespec", 0L),
+      "replayed degraded-path batch was not fenced")
+    assert(TxnLog.read(spark, ut).count() === 2L)
+    // an explicit partition layout survives Update mode from the
+    // FIRST batch (empty table) through later upsert batches
+    val pt = freshTable()
+    val ckpt3 = Files.createTempDirectory("graft-updck3-").toString
+    val in2 = MemoryStream[(Long, String)]
+    def startP() = in2.toDF().toDF("k", "day")
+      .groupBy($"k", $"day").agg(count(lit(1)).cast("long").as("n"))
+      .writeStream.format("txnlog").outputMode("update")
+      .option("path", pt.root.toString)
+      .option("checkpointLocation", ckpt3)
+      .option("mergeKeys", "k,day")
+      .partitionBy("day")
+      .start()
+    val qp = startP()
+    try {
+      in2.addData((1L, "d1"), (2L, "d2"))
+      qp.processAllAvailable()
+      in2.addData((1L, "d1"))
+      qp.processAllAvailable()
+    } finally qp.stop()
+    val ps = TxnLog.snapshot(pt)
+    assert(ps.filePartitions.nonEmpty &&
+      ps.liveFiles.forall(ps.filePartitions.contains),
+      s"Update-mode sink lost the partition layout: ${ps.liveFiles}")
+    assert(TxnLog.read(spark, pt).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      .toSeq === Seq((1L, "d1", 2L), (2L, "d2", 1L)))
   }
 
   test("txnlog: NOT NULL / CHECK constraints refuse violating writes atomically") {
@@ -2295,6 +2358,23 @@ class TxnLogSpec extends AnyFunSuite {
       spark.sql(s"INSERT INTO txnlog.`$p` VALUES (7, 700, 'g')")
     }
     assert(e7.getMessage.contains("v_cap"))
+    // RESTORE that re-adds rows a since-declared constraint forbids:
+    // metadata-only refuses (needs a scan), the validating overload
+    // refuses on the violation itself
+    val rt = freshTable()
+    TxnLog.append(spark, rt, Seq((1L, -5L)).toDF("k", "v").coalesce(1))
+    val vBad = TxnLog.latestVersion(rt)
+    TxnLog.delete(spark, rt, col("v") < 0L)
+    TxnLog.addCheck(spark, rt, "v_pos", "v >= 0") // live rows clean
+    val mo = intercept[IllegalStateException] {
+      TxnLog.restore(rt, vBad)
+    }
+    assert(mo.getMessage.contains("metadata-only"), mo.getMessage)
+    val va = intercept[IllegalArgumentException] {
+      TxnLog.restore(spark, rt, vBad)
+    }
+    assert(va.getMessage.contains("v_pos"), va.getMessage)
+    assert(TxnLog.read(spark, rt).count() === 0L, "refused restore mutated")
     // unknown drop refuses; non-txnlog targets delegate natively
     val e8 = intercept[IllegalArgumentException] {
       TxnLog.dropConstraint(t, "no_such")
