@@ -26,6 +26,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom physical operators (AsofJoin.asof also self-registers via
     // experimental.extraStrategies for sessions built without this)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // table-valued CHANGE FEED access — Delta's table_changes:
+    //   SELECT * FROM txnlog_changes('/path', fromV, toV)
+    // rows arrive typed (_change_type insert|delete) with per-commit
+    // attribution (_commit_version); arguments must be literals (the
+    // feed is resolved at analysis, like any table reference)
+    e.injectTableFunction((FunctionIdentifier("txnlog_changes"),
+      GraftExtensions.info("txnlog_changes",
+        "txnlog_changes(path, fromVersion, toVersion) - typed change " +
+          "feed of a txnlog table over (from, to]"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "txnlog_changes takes (path, fromVersion, toVersion)")
+        def const(e: Expression): Any = {
+          require(e.foldable,
+            s"txnlog_changes arguments must be literals, got: ${e.sql}")
+          e.eval()
+        }
+        def longOf(a: Any): Long = a match {
+          case n: Number => n.longValue
+          case other     => other.toString.toLong
+        }
+        val path = const(args(0)).toString
+        val from = longOf(const(args(1)))
+        val to = longOf(const(args(2)))
+        graft.sources.TxnLog.tableChangesByPath(
+          SparkSession.active, path, from, to)
+          .queryExecution.analyzed
+      }))
     // SQL DML for txnlog tables (DELETE FROM / MERGE INTO / OPTIMIZE /
     // VACUUM) — a delegating parser front end; see GraftSqlParser.
     // Parser injection is build-time only: sessions get it through
@@ -39,7 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private type Builder = Seq[Expression] => Expression
 
-  private def info(name: String, usage: String) =
+  private[graft] def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   val registrations: Seq[(String, ExpressionInfo, Builder)] = Seq(

@@ -504,9 +504,19 @@ object TxnLog {
         val byName = c.fields.map(f => f.name -> f).toMap
         incoming.fields.foreach { f =>
           byName.get(f.name).foreach { have =>
-            require(have.dataType == f.dataType,
+            // a NARROWER incoming type is compatible under a widened
+            // registration (the pinned read schema promotes it
+            // in-scan); an incoming WIDER type needs the explicit
+            // ALTER COLUMN TYPE first — implicit widening through a
+            // write would change the table shape as a side effect
+            require(have.dataType == f.dataType ||
+              canWiden(f.dataType, have.dataType),
               s"non-additive schema change on '${f.name}': " +
-                s"${have.dataType} -> ${f.dataType}")
+                s"${have.dataType} -> ${f.dataType}" +
+                (if (canWiden(have.dataType, f.dataType))
+                  " — widen the column first (TxnLog.widenColumn / " +
+                    "ALTER TABLE t ALTER COLUMN c TYPE ...)"
+                 else ""))
             require(!f.metadata.contains(PhysicalKey) ||
               physicalName(f) == physicalName(have),
               s"conflicting physical mapping for '${f.name}': " +
@@ -775,7 +785,10 @@ object TxnLog {
         // fabricating a range
         if (statsCols.exists(c => r.isNullAt(r.fieldIndex(s"lo_$c")))) None
         else Some(abs -> statsCols.map(c =>
-          s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}"))
+          // Number, not Long: a widened column's staged files may
+          // still carry the narrow integral type
+          s"$c:${r.getAs[Number](s"lo_$c").longValue}" +
+            s":${r.getAs[Number](s"hi_$c").longValue}"))
       }.toMap
     rels.map { rel =>
       byPath.get(t.root.resolve(rel).normalize.toString) match {
@@ -1140,6 +1153,70 @@ object TxnLog {
             if (spec.isEmpty) lines
             else lines.map(decorateAdd(_, pTok))
           (files, decorated)
+        }
+      commit(t, snap.version, adds = Nil,
+        removes = groups.flatMap(_._1),
+        extra = groups.flatMap(_._2) :+ "cdc\tnone",
+        reconcileDisjoint = true)
+    } finally seal(t, stages.toSeq: _*)
+  }
+
+  /** PARTITION-SCOPED OPTIMIZE — `OPTIMIZE t WHERE day = 'd1'`: only
+    * live files whose recorded partition values match `spec` (all of
+    * its columns) compact, each matching partition group rewritten
+    * WITHIN the layout into `targetFiles` files, everything else
+    * untouched — the maintenance shape a 100 TB table actually runs
+    * (compact yesterday's partition; never rewrite the whole table).
+    * Spec columns must be partition columns (a data-column WHERE
+    * would silently scope nothing — refused loudly); groups with one
+    * file gain nothing and stay; all groups publish in ONE atomic
+    * dataChange=false commit with [[compact]]'s file-disjoint
+    * reconciliation, so concurrent appends commute. Returns the
+    * committed version (unchanged when nothing qualifies). */
+  def compactPartition(s: SparkSession, t: Table,
+                       spec: Map[String, String],
+                       targetFiles: Int = 1): Long = {
+    require(spec.nonEmpty, "compactPartition needs a partition spec")
+    val snap = snapshot(t)
+    val partCols = snap.filePartitions.values.flatMap(_.keys).toSet
+    val bad = spec.keySet.diff(partCols)
+    require(bad.isEmpty,
+      s"OPTIMIZE WHERE references non-partition column(s): " +
+        s"${bad.mkString(", ")} (partition columns: " +
+        s"${partCols.mkString(", ")}) — scoped compaction keys on " +
+        "the layout")
+    val bySpec = snap.liveFiles
+      .filter { rel =>
+        val p = snap.filePartitions.getOrElse(rel, Map.empty)
+        spec.forall { case (c, v) => p.get(c).contains(v) }
+      }
+      .groupBy(rel => snap.filePartitions.getOrElse(rel, Map.empty))
+      .filter(_._2.length >= 2)
+    if (bySpec.isEmpty) return snap.version
+    val statsCols = liveStatsCols(snap)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val groups = bySpec.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (full, files) =>
+          val stage = newStage(t, t.dataDir)
+          stages += stage
+          val schema = snap.schemaJson.map(parseSchema).getOrElse(
+            throw new IllegalStateException(
+              "partitioned compaction needs a registered schema"))
+          val dataFields = schema.fields
+            .filterNot(f => full.contains(f.name)).toIndexedSeq
+          val df = toLogical(
+            s.read.schema(physicalSchema(StructType(dataFields)))
+              .parquet(files.map(r => t.root.resolve(r).toString): _*),
+            dataFields)
+          toPhysical(df.coalesce(targetFiles),
+            snap.schemaJson.map(parseSchema))
+            .write.parquet(stage.toString)
+          val lines = addLinesFor(s, t, stage,
+            statsCols.filterNot(full.contains))
+          val pTok = full.toSeq.sortBy(_._1)
+            .map { case (c, v) => s"part=${escapePart(c)}=${escapePart(v)}" }
+          (files, lines.map(decorateAdd(_, pTok)))
         }
       commit(t, snap.version, adds = Nil,
         removes = groups.flatMap(_._1),
@@ -2061,6 +2138,50 @@ object TxnLog {
     versionOf(at.get)
   }
 
+  /** Define an EMPTY table: register `schema` as version 0 — the
+    * `CREATE TABLE t (cols) USING txnlog` path, so a table can exist
+    * (queryable as zero rows, constrainable, INSERT-able with column
+    * alignment) before its first data commit. No-op when any version
+    * exists; a racing first WRITE losing slot 0 is equally fine —
+    * either way the schema lands merged. */
+  def registerSchema(t: Table, schema: StructType): Unit =
+    if (latestVersion(t) < 0) {
+      tryPublish(t, 0L, Seq(s"schema\t${schema.json}")); ()
+    }
+
+  /** Typed CHANGE FEED rows for (from, to] with per-commit
+    * attribution — the `table_changes` SQL surface: every row of the
+    * range's change feed tagged `_change_type` (insert|delete) and
+    * `_commit_version`, resolved version-by-version from the log
+    * (metadata walk + a scan of only changed files per commit, the
+    * incremental-audit shape; rewrites without cdc info refuse like
+    * every feed read). */
+  def tableChanges(s: SparkSession, t: Table, from: Long,
+                   to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(from <= to, s"empty change range: v$from..v$to")
+    val schemaJson = snapshot(t, Some(to)).schemaJson.getOrElse(
+      throw new IllegalStateException(
+        s"table at ${t.root} never registered a schema (raw commits); " +
+          "table_changes needs one to type the feed"))
+    def tag(df: DataFrame, kind: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    if (from == to)
+      return tag(readFiles(s, t, Nil, Some(schemaJson)), "insert", 0L)
+        .limit(0)
+    ((from + 1) to to).map { v =>
+      val (ins, del) = readChangeFeedBatch(s, t, v - 1, v, schemaJson)
+      tag(ins, "insert", v).unionByName(tag(del, "delete", v))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[tableChanges]] addressed by path string — the TVF entry
+    * point (`SELECT * FROM txnlog_changes('/p', from, to)`). */
+  def tableChangesByPath(s: SparkSession, path: String, from: Long,
+                         to: Long): DataFrame =
+    tableChanges(s, Table(pathOf(path)), from, to)
+
   /** ADDITIVE schema evolution as explicit DDL: register `newCols`
     * appended to the current schema in one metadata-only commit (the
     * same `schema` action an evolving append writes, through the
@@ -2183,6 +2304,67 @@ object TxnLog {
     committed
   }
 
+  /** Lossless widenings Spark's parquet reader promotes IN-SCAN
+    * (verified against 4.x: requesting a wider schema over narrower
+    * files upcasts per batch): the integral up-chain, float→double,
+    * and small-integral→double. Everything else — narrowing, string
+    * changes, decimal reshapes — stays refused. */
+  private[sources] def canWiden(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val chain: Seq[DataType] = Seq(ByteType, ShortType, IntegerType,
+      LongType)
+    (from, to) match {
+      case (f, t0) if chain.contains(f) && chain.contains(t0) =>
+        chain.indexOf(f) < chain.indexOf(t0)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** TYPE WIDENING as ONE metadata commit — the third evolution verb
+    * after add and rename/drop: re-register the column at a WIDER
+    * type ([[canWiden]]); no data file is rewritten — old files keep
+    * their narrow physical type and the pinned read schema promotes
+    * them in-scan; writers may keep sending the narrow type (the
+    * merged-schema check accepts narrower-than-registered), wide
+    * writes land wide. Time travel below the commit keeps the narrow
+    * shape; a running stream pinned to the narrow schema fails
+    * loudly on its next batch (restart re-reads the registered
+    * schema). Partition columns refuse — their values reconstitute
+    * from layout strings and retyping them mid-table would change
+    * prune semantics. Returns the committed version. */
+  def widenColumn(t: Table, name: String, to: DataType): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(t)
+      require(base >= 0, s"empty transaction log at ${t.logDir}")
+      val cur = registeredSchema(t).getOrElse(
+        throw new IllegalStateException(
+          s"table at ${t.root} never registered a schema (raw " +
+            "commits); append through the API once before evolving it"))
+      val f = cur.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' (table has ${cur.fieldNames.mkString(", ")})"))
+      if (f.dataType == to) return base // idempotent migrations
+      require(canWiden(f.dataType, to),
+        s"cannot change '$name' from ${f.dataType.simpleString} to " +
+          s"${to.simpleString}: only lossless widenings are supported " +
+          "(byte<short<int<long, float->double, byte/short/int->double)")
+      val partCols = snapshot(t).filePartitions.values
+        .flatMap(_.keys).toSet
+      require(!partCols.contains(name),
+        s"cannot widen partition column '$name' — rewrite the table " +
+          "to change its partitioning types")
+      val fields = cur.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x)
+      if (tryPublish(t, base + 1,
+          Seq(s"schema\t${StructType(fields).json}")))
+        committed = base + 1
+    }
+    committed
+  }
+
   /** Shared refusals for rename/drop: partition columns (the layout
     * IS the name) and columns referenced by a CHECK constraint
     * (opaque SQL text — cannot be rewritten safely). */
@@ -2256,9 +2438,10 @@ object TxnLog {
   /** Declare a named CHECK constraint (any boolean SQL expression
     * over the table's columns) in one metadata commit; existing rows
     * must satisfy it (one validating scan, like [[addNotNull]]), and
-    * every subsequent write refuses atomically on violation. A NULL
-    * check result counts as a VIOLATION on write (the conservative
-    * reading — a constraint that cannot be proven holds nothing). */
+    * every subsequent write refuses atomically on violation. SQL
+    * CHECK semantics: TRUE or UNKNOWN satisfies — only a provably
+    * FALSE row violates, so NULL-filled columns pass (pair with NOT
+    * NULL to forbid them). */
   def addCheck(s: SparkSession, t: Table, name: String,
                exprSql: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
@@ -2267,7 +2450,7 @@ object TxnLog {
       val snap = snapshot(t)
       if (snap.liveFiles.nonEmpty) {
         val bad = readRels(s, t, snap, snap.liveFiles)
-          .filter(not(coalesce(expr(exprSql), lit(false)))).count()
+          .filter(not(coalesce(expr(exprSql), lit(true)))).count()
         require(bad == 0L,
           s"cannot declare CHECK $name ($exprSql): $bad existing row(s) " +
             "violate it — clean the data first")
@@ -2333,7 +2516,9 @@ object TxnLog {
         c.notNull.toSeq.sorted.map(cn =>
           s"NOT NULL $cn" -> col(cn).isNull) ++
         c.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
-          s"CHECK $n ($sql)" -> not(coalesce(expr(sql), lit(false))) }
+          // SQL CHECK semantics: TRUE or UNKNOWN satisfies — only a
+          // provably FALSE row violates (a NULL-filled column passes)
+          s"CHECK $n ($sql)" -> not(coalesce(expr(sql), lit(true))) }
       val aggs = viols.zipWithIndex.map { case ((_, v), i) =>
         sum(when(v, 1L).otherwise(0L)).as(s"_c$i") }
       val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -2443,7 +2628,7 @@ object TxnLog {
               "constraint or restore to a cleaner version")
         }
         kept.checks.foreach { case (name, sql) =>
-          val n = df.filter(not(coalesce(expr(sql), lit(false)))).count()
+          val n = df.filter(not(coalesce(expr(sql), lit(true)))).count()
           require(n == 0L,
             s"cannot restore to v$v: $n re-added row(s) violate " +
               s"CHECK $name ($sql) — drop the constraint or restore " +

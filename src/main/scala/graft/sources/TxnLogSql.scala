@@ -98,7 +98,10 @@ object GraftSqlParser {
     (s"""(?is)^\\s*UPDATE\\s+($Ident)(?:\\s+AS\\b)?""" +
       """(?:\s+(?!SET\b)(\w+))?\s+SET\s+([\s\S]+?)\s*;?\s*$""").r
   private val OptimizeRe =
-    s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
+    (s"""(?is)^\\s*OPTIMIZE\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private[sources] val PartEqRe =
+    """(?s)^\s*(\w+)\s*=\s*(?:'([^']*)'|(\w+))\s*$""".r
   private val VacuumRe =
     (s"""(?is)^\\s*VACUUM\\s+($Ident)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?""" +
       """(?:\s+(DRY\s+RUN))?\s*;?\s*$""").r
@@ -127,6 +130,9 @@ object GraftSqlParser {
   private val AlterNotNullRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ALTER\\s+COLUMN\\s+""" +
       """(\w+)\s+(SET|DROP)\s+NOT\s+NULL\s*;?\s*$""").r
+  private val AlterColTypeRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ALTER\\s+COLUMN\\s+""" +
+      """(\w+)\s+TYPE\s+([\w()\s,]+?)\s*;?\s*$""").r
   private val AlterRenameColRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+RENAME\\s+COLUMN\\s+""" +
       """(\w+)\s+TO\s+(\w+)\s*;?\s*$""").r
@@ -247,8 +253,8 @@ object GraftSqlParser {
         }
         Some(TxnLogUpdateCommand(tbl, Option(alias), sets, where,
           () => delegate.parsePlan(sqlText)))
-      case OptimizeRe(tbl, zcols) =>
-        Some(TxnLogOptimizeCommand(tbl,
+      case OptimizeRe(tbl, where, zcols) =>
+        Some(TxnLogOptimizeCommand(tbl, Option(where),
           Option(zcols).map(_.split(',').map(_.trim).toSeq)))
       case VacuumRe(tbl, hours, dry) =>
         Some(TxnLogVacuumCommand(tbl, Option(hours).map(_.toLong),
@@ -265,6 +271,9 @@ object GraftSqlParser {
           () => delegate.parsePlan(sqlText)))
       case AlterAddRe(tbl, cols) =>
         Some(TxnLogAddColumnsCommand(tbl, cols.trim,
+          () => delegate.parsePlan(sqlText)))
+      case AlterColTypeRe(tbl, colName, dt) =>
+        Some(TxnLogWidenCommand(tbl, colName, dt.trim,
           () => delegate.parsePlan(sqlText)))
       case AlterRenameColRe(tbl, from, to) =>
         Some(TxnLogColumnCommand(tbl, Some(from), to,
@@ -589,20 +598,38 @@ final case class TxnLogDeleteCommand(table: String,
     }
 }
 
-/** `OPTIMIZE <table> [ZORDER BY (a, b[, c ...])]` →
-  * [[TxnLog.compact]] / [[TxnLog.compactZorderKeys]] (2+ clustering
-  * keys). */
+/** `OPTIMIZE <table> [WHERE <partition spec>] [ZORDER BY (a, b…)]` →
+  * [[TxnLog.compact]] / [[TxnLog.compactPartition]] /
+  * [[TxnLog.compactZorderKeys]] (2+ clustering keys). The WHERE form
+  * is an equality conjunction over PARTITION columns — scoped
+  * maintenance, the shape a 100 TB table runs nightly; combining it
+  * with ZORDER refuses (cluster the whole table, or compact the
+  * partition). */
 final case class TxnLogOptimizeCommand(table: String,
+    where: Option[String],
     zorder: Option[Seq[String]]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, table)
-    zorder match {
-      case Some(cols) =>
+    val spec = where.map { w =>
+      GraftSqlParser.splitAtKeywordAll(w, "AND").map {
+        case GraftSqlParser.PartEqRe(c, q, b) =>
+          c -> Option(q).getOrElse(b)
+        case other => throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE must be a conjunction of <partition col> " +
+            s"= <literal> terms, got: $other")
+      }.toMap
+    }
+    (spec, zorder) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "OPTIMIZE WHERE cannot combine with ZORDER BY — z-cluster " +
+          "the whole table, or compact the partition")
+      case (Some(sp), None) => TxnLog.compactPartition(spark, t, sp)
+      case (None, Some(cols)) =>
         require(cols.length >= 2 && cols.forall(_.matches("\\w+")),
           s"ZORDER BY needs two or more column names, got " +
             s"(${cols.mkString(", ")})")
         TxnLog.compactZorderKeys(spark, t, cols)
-      case None => TxnLog.compact(spark, t)
+      case (None, None) => TxnLog.compact(spark, t)
     }
     Seq.empty
   }
@@ -622,6 +649,24 @@ final case class TxnLogAddColumnsCommand(table: String, colsDdl: String,
         TxnLog.addColumns(t, StructType.fromDDL(colsDdl))
         Seq.empty
       case None => // not ours: Spark's own ALTER TABLE plan
+        GraftSqlParser.runNative(spark, native)
+    }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <dt>` → [[TxnLog.widenColumn]]
+  * — lossless TYPE WIDENING as one metadata commit (old files keep
+  * their narrow physical type; the pinned read schema promotes them
+  * in-scan). Non-txnlog targets run Spark's own ALTER plan. */
+final case class TxnLogWidenCommand(table: String, col: String,
+    typeDdl: String,
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        TxnLog.widenColumn(t, col,
+          spark.sessionState.sqlParser.parseDataType(typeDdl))
+        Seq.empty
+      case None => // not ours: Spark's own ALTER plan
         GraftSqlParser.runNative(spark, native)
     }
 }

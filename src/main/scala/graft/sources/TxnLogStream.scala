@@ -182,6 +182,12 @@ class TxnLogStreamProvider extends StreamSourceProvider
       case _ => rawParameters
     }
     val t = tableOf(parameters)
+    // CREATE TABLE t (cols) USING txnlog on an EMPTY location DEFINES
+    // the table: the declared schema registers as version 0, so the
+    // table is queryable (zero rows), constrainable and INSERT-able
+    // before its first data commit — the DDL-first workflow
+    if (TxnLog.latestVersion(t) < 0)
+      userSchema.foreach(sc => TxnLog.registerSchema(t, sc))
     val asOf: Option[Long] = parameters.get("versionAsOf") match {
       case Some(v) => Some(v.toLong)
       case None => parameters.get("timestampAsOf").map(ts =>
@@ -257,13 +263,24 @@ class TxnLogStreamProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new TxnLogSource(sqlContext, tableOf(parameters),
+      parameters: Map[String, String]): Source = {
+    val t = tableOf(parameters)
+    // Delta's startingVersion: skip the initial-snapshot backlog and
+    // stream changes FROM the given version (inclusive); "latest"
+    // resolves at stream definition — only commits after this point
+    val startingVersion = parameters.get("startingVersion").map {
+      case s0 if s0.equalsIgnoreCase("latest") =>
+        TxnLog.latestVersion(t) + 1
+      case s0 => s0.toLong
+    }
+    new TxnLogSource(sqlContext, t,
       schemaOf(sqlContext, schema, parameters),
       parameters.get("ignoreDeletes").exists(_.toBoolean),
       parameters.get("maxVersionsPerBatch").map(_.toLong),
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      isCdf(parameters))
+      isCdf(parameters),
+      startingVersion)
+  }
 }
 
 /** See [[TxnLogStreamProvider.createSink]]. The micro-batch frame
@@ -456,7 +473,8 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
     tableSchema: StructType, ignoreDeletes: Boolean,
     maxVersionsPerBatch: Option[Long] = None,
     ignoreChanges: Boolean = false,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    startingVersion: Option[Long] = None)
     extends Source {
 
   override val schema: StructType =
@@ -506,16 +524,33 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
     // schema change requires a stream restart, which re-reads the
     // registered schema and picks the new columns up)
     TxnLog.registeredSchema(t).foreach { reg =>
-      val pinned = tableSchema.fieldNames.toSet
+      val pinned = tableSchema.fields.map(f => f.name -> f.dataType).toMap
       val extra = reg.fieldNames.filterNot(pinned.contains)
-      if (extra.nonEmpty) throw new IllegalStateException(
-        s"txnlog table at ${t.root} evolved mid-stream (new columns: " +
-          s"${extra.mkString(", ")}); restart the stream to pick them up")
+      // a WIDENED column mid-stream is as fatal as a new one: files
+      // written wide cannot be read under the pinned narrow schema
+      val retyped = reg.fields
+        .filter(f => pinned.get(f.name).exists(_ != f.dataType))
+        .map(_.name)
+      if (extra.nonEmpty || retyped.nonEmpty)
+        throw new IllegalStateException(
+          s"txnlog table at ${t.root} evolved mid-stream (" +
+            (if (extra.nonEmpty) s"new columns: ${extra.mkString(", ")}"
+             else "") +
+            (if (extra.nonEmpty && retyped.nonEmpty) "; " else "") +
+            (if (retyped.nonEmpty)
+              s"retyped columns: ${retyped.mkString(", ")}" else "") +
+            "); restart the stream to pick the new schema up")
     }
     import org.apache.spark.sql.functions.lit
     def typed(df: DataFrame, kind: String): DataFrame =
       df.withColumn("_change_type", lit(kind))
-    val batch = (start, readChangeFeed) match {
+    // startingVersion skips the initial-snapshot backlog: the first
+    // batch replays the feed FROM that version (inclusive) instead of
+    // delivering the whole table; sv <= 0 degrades to the snapshot
+    // path (replaying from the origin IS the initial snapshot)
+    val firstFrom = startingVersion.filter(_ > 0).map(_ - 1)
+    val batch = (start.map(versionOf).orElse(firstFrom),
+        readChangeFeed) match {
       case (None, false) =>
         // initial backlog: the full snapshot at the first offset
         TxnLog.read(ctx.sparkSession, t, Some(endV))
@@ -523,11 +558,11 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
         // CDF backlog: the snapshot arrives as one insert wave
         typed(TxnLog.read(ctx.sparkSession, t, Some(endV)), "insert")
       case (Some(s0), false) =>
-        TxnLog.readFeedBatch(ctx.sparkSession, t, versionOf(s0), endV,
+        TxnLog.readFeedBatch(ctx.sparkSession, t, s0, endV,
           ignoreDeletes, ignoreChanges, tableSchema.json)
       case (Some(s0), true) =>
         val (ins, del) = TxnLog.readChangeFeedBatch(ctx.sparkSession, t,
-          versionOf(s0), endV, tableSchema.json)
+          s0, endV, tableSchema.json)
         typed(ins, "insert").unionByName(typed(del, "delete"))
     }
     StreamShim.asStreamingBatch(batch)

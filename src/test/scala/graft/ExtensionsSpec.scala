@@ -666,6 +666,71 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("txnlog_changes TVF and schema-defining CREATE TABLE close the SQL loop") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    // CREATE TABLE with explicit columns on an EMPTY location defines
+    // the table: queryable (zero rows), INSERT-able, constrainable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqlddl-").resolve("t")
+    val p = root.toString
+    spark.sql("DROP TABLE IF EXISTS ddl_cat")
+    spark.sql(s"CREATE TABLE ddl_cat (k BIGINT, v BIGINT) USING txnlog " +
+      s"OPTIONS (path '$p')")
+    try {
+      val t = TxnLog.Table(root)
+      assert(TxnLog.latestVersion(t) === 0L) // the schema commit
+      assert(spark.sql("SELECT * FROM ddl_cat").columns.toSeq ===
+        Seq("k", "v"))
+      assert(spark.sql("SELECT * FROM ddl_cat").count() === 0L)
+      // constraints can be declared BEFORE any data
+      spark.sql(s"ALTER TABLE txnlog.`$p` ADD CONSTRAINT v_pos " +
+        "CHECK (v >= 0)")
+      // INSERT aligns to the declared schema; column lists work
+      spark.sql("INSERT INTO ddl_cat VALUES (1, 10)")
+      val vIns1 = TxnLog.latestVersion(t)
+      spark.sql(s"INSERT INTO txnlog.`$p` (k) VALUES (2)")
+      val vIns2 = TxnLog.latestVersion(t)
+      val got = intercept[IllegalArgumentException] {
+        spark.sql("INSERT INTO ddl_cat VALUES (3, -1)")
+      }
+      assert(got.getMessage.contains("v_pos"))
+      // the PATH reference resolves live; the catalog name serves its
+      // cached (point-in-time) relation until refreshed — Spark's
+      // relation-cache semantics for DSv1 provider tables
+      assert(spark.sql(s"SELECT count(*) FROM txnlog.`$p`")
+        .head().getLong(0) === 2L)
+      spark.catalog.refreshTable("ddl_cat")
+      assert(spark.sql("SELECT count(*) FROM ddl_cat").head().getLong(0)
+        === 2L)
+      // txnlog_changes TVF: the typed change feed straight from SQL,
+      // with per-commit attribution
+      val v1 = TxnLog.latestVersion(t)
+      spark.sql(s"DELETE FROM txnlog.`$p` WHERE k = 1")
+      val v2 = TxnLog.latestVersion(t)
+      val changes = spark.sql(
+        s"""SELECT _commit_version, _change_type, k
+           |FROM txnlog_changes('$p', $v1, $v2)
+           |ORDER BY _change_type, k""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(changes === Seq((v2, "delete", 1L)), changes.toString)
+      // the full range attributes each commit separately
+      val all = spark.sql(
+        s"""SELECT _commit_version, _change_type, count(*) AS n
+           |FROM txnlog_changes('$p', 0, $v2)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(all === Seq((vIns1, "insert", 1L), (vIns2, "insert", 1L),
+        (v2, "delete", 1L)), all.toString)
+      // non-literal arguments refuse loudly
+      val nl = intercept[Exception] {
+        spark.sql(s"SELECT * FROM txnlog_changes('$p', 0, k)").collect()
+      }
+      assert(nl.getMessage.toLowerCase.contains("literal") ||
+        nl.getMessage.contains("k"), nl.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_cat")
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

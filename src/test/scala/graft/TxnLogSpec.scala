@@ -2190,6 +2190,118 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, rn).count() === 2L)
   }
 
+  test("txnlog: type widening, partition-scoped OPTIMIZE and startingVersion streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // WIDENING: one metadata commit; old narrow files promote in-scan
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq((1, 1.5f), (2, 2.5f)).toDF("i", "f").coalesce(1))
+    val preFiles = TxnLog.snapshot(t).liveFiles.toSet
+    val v0 = TxnLog.latestVersion(t)
+    TxnLog.widenColumn(t, "i", LongType)
+    spark.sql(s"ALTER TABLE txnlog.`${t.root}` ALTER COLUMN f TYPE DOUBLE")
+    assert(TxnLog.snapshot(t).liveFiles.toSet === preFiles,
+      "widening rewrote data files")
+    val now = TxnLog.read(spark, t)
+    assert(now.schema("i").dataType === LongType &&
+      now.schema("f").dataType === DoubleType)
+    assert(now.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      .toSeq === Seq((1L, 1.5), (2L, 2.5)))
+    // time travel below keeps the narrow shape
+    assert(TxnLog.read(spark, t, Some(v0)).schema("i").dataType
+      === IntegerType)
+    // narrow writers keep working (merged schema accepts narrower);
+    // wide writes land wide; a mixed table reads uniformly wide
+    TxnLog.append(spark, t, Seq((3, 3.5f)).toDF("i", "f").coalesce(1))
+    TxnLog.append(spark, t,
+      Seq((4L, 4.5d)).toDF("i", "f").coalesce(1))
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L, 4L))
+    // DML through the widened schema (locate + restage)
+    TxnLog.update(spark, t, Map("f" -> lit(9.0d)), col("i") === 4L)
+    assert(TxnLog.read(spark, t).filter(col("i") === 4L).head()
+      .getDouble(1) === 9.0)
+    // narrowing and non-numeric changes refuse
+    val e1 = intercept[IllegalArgumentException] {
+      TxnLog.widenColumn(t, "i", IntegerType)
+    }
+    assert(e1.getMessage.contains("widening"), e1.getMessage)
+    // implicit widening through a WRITE refuses, naming the fix
+    val t2 = freshTable()
+    TxnLog.append(spark, t2, Seq((1, 2)).toDF("a", "b").coalesce(1))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t2, Seq((3L, 4L)).toDF("a", "b").coalesce(1))
+    }
+    assert(e2.getMessage.contains("widen the column first"), e2.getMessage)
+    // PARTITION-SCOPED OPTIMIZE: only the WHERE'd partition compacts
+    val pt = freshTable()
+    (0 until 4).foreach(i => TxnLog.appendPartitioned(spark, pt,
+      Seq((i.toLong, "d1")).toDF("id", "day"), Seq("day")))
+    (0 until 3).foreach(i => TxnLog.appendPartitioned(spark, pt,
+      Seq((10L + i, "d2")).toDF("id", "day"), Seq("day")))
+    spark.sql(s"OPTIMIZE txnlog.`${pt.root}` WHERE day = 'd1'")
+    val ps = TxnLog.snapshot(pt)
+    val byDay = ps.liveFiles.groupBy(r =>
+      ps.filePartitions(r).getOrElse("day", "?"))
+    assert(byDay("d1").length === 1, s"d1 not compacted: $byDay")
+    assert(byDay("d2").length === 3, s"d2 was touched: $byDay")
+    assert(TxnLog.read(spark, pt).count() === 7L)
+    // WHERE on a non-partition column refuses; WHERE + ZORDER refuses
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE txnlog.`${pt.root}` WHERE id = '1'")
+    }
+    assert(e3.getMessage.contains("partition"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"OPTIMIZE txnlog.`${pt.root}` WHERE day = 'd1' ZORDER BY (a, b)")
+    }
+    assert(e4.getMessage.contains("ZORDER"), e4.getMessage)
+    // STARTING VERSION: the stream skips the initial snapshot and
+    // replays changes from the given version (inclusive)
+    val st = freshTable()
+    (0 until 3).foreach(i =>
+      TxnLog.append(spark, st, Seq(i.toLong).toDF("id").coalesce(1)))
+    val got = spark.readStream.format("txnlog")
+      .option("path", st.root.toString)
+      .option("startingVersion", "2")
+      .load()
+    val ckpt = Files.createTempDirectory("graft-svck-").toString
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = got.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        outRows.synchronized {
+          outRows ++= df.collect().map(_.getLong(0))
+        }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(outRows.sorted.toSeq === Seq(2L),
+      s"startingVersion=2 delivered $outRows (wanted only v2's row)")
+    // "latest" delivers nothing old, only post-start commits
+    val outRows2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("txnlog")
+      .option("path", st.root.toString)
+      .option("startingVersion", "latest")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        outRows2.synchronized {
+          outRows2 ++= df.collect().map(_.getLong(0))
+        }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-svck2-").toString)
+      .start()
+    try {
+      TxnLog.append(spark, st, Seq(99L).toDF("id").coalesce(1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(outRows2.sorted.toSeq === Seq(99L),
+      s"startingVersion=latest delivered $outRows2")
+  }
+
   test("txnlog: the sink's Update mode upserts keyed state exactly-once across a restart") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
