@@ -1119,7 +1119,22 @@ object TxnLog {
       .groupBy(rel => snap.filePartitions.getOrElse(rel, Map.empty))
       .filter(_._2.length >= 2)
     if (bySpec.isEmpty) return snap.version
+    compactGroups(s, t, snap, bySpec, targetFiles)
+  }
+
+  /** The shared group-rewrite body of [[compactSmall]] and
+    * [[compactPartition]]: each (partition spec -> files) group
+    * rewrites into `targetFiles` compacted files WITHIN its layout
+    * (partitioned victims read with the data schema — physical names
+    * under a mapping, aliased back — and re-emit their tokens; flat
+    * groups read through the registered schema), all published in
+    * ONE atomic dataChange=false commit with the file-disjoint
+    * reconciliation, so concurrent appends commute. */
+  private def compactGroups(s: SparkSession, t: Table, snap: Snapshot,
+      bySpec: Map[Map[String, String], Seq[String]],
+      targetFiles: Int): Long = {
     val statsCols = liveStatsCols(snap)
+    val schema = snap.schemaJson.map(parseSchema)
     val stages = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
       val groups = bySpec.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
@@ -1129,21 +1144,16 @@ object TxnLog {
           val df =
             if (spec.isEmpty) readFiles(s, t, files, snap.schemaJson)
             else {
-              // partitioned victims: the partition column is NOT in
-              // the files — read with the data schema (physical
-              // names under a mapping, aliased back) and re-emit the
-              // tokens, keeping the layout intact
-              val schema = snap.schemaJson.map(parseSchema).getOrElse(
+              val sc = schema.getOrElse(
                 throw new IllegalStateException(
                   "partitioned compaction needs a registered schema"))
-              val dataFields = schema.fields
+              val dataFields = sc.fields
                 .filterNot(f => spec.contains(f.name)).toIndexedSeq
               toLogical(s.read.schema(physicalSchema(StructType(dataFields)))
                 .parquet(files.map(r => t.root.resolve(r).toString): _*),
                 dataFields)
             }
-          toPhysical(df.coalesce(targetFiles),
-            snap.schemaJson.map(parseSchema))
+          toPhysical(df.coalesce(targetFiles), schema)
             .write.parquet(stage.toString)
           val lines = addLinesFor(s, t, stage,
             statsCols.filterNot(spec.contains))
@@ -1193,36 +1203,7 @@ object TxnLog {
       .groupBy(rel => snap.filePartitions.getOrElse(rel, Map.empty))
       .filter(_._2.length >= 2)
     if (bySpec.isEmpty) return snap.version
-    val statsCols = liveStatsCols(snap)
-    val stages = scala.collection.mutable.ArrayBuffer.empty[Path]
-    try {
-      val groups = bySpec.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
-        .map { case (full, files) =>
-          val stage = newStage(t, t.dataDir)
-          stages += stage
-          val schema = snap.schemaJson.map(parseSchema).getOrElse(
-            throw new IllegalStateException(
-              "partitioned compaction needs a registered schema"))
-          val dataFields = schema.fields
-            .filterNot(f => full.contains(f.name)).toIndexedSeq
-          val df = toLogical(
-            s.read.schema(physicalSchema(StructType(dataFields)))
-              .parquet(files.map(r => t.root.resolve(r).toString): _*),
-            dataFields)
-          toPhysical(df.coalesce(targetFiles),
-            snap.schemaJson.map(parseSchema))
-            .write.parquet(stage.toString)
-          val lines = addLinesFor(s, t, stage,
-            statsCols.filterNot(full.contains))
-          val pTok = full.toSeq.sortBy(_._1)
-            .map { case (c, v) => s"part=${escapePart(c)}=${escapePart(v)}" }
-          (files, lines.map(decorateAdd(_, pTok)))
-        }
-      commit(t, snap.version, adds = Nil,
-        removes = groups.flatMap(_._1),
-        extra = groups.flatMap(_._2) :+ "cdc\tnone",
-        reconcileDisjoint = true)
-    } finally seal(t, stages.toSeq: _*)
+    compactGroups(s, t, snap, bySpec, targetFiles)
   }
 
   /** OPTIMIZE ZORDER BY (colA, colB): [[compact]]'s clustered form —
@@ -2152,15 +2133,20 @@ object TxnLog {
   /** Typed CHANGE FEED rows for (from, to] with per-commit
     * attribution — the `table_changes` SQL surface: every row of the
     * range's change feed tagged `_change_type` (insert|delete) and
-    * `_commit_version`, resolved version-by-version from the log
-    * (metadata walk + a scan of only changed files per commit, the
-    * incremental-audit shape; rewrites without cdc info refuse like
-    * every feed read). */
+    * `_commit_version`. Resolution cost is ONE from-snapshot replay
+    * plus one version-file read per commit in the range (never a
+    * replay per version — a long audit range stays linear in
+    * retained log size); `from`/`to` validate against the log
+    * exactly like [[changes]] (nonexistent versions refuse loudly),
+    * and rewrites without cdc info refuse like every feed read. The
+    * PLAN is one union branch per commit — per-commit literals are
+    * the point — so bound the range to what you audit. */
   def tableChanges(s: SparkSession, t: Table, from: Long,
                    to: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(from <= to, s"empty change range: v$from..v$to")
-    val schemaJson = snapshot(t, Some(to)).schemaJson.getOrElse(
+    val snapTo = snapshot(t, Some(to)) // validates `to` exists
+    val schemaJson = snapTo.schemaJson.getOrElse(
       throw new IllegalStateException(
         s"table at ${t.root} never registered a schema (raw commits); " +
           "table_changes needs one to type the feed"))
@@ -2170,9 +2156,33 @@ object TxnLog {
     if (from == to)
       return tag(readFiles(s, t, Nil, Some(schemaJson)), "insert", 0L)
         .limit(0)
-    ((from + 1) to to).map { v =>
-      val (ins, del) = readChangeFeedBatch(s, t, v - 1, v, schemaJson)
-      tag(ins, "insert", v).unionByName(tag(del, "delete", v))
+    val snapFrom = snapshot(t, Some(from)) // validates `from` exists
+    val range = versionFiles(t)
+      .filter(p => versionOf(p) > from && versionOf(p) <= to)
+    require(range.headOption.exists(versionOf(_) == from + 1),
+      s"change range v$from..v$to is partially expired — resync from " +
+        "a full snapshot instead")
+    // partition metadata accumulates ACROSS the range: one replay for
+    // the from-state, then each commit's own adds — never a replay
+    // per version
+    var parts = snapFrom.filePartitions
+    range.map { vf =>
+      val v = versionOf(vf)
+      val a = commitActions(vf)
+      if (a.hasRemoves && !a.cdcNone && a.cdcFiles.isEmpty)
+        throw new IllegalStateException(
+          s"commit ${vf.getFileName} rewrites files without cdc info; " +
+            "table_changes cannot resolve it from the log")
+      parts = parts ++ a.addParts
+      val partsHere = parts
+      val ins = (if (!a.hasRemoves) a.adds else Nil) ++
+        a.cdcFiles.collect { case (rel, "insert") => rel }
+      val del = a.cdcFiles.collect { case (rel, "delete") => rel }
+      def rd(files: Seq[String]): DataFrame =
+        if (files.exists(partsHere.contains))
+          readGrouped(s, t, files, partsHere, Some(schemaJson))
+        else readFiles(s, t, files, Some(schemaJson))
+      tag(rd(ins), "insert", v).unionByName(tag(rd(del), "delete", v))
     }.reduce(_.unionByName(_))
   }
 

@@ -185,8 +185,14 @@ class TxnLogStreamProvider extends StreamSourceProvider
     // CREATE TABLE t (cols) USING txnlog on an EMPTY location DEFINES
     // the table: the declared schema registers as version 0, so the
     // table is queryable (zero rows), constrainable and INSERT-able
-    // before its first data commit — the DDL-first workflow
-    if (TxnLog.latestVersion(t) < 0)
+    // before its first data commit — the DDL-first workflow. DSv1
+    // cannot distinguish CREATE TABLE from a schema-carrying read of
+    // an empty location, so the side effect is documented; explicit
+    // TIME-TRAVEL reads are exempt (travel on an empty log should
+    // fail loudly, never mint version 0)
+    if (TxnLog.latestVersion(t) < 0 &&
+        !parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"))
       userSchema.foreach(sc => TxnLog.registerSchema(t, sc))
     val asOf: Option[Long] = parameters.get("versionAsOf") match {
       case Some(v) => Some(v.toLong)
@@ -266,11 +272,29 @@ class TxnLogStreamProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val t = tableOf(parameters)
     // Delta's startingVersion: skip the initial-snapshot backlog and
-    // stream changes FROM the given version (inclusive); "latest"
-    // resolves at stream definition — only commits after this point
+    // stream changes FROM the given version (inclusive). "latest"
+    // resolves ONCE and persists under the stream's metadata path:
+    // a driver that dies after starting but before its first offset
+    // commits must not re-resolve on restart — commits that landed
+    // during the outage belong to the stream
     val startingVersion = parameters.get("startingVersion").map {
       case s0 if s0.equalsIgnoreCase("latest") =>
-        TxnLog.latestVersion(t) + 1
+        val marker = TxnLog.pathOf(metadataPath)
+          .resolve("graft-starting-version")
+        if (java.nio.file.Files.exists(marker))
+          java.nio.file.Files.readString(marker).trim.toLong
+        else {
+          val v = TxnLog.latestVersion(t) + 1
+          java.nio.file.Files.createDirectories(marker.getParent)
+          val tmp = marker.getParent.resolve(
+            s".tmp-sv-${java.util.UUID.randomUUID()}")
+          java.nio.file.Files.writeString(tmp, s"$v\n")
+          try java.nio.file.Files.move(tmp, marker,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmp) }
+          java.nio.file.Files.readString(marker).trim.toLong
+        }
       case s0 => s0.toLong
     }
     new TxnLogSource(sqlContext, t,
@@ -489,8 +513,13 @@ class TxnLogSource(ctx: SQLContext, t: TxnLog.Table,
   /** High-water mark of versions this source has already offered or
     * been asked for — rate-limited offsets must never move backward
     * (after a restart the engine's checkpointed offset re-seeds it
-    * through getBatch before anything else matters). */
-  private var lastSeen: Long = -1L
+    * through getBatch before anything else matters). SEEDED from
+    * startingVersion: the skip must hold in offset tracking too, or
+    * a rate-limited first batch (maxVersionsPerBatch) would commit a
+    * small offset and the next batch would chain from it, delivering
+    * the very backlog the option skips; a startingVersion beyond the
+    * current latest makes the stream WAIT for that version. */
+  private var lastSeen: Long = startingVersion.map(_ - 1).getOrElse(-1L)
 
   /** The engine replays checkpointed offsets as SerializedOffset;
     * both carry the version as their json. */

@@ -722,12 +722,18 @@ class ExtensionsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       assert(all === Seq((vIns1, "insert", 1L), (vIns2, "insert", 1L),
         (v2, "delete", 1L)), all.toString)
-      // non-literal arguments refuse loudly
+      // non-literal arguments refuse loudly: a column reference dies
+      // in Spark's own resolution; a resolvable non-foldable
+      // expression hits the builder's named literal guard
       val nl = intercept[Exception] {
         spark.sql(s"SELECT * FROM txnlog_changes('$p', 0, k)").collect()
       }
-      assert(nl.getMessage.toLowerCase.contains("literal") ||
-        nl.getMessage.contains("k"), nl.getMessage)
+      assert(nl.getMessage.contains("k"), nl.getMessage)
+      val nf2 = intercept[Exception] {
+        spark.sql(
+          s"SELECT * FROM txnlog_changes('$p', 0, rand())").collect()
+      }
+      assert(nf2.getMessage.contains("must be literals"), nf2.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS ddl_cat")
   }
 

@@ -2300,6 +2300,29 @@ class TxnLogSpec extends AnyFunSuite {
     } finally q2.stop()
     assert(outRows2.sorted.toSeq === Seq(99L),
       s"startingVersion=latest delivered $outRows2")
+    // rate-limited offsets respect the skip: the high-water mark is
+    // SEEDED from startingVersion, so maxVersionsPerBatch cannot
+    // chain the stream from the origin and deliver the backlog the
+    // option exists to skip
+    val outRows3 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q3 = spark.readStream.format("txnlog")
+      .option("path", st.root.toString)
+      .option("startingVersion", "2")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        outRows3.synchronized {
+          outRows3 ++= df.collect().map(_.getLong(0))
+        }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-svck3-").toString)
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(outRows3.sorted.toSeq === Seq(2L, 99L),
+      s"rate-limited startingVersion stream delivered $outRows3 " +
+        "(wanted exactly v2's and v3's rows)")
   }
 
   test("txnlog: the sink's Update mode upserts keyed state exactly-once across a restart") {
