@@ -592,10 +592,18 @@ object TxnLog {
     val stage = newStage(t, t.dataDir)
     try {
       toPhysical(df, registeredSchema(t)).write.parquet(stage.toString)
+      // the enforcement's validity horizon is captured BEFORE the
+      // check runs: a constraint declared between this read and the
+      // first publish attempt moves latestVersion past it, which
+      // commitRegistering treats as a slot loss (re-enforce) even on
+      // the first iteration — a constraint landing mid-staging can
+      // never be skipped by a first-attempt win
+      val enforcedAt = latestVersion(t)
       enforceStaged(s, t, Seq(stage), constraintsOf(t))
       commitRegistering(t, df.schema,
         addLinesFor(s, t, stage, statsCols) ++ extraLines,
-        () => enforceStaged(s, t, Seq(stage), constraintsOf(t)))
+        () => enforceStaged(s, t, Seq(stage), constraintsOf(t)),
+        enforcedAt)
     } finally seal(t, stage)
   }
 
@@ -605,22 +613,27 @@ object TxnLog {
     * against the TRUE latest: claim exactly base+1, re-merge and
     * retry on loss. This includes the base < 0 first write — a
     * blind-append retry there would republish a stale schema over a
-    * racing first-writer's columns (last-schema-wins replay). */
+    * racing first-writer's columns (last-schema-wins replay).
+    *
+    * `enforcedAt` is the latest version the caller's constraint
+    * enforcement was valid against (Long.MaxValue = no enforcement
+    * to re-run). ANY divergence between it and the slot target's
+    * base — a first-attempt interloper included, not just a lost
+    * slot — re-runs `onSlotLoss` before publishing, closing the
+    * window where rows staged before ADD CONSTRAINT could commit
+    * after it unchecked. */
   private def commitRegistering(t: Table, incoming: StructType,
                                 lines0: Seq[String],
-                                onSlotLoss: () => Unit = () => ()): Long = {
+                                onSlotLoss: () => Unit = () => (),
+                                enforcedAt: Long = Long.MaxValue): Long = {
     var committed = -1L
-    var first = true
+    var cleanAt = enforcedAt
     while (committed < 0) {
-      // a lost slot means SOMETHING landed since this write was
-      // staged — a constraint declaration among the possibilities, so
-      // the caller re-enforces against the fresh state before the
-      // retry (onSlotLoss). That closes the enforce-then-blind-walk
-      // window where rows staged before ADD CONSTRAINT could commit
-      // after it unchecked.
-      if (!first) onSlotLoss()
-      first = false
       val base = latestVersion(t)
+      if (cleanAt != Long.MaxValue && base != cleanAt) {
+        onSlotLoss() // something landed since the last enforcement —
+        cleanAt = base // a constraint declaration among the options
+      }
       val (schema, changed) = mergedSchema(t, registeredSchema(t), incoming)
       val schemaLine = changed || base < 0
       val lines = (if (schemaLine)
@@ -655,10 +668,12 @@ object TxnLog {
     try {
       toPhysical(df, registeredSchema(t))
         .write.partitionBy(partCols: _*).parquet(stage.toString)
+      val enforcedAt = latestVersion(t) // see appendLines
       enforceStaged(s, t, Seq(stage), constraintsOf(t))
       commitRegistering(t, df.schema,
         partitionedAddLines(s, t, stage, statsCols) ++ extraLines,
-        () => enforceStaged(s, t, Seq(stage), constraintsOf(t)))
+        () => enforceStaged(s, t, Seq(stage), constraintsOf(t)),
+        enforcedAt)
     } finally seal(t, stage)
   }
 
@@ -747,6 +762,18 @@ object TxnLog {
       extra = victims.map(r => s"cdc\t$r\tdelete"))
   }
 
+  /** A manifest (min, max) bound from an aggregate result: integral
+    * values pass through; fractional ones round OUTWARD so the box
+    * always covers the file's true range (Long.Min/MaxValue saturate
+    * on overflow — still covering). */
+  private def statBound(n: Number, up: Boolean): Long = n match {
+    case d: java.lang.Double =>
+      (if (up) math.ceil(d.doubleValue) else math.floor(d.doubleValue)).toLong
+    case f: java.lang.Float =>
+      (if (up) math.ceil(f.doubleValue) else math.floor(f.doubleValue)).toLong
+    case x => x.longValue
+  }
+
   /** `add` action lines for the staged files, with the staged byte
     * size stamped as a `size=` token (one stat per STAGED file, at
     * write time — never per live file at read time) and (min, max)
@@ -786,9 +813,13 @@ object TxnLog {
         if (statsCols.exists(c => r.isNullAt(r.fieldIndex(s"lo_$c")))) None
         else Some(abs -> statsCols.map(c =>
           // Number, not Long: a widened column's staged files may
-          // still carry the narrow integral type
-          s"$c:${r.getAs[Number](s"lo_$c").longValue}" +
-            s":${r.getAs[Number](s"hi_$c").longValue}"))
+          // still carry the narrow integral type — and a FRACTIONAL
+          // aggregate (int widened to double) must round OUTWARD
+          // (floor the min, ceil the max), never truncate toward
+          // zero: a non-covering box would make DML pruning silently
+          // skip files that hold matching rows
+          s"$c:${statBound(r.getAs[Number](s"lo_$c"), up = false)}" +
+            s":${statBound(r.getAs[Number](s"hi_$c"), up = true)}"))
       }.toMap
     rels.map { rel =>
       byPath.get(t.root.resolve(rel).normalize.toString) match {
@@ -857,17 +888,20 @@ object TxnLog {
         }
       // BEFORE the marker loop: a refused batch leaves only staged
       // garbage and never advances the txn high-water mark, so a
-      // retried batch with fixed data still lands
+      // retried batch with fixed data still lands. cleanAt captures
+      // the version the enforcement was valid against: any divergence
+      // — a first-attempt interloper included — re-enforces, so a
+      // constraint landing mid-staging is never blind-walked past
+      var cleanAt = latestVersion(t)
       enforceStaged(s, t, Seq(stage), constraintsOf(t))
       val marker = s"txn\t$appId\t$batchId"
-      var first = true
       while (true) {
         val base = latestVersion(t)
         if (lastBatch(t, appId).exists(_ >= batchId)) return false
-        // a lost slot may have been a constraint declaration:
-        // re-enforce against the fresh state before retrying
-        if (!first) enforceStaged(s, t, Seq(stage), constraintsOf(t))
-        first = false
+        if (base != cleanAt) {
+          enforceStaged(s, t, Seq(stage), constraintsOf(t))
+          cleanAt = base
+        }
         val (schema, changed) = mergedSchema(t, registeredSchema(t), df.schema)
         val lines = (if (changed || base < 0)
           Seq(s"schema\t${schema.json}") else Nil) ++ adds :+ marker
@@ -1678,6 +1712,14 @@ object TxnLog {
     /** WHEN NOT MATCHED [AND cond] THEN INSERT (the whole source
       * row). */
     final case class Insert(cond: Option[Column]) extends MergeClause
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (...) —
+      * the column-list insert: listed target columns take their
+      * expressions (source references through the source alias),
+      * unlisted target columns NULL-fill. Unlike the whole-row
+      * [[Insert]], this form targets the table's registered schema
+      * exactly and never evolves it. */
+    final case class InsertExpr(cond: Option[Column],
+        values: Map[String, Column]) extends MergeClause
     /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET — the
       * full-sync reconciliation clause (condition and SET reference
       * only target columns). */
@@ -1743,7 +1785,14 @@ object TxnLog {
       case u: MergeClause.Update => u
       case d: MergeClause.Delete => d
     }
-    val inserts = clauses.collect { case i: MergeClause.Insert => i }
+    // both insert forms, IN clause order — a row a whole-row INSERT
+    // and a column-list INSERT both accept routes to the FIRST one
+    val insertsAll: Seq[MergeClause] = clauses.collect {
+      case i: MergeClause.Insert     => i
+      case i: MergeClause.InsertExpr => i
+    }
+    val hasInsertExpr =
+      insertsAll.exists(_.isInstanceOf[MergeClause.InsertExpr])
     // WHEN NOT MATCHED BY SOURCE: target rows with NO source match
     // can live in any file, so these clauses put EVERY live file in
     // the rewrite set — the full-sync reconciliation semantics; the
@@ -1810,10 +1859,70 @@ object TxnLog {
           .collect() // file-count scale: one row per affected file
           .map(_.getString(0)).toSeq)
 
+    // the column-list insert aligns against the REGISTERED schema —
+    // a raw-commit table has nothing to align to (and no NULL-fill
+    // contract), so it refuses by name
+    lazy val targetFields: Seq[org.apache.spark.sql.types.StructField] =
+      snap.schemaJson.map(parseSchema(_).fields.toSeq).getOrElse(
+        throw new IllegalArgumentException(
+          "MERGE ... INSERT (cols) VALUES needs a log-registered " +
+            "table schema to align the column list against"))
+    if (hasInsertExpr) {
+      val names = targetFields.map(_.name).toSet
+      val bad = insertsAll.collect {
+        case e: MergeClause.InsertExpr => e.values.keySet.diff(names)
+      }.flatten
+      require(bad.isEmpty,
+        s"MERGE INSERT column list names unknown column(s): " +
+          s"${bad.mkString(", ")} (table has " +
+          s"${targetFields.map(_.name).mkString(", ")})")
+    }
+
+    def insertCond(cl: MergeClause): Column = (cl match {
+      case x: MergeClause.Insert     => x.cond
+      case x: MergeClause.InsertExpr => x.cond
+      case _                         => None
+    }).getOrElse(lit(true))
+
     def insertable(unmatched: DataFrame): Option[DataFrame] =
-      if (inserts.isEmpty) None
-      else Some(unmatched.filter(
-        inserts.map(_.cond.getOrElse(lit(true))).reduce(_ || _)))
+      if (insertsAll.isEmpty) None
+      else if (!hasInsertExpr)
+        // whole-row inserts all stage the same row: the OR of the
+        // conditions IS first-match routing (and this path keeps the
+        // schema-evolution contract — source-only columns extend the
+        // table)
+        Some(unmatched.filter(
+          insertsAll.map(insertCond).reduce(_ || _)))
+      else {
+        // mixed/column-list path: route each unmatched row to its
+        // FIRST accepting clause and project that clause's values
+        // into the registered schema (whole-row clauses take the
+        // same-named source columns, NULL-filling the rest; no
+        // schema evolution — the projection IS the table shape)
+        val srcCols = src.columns.toSet
+        val ichain = insertsAll.zipWithIndex
+          .foldRight(lit(0): Column) { case ((cl, i), acc) =>
+            when(insertCond(cl), lit(i + 1)).otherwise(acc)
+          }
+        val routed = unmatched.withColumn("_graft_ic", ichain)
+          .filter(col("_graft_ic") =!= 0)
+        Some(routed.select(targetFields.map { f =>
+          insertsAll.zipWithIndex
+            .foldRight(lit(null).cast(f.dataType): Column) {
+              case ((cl, i), acc) =>
+                val v: Column = cl match {
+                  case _: MergeClause.Insert =>
+                    if (srcCols.contains(f.name)) col(s"$sa.${f.name}")
+                    else lit(null)
+                  case x: MergeClause.InsertExpr =>
+                    x.values.getOrElse(f.name, lit(null))
+                  case _ => lit(null)
+                }
+                when(col("_graft_ic") === (i + 1), v.cast(f.dataType))
+                  .otherwise(acc)
+            }.as(f.name)
+        }.toIndexedSeq: _*))
+      }
 
     // a partitioned table restages survivors, updated images AND
     // inserts THROUGH its layout (same rule as delete) — a CDC-synced
@@ -1876,7 +1985,8 @@ object TxnLog {
           case d: MergeClause.Delete         => d.cond
           case u: MergeClause.BySourceUpdate => u.cond
           case d: MergeClause.BySourceDelete => d.cond
-          case _: MergeClause.Insert         => None // never listed here
+          case _: MergeClause.Insert     => None // never listed here
+          case _: MergeClause.InsertExpr => None // never listed here
         }).getOrElse(lit(true))
         when(cond, lit(sign * (i + 1))).otherwise(acc)
       }
@@ -1941,8 +2051,11 @@ object TxnLog {
       toPhysical(oldImages, snap.schemaJson.map(parseSchema))
         .write.parquet(cdcStage.toString)
       val (schema, changed) = inserted match {
-        case Some(_) => mergedSchema(t, registeredSchema(t), src.schema)
-        case None    => (affected.schema, false)
+        // only the whole-row insert path evolves the schema; the
+        // column-list projection already IS the registered shape
+        case Some(_) if !hasInsertExpr =>
+          mergedSchema(t, registeredSchema(t), src.schema)
+        case _ => (affected.schema, false)
       }
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
@@ -2604,9 +2717,18 @@ object TxnLog {
       .map(parseSchema(_).fieldNames.toSet)
     val curFields = cur.schemaJson
       .map(parseSchema(_).fieldNames.toSet).getOrElse(Set.empty)
-    def refs(sql: String): Set[String] =
-      """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(sql).toSet
+    def refs(sql: String): Set[String] = {
+      // mask string literals first: CHECK (status != 'price') must
+      // not read the word inside the literal as a column reference
+      // (a false hit here silently DROPS a valid constraint)
+      val masked = GraftSqlParser.literalSpans(sql)
+        .foldLeft(new StringBuilder(sql)) { case (sb, (a, b)) =>
+          for (i <- a until math.min(b, sb.length)) sb.setCharAt(i, ' ')
+          sb
+        }.toString
+      """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(masked).toSet
         .intersect(curFields)
+    }
     val keptNotNull =
       cur.notNull.filter(c => restoredFields.forall(_.contains(c)))
     val keptChecks = cur.checks.filter { case (_, sql) =>

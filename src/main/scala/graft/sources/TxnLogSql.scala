@@ -111,8 +111,11 @@ object GraftSqlParser {
     s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+($Ident)(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val InsertRe =
     (s"""(?is)^\\s*INSERT\\s+(INTO|OVERWRITE)(?:\\s+TABLE)?\\s+($Ident)""" +
-      """\s*(\([\w\s,`]*\))?""" +
-      """\s*((?:SELECT|VALUES|WITH|FROM|TABLE)\b[\s\S]+?)\s*;?\s*$""").r
+      // the column-list group must NOT swallow a parenthesized query
+      // (`INSERT INTO t (SELECT ...)`): a paren whose first word is a
+      // query head falls through to the query group instead
+      """\s*(\((?!\s*(?:SELECT|VALUES|WITH|FROM|TABLE)\b)[\w\s,`]*\))?""" +
+      """\s*((?:\(\s*)?(?:SELECT|VALUES|WITH|FROM|TABLE)\b[\s\S]+?)\s*;?\s*$""").r
   private val RestoreRe =
     (s"""(?is)^\\s*RESTORE\\s+TABLE\\s+($Ident)\\s+TO\\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)|""" +
@@ -141,12 +144,29 @@ object GraftSqlParser {
       """(\w+)\s*;?\s*$""").r
   private val ShowPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($Ident)\\s*;?\\s*$$""".r
-  private val MergeRe =
-    (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?(?:\\s+(?!USING\\b)(\\w+))?""" +
-      s"""\\s+USING\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|$Ident)(?:\\s+AS\\b)?(?:\\s+(?!ON\\b)(\\w+))?""" +
-      """\s+ON\s+([\s\S]+?)\s*;?\s*$""").r
+  /** MERGE head only — the USING source span is found by the
+    * balanced-paren scanner ([[balancedParen]]), not a regex group:
+    * a regex can match only bounded nesting, and a source like
+    * `USING (SELECT ... WHERE k IN (SELECT ...))` must not silently
+    * fall off the MERGE path (a txnlog target would then die with
+    * Spark's table-not-found instead of this engine's handling). */
+  private val MergeHeadRe =
+    (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?""" +
+      """(?:\s+(?!USING\b)(\w+))?\s+USING\s+([\s\S]+)$""").r
+  // backtick alternative FIRST: with a trailing catch-all group there
+  // is no context to force backtracking, and `[\w.]+` would otherwise
+  // eat the bare `txnlog.` prefix of a path reference
+  private val MergeSrcIdentRe =
+    """(?is)^(txnlog\.`[^`]+`|[\w.]+)([\s\S]*)$""".r
+  private val MergeAfterSrcRe =
+    """(?is)^(?:\s+AS\b)?(?:\s+(?!ON\b)(\w+))?\s+ON\s+([\s\S]+?)\s*;?\s*$""".r
+  private val MatchedUpdateStarRe =
+    """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+\*\s*$""".r
   private val MatchedUpdateRe =
     """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
+  private val NotMatchedInsertColsRe =
+    ("""(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?""" +
+      """\s+THEN\s+INSERT\s*\(([\w\s,`]+)\)\s*VALUES\s*\(([\s\S]+)\)\s*$""").r
   private val MatchedDeleteRe =
     """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
   private val NotMatchedInsertRe =
@@ -177,7 +197,7 @@ object GraftSqlParser {
     * identifiers are OPAQUE: a stray apostrophe inside a quoted path
     * must not open a phantom literal that swallows the rest of the
     * statement. */
-  private def literalSpans(s: String): Seq[(Int, Int)] = {
+  private[sources] def literalSpans(s: String): Seq[(Int, Int)] = {
     val out = Seq.newBuilder[(Int, Int)]
     var i = 0
     while (i < s.length) {
@@ -291,20 +311,60 @@ object GraftSqlParser {
         Some(TxnLogConstraintCommand(tbl,
           if (mode.equalsIgnoreCase("SET")) "add_notnull" else "drop_notnull",
           colName, None, () => delegate.parsePlan(sqlText)))
-      case MergeRe(tbl, tAlias, src, sAlias, rest) =>
-        // the ON-condition / first-WHEN boundary is found by the same
-        // quote/paren-aware scanner the clause splitter uses — a
+      case MergeHeadRe(tbl, tAlias, tail) =>
+        // the USING source is a balanced-paren subquery (any nesting
+        // depth) or an identifier; then [AS] [alias] ON <cond> WHEN…
+        // — the ON-condition / first-WHEN boundary found by the same
+        // quote/paren-aware scanner the clause splitter uses, so a
         // string literal containing 'WHEN MATCHED' inside the ON
-        // condition is not a boundary. No boundary at all means the
-        // statement isn't a MERGE we (or Spark) can run; delegate.
-        whenBounds(rest).headOption.map { b =>
-          TxnLogMergeCommand(tbl, Option(tAlias), src.trim,
-            Option(sAlias), rest.substring(0, b).trim,
-            rest.substring(b),
-            () => delegate.parsePlan(sqlText))
-        }
+        // condition is not a boundary. Any piece failing to parse
+        // means the statement isn't a MERGE we (or Spark) can run on
+        // this grammar; delegate.
+        val trimmed = tail.trim
+        val srcSplit: Option[(String, String)] =
+          if (trimmed.startsWith("(")) {
+            val end = balancedParen(trimmed, 0)
+            if (end < 0) None
+            else Some((trimmed.substring(0, end),
+              trimmed.substring(end)))
+          } else trimmed match {
+            case MergeSrcIdentRe(ident, after) => Some((ident, after))
+            case _                             => None
+          }
+        for {
+          (src, after) <- srcSplit
+          m <- MergeAfterSrcRe.findFirstMatchIn(after)
+          rest = m.group(2)
+          b <- whenBounds(rest).headOption
+        } yield TxnLogMergeCommand(tbl, Option(tAlias), src.trim,
+          Option(m.group(1)), rest.substring(0, b).trim,
+          rest.substring(b),
+          () => delegate.parsePlan(sqlText))
       case _ => None
     }
+
+  /** Index just past the close paren matching the open paren at
+    * `start` (which must be '('), honoring string literals and
+    * backtick identifiers; -1 when unbalanced. */
+  private[sources] def balancedParen(s: String, start: Int): Int = {
+    var depth = 0; var i = start; var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inQuote = false
+      }
+      else if (c == '\'') inQuote = true
+      else if (c == '`') {
+        val close = s.indexOf('`', i + 1)
+        i = if (close < 0) s.length else close
+      }
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i + 1 }
+      i += 1
+    }
+    -1
+  }
 
   /** One WHEN clause as raw text pieces: (kind, condition,
     * assignment list) — resolved against the live frames at run. */
@@ -392,11 +452,19 @@ object GraftSqlParser {
     * the conjunct splitter ([[splitAtKeyword]] folded to a list): an
     * ON condition like `t.k = s.k AND t.tag = 'x AND y'` splits at
     * the first AND only, keeping the literal whole. */
-  private[sources] def splitAtKeywordAll(s: String, kw: String): Seq[String] =
-    splitAtKeyword(s, kw) match {
-      case Some((before, after)) => before +: splitAtKeywordAll(after, kw)
-      case None                  => Seq(s.trim)
+  private[sources] def splitAtKeywordAll(s: String, kw: String): Seq[String] = {
+    // a plain loop, not recursion: a pathological conjunction with
+    // thousands of top-level terms must reach its refusal message,
+    // not overflow the stack first
+    val out = Seq.newBuilder[String]
+    var rest = s
+    var more = true
+    while (more) splitAtKeyword(rest, kw) match {
+      case Some((before, after)) => out += before; rest = after
+      case None                  => out += rest.trim; more = false
     }
+    out.result()
+  }
 
   /** The WHEN-clause pieces of a MERGE tail (text AFTER each WHEN
     * keyword), split at [[whenBounds]]. */
@@ -411,6 +479,10 @@ object GraftSqlParser {
     val pieces = splitWhenClauses(whenText)
     require(pieces.nonEmpty, "MERGE needs at least one WHEN clause")
     pieces.map {
+      // SET * before the generic SET list: the list parser would
+      // otherwise choke on the bare star
+      case MatchedUpdateStarRe(cond) =>
+        ClauseText("update_star", Option(cond).map(_.trim), Nil)
       case MatchedUpdateRe(cond, sets) =>
         ClauseText("update", Option(cond).map(_.trim),
           parseAssignments(sets))
@@ -422,13 +494,31 @@ object GraftSqlParser {
           parseAssignments(sets))
       case BySourceDeleteRe(cond) =>
         ClauseText("bysource_delete", Option(cond).map(_.trim), Nil)
+      // the column-list insert: (cols) pairs positionally with the
+      // VALUES expressions; unlisted columns NULL-fill at run
+      case NotMatchedInsertColsRe(cond, colsRaw, valsRaw) =>
+        val cols = colsRaw.split(',').map(
+          _.trim.stripPrefix("`").stripSuffix("`")).toIndexedSeq
+          .filter(_.nonEmpty)
+        val vals = splitTopLevel(valsRaw, ',')
+        require(cols.nonEmpty, "empty MERGE INSERT column list")
+        require(cols.distinct.length == cols.length,
+          s"duplicate column(s) in MERGE INSERT list: " +
+            cols.diff(cols.distinct).mkString(", "))
+        require(cols.length == vals.length,
+          s"MERGE INSERT lists ${cols.length} column(s) but " +
+            s"${vals.length} VALUES expression(s)")
+        ClauseText("insert_cols", Option(cond).map(_.trim),
+          cols.zip(vals))
       case NotMatchedInsertRe(cond) =>
         ClauseText("insert", Option(cond).map(_.trim), Nil)
       case bad => throw new IllegalArgumentException(
         s"cannot parse MERGE clause: WHEN $bad (supported: " +
           "WHEN MATCHED [AND c] THEN UPDATE SET a = e, ... | " +
+          "WHEN MATCHED [AND c] THEN UPDATE SET * | " +
           "WHEN MATCHED [AND c] THEN DELETE | " +
           "WHEN NOT MATCHED [AND c] THEN INSERT * | " +
+          "WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (...) | " +
           "WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | " +
           "WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE)")
     }
@@ -769,7 +859,16 @@ final case class TxnLogInsertCommand(table: String, overwrite: Boolean,
     GraftSqlParser.tryResolveTable(spark, table) match {
       case Some(t) =>
         import org.apache.spark.sql.functions.col
-        val src = spark.sql(query)
+        // `INSERT INTO t (SELECT ...)`: when the parens span the
+        // whole query text they are grouping, not a column list —
+        // strip them (a leading paren that closes early, e.g. a
+        // UNION of two parenthesized branches, passes through whole)
+        val qText =
+          if (query.startsWith("(") &&
+              GraftSqlParser.balancedParen(query, 0) == query.length)
+            query.substring(1, query.length - 1)
+          else query
+        val src = spark.sql(qText)
         val aligned = (TxnLog.registeredSchema(t), columnList) match {
           case (Some(schema), Some(colsRaw)) =>
             // named-subset insert: listed columns align by name (and
@@ -972,6 +1071,26 @@ final case class TxnLogMergeCommand(table: String,
     val mcs = clauses.map {
       case GraftSqlParser.ClauseText("update", cond, sets) =>
         TxnLog.MergeClause.Update(cond.map(expr),
+          sets.map { case (c, rhs) => c -> expr(rhs) }.toMap)
+      case GraftSqlParser.ClauseText("update_star", cond, _) =>
+        // SET * = one assignment per TARGET column from the source's
+        // same-named column (the Delta expansion) — so the source
+        // must carry every target column, checked here by name
+        // rather than failing resolution inside the clause join
+        val reg = TxnLog.registeredSchema(t).getOrElse(
+          throw new IllegalArgumentException(
+            "MERGE ... UPDATE SET * needs a log-registered table " +
+              "schema to expand the star against"))
+        val missing = reg.fieldNames.filterNot(src.columns.contains)
+        require(missing.isEmpty,
+          s"MERGE ... UPDATE SET * needs the source to carry every " +
+            s"target column; missing: ${missing.mkString(", ")}")
+        TxnLog.MergeClause.Update(cond.map(expr),
+          reg.fieldNames.toIndexedSeq
+            .map(c => c -> org.apache.spark.sql.functions
+              .col(s"$sa.$c")).toMap)
+      case GraftSqlParser.ClauseText("insert_cols", cond, sets) =>
+        TxnLog.MergeClause.InsertExpr(cond.map(expr),
           sets.map { case (c, rhs) => c -> expr(rhs) }.toMap)
       case GraftSqlParser.ClauseText("delete", cond, _) =>
         TxnLog.MergeClause.Delete(cond.map(expr))

@@ -230,9 +230,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT sum(v) FROM txnlog.`$p` TIMESTAMP AS OF $now")
       .head().getLong(0) === 513L)
-    // a MERGE in vanilla-Spark grammar outside this library's subset
-    // (INSERT (cols) VALUES) against a NON-txnlog table must reach
-    // Spark's native path — its error names the table, not our grammar
+    // a MERGE against a NON-txnlog table must reach Spark's native
+    // path even when our grammar parses it — the error names the
+    // table, not our grammar
     Seq((1L, 1L)).toDF("k", "v").createOrReplaceTempView("sqlupd_src")
     val nf = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(
@@ -242,13 +242,12 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(nf.getMessage.contains("graft_no_such_tbl"),
       s"pass-through broke: ${nf.getMessage}")
-    // …and the same unsupported clause against a TXNLOG table raises
-    // the helpful grammar message at run time, not a parse crash
+    // …while a clause genuinely outside the grammar against a TXNLOG
+    // table raises the helpful message at run time, not a parse crash
     val unsupported = intercept[IllegalArgumentException] {
       spark.sql(
         s"""MERGE INTO txnlog.`$p` t USING sqlupd_src s ON t.k = s.k
-           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
-          .stripMargin)
+           |WHEN MATCHED THEN INSERT *""".stripMargin)
     }
     assert(unsupported.getMessage.contains("supported"),
       s"wrong txnlog grammar error: ${unsupported.getMessage}")
@@ -735,6 +734,74 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(nf2.getMessage.contains("must be literals"), nf2.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS ddl_cat")
+  }
+
+  test("MERGE clause parity: INSERT (cols) VALUES, UPDATE SET *, nested USING") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mrgpar-").resolve("t")
+    val t = TxnLog.Table(root)
+    val p = root.toString
+    TxnLog.append(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s").coalesce(1))
+    Seq((2L, 200L, "B"), (3L, 30L, "c"), (4L, 40L, "d"))
+      .toDF("k", "v", "s").createOrReplaceTempView("mrgpar_src")
+    // UPDATE SET * expands to every target column from the source;
+    // INSERT (cols) VALUES aligns by name and NULL-fills unlisted
+    // columns; a row both insert clauses accept routes to the FIRST
+    spark.sql(
+      s"""MERGE INTO txnlog.`$p` t USING mrgpar_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.k = 3
+         |  THEN INSERT (k, v) VALUES (s.k, s.v * 2)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10L, Some("a")), (2L, 200L, Some("B")),
+      (3L, 60L, None), (4L, 40L, Some("d"))), got.toString)
+    // a USING subquery with TWO levels of paren nesting parses (the
+    // balanced scanner, not a bounded regex group)
+    spark.sql(
+      s"""MERGE INTO txnlog.`$p` t USING (SELECT k, v, s FROM
+         |  mrgpar_src WHERE k IN (SELECT k FROM mrgpar_src
+         |  WHERE k >= 4)) s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v + 1""".stripMargin)
+    assert(TxnLog.read(spark, t).filter($"k" === 4L)
+      .head().getLong(1) === 41L)
+    // refusals stay loud: unknown column in the INSERT list,
+    // column/VALUES arity mismatch, SET * over a source missing a
+    // target column
+    val unk = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO txnlog.`$p` t USING mrgpar_src s ON t.k = s.k
+           |WHEN NOT MATCHED THEN INSERT (k, zzz) VALUES (s.k, 1)"""
+          .stripMargin)
+    }
+    assert(unk.getMessage.contains("zzz"), unk.getMessage)
+    val arity = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO txnlog.`$p` t USING mrgpar_src s ON t.k = s.k
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"""
+          .stripMargin)
+    }
+    assert(arity.getMessage.contains("VALUES expression"),
+      arity.getMessage)
+    Seq((1L, 5L)).toDF("k", "v")
+      .createOrReplaceTempView("mrgpar_narrow")
+    val miss = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO txnlog.`$p` t USING mrgpar_narrow s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(miss.getMessage.contains("missing: s"), miss.getMessage)
+    // `INSERT INTO t (SELECT ...)`: the parens are grouping, not a
+    // column list — the statement appends through the log
+    spark.sql(s"INSERT INTO txnlog.`$p` (SELECT 9L, 90L, 'z')")
+    assert(TxnLog.read(spark, t).filter($"k" === 9L)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq ===
+      Seq((90L, "z")))
   }
 
   test("withExtensions wiring registers the same functions") {
