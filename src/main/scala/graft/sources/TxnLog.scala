@@ -104,7 +104,8 @@ object TxnLog {
       filePartitions: Map[String, Map[String, String]] = Map.empty,
       fileSizes: Map[String, Long] = Map.empty,
       notNull: Set[String] = Set.empty,
-      checks: Map[String, String] = Map.empty) {
+      checks: Map[String, String] = Map.empty,
+      dvs: Map[String, String] = Map.empty) {
     /** Declared constraints at this version — carried BY the snapshot
       * so rewrite ops enforce without a second log replay. */
     def constraints: Constraints = Constraints(notNull, checks)
@@ -167,6 +168,7 @@ object TxnLog {
     var notNull = Set.empty[String]
     var checks = Map.empty[String, String] // name -> expression SQL
     var dropped = Set.empty[String] // tombstoned PHYSICAL column names
+    var dvs = Map.empty[String, String] // file -> dead-row ranges
   }
 
   private def corrupt(src: Path, line: String): Nothing =
@@ -218,6 +220,19 @@ object TxnLog {
         st.stats -= rel
         st.parts -= rel
         st.sizes -= rel
+        st.dvs -= rel
+      // DELETION VECTOR: the file stays live, the listed row indices
+      // (sorted `a-b`/`a` ranges, 0-based positions within the file)
+      // are dead — merge-on-read row-level DML. The action SETS the
+      // file's complete dead set (writers merge before emitting);
+      // `-` clears it (a restore below the DV).
+      case Array("dv", rel, enc) =>
+        if (enc == "-") st.dvs -= rel
+        else {
+          try decodeRanges(enc) // validate at replay: loud, names the file
+          catch { case _: RuntimeException => corrupt(src, line) }
+          st.dvs += rel -> enc
+        }
       case Array("schema", js) => st.schemaJson = Some(js)
       // table constraints: declared in one metadata commit, enforced
       // on every subsequent write (CHECK expressions hive-escaped —
@@ -282,7 +297,43 @@ object TxnLog {
       st.schemaJson,
       st.parts.view.filterKeys(st.live.contains).toMap,
       st.sizes.view.filterKeys(st.live.contains).toMap,
-      st.notNull, st.checks)
+      st.notNull, st.checks,
+      st.dvs.view.filterKeys(st.live.contains).toMap)
+  }
+
+  /** Decode a deletion vector's `a-b`/`a` range string (sorted,
+    * comma-separated, inclusive both ends). */
+  private[sources] def decodeRanges(enc: String): Seq[(Long, Long)] =
+    if (enc.isEmpty) Nil
+    else enc.split(',').toSeq.map { tok =>
+      tok.split('-') match {
+        case Array(a)    => (a.toLong, a.toLong)
+        case Array(a, b) =>
+          val (lo, hi) = (a.toLong, b.toLong)
+          require(lo <= hi, s"bad deletion-vector range: $tok")
+          (lo, hi)
+        case _ => throw new IllegalArgumentException(
+          s"bad deletion-vector range: $tok")
+      }
+    }
+
+  /** Encode sorted ranges back to the action form. */
+  private[sources] def encodeRanges(rs: Seq[(Long, Long)]): String =
+    rs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
+      .mkString(",")
+
+  /** Sort + coalesce overlapping/adjacent ranges — the writer-side
+    * merge of an existing DV with freshly dead rows. */
+  private[sources] def mergeRanges(
+      rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = rs.sortBy(identity)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for ((lo, hi) <- sorted) out.lastOption match {
+      case Some((a, b)) if lo <= b + 1 =>
+        out(out.length - 1) = (a, math.max(b, hi))
+      case _ => out += ((lo, hi))
+    }
+    out.toSeq
   }
 
   /** Write the `.ckpt` replay checkpoint for version `v` (best
@@ -301,6 +352,7 @@ object TxnLog {
           .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
         (s"add\t$rel" +: (pTok ++ zTok ++ sTok)).mkString("\t")
       } ++
+      st.dvs.toSeq.sortBy(_._1).map { case (r, e) => s"dv\t$r\t$e" } ++
       st.dropped.toSeq.sorted.map(p => s"dropped\t$p") ++
       st.notNull.toSeq.sorted.map(c => s"constraint\tnotnull\t$c") ++
       st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -938,14 +990,69 @@ object TxnLog {
     * under the registered schema. */
   private def readRels(s: SparkSession, t: Table, snap: Snapshot,
                        rels: Seq[String],
-                       mergeSchema: Boolean = false): DataFrame =
+                       mergeSchema: Boolean = false,
+                       withPos: Boolean = false): DataFrame =
     if (snap.filePartitions.isEmpty || !rels.exists(snap.filePartitions.contains))
-      readFiles(s, t, rels, snap.schemaJson, mergeSchema)
-    else readGrouped(s, t, rels, snap.filePartitions, snap.schemaJson)
+      readFiles(s, t, rels, snap.schemaJson, mergeSchema, snap.dvs,
+        withPos)
+    else readGrouped(s, t, rels, snap.filePartitions, snap.schemaJson,
+      snap.dvs, withPos)
+
+  /** The two helper columns a position-exposing read carries: the
+    * file's normalized absolute path and the row's 0-based index
+    * within it — what DV writers key their dead sets on. */
+  private val PosCols = Seq("_g_fp", "_g_ri")
+
+  /** DELETION-VECTOR-aware scan wrapper: rows of `rels` files listed
+    * dead in `dvs` are dropped via ONE broadcast interval anti-join
+    * on (file path, row index) — `_metadata.row_index` is Spark's
+    * own per-file row position, so no data column is touched and the
+    * check is codegen-friendly. Zero overhead when none of the files
+    * carries a DV (the common case returns `df` untouched).
+    * `withPos` keeps the (path, index) helper columns in the output
+    * for DV writers. */
+  private def dvAware(s: SparkSession, t: Table, df: DataFrame,
+      rels: Seq[String], dvs: Map[String, String],
+      withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val dvd = rels.filter(dvs.contains)
+    if (dvd.isEmpty && !withPos) return df
+    // file_path arrives URI-form (file:/... or file:///...):
+    // normalize to the plain absolute path the manifest resolves to
+    val pos = df
+      .withColumn("_g_fp",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("_g_ri", col("_metadata.row_index"))
+    val cleaned =
+      if (dvd.isEmpty) pos
+      else {
+        val rows = dvd.flatMap { rel =>
+          val abs = t.root.resolve(rel).normalize.toString
+          decodeRanges(dvs(rel)).map { case (lo, hi) =>
+            org.apache.spark.sql.Row(abs, lo, hi) }
+        }
+        val dead = s.createDataFrame(rows.asJava,
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("_g_dfp",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("_g_dlo",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("_g_dhi",
+              org.apache.spark.sql.types.LongType))))
+        pos.join(broadcast(dead),
+          pos("_g_fp") === dead("_g_dfp") &&
+            pos("_g_ri") >= dead("_g_dlo") &&
+            pos("_g_ri") <= dead("_g_dhi"),
+          "left_anti")
+      }
+    if (withPos) cleaned else cleaned.drop(PosCols: _*)
+  }
 
   private def readGrouped(s: SparkSession, t: Table, rels: Seq[String],
       parts: Map[String, Map[String, String]],
-      schemaJson: Option[String]): DataFrame = {
+      schemaJson: Option[String],
+      dvs: Map[String, String] = Map.empty,
+      withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val schema = schemaJson.map(parseSchema).getOrElse(
       throw new IllegalStateException(
@@ -954,23 +1061,26 @@ object TxnLog {
       return s.read.schema(StructType(schema.fields.map(f =>
         org.apache.spark.sql.types.StructField(f.name, f.dataType,
           f.nullable)))).parquet()
+    val helper = if (withPos) PosCols.map(col) else Nil
     val groups = rels.groupBy(rel => parts.getOrElse(rel, Map.empty))
       .toSeq.sortBy(_._1.toSeq.sorted.mkString(",")) // deterministic plan
     groups.map { case (spec, files) =>
       val dataFields = schema.fields.filterNot(f => spec.contains(f.name))
       // partition columns never map (rename/drop refuse on them);
       // data columns scan PHYSICAL and alias back to logical
-      val base = toLogical(
+      val scan = dvAware(s, t,
         s.read.schema(physicalSchema(StructType(dataFields)))
           .parquet(files.map(r => t.root.resolve(r).toString): _*),
-        dataFields.toIndexedSeq)
+        files, dvs, withPos)
+      val base = scan.select(dataFields.toIndexedSeq.map(f =>
+        col(physicalName(f)).as(f.name)) ++ helper: _*)
       val full = spec.foldLeft(base) { case (df, (c, v)) =>
         val dt = schema.fields.find(_.name == c)
           .map(_.dataType)
           .getOrElse(org.apache.spark.sql.types.StringType)
         df.withColumn(c, partValue(v).cast(dt))
       }
-      full.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      full.select(schema.fieldNames.toIndexedSeq.map(col) ++ helper: _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -1031,18 +1141,29 @@ object TxnLog {
 
   private[graft] def readFiles(s: SparkSession, t: Table,
                         rels: Seq[String], schemaJson: Option[String],
-                        mergeSchema: Boolean = false): DataFrame = {
+                        mergeSchema: Boolean = false,
+                        dvs: Map[String, String] = Map.empty,
+                        withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val paths = rels.map(rel => t.root.resolve(rel).toString)
     schemaJson match {
       case Some(js) =>
         val schema = parseSchema(js)
         if (!hasMapping(schema))
-          s.read.schema(schema).parquet(paths: _*)
-        else // mapped: scan PHYSICAL names, alias back to logical
-          toLogical(s.read.schema(physicalSchema(schema))
-            .parquet(paths: _*), schema.fields.toIndexedSeq)
+          dvAware(s, t, s.read.schema(schema).parquet(paths: _*),
+            rels, dvs, withPos)
+        else { // mapped: scan PHYSICAL names, alias back to logical
+          val raw = dvAware(s, t,
+            s.read.schema(physicalSchema(schema)).parquet(paths: _*),
+            rels, dvs, withPos)
+          raw.select(schema.fields.toIndexedSeq.map(f =>
+            col(physicalName(f)).as(f.name)) ++
+            (if (withPos) PosCols.map(col) else Nil): _*)
+        }
       case None =>
-        s.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
+        dvAware(s, t,
+          s.read.option("mergeSchema", mergeSchema).parquet(paths: _*),
+          rels, dvs, withPos)
     }
   }
 
@@ -1143,15 +1264,20 @@ object TxnLog {
     val snap = snapshot(t)
     val bySpec = snap.liveFiles
       .filter { rel =>
-        snap.fileSizes.get(rel) match {
+        // a DV-carrying file is always a victim regardless of size:
+        // incremental maintenance is where deletion vectors get
+        // materialized away (the full-table OPTIMIZE being the other)
+        snap.dvs.contains(rel) || (snap.fileSizes.get(rel) match {
           case Some(n) => n < minFileBytes // manifest-recorded: no stat
           case None => // legacy add without a size token: one stat
             val p = t.root.resolve(rel)
             Files.exists(p) && Files.size(p) < minFileBytes
-        }
+        })
       }
       .groupBy(rel => snap.filePartitions.getOrElse(rel, Map.empty))
-      .filter(_._2.length >= 2)
+      // a lone small file gains nothing — unless it carries a DV,
+      // which the rewrite purges
+      .filter(g => g._2.length >= 2 || g._2.exists(snap.dvs.contains))
     if (bySpec.isEmpty) return snap.version
     compactGroups(s, t, snap, bySpec, targetFiles)
   }
@@ -1175,16 +1301,22 @@ object TxnLog {
         .map { case (spec, files) =>
           val stage = newStage(t, t.dataDir)
           stages += stage
+          // dv-aware reads: compacting a DV-carrying file
+          // MATERIALIZES the vector away (dead rows dropped in the
+          // rewrite; the remove clears the dv entry at replay)
           val df =
-            if (spec.isEmpty) readFiles(s, t, files, snap.schemaJson)
+            if (spec.isEmpty)
+              readFiles(s, t, files, snap.schemaJson, dvs = snap.dvs)
             else {
               val sc = schema.getOrElse(
                 throw new IllegalStateException(
                   "partitioned compaction needs a registered schema"))
               val dataFields = sc.fields
                 .filterNot(f => spec.contains(f.name)).toIndexedSeq
-              toLogical(s.read.schema(physicalSchema(StructType(dataFields)))
-                .parquet(files.map(r => t.root.resolve(r).toString): _*),
+              toLogical(dvAware(s, t,
+                s.read.schema(physicalSchema(StructType(dataFields)))
+                  .parquet(files.map(r => t.root.resolve(r).toString): _*),
+                files, snap.dvs, withPos = false),
                 dataFields)
             }
           toPhysical(df.coalesce(targetFiles), schema)
@@ -1607,6 +1739,146 @@ object TxnLog {
       commit(t, snap.version, adds = Nil, removes = affectedRel,
         extra = adds ++ cdcLines)
     } finally seal(t, survivorStage, updatedStage, cdcStage)
+  }
+
+  /** Merge-on-read DELETE — the deletion-vector path: files whose
+    * matching rows number at most `maxDvRowsPerFile` are NOT
+    * rewritten; the commit stamps a `dv` action listing their dead
+    * row indices and readers anti-filter them in-scan
+    * ([[dvAware]] — one broadcast interval anti-join on Spark's own
+    * `_metadata.row_index`, zero cost for DV-free files). Files
+    * above the threshold fall back to [[delete]]'s copy-on-write
+    * rewrite in the SAME atomic commit, Delta's own DV sizing
+    * policy: at 100 TB a one-row delete against a 1 GB file commits
+    * without rewriting a byte of data, while a delete-most-rows file
+    * rewrites once instead of carrying a near-full vector forever.
+    * The change feed keeps its contract — deleted rows are written
+    * out as `cdc delete` change files — so [[changes]], CDF streams
+    * and `table_changes` resolve DV commits from the log like any
+    * other row-level DML. A repeated delete never re-deletes: the
+    * locating scan reads THROUGH existing vectors. OPTIMIZE /
+    * compactSmall materialize vectors away (the rewrite drops dead
+    * rows; the remove clears the dv entry). Snapshot-dependent like
+    * every rewrite: a concurrent commit refuses with
+    * ConcurrentModificationException rather than losing the delete.
+    * Returns the committed version (unchanged when nothing matched). */
+  def deleteDv(s: SparkSession, t: Table, predicate: Column,
+               alias: Option[String] = None,
+               maxDvRowsPerFile: Long = 100000L): Long =
+    dvRewrite(s, t, predicate, alias, maxDvRowsPerFile, set = Map.empty)
+
+  /** Merge-on-read UPDATE: the matched rows' OLD positions go dead
+    * via deletion vectors (or a copy-on-write rewrite above the
+    * per-file threshold, like [[deleteDv]]) and the NEW images append
+    * as fresh data files in the same atomic commit — a one-row
+    * update stops rewriting its 1 GB neighbor file. CDF shape is the
+    * standard (delete old image, insert new image) pair; constraints
+    * enforce on the staged new images with the atomic refusal. */
+  def updateDv(s: SparkSession, t: Table, set: Map[String, Column],
+               predicate: Column, alias: Option[String] = None,
+               maxDvRowsPerFile: Long = 100000L): Long = {
+    require(set.nonEmpty, "updateDv needs at least one SET assignment")
+    dvRewrite(s, t, predicate, alias, maxDvRowsPerFile, set)
+  }
+
+  private def dvRewrite(s: SparkSession, t: Table, predicate: Column,
+      alias: Option[String], maxDvRowsPerFile: Long,
+      set: Map[String, Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list,
+      count, lit, not, sort_array}
+    val cond = coalesce(predicate, lit(false))
+    val snap = snapshot(t)
+    // validate SET targets before the no-match early returns (the
+    // empty-partition dry-run contract, same as update)
+    snap.schemaJson.map(parseSchema).foreach { schema =>
+      val bad = set.keySet.diff(schema.fieldNames.toSet)
+      require(bad.isEmpty,
+        s"UPDATE SET targets unknown column(s): ${bad.mkString(", ")}")
+    }
+    val statsCols = liveStatsCols(snap)
+    def al(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
+    val candidates = {
+      val box = dmlBox(predicate)
+      if (box.isEmpty) snap.liveFiles else pruneBox(snap, box)
+    }
+    if (candidates.isEmpty) return snap.version
+    val relOfAbs = candidates
+      .map(rel => t.root.resolve(rel).normalize.toString -> rel).toMap
+    // the locating scan reads THROUGH existing vectors (already-dead
+    // rows never match again) and exposes (file, row index)
+    val hits = al(readRels(s, t, snap, candidates, withPos = true))
+      .filter(cond)
+    val counts = hits.groupBy(col("_g_fp"))
+      .agg(count(lit(1)).as("_n"))
+      .collect() // file-count scale: one row per affected file
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return snap.version
+    val (lightAbs, heavyAbs) =
+      counts.keys.toSeq.sorted.partition(counts(_) <= maxDvRowsPerFile)
+    val heavyRels = heavyAbs.map(relOfAbs).sorted
+    // dead indices for the light files — bounded per file by the
+    // threshold, the only row-scale data the driver ever holds
+    val lightIdx: Map[String, Seq[Long]] =
+      if (lightAbs.isEmpty) Map.empty
+      else hits.filter(col("_g_fp").isInCollection(lightAbs))
+        .groupBy(col("_g_fp"))
+        .agg(sort_array(collect_list(col("_g_ri"))).as("_i"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val dvLines = lightAbs.map { abs =>
+      val rel = relOfAbs(abs)
+      // the action SETS the complete dead set: merge the existing
+      // vector with the freshly dead rows
+      val merged = mergeRanges(
+        snap.dvs.get(rel).map(decodeRanges).getOrElse(Nil) ++
+          lightIdx(abs).map(i => (i, i)))
+      s"dv\t$rel\t${encodeRanges(merged)}"
+    }
+    val partCols = snap.filePartitions.values
+      .flatMap(_.keys).toSeq.distinct.sorted
+    val matched = hits.drop(PosCols: _*)
+    val survivorStage = newStage(t, t.dataDir)
+    val newImageStage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
+    try {
+      val survivorAdds =
+        if (heavyRels.isEmpty) Nil
+        else stageAdds(s, t,
+          al(readRels(s, t, snap, heavyRels)).filter(not(cond)),
+          survivorStage, partCols, statsCols, snap.schemaJson)
+      val newImages: Option[DataFrame] =
+        if (set.isEmpty) None
+        else {
+          val tCols = matched.columns.toSeq
+          Some(matched.select(tCols.map { c =>
+            set.get(c).map(_.cast(matched.schema(c).dataType).as(c))
+              .getOrElse(col(c))
+          }: _*))
+        }
+      val newAdds = newImages.toSeq.flatMap(
+        stageAdds(s, t, _, newImageStage, partCols, statsCols,
+          snap.schemaJson))
+      // only the new images can violate (a pure delete stages none)
+      enforceStaged(s, t, Seq(newImageStage), snap.constraints)
+      toPhysical(matched, snap.schemaJson.map(parseSchema))
+        .write.parquet(cdcStage.toString) // old images
+      val cdcLines =
+        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
+        stagedFiles(t, newImageStage).map(r => s"cdc\t$r\tinsert")
+      val extra = survivorAdds ++ newAdds ++ dvLines ++ cdcLines
+      if (heavyRels.nonEmpty)
+        // the remove-bearing commit claims exactly base+1 — the
+        // stale-rewrite refusal every row-changing rewrite shares
+        commit(t, snap.version, adds = Nil, removes = heavyRels,
+          extra = extra)
+      else if (tryPublish(t, snap.version + 1, extra))
+        snap.version + 1
+      else throw new java.util.ConcurrentModificationException(
+        s"deletion-vector commit based on stale snapshot " +
+          s"v${snap.version}: version ${snap.version + 1} was taken " +
+          "concurrently; recompute against the current snapshot and " +
+          "retry")
+    } finally seal(t, survivorStage, newImageStage, cdcStage)
   }
 
   /** MERGE (upsert): for every `source` row, REPLACE the table row
@@ -2123,7 +2395,14 @@ object TxnLog {
   private final case class CommitActions(adds: Seq[String],
       hasRemoves: Boolean, cdcNone: Boolean,
       cdcFiles: Seq[(String, String)], // (relpath, insert|delete)
-      addParts: Map[String, Map[String, String]]) // partitioned adds
+      addParts: Map[String, Map[String, String]], // partitioned adds
+      hasDv: Boolean = false) { // deletion-vector commit: a rewrite
+    /** A commit that changes ROW state without removing files (a
+      * deletion-vector DML) is a rewrite for every feed purpose: its
+      * adds are NOT a plain insert wave, and its row changes resolve
+      * only through its cdc references. */
+    def rewrites: Boolean = hasRemoves || hasDv
+  }
 
   private def commitActions(vf: Path): CommitActions = {
     val lines = Files.readAllLines(vf).asScala.filter(_.nonEmpty)
@@ -2131,6 +2410,7 @@ object TxnLog {
     CommitActions(
       adds = addArrs.map(_(1)).toSeq,
       hasRemoves = lines.exists(_.startsWith("remove\t")),
+      hasDv = lines.exists(_.startsWith("dv\t")),
       cdcNone = lines.contains("cdc\tnone"),
       cdcFiles = lines.collect {
         case l if l.startsWith("cdc\t") && l != "cdc\tnone" =>
@@ -2179,6 +2459,10 @@ object TxnLog {
       val inss = a.cdcFiles.count(_._2 == "insert")
       val op =
         if (a.hasRemoves && a.cdcNone) "OPTIMIZE"
+        // a deletion-vector commit is row-level DML without file
+        // removal: UPDATE when it stamps new images, DELETE otherwise
+        else if (a.hasDv && inss > 0) "UPDATE"
+        else if (a.hasDv) "DELETE"
         // a REPLACE's delete side IS its remove set (old data files
         // referenced as change files); a MERGE's lives under cdc/
         else if (delRels.nonEmpty && inss > 0 &&
@@ -2256,47 +2540,101 @@ object TxnLog {
     * the point — so bound the range to what you audit. */
   def tableChanges(s: SparkSession, t: Table, from: Long,
                    to: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(from <= to, s"empty change range: v$from..v$to")
     val snapTo = snapshot(t, Some(to)) // validates `to` exists
     val schemaJson = snapTo.schemaJson.getOrElse(
       throw new IllegalStateException(
         s"table at ${t.root} never registered a schema (raw commits); " +
           "table_changes needs one to type the feed"))
-    def tag(df: DataFrame, kind: String, v: Long): DataFrame =
-      df.withColumn("_change_type", lit(kind))
-        .withColumn("_commit_version", lit(v))
-    if (from == to)
-      return tag(readFiles(s, t, Nil, Some(schemaJson)), "insert", 0L)
+    val schema = parseSchema(schemaJson)
+    val tsType = org.apache.spark.sql.types.TimestampType
+    def empty: DataFrame =
+      readFiles(s, t, Nil, Some(schemaJson))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp", lit(null).cast(tsType))
         .limit(0)
-    val snapFrom = snapshot(t, Some(from)) // validates `from` exists
+    // `from = 0` is INCLUSIVE of commit 0 — the origin commit's adds
+    // are its insert wave (the streaming source's initial-snapshot
+    // convention), so the table's very first changes stay reachable;
+    // any higher `from` keeps the (from, to] contract
+    val includeOrigin = from == 0L
+    if (from == to && !includeOrigin) return empty
+    val lowest = if (includeOrigin) 0L else from + 1
+    val baseParts =
+      if (includeOrigin) Map.empty[String, Map[String, String]]
+      else snapshot(t, Some(from)).filePartitions // validates `from`
     val range = versionFiles(t)
-      .filter(p => versionOf(p) > from && versionOf(p) <= to)
-    require(range.headOption.exists(versionOf(_) == from + 1),
+      .filter(p => versionOf(p) >= lowest && versionOf(p) <= to)
+    require(range.headOption.exists(versionOf(_) == lowest),
       s"change range v$from..v$to is partially expired — resync from " +
         "a full snapshot instead")
-    // partition metadata accumulates ACROSS the range: one replay for
-    // the from-state, then each commit's own adds — never a replay
-    // per version
-    var parts = snapFrom.filePartitions
-    range.map { vf =>
+    // ONE pass over the range's version files builds (file, version)
+    // attribution pairs per side plus the partition-metadata union —
+    // metadata only, never a replay per version. The PLAN is then two
+    // scans total (all insert files, all delete files), each joined
+    // to a broadcast file→(version, timestamp) map on the scan's own
+    // file identity — a 5000-commit audit range no longer hands the
+    // analyzer a 10000-branch union.
+    var parts = baseParts
+    val insPairs = Seq.newBuilder[(String, Long)]
+    val delPairs = Seq.newBuilder[(String, Long)]
+    val tsOf = Map.newBuilder[Long, java.sql.Timestamp]
+    for (vf <- range) {
       val v = versionOf(vf)
       val a = commitActions(vf)
-      if (a.hasRemoves && !a.cdcNone && a.cdcFiles.isEmpty)
+      if (a.rewrites && !a.cdcNone && a.cdcFiles.isEmpty)
         throw new IllegalStateException(
           s"commit ${vf.getFileName} rewrites files without cdc info; " +
             "table_changes cannot resolve it from the log")
       parts = parts ++ a.addParts
-      val partsHere = parts
-      val ins = (if (!a.hasRemoves) a.adds else Nil) ++
-        a.cdcFiles.collect { case (rel, "insert") => rel }
-      val del = a.cdcFiles.collect { case (rel, "delete") => rel }
-      def rd(files: Seq[String]): DataFrame =
-        if (files.exists(partsHere.contains))
-          readGrouped(s, t, files, partsHere, Some(schemaJson))
-        else readFiles(s, t, files, Some(schemaJson))
-      tag(rd(ins), "insert", v).unionByName(tag(rd(del), "delete", v))
-    }.reduce(_.unionByName(_))
+      tsOf += v -> new java.sql.Timestamp(
+        Files.getLastModifiedTime(vf).toMillis)
+      ((if (!a.rewrites) a.adds else Nil) ++
+        a.cdcFiles.collect { case (rel, "insert") => rel })
+        .foreach(rel => insPairs += rel -> v)
+      a.cdcFiles.collect { case (rel, "delete") => rel }
+        .foreach(rel => delPairs += rel -> v)
+    }
+    val ts = tsOf.result()
+    val partsAll = parts
+    def side(pairs: Seq[(String, Long)], kind: String): Option[DataFrame] = {
+      if (pairs.isEmpty) return None
+      val files = pairs.map(_._1).distinct
+      // the scan exposes each row's file identity (withPos); the
+      // broadcast join attributes it — a file touched by N commits
+      // in the range emits its rows once PER commit, the per-commit
+      // attribution the union form had
+      val df =
+        if (files.exists(partsAll.contains))
+          readGrouped(s, t, files, partsAll, Some(schemaJson),
+            withPos = true)
+        else readFiles(s, t, files, Some(schemaJson), withPos = true)
+      val m = s.createDataFrame(
+        pairs.distinct.map { case (rel, v) =>
+          org.apache.spark.sql.Row(
+            t.root.resolve(rel).normalize.toString, v, ts(v))
+        }.asJava,
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("_g_mfp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_commit_timestamp",
+            tsType))))
+      Some(df.join(broadcast(m), df("_g_fp") === m("_g_mfp"))
+        .withColumn("_change_type", lit(kind))
+        .select(schema.fieldNames.toIndexedSeq.map(col) ++
+          Seq(col("_change_type"), col("_commit_version"),
+            col("_commit_timestamp")): _*))
+    }
+    (side(insPairs.result(), "insert"), side(delPairs.result(), "delete")) match {
+      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), None)    => i
+      case (None, Some(d))    => d
+      case (None, None)       => empty
+    }
   }
 
   /** [[tableChanges]] addressed by path string — the TVF entry
@@ -2692,10 +3030,25 @@ object TxnLog {
     val tgtSet = tgt.liveFiles.toSet
     val removes = cur.liveFiles.filterNot(tgtSet)
     val readds = tgt.liveFiles.filterNot(curSet)
-    // identical live sets AND identical schema = true no-op; a
+    val readdSet = readds.toSet
+    // deletion-vector reconciliation: every target-live file whose
+    // dv state differs from the current one gets its TARGET state
+    // re-stamped (`-` clears — restoring below a DV delete
+    // resurrects the rows); re-added files start vector-free at
+    // replay, so any target vector restamps too
+    val dvDelta: Seq[String] = tgt.liveFiles.flatMap { rel =>
+      val want = tgt.dvs.get(rel)
+      val have = if (readdSet.contains(rel)) None else cur.dvs.get(rel)
+      if (want == have) None
+      else Some(want match {
+        case Some(enc) => s"dv\t$rel\t$enc"
+        case None      => s"dv\t$rel\t-"
+      })
+    }
+    // identical live sets, schema AND dv state = true no-op; a
     // schema-only difference (restoring below a rename/drop/add)
     // still commits, restoring the shape and reconciling constraints
-    if (removes.isEmpty && readds.isEmpty &&
+    if (removes.isEmpty && readds.isEmpty && dvDelta.isEmpty &&
       tgt.schemaJson == cur.schemaJson) return cur.version
     val missing = readds.filterNot(rel => Files.exists(t.root.resolve(rel)))
     require(missing.isEmpty,
@@ -2780,15 +3133,20 @@ object TxnLog {
     // wave already, so a pure re-add (restoring across a drop) must
     // not ALSO reference them as cdc inserts — that would deliver
     // every restored row twice; a remove-bearing restore needs the
-    // explicit refs (adds of rewrite commits are not auto-counted)
+    // explicit refs (adds of rewrite commits are not auto-counted).
+    // A DV-RECONCILING restore omits the file-level refs entirely:
+    // they cannot express the row delta a vector change implies, so
+    // the commit stays cdc-unexplained — changes() falls back to the
+    // exact snapshot diff and streams refuse loudly instead of
+    // replaying a wrong feed.
     val cdc =
-      if (removes.isEmpty) Nil
+      if (removes.isEmpty || dvDelta.nonEmpty) Nil
       else removes.map(r => s"cdc\t$r\tdelete") ++
         readds.map(r => s"cdc\t$r\tinsert")
     val schemaLine = tgt.schemaJson.filterNot(cur.schemaJson.contains)
       .map(js => s"schema\t$js").toSeq
     commit(t, cur.version, adds = Nil, removes = removes,
-      extra = schemaLine ++ conDrops ++ addLines ++ cdc)
+      extra = schemaLine ++ conDrops ++ addLines ++ dvDelta ++ cdc)
   }
 
   /** The APPEND feed for the streaming source: the files whose rows
@@ -2816,7 +3174,7 @@ object TxnLog {
         "stream from a fresh checkpoint"))
     range.flatMap { vf =>
       val a = commitActions(vf)
-      if (!a.hasRemoves)
+      if (!a.rewrites) // dv commits are rewrites: adds ≠ insert wave
         a.adds ++ a.cdcFiles.collect { case (rel, "insert") => rel }
       else if (a.cdcNone) Nil
       else if (a.cdcFiles.nonEmpty) {
@@ -2857,12 +3215,12 @@ object TxnLog {
         "stream from a fresh checkpoint"))
     val acts = range.map(commitActions)
     range.zip(acts).foreach { case (vf, a) =>
-      if (a.hasRemoves && !a.cdcNone && a.cdcFiles.isEmpty)
+      if (a.rewrites && !a.cdcNone && a.cdcFiles.isEmpty)
         throw new IllegalStateException(
           s"commit ${vf.getFileName} rewrites files without cdc info; " +
             "the stream cannot resolve it from the log")
     }
-    (acts.filter(!_.hasRemoves).flatMap(_.adds) ++
+    (acts.filter(!_.rewrites).flatMap(_.adds) ++
       acts.flatMap(_.cdcFiles).collect { case (rel, "insert") => rel },
       acts.flatMap(_.cdcFiles).collect { case (rel, "delete") => rel })
   }
@@ -2989,32 +3347,45 @@ object TxnLog {
     // partition metadata for every file the range can reference:
     // the from-snapshot's live set plus the range commits' adds
     val partsMap = snapFrom.filePartitions ++ acts.flatMap(_.addParts)
-    def rd(rels: Seq[String]): DataFrame =
+    // feed-file reads are dv-FREE by default: an insert wave is the
+    // rows as of its commit, regardless of rows a LATER deletion
+    // vector killed (those arrive as their own delete events); the
+    // snapshot-diff fallback passes each side's own dv state instead
+    def rd(rels: Seq[String],
+        dvs: Map[String, String] = Map.empty): DataFrame =
       if (rels.isEmpty) none
       else if (rels.exists(partsMap.contains))
         readGrouped(s, t, rels, partsMap,
-          schemaAtTo.orElse(snapFrom.schemaJson))
-      else readFiles(s, t, rels, schemaAtTo, mergeSchema = true)
-    if (acts.forall(a => !a.hasRemoves || a.cdcNone || a.cdcFiles.nonEmpty)) {
+          schemaAtTo.orElse(snapFrom.schemaJson), dvs)
+      else readFiles(s, t, rels, schemaAtTo, mergeSchema = true,
+        dvs = dvs)
+    if (acts.forall(a => !a.rewrites || a.cdcNone || a.cdcFiles.nonEmpty)) {
       // every rewrite in the range explains itself: resolve from the
       // log. A rewrite's adds are restaged survivors, NOT inserts —
-      // only no-remove commits contribute their add files.
+      // only no-rewrite commits contribute their add files (a
+      // deletion-vector UPDATE's new-image adds ride its explicit
+      // cdc insert references instead).
       val insertFiles =
-        acts.filter(!_.hasRemoves).flatMap(_.adds) ++
+        acts.filter(!_.rewrites).flatMap(_.adds) ++
         acts.flatMap(_.cdcFiles).collect { case (rel, "insert") => rel }
       val deleteFiles =
         acts.flatMap(_.cdcFiles).collect { case (rel, "delete") => rel }
       (rd(insertFiles), rd(deleteFiles))
     } else {
       // a snapshot CAN be empty (a delete-everything commit) — plan
-      // it as an empty frame on the other side's schema
+      // it as an empty frame on the other side's schema; each side
+      // diffs under its OWN deletion-vector state, so a dv-bearing
+      // range still diffs row-exactly
+      val snapTo = snapshot(t, Some(to))
       val aFiles = snapFrom.liveFiles
-      val bFiles = snapshot(t, Some(to)).liveFiles
+      val bFiles = snapTo.liveFiles
       require(aFiles.nonEmpty || bFiles.nonEmpty,
         s"both snapshots v$from and v$to are empty")
-      def side(files: Seq[String], fallback: Seq[String]): DataFrame =
-        if (files.nonEmpty) rd(files) else rd(fallback).limit(0)
-      val (a, b) = aligned(side(aFiles, bFiles), side(bFiles, aFiles))
+      def side(files: Seq[String], fallback: Seq[String],
+          dvs: Map[String, String]): DataFrame =
+        if (files.nonEmpty) rd(files, dvs) else rd(fallback).limit(0)
+      val (a, b) = aligned(side(aFiles, bFiles, snapFrom.dvs),
+        side(bFiles, aFiles, snapTo.dvs))
       (b.exceptAll(a), a.exceptAll(b))
     }
   }

@@ -207,11 +207,12 @@ class TxnLogStreamProvider extends StreamSourceProvider
     // semantics the flat path's captured file list has). A
     // column-MAPPED table (files hold physical names after a rename/
     // drop) needs the same indirection: the wrapped scan aliases
-    // physical back to logical.
+    // physical back to logical. A DELETION-VECTOR-carrying snapshot
+    // too: the flat parquet relation would serve the dead rows.
     val mapped = snap.schemaJson.map(js =>
       org.apache.spark.sql.types.DataType.fromJson(js)
         .asInstanceOf[StructType]).exists(TxnLog.hasMapping)
-    if (snap.filePartitions.nonEmpty || mapped)
+    if (snap.filePartitions.nonEmpty || mapped || snap.dvs.nonEmpty)
       return new TxnLogPartitionedRelation(sqlContext, t,
         Some(snap.version),
         userSchema.orElse(snap.schemaJson.map(js =>

@@ -2521,4 +2521,189 @@ class TxnLogSpec extends AnyFunSuite {
     assert(nf.getMessage.contains("graft_no_such_con") ||
       nf.getMessage.toLowerCase.contains("parse"), nf.getMessage)
   }
+
+  test("txnlog: table_changes plans TWO scans for any range length, reaches commit 0, stamps _commit_timestamp") {
+    import spark.implicits._
+    val t = freshTable()
+    for (i <- 0 until 25)
+      TxnLog.append(spark, t,
+        Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1))
+    TxnLog.delete(spark, t, col("k") === 5L)
+    val latest = TxnLog.latestVersion(t)
+    val df = TxnLog.tableChanges(spark, t, 0L, latest)
+    // from = 0 is inclusive of the origin commit: its adds are the
+    // first insert wave, so commit 0's changes are reachable
+    val rows = df.collect()
+    assert(rows.count(_.getString(2) == "insert") === 25)
+    assert(rows.count(_.getString(2) == "delete") === 1)
+    assert(rows.exists(r => r.getString(2) == "insert" &&
+      r.getLong(3) == 0L), "commit 0's insert wave is missing")
+    // per-commit attribution survives the join form
+    assert(rows.filter(_.getString(2) == "insert")
+      .map(r => (r.getLong(0), r.getLong(3))).toSet ===
+      (0 until 25).map(i => (i.toLong, i.toLong)).toSet)
+    // _commit_timestamp is stamped (version-file mtime) and ordered
+    // with the versions
+    assert(rows.forall(!_.isNullAt(4)))
+    // the PLAN is two file scans + the broadcast maps — never a
+    // branch pair per commit (the 26-commit range would have planned
+    // 52 branches in the union form)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length <= 2, s"table_changes planned ${scans.length} scans")
+  }
+
+  private def dataFiles(t: TxnLog.Table): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(t.root.resolve("data"))
+    try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .map(p => t.root.relativize(p).toString).toSet
+    finally s.close()
+  }
+
+  test("txnlog: deletion vectors — a one-row DELETE commits without rewriting any data file") {
+    import spark.implicits._
+    val t = freshTable()
+    // three files, 100 rows each
+    for (g <- 0 until 3)
+      TxnLog.appendWithStats(spark,
+        t, (g * 100 until (g + 1) * 100).map(i => (i.toLong, i.toLong * 10))
+          .toDF("k", "v").coalesce(1), Seq("k"))
+    val before = dataFiles(t)
+    val vPre = TxnLog.latestVersion(t)
+    // merge-on-read delete of ONE row
+    TxnLog.deleteDv(spark, t, col("k") === 150L)
+    assert(dataFiles(t) === before,
+      "deleteDv rewrote a data file — the whole point is not to")
+    val snap = TxnLog.snapshot(t)
+    assert(snap.dvs.size === 1, snap.dvs.toString)
+    assert(snap.dvs.values.head === "50") // row 150 is index 50 of file 2
+    // reads agree with the copy-on-write twin
+    assert(TxnLog.read(spark, t).count() === 299L)
+    assert(TxnLog.read(spark, t).filter($"k" === 150L).count() === 0L)
+    // time travel below the DV still shows the row
+    assert(TxnLog.read(spark, t, Some(vPre))
+      .filter($"k" === 150L).count() === 1L)
+    // manifest pruning composes: the locating scan still prunes
+    val (kept, total) = TxnLog.plannedFilesDml(t, col("k") === 150L)
+    assert(kept === 1 && total === 3)
+    // a second delete on the SAME file merges the vector
+    TxnLog.deleteDv(spark, t, col("k").isin(151L, 152L))
+    assert(TxnLog.snapshot(t).dvs.values.head === "50-52")
+    assert(TxnLog.read(spark, t).count() === 297L)
+    // a re-run of the same predicate is a no-op (the locating scan
+    // reads through the vector — dead rows never match again)
+    val vNow = TxnLog.latestVersion(t)
+    assert(TxnLog.deleteDv(spark, t, col("k") === 150L) === vNow)
+    // the change feed resolves the DV commits from the log
+    val (ins, del) = TxnLog.changes(spark, t, vPre, vNow)
+    assert(ins.count() === 0L)
+    assert(del.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(150L, 151L, 152L))
+    // the append-feed stream refuses a DV commit by default and
+    // skips it under ignoreDeletes (it is a pure-delete commit)
+    val boom = intercept[IllegalStateException] {
+      TxnLog.appendFeed(t, vPre, vNow, ignoreDeletes = false)
+    }
+    assert(boom.getMessage.contains("row-level deletes"), boom.getMessage)
+    assert(TxnLog.appendFeed(t, vPre, vNow, ignoreDeletes = true).isEmpty)
+    // OPTIMIZE materializes the vector away
+    TxnLog.compact(spark, t)
+    val after = TxnLog.snapshot(t)
+    assert(after.dvs.isEmpty)
+    assert(TxnLog.read(spark, t).count() === 297L)
+    // history labels the DV commits as DELETE
+    assert(TxnLog.history(t).map(_._2).count(_ == "DELETE") >= 2)
+  }
+
+  test("txnlog: deletion-vector UPDATE appends new images; heavy files fall back to copy-on-write") {
+    import spark.implicits._
+    val t = freshTable()
+    for (g <- 0 until 2)
+      TxnLog.append(spark, t,
+        (g * 100 until (g + 1) * 100).map(i => (i.toLong, i.toLong))
+          .toDF("k", "v").coalesce(1))
+    val before = dataFiles(t)
+    val vPre = TxnLog.latestVersion(t)
+    // merge-on-read UPDATE of one row: old position dead, new image
+    // appended — no pre-existing file rewritten
+    TxnLog.updateDv(spark, t, Map("v" -> (col("v") * 100)),
+      col("k") === 7L)
+    assert(before.subsetOf(dataFiles(t)),
+      "updateDv rewrote a pre-existing data file")
+    assert(TxnLog.snapshot(t).dvs.size === 1)
+    assert(TxnLog.read(spark, t).filter($"k" === 7L)
+      .head().getLong(1) === 700L)
+    assert(TxnLog.read(spark, t).count() === 200L)
+    // CDF: the standard (delete old, insert new) pair
+    val (ins, del) = TxnLog.changes(spark, t, vPre, TxnLog.latestVersion(t))
+    assert(ins.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((7L, 700L)))
+    assert(del.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((7L, 7L)))
+    // history labels it UPDATE
+    assert(TxnLog.history(t).map(_._2).contains("UPDATE"))
+    // ABOVE the per-file threshold the file rewrites copy-on-write in
+    // the same commit shape (no vector bigger than its file)
+    val t2 = freshTable()
+    TxnLog.append(spark, t2,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val f2 = dataFiles(t2)
+    TxnLog.deleteDv(spark, t2, col("k") < 50L, maxDvRowsPerFile = 10L)
+    assert(TxnLog.snapshot(t2).liveFiles.toSet.intersect(f2) === Set.empty,
+      "heavy file was not rewritten out of the live set")
+    assert(TxnLog.snapshot(t2).dvs.isEmpty)
+    assert(TxnLog.read(spark, t2).count() === 50L)
+    // compactSmall PURGES a lone DV-carrying file regardless of size
+    val t3 = freshTable()
+    TxnLog.append(spark, t3,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    TxnLog.deleteDv(spark, t3, col("k") === 5L)
+    assert(TxnLog.snapshot(t3).dvs.size === 1)
+    TxnLog.compactSmall(spark, t3, minFileBytes = 1L)
+    assert(TxnLog.snapshot(t3).dvs.isEmpty)
+    assert(TxnLog.read(spark, t3).count() === 99L)
+  }
+
+  test("txnlog: deletion vectors survive checkpoints, restore below the DV resurrects, partitioned tables compose") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.appendPartitioned(spark, t,
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d2"))
+        .toDF("k", "day").coalesce(1), Seq("day"))
+    val vPre = TxnLog.latestVersion(t)
+    TxnLog.deleteDv(spark, t, col("k") === 3L)
+    val vDv = TxnLog.latestVersion(t)
+    // partitioned read reconstitutes columns AND drops the dead row
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "d1"), (2L, "d1"), (4L, "d2")))
+    assert(TxnLog.readPartition(spark, t, Map("day" -> "d2"))
+      .collect().map(_.getLong(0)).toSeq === Seq(4L))
+    // the vector rides a checkpoint + log expiry
+    TxnLog.checkpoint(t, vDv)
+    TxnLog.expireLog(t)
+    assert(TxnLog.snapshot(t).dvs.size === 1)
+    assert(TxnLog.read(spark, t).count() === 3L)
+    // RESTORE below the DV resurrects the row in one metadata commit
+    // (the dv line clears); the commit carries no cdc refs, so
+    // changes() resolves it through the exact snapshot diff
+    TxnLog.restore(t, vDv) // no-op: same state
+    assert(TxnLog.latestVersion(t) === vDv)
+    TxnLog.checkpoint(t, vDv) // vPre is expired; restore needs it
+    val t4 = freshTable()
+    TxnLog.append(spark, t4,
+      (0L until 10L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val v0 = TxnLog.latestVersion(t4)
+    TxnLog.deleteDv(spark, t4, col("k") === 4L)
+    assert(TxnLog.read(spark, t4).count() === 9L)
+    TxnLog.restore(t4, v0)
+    assert(TxnLog.snapshot(t4).dvs.isEmpty)
+    assert(TxnLog.read(spark, t4).count() === 10L)
+    val (rIns, rDel) = TxnLog.changes(spark, t4, v0 + 1,
+      TxnLog.latestVersion(t4))
+    assert(rIns.collect().map(_.getLong(0)).toSeq === Seq(4L))
+    assert(rDel.count() === 0L)
+  }
 }
