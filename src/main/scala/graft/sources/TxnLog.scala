@@ -75,6 +75,19 @@ object TxnLog {
   /** Commits between automatic replay checkpoints. */
   val CheckpointInterval = 10L
 
+  /** Highest log reader version this library understands. Version 2
+    * adds the features that change READ semantics — column mapping
+    * (files hold physical names), type widening (promoted scan
+    * types) and deletion vectors (rows a plain scan must not serve).
+    * Commits introducing any of them stamp `protocol 2`, and replay
+    * REFUSES a log demanding more than this constant: an older
+    * reader must fail loudly rather than silently serve physical
+    * column names or deleted rows (the Delta minReaderVersion
+    * contract). */
+  val CurrentReaderVersion = 2L
+
+  private val ProtocolV2Line = s"protocol\t2"
+
   /** Files dead for less than this keep their staging grace (see
     * [[vacuum]]): an in-flight writer's staged-but-uncommitted files
     * are never reclaimed under it. */
@@ -105,10 +118,22 @@ object TxnLog {
       fileSizes: Map[String, Long] = Map.empty,
       notNull: Set[String] = Set.empty,
       checks: Map[String, String] = Map.empty,
-      dvs: Map[String, String] = Map.empty) {
+      dvs: Map[String, String] = Map.empty,
+      declaredPartCols: Seq[String] = Nil) {
     /** Declared constraints at this version — carried BY the snapshot
       * so rewrite ops enforce without a second log replay. */
     def constraints: Constraints = Constraints(notNull, checks)
+    /** The partition layout every write op must stage through: the
+      * DDL-declared columns (authoritative, in declared order — a
+      * `PARTITIONED BY` CREATE binds the layout before any data
+      * lands) followed by any observed layout columns a declaration
+      * didn't cover (legacy tables partitioned by their first
+      * write). */
+    def partCols: Seq[String] = {
+      val observed = filePartitions.values.flatMap(_.keys)
+        .toSeq.distinct.sorted.filterNot(declaredPartCols.contains)
+      declaredPartCols ++ observed
+    }
   }
 
   /** A filesystem path from a string that may arrive URI-form —
@@ -169,6 +194,8 @@ object TxnLog {
     var checks = Map.empty[String, String] // name -> expression SQL
     var dropped = Set.empty[String] // tombstoned PHYSICAL column names
     var dvs = Map.empty[String, String] // file -> dead-row ranges
+    var minReader = 1L // protocol floor the log demands of readers
+    var declaredParts = Seq.empty[String] // DDL-declared layout
   }
 
   private def corrupt(src: Path, line: String): Nothing =
@@ -242,6 +269,17 @@ object TxnLog {
         st.checks += n -> unescapePart(e)
       case Array("dropconstraint", "notnull", c)  => st.notNull -= c
       case Array("dropconstraint", "check", n)    => st.checks -= n
+      // the DDL-declared partition layout (PARTITIONED BY at CREATE):
+      // binds every write to the layout before any data exists
+      case Array("partcols", enc) =>
+        st.declaredParts = enc.split(',').toSeq
+          .filter(_.nonEmpty).map(unescapePart)
+      // protocol floor: the minimum reader version this log demands
+      // (monotone — a later lower stamp never downgrades)
+      case Array("protocol", n) =>
+        val v = try n.toLong
+        catch { case _: NumberFormatException => corrupt(src, line) }
+        st.minReader = math.max(st.minReader, v)
       // DROP COLUMN's tombstone: the physical name stays forbidden
       // for NEW columns, whose physical would default to their
       // logical name — a fresh column reading a dropped column's
@@ -284,6 +322,16 @@ object TxnLog {
     for (vf <- upTo if versionOf(vf) > from;
          line <- Files.readAllLines(vf).asScala if line.nonEmpty)
       applyLine(st, vf, line)
+    // protocol gate: a log demanding a newer reader refuses HERE,
+    // before any consumer plans a scan — serving it anyway would
+    // read physical column names, promoted types or deleted rows
+    // wrong. Time travel BELOW the protocol bump keeps working (the
+    // replay never sees the stamp).
+    require(st.minReader <= CurrentReaderVersion,
+      s"table at ${t.root} requires log reader version " +
+        s"${st.minReader}; this engine supports up to " +
+        s"$CurrentReaderVersion — upgrade the library to read this " +
+        "table (or time-travel below the protocol upgrade)")
     (target, st)
   }
 
@@ -298,7 +346,8 @@ object TxnLog {
       st.parts.view.filterKeys(st.live.contains).toMap,
       st.sizes.view.filterKeys(st.live.contains).toMap,
       st.notNull, st.checks,
-      st.dvs.view.filterKeys(st.live.contains).toMap)
+      st.dvs.view.filterKeys(st.live.contains).toMap,
+      st.declaredParts)
   }
 
   /** Decode a deletion vector's `a-b`/`a` range string (sorted,
@@ -343,6 +392,10 @@ object TxnLog {
   def checkpoint(t: Table, v: Long): Unit = {
     val (_, st) = replayState(t, Some(v))
     val lines =
+      (if (st.minReader > 1L) Seq(s"protocol\t${st.minReader}") else Nil) ++
+      (if (st.declaredParts.isEmpty) Nil
+       else Seq("partcols\t" +
+         st.declaredParts.map(escapePart).mkString(","))) ++
       st.schemaJson.map(js => s"schema\t$js").toSeq ++
       st.live.asScala.toSeq.map { rel =>
         val pTok = st.parts.getOrElse(rel, Map.empty).toSeq.sortBy(_._1)
@@ -627,16 +680,23 @@ object TxnLog {
     * exact-slot claim so concurrent column additions merge instead of
     * overwriting each other. */
   def append(s: SparkSession, t: Table, df: DataFrame): Long =
-    appendLines(s, t, df, extraLines = Nil, statsCols = Nil)
+    appendWithStats(s, t, df, Nil)
 
   /** [[append]], plus per-file (min, max) of `statsCols` (long-typed
     * columns) embedded in the add actions — the write-side price of
     * manifest data skipping, paid once per commit with ONE aggregate
     * over the staged files (grouped by input_file_name), exactly how
-    * a stats-collecting lakehouse writer works. */
+    * a stats-collecting lakehouse writer works. A table whose CREATE
+    * declared `PARTITIONED BY` routes THROUGH that layout — the
+    * declaration, not the first writer, decides the physical shape. */
   def appendWithStats(s: SparkSession, t: Table, df: DataFrame,
-                      statsCols: Seq[String]): Long =
-    appendLines(s, t, df, extraLines = Nil, statsCols = statsCols)
+                      statsCols: Seq[String]): Long = {
+    val declared = declaredPartCols(t)
+    if (declared.isEmpty)
+      appendLines(s, t, df, extraLines = Nil, statsCols = statsCols)
+    else appendPartitioned(s, t, df, declared,
+      statsCols.filterNot(declared.contains))
+  }
 
   private def appendLines(s: SparkSession, t: Table, df: DataFrame,
                           extraLines: Seq[String],
@@ -716,6 +776,14 @@ object TxnLog {
                         statsCols: Seq[String] = Nil,
                         extraLines: Seq[String] = Nil): Long = {
     require(partCols.nonEmpty, "appendPartitioned needs partition columns")
+    // a DECLARED layout is binding: an explicit different layout
+    // must refuse, not quietly fork the table's physical shape
+    val declared = declaredPartCols(t)
+    require(declared.isEmpty || declared == partCols,
+      s"table at ${t.root} is declared PARTITIONED BY " +
+        s"(${declared.mkString(", ")}); this write partitions by " +
+        s"(${partCols.mkString(", ")}) — stage through the declared " +
+        "layout")
     val stage = newStage(t, t.dataDir)
     try {
       toPhysical(df, registeredSchema(t))
@@ -1221,8 +1289,7 @@ object TxnLog {
     * fails rather than resurrecting its rows. */
   def compact(s: SparkSession, t: Table, targetFiles: Int = 1): Long = {
     val snap = snapshot(t)
-    val partCols = snap.filePartitions.values
-      .flatMap(_.keys).toSeq.distinct.sorted
+    val partCols = snap.partCols
     val statsCols = liveStatsCols(snap).filterNot(partCols.contains)
     val stage = newStage(t, t.dataDir)
     try {
@@ -1354,7 +1421,7 @@ object TxnLog {
                        targetFiles: Int = 1): Long = {
     require(spec.nonEmpty, "compactPartition needs a partition spec")
     val snap = snapshot(t)
-    val partCols = snap.filePartitions.values.flatMap(_.keys).toSet
+    val partCols = snap.partCols.toSet
     val bad = spec.keySet.diff(partCols)
     require(bad.isEmpty,
       s"OPTIMIZE WHERE references non-partition column(s): " +
@@ -1409,8 +1476,7 @@ object TxnLog {
         s"zorder key '$c' has values in [$lo, $hi] outside " +
           s"[0, $maxKey): keys would " +
           "alias on the z curve — rescale the column first")
-    val partCols = snap.filePartitions.values
-      .flatMap(_.keys).toSeq.distinct.sorted
+    val partCols = snap.partCols
     require(!keys.exists(partCols.contains),
       s"zorder keys must be data columns, not partition columns " +
         s"(${partCols.mkString(", ")}) — the layout already clusters " +
@@ -1641,8 +1707,7 @@ object TxnLog {
       // survivors restage THROUGH the partition layout (stageAdds),
       // so a delete never flattens files out of partition discipline;
       // the change files stay flat (they are the feed, not the table)
-      val partCols = snap.filePartitions.values
-        .flatMap(_.keys).toSeq.distinct.sorted
+      val partCols = snap.partCols
       val adds = stageAdds(s, t, affected.filter(not(cond)), stage,
         partCols, statsCols, snap.schemaJson)
       toPhysical(affected.filter(cond), snap.schemaJson.map(parseSchema))
@@ -1716,8 +1781,7 @@ object TxnLog {
       set.get(c).map(_.cast(affected.schema(c).dataType).as(c))
         .getOrElse(col(c))
     }: _*)
-    val partCols = snap.filePartitions.values
-      .flatMap(_.keys).toSeq.distinct.sorted
+    val partCols = snap.partCols
     val survivorStage = newStage(t, t.dataDir)
     val updatedStage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
@@ -1834,8 +1898,7 @@ object TxnLog {
           lightIdx(abs).map(i => (i, i)))
       s"dv\t$rel\t${encodeRanges(merged)}"
     }
-    val partCols = snap.filePartitions.values
-      .flatMap(_.keys).toSeq.distinct.sorted
+    val partCols = snap.partCols
     val matched = hits.drop(PosCols: _*)
     val survivorStage = newStage(t, t.dataDir)
     val newImageStage = newStage(t, t.dataDir)
@@ -1865,7 +1928,11 @@ object TxnLog {
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
         stagedFiles(t, newImageStage).map(r => s"cdc\t$r\tinsert")
-      val extra = survivorAdds ++ newAdds ++ dvLines ++ cdcLines
+      // deletion vectors change read semantics: an older reader
+      // would serve the dead rows — bump the protocol floor in the
+      // same commit (only when a vector is actually stamped)
+      val proto = if (dvLines.nonEmpty) Seq(ProtocolV2Line) else Nil
+      val extra = proto ++ survivorAdds ++ newAdds ++ dvLines ++ cdcLines
       if (heavyRels.nonEmpty)
         // the remove-bearing commit claims exactly base+1 — the
         // stale-rewrite refusal every row-changing rewrite shares
@@ -1935,8 +2002,7 @@ object TxnLog {
     // a partitioned table's survivors AND new images restage THROUGH
     // its layout — a merge must not erode the partition metadata
     // dropPartition and pruning depend on (same rule as delete)
-    val partCols = snap.filePartitions.values
-      .flatMap(_.keys).toSeq.distinct.sorted
+    val partCols = snap.partCols
     if (affectedRel.isEmpty)
       return if (partCols.isEmpty)
         appendLines(s, t, src, extraLines = Nil, statsCols = statsCols)
@@ -2199,8 +2265,7 @@ object TxnLog {
     // a partitioned table restages survivors, updated images AND
     // inserts THROUGH its layout (same rule as delete) — a CDC-synced
     // partitioned table must keep metadata-only dropPartition working
-    val partCols = snap.filePartitions.values
-      .flatMap(_.keys).toSeq.distinct.sorted
+    val partCols = snap.partCols
     if (affectedRel.isEmpty) {
       // nothing matched: the merge degrades to the insert clauses.
       // UNDER A FENCE (a sink's exactly-once batch) the degraded path
@@ -2507,6 +2572,17 @@ object TxnLog {
         "(2026-01-01, midnight UTC)"))
   }
 
+  /** The earliest retained version committed AT OR AFTER `ts` (epoch
+    * millis) — the streaming `startingTimestamp` resolution (Delta's
+    * inclusive contract: changes committed at or after the instant
+    * stream). latest+1 when every retained commit is older: the
+    * stream WAITS for the next commit instead of replaying history
+    * the caller asked to skip. */
+  def versionAtOrAfter(t: Table, ts: Long): Long =
+    versionFiles(t)
+      .find(vf => Files.getLastModifiedTime(vf).toMillis >= ts)
+      .map(versionOf).getOrElse(latestVersion(t) + 1)
+
   def versionAt(t: Table, ts: Long): Long = {
     val at = versionFiles(t)
       .filter(vf => Files.getLastModifiedTime(vf).toMillis <= ts)
@@ -2519,13 +2595,42 @@ object TxnLog {
   /** Define an EMPTY table: register `schema` as version 0 — the
     * `CREATE TABLE t (cols) USING txnlog` path, so a table can exist
     * (queryable as zero rows, constrainable, INSERT-able with column
-    * alignment) before its first data commit. No-op when any version
-    * exists; a racing first WRITE losing slot 0 is equally fine —
-    * either way the schema lands merged. */
-  def registerSchema(t: Table, schema: StructType): Unit =
+    * alignment) before its first data commit. `partCols` records a
+    * declared `PARTITIONED BY` layout in the same commit: every
+    * write from then on stages through it (a mismatched explicit
+    * layout refuses), so the FIRST writer no longer silently decides
+    * the table's physical layout. No-op when any version exists; a
+    * racing first WRITE losing slot 0 is equally fine — either way
+    * the schema lands merged. */
+  def registerSchema(t: Table, schema: StructType,
+                     partCols: Seq[String] = Nil): Unit =
     if (latestVersion(t) < 0) {
-      tryPublish(t, 0L, Seq(s"schema\t${schema.json}")); ()
+      val unknown = partCols.filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"PARTITIONED BY names column(s) not in the schema: " +
+          unknown.mkString(", "))
+      val pLine =
+        if (partCols.isEmpty) Nil
+        else Seq("partcols\t" + partCols.map(escapePart).mkString(","))
+      tryPublish(t, 0L, s"schema\t${schema.json}" +: pLine); ()
     }
+
+  /** The DDL-declared partition layout, scanning NEWEST-FIRST with
+    * the checkpoint fallback — bounded like [[registeredSchema]];
+    * empty for tables that never declared one. */
+  def declaredPartCols(t: Table): Seq[String] = {
+    def parse(line: String): Seq[String] =
+      line.split('\t')(1).split(',').toSeq
+        .filter(_.nonEmpty).map(unescapePart)
+    val ckptV = checkpointFiles(t).lastOption.map(versionOf).getOrElse(-1L)
+    val newerFirst = versionFiles(t).filter(versionOf(_) > ckptV).reverse
+    for (vf <- newerFirst; line <- Files.readAllLines(vf).asScala.reverse)
+      if (line.startsWith("partcols\t")) return parse(line)
+    checkpointFiles(t).lastOption.flatMap { c =>
+      Files.readAllLines(c).asScala.find(_.startsWith("partcols\t"))
+        .map(parse)
+    }.getOrElse(Nil)
+  }
 
   /** Typed CHANGE FEED rows for (from, to] with per-commit
     * attribution — the `table_changes` SQL surface: every row of the
@@ -2721,8 +2826,11 @@ object TxnLog {
         if (!st.notNull.contains(oldName)) Nil
         else Seq(s"dropconstraint\tnotnull\t$oldName",
           s"constraint\tnotnull\t$newName")
+      // column mapping changes read semantics: older readers must
+      // refuse, not serve physical names — bump the protocol floor
       if (tryPublish(t, base + 1,
-          s"schema\t${StructType(fields).json}" +: migrate))
+          ProtocolV2Line +: s"schema\t${StructType(fields).json}" +:
+            migrate))
         committed = base + 1
     }
     committed
@@ -2758,7 +2866,8 @@ object TxnLog {
         if (st.notNull.contains(name))
           Seq(s"dropconstraint\tnotnull\t$name")
         else Nil
-      val lines = Seq(s"schema\t${StructType(fields).json}",
+      val lines = Seq(ProtocolV2Line,
+        s"schema\t${StructType(fields).json}",
         s"dropped\t$phys") ++ migrate
       if (tryPublish(t, base + 1, lines)) committed = base + 1
     }
@@ -2812,15 +2921,15 @@ object TxnLog {
         s"cannot change '$name' from ${f.dataType.simpleString} to " +
           s"${to.simpleString}: only lossless widenings are supported " +
           "(byte<short<int<long, float->double, byte/short/int->double)")
-      val partCols = snapshot(t).filePartitions.values
-        .flatMap(_.keys).toSet
+      val partCols = snapshot(t).partCols.toSet
       require(!partCols.contains(name),
         s"cannot widen partition column '$name' — rewrite the table " +
           "to change its partitioning types")
       val fields = cur.fields.map(x =>
         if (x.name == name) x.copy(dataType = to) else x)
+      // widened scan types change read semantics: bump the protocol
       if (tryPublish(t, base + 1,
-          Seq(s"schema\t${StructType(fields).json}")))
+          Seq(ProtocolV2Line, s"schema\t${StructType(fields).json}")))
         committed = base + 1
     }
     committed
@@ -2830,8 +2939,7 @@ object TxnLog {
     * IS the name) and columns referenced by a CHECK constraint
     * (opaque SQL text — cannot be rewritten safely). */
   private def evolutionGuards(t: Table, name: String, op: String): Unit = {
-    val partCols = snapshot(t).filePartitions.values
-      .flatMap(_.keys).toSet
+    val partCols = snapshot(t).partCols.toSet
     require(!partCols.contains(name),
       s"cannot $op partition column '$name': the hive layout and " +
         "partition metadata key on it — rewrite the table to change " +
@@ -3145,8 +3253,10 @@ object TxnLog {
         readds.map(r => s"cdc\t$r\tinsert")
     val schemaLine = tgt.schemaJson.filterNot(cur.schemaJson.contains)
       .map(js => s"schema\t$js").toSeq
+    val proto =
+      if (dvDelta.exists(!_.endsWith("\t-"))) Seq(ProtocolV2Line) else Nil
     commit(t, cur.version, adds = Nil, removes = removes,
-      extra = schemaLine ++ conDrops ++ addLines ++ dvDelta ++ cdc)
+      extra = proto ++ schemaLine ++ conDrops ++ addLines ++ dvDelta ++ cdc)
   }
 
   /** The APPEND feed for the streaming source: the files whose rows

@@ -144,6 +144,18 @@ object GraftSqlParser {
       """(\w+)\s*;?\s*$""").r
   private val ShowPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($Ident)\\s*;?\\s*$$""".r
+  // CREATE TABLE with an explicit column list: the head up to the
+  // opening paren; the column list itself is balanced-paren-scanned
+  // (DECIMAL(10,2) etc. would break a regex group)
+  private val CreateHeadRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?""" +
+      s"""($Ident)\\s*(\\([\\s\\S]*)$$""").r
+  private val CreateUsingRe =
+    """(?is)^\s+USING\s+txnlog\b[\s\S]*$""".r
+  private val PartitionedByRe =
+    """(?is)\bPARTITIONED\s+BY\s*\(([^)]+)\)""".r
+  private val OptPathRe = """(?is)\bpath\s*=?\s*'([^']+)'""".r
+  private val LocationRe = """(?is)\bLOCATION\s+'([^']+)'""".r
   /** MERGE head only — the USING source span is found by the
     * balanced-paren scanner ([[balancedParen]]), not a regex group:
     * a regex can match only bounded nesting, and a source like
@@ -176,6 +188,13 @@ object GraftSqlParser {
   private val BySourceDeleteRe =
     """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
   private val PathIdent = """(?is)^txnlog\.`([^`]+)`\s*$""".r
+
+  /** The path of a `txnlog.\`/p\`` identifier, if it is one. */
+  private[sources] def pathIdentOf(ident: String): Option[String] =
+    ident.trim match {
+      case PathIdent(p) => Some(p)
+      case _            => None
+    }
   private[sources] val OnKeyRe =
     """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
   private val AssignRe = """(?s)^\s*([\w.]+)\s*=\s*(.+?)\s*$""".r
@@ -311,6 +330,27 @@ object GraftSqlParser {
         Some(TxnLogConstraintCommand(tbl,
           if (mode.equalsIgnoreCase("SET")) "add_notnull" else "drop_notnull",
           colName, None, () => delegate.parsePlan(sqlText)))
+      case CreateHeadRe(ine, tbl, rest) =>
+        // DDL-first CREATE TABLE ... USING txnlog: register the
+        // declared schema (+ PARTITIONED BY layout) as version 0
+        // EXPLICITLY — the read path no longer mints table metadata
+        // as a side effect, so the CREATE statement must
+        val end = balancedParen(rest, 0)
+        if (end < 0 ||
+            CreateUsingRe.findFirstIn(rest.substring(end)).isEmpty) None
+        else {
+          val tail = rest.substring(end)
+          val partCols = PartitionedByRe.findFirstMatchIn(tail)
+            .map(_.group(1).split(',').toSeq
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty))
+            .getOrElse(Nil)
+          val path = OptPathRe.findFirstMatchIn(tail).map(_.group(1))
+            .orElse(LocationRe.findFirstMatchIn(tail).map(_.group(1)))
+          Some(TxnLogCreateTableCommand(tbl,
+            rest.substring(1, end - 1), partCols, path,
+            () => delegate.parsePlan(sqlText)))
+        }
       case MergeHeadRe(tbl, tAlias, tail) =>
         // the USING source is a balanced-paren subquery (any nesting
         // depth) or an identifier; then [AS] [alias] ON <cond> WHEN…
@@ -839,6 +879,48 @@ final case class TxnLogShowPartitionsCommand(table: String,
     }
 }
 
+/** `CREATE TABLE [IF NOT EXISTS] t (cols) USING txnlog
+  * [PARTITIONED BY (p, ...)] [OPTIONS (path '...') | LOCATION '...']`
+  * — the DDL-first table definition: the declared schema AND
+  * partition layout register as version 0 BEFORE any data commit, so
+  * the table is queryable (zero rows), constrainable, and every
+  * future write stages through the declared layout (a mismatched
+  * explicit layout refuses — the first writer no longer decides the
+  * table's physical shape). The registration is explicit here
+  * because a DSv1 provider cannot distinguish CREATE from a probing
+  * schema-carrying read — reads no longer mint metadata. A catalog
+  * name also runs Spark's native CREATE (the catalog entry);
+  * `txnlog.\`/path\`` targets are purely path-addressed. Non-txnlog
+  * providers never reach this command (the USING check). */
+final case class TxnLogCreateTableCommand(table: String, colsDdl: String,
+    partCols: Seq[String], path: Option[String],
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = spark.sessionState.sqlParser.parseTableSchema(colsDdl)
+    val isPath = GraftSqlParser.pathIdentOf(table).isDefined
+    val loc: Option[String] = path
+      .orElse(GraftSqlParser.pathIdentOf(table))
+      .orElse {
+        // no OPTIONS path / LOCATION: the catalog's default location,
+        // the same place the native CREATE resolves to
+        val id = spark.sessionState.sqlParser
+          .parseMultipartIdentifier(table) match {
+          case Seq(tb)     => Some(TableIdentifier(tb))
+          case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
+          case _           => None
+        }
+        id.map(i =>
+          spark.sessionState.catalog.defaultTablePath(i).getPath)
+      }
+    loc.foreach { p =>
+      TxnLog.registerSchema(TxnLog.Table(TxnLog.pathOf(p)), schema,
+        partCols)
+    }
+    if (isPath) Seq.empty // path-addressed: the registration IS the create
+    else GraftSqlParser.runNative(spark, native)
+  }
+}
+
 /** `INSERT INTO | OVERWRITE <txnlog table> <query>` — the SQL write
   * path: INTO is one append commit, OVERWRITE one atomic REPLACE.
   * The source query is any SELECT/VALUES/WITH/FROM/TABLE statement;
@@ -913,8 +995,7 @@ final case class TxnLogInsertCommand(table: String, overwrite: Boolean,
         // the replacing commit
         val partCols =
           if (TxnLog.latestVersion(t) < 0) Nil
-          else TxnLog.snapshot(t).filePartitions.values
-            .flatMap(_.keys).toSeq.distinct.sorted
+          else TxnLog.snapshot(t).partCols
         if (overwrite) TxnLog.replace(spark, t, aligned, partCols)
         else if (partCols.isEmpty) TxnLog.append(spark, t, aligned)
         else TxnLog.appendPartitioned(spark, t, aligned, partCols)
@@ -1010,8 +1091,7 @@ final case class TxnLogDetailCommand(table: String)
         else 0L
       })
     }.sum
-    val partCols = snap.filePartitions.values
-      .flatMap(_.keys).toSeq.distinct.sorted.mkString(",")
+    val partCols = snap.partCols.mkString(",")
     Seq(Row("txnlog", t.root.toString, snap.version,
       snap.liveFiles.length.toLong, bytes, partCols))
   }

@@ -182,15 +182,16 @@ class TxnLogStreamProvider extends StreamSourceProvider
       case _ => rawParameters
     }
     val t = tableOf(parameters)
-    // CREATE TABLE t (cols) USING txnlog on an EMPTY location DEFINES
-    // the table: the declared schema registers as version 0, so the
-    // table is queryable (zero rows), constrainable and INSERT-able
-    // before its first data commit — the DDL-first workflow. DSv1
-    // cannot distinguish CREATE TABLE from a schema-carrying read of
-    // an empty location, so the side effect is documented; explicit
-    // TIME-TRAVEL reads are exempt (travel on an empty log should
-    // fail loudly, never mint version 0)
+    // a SCHEMA-DEFINING first touch (version-0 schema commit on an
+    // empty location) happens only under the EXPLICIT createIfAbsent
+    // option — set by the SQL CREATE TABLE path (the parser's
+    // TxnLogCreateTableCommand registers directly) or a programmatic
+    // caller that means it. A probing READ with a schema must never
+    // mint table metadata as a side effect: a later CREATE with a
+    // different schema would merge into the accident instead of
+    // defining the table.
     if (TxnLog.latestVersion(t) < 0 &&
+        parameters.get("createIfAbsent").exists(_.toBoolean) &&
         !parameters.contains("versionAsOf") &&
         !parameters.contains("timestampAsOf"))
       userSchema.foreach(sc => TxnLog.registerSchema(t, sc))
@@ -278,6 +279,9 @@ class TxnLogStreamProvider extends StreamSourceProvider
     // a driver that dies after starting but before its first offset
     // commits must not re-resolve on restart — commits that landed
     // during the outage belong to the stream
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "set either startingVersion or startingTimestamp, not both")
     val startingVersion = parameters.get("startingVersion").map {
       case s0 if s0.equalsIgnoreCase("latest") =>
         val marker = TxnLog.pathOf(metadataPath)
@@ -297,6 +301,15 @@ class TxnLogStreamProvider extends StreamSourceProvider
           java.nio.file.Files.readString(marker).trim.toLong
         }
       case s0 => s0.toLong
+    }.orElse {
+      // startingTimestamp: the earliest version committed at or
+      // after the instant (inclusive — Delta's contract), resolved
+      // ONCE through the same offset seeding as startingVersion so
+      // a rate-limited first batch cannot deliver the skipped
+      // backlog. Resolution is deterministic from the retained log,
+      // so a pre-first-offset driver death re-resolves identically.
+      parameters.get("startingTimestamp").map(ts =>
+        TxnLog.versionAtOrAfter(t, TxnLog.tsMillis(ts)))
     }
     new TxnLogSource(sqlContext, t,
       schemaOf(sqlContext, schema, parameters),
@@ -325,8 +338,7 @@ private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
     val partCols =
       if (partitionColumns.nonEmpty) partitionColumns
       else if (TxnLog.latestVersion(t) < 0) Nil
-      else TxnLog.snapshot(t).filePartitions.values
-        .flatMap(_.keys).toSeq.distinct.sorted
+      else TxnLog.snapshot(t).partCols
     if (complete)
       TxnLog.replace(ctx.sparkSession, t, batch, partCols)
     else upsertKeys match {

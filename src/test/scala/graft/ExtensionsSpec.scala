@@ -804,6 +804,68 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq((90L, "z")))
   }
 
+  test("CREATE TABLE PARTITIONED BY binds the layout at v0; view schemas refresh per their kind") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ddlp-").resolve("t")
+    val p = root.toString
+    spark.sql("DROP TABLE IF EXISTS ddlp_cat")
+    spark.sql(s"CREATE TABLE ddlp_cat (k BIGINT, day STRING) " +
+      s"USING txnlog PARTITIONED BY (day) OPTIONS (path '$p')")
+    try {
+      val t = TxnLog.Table(root)
+      assert(TxnLog.latestVersion(t) === 0L)
+      assert(TxnLog.declaredPartCols(t) === Seq("day"))
+      // SHOW PARTITIONS works pre-data (no partitions yet)
+      assert(spark.sql(s"SHOW PARTITIONS txnlog.`$p`").count() === 0L)
+      // INSERT routes through the declared layout without any
+      // PARTITION clause — the declaration decides
+      spark.sql(s"INSERT INTO txnlog.`$p` VALUES (1, 'd1'), (2, 'd2')")
+      assert(spark.sql(s"SHOW PARTITIONS txnlog.`$p`").collect()
+        .map(_.getString(0)).sorted.toSeq ===
+        Seq("day=d1", "day=d2"))
+      // the layout prunes: one partition's files planned
+      assert(TxnLog.plannedFilesPartition(t, Map("day" -> "d1"))._1 === 1)
+      // DESCRIBE DETAIL reports the declared partition columns
+      assert(spark.sql(s"DESCRIBE DETAIL txnlog.`$p`")
+        .head().getString(5) === "day")
+      // a DataFrame append (no partitionBy) also stages through it
+      Seq((3L, "d1")).toDF("k", "day").write.format("txnlog")
+        .mode("append").save(p)
+      val snap = TxnLog.snapshot(t)
+      assert(snap.liveFiles.forall(r =>
+        snap.filePartitions.getOrElse(r, Map.empty).contains("day")))
+      // view SCHEMA semantics, pinned as the documented trade: every
+      // view kind — SQL-text and DataFrame-created alike — keeps its
+      // creation-time schema (Spark's View contract fixes output
+      // attributes at creation; live relations refresh DATA per
+      // scan, never a view's shape). ADD COLUMNS becomes visible
+      // through a view only after re-creation — the Delta posture.
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW ddlp_sqlv AS " +
+        s"SELECT * FROM txnlog.`$p`")
+      TxnLog.read(spark, t).createOrReplaceTempView("ddlp_dfv")
+      spark.sql(s"ALTER TABLE txnlog.`$p` ADD COLUMNS (note STRING)")
+      assert(spark.table("ddlp_sqlv").columns.toSeq === Seq("k", "day"))
+      assert(spark.table("ddlp_dfv").columns.toSeq === Seq("k", "day"))
+      // a DIRECT reference sees the new column at once; re-created
+      // views pick it up
+      assert(spark.sql(s"SELECT * FROM txnlog.`$p`").columns.toSeq ===
+        Seq("k", "day", "note"))
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW ddlp_sqlv AS " +
+        s"SELECT * FROM txnlog.`$p`")
+      TxnLog.read(spark, t).createOrReplaceTempView("ddlp_dfv")
+      assert(spark.table("ddlp_sqlv").columns.toSeq ===
+        Seq("k", "day", "note"))
+      assert(spark.table("ddlp_dfv").columns.toSeq ===
+        Seq("k", "day", "note"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ddlp_cat")
+      spark.sql("DROP VIEW IF EXISTS ddlp_sqlv")
+      spark.sql("DROP VIEW IF EXISTS ddlp_dfv")
+    }
+  }
+
   test("withExtensions wiring registers the same functions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -2554,6 +2554,172 @@ class TxnLogSpec extends AnyFunSuite {
     assert(scans.length <= 2, s"table_changes planned ${scans.length} scans")
   }
 
+  test("txnlog: protocol gating — feature commits stamp the reader floor; a newer log refuses loudly") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq((1L, 2L)).toDF("k", "v").coalesce(1))
+    // a fresh table demands nothing special: no protocol line
+    assert(!Files.readAllLines(t.logDir.resolve(f"${0L}%020d.log"))
+      .asScala.exists(_.startsWith("protocol")))
+    // column mapping changes read semantics: the rename commit bumps
+    // the floor in the same atomic commit
+    val vRen = TxnLog.renameColumn(t, "v", "w")
+    assert(Files.readAllLines(t.logDir.resolve(f"$vRen%020d.log"))
+      .asScala.contains("protocol\t2"))
+    // this engine reads its own v2 tables fine
+    assert(TxnLog.read(spark, t).columns.toSeq === Seq("k", "w"))
+    // deletion vectors stamp it too
+    val t2 = freshTable()
+    TxnLog.append(spark, t2,
+      (0L until 10L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val vDv = TxnLog.deleteDv(spark, t2, col("k") === 3L)
+    assert(Files.readAllLines(t2.logDir.resolve(f"$vDv%020d.log"))
+      .asScala.contains("protocol\t2"))
+    // a log stamped by a FUTURE feature refuses with a named upgrade
+    // message instead of silently misreading it
+    val vOk = TxnLog.latestVersion(t)
+    TxnLog.commit(t, vOk, adds = Nil, extra = Seq("protocol\t9"))
+    val boom = intercept[IllegalArgumentException] {
+      TxnLog.snapshot(t)
+    }
+    assert(boom.getMessage.contains("reader version 9") &&
+      boom.getMessage.contains("upgrade"), boom.getMessage)
+    // time travel BELOW the bump keeps working — old versions never
+    // needed the feature
+    assert(TxnLog.read(spark, t, Some(vOk)).count() === 1L)
+    // the floor rides checkpoints
+    TxnLog.checkpoint(t2, vDv)
+    assert(Files.readAllLines(t2.logDir.resolve(f"$vDv%020d.ckpt"))
+      .asScala.contains("protocol\t2"))
+  }
+
+  test("txnlog: a declared PARTITIONED BY layout binds every write; probing reads no longer mint metadata") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.registerSchema(t,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, day STRING"), Seq("day"))
+    assert(TxnLog.latestVersion(t) === 0L)
+    assert(TxnLog.declaredPartCols(t) === Seq("day"))
+    assert(TxnLog.snapshot(t).partCols === Seq("day"))
+    // a FLAT append routes through the declared layout — the
+    // declaration, not the first writer, decides the physical shape
+    TxnLog.append(spark, t,
+      Seq((1L, "d1"), (2L, "d2")).toDF("k", "day"))
+    val snap = TxnLog.snapshot(t)
+    assert(snap.filePartitions.values.flatMap(_.get("day")).toSet ===
+      Set("d1", "d2"))
+    // partition ops work from the declared layout
+    assert(TxnLog.readPartition(spark, t, Map("day" -> "d1"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // a mismatched EXPLICIT layout refuses by name
+    val bad = intercept[IllegalArgumentException] {
+      TxnLog.appendPartitioned(spark, t,
+        Seq((3L, "d3")).toDF("k", "day"), Seq("k"))
+    }
+    assert(bad.getMessage.contains("declared PARTITIONED BY"),
+      bad.getMessage)
+    // the declaration survives checkpoints + expiry
+    for (i <- 0 until 10)
+      TxnLog.append(spark, t, Seq((10L + i, "d1")).toDF("k", "day"))
+    TxnLog.expireLog(t)
+    assert(TxnLog.declaredPartCols(t) === Seq("day"))
+    // undeclared partition columns in the schema refuse at CREATE
+    val t2 = freshTable()
+    val unk = intercept[IllegalArgumentException] {
+      TxnLog.registerSchema(t2,
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"),
+        Seq("zzz"))
+    }
+    assert(unk.getMessage.contains("zzz"), unk.getMessage)
+    // a probing schema-carrying READ of an empty location mints
+    // NOTHING (the r16 side effect is gone): it fails loudly, and a
+    // later CREATE defines the table instead of merging into an
+    // accident. The explicit createIfAbsent option keeps the
+    // programmatic define-on-read workflow.
+    val probe = freshTable()
+    val e = intercept[Exception] {
+      spark.read.format("txnlog")
+        .schema("k BIGINT").load(probe.root.toString).collect()
+    }
+    assert(e.getMessage.contains("empty transaction log"), e.getMessage)
+    assert(TxnLog.latestVersion(probe) === -1L)
+    spark.read.format("txnlog").schema("k BIGINT")
+      .option("createIfAbsent", "true")
+      .load(probe.root.toString)
+    assert(TxnLog.latestVersion(probe) === 0L)
+  }
+
+  test("txnlog: startingTimestamp streams from the first commit at or after the instant") {
+    import spark.implicits._
+    val st = freshTable()
+    (0 until 3).foreach(i =>
+      TxnLog.append(spark, st, Seq(i.toLong).toDF("id").coalesce(1)))
+    // pin distinct, known commit instants (append timing is too fine)
+    val t0 = 1700000000000L
+    for (v <- 0L to 2L)
+      Files.setLastModifiedTime(st.logDir.resolve(f"$v%020d.log"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + v * 60000L))
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("txnlog")
+      .option("path", st.root.toString)
+      .option("startingTimestamp", (t0 + 120000L).toString)
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        outRows.synchronized {
+          outRows ++= df.collect().map(_.getLong(0))
+        }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stck-").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(outRows.sorted.toSeq === Seq(2L),
+      s"startingTimestamp delivered $outRows (wanted only v2's row)")
+    // an instant past every retained commit waits for the future
+    // instead of replaying skipped history
+    val outRows2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("txnlog")
+      .option("path", st.root.toString)
+      .option("startingTimestamp", (t0 + 999999999L).toString)
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        outRows2.synchronized {
+          outRows2 ++= df.collect().map(_.getLong(0))
+        }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stck2-").toString)
+      .start()
+    try {
+      TxnLog.append(spark, st, Seq(42L).toDF("id").coalesce(1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(outRows2.sorted.toSeq === Seq(42L),
+      s"future startingTimestamp delivered $outRows2")
+    // both options together refuse (the failure may surface at
+    // start or on the stream thread — catch either)
+    val both = intercept[Exception] {
+      val q3 = spark.readStream.format("txnlog")
+        .option("path", st.root.toString)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", "0")
+        .load().writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-stck3-").toString)
+        .foreachBatch {
+          (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(both.toString.contains("not both") ||
+      Option(both.getCause).exists(_.toString.contains("not both")),
+      both.toString)
+  }
+
   private def dataFiles(t: TxnLog.Table): Set[String] = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(t.root.resolve("data"))
