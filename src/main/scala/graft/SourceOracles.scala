@@ -495,6 +495,72 @@ object SourceOracles {
         |FROM tgt GROUP BY 1
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    // Mirrors SourceOps.txnlogDv: the deleted slice (% 100 = 7) is
+    // gone, the updated slice (% 100 = 8) doubled; the audit row pins
+    // merge-on-read (4 DV-carrying files, every original file still
+    // live).
+    "src_txnlog_dv" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CASE WHEN o_orderkey % 100 = 8 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 100 <> 7)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(4 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS price_cents, CAST(0 AS BIGINT) AS key_sum,
+        |  'dv' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
+    // Mirrors SourceOps.txnlogMergeForms: odd keys are the target;
+    // the source's odd members (% 10 = 1) star-update to ('U', 3p),
+    // its even members (% 10 = 0) insert through the column list
+    // with a NULL-filled price.
+    "src_txnlog_merge_forms" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |src AS (
+        |  SELECT o_orderkey AS k, 'U' AS st, o_totalprice * 3 AS p
+        |  FROM orders WHERE o_orderkey % 10 < 2),
+        |merged AS (
+        |  SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.st ELSE t.st END AS st,
+        |    CASE WHEN s.k IS NOT NULL THEN s.p ELSE t.p END AS p
+        |  FROM tgt t LEFT JOIN src s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.st, NULL AS p FROM src s
+        |  WHERE s.k NOT IN (SELECT k FROM tgt))
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(coalesce(CAST(round(p*100) AS BIGINT), 0)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_price
+        |FROM merged GROUP BY 1
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // Mirrors SourceOps.txnlogCreate: the DDL-first table holds
+    // exactly orders; the audit row pins (partitions after insert =
+    // distinct statuses, partitions pre-data = 0, pruning flag = 1).
+    "src_txnlog_create" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus,
+        |  (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |   FROM orders) AS n_rows,
+        |  CAST(0 AS BIGINT) AS price_cents, CAST(1 AS BIGINT) AS key_sum,
+        |  'audit' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "src_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

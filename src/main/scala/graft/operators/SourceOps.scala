@@ -1412,6 +1412,123 @@ object SourceOps {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** DELETION VECTORS — merge-on-read row-level DML: a selective
+    * DELETE and UPDATE against a multi-file table commit WITHOUT
+    * rewriting any pre-existing data file (the dv action records the
+    * dead row indices; reads anti-filter in-scan on Spark's own
+    * _metadata.row_index). The audit row pins the merge-on-read
+    * contract into the hash: the number of DV-carrying files and a
+    * flag that every original file is STILL LIVE — if either op had
+    * fallen back to copy-on-write, both would drift. Oracle: orders
+    * with the deleted slice removed and the updated slice doubled. */
+  def txnlogDv(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txndv-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.append(s, t,
+      o.repartitionByRange(4, col("o_orderkey")))
+    val before = graft.sources.TxnLog.snapshot(t).liveFiles.toSet
+    graft.sources.TxnLog.deleteDv(s, t, col("o_orderkey") % 100 === 7)
+    graft.sources.TxnLog.updateDv(s, t,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)),
+      col("o_orderkey") % 100 === 8)
+    val snap = graft.sources.TxnLog.snapshot(t)
+    val kept = if (before.subsetOf(snap.liveFiles.toSet)) 1L else 0L
+    graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(snap.dvs.size.toLong).as("n_rows"),
+        lit(kept).as("price_cents"), lit(0L).as("key_sum"),
+        lit("dv").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** MERGE clause parity — `UPDATE SET *` (every target column from
+    * the source) and `INSERT (cols) VALUES` (align by name,
+    * NULL-fill unlisted columns), the two clause forms every Delta
+    * MERGE tutorial leads with. The target holds the odd keys; the
+    * source re-prices keys with `% 10 < 2`: its odd members match
+    * (star-updated to status 'U', tripled price), its even members
+    * insert through the column list with a NULL price — the
+    * n_null_price column pins the NULL-fill into the hash. Oracle:
+    * the same merge as a LEFT JOIN + anti-union off orders. */
+  def txnlogMergeForms(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnmf-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.append(s, t, o.filter(col("o_orderkey") % 2 === 1))
+    o.filter(col("o_orderkey") % 10 < 2)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 3).as("o_totalprice"))
+      .createOrReplaceTempView("graft_mf_src")
+    s.sql(
+      s"""MERGE INTO txnlog.`$root` t USING graft_mf_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus)
+         |  VALUES (s.o_orderkey, s.o_orderstatus)""".stripMargin)
+    graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(round(col("o_totalprice") * 100).cast("long"),
+          lit(0L))).as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+          .as("n_null_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** DDL-FIRST CREATE — `CREATE TABLE (cols) USING txnlog
+    * PARTITIONED BY (col)`: the schema, the partition LAYOUT and a
+    * CHECK constraint all exist at version 0, before any data; the
+    * INSERT then routes through the declared layout with no
+    * PARTITION clause (the declaration, not the first writer,
+    * decides the physical shape). The audit row pins: partition
+    * count pre-data (0), the distinct-status partition count after
+    * the insert, and a flag that a one-partition read plans fewer
+    * files than live (metadata pruning off the declared layout).
+    * Oracle: the same profile plus the distinct count off orders. */
+  def txnlogCreate(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txncr-")
+      .resolve("tbl")
+    val p = root.toString
+    s.sql(s"CREATE TABLE txnlog.`$p` (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) USING txnlog " +
+      "PARTITIONED BY (o_orderstatus)")
+    s.sql(s"ALTER TABLE txnlog.`$p` ADD CONSTRAINT price_pos " +
+      "CHECK (o_totalprice >= 0)")
+    val preParts = s.sql(s"SHOW PARTITIONS txnlog.`$p`").count()
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_cr_src")
+    s.sql(s"INSERT INTO txnlog.`$p` SELECT * FROM graft_cr_src")
+    val t = graft.sources.TxnLog.Table(root)
+    val nParts = s.sql(s"SHOW PARTITIONS txnlog.`$p`").count()
+    val (planned, live) = graft.sources.TxnLog
+      .plannedFilesPartition(t, Map("o_orderstatus" -> "F"))
+    val prunes = if (planned < live) 1L else 0L
+    s.sql(s"SELECT * FROM txnlog.`$p`").groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(nParts).as("n_rows"),
+        lit(preParts).as("price_cents"), lit(prunes).as("key_sum"),
+        lit("audit").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */
