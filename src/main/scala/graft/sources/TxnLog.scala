@@ -476,10 +476,16 @@ object TxnLog {
               if (!reconcileDisjoint)
                 refuse(s"version $v was taken concurrently")
               val latest = latestVersion(t)
+              // a file is TOUCHED by an intervening commit when it
+              // was removed OR had a deletion vector stamped — a dv
+              // commit changes row state without a remove line, and
+              // rebasing past it would resurrect its deleted rows
+              // (the compacted output was staged dv-unaware)
               val touched = versionFiles(t)
                 .filter(p => versionOf(p) > myBase && versionOf(p) <= latest)
                 .flatMap(vf => Files.readAllLines(vf).asScala.collect {
-                  case l if l.startsWith("remove\t") => l.split('\t')(1)
+                  case l if l.startsWith("remove\t") ||
+                      l.startsWith("dv\t") => l.split('\t')(1)
                 }).toSet
               val conflict = removes.filter(touched)
               if (conflict.nonEmpty)
@@ -990,9 +996,20 @@ object TxnLog {
     * sound; concurrent independent writers are distinct appIds. */
   def appendBatch(s: SparkSession, t: Table, df: DataFrame,
                   appId: String, batchId: Long,
-                  partCols: Seq[String] = Nil): Boolean = {
+                  partCols0: Seq[String] = Nil): Boolean = {
     require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")
     if (lastBatch(t, appId).exists(_ >= batchId)) return false
+    // the foreachBatch contract honors a declared layout like every
+    // other writer: an unspecified layout routes through the
+    // declaration, a mismatched explicit one refuses (silent flat
+    // batches would be invisible to partition pruning/drop)
+    val declared = declaredPartCols(t)
+    require(partCols0.isEmpty || declared.isEmpty || declared == partCols0,
+      s"table at ${t.root} is declared PARTITIONED BY " +
+        s"(${declared.mkString(", ")}); this batch partitions by " +
+        s"(${partCols0.mkString(", ")}) — stage through the declared " +
+        "layout")
+    val partCols = if (partCols0.nonEmpty) partCols0 else declared
     val stage = newStage(t, t.dataDir)
     try {
       // a partitioned table's streaming batches stage THROUGH its
@@ -1071,6 +1088,15 @@ object TxnLog {
     * within it — what DV writers key their dead sets on. */
   private val PosCols = Seq("_g_fp", "_g_ri")
 
+  /** A manifest file's absolute path in the exact URL-ENCODED form
+    * Spark's `_metadata.file_path` carries (scheme stripped by the
+    * scan-side normalization): Hadoop Path's URI quoting, so a table
+    * root containing spaces or percents still matches byte-for-byte
+    * — a raw-path key would silently serve deleted rows there. */
+  private def encodedAbs(t: Table, rel: String): String =
+    new org.apache.hadoop.fs.Path(
+      t.root.resolve(rel).normalize.toString).toUri.toString
+
   /** DELETION-VECTOR-aware scan wrapper: rows of `rels` files listed
     * dead in `dvs` are dropped via ONE broadcast interval anti-join
     * on (file path, row index) — `_metadata.row_index` is Spark's
@@ -1095,7 +1121,7 @@ object TxnLog {
       if (dvd.isEmpty) pos
       else {
         val rows = dvd.flatMap { rel =>
-          val abs = t.root.resolve(rel).normalize.toString
+          val abs = encodedAbs(t, rel)
           decodeRanges(dvs(rel)).map { case (lo, hi) =>
             org.apache.spark.sql.Row(abs, lo, hi) }
         }
@@ -1867,7 +1893,7 @@ object TxnLog {
     }
     if (candidates.isEmpty) return snap.version
     val relOfAbs = candidates
-      .map(rel => t.root.resolve(rel).normalize.toString -> rel).toMap
+      .map(rel => encodedAbs(t, rel) -> rel).toMap
     // the locating scan reads THROUGH existing vectors (already-dead
     // rows never match again) and exposes (file, row index)
     val hits = al(readRels(s, t, snap, candidates, withPos = true))
@@ -2525,9 +2551,13 @@ object TxnLog {
       val op =
         if (a.hasRemoves && a.cdcNone) "OPTIMIZE"
         // a deletion-vector commit is row-level DML without file
-        // removal: UPDATE when it stamps new images, DELETE otherwise
+        // removal: UPDATE when it stamps new images, DELETE when its
+        // cdc files carry the deleted rows — a dv line with NO cdc at
+        // all is a dv-reconciling RESTORE (it may resurrect rows;
+        // labeling it DELETE would invert the audit)
         else if (a.hasDv && inss > 0) "UPDATE"
-        else if (a.hasDv) "DELETE"
+        else if (a.hasDv && delRels.nonEmpty) "DELETE"
+        else if (a.hasDv) "RESTORE"
         // a REPLACE's delete side IS its remove set (old data files
         // referenced as change files); a MERGE's lives under cdc/
         else if (delRels.nonEmpty && inss > 0 &&
@@ -2615,20 +2645,26 @@ object TxnLog {
       tryPublish(t, 0L, s"schema\t${schema.json}" +: pLine); ()
     }
 
-  /** The DDL-declared partition layout, scanning NEWEST-FIRST with
-    * the checkpoint fallback — bounded like [[registeredSchema]];
-    * empty for tables that never declared one. */
+  /** The DDL-declared partition layout — an O(1) HEADER read, not a
+    * log scan, because every append pays this lookup: a declaration
+    * can only be minted at version 0 ([[registerSchema]]) and
+    * checkpoints re-emit it in their header (protocol / partcols /
+    * schema lead every checkpoint and the v0 commit), so reading the
+    * first few lines of the newest checkpoint — or of the retained
+    * v0 file — answers it without streaming a 100 TB table's
+    * million-line live set. Empty for tables that never declared
+    * one. */
   def declaredPartCols(t: Table): Seq[String] = {
     def parse(line: String): Seq[String] =
       line.split('\t')(1).split(',').toSeq
         .filter(_.nonEmpty).map(unescapePart)
-    val ckptV = checkpointFiles(t).lastOption.map(versionOf).getOrElse(-1L)
-    val newerFirst = versionFiles(t).filter(versionOf(_) > ckptV).reverse
-    for (vf <- newerFirst; line <- Files.readAllLines(vf).asScala.reverse)
-      if (line.startsWith("partcols\t")) return parse(line)
-    checkpointFiles(t).lastOption.flatMap { c =>
-      Files.readAllLines(c).asScala.find(_.startsWith("partcols\t"))
-        .map(parse)
+    val src = checkpointFiles(t).lastOption
+      .orElse(versionFiles(t).headOption.filter(versionOf(_) == 0L))
+    src.flatMap { f =>
+      val r = Files.newBufferedReader(f)
+      try Iterator.continually(r.readLine()).takeWhile(_ != null)
+        .take(4).find(_.startsWith("partcols\t")).map(parse)
+      finally r.close()
     }.getOrElse(Nil)
   }
 
@@ -2718,8 +2754,7 @@ object TxnLog {
         else readFiles(s, t, files, Some(schemaJson), withPos = true)
       val m = s.createDataFrame(
         pairs.distinct.map { case (rel, v) =>
-          org.apache.spark.sql.Row(
-            t.root.resolve(rel).normalize.toString, v, ts(v))
+          org.apache.spark.sql.Row(encodedAbs(t, rel), v, ts(v))
         }.asJava,
         StructType(Seq(
           org.apache.spark.sql.types.StructField("_g_mfp",
@@ -3255,8 +3290,20 @@ object TxnLog {
       .map(js => s"schema\t$js").toSeq
     val proto =
       if (dvDelta.exists(!_.endsWith("\t-"))) Seq(ProtocolV2Line) else Nil
-    commit(t, cur.version, adds = Nil, removes = removes,
-      extra = proto ++ schemaLine ++ conDrops ++ addLines ++ dvDelta ++ cdc)
+    val extra =
+      proto ++ schemaLine ++ conDrops ++ addLines ++ dvDelta ++ cdc
+    // a dv-reconciling restore with NO removes is still a row-state
+    // rewrite: it must claim exactly the next slot like every other
+    // dv commit — blind-walking past a concurrent deletion-vector
+    // commit would wipe its delete with stale state
+    if (removes.isEmpty && dvDelta.nonEmpty) {
+      if (tryPublish(t, cur.version + 1, extra)) return cur.version + 1
+      throw new java.util.ConcurrentModificationException(
+        s"restore with deletion-vector reconciliation based on stale " +
+          s"snapshot v${cur.version}: version ${cur.version + 1} was " +
+          "taken concurrently; retry the restore")
+    }
+    commit(t, cur.version, adds = Nil, removes = removes, extra = extra)
   }
 
   /** The APPEND feed for the streaming source: the files whose rows

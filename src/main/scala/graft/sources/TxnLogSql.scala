@@ -154,7 +154,10 @@ object GraftSqlParser {
     """(?is)^\s+USING\s+txnlog\b[\s\S]*$""".r
   private val PartitionedByRe =
     """(?is)\bPARTITIONED\s+BY\s*\(([^)]+)\)""".r
-  private val OptPathRe = """(?is)\bpath\s*=?\s*'([^']+)'""".r
+  // both OPTIONS key spellings: path '/x', path = '/x', 'path' '/x',
+  // 'path'='/x' — the quoted-key form must not capture the '=' as
+  // the location
+  private val OptPathRe = """(?is)\bpath'?\s*=?\s*'([^']+)'""".r
   private val LocationRe = """(?is)\bLOCATION\s+'([^']+)'""".r
   /** MERGE head only — the USING source span is found by the
     * balanced-paren scanner ([[balancedParen]]), not a regex group:
@@ -347,7 +350,7 @@ object GraftSqlParser {
             .getOrElse(Nil)
           val path = OptPathRe.findFirstMatchIn(tail).map(_.group(1))
             .orElse(LocationRe.findFirstMatchIn(tail).map(_.group(1)))
-          Some(TxnLogCreateTableCommand(tbl,
+          Some(TxnLogCreateTableCommand(tbl, ine != null,
             rest.substring(1, end - 1), partCols, path,
             () => delegate.parsePlan(sqlText)))
         }
@@ -892,7 +895,8 @@ final case class TxnLogShowPartitionsCommand(table: String,
   * name also runs Spark's native CREATE (the catalog entry);
   * `txnlog.\`/path\`` targets are purely path-addressed. Non-txnlog
   * providers never reach this command (the USING check). */
-final case class TxnLogCreateTableCommand(table: String, colsDdl: String,
+final case class TxnLogCreateTableCommand(table: String,
+    ifNotExists: Boolean, colsDdl: String,
     partCols: Seq[String], path: Option[String],
     native: () => LogicalPlan) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -913,8 +917,17 @@ final case class TxnLogCreateTableCommand(table: String, colsDdl: String,
           spark.sessionState.catalog.defaultTablePath(i).getPath)
       }
     loc.foreach { p =>
-      TxnLog.registerSchema(TxnLog.Table(TxnLog.pathOf(p)), schema,
-        partCols)
+      val t = TxnLog.Table(TxnLog.pathOf(p))
+      if (TxnLog.latestVersion(t) >= 0)
+        // the location already holds a table: a plain CREATE must not
+        // silently succeed with its schema/layout ignored — SQL's
+        // contract is refuse, or no-op under IF NOT EXISTS
+        require(ifNotExists,
+          s"table at $p already exists (version " +
+            s"${TxnLog.latestVersion(t)}); CREATE TABLE cannot " +
+            "redefine it — use CREATE TABLE IF NOT EXISTS to no-op, " +
+            "or REPLACE/DROP it first")
+      else TxnLog.registerSchema(t, schema, partCols)
     }
     if (isPath) Seq.empty // path-addressed: the registration IS the create
     else GraftSqlParser.runNative(spark, native)

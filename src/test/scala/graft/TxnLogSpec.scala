@@ -2720,6 +2720,136 @@ class TxnLogSpec extends AnyFunSuite {
       both.toString)
   }
 
+  test("txnlog: review regressions — dv commits conflict with compaction, encoded paths match, batch sinks honor declared layouts") {
+    import spark.implicits._
+    // (1) a compaction rebasing past a concurrent DELETION-VECTOR
+    // commit on a compacted file must REFUSE — its staged output was
+    // read dv-unaware and would resurrect the deleted rows
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      (0L until 10L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    TxnLog.append(spark, t,
+      (10L until 20L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val snap = TxnLog.snapshot(t)
+    val f0 = snap.liveFiles.head
+    // stage a fake compacted file, then let a dv commit interleave
+    val stagePath = t.dataDir.resolve("fake-compact")
+    (0L until 20L).map(i => (i, i)).toDF("k", "v").coalesce(1)
+      .write.parquet(stagePath.toString)
+    val addRel = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .map(p => t.root.relativize(p).toString).get
+    }
+    TxnLog.deleteDv(spark, t, col("k") === 3L) // lands v2, dv on f0
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      TxnLog.commit(t, snap.version, adds = Nil,
+        removes = snap.liveFiles,
+        extra = Seq(s"add\t$addRel", "cdc\tnone"),
+        reconcileDisjoint = true)
+    }
+    assert(boom.getMessage.contains("rewrote read-set file"),
+      boom.getMessage)
+    // a dv commit on a DISJOINT file still commutes (append rebasing)
+    val t1b = freshTable()
+    TxnLog.append(spark, t1b,
+      (0L until 10L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val s1b = TxnLog.snapshot(t1b)
+    val stage1b = t1b.dataDir.resolve("compact-1b")
+    (0L until 10L).map(i => (i, i)).toDF("k", "v").coalesce(1)
+      .write.parquet(stage1b.toString)
+    val add1b = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage1b).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .map(p => t1b.root.relativize(p).toString).get
+    }
+    TxnLog.append(spark, t1b, Seq((99L, 99L)).toDF("k", "v").coalesce(1))
+    TxnLog.deleteDv(spark, t1b, col("k") === 99L) // dv on the NEW file
+    val v1b = TxnLog.commit(t1b, s1b.version, adds = Nil,
+      removes = s1b.liveFiles,
+      extra = Seq(s"add\t$add1b", "cdc\tnone"), reconcileDisjoint = true)
+    assert(v1b > s1b.version)
+    assert(TxnLog.read(spark, t1b).count() === 10L) // 99 stays deleted
+    // (2) a table root with SPACES and PERCENTS: deletion vectors,
+    // the locating scan and table_changes all key on Spark's
+    // URL-ENCODED _metadata.file_path — a raw-path key would
+    // silently serve the deleted row here
+    val oddRoot = java.nio.file.Files
+      .createTempDirectory("graft dv%odd-").resolve("t")
+    val t2 = TxnLog.Table(oddRoot)
+    TxnLog.append(spark, t2,
+      (0L until 10L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    TxnLog.deleteDv(spark, t2, col("k") === 4L)
+    assert(TxnLog.snapshot(t2).dvs.size === 1,
+      "dv fell back to copy-on-write under an encoded path")
+    assert(TxnLog.read(spark, t2).count() === 9L)
+    assert(TxnLog.read(spark, t2).filter($"k" === 4L).count() === 0L)
+    val tc = TxnLog.tableChanges(spark, t2, 0L, TxnLog.latestVersion(t2))
+    assert(tc.filter($"_change_type" === "insert").count() === 10L)
+    assert(tc.filter($"_change_type" === "delete").count() === 1L)
+    // (3) appendBatch honors a declared layout: unspecified routes
+    // through it, mismatched refuses
+    val t3 = freshTable()
+    TxnLog.registerSchema(t3,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, day STRING"), Seq("day"))
+    TxnLog.appendBatch(spark, t3,
+      Seq((1L, "d1")).toDF("k", "day"), "app1", 0L)
+    val s3 = TxnLog.snapshot(t3)
+    assert(s3.filePartitions.values.flatMap(_.get("day")).toSeq ===
+      Seq("d1"), "batch did not stage through the declared layout")
+    val bad3 = intercept[IllegalArgumentException] {
+      TxnLog.appendBatch(spark, t3,
+        Seq((2L, "d2")).toDF("k", "day"), "app1", 1L, Seq("k"))
+    }
+    assert(bad3.getMessage.contains("declared PARTITIONED BY"))
+    // (4) history labels a dv-reconciling restore RESTORE, not DELETE
+    val t4 = freshTable()
+    TxnLog.append(spark, t4,
+      (0L until 10L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val v4 = TxnLog.latestVersion(t4)
+    TxnLog.deleteDv(spark, t4, col("k") === 4L)
+    TxnLog.restore(t4, v4)
+    assert(TxnLog.history(t4).last._2 === "RESTORE",
+      TxnLog.history(t4).toString)
+  }
+
+  test("txnlog: CREATE TABLE on an existing location refuses without IF NOT EXISTS; quoted-key OPTIONS parse") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-crex-").resolve("t")
+    val p = root.toString
+    val t = TxnLog.Table(root)
+    TxnLog.append(spark, t, Seq((1L, 2L)).toDF("k", "v").coalesce(1))
+    val boom = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE txnlog.`$p` (a STRING, b DOUBLE) " +
+        "USING txnlog PARTITIONED BY (a)")
+    }
+    assert(boom.getMessage.contains("already exists"), boom.getMessage)
+    // the schema/layout were NOT silently swallowed
+    assert(TxnLog.registeredSchema(t).get.fieldNames.toSeq ===
+      Seq("k", "v"))
+    assert(TxnLog.declaredPartCols(t).isEmpty)
+    // IF NOT EXISTS no-ops per the SQL contract
+    spark.sql(s"CREATE TABLE IF NOT EXISTS txnlog.`$p` " +
+      "(a STRING, b DOUBLE) USING txnlog")
+    assert(TxnLog.registeredSchema(t).get.fieldNames.toSeq ===
+      Seq("k", "v"))
+    // the quoted-key OPTIONS spelling parses the path, not the '='
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-crq-").resolve("t")
+    spark.sql("DROP TABLE IF EXISTS crq_cat")
+    spark.sql(s"CREATE TABLE crq_cat (k BIGINT) USING txnlog " +
+      s"OPTIONS ('path'='${root2.toString}')")
+    try {
+      assert(TxnLog.latestVersion(TxnLog.Table(root2)) === 0L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get("=").toAbsolutePath.resolve("_txnlog")))
+    } finally spark.sql("DROP TABLE IF EXISTS crq_cat")
+  }
+
   private def dataFiles(t: TxnLog.Table): Set[String] = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(t.root.resolve("data"))
