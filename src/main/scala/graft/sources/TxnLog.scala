@@ -119,7 +119,9 @@ object TxnLog {
       notNull: Set[String] = Set.empty,
       checks: Map[String, String] = Map.empty,
       dvs: Map[String, String] = Map.empty,
-      declaredPartCols: Seq[String] = Nil) {
+      declaredPartCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty,
+      minReader: Long = 1L) {
     /** Declared constraints at this version — carried BY the snapshot
       * so rewrite ops enforce without a second log replay. */
     def constraints: Constraints = Constraints(notNull, checks)
@@ -196,6 +198,7 @@ object TxnLog {
     var dvs = Map.empty[String, String] // file -> dead-row ranges
     var minReader = 1L // protocol floor the log demands of readers
     var declaredParts = Seq.empty[String] // DDL-declared layout
+    var props = Map.empty[String, String] // table properties
   }
 
   private def corrupt(src: Path, line: String): Nothing =
@@ -269,6 +272,11 @@ object TxnLog {
         st.checks += n -> unescapePart(e)
       case Array("dropconstraint", "notnull", c)  => st.notNull -= c
       case Array("dropconstraint", "check", n)    => st.checks -= n
+      // table properties (ALTER TABLE SET/UNSET TBLPROPERTIES):
+      // last-write-wins metadata — behavior toggles like
+      // graft.enableDeletionVectors ride here (values hive-escaped)
+      case Array("property", k, v) => st.props += k -> unescapePart(v)
+      case Array("unsetproperty", k) => st.props -= k
       // the DDL-declared partition layout (PARTITIONED BY at CREATE):
       // binds every write to the layout before any data exists
       case Array("partcols", enc) =>
@@ -347,7 +355,7 @@ object TxnLog {
       st.sizes.view.filterKeys(st.live.contains).toMap,
       st.notNull, st.checks,
       st.dvs.view.filterKeys(st.live.contains).toMap,
-      st.declaredParts)
+      st.declaredParts, st.props, st.minReader)
   }
 
   /** Decode a deletion vector's `a-b`/`a` range string (sorted,
@@ -410,6 +418,8 @@ object TxnLog {
       st.notNull.toSeq.sorted.map(c => s"constraint\tnotnull\t$c") ++
       st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
         s"constraint\tcheck\t$n\t${escapePart(e)}" } ++
+      st.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"property\t$k\t${escapePart(v)}" } ++
       st.txns.toSeq.sortBy(_._1).map { case (a, b) => s"txn\t$a\t$b" }
     val tmp = t.logDir.resolve(s".tmp-ckpt-${UUID.randomUUID()}")
     Files.writeString(tmp, lines.mkString("", "\n", "\n"))
@@ -2633,7 +2643,19 @@ object TxnLog {
     * racing first WRITE losing slot 0 is equally fine — either way
     * the schema lands merged. */
   def registerSchema(t: Table, schema: StructType,
-                     partCols: Seq[String] = Nil): Unit =
+                     partCols: Seq[String] = Nil): Unit = {
+    def lostDeclaration(): Unit =
+      // a declared layout can only bind at version 0 (declaredPartCols
+      // is a v0/checkpoint header read): dropping it SILENTLY would
+      // let the racing first writer's layout stand as if declared —
+      // refuse loudly unless the declaration already matches
+      if (partCols.nonEmpty && declaredPartCols(t) != partCols)
+        throw new IllegalStateException(
+          s"table at ${t.root} already has commits; the PARTITIONED " +
+            s"BY (${partCols.mkString(", ")}) declaration can only " +
+            "bind an empty location — a concurrent first write may " +
+            "have won version 0. Recreate at an empty location or " +
+            "adopt the existing layout")
     if (latestVersion(t) < 0) {
       val unknown = partCols.filterNot(schema.fieldNames.contains)
       require(unknown.isEmpty,
@@ -2642,8 +2664,38 @@ object TxnLog {
       val pLine =
         if (partCols.isEmpty) Nil
         else Seq("partcols\t" + partCols.map(escapePart).mkString(","))
-      tryPublish(t, 0L, s"schema\t${schema.json}" +: pLine); ()
-    }
+      if (!tryPublish(t, 0L, s"schema\t${schema.json}" +: pLine))
+        lostDeclaration()
+    } else lostDeclaration()
+  }
+
+  /** Table properties registered in the log — last-write-wins
+    * metadata behavior toggles (e.g. `graft.enableDeletionVectors`,
+    * which routes SQL DELETE/UPDATE through the merge-on-read
+    * path). */
+  def propertiesOf(t: Table): Map[String, String] =
+    if (latestVersion(t) < 0) Map.empty else snapshot(t).properties
+
+  /** `ALTER TABLE t SET TBLPROPERTIES (k = v, …)` — one metadata
+    * commit carrying every pair. */
+  def setProperties(t: Table, pairs: Map[String, String]): Long = {
+    require(pairs.nonEmpty, "setProperties needs at least one pair")
+    pairs.keys.foreach(k => require(
+      k.nonEmpty && !k.exists(c => c == '\t' || c == '\n'),
+      s"bad property key: '$k'"))
+    commit(t, latestVersion(t), adds = Nil,
+      extra = pairs.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"property\t$k\t${escapePart(v)}" })
+  }
+
+  /** `ALTER TABLE t UNSET TBLPROPERTIES (k, …)` — unknown keys no-op
+    * (the IF EXISTS semantics; Spark's own statement errors without
+    * it, but a metadata unset is idempotent by nature here). */
+  def unsetProperties(t: Table, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetProperties needs at least one key")
+    commit(t, latestVersion(t), adds = Nil,
+      extra = keys.sorted.map(k => s"unsetproperty\t$k"))
+  }
 
   /** The DDL-declared partition layout — an O(1) HEADER read, not a
     * log scan, because every append pays this lookup: a declaration

@@ -144,6 +144,18 @@ object GraftSqlParser {
       """(\w+)\s*;?\s*$""").r
   private val ShowPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($Ident)\\s*;?\\s*$$""".r
+  private val AlterSetPropsRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+SET\\s+""" +
+      """TBLPROPERTIES\s*\(([\s\S]+)\)\s*;?\s*$""").r
+  private val AlterUnsetPropsRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+UNSET\\s+""" +
+      """TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\(([\s\S]+)\)\s*;?\s*$""").r
+  private val ShowPropsRe =
+    s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+($Ident)\\s*;?\\s*$$""".r
+  private[sources] val PropPairRe =
+    """(?s)^\s*(?:'([^']+)'|([\w.]+))\s*=\s*'([^']*)'\s*$""".r
+  private[sources] val PropKeyRe =
+    """(?s)^\s*(?:'([^']+)'|([\w.]+))\s*$""".r
   // CREATE TABLE with an explicit column list: the head up to the
   // opening paren; the column list itself is balanced-paren-scanned
   // (DECIMAL(10,2) etc. would break a regex group)
@@ -191,6 +203,11 @@ object GraftSqlParser {
   private val BySourceDeleteRe =
     """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
   private val PathIdent = """(?is)^txnlog\.`([^`]+)`\s*$""".r
+
+  /** Does the table opt SQL DML into the merge-on-read path? */
+  private[sources] def dvEnabled(t: TxnLog.Table): Boolean =
+    TxnLog.propertiesOf(t).get("graft.enableDeletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
 
   /** The path of a `txnlog.\`/p\`` identifier, if it is one. */
   private[sources] def pathIdentOf(ident: String): Option[String] =
@@ -310,6 +327,15 @@ object GraftSqlParser {
           Option(tsQ).orElse(Option(tsN))))
       case ShowPartsRe(tbl) =>
         Some(TxnLogShowPartitionsCommand(tbl,
+          () => delegate.parsePlan(sqlText)))
+      case AlterSetPropsRe(tbl, pairs) =>
+        Some(TxnLogPropertiesCommand(tbl, set = true, pairs,
+          () => delegate.parsePlan(sqlText)))
+      case AlterUnsetPropsRe(tbl, keys) =>
+        Some(TxnLogPropertiesCommand(tbl, set = false, keys,
+          () => delegate.parsePlan(sqlText)))
+      case ShowPropsRe(tbl) =>
+        Some(TxnLogShowPropertiesCommand(tbl,
           () => delegate.parsePlan(sqlText)))
       case AlterAddRe(tbl, cols) =>
         Some(TxnLogAddColumnsCommand(tbl, cols.trim,
@@ -636,7 +662,7 @@ object GraftSqlParser {
 
   /** Split on `sep` at parenthesis/quote depth zero
     * (backslash-escaped quotes stay inside their literal). */
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+  private[sources] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var inQuote = false; var start = 0; var i = 0
     while (i < s.length) {
@@ -723,8 +749,13 @@ final case class TxnLogDeleteCommand(table: String,
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.tryResolveTable(spark, table) match {
       case Some(t) =>
-        TxnLog.delete(spark, t, where.map(expr).getOrElse(lit(true)),
-          alias)
+        val pred = where.map(expr).getOrElse(lit(true))
+        // graft.enableDeletionVectors routes the statement through
+        // the merge-on-read path — the SQL user's switch to stop
+        // rewriting whole files for trickle deletes
+        if (GraftSqlParser.dvEnabled(t))
+          TxnLog.deleteDv(spark, t, pred, alias)
+        else TxnLog.delete(spark, t, pred, alias)
         Seq.empty
       case None => // not ours: run Spark's own DELETE plan (v2 tables)
         GraftSqlParser.runNative(spark, native)
@@ -879,6 +910,59 @@ final case class TxnLogShowPartitionsCommand(table: String,
         // (catalog partitions carry no manifest file count)
         GraftSqlParser.runNative(spark, native)
           .map(r => Row(r.getString(0), null))
+    }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', …)` /
+  * `UNSET TBLPROPERTIES [IF EXISTS] ('k', …)` — last-write-wins
+  * table metadata as one commit each. Properties are behavior
+  * toggles: `graft.enableDeletionVectors = true` routes SQL
+  * DELETE/UPDATE through the merge-on-read path. Pairs parse in
+  * run(), after the target resolves as ours; non-txnlog targets run
+  * Spark's own ALTER plan. */
+final case class TxnLogPropertiesCommand(table: String, set: Boolean,
+    raw: String, native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        if (set) {
+          val pairs = GraftSqlParser.splitTopLevel(raw, ',').map {
+            case GraftSqlParser.PropPairRe(q, b, v) =>
+              Option(q).getOrElse(b) -> v
+            case bad => throw new IllegalArgumentException(
+              s"cannot parse TBLPROPERTIES pair: $bad (expected " +
+                "'key' = 'value')")
+          }.toMap
+          TxnLog.setProperties(t, pairs)
+        } else {
+          val keys = GraftSqlParser.splitTopLevel(raw, ',').map {
+            case GraftSqlParser.PropKeyRe(q, b) => Option(q).getOrElse(b)
+            case bad => throw new IllegalArgumentException(
+              s"cannot parse TBLPROPERTIES key: $bad")
+          }
+          TxnLog.unsetProperties(t, keys)
+        }
+        Seq.empty
+      case None => // not ours: Spark's own ALTER plan
+        GraftSqlParser.runNative(spark, native)
+    }
+}
+
+/** `SHOW TBLPROPERTIES <table>` — the registered properties as a
+  * (key, value) result set; non-txnlog targets run Spark's own
+  * statement (same output shape). */
+final case class TxnLogShowPropertiesCommand(table: String,
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "key STRING, value STRING"))
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.tryResolveTable(spark, table) match {
+      case Some(t) =>
+        TxnLog.propertiesOf(t).toSeq.sortBy(_._1)
+          .map { case (k, v) => Row(k, v) }
+      case None => GraftSqlParser.runNative(spark, native)
     }
 }
 
@@ -1053,9 +1137,11 @@ final case class TxnLogUpdateCommand(table: String,
     GraftSqlParser.tryResolveTable(spark, table) match {
       case Some(t) =>
         val sets = GraftSqlParser.parseAssignments(setText)
-        TxnLog.update(spark, t,
-          sets.map { case (c, rhs) => c -> expr(rhs) }.toMap,
-          where.map(expr).getOrElse(lit(true)), alias)
+          .map { case (c, rhs) => c -> expr(rhs) }.toMap
+        val pred = where.map(expr).getOrElse(lit(true))
+        if (GraftSqlParser.dvEnabled(t)) // merge-on-read switch
+          TxnLog.updateDv(spark, t, sets, pred, alias)
+        else TxnLog.update(spark, t, sets, pred, alias)
         Seq.empty
       case None => // not ours: run Spark's own UPDATE plan (v2 tables)
         GraftSqlParser.runNative(spark, native)
@@ -1093,7 +1179,9 @@ final case class TxnLogDetailCommand(table: String)
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
       org.apache.spark.sql.types.StructType.fromDDL(
         "format STRING, location STRING, version BIGINT, " +
-          "num_files BIGINT, size_bytes BIGINT, partition_columns STRING"))
+          "num_files BIGINT, size_bytes BIGINT, " +
+          "partition_columns STRING, min_reader BIGINT, " +
+          "num_dv_files BIGINT, constraints STRING, properties STRING"))
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolveTable(spark, table)
     val snap = TxnLog.snapshot(t)
@@ -1105,8 +1193,14 @@ final case class TxnLogDetailCommand(table: String)
       })
     }.sum
     val partCols = snap.partCols.mkString(",")
+    val cons = (snap.notNull.toSeq.sorted.map(c => s"NOT NULL $c") ++
+      snap.checks.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"CHECK $n ($e)" }).mkString("; ")
+    val props = snap.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("; ")
     Seq(Row("txnlog", t.root.toString, snap.version,
-      snap.liveFiles.length.toLong, bytes, partCols))
+      snap.liveFiles.length.toLong, bytes, partCols, snap.minReader,
+      snap.dvs.size.toLong, cons, props))
   }
 }
 

@@ -2850,6 +2850,76 @@ class TxnLogSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS crq_cat")
   }
 
+  test("txnlog: TBLPROPERTIES ride the log; graft.enableDeletionVectors routes SQL DML merge-on-read") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-props-").resolve("t")
+    val p = root.toString
+    val t = TxnLog.Table(root)
+    TxnLog.append(spark, t,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    // SET / SHOW / UNSET round-trip, one metadata commit each
+    spark.sql(s"ALTER TABLE txnlog.`$p` SET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors' = 'true', 'owner' = 'team data')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES txnlog.`$p`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("graft.enableDeletionVectors", "true"), ("owner", "team data")))
+    // SQL DELETE now commits merge-on-read: no data file rewritten
+    val before = dataFiles(t)
+    spark.sql(s"DELETE FROM txnlog.`$p` WHERE k = 7")
+    assert(dataFiles(t) === before, "DV-routed DELETE rewrote a file")
+    assert(TxnLog.snapshot(t).dvs.size === 1)
+    assert(TxnLog.read(spark, t).count() === 99L)
+    // SQL UPDATE too: old position dead, new image appended
+    spark.sql(s"UPDATE txnlog.`$p` SET v = v * 10 WHERE k = 8")
+    assert(before.subsetOf(dataFiles(t)),
+      "DV-routed UPDATE rewrote a pre-existing file")
+    assert(TxnLog.read(spark, t).filter($"k" === 8L)
+      .head().getLong(1) === 80L)
+    // DESCRIBE DETAIL surfaces the new metadata columns (while the
+    // vector is live — the copy-on-write delete below clears it)
+    spark.sql(s"ALTER TABLE txnlog.`$p` ADD CONSTRAINT v_ok " +
+      "CHECK (v >= 0)")
+    val d = spark.sql(s"DESCRIBE DETAIL txnlog.`$p`").head()
+    assert(d.getLong(6) === 2L, "min_reader should be 2 after a DV")
+    assert(d.getLong(7) >= 1L, "num_dv_files missing")
+    assert(d.getString(8).contains("CHECK v_ok"), d.getString(8))
+    assert(d.getString(9).contains("owner=team data"), d.getString(9))
+    // UNSET switches back to copy-on-write — the rewrite of the
+    // DV-carrying file MATERIALIZES its vector away
+    spark.sql(s"ALTER TABLE txnlog.`$p` UNSET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors')")
+    spark.sql(s"DELETE FROM txnlog.`$p` WHERE k = 9")
+    assert(TxnLog.read(spark, t).count() === 98L)
+    assert(TxnLog.snapshot(t).dvs.isEmpty)
+    assert(!TxnLog.propertiesOf(t).contains("graft.enableDeletionVectors"))
+    // properties survive checkpoints + expiry
+    TxnLog.checkpoint(t, TxnLog.latestVersion(t))
+    TxnLog.expireLog(t)
+    assert(TxnLog.propertiesOf(t) ===
+      Map("owner" -> "team data"), TxnLog.propertiesOf(t).toString)
+    // a non-txnlog SET TBLPROPERTIES still runs Spark's native plan
+    spark.sql("DROP TABLE IF EXISTS props_plain")
+    spark.sql("CREATE TABLE props_plain (k BIGINT) USING parquet")
+    try {
+      spark.sql("ALTER TABLE props_plain SET TBLPROPERTIES ('a' = 'b')")
+      assert(spark.sql("SHOW TBLPROPERTIES props_plain").collect()
+        .exists(r => r.getString(0) == "a" && r.getString(1) == "b"))
+    } finally spark.sql("DROP TABLE IF EXISTS props_plain")
+    // a declaration racing first data refuses instead of silently
+    // dropping the layout (registerSchema's lost-slot contract)
+    val t2 = freshTable()
+    TxnLog.append(spark, t2, Seq((1L, "d1")).toDF("k", "day"))
+    val lost = intercept[IllegalStateException] {
+      TxnLog.registerSchema(t2,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, day STRING"), Seq("day"))
+    }
+    assert(lost.getMessage.contains("already has commits"),
+      lost.getMessage)
+  }
+
   private def dataFiles(t: TxnLog.Table): Set[String] = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(t.root.resolve("data"))
