@@ -495,23 +495,25 @@ object SourceOracles {
         |FROM tgt GROUP BY 1
         |ORDER BY side, o_orderstatus""".stripMargin,
 
-    // Mirrors SourceOps.txnlogDv: the deleted slice (% 100 = 7) is
-    // gone, the updated slice (% 100 = 8) doubled; the audit row pins
-    // merge-on-read (4 DV-carrying files, every original file still
-    // live).
+    // Mirrors SourceOps.txnlogDv: the deleted window (keys 700-799)
+    // is gone, the updated window (800-899) doubled; the audit row
+    // pins merge-on-read (exactly ONE DV-carrying file — both fixed
+    // windows land in the first of the four key-range files — with
+    // every original file still live).
     "src_txnlog_dv" ->
       """WITH tgt AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
-        |    CASE WHEN o_orderkey % 100 = 8 THEN o_totalprice * 2
+        |    CASE WHEN o_orderkey BETWEEN 800 AND 899
+        |         THEN o_totalprice * 2
         |         ELSE o_totalprice END AS p
-        |  FROM orders WHERE o_orderkey % 100 <> 7)
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 700 AND 799)
         |SELECT st AS o_orderstatus, count(*) AS n_rows,
         |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
         |    AS price_cents,
         |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
         |FROM tgt GROUP BY 1
         |UNION ALL
-        |SELECT '__audit__' AS o_orderstatus, CAST(4 AS BIGINT) AS n_rows,
+        |SELECT '__audit__' AS o_orderstatus, CAST(1 AS BIGINT) AS n_rows,
         |  CAST(1 AS BIGINT) AS price_cents, CAST(0 AS BIGINT) AS key_sum,
         |  'dv' AS side
         |ORDER BY side, o_orderstatus""".stripMargin,

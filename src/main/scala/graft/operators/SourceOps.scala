@@ -1416,24 +1416,36 @@ object SourceOps {
     * DELETE and UPDATE against a multi-file table commit WITHOUT
     * rewriting any pre-existing data file (the dv action records the
     * dead row indices; reads anti-filter in-scan on Spark's own
-    * _metadata.row_index). The audit row pins the merge-on-read
-    * contract into the hash: the number of DV-carrying files and a
-    * flag that every original file is STILL LIVE — if either op had
-    * fallen back to copy-on-write, both would drift. Oracle: orders
-    * with the deleted slice removed and the updated slice doubled. */
+    * _metadata.row_index). Both ops hit FIXED key windows (700-799
+    * deleted, 800-899 doubled) inside the first of four key-range
+    * files — constant matched-row counts at any scale factor, so the
+    * merge-on-read path never flips to the copy-on-write fallback as
+    * data grows, and the stats-tracked key column lets the manifest
+    * box prune the locating scan to that one file. The audit row
+    * pins the contract into the hash: exactly one DV-carrying file
+    * and a flag that every original file is STILL LIVE — if either
+    * op had fallen back to copy-on-write, both would drift. Oracle:
+    * orders with the deleted window removed and the updated window
+    * doubled. */
   def txnlogDv(s: SparkSession, d: String): DataFrame = {
     val root = graft.sources.TempDirs.scratch("graft-txndv-")
       .resolve("tbl")
     val t = graft.sources.TxnLog.Table(root)
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    graft.sources.TxnLog.append(s, t,
-      o.repartitionByRange(4, col("o_orderkey")))
+    graft.sources.TxnLog.appendWithStats(s, t,
+      o.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
     val before = graft.sources.TxnLog.snapshot(t).liveFiles.toSet
-    graft.sources.TxnLog.deleteDv(s, t, col("o_orderkey") % 100 === 7)
+    // FIXED key windows, not modulo slices: the matched-row count per
+    // file stays constant at any scale factor, so the merge-on-read
+    // path (and the audit row pinning it) never silently flips to
+    // copy-on-write past the per-file DV threshold; the windows also
+    // exercise manifest box pruning before the locating scan
+    graft.sources.TxnLog.deleteDv(s, t,
+      col("o_orderkey").between(700, 799))
     graft.sources.TxnLog.updateDv(s, t,
       Map("o_totalprice" -> (col("o_totalprice") * 2)),
-      col("o_orderkey") % 100 === 8)
+      col("o_orderkey").between(800, 899))
     val snap = graft.sources.TxnLog.snapshot(t)
     val kept = if (before.subsetOf(snap.liveFiles.toSet)) 1L else 0L
     graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))

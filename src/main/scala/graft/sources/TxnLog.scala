@@ -276,6 +276,11 @@ object TxnLog {
       // last-write-wins metadata — behavior toggles like
       // graft.enableDeletionVectors ride here (values hive-escaped)
       case Array("property", k, v) => st.props += k -> unescapePart(v)
+      // an EMPTY property value: split('\t') drops the trailing empty
+      // token, so "property\tk\t" arrives as two fields — it must
+      // parse (one valid SET TBLPROPERTIES ('k' = '') would otherwise
+      // brick every future replay as a corrupt line)
+      case Array("property", k)     => st.props += k -> ""
       case Array("unsetproperty", k) => st.props -= k
       // the DDL-declared partition layout (PARTITIONED BY at CREATE):
       // binds every write to the layout before any data exists
@@ -710,8 +715,8 @@ object TxnLog {
     val declared = declaredPartCols(t)
     if (declared.isEmpty)
       appendLines(s, t, df, extraLines = Nil, statsCols = statsCols)
-    else appendPartitioned(s, t, df, declared,
-      statsCols.filterNot(declared.contains))
+    else appendPartitionedChecked(s, t, df, declared, // one header read
+      statsCols.filterNot(declared.contains), Nil)
   }
 
   private def appendLines(s: SparkSession, t: Table, df: DataFrame,
@@ -800,6 +805,14 @@ object TxnLog {
         s"(${declared.mkString(", ")}); this write partitions by " +
         s"(${partCols.mkString(", ")}) — stage through the declared " +
         "layout")
+    appendPartitionedChecked(s, t, df, partCols, statsCols, extraLines)
+  }
+
+  /** [[appendPartitioned]]'s body, for callers that already resolved
+    * the layout against the declaration (no second header read). */
+  private def appendPartitionedChecked(s: SparkSession, t: Table,
+      df: DataFrame, partCols: Seq[String], statsCols: Seq[String],
+      extraLines: Seq[String]): Long = {
     val stage = newStage(t, t.dataDir)
     try {
       toPhysical(df, registeredSchema(t))
@@ -1599,7 +1612,22 @@ object TxnLog {
     * historical versions keep theirs. An empty table degrades to a
     * plain first append. */
   def replace(s: SparkSession, t: Table, df: DataFrame,
-              partCols: Seq[String] = Nil): Long = {
+              partCols0: Seq[String] = Nil): Long = {
+    // an overwrite resets the DATA, not a DECLARED layout: the
+    // declaration is table identity (bound at CREATE), so an
+    // unspecified layout routes through it and a mismatched explicit
+    // one refuses — otherwise df.write.mode("overwrite") would
+    // silently flatten a PARTITIONED BY table out of its pruning
+    // metadata. Observed-only layouts (no declaration) keep the
+    // documented reset semantics: overwrite decides the new shape.
+    val declared = declaredPartCols(t)
+    require(partCols0.isEmpty || declared.isEmpty ||
+      declared == partCols0,
+      s"table at ${t.root} is declared PARTITIONED BY " +
+        s"(${declared.mkString(", ")}); this overwrite partitions by " +
+        s"(${partCols0.mkString(", ")}) — stage through the declared " +
+        "layout")
+    val partCols = if (partCols0.nonEmpty) partCols0 else declared
     if (latestVersion(t) < 0) {
       if (partCols.nonEmpty) return appendPartitioned(s, t, df, partCols)
       return appendLines(s, t, df, extraLines = Nil, statsCols = Nil)
@@ -1711,12 +1739,13 @@ object TxnLog {
     * correct). Returns the committed version (the current one when
     * nothing matched). */
   def delete(s: SparkSession, t: Table, predicate: Column,
-             alias: Option[String] = None): Long = {
+             alias: Option[String] = None,
+             snap0: Option[Snapshot] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name,
       lit, not}
     def al(df: DataFrame): DataFrame = alias.map(df.as(_)).getOrElse(df)
     val cond = coalesce(predicate, lit(false))
-    val snap = snapshot(t)
+    val snap = snap0.getOrElse(snapshot(t))
     val statsCols = liveStatsCols(snap)
     // manifest pruning BEFORE the locating scan: a selective delete on
     // a stats-tracked column opens only the sliver whose (min, max)
@@ -1777,12 +1806,13 @@ object TxnLog {
     * they locate over the full live set. Returns the committed
     * version (unchanged when nothing matched). */
   def update(s: SparkSession, t: Table, set: Map[String, Column],
-             predicate: Column, alias: Option[String] = None): Long = {
+             predicate: Column, alias: Option[String] = None,
+             snap0: Option[Snapshot] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name,
       lit, not}
     require(set.nonEmpty, "update needs at least one SET assignment")
     val cond = coalesce(predicate, lit(false))
-    val snap = snapshot(t)
+    val snap = snap0.getOrElse(snapshot(t))
     // validate SET targets BEFORE the no-match early returns: a
     // typo'd column must fail on an empty partition too, not only
     // once rows happen to match (migration scripts dry-run empty)
@@ -1864,8 +1894,10 @@ object TxnLog {
     * Returns the committed version (unchanged when nothing matched). */
   def deleteDv(s: SparkSession, t: Table, predicate: Column,
                alias: Option[String] = None,
-               maxDvRowsPerFile: Long = 100000L): Long =
-    dvRewrite(s, t, predicate, alias, maxDvRowsPerFile, set = Map.empty)
+               maxDvRowsPerFile: Long = 100000L,
+               snap0: Option[Snapshot] = None): Long =
+    dvRewrite(s, t, predicate, alias, maxDvRowsPerFile,
+      set = Map.empty, snap0 = snap0)
 
   /** Merge-on-read UPDATE: the matched rows' OLD positions go dead
     * via deletion vectors (or a copy-on-write rewrite above the
@@ -1876,18 +1908,20 @@ object TxnLog {
     * enforce on the staged new images with the atomic refusal. */
   def updateDv(s: SparkSession, t: Table, set: Map[String, Column],
                predicate: Column, alias: Option[String] = None,
-               maxDvRowsPerFile: Long = 100000L): Long = {
+               maxDvRowsPerFile: Long = 100000L,
+               snap0: Option[Snapshot] = None): Long = {
     require(set.nonEmpty, "updateDv needs at least one SET assignment")
-    dvRewrite(s, t, predicate, alias, maxDvRowsPerFile, set)
+    dvRewrite(s, t, predicate, alias, maxDvRowsPerFile, set, snap0)
   }
 
   private def dvRewrite(s: SparkSession, t: Table, predicate: Column,
       alias: Option[String], maxDvRowsPerFile: Long,
-      set: Map[String, Column]): Long = {
+      set: Map[String, Column],
+      snap0: Option[Snapshot] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, collect_list,
       count, lit, not, sort_array}
     val cond = coalesce(predicate, lit(false))
-    val snap = snapshot(t)
+    val snap = snap0.getOrElse(snapshot(t))
     // validate SET targets before the no-match early returns (the
     // empty-partition dry-run contract, same as update)
     snap.schemaJson.map(parseSchema).foreach { schema =>
@@ -2693,6 +2727,9 @@ object TxnLog {
     * it, but a metadata unset is idempotent by nature here). */
   def unsetProperties(t: Table, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "unsetProperties needs at least one key")
+    keys.foreach(k => require( // same key hygiene as setProperties:
+      k.nonEmpty && !k.exists(c => c == '\t' || c == '\n'),
+      s"bad property key: '$k'")) // a tab would corrupt the action
     commit(t, latestVersion(t), adds = Nil,
       extra = keys.sorted.map(k => s"unsetproperty\t$k"))
   }

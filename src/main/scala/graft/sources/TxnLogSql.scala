@@ -166,11 +166,25 @@ object GraftSqlParser {
     """(?is)^\s+USING\s+txnlog\b[\s\S]*$""".r
   private val PartitionedByRe =
     """(?is)\bPARTITIONED\s+BY\s*\(([^)]+)\)""".r
-  // both OPTIONS key spellings: path '/x', path = '/x', 'path' '/x',
-  // 'path'='/x' — the quoted-key form must not capture the '=' as
-  // the location
-  private val OptPathRe = """(?is)\bpath'?\s*=?\s*'([^']+)'""".r
+  private val OptionsHeadRe = """(?is)\bOPTIONS\s*\(""".r
+  // the `path` OPTION key, anchored at a key position ('(' or ',' in
+  // the OPTIONS span) in both spellings — path '/x', path = '/x',
+  // 'path' '/x', 'path'='/x' — so a TBLPROPERTIES key merely ENDING
+  // in "path" ('data.path') can never hijack the table location
+  private val OptPathRe =
+    """(?is)[(,]\s*'?path'?\s*=?\s*'([^']+)'""".r
   private val LocationRe = """(?is)\bLOCATION\s+'([^']+)'""".r
+
+  /** First match of `re` whose START lies outside every single-quoted
+    * string literal — structural CREATE-tail keywords (PARTITIONED
+    * BY, OPTIONS, LOCATION) must not be found inside a property or
+    * comment VALUE that happens to contain the words. */
+  private def findOutsideLiterals(re: scala.util.matching.Regex,
+      s: String): Option[scala.util.matching.Regex.Match] = {
+    val lits = literalSpans(s)
+    re.findAllMatchIn(s).find(m =>
+      !lits.exists { case (a, b) => m.start >= a && m.start < b })
+  }
   /** MERGE head only — the USING source span is found by the
     * balanced-paren scanner ([[balancedParen]]), not a regex group:
     * a regex can match only bounded nesting, and a source like
@@ -204,9 +218,11 @@ object GraftSqlParser {
     """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
   private val PathIdent = """(?is)^txnlog\.`([^`]+)`\s*$""".r
 
-  /** Does the table opt SQL DML into the merge-on-read path? */
-  private[sources] def dvEnabled(t: TxnLog.Table): Boolean =
-    TxnLog.propertiesOf(t).get("graft.enableDeletionVectors")
+  /** Does the snapshot opt SQL DML into the merge-on-read path?
+    * Takes the statement's OWN snapshot — the property check must
+    * not pay a second full log replay per statement. */
+  private[sources] def dvEnabled(snap: TxnLog.Snapshot): Boolean =
+    snap.properties.get("graft.enableDeletionVectors")
       .exists(_.equalsIgnoreCase("true"))
 
   /** The path of a `txnlog.\`/p\`` identifier, if it is one. */
@@ -369,13 +385,24 @@ object GraftSqlParser {
             CreateUsingRe.findFirstIn(rest.substring(end)).isEmpty) None
         else {
           val tail = rest.substring(end)
-          val partCols = PartitionedByRe.findFirstMatchIn(tail)
+          val partCols = findOutsideLiterals(PartitionedByRe, tail)
             .map(_.group(1).split(',').toSeq
               .map(_.trim.stripPrefix("`").stripSuffix("`"))
               .filter(_.nonEmpty))
             .getOrElse(Nil)
-          val path = OptPathRe.findFirstMatchIn(tail).map(_.group(1))
-            .orElse(LocationRe.findFirstMatchIn(tail).map(_.group(1)))
+          // the path key is searched ONLY inside the OPTIONS(...)
+          // balanced span — never in TBLPROPERTIES or comments
+          val optSpan = findOutsideLiterals(OptionsHeadRe, tail)
+            .flatMap { m =>
+              val open = m.end - 1
+              val close = balancedParen(tail, open)
+              if (close < 0) None
+              else Some(tail.substring(open, close))
+            }
+          val path = optSpan
+            .flatMap(sp => OptPathRe.findFirstMatchIn(sp).map(_.group(1)))
+            .orElse(findOutsideLiterals(LocationRe, tail)
+              .map(_.group(1)))
           Some(TxnLogCreateTableCommand(tbl, ine != null,
             rest.substring(1, end - 1), partCols, path,
             () => delegate.parsePlan(sqlText)))
@@ -752,10 +779,12 @@ final case class TxnLogDeleteCommand(table: String,
         val pred = where.map(expr).getOrElse(lit(true))
         // graft.enableDeletionVectors routes the statement through
         // the merge-on-read path — the SQL user's switch to stop
-        // rewriting whole files for trickle deletes
-        if (GraftSqlParser.dvEnabled(t))
-          TxnLog.deleteDv(spark, t, pred, alias)
-        else TxnLog.delete(spark, t, pred, alias)
+        // rewriting whole files for trickle deletes. ONE snapshot
+        // serves the property check AND the op itself.
+        val snap = TxnLog.snapshot(t)
+        if (GraftSqlParser.dvEnabled(snap))
+          TxnLog.deleteDv(spark, t, pred, alias, snap0 = Some(snap))
+        else TxnLog.delete(spark, t, pred, alias, snap0 = Some(snap))
         Seq.empty
       case None => // not ours: run Spark's own DELETE plan (v2 tables)
         GraftSqlParser.runNative(spark, native)
@@ -1000,7 +1029,21 @@ final case class TxnLogCreateTableCommand(table: String,
         id.map(i =>
           spark.sessionState.catalog.defaultTablePath(i).getPath)
       }
-    loc.foreach { p =>
+    // a CATALOG name that already exists must fail through Spark's
+    // own CREATE (or no-op under IF NOT EXISTS) BEFORE any log is
+    // minted — registering first would plant a v0 _txnlog inside the
+    // existing table's directory as a side effect of a failed DDL
+    val catalogExists = !isPath && {
+      val id = spark.sessionState.sqlParser
+        .parseMultipartIdentifier(table) match {
+        case Seq(tb)     => Some(TableIdentifier(tb))
+        case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
+        case _           => None
+      }
+      id.exists(spark.sessionState.catalog.tableExists)
+    }
+    var minted = false
+    if (!catalogExists) loc.foreach { p =>
       val t = TxnLog.Table(TxnLog.pathOf(p))
       if (TxnLog.latestVersion(t) >= 0)
         // the location already holds a table: a plain CREATE must not
@@ -1011,10 +1054,22 @@ final case class TxnLogCreateTableCommand(table: String,
             s"${TxnLog.latestVersion(t)}); CREATE TABLE cannot " +
             "redefine it — use CREATE TABLE IF NOT EXISTS to no-op, " +
             "or REPLACE/DROP it first")
-      else TxnLog.registerSchema(t, schema, partCols)
+      else { TxnLog.registerSchema(t, schema, partCols); minted = true }
     }
     if (isPath) Seq.empty // path-addressed: the registration IS the create
-    else GraftSqlParser.runNative(spark, native)
+    else try GraftSqlParser.runNative(spark, native)
+    catch { case e: Throwable =>
+      // a failed native CREATE must not leave the v0 log this call
+      // minted as a permanent side effect (a retry after DROP would
+      // otherwise refuse with "already exists" at an empty catalog)
+      if (minted) loc.foreach { p =>
+        val t = TxnLog.Table(TxnLog.pathOf(p))
+        if (TxnLog.latestVersion(t) == 0L)
+          java.nio.file.Files.deleteIfExists(
+            t.logDir.resolve(f"${0L}%020d.log"))
+      }
+      throw e
+    }
   }
 }
 
@@ -1139,9 +1194,12 @@ final case class TxnLogUpdateCommand(table: String,
         val sets = GraftSqlParser.parseAssignments(setText)
           .map { case (c, rhs) => c -> expr(rhs) }.toMap
         val pred = where.map(expr).getOrElse(lit(true))
-        if (GraftSqlParser.dvEnabled(t)) // merge-on-read switch
-          TxnLog.updateDv(spark, t, sets, pred, alias)
-        else TxnLog.update(spark, t, sets, pred, alias)
+        val snap = TxnLog.snapshot(t) // one snapshot: check + op
+        if (GraftSqlParser.dvEnabled(snap)) // merge-on-read switch
+          TxnLog.updateDv(spark, t, sets, pred, alias,
+            snap0 = Some(snap))
+        else TxnLog.update(spark, t, sets, pred, alias,
+          snap0 = Some(snap))
         Seq.empty
       case None => // not ours: run Spark's own UPDATE plan (v2 tables)
         GraftSqlParser.runNative(spark, native)

@@ -282,34 +282,43 @@ class TxnLogStreamProvider extends StreamSourceProvider
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "set either startingVersion or startingTimestamp, not both")
+    // resolve-once persistence shared by "latest" and
+    // startingTimestamp: both resolve against CURRENT log state, so
+    // a driver that dies after starting but before its first offset
+    // commits must not re-resolve on restart — commits that landed
+    // during the outage belong to the stream. The marker write is
+    // atomic; a racing twin reads the winner's value back.
+    def resolveOnce(resolve: => Long): Long = {
+      val marker = TxnLog.pathOf(metadataPath)
+        .resolve("graft-starting-version")
+      if (java.nio.file.Files.exists(marker))
+        java.nio.file.Files.readString(marker).trim.toLong
+      else {
+        val v = resolve
+        java.nio.file.Files.createDirectories(marker.getParent)
+        val tmp = marker.getParent.resolve(
+          s".tmp-sv-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.writeString(tmp, s"$v\n")
+        try java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp) }
+        java.nio.file.Files.readString(marker).trim.toLong
+      }
+    }
     val startingVersion = parameters.get("startingVersion").map {
       case s0 if s0.equalsIgnoreCase("latest") =>
-        val marker = TxnLog.pathOf(metadataPath)
-          .resolve("graft-starting-version")
-        if (java.nio.file.Files.exists(marker))
-          java.nio.file.Files.readString(marker).trim.toLong
-        else {
-          val v = TxnLog.latestVersion(t) + 1
-          java.nio.file.Files.createDirectories(marker.getParent)
-          val tmp = marker.getParent.resolve(
-            s".tmp-sv-${java.util.UUID.randomUUID()}")
-          java.nio.file.Files.writeString(tmp, s"$v\n")
-          try java.nio.file.Files.move(tmp, marker,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileAlreadyExistsException =>
-            java.nio.file.Files.deleteIfExists(tmp) }
-          java.nio.file.Files.readString(marker).trim.toLong
-        }
+        resolveOnce(TxnLog.latestVersion(t) + 1)
       case s0 => s0.toLong
     }.orElse {
       // startingTimestamp: the earliest version committed at or
       // after the instant (inclusive — Delta's contract), resolved
-      // ONCE through the same offset seeding as startingVersion so
-      // a rate-limited first batch cannot deliver the skipped
-      // backlog. Resolution is deterministic from the retained log,
-      // so a pre-first-offset driver death re-resolves identically.
+      // ONCE and persisted — an instant past the current head means
+      // "wait", and re-resolving after an outage would silently skip
+      // the commits that landed during it; log expiry between
+      // resolutions would likewise shift the answer
       parameters.get("startingTimestamp").map(ts =>
-        TxnLog.versionAtOrAfter(t, TxnLog.tsMillis(ts)))
+        resolveOnce(TxnLog.versionAtOrAfter(t, TxnLog.tsMillis(ts))))
     }
     new TxnLogSource(sqlContext, t,
       schemaOf(sqlContext, schema, parameters),

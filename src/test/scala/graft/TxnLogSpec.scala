@@ -2920,6 +2920,101 @@ class TxnLogSpec extends AnyFunSuite {
       lost.getMessage)
   }
 
+  test("txnlog: second-review regressions — empty property values, overwrite vs declared layout, CREATE tail scoping, startingTimestamp persistence") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // (1) an EMPTY property value must round-trip, not brick replay
+    // (split('\t') drops the trailing empty token)
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq((1L, 2L)).toDF("k", "v").coalesce(1))
+    TxnLog.setProperties(t, Map("note" -> ""))
+    assert(TxnLog.propertiesOf(t) === Map("note" -> ""))
+    TxnLog.checkpoint(t, TxnLog.latestVersion(t))
+    assert(TxnLog.propertiesOf(t) === Map("note" -> ""))
+    assert(TxnLog.read(spark, t).count() === 1L)
+    // a tab in an UNSET key refuses instead of corrupting the log
+    val tabKey = intercept[IllegalArgumentException] {
+      TxnLog.unsetProperties(t, Seq("a\tb"))
+    }
+    assert(tabKey.getMessage.contains("bad property key"))
+    // (2) overwrite honors a declared layout: a flat DataFrame
+    // overwrite stages THROUGH it, a mismatched explicit one refuses
+    val t2 = freshTable()
+    TxnLog.registerSchema(t2,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, day STRING"), Seq("day"))
+    TxnLog.append(spark, t2, Seq((1L, "d1")).toDF("k", "day"))
+    TxnLog.replace(spark, t2,
+      Seq((2L, "d2"), (3L, "d3")).toDF("k", "day"))
+    val s2 = TxnLog.snapshot(t2)
+    assert(s2.filePartitions.values.flatMap(_.get("day")).toSet ===
+      Set("d2", "d3"), "overwrite flattened the declared layout")
+    val badOv = intercept[IllegalArgumentException] {
+      TxnLog.replace(spark, t2, Seq((4L, "d4")).toDF("k", "day"),
+        Seq("k"))
+    }
+    assert(badOv.getMessage.contains("declared PARTITIONED BY"))
+    // (3) CREATE-tail scoping: a TBLPROPERTIES key ending in "path"
+    // or a value containing "PARTITIONED BY (...)" cannot hijack the
+    // location or the layout — only OPTIONS(path)/LOCATION and the
+    // structural clause count
+    val root3 = java.nio.file.Files
+      .createTempDirectory("graft-scope-").resolve("t")
+    spark.sql("DROP TABLE IF EXISTS scope_cat")
+    spark.sql(s"CREATE TABLE scope_cat (k BIGINT, day STRING) " +
+      "USING txnlog PARTITIONED BY (day) " +
+      s"OPTIONS (path '${root3.toString}') " +
+      "TBLPROPERTIES ('data.path' = '/mnt/graft-nope', " +
+      "'comment' = 'not PARTITIONED BY (zzz) either')")
+    try {
+      val t3 = TxnLog.Table(root3)
+      assert(TxnLog.latestVersion(t3) === 0L)
+      assert(TxnLog.declaredPartCols(t3) === Seq("day"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get("/mnt/graft-nope")))
+    } finally spark.sql("DROP TABLE IF EXISTS scope_cat")
+    // (4) a FAILED native CREATE leaves no minted log behind: the
+    // catalog pre-check routes an existing name to Spark's own error
+    // before any registration
+    spark.sql("DROP TABLE IF EXISTS crex_pq")
+    spark.sql("CREATE TABLE crex_pq (k BIGINT) USING parquet")
+    try {
+      val dup = intercept[Exception] {
+        spark.sql("CREATE TABLE crex_pq (k BIGINT) USING txnlog")
+      }
+      assert(dup.getMessage.toLowerCase.contains("exists"),
+        dup.getMessage)
+      val defLoc = spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("crex_pq"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(defLoc.getPath).resolve("_txnlog")),
+        "failed CREATE minted a v0 log inside the existing table")
+    } finally spark.sql("DROP TABLE IF EXISTS crex_pq")
+    // (5) startingTimestamp persists its resolution under the
+    // stream's metadata path — a restart BEFORE the first offset
+    // commit must not re-resolve past commits that landed during
+    // the outage
+    val st = freshTable()
+    TxnLog.append(spark, st, Seq(1L).toDF("id").coalesce(1))
+    val meta = java.nio.file.Files
+      .createTempDirectory("graft-stm-").toString
+    val provider = new graft.sources.TxnLogStreamProvider()
+    val futureTs = (System.currentTimeMillis() + 3600000L).toString
+    val params = Map("path" -> st.root.toString,
+      "startingTimestamp" -> futureTs)
+    provider.createSource(spark.sqlContext, meta, None, "txnlog", params)
+    val marker = java.nio.file.Paths.get(meta)
+      .resolve("graft-starting-version")
+    assert(java.nio.file.Files.exists(marker),
+      "startingTimestamp resolution was not persisted")
+    val resolved = java.nio.file.Files.readString(marker).trim
+    TxnLog.append(spark, st, Seq(2L).toDF("id").coalesce(1))
+    TxnLog.append(spark, st, Seq(3L).toDF("id").coalesce(1))
+    provider.createSource(spark.sqlContext, meta, None, "txnlog", params)
+    assert(java.nio.file.Files.readString(marker).trim === resolved,
+      "restart re-resolved startingTimestamp past mid-outage commits")
+  }
+
   private def dataFiles(t: TxnLog.Table): Set[String] = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(t.root.resolve("data"))
