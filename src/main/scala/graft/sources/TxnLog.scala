@@ -384,6 +384,24 @@ object TxnLog {
     rs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
       .mkString(",")
 
+  /** Interval subtraction `a − b` over inclusive ranges — the dv
+    * delta a restore reconstitutes row events from (newly dead =
+    * target − current; resurrected = current − target). */
+  private[sources] def subtractRanges(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val bs = mergeRanges(b)
+    mergeRanges(a).flatMap { case (lo, hi) =>
+      var cur = lo
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for ((blo, bhi) <- bs if bhi >= cur && blo <= hi) {
+        if (blo > cur) out += ((cur, math.min(hi, blo - 1)))
+        cur = math.max(cur, bhi + 1)
+      }
+      if (cur <= hi) out += ((cur, hi))
+      out
+    }
+  }
+
   /** Sort + coalesce overlapping/adjacent ranges — the writer-side
     * merge of an existing DV with freshly dead rows. */
   private[sources] def mergeRanges(
@@ -3366,11 +3384,12 @@ object TxnLog {
     // not ALSO reference them as cdc inserts — that would deliver
     // every restored row twice; a remove-bearing restore needs the
     // explicit refs (adds of rewrite commits are not auto-counted).
-    // A DV-RECONCILING restore omits the file-level refs entirely:
-    // they cannot express the row delta a vector change implies, so
-    // the commit stays cdc-unexplained — changes() falls back to the
-    // exact snapshot diff and streams refuse loudly instead of
-    // replaying a wrong feed.
+    // A MIXED dv-reconciling restore (removes/readds AND vector
+    // deltas) omits the file-level refs entirely: they cannot
+    // express the row delta a vector change implies, so the commit
+    // stays cdc-unexplained — changes() falls back to the exact
+    // snapshot diff and streams refuse loudly instead of replaying a
+    // wrong feed.
     val cdc =
       if (removes.isEmpty || dvDelta.nonEmpty) Nil
       else removes.map(r => s"cdc\t$r\tdelete") ++
@@ -3379,20 +3398,74 @@ object TxnLog {
       .map(js => s"schema\t$js").toSeq
     val proto =
       if (dvDelta.exists(!_.endsWith("\t-"))) Seq(ProtocolV2Line) else Nil
-    val extra =
-      proto ++ schemaLine ++ conDrops ++ addLines ++ dvDelta ++ cdc
-    // a dv-reconciling restore with NO removes is still a row-state
-    // rewrite: it must claim exactly the next slot like every other
-    // dv commit — blind-walking past a concurrent deletion-vector
-    // commit would wipe its delete with stale state
-    if (removes.isEmpty && dvDelta.nonEmpty) {
-      if (tryPublish(t, cur.version + 1, extra)) return cur.version + 1
-      throw new java.util.ConcurrentModificationException(
-        s"restore with deletion-vector reconciliation based on stale " +
-          s"snapshot v${cur.version}: version ${cur.version + 1} was " +
-          "taken concurrently; retry the restore")
-    }
-    commit(t, cur.version, adds = Nil, removes = removes, extra = extra)
+    val delStage = newStage(t, t.cdcDir)
+    val insStage = newStage(t, t.cdcDir)
+    try {
+      // a PURE dv-delta restore under the VALIDATING overload (the
+      // one SQL RESTORE uses) gets an EXACT change feed: the rows a
+      // vector change newly killed become `cdc delete` change files,
+      // resurrected rows `cdc insert` — interval subtraction per
+      // file, one dv-free positional scan of exactly the delta files,
+      // so changes()/CDF streams resolve the restore from the log
+      // like any rewrite. Metadata-only restores keep the loud
+      // unexplained path (no session to stage rows with).
+      val dvCdc: Seq[String] =
+        if (dvDelta.isEmpty || removes.nonEmpty || readds.nonEmpty ||
+            validate.isEmpty) Nil
+        else {
+          import org.apache.spark.sql.functions.{col, lit}
+          val s = validate.get
+          val deltas = tgt.liveFiles.flatMap { rel =>
+            val want = tgt.dvs.get(rel).map(decodeRanges).getOrElse(Nil)
+            val have = cur.dvs.get(rel).map(decodeRanges).getOrElse(Nil)
+            val dead = subtractRanges(want, have)
+            val res = subtractRanges(have, want)
+            if (dead.isEmpty && res.isEmpty) None
+            else Some((rel, dead, res))
+          }
+          if (deltas.isEmpty) Nil
+          else {
+            val noDv = tgt.copy(dvs = Map.empty)
+            val df = readRels(s, t, noDv, deltas.map(_._1),
+              withPos = true)
+            val schema = tgt.schemaJson.map(parseSchema)
+            def condOf(ranges: Seq[(String, Seq[(Long, Long)])])
+                : Option[Column] = {
+              val cs = ranges.collect {
+                case (rel, rs) if rs.nonEmpty =>
+                  col("_g_fp") === lit(encodedAbs(t, rel)) &&
+                    rs.map { case (lo, hi) =>
+                      col("_g_ri").between(lo, hi) }.reduce(_ || _)
+              }
+              cs.reduceOption(_ || _)
+            }
+            def stage(cond: Option[Column], dir: Path,
+                kind: String): Seq[String] = cond.toSeq.flatMap { c =>
+              toPhysical(df.filter(c).drop(PosCols: _*), schema)
+                .write.parquet(dir.toString)
+              stagedFiles(t, dir).map(r => s"cdc\t$r\t$kind")
+            }
+            stage(condOf(deltas.map(d => d._1 -> d._2)), delStage,
+              "delete") ++
+              stage(condOf(deltas.map(d => d._1 -> d._3)), insStage,
+                "insert")
+          }
+        }
+      val extra = proto ++ schemaLine ++ conDrops ++ addLines ++
+        dvDelta ++ dvCdc ++ cdc
+      // a dv-reconciling restore with NO removes is still a row-state
+      // rewrite: it must claim exactly the next slot like every other
+      // dv commit — blind-walking past a concurrent deletion-vector
+      // commit would wipe its delete with stale state
+      if (removes.isEmpty && dvDelta.nonEmpty) {
+        if (tryPublish(t, cur.version + 1, extra)) return cur.version + 1
+        throw new java.util.ConcurrentModificationException(
+          s"restore with deletion-vector reconciliation based on stale " +
+            s"snapshot v${cur.version}: version ${cur.version + 1} was " +
+            "taken concurrently; retry the restore")
+      }
+      commit(t, cur.version, adds = Nil, removes = removes, extra = extra)
+    } finally seal(t, delStage, insStage)
   }
 
   /** The APPEND feed for the streaming source: the files whose rows

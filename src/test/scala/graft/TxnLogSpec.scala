@@ -3015,6 +3015,52 @@ class TxnLogSpec extends AnyFunSuite {
       "restart re-resolved startingTimestamp past mid-outage commits")
   }
 
+  test("txnlog: a VALIDATED dv-reconciling restore emits an exact change feed") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      (0L until 10L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
+    val v1 = TxnLog.latestVersion(t)
+    TxnLog.deleteDv(spark, t, col("k").isin(3L, 4L))
+    val v2 = TxnLog.latestVersion(t)
+    val schemaJson = TxnLog.registeredSchema(t).get.json
+    // restore BELOW the DV with the validating overload (the path
+    // SQL RESTORE takes): the resurrected rows arrive as exact
+    // insert events — the CDF STREAM can resolve the commit from the
+    // log instead of refusing it as unexplained
+    TxnLog.restore(spark, t, v1)
+    val v3 = TxnLog.latestVersion(t)
+    assert(TxnLog.read(spark, t).count() === 10L)
+    val (ins, del) = TxnLog.readChangeFeedBatch(spark, t, v2, v3,
+      schemaJson)
+    assert(ins.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L), "resurrected rows missing from the feed")
+    assert(del.count() === 0L)
+    // restore FORWARD onto the DV: the newly-dead rows are exact
+    // delete events
+    TxnLog.restore(spark, t, v2)
+    val v4 = TxnLog.latestVersion(t)
+    assert(TxnLog.read(spark, t).count() === 8L)
+    val (ins2, del2) = TxnLog.readChangeFeedBatch(spark, t, v3, v4,
+      schemaJson)
+    assert(del2.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L))
+    assert(ins2.count() === 0L)
+    // changes() resolves the whole range from the log too: applying
+    // inserts then deletes converges to the v4 snapshot
+    val (ci, cd) = TxnLog.changes(spark, t, v2, v4)
+    assert(ci.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    assert(cd.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    // the METADATA-ONLY overload keeps the loud unexplained contract
+    // (no session to stage row events with): a CDF stream refuses
+    TxnLog.restore(t, v1)
+    val v5 = TxnLog.latestVersion(t)
+    val loud = intercept[IllegalStateException] {
+      TxnLog.readChangeFeedBatch(spark, t, v4, v5, schemaJson)
+    }
+    assert(loud.getMessage.contains("cdc info"), loud.getMessage)
+  }
+
   private def dataFiles(t: TxnLog.Table): Set[String] = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(t.root.resolve("data"))
