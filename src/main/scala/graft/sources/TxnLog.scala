@@ -1138,49 +1138,57 @@ object TxnLog {
     new org.apache.hadoop.fs.Path(
       t.root.resolve(rel).normalize.toString).toUri.toString
 
-  /** DELETION-VECTOR-aware scan wrapper: rows of `rels` files listed
-    * dead in `dvs` are dropped via ONE broadcast interval anti-join
-    * on (file path, row index) — `_metadata.row_index` is Spark's
-    * own per-file row position, so no data column is touched and the
-    * check is codegen-friendly. Zero overhead when none of the files
-    * carries a DV (the common case returns `df` untouched).
+  /** DELETION-VECTOR-aware scan wrapper: rows of files listed dead
+    * in `dvs` are dropped via ONE broadcast interval anti-join on
+    * (file path, row index) — `_metadata.row_index` is Spark's own
+    * per-file row position, so no data column is touched and the
+    * check is codegen-friendly. The scan SPLITS: only the
+    * DV-carrying files flow through the per-row path normalization
+    * and anti-join probe; vector-free files scan plain and union in
+    * — at 100 TB one trickle-deleted file must not tax every row of
+    * the table. Zero overhead (single plain scan) when no file
+    * carries a DV. `build` constructs the scan for a file subset;
     * `withPos` keeps the (path, index) helper columns in the output
     * for DV writers. */
-  private def dvAware(s: SparkSession, t: Table, df: DataFrame,
+  private def dvAware(s: SparkSession, t: Table,
+      build: Seq[String] => DataFrame,
       rels: Seq[String], dvs: Map[String, String],
       withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
-    val dvd = rels.filter(dvs.contains)
-    if (dvd.isEmpty && !withPos) return df
-    // file_path arrives URI-form (file:/... or file:///...):
-    // normalize to the plain absolute path the manifest resolves to
-    val pos = df
+    def pos(df: DataFrame): DataFrame = df
+      // file_path arrives URI-form (file:/... or file:///...):
+      // normalize to the plain absolute path the manifest resolves to
       .withColumn("_g_fp",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
       .withColumn("_g_ri", col("_metadata.row_index"))
-    val cleaned =
-      if (dvd.isEmpty) pos
-      else {
-        val rows = dvd.flatMap { rel =>
-          val abs = encodedAbs(t, rel)
-          decodeRanges(dvs(rel)).map { case (lo, hi) =>
-            org.apache.spark.sql.Row(abs, lo, hi) }
-        }
-        val dead = s.createDataFrame(rows.asJava,
-          StructType(Seq(
-            org.apache.spark.sql.types.StructField("_g_dfp",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("_g_dlo",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("_g_dhi",
-              org.apache.spark.sql.types.LongType))))
-        pos.join(broadcast(dead),
-          pos("_g_fp") === dead("_g_dfp") &&
-            pos("_g_ri") >= dead("_g_dlo") &&
-            pos("_g_ri") <= dead("_g_dhi"),
-          "left_anti")
-      }
-    if (withPos) cleaned else cleaned.drop(PosCols: _*)
+    val dvd = rels.filter(dvs.contains)
+    if (dvd.isEmpty)
+      return if (withPos) pos(build(rels)) else build(rels)
+    val rows = dvd.flatMap { rel =>
+      val abs = encodedAbs(t, rel)
+      decodeRanges(dvs(rel)).map { case (lo, hi) =>
+        org.apache.spark.sql.Row(abs, lo, hi) }
+    }
+    val dead = s.createDataFrame(rows.asJava,
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("_g_dfp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_g_dlo",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_g_dhi",
+          org.apache.spark.sql.types.LongType))))
+    val posDirty = pos(build(dvd))
+    val dirty = posDirty.join(broadcast(dead),
+      posDirty("_g_fp") === dead("_g_dfp") &&
+        posDirty("_g_ri") >= dead("_g_dlo") &&
+        posDirty("_g_ri") <= dead("_g_dhi"),
+      "left_anti")
+    val clean = rels.filterNot(dvs.contains)
+    if (clean.isEmpty) {
+      if (withPos) dirty else dirty.drop(PosCols: _*)
+    } else if (withPos)
+      pos(build(clean)).unionByName(dirty)
+    else build(clean).unionByName(dirty.drop(PosCols: _*))
   }
 
   private def readGrouped(s: SparkSession, t: Table, rels: Seq[String],
@@ -1204,8 +1212,8 @@ object TxnLog {
       // partition columns never map (rename/drop refuse on them);
       // data columns scan PHYSICAL and alias back to logical
       val scan = dvAware(s, t,
-        s.read.schema(physicalSchema(StructType(dataFields)))
-          .parquet(files.map(r => t.root.resolve(r).toString): _*),
+        fs => s.read.schema(physicalSchema(StructType(dataFields)))
+          .parquet(fs.map(r => t.root.resolve(r).toString): _*),
         files, dvs, withPos)
       val base = scan.select(dataFields.toIndexedSeq.map(f =>
         col(physicalName(f)).as(f.name)) ++ helper: _*)
@@ -1280,16 +1288,19 @@ object TxnLog {
                         dvs: Map[String, String] = Map.empty,
                         withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val paths = rels.map(rel => t.root.resolve(rel).toString)
+    def abs(rs: Seq[String]): Seq[String] =
+      rs.map(rel => t.root.resolve(rel).toString)
     schemaJson match {
       case Some(js) =>
         val schema = parseSchema(js)
         if (!hasMapping(schema))
-          dvAware(s, t, s.read.schema(schema).parquet(paths: _*),
+          dvAware(s, t,
+            fs => s.read.schema(schema).parquet(abs(fs): _*),
             rels, dvs, withPos)
         else { // mapped: scan PHYSICAL names, alias back to logical
           val raw = dvAware(s, t,
-            s.read.schema(physicalSchema(schema)).parquet(paths: _*),
+            fs => s.read.schema(physicalSchema(schema))
+              .parquet(abs(fs): _*),
             rels, dvs, withPos)
           raw.select(schema.fields.toIndexedSeq.map(f =>
             col(physicalName(f)).as(f.name)) ++
@@ -1297,7 +1308,8 @@ object TxnLog {
         }
       case None =>
         dvAware(s, t,
-          s.read.option("mergeSchema", mergeSchema).parquet(paths: _*),
+          fs => s.read.option("mergeSchema", mergeSchema)
+            .parquet(abs(fs): _*),
           rels, dvs, withPos)
     }
   }
@@ -1448,8 +1460,9 @@ object TxnLog {
               val dataFields = sc.fields
                 .filterNot(f => spec.contains(f.name)).toIndexedSeq
               toLogical(dvAware(s, t,
-                s.read.schema(physicalSchema(StructType(dataFields)))
-                  .parquet(files.map(r => t.root.resolve(r).toString): _*),
+                fs => s.read
+                  .schema(physicalSchema(StructType(dataFields)))
+                  .parquet(fs.map(r => t.root.resolve(r).toString): _*),
                 files, snap.dvs, withPos = false),
                 dataFields)
             }
