@@ -3061,6 +3061,47 @@ class TxnLogSpec extends AnyFunSuite {
     assert(loud.getMessage.contains("cdc info"), loud.getMessage)
   }
 
+  test("txnlog: a CDF stream delivers deletion-vector DML as typed events and converges") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      (0L until 6L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1))
+    val ckpt = Files.createTempDirectory("graft-dvcdf-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    val q = spark.readStream.format("txnlog")
+      .option("path", t.root.toString)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          got.add((r.getLong(0), r.getLong(1), r.getString(2)))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      got.clear() // past the initial insert wave
+      // a merge-on-read DELETE arrives as typed delete events — no
+      // file was rewritten, the change files carry the rows
+      TxnLog.deleteDv(spark, t, col("k") === 2L)
+      // a merge-on-read UPDATE arrives as the (delete old, insert
+      // new) pair — the new image is an appended data file the
+      // commit references, never double-counted
+      TxnLog.updateDv(spark, t, Map("v" -> (col("v") + 1L)),
+        col("k") === 3L)
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted === Seq(
+        (2L, 20L, "delete"), (3L, 30L, "delete"), (3L, 31L, "insert")),
+        got.asScala.toSeq.sorted.toString)
+      // compaction MATERIALIZES the vectors invisibly (cdc none)
+      got.clear()
+      TxnLog.compact(spark, t)
+      q.processAllAvailable()
+      assert(got.isEmpty, s"compaction leaked into the CDF: $got")
+      assert(TxnLog.snapshot(t).dvs.isEmpty)
+    } finally q.stop()
+  }
+
   private def dataFiles(t: TxnLog.Table): Set[String] = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(t.root.resolve("data"))
