@@ -3308,6 +3308,21 @@ object TxnLog {
         case None      => s"dv\t$rel\t-"
       })
     }
+    // per-file row-range deltas of files live on BOTH sides — newly
+    // dead (in the target vector, not the current) and RESURRECTED
+    // (dead now, alive at the target) — computed once for the
+    // resurrection constraint guard and the exact change feed
+    val dvDeltaDetail: Seq[(String, Seq[(Long, Long)], Seq[(Long, Long)])] =
+      if (dvDelta.isEmpty) Nil
+      else tgt.liveFiles.filterNot(readdSet.contains).flatMap { rel =>
+        val want = tgt.dvs.get(rel).map(decodeRanges).getOrElse(Nil)
+        val have = cur.dvs.get(rel).map(decodeRanges).getOrElse(Nil)
+        val dead = subtractRanges(want, have)
+        val res = subtractRanges(have, want)
+        if (dead.isEmpty && res.isEmpty) None
+        else Some((rel, dead, res))
+      }
+    val resurrections = dvDeltaDetail.filter(_._3.nonEmpty)
     // identical live sets, schema AND dv state = true no-op; a
     // schema-only difference (restoring below a rename/drop/add)
     // still commits, restoring the shape and reconciling constraints
@@ -3355,32 +3370,53 @@ object TxnLog {
       (cur.checks.keySet -- keptChecks.keySet).toSeq.sorted
         .map(n => s"dropconstraint\tcheck\t$n")
     val kept = Constraints(keptNotNull, keptChecks)
-    if (readds.nonEmpty && !kept.isEmpty) validate match {
+    // rows the restore brings BACK — re-added files AND rows a
+    // vector delta resurrects — may violate constraints declared
+    // after v (the declaration validated only ITS snapshot's rows):
+    // a rollback must not smuggle them past the write-time gate
+    if ((readds.nonEmpty || resurrections.nonEmpty) && !kept.isEmpty)
+      validate match {
       case None => throw new IllegalStateException(
         s"cannot restore ${t.root} to v$v metadata-only: the table " +
-          "declares constraints and the restore re-adds data files " +
-          "whose rows were never validated against them — use " +
+          "declares constraints and the restore brings back rows " +
+          "(re-added files or deletion-vector resurrections) that " +
+          "were never validated against them — use " +
           "restore(spark, t, v) (SQL RESTORE does), or drop the " +
           "constraints first")
       case Some(s) =>
-        // validate the re-added files under the RESTORED schema (its
-        // mapping is the one the files were written beneath)
+        // validate the restored rows under the RESTORED schema (its
+        // mapping is the one the files were written beneath): the
+        // re-added files whole, the resurrected rows by position
         import org.apache.spark.sql.functions.{coalesce, col, expr,
           lit, not}
-        val df = readRels(s, t, tgt, readds)
-        kept.notNull.foreach { cn =>
-          val n = df.filter(col(cn).isNull).count()
-          require(n == 0L,
-            s"cannot restore to v$v: $n re-added row(s) violate " +
-              s"NOT NULL $cn (declared after v$v) — drop the " +
-              "constraint or restore to a cleaner version")
+        def validateRows(df: DataFrame, what: String): Unit = {
+          kept.notNull.foreach { cn =>
+            val n = df.filter(col(cn).isNull).count()
+            require(n == 0L,
+              s"cannot restore to v$v: $n $what row(s) violate " +
+                s"NOT NULL $cn (declared after v$v) — drop the " +
+                "constraint or restore to a cleaner version")
+          }
+          kept.checks.foreach { case (name, sql) =>
+            val n = df.filter(not(coalesce(expr(sql), lit(true)))).count()
+            require(n == 0L,
+              s"cannot restore to v$v: $n $what row(s) violate " +
+                s"CHECK $name ($sql) — drop the constraint or restore " +
+                "to a cleaner version")
+          }
         }
-        kept.checks.foreach { case (name, sql) =>
-          val n = df.filter(not(coalesce(expr(sql), lit(true)))).count()
-          require(n == 0L,
-            s"cannot restore to v$v: $n re-added row(s) violate " +
-              s"CHECK $name ($sql) — drop the constraint or restore " +
-              "to a cleaner version")
+        if (readds.nonEmpty)
+          validateRows(readRels(s, t, tgt, readds), "re-added")
+        if (resurrections.nonEmpty) {
+          val noDv = tgt.copy(dvs = Map.empty)
+          val dfp = readRels(s, t, noDv, resurrections.map(_._1),
+            withPos = true)
+          val cond = resurrections.map { case (rel, _, rs) =>
+            col("_g_fp") === lit(encodedAbs(t, rel)) &&
+              rs.map { case (lo, hi) => col("_g_ri").between(lo, hi) }
+                .reduce(_ || _)
+          }.reduce(_ || _)
+          validateRows(dfp.filter(cond).drop(PosCols: _*), "resurrected")
         }
     }
     val addLines = readds.map { rel =>
@@ -3428,14 +3464,7 @@ object TxnLog {
         else {
           import org.apache.spark.sql.functions.{col, lit}
           val s = validate.get
-          val deltas = tgt.liveFiles.flatMap { rel =>
-            val want = tgt.dvs.get(rel).map(decodeRanges).getOrElse(Nil)
-            val have = cur.dvs.get(rel).map(decodeRanges).getOrElse(Nil)
-            val dead = subtractRanges(want, have)
-            val res = subtractRanges(have, want)
-            if (dead.isEmpty && res.isEmpty) None
-            else Some((rel, dead, res))
-          }
+          val deltas = dvDeltaDetail
           if (deltas.isEmpty) Nil
           else {
             val noDv = tgt.copy(dvs = Map.empty)

@@ -3059,6 +3059,27 @@ class TxnLogSpec extends AnyFunSuite {
       TxnLog.readChangeFeedBatch(spark, t, v4, v5, schemaJson)
     }
     assert(loud.getMessage.contains("cdc info"), loud.getMessage)
+    // a dv-RESURRECTION is a row re-add for constraint purposes: a
+    // rollback must not smuggle rows a since-declared CHECK forbids
+    // past the write-time gate — metadata-only refuses (needs a
+    // scan), the validating overload refuses on the violation itself
+    val tc = freshTable()
+    TxnLog.append(spark, tc,
+      Seq((1L, -5L), (2L, 7L)).toDF("k", "v").coalesce(1))
+    val vBad = TxnLog.latestVersion(tc)
+    TxnLog.deleteDv(spark, tc, col("v") < 0L)
+    TxnLog.addCheck(spark, tc, "v_pos", "v >= 0") // live rows clean
+    val mo = intercept[IllegalStateException] {
+      TxnLog.restore(tc, vBad)
+    }
+    assert(mo.getMessage.contains("metadata-only"), mo.getMessage)
+    val va = intercept[IllegalArgumentException] {
+      TxnLog.restore(spark, tc, vBad)
+    }
+    assert(va.getMessage.contains("v_pos") &&
+      va.getMessage.contains("resurrected"), va.getMessage)
+    assert(TxnLog.read(spark, tc).count() === 1L,
+      "refused dv restore mutated the table")
   }
 
   test("txnlog: a CDF stream delivers deletion-vector DML as typed events and converges") {
