@@ -1184,11 +1184,16 @@ object TxnLog {
         posDirty("_g_ri") <= dead("_g_dhi"),
       "left_anti")
     val clean = rels.filterNot(dvs.contains)
+    // allowMissingColumns: under a schema-LESS (mergeSchema) read the
+    // two subsets may infer different footers — null-fill like the
+    // single-scan mergeSchema union would; pinned-schema branches
+    // produce identical columns and this is a no-op
     if (clean.isEmpty) {
       if (withPos) dirty else dirty.drop(PosCols: _*)
     } else if (withPos)
-      pos(build(clean)).unionByName(dirty)
-    else build(clean).unionByName(dirty.drop(PosCols: _*))
+      pos(build(clean)).unionByName(dirty, allowMissingColumns = true)
+    else build(clean).unionByName(dirty.drop(PosCols: _*),
+      allowMissingColumns = true)
   }
 
   private def readGrouped(s: SparkSession, t: Table, rels: Seq[String],
@@ -2626,11 +2631,14 @@ object TxnLog {
       val op =
         if (a.hasRemoves && a.cdcNone) "OPTIMIZE"
         // a deletion-vector commit is row-level DML without file
-        // removal: UPDATE when it stamps new images, DELETE when its
-        // cdc files carry the deleted rows — a dv line with NO cdc at
-        // all is a dv-reconciling RESTORE (it may resurrect rows;
-        // labeling it DELETE would invert the audit)
-        else if (a.hasDv && inss > 0) "UPDATE"
+        // removal: UPDATE when it stamps new images (adds + cdc
+        // inserts), a cdc-insert-only dv commit with NO adds is a
+        // dv-reconciling RESTORE's resurrection wave (labeling it
+        // UPDATE/DELETE would invert the audit), DELETE when the cdc
+        // files carry deleted rows, and a dv line with no cdc at all
+        // is a metadata-only RESTORE
+        else if (a.hasDv && inss > 0 && a.adds.nonEmpty) "UPDATE"
+        else if (a.hasDv && inss > 0) "RESTORE"
         else if (a.hasDv && delRels.nonEmpty) "DELETE"
         else if (a.hasDv) "RESTORE"
         // a REPLACE's delete side IS its remove set (old data files
@@ -2707,8 +2715,11 @@ object TxnLog {
     * the table's physical layout. No-op when any version exists; a
     * racing first WRITE losing slot 0 is equally fine — either way
     * the schema lands merged. */
+  /** Returns true iff THIS call published version 0 — a caller that
+    * rolls back its own registration (a failed CREATE) must never
+    * mistake a concurrent writer's v0 for its own. */
   def registerSchema(t: Table, schema: StructType,
-                     partCols: Seq[String] = Nil): Unit = {
+                     partCols: Seq[String] = Nil): Boolean = {
     def lostDeclaration(): Unit =
       // a declared layout can only bind at version 0 (declaredPartCols
       // is a v0/checkpoint header read): dropping it SILENTLY would
@@ -2729,9 +2740,10 @@ object TxnLog {
       val pLine =
         if (partCols.isEmpty) Nil
         else Seq("partcols\t" + partCols.map(escapePart).mkString(","))
-      if (!tryPublish(t, 0L, s"schema\t${schema.json}" +: pLine))
-        lostDeclaration()
-    } else lostDeclaration()
+      val won = tryPublish(t, 0L, s"schema\t${schema.json}" +: pLine)
+      if (!won) lostDeclaration()
+      won
+    } else { lostDeclaration(); false }
   }
 
   /** Table properties registered in the log — last-write-wins
@@ -3373,8 +3385,15 @@ object TxnLog {
     // rows the restore brings BACK — re-added files AND rows a
     // vector delta resurrects — may violate constraints declared
     // after v (the declaration validated only ITS snapshot's rows):
-    // a rollback must not smuggle them past the write-time gate
-    if ((readds.nonEmpty || resurrections.nonEmpty) && !kept.isEmpty)
+    // a rollback must not smuggle them past the write-time gate.
+    // Constraints already present AT v prove nothing new: the
+    // restored rows were live under them, so only the NET-NEW set
+    // gates — a constrained table keeps its metadata-only rollback
+    // as long as no constraint arrived since the target version.
+    val newSince = Constraints(
+      keptNotNull.diff(tgt.notNull),
+      keptChecks.filterNot { case (n, e) => tgt.checks.get(n).contains(e) })
+    if ((readds.nonEmpty || resurrections.nonEmpty) && !newSince.isEmpty)
       validate match {
       case None => throw new IllegalStateException(
         s"cannot restore ${t.root} to v$v metadata-only: the table " +
@@ -3390,14 +3409,14 @@ object TxnLog {
         import org.apache.spark.sql.functions.{coalesce, col, expr,
           lit, not}
         def validateRows(df: DataFrame, what: String): Unit = {
-          kept.notNull.foreach { cn =>
+          newSince.notNull.foreach { cn =>
             val n = df.filter(col(cn).isNull).count()
             require(n == 0L,
               s"cannot restore to v$v: $n $what row(s) violate " +
                 s"NOT NULL $cn (declared after v$v) — drop the " +
                 "constraint or restore to a cleaner version")
           }
-          kept.checks.foreach { case (name, sql) =>
+          newSince.checks.foreach { case (name, sql) =>
             val n = df.filter(not(coalesce(expr(sql), lit(true)))).count()
             require(n == 0L,
               s"cannot restore to v$v: $n $what row(s) violate " +
@@ -3411,12 +3430,9 @@ object TxnLog {
           val noDv = tgt.copy(dvs = Map.empty)
           val dfp = readRels(s, t, noDv, resurrections.map(_._1),
             withPos = true)
-          val cond = resurrections.map { case (rel, _, rs) =>
-            col("_g_fp") === lit(encodedAbs(t, rel)) &&
-              rs.map { case (lo, hi) => col("_g_ri").between(lo, hi) }
-                .reduce(_ || _)
-          }.reduce(_ || _)
-          validateRows(dfp.filter(cond).drop(PosCols: _*), "resurrected")
+          dvRangeCond(t, resurrections.map(r => r._1 -> r._3))
+            .foreach(c => validateRows(
+              dfp.filter(c).drop(PosCols: _*), "resurrected"))
         }
     }
     val addLines = readds.map { rel =>
@@ -3447,8 +3463,12 @@ object TxnLog {
       .map(js => s"schema\t$js").toSeq
     val proto =
       if (dvDelta.exists(!_.endsWith("\t-"))) Seq(ProtocolV2Line) else Nil
-    val delStage = newStage(t, t.cdcDir)
-    val insStage = newStage(t, t.cdcDir)
+    // cdc stages reserve LAZILY: a metadata-only restore must stay a
+    // pure metadata operation — no marker writes, no cdc/ directory
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def cdcStage(): Path = {
+      val st = newStage(t, t.cdcDir); stages += st; st
+    }
     try {
       // a PURE dv-delta restore under the VALIDATING overload (the
       // one SQL RESTORE uses) gets an EXACT change feed: the rows a
@@ -3471,25 +3491,16 @@ object TxnLog {
             val df = readRels(s, t, noDv, deltas.map(_._1),
               withPos = true)
             val schema = tgt.schemaJson.map(parseSchema)
-            def condOf(ranges: Seq[(String, Seq[(Long, Long)])])
-                : Option[Column] = {
-              val cs = ranges.collect {
-                case (rel, rs) if rs.nonEmpty =>
-                  col("_g_fp") === lit(encodedAbs(t, rel)) &&
-                    rs.map { case (lo, hi) =>
-                      col("_g_ri").between(lo, hi) }.reduce(_ || _)
-              }
-              cs.reduceOption(_ || _)
-            }
-            def stage(cond: Option[Column], dir: Path,
+            def stage(cond: Option[Column],
                 kind: String): Seq[String] = cond.toSeq.flatMap { c =>
+              val dir = cdcStage()
               toPhysical(df.filter(c).drop(PosCols: _*), schema)
                 .write.parquet(dir.toString)
               stagedFiles(t, dir).map(r => s"cdc\t$r\t$kind")
             }
-            stage(condOf(deltas.map(d => d._1 -> d._2)), delStage,
+            stage(dvRangeCond(t, deltas.map(d => d._1 -> d._2)),
               "delete") ++
-              stage(condOf(deltas.map(d => d._1 -> d._3)), insStage,
+              stage(dvRangeCond(t, deltas.map(d => d._1 -> d._3)),
                 "insert")
           }
         }
@@ -3507,7 +3518,21 @@ object TxnLog {
             "taken concurrently; retry the restore")
       }
       commit(t, cur.version, adds = Nil, removes = removes, extra = extra)
-    } finally seal(t, delStage, insStage)
+    } finally seal(t, stages.toSeq: _*)
+  }
+
+  /** Positional selector for per-file row ranges — the (path, index)
+    * disjunction the dv-restore feed and its constraint validation
+    * share. None when nothing is selected. */
+  private def dvRangeCond(t: Table,
+      ranges: Seq[(String, Seq[(Long, Long)])]): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    ranges.collect {
+      case (rel, rs) if rs.nonEmpty =>
+        col("_g_fp") === lit(encodedAbs(t, rel)) &&
+          rs.map { case (lo, hi) =>
+            col("_g_ri").between(lo, hi) }.reduce(_ || _)
+    }.reduceOption(_ || _)
   }
 
   /** The APPEND feed for the streaming source: the files whose rows

@@ -399,8 +399,12 @@ object GraftSqlParser {
               if (close < 0) None
               else Some(tail.substring(open, close))
             }
+          // outside-literals INSIDE the span too: a quoted OPTION
+          // value containing "path'...'" (doubled-quote escapes) must
+          // not hijack the location
           val path = optSpan
-            .flatMap(sp => OptPathRe.findFirstMatchIn(sp).map(_.group(1)))
+            .flatMap(sp => findOutsideLiterals(OptPathRe, sp)
+              .map(_.group(1)))
             .orElse(findOutsideLiterals(LocationRe, tail)
               .map(_.group(1)))
           Some(TxnLogCreateTableCommand(tbl, ine != null,
@@ -1054,7 +1058,9 @@ final case class TxnLogCreateTableCommand(table: String,
             s"${TxnLog.latestVersion(t)}); CREATE TABLE cannot " +
             "redefine it — use CREATE TABLE IF NOT EXISTS to no-op, " +
             "or REPLACE/DROP it first")
-      else { TxnLog.registerSchema(t, schema, partCols); minted = true }
+      else minted = TxnLog.registerSchema(t, schema, partCols)
+      // minted only when THIS call won version 0: a concurrent
+      // writer's v0 must never be rolled back as ours
     }
     if (isPath) Seq.empty // path-addressed: the registration IS the create
     else try GraftSqlParser.runNative(spark, native)

@@ -3036,6 +3036,10 @@ class TxnLogSpec extends AnyFunSuite {
     assert(ins.collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(3L, 4L), "resurrected rows missing from the feed")
     assert(del.count() === 0L)
+    // the audit labels the resurrection wave RESTORE (cdc inserts
+    // with no adds — an UPDATE would carry new-image add lines)
+    assert(TxnLog.history(t).find(_._1 == v3).map(_._2) ===
+      Some("RESTORE"), TxnLog.history(t).toString)
     // restore FORWARD onto the DV: the newly-dead rows are exact
     // delete events
     TxnLog.restore(spark, t, v2)
@@ -3080,6 +3084,16 @@ class TxnLogSpec extends AnyFunSuite {
       va.getMessage.contains("resurrected"), va.getMessage)
     assert(TxnLog.read(spark, tc).count() === 1L,
       "refused dv restore mutated the table")
+    // constraints already present AT the target version gate nothing
+    // — the restored rows were live under them, so a constrained
+    // table keeps its metadata-only dv rollback
+    val tp = freshTable()
+    TxnLog.append(spark, tp, Seq((1L, 5L)).toDF("k", "v").coalesce(1))
+    TxnLog.addCheck(spark, tp, "v_ok", "v >= 0")
+    val vOk = TxnLog.latestVersion(tp)
+    TxnLog.deleteDv(spark, tp, col("k") === 1L)
+    TxnLog.restore(tp, vOk) // metadata-only, pre-existing constraint
+    assert(TxnLog.read(spark, tp).count() === 1L)
   }
 
   test("txnlog: a CDF stream delivers deletion-vector DML as typed events and converges") {
