@@ -1931,9 +1931,11 @@ object TxnLog {
   def deleteDv(s: SparkSession, t: Table, predicate: Column,
                alias: Option[String] = None,
                maxDvRowsPerFile: Long = 100000L,
-               snap0: Option[Snapshot] = None): Long =
+               snap0: Option[Snapshot] = None,
+               maxDvBytesPerFile: Long = 65536L): Long =
     dvRewrite(s, t, predicate, alias, maxDvRowsPerFile,
-      set = Map.empty, snap0 = snap0)
+      set = Map.empty, snap0 = snap0,
+      maxDvBytesPerFile = maxDvBytesPerFile)
 
   /** Merge-on-read UPDATE: the matched rows' OLD positions go dead
     * via deletion vectors (or a copy-on-write rewrite above the
@@ -1945,17 +1947,19 @@ object TxnLog {
   def updateDv(s: SparkSession, t: Table, set: Map[String, Column],
                predicate: Column, alias: Option[String] = None,
                maxDvRowsPerFile: Long = 100000L,
-               snap0: Option[Snapshot] = None): Long = {
+               snap0: Option[Snapshot] = None,
+               maxDvBytesPerFile: Long = 65536L): Long = {
     require(set.nonEmpty, "updateDv needs at least one SET assignment")
-    dvRewrite(s, t, predicate, alias, maxDvRowsPerFile, set, snap0)
+    dvRewrite(s, t, predicate, alias, maxDvRowsPerFile, set, snap0,
+      maxDvBytesPerFile)
   }
 
   private def dvRewrite(s: SparkSession, t: Table, predicate: Column,
       alias: Option[String], maxDvRowsPerFile: Long,
       set: Map[String, Column],
-      snap0: Option[Snapshot] = None): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, collect_list,
-      count, lit, not, sort_array}
+      snap0: Option[Snapshot] = None,
+      maxDvBytesPerFile: Long = 65536L): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val cond = coalesce(predicate, lit(false))
     val snap = snap0.getOrElse(snapshot(t))
     // validate SET targets before the no-match early returns (the
@@ -1975,35 +1979,90 @@ object TxnLog {
     val relOfAbs = candidates
       .map(rel => encodedAbs(t, rel) -> rel).toMap
     // the locating scan reads THROUGH existing vectors (already-dead
-    // rows never match again) and exposes (file, row index)
+    // rows never match again) and exposes (file, row index). It
+    // PERSISTS: the cdc old-image write and an update's new-image
+    // staging re-read the matched rows from cache instead of
+    // re-running the predicate scan, so one DV statement pays the
+    // locate cost once.
     val hits = al(readRels(s, t, snap, candidates, withPos = true))
       .filter(cond)
-    val counts = hits.groupBy(col("_g_fp"))
-      .agg(count(lit(1)).as("_n"))
-      .collect() // file-count scale: one row per affected file
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) return snap.version
-    val (lightAbs, heavyAbs) =
-      counts.keys.toSeq.sorted.partition(counts(_) <= maxDvRowsPerFile)
-    val heavyRels = heavyAbs.map(relOfAbs).sorted
-    // dead indices for the light files — bounded per file by the
-    // threshold, the only row-scale data the driver ever holds
-    val lightIdx: Map[String, Seq[Long]] =
-      if (lightAbs.isEmpty) Map.empty
-      else hits.filter(col("_g_fp").isInCollection(lightAbs))
-        .groupBy(col("_g_fp"))
-        .agg(sort_array(collect_list(col("_g_ri"))).as("_i"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
-    val dvLines = lightAbs.map { abs =>
-      val rel = relOfAbs(abs)
-      // the action SETS the complete dead set: merge the existing
-      // vector with the freshly dead rows
-      val merged = mergeRanges(
-        snap.dvs.get(rel).map(decodeRanges).getOrElse(Nil) ++
-          lightIdx(abs).map(i => (i, i)))
-      s"dv\t$rel\t${encodeRanges(merged)}"
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // ONE locating job: per-file dead sets come back as RUN-LENGTH
+    // RANGES compressed map-side — within a scan partition a file's
+    // matched row indices arrive ascending, so consecutive hits fold
+    // into (lo, hi) runs before anything reaches the driver. The
+    // driver never holds row-scale state: each partition caps what it
+    // emits per file (ranges AND rows) at the light-file thresholds
+    // and signals overflow with a (-1, -1) sentinel instead — a file
+    // past either cap is heavy (copy-on-write) and needs no exact
+    // dead set at all.
+    val capRanges = math.max(16L, maxDvBytesPerFile / 4L + 1L)
+    val runRows: Array[(String, Long, Long)] = {
+      import s.implicits._
+      hits.select(col("_g_fp"), col("_g_ri")).as[(String, Long)]
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long)]
+          val nRanges = scala.collection.mutable.Map.empty[String, Long]
+          val nRows = scala.collection.mutable.Map.empty[String, Long]
+          val over = scala.collection.mutable.Set.empty[String]
+          var fp: String = null
+          var lo = -1L
+          var hi = -1L
+          def close(): Unit = if (fp != null) {
+            if (!over(fp)) {
+              val nr = nRanges.getOrElse(fp, 0L) + 1L
+              val nw = nRows.getOrElse(fp, 0L) + (hi - lo + 1L)
+              if (nr > capRanges || nw > maxDvRowsPerFile) {
+                over += fp
+                out += ((fp, -1L, -1L))
+              } else {
+                nRanges(fp) = nr
+                nRows(fp) = nw
+                out += ((fp, lo, hi))
+              }
+            }
+            fp = null
+          }
+          it.foreach { case (f, i) =>
+            if (f == fp && i == hi + 1L) hi = i
+            else { close(); fp = f; lo = i; hi = i }
+          }
+          close()
+          out.iterator
+        }.collect()
     }
+    if (runRows.isEmpty) return snap.version
+    val byFile = runRows.groupBy(_._1)
+    val overflow = byFile.collect {
+      case (f, rs) if rs.exists(_._2 < 0L) => f }.toSet
+    val stmtRanges: Map[String, Seq[(Long, Long)]] =
+      (byFile -- overflow).map { case (f, rs) =>
+        f -> mergeRanges(rs.map { case (_, l, h) => (l, h) }.toSeq)
+      }
+    // the action SETS the complete dead set: merge the existing
+    // vector with the freshly dead rows. LIGHT requires both the
+    // statement's row count under the threshold AND the merged
+    // encoding under the byte cap — a scattered delete that would
+    // stamp a megabyte-scale `dv` line into every later checkpoint
+    // rewrites its file instead (the sizing fallback, keyed on the
+    // ENCODED size the log actually carries, not just the row count)
+    val mergedEnc: Map[String, String] = stmtRanges.map {
+      case (abs, rs) =>
+        val rel = relOfAbs(abs)
+        abs -> encodeRanges(mergeRanges(
+          snap.dvs.get(rel).map(decodeRanges).getOrElse(Nil) ++ rs))
+    }
+    def stmtRows(abs: String): Long =
+      stmtRanges(abs).map { case (l, h) => h - l + 1L }.sum
+    val (lightAbs, heavyAbs0) =
+      stmtRanges.keys.toSeq.sorted.partition(a =>
+        stmtRows(a) <= maxDvRowsPerFile &&
+          mergedEnc(a).length <= maxDvBytesPerFile)
+    val heavyRels = (heavyAbs0 ++ overflow.toSeq).map(relOfAbs).sorted
+    val dvLines = lightAbs.map(abs =>
+      s"dv\t${relOfAbs(abs)}\t${mergedEnc(abs)}")
     val partCols = snap.partCols
     val matched = hits.drop(PosCols: _*)
     val survivorStage = newStage(t, t.dataDir)
@@ -2052,6 +2111,7 @@ object TxnLog {
           "concurrently; recompute against the current snapshot and " +
           "retry")
     } finally seal(t, survivorStage, newImageStage, cdcStage)
+    } finally hits.unpersist()
   }
 
   /** MERGE (upsert): for every `source` row, REPLACE the table row

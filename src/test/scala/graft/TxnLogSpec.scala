@@ -3289,4 +3289,109 @@ class TxnLogSpec extends AnyFunSuite {
     assert(rIns.collect().map(_.getLong(0)).toSeq === Seq(4L))
     assert(rDel.count() === 0L)
   }
+
+  test("txnlog: dv split scan — the clean file scans bare with pushdown; only the dv file pays the anti-join") {
+    import spark.implicits._
+    val t = freshTable()
+    for (g <- 0 until 2)
+      TxnLog.append(spark, t,
+        (g * 100 until (g + 1) * 100).map(i => (i.toLong, i.toLong))
+          .toDF("k", "v").coalesce(1))
+    TxnLog.deleteDv(spark, t, col("k") === 150L) // dv on file 2 only
+    val df = TxnLog.read(spark, t).filter(col("k") > 10L)
+    assert(df.count() === 188L) // 200 - 11 low keys - 1 dead
+    val plan = df.queryExecution.sparkPlan
+    val allScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    // exactly one anti-join (the dv probe), exactly two file scans
+    // (the split), and the probe sits above exactly ONE of them — a
+    // regression that routes every file through the probe branch
+    // would put both scans under the join
+    assert(joins.length === 1, s"want exactly one dv anti-join:\n$plan")
+    assert(joins.head.joinType.toString == "LeftAnti",
+      joins.head.joinType.toString)
+    assert(allScans.length === 2, s"want the split's two scans:\n$plan")
+    val probeScans = joins.head.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(probeScans.length === 1,
+      s"only the dv-carrying file pays the row-index probe:\n$plan")
+    // the clean subtree is a bare pushdown scan with no join above it
+    val clean = allScans.filterNot(sc => probeScans.exists(_ eq sc))
+    assert(clean.length === 1)
+    assert(clean.head.metadata.get("PushedFilters")
+      .exists(_.contains("GreaterThan(k,10")),
+      s"clean branch lost filter pushdown: ${clean.head.metadata}")
+    // the dirty branch pushes the filter too (the probe is ABOVE a
+    // real parquet scan, not a row-at-a-time wrapper)
+    assert(probeScans.head.metadata.get("PushedFilters")
+      .exists(_.contains("GreaterThan(k,10")),
+      s"probe branch lost filter pushdown: ${probeScans.head.metadata}")
+  }
+
+  test("txnlog: a scattered delete past the encoded-size cap rewrites copy-on-write; the light locate is one job") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      (0L until 200L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val before = dataFiles(t)
+    // adversarial scatter: every other row dies. 100 single-index
+    // ranges would encode to ~400 chars — past a 64-byte cap the file
+    // rewrites copy-on-write instead of stamping an ever-replicated
+    // oversized dv line into every later checkpoint
+    TxnLog.deleteDv(spark, t, col("k") % 2L === 1L,
+      maxDvBytesPerFile = 64L)
+    val snap = TxnLog.snapshot(t)
+    assert(snap.dvs.isEmpty,
+      s"scattered delete stamped a vector: ${snap.dvs}")
+    assert(snap.liveFiles.toSet.intersect(before) === Set.empty,
+      "heavy-by-encoded-size file was not rewritten")
+    assert(TxnLog.read(spark, t).count() === 100L)
+    // no log line anywhere carries an over-cap vector
+    val dvLogLines = Files.list(t.logDir).iterator().asScala
+      .filter(_.toString.endsWith(".log"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.startsWith("dv\t")).toSeq
+    assert(dvLogLines.isEmpty, dvLogLines.mkString("\n"))
+    // the CONTIGUOUS twin of the same row count stays a light vector
+    // under the same cap: one range — the ENCODING decides, not rows
+    val t2 = freshTable()
+    TxnLog.append(spark, t2,
+      (0L until 200L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val f2 = dataFiles(t2)
+    TxnLog.deleteDv(spark, t2, col("k") < 100L, maxDvBytesPerFile = 64L)
+    assert(dataFiles(t2) === f2,
+      "contiguous light delete rewrote a data file")
+    assert(TxnLog.snapshot(t2).dvs.values.toSeq === Seq("0-99"))
+    assert(TxnLog.read(spark, t2).count() === 100L)
+    // a light pure DELETE runs exactly TWO jobs: one locating pass
+    // (run-length ranges off the persisted scan) and the cdc
+    // old-image write off the cache — the former two-pass locate
+    // (counts, then indices) re-ran the predicate scan per pass
+    val t3 = freshTable()
+    TxnLog.append(spark, t3,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val sc = spark.sparkContext
+    sc.setJobGroup("graft-dv-locate", "dv locate job count", false)
+    try TxnLog.deleteDv(spark, t3, col("k") === 5L)
+    finally sc.clearJobGroup()
+    def jobs(): Int =
+      sc.statusTracker.getJobIdsForGroup("graft-dv-locate").length
+    // the status store drains async: poll to a stable count
+    val deadline = System.nanoTime + 10000000000L
+    var n = jobs()
+    var stable = 0
+    while (stable < 3 && System.nanoTime < deadline) {
+      Thread.sleep(100)
+      val m = jobs()
+      if (m == n) stable += 1 else { n = m; stable = 0 }
+    }
+    assert(n === 2, s"light dv DELETE ran $n jobs (want locate + cdc write)")
+    assert(TxnLog.read(spark, t3).count() === 99L)
+  }
 }
