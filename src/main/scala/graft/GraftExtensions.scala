@@ -28,31 +28,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // table-valued CHANGE FEED access — Delta's table_changes:
     //   SELECT * FROM txnlog_changes('/path', fromV, toV)
+    //   SELECT * FROM txnlog_changes('/path', '2026-01-01', '2026-02-01')
     // rows arrive typed (_change_type insert|delete) with per-commit
     // attribution (_commit_version); arguments must be literals (the
-    // feed is resolved at analysis, like any table reference)
+    // feed is resolved at analysis, like any table reference).
+    // TIMESTAMP bounds (non-numeric strings) resolve to Delta's
+    // inclusive commit window: [first commit at-or-after ts1, last
+    // commit at-or-before ts2] — the time-bounded audit users reach
+    // for more often than version numbers. Version bounds keep the
+    // (from, to] contract with the origin-inclusive from = 0.
     e.injectTableFunction((FunctionIdentifier("txnlog_changes"),
       GraftExtensions.info("txnlog_changes",
-        "txnlog_changes(path, fromVersion, toVersion) - typed change " +
-          "feed of a txnlog table over (from, to]"),
+        "txnlog_changes(path, from, to) - typed change feed of a " +
+          "txnlog table; version bounds read (from, to], timestamp " +
+          "strings read the inclusive commit window [ts1, ts2]"),
       (args: Seq[Expression]) => {
         require(args.length == 3,
-          "txnlog_changes takes (path, fromVersion, toVersion)")
+          "txnlog_changes takes (path, fromVersion|fromTimestamp, " +
+            "toVersion|toTimestamp)")
         def const(e: Expression): Any = {
           require(e.foldable,
             s"txnlog_changes arguments must be literals, got: ${e.sql}")
           e.eval()
         }
-        def longOf(a: Any): Long = a match {
-          case n: Number => n.longValue
-          case other     => other.toString.toLong
-        }
+        import graft.sources.TxnLog
         val path = const(args(0)).toString
-        val from = longOf(const(args(1)))
-        val to = longOf(const(args(2)))
-        graft.sources.TxnLog.tableChangesByPath(
-          SparkSession.active, path, from, to)
-          .queryExecution.analyzed
+        val t = TxnLog.Table(TxnLog.pathOf(path))
+        // Some(version) for numeric bounds, None → the raw string is
+        // a timestamp (epoch-millis strings read as VERSIONS — the
+        // numeric form predates timestamp support)
+        def verOf(a: Any): Either[String, Long] = a match {
+          case n: Number => Right(n.longValue)
+          case other =>
+            val s0 = other.toString
+            scala.util.Try(s0.toLong).toOption
+              .map(Right(_)).getOrElse(Left(s0))
+        }
+        val spark = SparkSession.active
+        val to = verOf(const(args(2))) match {
+          case Right(v)  => v
+          case Left(ts)  => TxnLog.versionAt(t, TxnLog.tsMillis(ts))
+        }
+        val df = verOf(const(args(1))) match {
+          case Right(v) =>
+            require(v <= to, s"empty change range: v$v..v$to")
+            TxnLog.tableChanges(spark, t, v, to)
+          case Left(ts) => TxnLog.tableChangesLowest(spark, t,
+            TxnLog.versionAtOrAfter(t, TxnLog.tsMillis(ts)), to,
+            s"'$ts'..v$to")
+        }
+        df.queryExecution.analyzed
       }))
     // SQL DML for txnlog tables (DELETE FROM / MERGE INTO / OPTIMIZE /
     // VACUUM) — a delegating parser front end; see GraftSqlParser.

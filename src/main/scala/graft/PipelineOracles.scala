@@ -632,7 +632,7 @@ object PipelineOracles {
          |ORDER BY 1, 2""".stripMargin,
 
     // reference-only baseline: vec_id < 65536 mirrors Dedup.EmbeddingCap
-    "dedup_embedding" ->
+    "dedup_embedding_exact_smoke" ->
       """SELECT a.vec_id AS x, b.vec_id AS y
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 65536 AND b.vec_id < 65536

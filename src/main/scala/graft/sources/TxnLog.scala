@@ -141,7 +141,7 @@ object TxnLog {
   /** A filesystem path from a string that may arrive URI-form —
     * Spark normalizes a table's `path` option to `file:/...` in
     * places (CREATE TABLE resolution among them). */
-  private[sources] def pathOf(raw: String): Path =
+  private[graft] def pathOf(raw: String): Path =
     Paths.get(if (raw.startsWith("file:")) raw.stripPrefix("file:")
               else raw)
 
@@ -2727,7 +2727,7 @@ object TxnLog {
     * reader option, the SQL rewrite suffix and RESTORE's clause; an
     * unparseable string fails naming the accepted forms instead of
     * leaking a raw DateTimeParseException. */
-  private[sources] def tsMillis(ts: String): Long = {
+  private[graft] def tsMillis(ts: String): Long = {
     val s0 = ts.trim
     val parses: Seq[() => Long] = Seq(
       () => s0.toLong,
@@ -2854,11 +2854,40 @@ object TxnLog {
       .orElse(versionFiles(t).headOption.filter(versionOf(_) == 0L))
     src.flatMap { f =>
       val r = Files.newBufferedReader(f)
+      // scan the HEADER PREFIX (everything before the first
+      // file-level action), not a fixed line count: a future header
+      // line added ahead of partcols must not silently push the
+      // declaration out of a fixed window — that would stop every
+      // writer from routing through the declared layout with no error
+      def isAction(l: String): Boolean =
+        l.startsWith("add\t") || l.startsWith("remove\t") ||
+          l.startsWith("txn\t") || l.startsWith("cdc\t") ||
+          l.startsWith("dv\t")
       try Iterator.continually(r.readLine()).takeWhile(_ != null)
-        .take(4).find(_.startsWith("partcols\t")).map(parse)
+        .takeWhile(!isAction(_))
+        .find(_.startsWith("partcols\t")).map(parse)
       finally r.close()
     }.getOrElse(Nil)
   }
+
+  /** True when the log holds EXACTLY version 0 and that commit
+    * carries only table METADATA (schema/layout/constraint/property/
+    * protocol lines — no file, dv or txn action): the footprint of a
+    * DDL CREATE whose native half failed after minting. Such an
+    * orphan may be adopted by an identical re-CREATE instead of
+    * refusing — deleting it on failure raced concurrent writers (a
+    * v1 built on the v0 would silently lose its schema lines). */
+  private[sources] def metadataOnlyV0(t: Table): Boolean =
+    latestVersion(t) == 0L && {
+      import scala.jdk.CollectionConverters._
+      val f = t.logDir.resolve(f"${0L}%020d.log")
+      Files.exists(f) && Files.readAllLines(f).asScala.forall { l =>
+        val a = l.split('\t')(0)
+        l.isEmpty || a == "schema" || a == "partcols" ||
+          a == "protocol" || a == "property" || a == "unsetproperty" ||
+          a == "constraint" || a == "dropconstraint" || a == "dropped"
+      }
+    }
 
   /** Typed CHANGE FEED rows for (from, to] with per-commit
     * attribution — the `table_changes` SQL surface: every row of the
@@ -2873,8 +2902,22 @@ object TxnLog {
     * the point — so bound the range to what you audit. */
   def tableChanges(s: SparkSession, t: Table, from: Long,
                    to: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(from <= to, s"empty change range: v$from..v$to")
+    // `from = 0` is INCLUSIVE of commit 0 — the origin commit's adds
+    // are its insert wave (the streaming source's initial-snapshot
+    // convention), so the table's very first changes stay reachable;
+    // any higher `from` keeps the (from, to] contract
+    tableChangesLowest(s, t, if (from == 0L) 0L else from + 1, to,
+      s"v$from..v$to")
+  }
+
+  /** Inclusive-from body of [[tableChanges]]: the typed feed of the
+    * commit window [lowest, to] — what TIMESTAMP bounds resolve onto
+    * (the version form's exclusive `from` cannot express "from v1
+    * inclusive" once commit 0 is origin-special). */
+  private[graft] def tableChangesLowest(s: SparkSession, t: Table,
+      lowest: Long, to: Long, label: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val snapTo = snapshot(t, Some(to)) // validates `to` exists
     val schemaJson = snapTo.schemaJson.getOrElse(
       throw new IllegalStateException(
@@ -2888,20 +2931,14 @@ object TxnLog {
         .withColumn("_commit_version", lit(0L))
         .withColumn("_commit_timestamp", lit(null).cast(tsType))
         .limit(0)
-    // `from = 0` is INCLUSIVE of commit 0 — the origin commit's adds
-    // are its insert wave (the streaming source's initial-snapshot
-    // convention), so the table's very first changes stay reachable;
-    // any higher `from` keeps the (from, to] contract
-    val includeOrigin = from == 0L
-    if (from == to && !includeOrigin) return empty
-    val lowest = if (includeOrigin) 0L else from + 1
+    if (lowest > to) return empty
     val baseParts =
-      if (includeOrigin) Map.empty[String, Map[String, String]]
-      else snapshot(t, Some(from)).filePartitions // validates `from`
+      if (lowest == 0L) Map.empty[String, Map[String, String]]
+      else snapshot(t, Some(lowest - 1)).filePartitions // validates floor
     val range = versionFiles(t)
       .filter(p => versionOf(p) >= lowest && versionOf(p) <= to)
     require(range.headOption.exists(versionOf(_) == lowest),
-      s"change range v$from..v$to is partially expired — resync from " +
+      s"change range $label is partially expired — resync from " +
         "a full snapshot instead")
     // ONE pass over the range's version files builds (file, version)
     // attribution pairs per side plus the partition-metadata union —

@@ -152,10 +152,15 @@ object GraftSqlParser {
       """TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\(([\s\S]+)\)\s*;?\s*$""").r
   private val ShowPropsRe =
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+($Ident)\\s*;?\\s*$$""".r
+  // quoted keys/values accept SQL's doubled-quote escape (`''` for a
+  // literal apostrophe, mirroring literalSpans) — consumers unescape
+  // via [[unescapeProp]] before storing
   private[sources] val PropPairRe =
-    """(?s)^\s*(?:'([^']+)'|([\w.]+))\s*=\s*'([^']*)'\s*$""".r
+    """(?s)^\s*(?:'((?:[^']|'')+)'|([\w.]+))\s*=\s*'((?:[^']|'')*)'\s*$""".r
   private[sources] val PropKeyRe =
-    """(?s)^\s*(?:'([^']+)'|([\w.]+))\s*$""".r
+    """(?s)^\s*(?:'((?:[^']|'')+)'|([\w.]+))\s*$""".r
+  private[sources] def unescapeProp(s: String): String =
+    s.replace("''", "'")
   // CREATE TABLE with an explicit column list: the head up to the
   // opening paren; the column list itself is balanced-paren-scanned
   // (DECIMAL(10,2) etc. would break a regex group)
@@ -961,7 +966,8 @@ final case class TxnLogPropertiesCommand(table: String, set: Boolean,
         if (set) {
           val pairs = GraftSqlParser.splitTopLevel(raw, ',').map {
             case GraftSqlParser.PropPairRe(q, b, v) =>
-              Option(q).getOrElse(b) -> v
+              Option(q).map(GraftSqlParser.unescapeProp).getOrElse(b) ->
+                GraftSqlParser.unescapeProp(v)
             case bad => throw new IllegalArgumentException(
               s"cannot parse TBLPROPERTIES pair: $bad (expected " +
                 "'key' = 'value')")
@@ -969,7 +975,8 @@ final case class TxnLogPropertiesCommand(table: String, set: Boolean,
           TxnLog.setProperties(t, pairs)
         } else {
           val keys = GraftSqlParser.splitTopLevel(raw, ',').map {
-            case GraftSqlParser.PropKeyRe(q, b) => Option(q).getOrElse(b)
+            case GraftSqlParser.PropKeyRe(q, b) =>
+              Option(q).map(GraftSqlParser.unescapeProp).getOrElse(b)
             case bad => throw new IllegalArgumentException(
               s"cannot parse TBLPROPERTIES key: $bad")
           }
@@ -1046,36 +1053,34 @@ final case class TxnLogCreateTableCommand(table: String,
       }
       id.exists(spark.sessionState.catalog.tableExists)
     }
-    var minted = false
     if (!catalogExists) loc.foreach { p =>
       val t = TxnLog.Table(TxnLog.pathOf(p))
-      if (TxnLog.latestVersion(t) >= 0)
+      if (TxnLog.latestVersion(t) >= 0) {
         // the location already holds a table: a plain CREATE must not
         // silently succeed with its schema/layout ignored — SQL's
-        // contract is refuse, or no-op under IF NOT EXISTS
-        require(ifNotExists,
+        // contract is refuse, or no-op under IF NOT EXISTS. ONE
+        // exception: an ORPHAN metadata-only v0 (a prior CREATE that
+        // minted but failed natively) is ADOPTED by an IDENTICAL
+        // re-CREATE — deleting the orphan at failure time raced
+        // concurrent writers (a v1 built on our v0 would lose its
+        // schema lines from under it), so the log stays and the retry
+        // tolerates it instead. A differing declaration still refuses:
+        // adopting it would silently redefine whatever minted the v0.
+        val adoptable = TxnLog.metadataOnlyV0(t) &&
+          TxnLog.registeredSchema(t).exists(reg =>
+            reg.fields.map(f => (f.name, f.dataType)).toSeq ==
+              schema.fields.map(f => (f.name, f.dataType)).toSeq) &&
+          TxnLog.declaredPartCols(t) == partCols
+        require(ifNotExists || adoptable,
           s"table at $p already exists (version " +
             s"${TxnLog.latestVersion(t)}); CREATE TABLE cannot " +
             "redefine it — use CREATE TABLE IF NOT EXISTS to no-op, " +
             "or REPLACE/DROP it first")
-      else minted = TxnLog.registerSchema(t, schema, partCols)
-      // minted only when THIS call won version 0: a concurrent
-      // writer's v0 must never be rolled back as ours
+      }
+      else { TxnLog.registerSchema(t, schema, partCols); () }
     }
     if (isPath) Seq.empty // path-addressed: the registration IS the create
-    else try GraftSqlParser.runNative(spark, native)
-    catch { case e: Throwable =>
-      // a failed native CREATE must not leave the v0 log this call
-      // minted as a permanent side effect (a retry after DROP would
-      // otherwise refuse with "already exists" at an empty catalog)
-      if (minted) loc.foreach { p =>
-        val t = TxnLog.Table(TxnLog.pathOf(p))
-        if (TxnLog.latestVersion(t) == 0L)
-          java.nio.file.Files.deleteIfExists(
-            t.logDir.resolve(f"${0L}%020d.log"))
-      }
-      throw e
-    }
+    else GraftSqlParser.runNative(spark, native)
   }
 }
 

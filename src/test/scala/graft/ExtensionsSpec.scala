@@ -877,4 +877,81 @@ class ExtensionsSpec extends AnyFunSuite {
         'x'.toLong)
     } finally () // shared-JVM session; don't stop the base session
   }
+
+  test("txnlog_changes timestamp bounds, TBLPROPERTIES quote escapes, orphan-v0 adoption") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tvfts-").resolve("t")
+    val t = TxnLog.Table(root)
+    val p = root.toString
+    for (i <- 0 until 3)
+      TxnLog.append(spark, t,
+        Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1))
+    // pin the commit instants: v0, v1, v2 one minute apart
+    val base = java.time.Instant.parse("2001-01-01T00:00:00Z")
+      .toEpochMilli
+    (0L to 2L).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        t.logDir.resolve(f"$v%020d.log"),
+        java.nio.file.attribute.FileTime.fromMillis(base + v * 60000L))
+    }
+    // a non-numeric string bound resolves like timestampAsOf: the
+    // pair reads "changes between the table as of ts1 and as of ts2"
+    val viaTs = spark.sql(
+      s"""SELECT k, _commit_version
+         |FROM txnlog_changes('$p', '2001-01-01 00:00:30',
+         |                          '2001-01-01 00:02:30')
+         |ORDER BY k""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaTs === Seq((1L, 1L), (2L, 2L)), viaTs.toString)
+    // version and timestamp bounds mix; the version form is unchanged
+    val mixed = spark.sql(
+      s"""SELECT k FROM txnlog_changes('$p', 1, '2001-01-01 00:02:30')
+         |ORDER BY k""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(mixed === Seq(2L))
+    // TBLPROPERTIES: SQL's doubled-quote escape round-trips through
+    // key and value (Spark's own grammar accepts it)
+    spark.sql(s"ALTER TABLE txnlog.`$p` SET TBLPROPERTIES " +
+      "('it''s' = 'a ''quoted'' value')")
+    assert(TxnLog.propertiesOf(t).get("it's") ===
+      Some("a 'quoted' value"))
+    spark.sql(s"ALTER TABLE txnlog.`$p` UNSET TBLPROPERTIES ('it''s')")
+    assert(!TxnLog.propertiesOf(t).contains("it's"))
+    // ORPHAN-v0 adoption: a CREATE whose native half failed leaves a
+    // metadata-only v0 behind (rolling it back raced concurrent
+    // writers); the IDENTICAL retry adopts it instead of refusing
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-orphan-").resolve("t2")
+    val t2 = TxnLog.Table(root2)
+    TxnLog.registerSchema(t2, new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.LongType))
+    spark.sql("DROP TABLE IF EXISTS orphan_cat")
+    spark.sql(s"CREATE TABLE orphan_cat (k BIGINT, v BIGINT) " +
+      s"USING txnlog OPTIONS (path '$root2')")
+    try {
+      assert(TxnLog.latestVersion(t2) === 0L)
+      spark.sql("INSERT INTO orphan_cat VALUES (1, 10)")
+      assert(TxnLog.read(spark, t2).count() === 1L)
+      // a DIFFERING declaration still refuses (adopting would
+      // silently redefine whatever minted the v0)...
+      spark.sql("DROP TABLE IF EXISTS orphan_bad")
+      val bad = intercept[Exception] {
+        spark.sql(s"CREATE TABLE orphan_bad (k BIGINT, z STRING) " +
+          s"USING txnlog OPTIONS (path '$root2')")
+      }
+      assert(bad.getMessage.contains("already exists"), bad.getMessage)
+      // ...and so does a re-CREATE once data landed (no longer orphan)
+      spark.sql("DROP TABLE IF EXISTS orphan_cat")
+      val live = intercept[Exception] {
+        spark.sql(s"CREATE TABLE orphan_cat (k BIGINT, v BIGINT) " +
+          s"USING txnlog OPTIONS (path '$root2')")
+      }
+      assert(live.getMessage.contains("already exists"), live.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orphan_cat")
+      spark.sql("DROP TABLE IF EXISTS orphan_bad")
+    }
+  }
 }
