@@ -546,6 +546,33 @@ object SourceOracles {
         |FROM merged GROUP BY 1
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Mirrors SourceOps.txnlogMergeDv: keys 700-749 deleted, 750-799
+    // re-priced to status 'U', the window shifted +20M inserted as
+    // status 'N'; the audit row pins merge-on-read (one DV-carrying
+    // file, every original file still live).
+    "src_txnlog_merge_dv" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey BETWEEN 750 AND 799 THEN 'U'
+        |         ELSE o_orderstatus END AS st,
+        |    CASE WHEN o_orderkey BETWEEN 750 AND 799
+        |         THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 700 AND 749
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000 AS k, 'N' AS st, 1.0 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 700 AND 799)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(1 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS price_cents, CAST(0 AS BIGINT) AS key_sum,
+        |  'dv' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     // Mirrors SourceOps.txnlogCreate: the DDL-first table holds
     // exactly orders; the audit row pins (partitions after insert =
     // distinct statuses, partitions pre-data = 0, pruning flag = 1).

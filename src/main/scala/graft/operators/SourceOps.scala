@@ -1498,6 +1498,68 @@ object SourceOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** MERGE-ON-READ MERGE — the same WHEN-clause MERGE shape run with
+    * `graft.enableDeletionVectors` set: matched DELETE/UPDATE rows
+    * dead-list their OLD positions via `dv` lines instead of
+    * rewriting the files that hold them (new images and inserts
+    * append), so a CDC upsert against a 100 TB table stops paying
+    * whole-file rewrites. FIXED key windows (700-749 deleted via the
+    * negative-price marker clause, 750-799 re-priced, the same window
+    * shifted +20M inserted) keep the matched-row count constant at
+    * any scale factor — the light path never silently flips to
+    * copy-on-write as data grows, and the stats-tracked key prunes
+    * the locate to the window's key-range files. The audit row pins
+    * the contract into the hash: at least one deletion vector was
+    * stamped (the merge-on-read path actually ran) and every
+    * original file is STILL LIVE (nothing fell back to
+    * copy-on-write; exact file counts would depend on sampled range
+    * boundaries). Oracle: the merged result expressed as a CASE +
+    * anti-union off orders. */
+  def txnlogMergeDv(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnmdv-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.appendWithStats(s, t,
+      o.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    graft.sources.TxnLog.setProperties(t,
+      Map("graft.enableDeletionVectors" -> "true"))
+    val win = o.filter(col("o_orderkey").between(700, 799))
+    win.filter(col("o_orderkey") < 750)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        lit(-1.0).as("o_totalprice")) // the DELETE marker clause
+      .unionByName(win.filter(col("o_orderkey") >= 750)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice")))
+      .unionByName(win.select(
+        (col("o_orderkey") + 20000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+      .createOrReplaceTempView("graft_mdv_src")
+    val before = graft.sources.TxnLog.snapshot(t).liveFiles.toSet
+    s.sql(
+      s"""MERGE INTO txnlog.`$root` t USING graft_mdv_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_totalprice < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice,
+         |  o_orderstatus = s.o_orderstatus
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val snap = graft.sources.TxnLog.snapshot(t)
+    val kept = if (before.subsetOf(snap.liveFiles.toSet)) 1L else 0L
+    graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(if (snap.dvs.nonEmpty) 1L else 0L).as("n_rows"),
+        lit(kept).as("price_cents"), lit(0L).as("key_sum"),
+        lit("dv").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** DDL-FIRST CREATE — `CREATE TABLE (cols) USING txnlog
     * PARTITIONED BY (col)`: the schema, the partition LAYOUT and a
     * CHECK constraint all exist at version 0, before any data; the

@@ -1954,6 +1954,53 @@ object TxnLog {
       maxDvBytesPerFile)
   }
 
+  /** ONE locating job for DV writers: per-file dead sets come back
+    * as RUN-LENGTH RANGES compressed map-side — input (file, index)
+    * pairs must arrive ascending per file WITHIN each partition (a
+    * scan's natural order; post-join callers repartition+sort
+    * first). The driver never holds row-scale state: each partition
+    * caps what it emits per file (ranges AND rows) at the light-file
+    * thresholds and signals overflow with a (-1, -1) sentinel — a
+    * file past either cap is heavy (copy-on-write) and needs no
+    * exact dead set at all. */
+  private def runLengthDeadSets(
+      ds: org.apache.spark.sql.Dataset[(String, Long)],
+      capRanges: Long, maxRows: Long): Array[(String, Long, Long)] =
+    ds.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)]
+      val nRanges = scala.collection.mutable.Map.empty[String, Long]
+      val nRows = scala.collection.mutable.Map.empty[String, Long]
+      val over = scala.collection.mutable.Set.empty[String]
+      var fp: String = null
+      var lo = -1L
+      var hi = -1L
+      def close(): Unit = if (fp != null) {
+        if (!over(fp)) {
+          val nr = nRanges.getOrElse(fp, 0L) + 1L
+          val nw = nRows.getOrElse(fp, 0L) + (hi - lo + 1L)
+          if (nr > capRanges || nw > maxRows) {
+            over += fp
+            out += ((fp, -1L, -1L))
+          } else {
+            nRanges(fp) = nr
+            nRows(fp) = nw
+            out += ((fp, lo, hi))
+          }
+        }
+        fp = null
+      }
+      it.foreach { case (f, i) =>
+        if (f == fp && i == hi + 1L) hi = i
+        else { close(); fp = f; lo = i; hi = i }
+      }
+      close()
+      out.iterator
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)).collect()
+
   private def dvRewrite(s: SparkSession, t: Table, predicate: Column,
       alias: Option[String], maxDvRowsPerFile: Long,
       set: Map[String, Column],
@@ -1988,50 +2035,15 @@ object TxnLog {
       .filter(cond)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // ONE locating job: per-file dead sets come back as RUN-LENGTH
-    // RANGES compressed map-side — within a scan partition a file's
-    // matched row indices arrive ascending, so consecutive hits fold
-    // into (lo, hi) runs before anything reaches the driver. The
-    // driver never holds row-scale state: each partition caps what it
-    // emits per file (ranges AND rows) at the light-file thresholds
-    // and signals overflow with a (-1, -1) sentinel instead — a file
-    // past either cap is heavy (copy-on-write) and needs no exact
-    // dead set at all.
+    // ONE locating job ([[runLengthDeadSets]]): a scan partition's
+    // matched row indices arrive ascending per file, so the runs fold
+    // map-side with no extra shuffle
     val capRanges = math.max(16L, maxDvBytesPerFile / 4L + 1L)
     val runRows: Array[(String, Long, Long)] = {
       import s.implicits._
-      hits.select(col("_g_fp"), col("_g_ri")).as[(String, Long)]
-        .mapPartitions { it =>
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(String, Long, Long)]
-          val nRanges = scala.collection.mutable.Map.empty[String, Long]
-          val nRows = scala.collection.mutable.Map.empty[String, Long]
-          val over = scala.collection.mutable.Set.empty[String]
-          var fp: String = null
-          var lo = -1L
-          var hi = -1L
-          def close(): Unit = if (fp != null) {
-            if (!over(fp)) {
-              val nr = nRanges.getOrElse(fp, 0L) + 1L
-              val nw = nRows.getOrElse(fp, 0L) + (hi - lo + 1L)
-              if (nr > capRanges || nw > maxDvRowsPerFile) {
-                over += fp
-                out += ((fp, -1L, -1L))
-              } else {
-                nRanges(fp) = nr
-                nRows(fp) = nw
-                out += ((fp, lo, hi))
-              }
-            }
-            fp = null
-          }
-          it.foreach { case (f, i) =>
-            if (f == fp && i == hi + 1L) hi = i
-            else { close(); fp = f; lo = i; hi = i }
-          }
-          close()
-          out.iterator
-        }.collect()
+      runLengthDeadSets(
+        hits.select(col("_g_fp"), col("_g_ri")).as[(String, Long)],
+        capRanges, maxDvRowsPerFile)
     }
     if (runRows.isEmpty) return snap.version
     val byFile = runRows.groupBy(_._1)
@@ -2276,11 +2288,19 @@ object TxnLog {
     * refusal, stats-pruned locate (each stats-tracked key column
     * contributes a manifest range), CDF shape — is the single-key
     * contract verbatim. */
+  /** Default per-file light-vector thresholds for merge-on-read DML
+    * (rows dead per statement; bytes of the MERGED encoded vector) —
+    * past either, the file rewrites copy-on-write. */
+  private[sources] val DefaultDvRowCap = 100000L
+  private[sources] val DefaultDvByteCap = 65536L
+
   def mergeIntoKeys(s: SparkSession, t: Table, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
       targetAlias: String = "t", sourceAlias: String = "s",
       extraLines: Seq[String] = Nil,
-      fence: Option[(String, Long)] = None): Long = {
+      fence: Option[(String, Long)] = None,
+      snap0: Option[Snapshot] = None,
+      dvCaps: Option[(Long, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name,
       lit, max, min, when}
     require(keyCols.nonEmpty, "mergeIntoKeys needs at least one key column")
@@ -2328,7 +2348,7 @@ object TxnLog {
         "the merge order-dependent — dedup the source (e.g. keep the " +
         "newest row per key) first")
 
-    val snap = snapshot(t)
+    val snap = snap0.getOrElse(snapshot(t))
     val statsCols = liveStatsCols(snap)
     val keys = src.select(keyCols.map(col): _*).distinct()
     // each stats-tracked key column bounds the candidate set by the
@@ -2465,8 +2485,11 @@ object TxnLog {
       }
     }
 
-    val affected = readRels(s, t, snap, affectedRel)
-    val tCols = affected.columns.toSeq
+    // merge-on-read (dvCaps set) reads WITH positions: the touched
+    // rows' (file, index) pairs feed the per-file dead sets
+    val affected = readRels(s, t, snap, affectedRel,
+      withPos = dvCaps.isDefined)
+    val tCols = affected.columns.toSeq.filterNot(PosCols.contains)
     val badSets = (matched.collect { case u: MergeClause.Update =>
       u.set.keySet.diff(tCols.toSet) } ++
       bySource.collect { case u: MergeClause.BySourceUpdate =>
@@ -2501,8 +2524,68 @@ object TxnLog {
       bySource.zipWithIndex.collect {
         case (_: MergeClause.BySourceUpdate, i) => -(i + 1) }
     val tSel = tCols.map(c => col(s"$ta.$c").as(c))
-    // rows the merge leaves alone: no clause fired
-    val survivors = withIdx.filter(col("_clause") === 0).select(tSel: _*)
+    // MERGE-ON-READ routing (dvCaps set — the graft.enableDeletionVectors
+    // SQL switch): every touched row's OLD position goes dead via a
+    // `dv` line for files under the light thresholds, copy-on-write
+    // for heavy ones — a one-row matched MERGE on a multi-file table
+    // rewrites NO data file, the CDC-upsert cost model at 100 TB.
+    // Computed BEFORE staging (one extra job over the touched sliver):
+    // the heavy set decides which survivors restage at all. The join
+    // scrambles scan order, so the positions shuffle back to per-file
+    // ascending — sync-sized rows of (path, index), nothing
+    // corpus-scale — before the same run-length collector the
+    // DELETE/UPDATE path uses. Returns (dv lines, heavy abs set,
+    // heavy rel list).
+    val dvInfo: Option[(Seq[String], Set[String], Seq[String])] =
+      dvCaps.map { case (rowCap, byteCap) =>
+        val relOfAbs = affectedRel.map(r => encodedAbs(t, r) -> r).toMap
+        val touchedPos = withIdx.filter(col("_clause") =!= 0)
+          .select(col("_g_fp"), col("_g_ri"))
+          .repartition(col("_g_fp"))
+          .sortWithinPartitions(col("_g_fp"), col("_g_ri"))
+          .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong))
+        val capRanges = math.max(16L, byteCap / 4L + 1L)
+        val runRows = runLengthDeadSets(touchedPos, capRanges, rowCap)
+        val byFile = runRows.groupBy(_._1)
+        val overflow = byFile.collect {
+          case (f, rs) if rs.exists(_._2 < 0L) => f }.toSet
+        val stmtRanges: Map[String, Seq[(Long, Long)]] =
+          (byFile -- overflow).map { case (f, rs) =>
+            f -> mergeRanges(rs.map { case (_, l, h) => (l, h) }.toSeq)
+          }
+        // LIGHT needs the statement's rows under the row cap AND the
+        // MERGED encoding under the byte cap — same sizing fallback
+        // as deleteDv/updateDv, keyed on what the log actually carries
+        val mergedEnc: Map[String, String] = stmtRanges.map {
+          case (abs, rs) =>
+            abs -> encodeRanges(mergeRanges(
+              snap.dvs.get(relOfAbs(abs)).map(decodeRanges)
+                .getOrElse(Nil) ++ rs))
+        }
+        def stmtRows(abs: String): Long =
+          stmtRanges(abs).map { case (l, h) => h - l + 1L }.sum
+        val (lightAbs, heavyAbs0) =
+          stmtRanges.keys.toSeq.sorted.partition(a =>
+            stmtRows(a) <= rowCap && mergedEnc(a).length <= byteCap)
+        val heavyAbs = (heavyAbs0 ++ overflow.toSeq).toSet
+        (lightAbs.map(abs => s"dv\t${relOfAbs(abs)}\t${mergedEnc(abs)}"),
+          heavyAbs, heavyAbs.toSeq.map(relOfAbs).sorted)
+      }
+    // rows the merge leaves alone: no clause fired. Under merge-on-
+    // read only HEAVY files restage their untouched rows — light
+    // files stay in place (their dead set is the vector), untouched
+    // files are not even removed.
+    val survivors = dvInfo match {
+      case None =>
+        withIdx.filter(col("_clause") === 0).select(tSel: _*)
+      case Some((_, heavyAbs, _)) if heavyAbs.isEmpty =>
+        withIdx.limit(0).select(tSel: _*)
+      case Some((_, heavyAbs, _)) =>
+        withIdx.filter(col("_clause") === 0 &&
+          col("_g_fp").isInCollection(heavyAbs)).select(tSel: _*)
+    }
     // old images of every row an update/delete clause touched
     val oldImages = withIdx.filter(col("_clause") =!= 0).select(tSel: _*)
     // new images: target row with the applying clause's SET columns
@@ -2565,8 +2648,36 @@ object TxnLog {
         (stagedFiles(t, updatedStage) ++ stagedFiles(t, insertStage))
           .map(r => s"cdc\t$r\tinsert")
       val schemaLine = if (changed) Seq(s"schema\t${schema.json}") else Nil
-      commit(t, snap.version, adds = Nil, removes = affectedRel,
-        extra = schemaLine ++ adds ++ cdcLines ++ extraLines)
+      dvInfo match {
+        case None => // copy-on-write: every affected file rewrites
+          commit(t, snap.version, adds = Nil, removes = affectedRel,
+            extra = schemaLine ++ adds ++ cdcLines ++ extraLines)
+        case Some((dvLines, _, heavyRels)) =>
+          val proto = if (dvLines.nonEmpty) Seq(ProtocolV2Line) else Nil
+          // a NO-dv, NO-remove outcome (no clause fired on any row;
+          // only inserts landed) is a plain insert wave: its adds
+          // auto-count in the change feed, so cdc refs would deliver
+          // every inserted row twice
+          val cdcAll =
+            if (dvLines.nonEmpty || heavyRels.nonEmpty) cdcLines else Nil
+          val extraAll = proto ++ schemaLine ++ adds ++ dvLines ++
+            cdcAll ++ extraLines
+          if (heavyRels.nonEmpty)
+            // the remove-bearing commit claims exactly base+1 — the
+            // stale-rewrite refusal every row-changing rewrite shares
+            commit(t, snap.version, adds = Nil, removes = heavyRels,
+              extra = extraAll)
+          else if (dvLines.nonEmpty) {
+            if (tryPublish(t, snap.version + 1, extraAll))
+              snap.version + 1
+            else throw new java.util.ConcurrentModificationException(
+              s"deletion-vector merge based on stale snapshot " +
+                s"v${snap.version}: version ${snap.version + 1} was " +
+                "taken concurrently; recompute against the current " +
+                "snapshot and retry")
+          } else if (extraAll.isEmpty) snap.version
+          else commit(t, snap.version, adds = Nil, extra = extraAll)
+      }
     } finally seal(t, survivorStage, updatedStage, insertStage, cdcStage)
     } finally org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(src)
   }
@@ -2779,7 +2890,8 @@ object TxnLog {
     * rolls back its own registration (a failed CREATE) must never
     * mistake a concurrent writer's v0 for its own. */
   def registerSchema(t: Table, schema: StructType,
-                     partCols: Seq[String] = Nil): Boolean = {
+                     partCols: Seq[String] = Nil,
+                     props: Map[String, String] = Map.empty): Boolean = {
     def lostDeclaration(): Unit =
       // a declared layout can only bind at version 0 (declaredPartCols
       // is a v0/checkpoint header read): dropping it SILENTLY would
@@ -2800,7 +2912,17 @@ object TxnLog {
       val pLine =
         if (partCols.isEmpty) Nil
         else Seq("partcols\t" + partCols.map(escapePart).mkString(","))
-      val won = tryPublish(t, 0L, s"schema\t${schema.json}" +: pLine)
+      // CREATE-time TBLPROPERTIES ride the same v0 commit — the log
+      // is the properties' source of truth (SHOW TBLPROPERTIES and
+      // the DSv2 catalog surface both read it), so a property set at
+      // declaration must not live only in a metastore entry
+      props.keys.foreach(k => require(
+        k.nonEmpty && !k.exists(c => c == '\t' || c == '\n'),
+        s"bad property key: '$k'"))
+      val propLines = props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"property\t$k\t${escapePart(v)}" }
+      val won = tryPublish(t, 0L,
+        s"schema\t${schema.json}" +: (pLine ++ propLines))
       if (!won) lostDeclaration()
       won
     } else { lostDeclaration(); false }
@@ -3546,16 +3668,25 @@ object TxnLog {
     // not ALSO reference them as cdc inserts — that would deliver
     // every restored row twice; a remove-bearing restore needs the
     // explicit refs (adds of rewrite commits are not auto-counted).
-    // A MIXED dv-reconciling restore (removes/readds AND vector
-    // deltas) omits the file-level refs entirely: they cannot
-    // express the row delta a vector change implies, so the commit
-    // stays cdc-unexplained — changes() falls back to the exact
-    // snapshot diff and streams refuse loudly instead of replaying a
-    // wrong feed.
+    // File-level refs are EXACT only for vector-free files: a raw
+    // ref to a dv-carrying file would deliver its dead rows too.
+    // The VALIDATING overload (SQL RESTORE) stages those files'
+    // LIVE rows as change files instead (see dvCdc below), so even
+    // a MIXED restore — file moves AND vector deltas, the shape an
+    // OPTIMIZE interleaved with dv DML produces — feeds exact row
+    // events. The metadata-only overload cannot stage rows: any
+    // restore its file refs cannot express stays cdc-unexplained —
+    // changes() falls back to the exact snapshot diff and streams
+    // refuse loudly instead of replaying a wrong feed.
+    val remDvRels = removes.filter(cur.dvs.contains)
+    val readdDvRels = readds.filter(tgt.dvs.contains)
+    val rewriteCommit = removes.nonEmpty || dvDelta.nonEmpty
     val cdc =
-      if (removes.isEmpty || dvDelta.nonEmpty) Nil
-      else removes.map(r => s"cdc\t$r\tdelete") ++
-        readds.map(r => s"cdc\t$r\tinsert")
+      if (!rewriteCommit || validate.nonEmpty) Nil // exact feed below
+      else if (dvDelta.isEmpty && remDvRels.isEmpty && removes.nonEmpty)
+        removes.map(r => s"cdc\t$r\tdelete") ++
+          readds.map(r => s"cdc\t$r\tinsert")
+      else Nil
     val schemaLine = tgt.schemaJson.filterNot(cur.schemaJson.contains)
       .map(js => s"schema\t$js").toSeq
     val proto =
@@ -3567,39 +3698,62 @@ object TxnLog {
       val st = newStage(t, t.cdcDir); stages += st; st
     }
     try {
-      // a PURE dv-delta restore under the VALIDATING overload (the
-      // one SQL RESTORE uses) gets an EXACT change feed: the rows a
-      // vector change newly killed become `cdc delete` change files,
-      // resurrected rows `cdc insert` — interval subtraction per
-      // file, one dv-free positional scan of exactly the delta files,
-      // so changes()/CDF streams resolve the restore from the log
-      // like any rewrite. Metadata-only restores keep the loud
-      // unexplained path (no session to stage rows with).
+      // EXACT change feed under the VALIDATING overload (the one SQL
+      // RESTORE uses) — for EVERY rewrite-shaped restore, mixed ones
+      // included: vector-free removed/re-added files ride file-level
+      // refs; vector-carrying ones stage their LIVE rows as change
+      // files (a raw ref would deliver dead rows too); both-live
+      // vector deltas stage the newly-killed rows as `cdc delete`
+      // and resurrected rows as `cdc insert` — interval subtraction
+      // per file, one dv-free positional scan of exactly the delta
+      // files. So changes()/CDF streams resolve ANY validated restore
+      // from the log like any rewrite. Metadata-only restores keep
+      // the loud unexplained path when file refs cannot express the
+      // events (no session to stage rows with).
       val dvCdc: Seq[String] =
-        if (dvDelta.isEmpty || removes.nonEmpty || readds.nonEmpty ||
-            validate.isEmpty) Nil
+        if (validate.isEmpty || !rewriteCommit) Nil
         else {
           import org.apache.spark.sql.functions.{col, lit}
           val s = validate.get
-          val deltas = dvDeltaDetail
-          if (deltas.isEmpty) Nil
-          else {
-            val noDv = tgt.copy(dvs = Map.empty)
-            val df = readRels(s, t, noDv, deltas.map(_._1),
-              withPos = true)
-            val schema = tgt.schemaJson.map(parseSchema)
-            def stage(cond: Option[Column],
-                kind: String): Seq[String] = cond.toSeq.flatMap { c =>
+          val refs =
+            removes.filterNot(cur.dvs.contains)
+              .map(r => s"cdc\t$r\tdelete") ++
+            readds.filterNot(tgt.dvs.contains)
+              .map(r => s"cdc\t$r\tinsert")
+          def liveRows(snap: Snapshot, rels: Seq[String],
+              kind: String): Seq[String] =
+            if (rels.isEmpty) Nil
+            else {
               val dir = cdcStage()
-              toPhysical(df.filter(c).drop(PosCols: _*), schema)
+              // dv-aware read under the owning side's snapshot: the
+              // events are exactly the rows LIVE there
+              toPhysical(readRels(s, t, snap, rels),
+                snap.schemaJson.map(parseSchema))
                 .write.parquet(dir.toString)
               stagedFiles(t, dir).map(r => s"cdc\t$r\t$kind")
             }
-            stage(dvRangeCond(t, deltas.map(d => d._1 -> d._2)),
-              "delete") ++
-              stage(dvRangeCond(t, deltas.map(d => d._1 -> d._3)),
-                "insert")
-          }
+          val deltas = dvDeltaDetail
+          val deltaCdc: Seq[String] =
+            if (deltas.isEmpty) Nil
+            else {
+              val noDv = tgt.copy(dvs = Map.empty)
+              val df = readRels(s, t, noDv, deltas.map(_._1),
+                withPos = true)
+              val schema = tgt.schemaJson.map(parseSchema)
+              def stage(cond: Option[Column],
+                  kind: String): Seq[String] = cond.toSeq.flatMap { c =>
+                val dir = cdcStage()
+                toPhysical(df.filter(c).drop(PosCols: _*), schema)
+                  .write.parquet(dir.toString)
+                stagedFiles(t, dir).map(r => s"cdc\t$r\t$kind")
+              }
+              stage(dvRangeCond(t, deltas.map(d => d._1 -> d._2)),
+                "delete") ++
+                stage(dvRangeCond(t, deltas.map(d => d._1 -> d._3)),
+                  "insert")
+            }
+          refs ++ liveRows(cur, remDvRels, "delete") ++
+            liveRows(tgt, readdDvRels, "insert") ++ deltaCdc
         }
       val extra = proto ++ schemaLine ++ conDrops ++ addLines ++
         dvDelta ++ dvCdc ++ cdc

@@ -172,6 +172,7 @@ object GraftSqlParser {
   private val PartitionedByRe =
     """(?is)\bPARTITIONED\s+BY\s*\(([^)]+)\)""".r
   private val OptionsHeadRe = """(?is)\bOPTIONS\s*\(""".r
+  private val TblPropsHeadRe = """(?is)\bTBLPROPERTIES\s*\(""".r
   // the `path` OPTION key, anchored at a key position ('(' or ',' in
   // the OPTIONS span) in both spellings — path '/x', path = '/x',
   // 'path' '/x', 'path'='/x' — so a TBLPROPERTIES key merely ENDING
@@ -412,9 +413,28 @@ object GraftSqlParser {
               .map(_.group(1)))
             .orElse(findOutsideLiterals(LocationRe, tail)
               .map(_.group(1)))
+          // CREATE-time TBLPROPERTIES land in the v0 commit (the log
+          // is the properties' source of truth); pairs parse with the
+          // same quote-escape grammar as ALTER ... SET TBLPROPERTIES
+          val props = findOutsideLiterals(TblPropsHeadRe, tail)
+            .flatMap { m =>
+              val open = m.end - 1
+              val close = balancedParen(tail, open)
+              if (close < 0) None
+              else Some(tail.substring(open + 1, close - 1))
+            }
+            .map(sp => splitTopLevel(sp, ',').map {
+              case PropPairRe(q, b, v) =>
+                Option(q).map(unescapeProp).getOrElse(b) ->
+                  unescapeProp(v)
+              case bad => throw new IllegalArgumentException(
+                s"cannot parse TBLPROPERTIES pair: $bad (expected " +
+                  "'key' = 'value')")
+            }.toMap)
+            .getOrElse(Map.empty[String, String])
           Some(TxnLogCreateTableCommand(tbl, ine != null,
             rest.substring(1, end - 1), partCols, path,
-            () => delegate.parsePlan(sqlText)))
+            () => delegate.parsePlan(sqlText), props))
         }
       case MergeHeadRe(tbl, tAlias, tail) =>
         // the USING source is a balanced-paren subquery (any nesting
@@ -1022,7 +1042,8 @@ final case class TxnLogShowPropertiesCommand(table: String,
 final case class TxnLogCreateTableCommand(table: String,
     ifNotExists: Boolean, colsDdl: String,
     partCols: Seq[String], path: Option[String],
-    native: () => LogicalPlan) extends LeafRunnableCommand {
+    native: () => LogicalPlan,
+    props: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val schema = spark.sessionState.sqlParser.parseTableSchema(colsDdl)
     val isPath = GraftSqlParser.pathIdentOf(table).isDefined
@@ -1070,14 +1091,15 @@ final case class TxnLogCreateTableCommand(table: String,
           TxnLog.registeredSchema(t).exists(reg =>
             reg.fields.map(f => (f.name, f.dataType)).toSeq ==
               schema.fields.map(f => (f.name, f.dataType)).toSeq) &&
-          TxnLog.declaredPartCols(t) == partCols
+          TxnLog.declaredPartCols(t) == partCols &&
+          TxnLog.propertiesOf(t) == props
         require(ifNotExists || adoptable,
           s"table at $p already exists (version " +
             s"${TxnLog.latestVersion(t)}); CREATE TABLE cannot " +
             "redefine it — use CREATE TABLE IF NOT EXISTS to no-op, " +
             "or REPLACE/DROP it first")
       }
-      else { TxnLog.registerSchema(t, schema, partCols); () }
+      else { TxnLog.registerSchema(t, schema, partCols, props); () }
     }
     if (isPath) Seq.empty // path-addressed: the registration IS the create
     else GraftSqlParser.runNative(spark, native)
@@ -1358,8 +1380,18 @@ final case class TxnLogMergeCommand(table: String,
       case GraftSqlParser.ClauseText(_, cond, _) =>
         TxnLog.MergeClause.Insert(cond.map(expr))
     }
+    // graft.enableDeletionVectors routes the statement merge-on-read:
+    // matched UPDATE/DELETE clauses dead-list old positions via `dv`
+    // lines (per-file copy-on-write fallback past the light caps),
+    // inserts append as today — CDC upserts stop rewriting files.
+    // ONE snapshot serves the property check AND the merge itself.
+    val snap =
+      if (TxnLog.latestVersion(t) < 0) None else Some(TxnLog.snapshot(t))
     TxnLog.mergeIntoKeys(spark, t, src, keys, mcs,
-      targetAlias = ta, sourceAlias = sa)
+      targetAlias = ta, sourceAlias = sa, snap0 = snap,
+      dvCaps = if (snap.exists(GraftSqlParser.dvEnabled))
+        Some((TxnLog.DefaultDvRowCap, TxnLog.DefaultDvByteCap))
+      else None)
     Seq.empty
   }
 }

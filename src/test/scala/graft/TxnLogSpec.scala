@@ -3096,6 +3096,68 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.read(spark, tp).count() === 1L)
   }
 
+  test("txnlog: a VALIDATED MIXED restore (file moves + vector deltas) feeds exact row events") {
+    import spark.implicits._
+    // the shape an OPTIMIZE interleaved with dv DML produces: the
+    // restore must remove the compacted file (which carries its own
+    // vector), re-add a file that carried a vector at the target
+    // version, and re-add a clean file — previously cdc-unexplained,
+    // now an exact feed under the validating overload
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    TxnLog.append(spark, t,
+      (100L until 200L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    TxnLog.deleteDv(spark, t, col("k") === 5L) // dv on file A
+    val vTgt = TxnLog.latestVersion(t) // A(dv 5) + B live
+    val schemaJson = TxnLog.registeredSchema(t).get.json
+    TxnLog.compact(spark, t) // OPTIMIZE: one merged file, dvs gone
+    TxnLog.deleteDv(spark, t, col("k") === 150L) // dv on merged file
+    val vPre = TxnLog.latestVersion(t)
+    assert(TxnLog.read(spark, t).count() === 198L)
+    // metadata-only CANNOT express this feed: loud unexplained
+    val tTwin = freshTable() // twin history for the metadata-only path
+    TxnLog.append(spark, tTwin,
+      (0L until 10L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    TxnLog.deleteDv(spark, tTwin, col("k") === 1L)
+    val twinTgt = TxnLog.latestVersion(tTwin)
+    TxnLog.compact(spark, tTwin)
+    TxnLog.restore(tTwin, twinTgt) // metadata-only mixed restore
+    val loud = intercept[IllegalStateException] {
+      TxnLog.readChangeFeedBatch(spark, tTwin,
+        TxnLog.latestVersion(tTwin) - 1, TxnLog.latestVersion(tTwin),
+        TxnLog.registeredSchema(tTwin).get.json)
+    }
+    assert(loud.getMessage.contains("cdc info"), loud.getMessage)
+    // the VALIDATING overload (SQL RESTORE) feeds exact events
+    spark.sql(s"RESTORE TABLE txnlog.`${t.root}` TO VERSION AS OF $vTgt")
+    val vNow = TxnLog.latestVersion(t)
+    assert(TxnLog.read(spark, t).count() === 199L) // k150 back, k5 dead
+    val (ins, del) = TxnLog.readChangeFeedBatch(spark, t, vPre, vNow,
+      schemaJson)
+    // delete events: the merged file's LIVE rows (not its dv-dead
+    // k150); insert events: A's live rows (not its dv-dead k5) + all
+    // of B — net effect exactly {k150} resurrected
+    val insK = ins.collect().map(_.getLong(0)).sorted.toSeq
+    val delK = del.collect().map(_.getLong(0)).sorted.toSeq
+    assert(delK === (0L until 200L).filterNot(k => k == 5L || k == 150L),
+      s"delete side off: ${delK.take(8)}... n=${delK.length}")
+    assert(insK === (0L until 200L).filterNot(_ == 5L),
+      s"insert side off: ${insK.take(8)}... n=${insK.length}")
+    // changes() resolves the SAME events from the log (no snapshot-
+    // diff fallback: the diff would be the 1-row net, not the feed)
+    val (ci, cd) = TxnLog.changes(spark, t, vPre, vNow)
+    assert(ci.collect().map(_.getLong(0)).sorted.toSeq === insK)
+    assert(cd.collect().map(_.getLong(0)).sorted.toSeq === delK)
+    // applying inserts then deletes converges to the restored state
+    assert(TxnLog.read(spark, t, Some(vPre)).unionAll(ci).exceptAll(cd)
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq)
+    // the restored table still reads through A's restamped vector
+    assert(TxnLog.read(spark, t).filter($"k" === 5L).count() === 0L)
+    assert(TxnLog.snapshot(t).dvs.values.toSeq === Seq("5"))
+  }
+
   test("txnlog: a CDF stream delivers deletion-vector DML as typed events and converges") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
@@ -3288,6 +3350,96 @@ class TxnLogSpec extends AnyFunSuite {
       TxnLog.latestVersion(t4))
     assert(rIns.collect().map(_.getLong(0)).toSeq === Seq(4L))
     assert(rDel.count() === 0L)
+  }
+
+  test("txnlog: merge-on-read MERGE — one matched row rewrites no file, COW parity holds, CDF pinned") {
+    import spark.implicits._
+    // TWIN tables with identical 3-file content; one opts into
+    // merge-on-read via the SQL property switch. The SAME statement
+    // runs on both — results, live row sets and CDF events must agree
+    // exactly (the copy-on-write parity contract).
+    def seed(t: TxnLog.Table): Unit =
+      for (g <- 0 until 3)
+        TxnLog.append(spark, t,
+          (g * 100 until (g + 1) * 100)
+            .map(i => (i.toLong, i.toLong, s"s$i"))
+            .toDF("k", "v", "s").coalesce(1))
+    val cow = freshTable()
+    val mor = freshTable()
+    seed(cow); seed(mor)
+    TxnLog.setProperties(mor,
+      Map("graft.enableDeletionVectors" -> "true"))
+    Seq((150L, 9999L, "upd"), (500L, 1L, "new"), (42L, -1L, "gone"))
+      .toDF("k", "v", "s").createOrReplaceTempView("mor_src")
+    val stmt = (p: java.nio.file.Path) =>
+      s"""MERGE INTO txnlog.`$p` t USING mor_src s ON t.k = s.k
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v, s = s.s
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    val vPreCow = TxnLog.latestVersion(cow)
+    val vPreMor = TxnLog.latestVersion(mor)
+    val morBefore = dataFiles(mor)
+    val morLiveBefore = TxnLog.snapshot(mor).liveFiles.toSet
+    spark.sql(stmt(cow.root))
+    spark.sql(stmt(mor.root))
+    // the merge-on-read side rewrote NOTHING: every pre-existing
+    // data file is still on disk AND still live (new-image/insert
+    // files append alongside); the COW side rewrote its two touched
+    // files
+    assert(morBefore.subsetOf(dataFiles(mor)),
+      "merge-on-read MERGE rewrote a pre-existing data file")
+    assert(morLiveBefore.subsetOf(TxnLog.snapshot(mor).liveFiles.toSet),
+      "merge-on-read MERGE removed a live file from the manifest")
+    // touched rows 150 (file 1, index 50) and 42 (file 0, index 42)
+    // dead-list via vectors; the UNtouched file 2 carries none
+    val dvs = TxnLog.snapshot(mor).dvs
+    assert(dvs.size === 2, dvs.toString)
+    assert(dvs.values.toSet === Set("50", "42"), dvs.toString)
+    // copy-on-write parity: identical row sets
+    def all(t: TxnLog.Table) = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(all(mor) === all(cow))
+    assert(TxnLog.read(spark, mor).count() === 300L) // -1 del, +1 ins
+    assert(TxnLog.read(spark, mor).filter($"k" === 150L)
+      .head().getLong(1) === 9999L)
+    // CDF parity: both sides feed (delete old images, insert new
+    // images + accepted inserts) — same events, resolved from the log
+    def cdf(t: TxnLog.Table, vPre: Long) = {
+      val (ins, del) = TxnLog.changes(spark, t, vPre,
+        TxnLog.latestVersion(t))
+      (ins.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+        del.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    }
+    assert(cdf(mor, vPreMor) === cdf(cow, vPreCow))
+    assert(cdf(mor, vPreMor)._2 === Seq((42L, 42L), (150L, 150L)))
+    // the locating scan reads THROUGH the new vectors: re-running the
+    // same merge now routes 150 to UPDATE again (its new image is
+    // live) but never resurrects 42
+    assert(TxnLog.read(spark, mor).filter($"k" === 42L).count() === 0L)
+    // HEAVY fallback per file: a merge touching more rows than the
+    // row cap in one file rewrites that file copy-on-write in the
+    // same commit — and ONLY that file
+    val t2 = freshTable()
+    seed(t2)
+    val live2 = TxnLog.snapshot(t2).liveFiles
+    val bigSrc = (100L until 200L).map(i => (i, -i, "x"))
+      .toDF("k", "v", "s")
+    TxnLog.mergeIntoKeys(spark, t2, bigSrc, Seq("k"),
+      Seq(TxnLog.MergeClause.Update(None, Map("v" -> col("s.v")))),
+      dvCaps = Some((10L, 65536L)))
+    val snap2 = TxnLog.snapshot(t2)
+    assert(snap2.dvs.isEmpty, "heavy file still carries a vector")
+    assert(!snap2.liveFiles.contains(live2(1)),
+      "heavy file was not rewritten out of the live set")
+    assert(snap2.liveFiles.contains(live2(0)) &&
+      snap2.liveFiles.contains(live2(2)),
+      "an untouched file was rewritten")
+    assert(TxnLog.read(spark, t2).filter($"v" < 0L).count() === 100L)
+    // history labels the row-rewrite (a NO-remove dv merge shares the
+    // dv UPDATE's action shape — dv + cdc pairs + new-image adds)
+    assert(TxnLog.history(mor).map(_._2)
+      .exists(op => op == "MERGE" || op == "UPDATE"))
   }
 
   test("txnlog: dv split scan — the clean file scans bare with pushdown; only the dv file pays the anti-join") {
