@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.sql.extensions=graft.GraftExtensions, not install().
     e.injectParser((session, delegate) =>
       new graft.sources.GraftSqlParser(delegate, () => session))
+    // DSv2 catalog integration (sessions that ALSO set
+    // spark.sql.catalog.spark_catalog=graft.sources.TxnLogCatalog):
+    // read-position relations over catalog-name txnlog tables rewrite
+    // onto the engine's V1 scan paths — per-query freshness with the
+    // same battle-tested plan shapes. Inert without the catalog (no
+    // TxnLogTable relations ever appear).
+    e.injectResolutionRule(session =>
+      graft.sources.TxnLogV2ReadRewrite(session))
   }
 }
 

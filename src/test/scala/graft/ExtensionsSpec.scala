@@ -694,14 +694,14 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("INSERT INTO ddl_cat VALUES (3, -1)")
       }
       assert(got.getMessage.contains("v_pos"))
-      // the PATH reference resolves live; the catalog name serves its
-      // cached (point-in-time) relation until refreshed — Spark's
-      // relation-cache semantics for DSv1 provider tables
+      // the PATH reference resolves live; the catalog NAME does too —
+      // TxnLogCatalog resolves it DSv2 (per-analysis loadTable), so
+      // there is no relation cache to refresh (the r17-era DSv1
+      // refreshTable workaround is gone)
       assert(spark.sql(s"SELECT count(*) FROM txnlog.`$p`")
         .head().getLong(0) === 2L)
-      spark.catalog.refreshTable("ddl_cat")
       assert(spark.sql("SELECT count(*) FROM ddl_cat").head().getLong(0)
-        === 2L)
+        === 2L, "catalog name served a stale cached relation")
       // txnlog_changes TVF: the typed change feed straight from SQL,
       // with per-commit attribution
       val v1 = TxnLog.latestVersion(t)
@@ -953,5 +953,87 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS orphan_cat")
       spark.sql("DROP TABLE IF EXISTS orphan_bad")
     }
+  }
+
+  test("DSv2 catalog: names serve fresh metadata and data, no refreshTable") {
+    import graft.sources.TxnLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-").resolve("t")
+    val p = root.toString
+    spark.sql("DROP TABLE IF EXISTS v2_cat")
+    spark.sql(s"CREATE TABLE v2_cat (k BIGINT, v BIGINT) USING txnlog " +
+      s"PARTITIONED BY (k) OPTIONS (path '$p') " +
+      "TBLPROPERTIES ('graft.note' = 'created')")
+    try {
+      val t = TxnLog.Table(root)
+      // the name resolves through TxnLogCatalog → TxnLogTable → the
+      // live V1 relation; every statement below runs WITHOUT any
+      // refreshTable call
+      assert(spark.table("v2_cat").columns.toSeq === Seq("k", "v"))
+      spark.sql("INSERT INTO v2_cat VALUES (1, 10), (2, 20)")
+      assert(spark.sql("SELECT count(*) FROM v2_cat").head().getLong(0)
+        === 2L)
+      // DML through the parser seam lands in the log; the NAME sees it
+      spark.sql("DELETE FROM v2_cat WHERE k = 2")
+      assert(spark.sql("SELECT sum(v) FROM v2_cat").head().getLong(0)
+        === 10L)
+      // schema evolution: the catalog name picks the new column up on
+      // the very next query (DSv1 served the stale cached schema here)
+      spark.sql("ALTER TABLE v2_cat ADD COLUMNS (note STRING)")
+      assert(spark.table("v2_cat").columns.toSeq === Seq("k", "v", "note"))
+      // DESCRIBE TABLE EXTENDED on the NAME is property/constraint/
+      // layout-aware — served from the log, not the metastore entry
+      spark.sql("ALTER TABLE v2_cat ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED v2_cat").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(desc.contains("note"), desc.toString) // evolved column
+      val props = desc.getOrElse("Table Properties", "")
+      assert(props.contains("graft.note=created"), props)
+      assert(props.contains("graft.constraints.v_pos=v >= 0"), props)
+      assert(desc.contains("# Partition Information"), desc.toString)
+      // SHOW TBLPROPERTIES (parser seam) agrees with the v2 surface
+      val shown = spark.sql("SHOW TBLPROPERTIES v2_cat").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(shown.get("graft.note").contains("created"))
+      // a temp view over the NAME stays live (the rewrite rule hands
+      // it the per-scan-resolved relation, not a pinned file list)
+      spark.sql("CREATE OR REPLACE TEMP VIEW v2_cat_view AS " +
+        "SELECT * FROM v2_cat")
+      val before = spark.table("v2_cat_view").count()
+      spark.sql("INSERT INTO v2_cat VALUES (3, 30, 'x')")
+      assert(spark.table("v2_cat_view").count() === before + 1,
+        "temp view over the catalog name pinned its snapshot")
+      // time travel on the NAME — VERSION AS OF and TIMESTAMP AS OF
+      // resolve through the TableCatalog overloads
+      val vNow = TxnLog.latestVersion(t)
+      spark.sql("INSERT INTO v2_cat VALUES (9, 90, 'later')")
+      assert(spark.sql(s"SELECT count(*) FROM v2_cat VERSION AS OF $vNow")
+        .head().getLong(0) === 2L)
+      assert(spark.sql("SELECT count(*) FROM v2_cat").head().getLong(0)
+        === 3L)
+      // TIMESTAMP AS OF through the TableCatalog micros overload: an
+      // instant past every commit resolves to the current version
+      assert(spark.sql("SELECT count(*) FROM v2_cat " +
+        "TIMESTAMP AS OF '2099-01-01 00:00:00'").head().getLong(0)
+        === 3L)
+      // INSERT with a PARTITION spec — a form the parser seam does
+      // NOT lower; it plans through Spark's native v2 write path and
+      // lands as an ordinary partitioned append commit
+      spark.sql("INSERT INTO v2_cat PARTITION (k = 7) VALUES (70, 'p')")
+      assert(spark.sql("SELECT v FROM v2_cat WHERE k = 7").collect()
+        .map(_.getLong(0)).toSeq === Seq(70L))
+      assert(TxnLog.snapshot(t).partCols === Seq("k"),
+        "native v2 insert eroded the declared layout")
+      // INSERT OVERWRITE via the parser seam stays one atomic replace
+      spark.sql("INSERT OVERWRITE v2_cat VALUES (5, 50, 'only')")
+      assert(spark.sql("SELECT k, v FROM v2_cat").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((5L, 50L)))
+      // writes to a time-traveled snapshot refuse
+      val tt = intercept[Exception] {
+        spark.sql(s"INSERT INTO v2_cat VERSION AS OF $vNow VALUES " +
+          "(1, 1, 'no')")
+      }
+      assert(tt != null)
+    } finally spark.sql("DROP TABLE IF EXISTS v2_cat")
   }
 }

@@ -45,6 +45,10 @@ object TestSpark {
     // build-time extension wiring: the txnlog SQL DML parser (and the
     // function/strategy injections) ride on every test session
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // catalog-name txnlog tables resolve DSv2 (per-query fresh, no
+    // relation cache) — the Delta-style dual wiring
+    .config("spark.sql.catalog.spark_catalog",
+      "graft.sources.TxnLogCatalog")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh-").toString)
     .config("spark.ui.enabled", "false")
