@@ -52,8 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           e.eval()
         }
         import graft.sources.TxnLog
-        val path = const(args(0)).toString
-        val t = TxnLog.Table(TxnLog.pathOf(path))
+        val spark0 = SparkSession.active
+        val raw = const(args(0)).toString
+        // first argument: a path (every real path has a '/') or a
+        // catalog table name whose provider is txnlog — Delta's
+        // table_changes accepts both spellings
+        val t =
+          if (raw.contains('/')) TxnLog.Table(TxnLog.pathOf(raw))
+          else graft.sources.GraftSqlParser
+            .tryResolveTable(spark0, raw).getOrElse(
+              throw new IllegalArgumentException(
+                s"txnlog_changes: $raw is neither a path nor a " +
+                  "catalog table USING txnlog"))
         // Some(version) for numeric bounds, None → the raw string is
         // a timestamp (epoch-millis strings read as VERSIONS — the
         // numeric form predates timestamp support)
@@ -64,7 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             scala.util.Try(s0.toLong).toOption
               .map(Right(_)).getOrElse(Left(s0))
         }
-        val spark = SparkSession.active
+        val spark = spark0
         val to = verOf(const(args(2))) match {
           case Right(v)  => v
           case Left(ts)  => TxnLog.versionAt(t, TxnLog.tsMillis(ts))

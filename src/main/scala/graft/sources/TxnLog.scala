@@ -2281,19 +2281,22 @@ object TxnLog {
     mergeIntoKeys(s, t, source, Seq(keyCol), clauses, targetAlias,
       sourceAlias)
 
-  /** [[mergeInto]] on a COMPOSITE key: rows match when every key
-    * column is equal (a source row with a NULL key component matches
-    * nothing and routes through the NOT MATCHED clauses — SQL equi-
-    * join semantics). Everything else — clause routing, ambiguity
-    * refusal, stats-pruned locate (each stats-tracked key column
-    * contributes a manifest range), CDF shape — is the single-key
-    * contract verbatim. */
   /** Default per-file light-vector thresholds for merge-on-read DML
     * (rows dead per statement; bytes of the MERGED encoded vector) —
     * past either, the file rewrites copy-on-write. */
   private[sources] val DefaultDvRowCap = 100000L
   private[sources] val DefaultDvByteCap = 65536L
 
+  /** [[mergeInto]] on a COMPOSITE key: rows match when every key
+    * column is equal (a source row with a NULL key component matches
+    * nothing and routes through the NOT MATCHED clauses — SQL equi-
+    * join semantics). Everything else — clause routing, ambiguity
+    * refusal, stats-pruned locate (each stats-tracked key column
+    * contributes a manifest range), CDF shape — is the single-key
+    * contract verbatim. `dvCaps` (row cap, encoded-byte cap) opts the
+    * statement into MERGE-ON-READ: touched rows' old positions
+    * dead-list via deletion vectors with a per-file copy-on-write
+    * fallback past either cap; see the dvInfo block. */
   def mergeIntoKeys(s: SparkSession, t: Table, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
       targetAlias: String = "t", sourceAlias: String = "s",
@@ -2715,9 +2718,20 @@ object TxnLog {
          else Seq(MergeClause.Update(None,
            nonKey.map(c => c -> col(s"s.$c")).toMap))) :+
         MergeClause.Insert(None)
+      // graft.enableDeletionVectors routes the sink's upserts
+      // merge-on-read too — the HIGHEST-frequency writer a lakehouse
+      // table has (a keyed micro-batch every trigger) stops paying a
+      // whole-file rewrite per touched file; the dv path's exact-slot
+      // refusal surfaces as the same ConcurrentModificationException
+      // this loop already recomputes on. ONE snapshot per attempt
+      // serves the property check AND the merge.
+      val snap = snapshot(t)
       try {
         mergeIntoKeys(s, t, df, keyCols, clauses,
-          extraLines = Seq(marker), fence = Some((appId, batchId)))
+          extraLines = Seq(marker), fence = Some((appId, batchId)),
+          snap0 = Some(snap),
+          dvCaps = if (GraftSqlParser.dvEnabled(snap))
+            Some((DefaultDvRowCap, DefaultDvByteCap)) else None)
         return true
       } catch {
         // a concurrent commit invalidated the rewrite: recompute

@@ -744,7 +744,7 @@ object GraftSqlParser {
     * anything else (unknown names, temp views, other providers) — the
     * caller hands those statements back to Spark's native DML path,
     * so v2 catalogs keep working in sessions with this parser. */
-  private[sources] def tryResolveTable(spark: SparkSession,
+  private[graft] def tryResolveTable(spark: SparkSession,
       ident: String): Option[TxnLog.Table] =
     ident.trim match {
       case PathIdent(p) => Some(TxnLog.Table(TxnLog.pathOf(p)))

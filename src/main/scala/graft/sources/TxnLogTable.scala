@@ -83,20 +83,22 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
 
   /** `SELECT ... FROM t VERSION AS OF n` on a catalog name — the
     * TableCatalog time-travel seam. Non-txnlog tables keep Spark's
-    * native handling (and its native refusal message). */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val base = super.loadTable(ident)
-    if (txnlogMeta(base).isEmpty) super.loadTable(ident, version)
-    else {
-      val v = try version.toLong catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"txnlog VERSION AS OF takes a numeric log version, " +
-              s"got: $version")
-      }
-      wrap(base, Some(v))
+    * native handling (and its native refusal message); a txnlog
+    * entry whose location cannot resolve refuses LOUDLY through the
+    * same delegation rather than silently dropping the version. ONE
+    * base load serves the provider check and the wrap. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    wrap(super.loadTable(ident), None) match {
+      case plain: TxnLogTable =>
+        val v = try version.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"txnlog VERSION AS OF takes a numeric log version, " +
+                s"got: $version")
+        }
+        plain.copy(asOf = Some(v))
+      case _ => super.loadTable(ident, version)
     }
-  }
 
   /** `TIMESTAMP AS OF ts` — `timestamp` arrives in MICROseconds
     * (the TableCatalog contract); [[TxnLog.versionAt]] resolves it
@@ -130,6 +132,12 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
   @transient private lazy val snap: Option[TxnLog.Snapshot] =
     if (TxnLog.latestVersion(t) < 0) None
     else Some(TxnLog.snapshot(t, asOf))
+
+  /** The staging layout a write must route through — served from the
+    * SAME load-time replay as partitioning(), so a v2 INSERT pays no
+    * second log replay at execution. */
+  private[sources] def writeLayout: Seq[String] =
+    snap.map(_.partCols).getOrElse(Nil)
 
   override def name(): String = meta.identifier.unquotedString
 
@@ -174,7 +182,7 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
     require(asOf.isEmpty,
       s"cannot write to a time-traveled snapshot of ${name()} " +
         s"(VERSION AS OF ${asOf.get})")
-    new TxnLogV2WriteBuilder(t)
+    new TxnLogV2WriteBuilder(t, writeLayout)
   }
 }
 
@@ -183,7 +191,8 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
   * atomic REPLACE. Partition-FILTERED overwrite refuses: the engine's
   * replace is whole-table-atomic (use DELETE + INSERT, or
   * dropPartition, for scoped rewrites). */
-private class TxnLogV2WriteBuilder(t: TxnLog.Table)
+private class TxnLogV2WriteBuilder(t: TxnLog.Table,
+    partCols: Seq[String])
   extends WriteBuilder with SupportsOverwrite {
 
   private var replaceAll = false
@@ -202,9 +211,6 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table)
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val s = data.sparkSession
-          val partCols =
-            if (TxnLog.latestVersion(t) < 0) Nil
-            else TxnLog.snapshot(t).partCols
           if (replaceAll || overwrite) {
             TxnLog.replace(s, t, data, partCols); ()
           } else if (partCols.isEmpty) {

@@ -995,6 +995,12 @@ class ExtensionsSpec extends AnyFunSuite {
       val shown = spark.sql("SHOW TBLPROPERTIES v2_cat").collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(shown.get("graft.note").contains("created"))
+      // table_changes accepts the catalog NAME too (Delta's TVF
+      // spelling): commit 0 is the schema-only CREATE, commit 1 the
+      // two-row insert wave
+      assert(spark.sql(
+        "SELECT count(*) FROM txnlog_changes('v2_cat', 0, 1)")
+        .head().getLong(0) === 2L)
       // a temp view over the NAME stays live (the rewrite rule hands
       // it the per-scan-resolved relation, not a pinned file list)
       spark.sql("CREATE OR REPLACE TEMP VIEW v2_cat_view AS " +
@@ -1028,12 +1034,16 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("INSERT OVERWRITE v2_cat VALUES (5, 50, 'only')")
       assert(spark.sql("SELECT k, v FROM v2_cat").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((5L, 50L)))
-      // writes to a time-traveled snapshot refuse
-      val tt = intercept[Exception] {
-        spark.sql(s"INSERT INTO v2_cat VERSION AS OF $vNow VALUES " +
-          "(1, 1, 'no')")
+      // writes to a time-traveled snapshot refuse: the guard sits in
+      // newWriteBuilder, driven here on a traveled table instance
+      // (SQL has no INSERT ... VERSION AS OF form to reach it with)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("v2_cat"))
+      val traveled = graft.sources.TxnLogTable(t, meta, Some(vNow))
+      val tt = intercept[IllegalArgumentException] {
+        traveled.newWriteBuilder(null)
       }
-      assert(tt != null)
+      assert(tt.getMessage.contains("time-traveled"), tt.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS v2_cat")
   }
 }

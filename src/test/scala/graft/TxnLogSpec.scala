@@ -3440,6 +3440,26 @@ class TxnLogSpec extends AnyFunSuite {
     // dv UPDATE's action shape — dv + cdc pairs + new-image adds)
     assert(TxnLog.history(mor).map(_._2)
       .exists(op => op == "MERGE" || op == "UPDATE"))
+    // the streaming Update-mode sink routes merge-on-read too: an
+    // exactly-once keyed upsert on the dv-enabled table rewrites no
+    // pre-existing file (the highest-frequency writer stops paying
+    // per-file rewrites), and the fence still holds on replay
+    val filesB4 = dataFiles(mor)
+    val liveB4 = TxnLog.snapshot(mor).liveFiles.toSet
+    assert(TxnLog.upsertBatch(spark, mor,
+      Seq((150L, 5L, "sink")).toDF("k", "v", "s"), Seq("k"),
+      "mdvapp", 0L))
+    assert(filesB4.subsetOf(dataFiles(mor)),
+      "dv-routed upsertBatch rewrote a pre-existing data file")
+    assert(liveB4.subsetOf(TxnLog.snapshot(mor).liveFiles.toSet),
+      "dv-routed upsertBatch removed a live file")
+    assert(TxnLog.read(spark, mor).filter($"k" === 150L)
+      .head().getLong(1) === 5L)
+    assert(!TxnLog.upsertBatch(spark, mor,
+      Seq((150L, 6L, "replay")).toDF("k", "v", "s"), Seq("k"),
+      "mdvapp", 0L), "replayed batch was not fenced")
+    assert(TxnLog.read(spark, mor).filter($"k" === 150L)
+      .head().getLong(1) === 5L)
   }
 
   test("txnlog: dv split scan — the clean file scans bare with pushdown; only the dv file pays the anti-join") {
