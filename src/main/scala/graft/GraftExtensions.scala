@@ -64,28 +64,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               throw new IllegalArgumentException(
                 s"txnlog_changes: $raw is neither a path nor a " +
                   "catalog table USING txnlog"))
-        // Some(version) for numeric bounds, None → the raw string is
-        // a timestamp (epoch-millis strings read as VERSIONS — the
-        // numeric form predates timestamp support)
-        def verOf(a: Any): Either[String, Long] = a match {
-          case n: Number => Right(n.longValue)
-          case other =>
-            val s0 = other.toString
-            scala.util.Try(s0.toLong).toOption
-              .map(Right(_)).getOrElse(Left(s0))
+        // a bound is a VERSION (integral literal / numeric string) or
+        // a TIMESTAMP: typed TIMESTAMP/DATE literals resolve by their
+        // Catalyst TYPE — a TIMESTAMP evals to epoch MICROS and a
+        // DATE to epoch DAYS, which read as raw numbers would be
+        // silently misread as (possibly existing) version numbers;
+        // plain strings keep the parse-as-version-else-timestamp
+        // convention (the numeric form predates timestamp support)
+        def boundOf(e: Expression): Either[Long, Long] = { // L=ts ms, R=ver
+          import org.apache.spark.sql.types.{DateType, TimestampType,
+            TimestampNTZType}
+          val v = const(e)
+          e.dataType match {
+            case TimestampType | TimestampNTZType =>
+              Left(v.asInstanceOf[Long] / 1000L) // micros → millis
+            case DateType =>
+              Left(v.asInstanceOf[Int].toLong * 86400000L)
+            case _ => v match {
+              case n: Number => Right(n.longValue)
+              case other =>
+                val s0 = other.toString
+                scala.util.Try(s0.toLong).toOption.map(Right(_))
+                  .getOrElse(Left(TxnLog.tsMillis(s0)))
+            }
+          }
         }
         val spark = spark0
-        val to = verOf(const(args(2))) match {
+        val to = boundOf(args(2)) match {
           case Right(v)  => v
-          case Left(ts)  => TxnLog.versionAt(t, TxnLog.tsMillis(ts))
+          case Left(ms)  => TxnLog.versionAt(t, ms)
         }
-        val df = verOf(const(args(1))) match {
+        val df = boundOf(args(1)) match {
           case Right(v) =>
             require(v <= to, s"empty change range: v$v..v$to")
             TxnLog.tableChanges(spark, t, v, to)
-          case Left(ts) => TxnLog.tableChangesLowest(spark, t,
-            TxnLog.versionAtOrAfter(t, TxnLog.tsMillis(ts)), to,
-            s"'$ts'..v$to")
+          case Left(ms) => TxnLog.tableChangesLowest(spark, t,
+            TxnLog.versionAtOrAfter(t, ms), to,
+            s"ts($ms)..v$to")
         }
         df.queryExecution.analyzed
       }))

@@ -2995,21 +2995,37 @@ object TxnLog {
       // line added ahead of partcols must not silently push the
       // declaration out of a fixed window — that would stop every
       // writer from routing through the declared layout with no error
-      def isAction(l: String): Boolean =
-        l.startsWith("add\t") || l.startsWith("remove\t") ||
-          l.startsWith("txn\t") || l.startsWith("cdc\t") ||
-          l.startsWith("dv\t")
       try Iterator.continually(r.readLine()).takeWhile(_ != null)
-        .takeWhile(!isAction(_))
+        .takeWhile(l => !isFileAction(l))
         .find(_.startsWith("partcols\t")).map(parse)
       finally r.close()
     }.getOrElse(Nil)
   }
 
+  /** The verb taxonomy [[applyLine]]'s dispatch partitions into —
+    * defined ONCE, side by side, so a future verb cannot be added to
+    * one list and forgotten in the other's consumer:
+    * [[declaredPartCols]]'s header-prefix scan stops at the first
+    * FILE action (fail-direction: a missed file verb only scans
+    * further), while [[metadataOnlyV0]]'s adoption check requires
+    * every line to be a KNOWN metadata verb (fail-direction: an
+    * unknown verb refuses adoption — never adopts by accident). */
+  private val FileActionVerbs =
+    Set("add", "remove", "txn", "cdc", "dv")
+  private val MetadataVerbs =
+    Set("schema", "partcols", "protocol", "property", "unsetproperty",
+      "constraint", "dropconstraint", "dropped")
+
+  private def isFileAction(line: String): Boolean =
+    FileActionVerbs.exists(v => line.startsWith(v + "\t"))
+
   /** True when the log holds EXACTLY version 0 and that commit
     * carries only table METADATA (schema/layout/constraint/property/
     * protocol lines — no file, dv or txn action): the footprint of a
-    * DDL CREATE whose native half failed after minting. Such an
+    * CATALOG-named DDL CREATE whose native half failed after minting
+    * (the caller also checks the catalog entry is absent; a
+    * path-addressed CREATE has no native half, so its v0 is a
+    * successfully created empty table and never adopts). Such an
     * orphan may be adopted by an identical re-CREATE instead of
     * refusing — deleting it on failure raced concurrent writers (a
     * v1 built on the v0 would silently lose its schema lines). */
@@ -3018,10 +3034,7 @@ object TxnLog {
       import scala.jdk.CollectionConverters._
       val f = t.logDir.resolve(f"${0L}%020d.log")
       Files.exists(f) && Files.readAllLines(f).asScala.forall { l =>
-        val a = l.split('\t')(0)
-        l.isEmpty || a == "schema" || a == "partcols" ||
-          a == "protocol" || a == "property" || a == "unsetproperty" ||
-          a == "constraint" || a == "dropconstraint" || a == "dropped"
+        l.isEmpty || MetadataVerbs.contains(l.split('\t')(0))
       }
     }
 
@@ -3038,6 +3051,10 @@ object TxnLog {
     * the point — so bound the range to what you audit. */
   def tableChanges(s: SparkSession, t: Table, from: Long,
                    to: Long): DataFrame = {
+    // a negative `from` must refuse like the nonexistent version it
+    // is — an arithmetic underflow (lastProcessed - 1 past 0) would
+    // otherwise silently replay the whole origin insert wave
+    require(from >= 0, s"version $from does not exist in ${t.logDir}")
     require(from <= to, s"empty change range: v$from..v$to")
     // `from = 0` is INCLUSIVE of commit 0 — the origin commit's adds
     // are its insert wave (the streaming source's initial-snapshot
@@ -3142,8 +3159,10 @@ object TxnLog {
     }
   }
 
-  /** [[tableChanges]] addressed by path string — the TVF entry
-    * point (`SELECT * FROM txnlog_changes('/p', from, to)`). */
+  /** [[tableChanges]] addressed by path string — the programmatic
+    * convenience twin of the `txnlog_changes` TVF's version form
+    * (the TVF itself resolves names/timestamps and calls
+    * [[tableChanges]]/[[tableChangesLowest]] directly). */
   def tableChangesByPath(s: SparkSession, path: String, from: Long,
                          to: Long): DataFrame =
     tableChanges(s, Table(pathOf(path)), from, to)

@@ -1080,17 +1080,24 @@ final case class TxnLogCreateTableCommand(table: String,
         // the location already holds a table: a plain CREATE must not
         // silently succeed with its schema/layout ignored — SQL's
         // contract is refuse, or no-op under IF NOT EXISTS. ONE
-        // exception: an ORPHAN metadata-only v0 (a prior CREATE that
-        // minted but failed natively) is ADOPTED by an IDENTICAL
-        // re-CREATE — deleting the orphan at failure time raced
-        // concurrent writers (a v1 built on our v0 would lose its
-        // schema lines from under it), so the log stays and the retry
-        // tolerates it instead. A differing declaration still refuses:
-        // adopting it would silently redefine whatever minted the v0.
-        val adoptable = TxnLog.metadataOnlyV0(t) &&
+        // exception: an ORPHAN metadata-only v0 (a prior CATALOG
+        // CREATE that minted but failed natively — detectable because
+        // the catalog entry is absent while the v0 exists) is ADOPTED
+        // by an IDENTICAL re-CREATE — deleting the orphan at failure
+        // time raced concurrent writers (a v1 built on our v0 would
+        // lose its schema lines from under it), so the log stays and
+        // the retry tolerates it instead. PATH-addressed targets
+        // never adopt: their registration IS the create (no native
+        // half to fail), so a metadata-only v0 there is a
+        // successfully created empty table and a duplicate CREATE
+        // must refuse like any other. A differing declaration —
+        // including nullability — still refuses: adopting it would
+        // silently redefine whatever minted the v0.
+        val adoptable = !isPath && TxnLog.metadataOnlyV0(t) &&
           TxnLog.registeredSchema(t).exists(reg =>
-            reg.fields.map(f => (f.name, f.dataType)).toSeq ==
-              schema.fields.map(f => (f.name, f.dataType)).toSeq) &&
+            reg.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
+              schema.fields.map(f =>
+                (f.name, f.dataType, f.nullable)).toSeq) &&
           TxnLog.declaredPartCols(t) == partCols &&
           TxnLog.propertiesOf(t) == props
         require(ifNotExists || adoptable,

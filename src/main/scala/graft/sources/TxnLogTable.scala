@@ -237,6 +237,16 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
   extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // EARLY EXIT: this rule sits in the analyzer's fixpoint batch, so
+    // it runs many times per query — a plan with no txnlog v2
+    // relation (every query in a session that never touches a
+    // catalog-name txnlog table) must pay one cheap existence walk
+    // and nothing else
+    val hasTarget = plan.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[TxnLogTable]
+      case _                       => false
+    }
+    if (!hasTarget) return plan
     // never rewrite a write TARGET: AppendData/OverwriteByExpression
     // plan through the table's own WriteBuilder; InsertIntoStatement
     // still needs ResolveInsertInto to see the v2 relation

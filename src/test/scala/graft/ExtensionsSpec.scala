@@ -910,6 +910,27 @@ class ExtensionsSpec extends AnyFunSuite {
       s"""SELECT k FROM txnlog_changes('$p', 1, '2001-01-01 00:02:30')
          |ORDER BY k""".stripMargin).collect().map(_.getLong(0)).toSeq
     assert(mixed === Seq(2L))
+    // TYPED literals resolve by their Catalyst type: a TIMESTAMP
+    // evals to epoch MICROS — read as a raw number it would be
+    // misread as a (huge) version; a DATE to epoch DAYS — worse, a
+    // small number that could BE a real version on an old table
+    val viaTyped = spark.sql(
+      s"""SELECT k FROM txnlog_changes('$p',
+         |  TIMESTAMP '2001-01-01 00:00:30+00:00',
+         |  TIMESTAMP '2001-01-01 00:02:30+00:00')
+         |ORDER BY k""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(viaTyped === Seq(1L, 2L), viaTyped.toString)
+    val viaDate = spark.sql(
+      s"""SELECT count(*) FROM txnlog_changes('$p',
+         |  DATE '2001-01-01', DATE '2001-01-02')""".stripMargin)
+      .head().getLong(0)
+    assert(viaDate === 3L, s"DATE bounds read $viaDate rows") // v0..v2
+    // a negative version bound refuses like the nonexistent version
+    // it is (an arithmetic underflow must not replay the origin wave)
+    val neg = intercept[Exception] {
+      spark.sql(s"SELECT * FROM txnlog_changes('$p', -1, 2)").collect()
+    }
+    assert(neg.getMessage.contains("does not exist"), neg.getMessage)
     // TBLPROPERTIES: SQL's doubled-quote escape round-trips through
     // key and value (Spark's own grammar accepts it)
     spark.sql(s"ALTER TABLE txnlog.`$p` SET TBLPROPERTIES " +
@@ -949,6 +970,35 @@ class ExtensionsSpec extends AnyFunSuite {
           s"USING txnlog OPTIONS (path '$root2')")
       }
       assert(live.getMessage.contains("already exists"), live.getMessage)
+      // a PATH-addressed CREATE never adopts: its registration IS the
+      // create (no native half to fail), so a metadata-only v0 there
+      // is a successfully created EMPTY table and a duplicate CREATE
+      // must refuse — the SQL contract a lax adoption would mask
+      val root3 = java.nio.file.Files
+        .createTempDirectory("graft-dupcre-").resolve("t3")
+      spark.sql(s"CREATE TABLE txnlog.`$root3` (k BIGINT) USING txnlog")
+      val dup = intercept[Exception] {
+        spark.sql(s"CREATE TABLE txnlog.`$root3` (k BIGINT) USING txnlog")
+      }
+      assert(dup.getMessage.contains("already exists"), dup.getMessage)
+      // IF NOT EXISTS still no-ops on it
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS txnlog.`$root3` (k BIGINT) " +
+          "USING txnlog")
+      // adoption compares NULLABILITY too: a retry that adds NOT NULL
+      // must not silently lose the constraint to the orphan's schema
+      val root4 = java.nio.file.Files
+        .createTempDirectory("graft-orphnn-").resolve("t4")
+      val t4 = TxnLog.Table(root4)
+      TxnLog.registerSchema(t4,
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType)) // nullable
+      spark.sql("DROP TABLE IF EXISTS orphan_nn")
+      val nn = intercept[Exception] {
+        spark.sql(s"CREATE TABLE orphan_nn (k BIGINT NOT NULL) " +
+          s"USING txnlog OPTIONS (path '$root4')")
+      }
+      assert(nn.getMessage.contains("already exists"), nn.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS orphan_cat")
       spark.sql("DROP TABLE IF EXISTS orphan_bad")
