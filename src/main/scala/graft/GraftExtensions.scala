@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           import org.apache.spark.sql.types.{DateType, TimestampType,
             TimestampNTZType}
           val v = const(e)
+          // a NULL bound must refuse by name: a typed null would
+          // unbox to epoch 0 (silently streaming the entire feed),
+          // a string null would NPE
+          require(v != null,
+            s"txnlog_changes bounds must not be NULL, got: ${e.sql}")
           e.dataType match {
             case TimestampType | TimestampNTZType =>
               Left(v.asInstanceOf[Long] / 1000L) // micros → millis
@@ -99,7 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             require(v <= to, s"empty change range: v$v..v$to")
             TxnLog.tableChanges(spark, t, v, to)
           case Left(ms) => TxnLog.tableChangesLowest(spark, t,
-            TxnLog.versionAtOrAfter(t, ms), to,
+            // the CHECKED resolution: a bound that does not provably
+            // postdate expired history refuses instead of silently
+            // folding expired commits into the base snapshot
+            TxnLog.versionAtOrAfterChecked(t, ms), to,
             s"ts($ms)..v$to")
         }
         df.queryExecution.analyzed

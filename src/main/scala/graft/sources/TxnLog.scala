@@ -1930,9 +1930,9 @@ object TxnLog {
     * Returns the committed version (unchanged when nothing matched). */
   def deleteDv(s: SparkSession, t: Table, predicate: Column,
                alias: Option[String] = None,
-               maxDvRowsPerFile: Long = 100000L,
+               maxDvRowsPerFile: Long = DefaultDvRowCap,
                snap0: Option[Snapshot] = None,
-               maxDvBytesPerFile: Long = 65536L): Long =
+               maxDvBytesPerFile: Long = DefaultDvByteCap): Long =
     dvRewrite(s, t, predicate, alias, maxDvRowsPerFile,
       set = Map.empty, snap0 = snap0,
       maxDvBytesPerFile = maxDvBytesPerFile)
@@ -1946,9 +1946,9 @@ object TxnLog {
     * enforce on the staged new images with the atomic refusal. */
   def updateDv(s: SparkSession, t: Table, set: Map[String, Column],
                predicate: Column, alias: Option[String] = None,
-               maxDvRowsPerFile: Long = 100000L,
+               maxDvRowsPerFile: Long = DefaultDvRowCap,
                snap0: Option[Snapshot] = None,
-               maxDvBytesPerFile: Long = 65536L): Long = {
+               maxDvBytesPerFile: Long = DefaultDvByteCap): Long = {
     require(set.nonEmpty, "updateDv needs at least one SET assignment")
     dvRewrite(s, t, predicate, alias, maxDvRowsPerFile, set, snap0,
       maxDvBytesPerFile)
@@ -2001,11 +2001,51 @@ object TxnLog {
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaLong)).collect()
 
+  /** Default per-file light-vector thresholds for merge-on-read DML
+    * (rows dead per statement; bytes of the MERGED encoded vector) —
+    * past either, the file rewrites copy-on-write. */
+  private[sources] val DefaultDvRowCap = 100000L
+  private[sources] val DefaultDvByteCap = 65536L
+
+  /** Partition located dead sets into LIGHT vectors and HEAVY files —
+    * the ONE routing decision deleteDv/updateDv and merge-on-read
+    * MERGE share, so the cap semantics can never silently diverge:
+    * per-partition overflow sentinels are heavy outright; each
+    * surviving file's statement ranges merge with its EXISTING vector
+    * and stay light only when the statement's rows fit the row cap
+    * AND the merged encoding fits the byte cap (the size the log
+    * actually carries). Returns (dv action lines, heavy abs-path
+    * set). */
+  private def dvLightHeavy(runRows: Array[(String, Long, Long)],
+      relOfAbs: Map[String, String], existing: Map[String, String],
+      rowCap: Long, byteCap: Long): (Seq[String], Set[String]) = {
+    val byFile = runRows.groupBy(_._1)
+    val overflow = byFile.collect {
+      case (f, rs) if rs.exists(_._2 < 0L) => f }.toSet
+    val stmtRanges: Map[String, Seq[(Long, Long)]] =
+      (byFile -- overflow).map { case (f, rs) =>
+        f -> mergeRanges(rs.map { case (_, l, h) => (l, h) }.toSeq)
+      }
+    val mergedEnc: Map[String, String] = stmtRanges.map {
+      case (abs, rs) =>
+        abs -> encodeRanges(mergeRanges(
+          existing.get(relOfAbs(abs)).map(decodeRanges)
+            .getOrElse(Nil) ++ rs))
+    }
+    def stmtRows(abs: String): Long =
+      stmtRanges(abs).map { case (l, h) => h - l + 1L }.sum
+    val (lightAbs, heavyAbs0) =
+      stmtRanges.keys.toSeq.sorted.partition(a =>
+        stmtRows(a) <= rowCap && mergedEnc(a).length <= byteCap)
+    (lightAbs.map(abs => s"dv\t${relOfAbs(abs)}\t${mergedEnc(abs)}"),
+      (heavyAbs0 ++ overflow.toSeq).toSet)
+  }
+
   private def dvRewrite(s: SparkSession, t: Table, predicate: Column,
       alias: Option[String], maxDvRowsPerFile: Long,
       set: Map[String, Column],
       snap0: Option[Snapshot] = None,
-      maxDvBytesPerFile: Long = 65536L): Long = {
+      maxDvBytesPerFile: Long = DefaultDvByteCap): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val cond = coalesce(predicate, lit(false))
     val snap = snap0.getOrElse(snapshot(t))
@@ -2046,35 +2086,14 @@ object TxnLog {
         capRanges, maxDvRowsPerFile)
     }
     if (runRows.isEmpty) return snap.version
-    val byFile = runRows.groupBy(_._1)
-    val overflow = byFile.collect {
-      case (f, rs) if rs.exists(_._2 < 0L) => f }.toSet
-    val stmtRanges: Map[String, Seq[(Long, Long)]] =
-      (byFile -- overflow).map { case (f, rs) =>
-        f -> mergeRanges(rs.map { case (_, l, h) => (l, h) }.toSeq)
-      }
-    // the action SETS the complete dead set: merge the existing
-    // vector with the freshly dead rows. LIGHT requires both the
-    // statement's row count under the threshold AND the merged
-    // encoding under the byte cap — a scattered delete that would
-    // stamp a megabyte-scale `dv` line into every later checkpoint
-    // rewrites its file instead (the sizing fallback, keyed on the
-    // ENCODED size the log actually carries, not just the row count)
-    val mergedEnc: Map[String, String] = stmtRanges.map {
-      case (abs, rs) =>
-        val rel = relOfAbs(abs)
-        abs -> encodeRanges(mergeRanges(
-          snap.dvs.get(rel).map(decodeRanges).getOrElse(Nil) ++ rs))
-    }
-    def stmtRows(abs: String): Long =
-      stmtRanges(abs).map { case (l, h) => h - l + 1L }.sum
-    val (lightAbs, heavyAbs0) =
-      stmtRanges.keys.toSeq.sorted.partition(a =>
-        stmtRows(a) <= maxDvRowsPerFile &&
-          mergedEnc(a).length <= maxDvBytesPerFile)
-    val heavyRels = (heavyAbs0 ++ overflow.toSeq).map(relOfAbs).sorted
-    val dvLines = lightAbs.map(abs =>
-      s"dv\t${relOfAbs(abs)}\t${mergedEnc(abs)}")
+    // light-vs-heavy routing is the SHARED decision ([[dvLightHeavy]])
+    // — the action SETS the complete dead set (existing vector merged
+    // in), and a scattered delete whose merged encoding outgrows the
+    // byte cap rewrites its file instead of stamping a megabyte-scale
+    // `dv` line into every later checkpoint
+    val (dvLines, heavyAbs) = dvLightHeavy(runRows, relOfAbs,
+      snap.dvs, maxDvRowsPerFile, maxDvBytesPerFile)
+    val heavyRels = heavyAbs.toSeq.map(relOfAbs).sorted
     val partCols = snap.partCols
     val matched = hits.drop(PosCols: _*)
     val survivorStage = newStage(t, t.dataDir)
@@ -2280,12 +2299,6 @@ object TxnLog {
       targetAlias: String = "t", sourceAlias: String = "s"): Long =
     mergeIntoKeys(s, t, source, Seq(keyCol), clauses, targetAlias,
       sourceAlias)
-
-  /** Default per-file light-vector thresholds for merge-on-read DML
-    * (rows dead per statement; bytes of the MERGED encoded vector) —
-    * past either, the file rewrites copy-on-write. */
-  private[sources] val DefaultDvRowCap = 100000L
-  private[sources] val DefaultDvByteCap = 65536L
 
   /** [[mergeInto]] on a COMPOSITE key: rows match when every key
     * column is equal (a source row with a NULL key component matches
@@ -2521,7 +2534,17 @@ object TxnLog {
       }
     val idx = when(col(s"$sa._graft_m").isNull, chain(bySource, -1))
       .otherwise(chain(matched, 1))
-    val withIdx = joined.withColumn("_clause", idx)
+    // merge-on-read evaluates the clause join one extra time (the
+    // locate collect) on top of the survivor/old-image/new-image
+    // stages — persist it so the touched-sliver scan and join run
+    // once per statement, the same reasoning as dvRewrite's hits
+    // cache (released in the finally)
+    val withIdx0 = joined.withColumn("_clause", idx)
+    val withIdx =
+      if (dvCaps.isEmpty) withIdx0
+      else withIdx0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val updateIdx = matched.zipWithIndex.collect {
       case (_: MergeClause.Update, i) => i + 1 } ++
       bySource.zipWithIndex.collect {
@@ -2551,43 +2574,25 @@ object TxnLog {
             org.apache.spark.sql.Encoders.scalaLong))
         val capRanges = math.max(16L, byteCap / 4L + 1L)
         val runRows = runLengthDeadSets(touchedPos, capRanges, rowCap)
-        val byFile = runRows.groupBy(_._1)
-        val overflow = byFile.collect {
-          case (f, rs) if rs.exists(_._2 < 0L) => f }.toSet
-        val stmtRanges: Map[String, Seq[(Long, Long)]] =
-          (byFile -- overflow).map { case (f, rs) =>
-            f -> mergeRanges(rs.map { case (_, l, h) => (l, h) }.toSeq)
-          }
-        // LIGHT needs the statement's rows under the row cap AND the
-        // MERGED encoding under the byte cap — same sizing fallback
-        // as deleteDv/updateDv, keyed on what the log actually carries
-        val mergedEnc: Map[String, String] = stmtRanges.map {
-          case (abs, rs) =>
-            abs -> encodeRanges(mergeRanges(
-              snap.dvs.get(relOfAbs(abs)).map(decodeRanges)
-                .getOrElse(Nil) ++ rs))
-        }
-        def stmtRows(abs: String): Long =
-          stmtRanges(abs).map { case (l, h) => h - l + 1L }.sum
-        val (lightAbs, heavyAbs0) =
-          stmtRanges.keys.toSeq.sorted.partition(a =>
-            stmtRows(a) <= rowCap && mergedEnc(a).length <= byteCap)
-        val heavyAbs = (heavyAbs0 ++ overflow.toSeq).toSet
-        (lightAbs.map(abs => s"dv\t${relOfAbs(abs)}\t${mergedEnc(abs)}"),
-          heavyAbs, heavyAbs.toSeq.map(relOfAbs).sorted)
+        // light-vs-heavy routing is the SHARED decision with
+        // deleteDv/updateDv ([[dvLightHeavy]]) — same caps, same
+        // merged-encoding semantics, by construction
+        val (dvLines, heavyAbs) = dvLightHeavy(runRows, relOfAbs,
+          snap.dvs, rowCap, byteCap)
+        (dvLines, heavyAbs, heavyAbs.toSeq.map(relOfAbs).sorted)
       }
     // rows the merge leaves alone: no clause fired. Under merge-on-
     // read only HEAVY files restage their untouched rows — light
     // files stay in place (their dead set is the vector), untouched
-    // files are not even removed.
-    val survivors = dvInfo match {
+    // files are not even removed; with no heavy file at all, NO
+    // survivor stage runs (None — not an empty write job).
+    val survivors: Option[DataFrame] = dvInfo match {
       case None =>
-        withIdx.filter(col("_clause") === 0).select(tSel: _*)
-      case Some((_, heavyAbs, _)) if heavyAbs.isEmpty =>
-        withIdx.limit(0).select(tSel: _*)
+        Some(withIdx.filter(col("_clause") === 0).select(tSel: _*))
+      case Some((_, heavyAbs, _)) if heavyAbs.isEmpty => None
       case Some((_, heavyAbs, _)) =>
-        withIdx.filter(col("_clause") === 0 &&
-          col("_g_fp").isInCollection(heavyAbs)).select(tSel: _*)
+        Some(withIdx.filter(col("_clause") === 0 &&
+          col("_g_fp").isInCollection(heavyAbs)).select(tSel: _*))
     }
     // old images of every row an update/delete clause touched
     val oldImages = withIdx.filter(col("_clause") =!= 0).select(tSel: _*)
@@ -2625,8 +2630,9 @@ object TxnLog {
     val cdcStage = newStage(t, t.cdcDir)
     try {
       val adds =
-        stageAdds(s, t, survivors, survivorStage, partCols, statsCols,
-          snap.schemaJson) ++
+        survivors.toSeq.flatMap(
+          stageAdds(s, t, _, survivorStage, partCols, statsCols,
+            snap.schemaJson)) ++
         updatedNew.toSeq.flatMap(
           stageAdds(s, t, _, updatedStage, partCols, statsCols,
             snap.schemaJson)) ++
@@ -2679,9 +2685,27 @@ object TxnLog {
                 "taken concurrently; recompute against the current " +
                 "snapshot and retry")
           } else if (extraAll.isEmpty) snap.version
-          else commit(t, snap.version, adds = Nil, extra = extraAll)
+          else fence match {
+            // a NO-dv NO-remove outcome under a FENCE must not
+            // blind-append: commit()'s slot walk never re-checks the
+            // txn marker, so a replayed twin that also passed the
+            // entry fence could land the same insert wave twice —
+            // the same reason the degraded path routes through
+            // appendBatch's fence-rechecking loop
+            case Some((app, bid)) =>
+              var v = -1L
+              while (v < 0) {
+                val base = latestVersion(t)
+                if (lastBatch(t, app).exists(_ >= bid)) v = base
+                else if (tryPublish(t, base + 1, extraAll)) v = base + 1
+              }
+              v
+            case None =>
+              commit(t, snap.version, adds = Nil, extra = extraAll)
+          }
       }
     } finally seal(t, survivorStage, updatedStage, insertStage, cdcStage)
+    } finally { if (dvCaps.nonEmpty) withIdx.unpersist(); () }
     } finally org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(src)
   }
 
@@ -2880,6 +2904,30 @@ object TxnLog {
     versionFiles(t)
       .find(vf => Files.getLastModifiedTime(vf).toMillis >= ts)
       .map(versionOf).getOrElse(latestVersion(t) + 1)
+
+  /** [[versionAtOrAfter]] for FEED reads — refuses when expired
+    * history could hide commits at or after `ts`: if the earliest
+    * RETAINED commit is not v0 and its instant is already at-or-after
+    * the bound, expired commits may also have been, and resolving to
+    * the retained floor would silently fold their changes into the
+    * base snapshot (the timestamp twin of the version form's
+    * partially-expired refusal). Commit instants are version-ordered
+    * (the invariant every time-travel read relies on), so a bound
+    * STRICTLY AFTER the earliest retained instant provably postdates
+    * every expired commit. */
+  private[graft] def versionAtOrAfterChecked(t: Table, ts: Long): Long = {
+    val files = versionFiles(t)
+    require(files.nonEmpty, s"empty transaction log at ${t.logDir}")
+    require(versionOf(files.head) == 0L ||
+        Files.getLastModifiedTime(files.head).toMillis < ts,
+      s"timestamp bound $ts does not postdate the earliest retained " +
+        s"commit (v${versionOf(files.head)}) and older versions are " +
+        "expired — the feed cannot prove which expired commits were " +
+        "at or after the instant; resync from a full snapshot or use " +
+        "version bounds")
+    files.find(vf => Files.getLastModifiedTime(vf).toMillis >= ts)
+      .map(versionOf).getOrElse(versionOf(files.last) + 1)
+  }
 
   def versionAt(t: Table, ts: Long): Long = {
     val at = versionFiles(t)

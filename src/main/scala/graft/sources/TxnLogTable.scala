@@ -66,20 +66,23 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
     CatalogShim.v1Meta(tbl)
       .filter(_.provider.exists(_.equalsIgnoreCase("txnlog")))
 
-  private def wrap(tbl: Table, asOf: Option[Long]): Table =
+  /** Wrap a delegate-loaded table when it is a txnlog entry with a
+    * resolvable location (latest-version view; the time-travel
+    * overloads pin `asOf` onto the wrapped result). */
+  private def wrap(tbl: Table): Table =
     txnlogMeta(tbl) match {
       case Some(meta) =>
         meta.storage.properties.get("path")
           .orElse(meta.storage.locationUri.map(_.getPath)) match {
           case Some(p) =>
-            TxnLogTable(TxnLog.Table(TxnLog.pathOf(p)), meta, asOf)
+            TxnLogTable(TxnLog.Table(TxnLog.pathOf(p)), meta, None)
           case None => tbl // no location: leave it to the V1 path
         }
       case None => tbl
     }
 
   override def loadTable(ident: Identifier): Table =
-    wrap(super.loadTable(ident), None)
+    wrap(super.loadTable(ident))
 
   /** `SELECT ... FROM t VERSION AS OF n` on a catalog name — the
     * TableCatalog time-travel seam. Non-txnlog tables keep Spark's
@@ -88,7 +91,7 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
     * same delegation rather than silently dropping the version. ONE
     * base load serves the provider check and the wrap. */
   override def loadTable(ident: Identifier, version: String): Table =
-    wrap(super.loadTable(ident), None) match {
+    wrap(super.loadTable(ident)) match {
       case plain: TxnLogTable =>
         val v = try version.toLong catch {
           case _: NumberFormatException =>
@@ -104,7 +107,7 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
     * (the TableCatalog contract); [[TxnLog.versionAt]] resolves it
     * against commit mtimes like every other time-travel entry. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
-    wrap(super.loadTable(ident), None) match {
+    wrap(super.loadTable(ident)) match {
       case plain: TxnLogTable =>
         plain.copy(asOf =
           Some(TxnLog.versionAt(plain.t, timestamp / 1000L)))

@@ -931,6 +931,34 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM txnlog_changes('$p', -1, 2)").collect()
     }
     assert(neg.getMessage.contains("does not exist"), neg.getMessage)
+    // a NULL bound refuses by name — a typed null would unbox to
+    // epoch 0 and silently stream the whole feed
+    val nul = intercept[Exception] {
+      spark.sql(s"SELECT * FROM txnlog_changes('$p', " +
+        "CAST(NULL AS TIMESTAMP), 2)").collect()
+    }
+    assert(nul.getMessage.contains("must not be NULL"), nul.getMessage)
+    // a timestamp FROM-bound that cannot prove it postdates EXPIRED
+    // history refuses (the version form's partially-expired refusal,
+    // timestamp-shaped): after expiry the earliest retained commit is
+    // v2, and an instant at-or-before its mtime may have admitted
+    // expired commits too
+    TxnLog.checkpoint(t, 2L)
+    assert(TxnLog.expireLog(t) > 0) // earliest retained is now v2
+    TxnLog.append(spark, t, Seq((9L, 9L)).toDF("k", "v").coalesce(1))
+    java.nio.file.Files.setLastModifiedTime(
+      t.logDir.resolve(f"${3L}%020d.log"),
+      java.nio.file.attribute.FileTime.fromMillis(base + 3 * 60000L))
+    val exp = intercept[Exception] {
+      spark.sql(s"SELECT * FROM txnlog_changes('$p', " +
+        "'2001-01-01 00:01:00', '2001-01-01 00:03:30')").collect()
+    }
+    assert(exp.getMessage.contains("expired"), exp.getMessage)
+    // a bound strictly after the earliest retained instant provably
+    // postdates every expired commit: still serves
+    assert(spark.sql(s"SELECT count(*) FROM txnlog_changes('$p', " +
+      "'2001-01-01 00:02:30', '2001-01-01 00:03:30')")
+      .head().getLong(0) === 1L)
     // TBLPROPERTIES: SQL's doubled-quote escape round-trips through
     // key and value (Spark's own grammar accepts it)
     spark.sql(s"ALTER TABLE txnlog.`$p` SET TBLPROPERTIES " +
@@ -1045,6 +1073,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val shown = spark.sql("SHOW TBLPROPERTIES v2_cat").collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(shown.get("graft.note").contains("created"))
+      // the catalog-name read keeps the V1 plan shape: filters still
+      // push into the relation (the rewrite rule hands analysis the
+      // same PrunedFilteredScan every path reference uses)
+      val plan = spark.sql("SELECT v FROM v2_cat WHERE v > 15")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [GreaterThan(v,15)]") ||
+        plan.contains("GreaterThan(v,15)"), plan)
       // table_changes accepts the catalog NAME too (Delta's TVF
       // spelling): commit 0 is the schema-only CREATE, commit 1 the
       // two-row insert wave
