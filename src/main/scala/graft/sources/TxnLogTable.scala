@@ -262,6 +262,13 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
         if r.table.isInstanceOf[TxnLogTable] &&
           !writeTargets.exists(_ eq r) =>
         val tt = r.table.asInstanceOf[TxnLogTable]
+        // NOTE: `spark.read.option("versionAsOf"/"timestampAsOf",
+        // ...).table(name)` needs no handling here — Spark's own
+        // relation resolution folds those option keys into a
+        // TimeTravelSpec (session-timezone-aware, refusing both at
+        // once) and arrives through the catalog's time-travel
+        // loadTable overloads, so tt.asOf already carries the pin
+        // (spec-pinned end-to-end)
         val rel = tt.asOf match {
           case Some(v) => // pinned: eager resolution, like @v suffixes
             new TxnLogStreamProvider().createRelation(spark.sqlContext,

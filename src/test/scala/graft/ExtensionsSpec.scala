@@ -1107,6 +1107,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM v2_cat " +
         "TIMESTAMP AS OF '2099-01-01 00:00:00'").head().getLong(0)
         === 3L)
+      // the READER-OPTION spelling travels too — ignoring it would
+      // silently serve the latest snapshot
+      assert(spark.read.option("versionAsOf", vNow).table("v2_cat")
+        .count() === 2L)
+      // DataFrameWriterV2 appends through the same V1Write bridge
+      locally {
+        val sp = spark
+        import sp.implicits._
+        Seq((8L, 80L, "w")).toDF("k", "v", "note").writeTo("v2_cat")
+          .append()
+      }
+      assert(spark.sql("SELECT v FROM v2_cat WHERE k = 8").collect()
+        .map(_.getLong(0)).toSeq === Seq(80L))
       // INSERT with a PARTITION spec — a form the parser seam does
       // NOT lower; it plans through Spark's native v2 write path and
       // lands as an ordinary partitioned append commit
