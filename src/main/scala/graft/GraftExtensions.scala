@@ -80,11 +80,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           // a string null would NPE
           require(v != null,
             s"txnlog_changes bounds must not be NULL, got: ${e.sql}")
+          // typed bounds convert through the SESSION time zone, the
+          // semantics Spark's own literals have: a TIMESTAMP is an
+          // instant already (micros since epoch); a DATE is a local
+          // day and a TimestampNTZ a local wall-clock, both of which
+          // name different instants in different zones
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
+          lazy val sessionTz =
+            spark0.sessionState.conf.sessionLocalTimeZone
           e.dataType match {
-            case TimestampType | TimestampNTZType =>
+            case TimestampType =>
               Left(v.asInstanceOf[Long] / 1000L) // micros → millis
-            case DateType =>
-              Left(v.asInstanceOf[Int].toLong * 86400000L)
+            case TimestampNTZType => // local wall-clock → instant
+              Left(DateTimeUtils.toUTCTime(
+                v.asInstanceOf[Long], sessionTz) / 1000L)
+            case DateType => // local midnight → instant
+              Left(DateTimeUtils.daysToMicros(v.asInstanceOf[Int],
+                DateTimeUtils.getZoneId(sessionTz)) / 1000L)
             case _ => v match {
               case n: Number => Right(n.longValue)
               case other =>
@@ -103,12 +115,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Right(v) =>
             require(v <= to, s"empty change range: v$v..v$to")
             TxnLog.tableChanges(spark, t, v, to)
-          case Left(ms) => TxnLog.tableChangesLowest(spark, t,
+          case Left(ms) =>
             // the CHECKED resolution: a bound that does not provably
             // postdate expired history refuses instead of silently
             // folding expired commits into the base snapshot
-            TxnLog.versionAtOrAfterChecked(t, ms), to,
-            s"ts($ms)..v$to")
+            val fromV = TxnLog.versionAtOrAfterChecked(t, ms)
+            // the same range-order refusal the version form has: a
+            // timestamp `from` resolving above the `to` bound is an
+            // empty range and must say so by name, not flow into the
+            // feed body's silent empty result
+            require(fromV <= to,
+              s"empty change range: ts($ms)→v$fromV..v$to")
+            TxnLog.tableChangesLowest(spark, t, fromV, to,
+              s"ts($ms)..v$to")
         }
         df.queryExecution.analyzed
       }))

@@ -2026,19 +2026,22 @@ object TxnLog {
       (byFile -- overflow).map { case (f, rs) =>
         f -> mergeRanges(rs.map { case (_, l, h) => (l, h) }.toSeq)
       }
-    val mergedEnc: Map[String, String] = stmtRanges.map {
-      case (abs, rs) =>
-        abs -> encodeRanges(mergeRanges(
-          existing.get(relOfAbs(abs)).map(decodeRanges)
-            .getOrElse(Nil) ++ rs))
-    }
     def stmtRows(abs: String): Long =
       stmtRanges(abs).map { case (l, h) => h - l + 1L }.sum
-    val (lightAbs, heavyAbs0) =
-      stmtRanges.keys.toSeq.sorted.partition(a =>
-        stmtRows(a) <= rowCap && mergedEnc(a).length <= byteCap)
+    // the row-cap check comes BEFORE the merged encoding: a statement
+    // touching thousands of already-heavy files must not pay the
+    // encode work it immediately discards for them
+    val (rowLight, rowHeavy) =
+      stmtRanges.keys.toSeq.sorted.partition(stmtRows(_) <= rowCap)
+    val mergedEnc: Map[String, String] = rowLight.map { abs =>
+      abs -> encodeRanges(mergeRanges(
+        existing.get(relOfAbs(abs)).map(decodeRanges)
+          .getOrElse(Nil) ++ stmtRanges(abs)))
+    }.toMap
+    val (lightAbs, encHeavy) =
+      rowLight.partition(mergedEnc(_).length <= byteCap)
     (lightAbs.map(abs => s"dv\t${relOfAbs(abs)}\t${mergedEnc(abs)}"),
-      (heavyAbs0 ++ overflow.toSeq).toSet)
+      (rowHeavy ++ encHeavy ++ overflow.toSeq).toSet)
   }
 
   private def dvRewrite(s: SparkSession, t: Table, predicate: Column,

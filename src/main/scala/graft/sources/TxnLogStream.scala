@@ -316,9 +316,15 @@ class TxnLogStreamProvider extends StreamSourceProvider
       // ONCE and persisted — an instant past the current head means
       // "wait", and re-resolving after an outage would silently skip
       // the commits that landed during it; log expiry between
-      // resolutions would likewise shift the answer
+      // resolutions would likewise shift the answer. The resolution
+      // is CHECKED, like the TVF's: when expired history could hide
+      // commits at or after the instant, the stream refuses instead
+      // of silently folding them into the retained floor. A log with
+      // no commits yet has nothing expired — resolve to v0 and wait.
       parameters.get("startingTimestamp").map(ts =>
-        resolveOnce(TxnLog.versionAtOrAfter(t, TxnLog.tsMillis(ts))))
+        resolveOnce(
+          if (TxnLog.latestVersion(t) < 0) 0L
+          else TxnLog.versionAtOrAfterChecked(t, TxnLog.tsMillis(ts))))
     }
     new TxnLogSource(sqlContext, t,
       schemaOf(sqlContext, schema, parameters),

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement,
   LogicalPlan, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension,
-  Identifier, SupportsWrite, Table, TableCapability}
+  Identifier, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsOverwrite, V1Write, Write, WriteBuilder}
@@ -73,7 +73,16 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
     txnlogMeta(tbl) match {
       case Some(meta) =>
         meta.storage.properties.get("path")
-          .orElse(meta.storage.locationUri.map(_.getPath)) match {
+          .orElse(meta.storage.locationUri.map { uri =>
+            // refuse a non-file scheme LOUDLY: silently taking
+            // getPath would strip the authority and mis-root the
+            // table onto the local filesystem
+            require(uri.getScheme == null || uri.getScheme == "file",
+              s"txnlog table location $uri has a non-file scheme; " +
+                "this engine resolves txnlog logs on the local " +
+                "filesystem only")
+            uri.getPath
+          }) match {
           case Some(p) =>
             TxnLogTable(TxnLog.Table(TxnLog.pathOf(p)), meta, None)
           case None => tbl // no location: leave it to the V1 path
@@ -84,15 +93,24 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
   override def loadTable(ident: Identifier): Table =
     wrap(super.loadTable(ident))
 
+  /** Probe-and-wrap for the time-travel overloads: ONE delegate load
+    * serves the provider check and the wrap; None when the entry is
+    * not a txnlog table — including when the UN-traveled load itself
+    * refuses (a native V2 table that only admits traveled access
+    * must reach its own traveled load, not die in our probe). */
+  private def txnlogWrapped(ident: Identifier): Option[TxnLogTable] =
+    (try Some(super.loadTable(ident)) catch {
+      case scala.util.control.NonFatal(_) => None
+    }).map(wrap).collect { case t: TxnLogTable => t }
+
   /** `SELECT ... FROM t VERSION AS OF n` on a catalog name — the
     * TableCatalog time-travel seam. Non-txnlog tables keep Spark's
     * native handling (and its native refusal message); a txnlog
     * entry whose location cannot resolve refuses LOUDLY through the
-    * same delegation rather than silently dropping the version. ONE
-    * base load serves the provider check and the wrap. */
+    * same delegation rather than silently dropping the version. */
   override def loadTable(ident: Identifier, version: String): Table =
-    wrap(super.loadTable(ident)) match {
-      case plain: TxnLogTable =>
+    txnlogWrapped(ident) match {
+      case Some(plain) =>
         val v = try version.toLong catch {
           case _: NumberFormatException =>
             throw new IllegalArgumentException(
@@ -100,18 +118,18 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
                 s"got: $version")
         }
         plain.copy(asOf = Some(v))
-      case _ => super.loadTable(ident, version)
+      case None => super.loadTable(ident, version)
     }
 
   /** `TIMESTAMP AS OF ts` — `timestamp` arrives in MICROseconds
     * (the TableCatalog contract); [[TxnLog.versionAt]] resolves it
     * against commit mtimes like every other time-travel entry. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
-    wrap(super.loadTable(ident)) match {
-      case plain: TxnLogTable =>
+    txnlogWrapped(ident) match {
+      case Some(plain) =>
         plain.copy(asOf =
           Some(TxnLog.versionAt(plain.t, timestamp / 1000L)))
-      case _ => super.loadTable(ident, timestamp)
+      case None => super.loadTable(ident, timestamp)
     }
 }
 
@@ -125,9 +143,22 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
   * (declared-layout staging, constraint enforcement, atomic
   * replace). Reads never reach a DSv2 scan: [[TxnLogV2ReadRewrite]]
   * rewrites the relation onto the V1 plan first (BATCH_READ is
-  * declared so analysis admits the relation before the rule fires). */
+  * declared so analysis admits the relation before the rule fires;
+  * the `SupportsRead` impl exists only to refuse ACTIONABLY when the
+  * catalog is configured without the extensions, instead of an
+  * opaque scan-planning failure).
+  *
+  * STREAMING on catalog names rides two seams: reads are rewritten
+  * by [[TxnLogV2ReadRewrite]]'s streaming case onto the proven V1
+  * source (options — readChangeFeed, startingVersion, rate limits —
+  * intact), and `writeStream.toTable` lands on the V1 sink through
+  * `V2TableWithV1Fallback` (the Delta pattern: DataStreamWriter
+  * routes a fallback-carrying table to its provider's
+  * StreamSinkProvider, keeping appendBatch's exactly-once fencing). */
 final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
-    asOf: Option[Long]) extends Table with SupportsWrite {
+    asOf: Option[Long]) extends Table
+    with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.graftglue.V1FallbackTable {
 
   /** One replay serves every metadata accessor; None for a location
     * with no commits yet (a natively-created entry whose v0 was never
@@ -187,6 +218,46 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
         s"(VERSION AS OF ${asOf.get})")
     new TxnLogV2WriteBuilder(t, writeLayout)
   }
+
+  /** Batch SCANS never reach this builder when the session is
+    * configured correctly — [[TxnLogV2ReadRewrite]] rewrites the
+    * relation first (metadata commands like DESCRIBE still probe the
+    * builder for stats, so it must construct). Actually EXECUTING the
+    * scan means the catalog was installed WITHOUT the extensions (the
+    * rewrite rule is injected by
+    * `spark.sql.extensions=graft.GraftExtensions`); fail with the
+    * missing setting by name instead of an opaque planning error. */
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = TxnLogTable.this.schema()
+          override def description(): String =
+            "txnlog (reads rewrite onto the V1 scan; executing this " +
+              "scan means the graft extensions are not installed)"
+          override def toBatch
+              : org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              s"reading txnlog table ${name()} through the DSv2 " +
+                "catalog needs the graft resolution rule: set " +
+                "spark.sql.extensions=graft.GraftExtensions alongside " +
+                "spark.sql.catalog.spark_catalog=" +
+                "graft.sources.TxnLogCatalog")
+        }
+    }
+
+  /** The V1 fallback `DataStreamWriter.toTable` routes streaming
+    * writes through (reads never consult it — the rewrite rule
+    * handles them WITH reader options, which this seam drops). The
+    * schema is refreshed from the log so the fallback never serves
+    * a stale metastore copy. */
+  override def v1Table: CatalogTable =
+    snap.flatMap(_.schemaJson)
+      .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[StructType])
+      .map(st => meta.copy(schema = st)).getOrElse(meta)
 }
 
 /** INSERT INTO → one append commit (restaged through a partitioned
@@ -235,9 +306,22 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
   * (AppendData/OverwriteByExpression over the table's V1Write).
   * The rewrite keeps the relation's output attributes, so
   * references bound upstream stay valid — the Delta conversion
-  * pattern. */
+  * pattern.
+  *
+  * STREAMING relations over catalog names rewrite the same way:
+  * `readStream.table("name")` resolves to a `StreamingRelationV2`
+  * over the [[TxnLogTable]], which becomes the V1
+  * `StreamingRelation` every path-addressed stream plans — with the
+  * READER OPTIONS intact (readChangeFeed, startingVersion/-Timestamp,
+  * ignoreDeletes/ignoreChanges, maxVersionsPerBatch), which Spark's
+  * own V2TableWithV1Fallback seam drops. A CDF stream's extra
+  * `_change_type` column is appended to the relation's output here
+  * (the table's catalog schema cannot know the option), keeping the
+  * base attributes' exprIds so references bound upstream stay
+  * valid. */
 final case class TxnLogV2ReadRewrite(spark: SparkSession)
   extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // EARLY EXIT: this rule sits in the analyzer's fixpoint batch, so
@@ -247,6 +331,7 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
     // and nothing else
     val hasTarget = plan.exists {
       case r: DataSourceV2Relation => r.table.isInstanceOf[TxnLogTable]
+      case s: StreamingRelationV2  => s.table.isInstanceOf[TxnLogTable]
       case _                       => false
     }
     if (!hasTarget) return plan
@@ -279,6 +364,32 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
         }
         new LogicalRelation(rel, r.output, Some(tt.meta),
           false, None)
+      case s: StreamingRelationV2 if s.table.isInstanceOf[TxnLogTable] =>
+        val tt = s.table.asInstanceOf[TxnLogTable]
+        if (tt.asOf.nonEmpty)
+          // an AnalysisException keeps the message user-facing (any
+          // other type is wrapped as an analyzer INTERNAL_ERROR)
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              (s"cannot stream a time-traveled snapshot of " +
+                s"${tt.name()}; use the startingVersion/" +
+                "startingTimestamp options to choose where the " +
+                "stream begins")))
+        val opts = s.extraOptions.asCaseSensitiveMap.asScala.toMap +
+          ("path" -> tt.t.root.toString)
+        val cdf = opts.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("readChangeFeed") =>
+            v.toBoolean
+        }.getOrElse(false)
+        // base attributes keep their exprIds; only CDF appends the
+        // typed-change column the catalog schema cannot carry
+        val out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+          if (!cdf) s.output
+          else s.output :+ org.apache.spark.sql.catalyst.expressions
+            .AttributeReference("_change_type",
+              org.apache.spark.sql.types.StringType, nullable = false)()
+        org.apache.spark.sql.graftglue.StreamShim
+          .streamingRelation(spark, "txnlog", opts, out)
     }
   }
 }

@@ -40,6 +40,25 @@ object StreamShim {
       isStreaming = false)
   }
 
+  /** Build the V1 `StreamingRelation` a path-addressed
+    * `readStream.format(...)` plans, over an explicit option map and
+    * PRESERVED output attributes — what the catalog-name streaming
+    * rewrite substitutes for a `StreamingRelationV2`, so a stream on
+    * a table NAME runs the same proven source as a stream on its
+    * path. `DataSource` and the relation constructor are
+    * private[sql], hence this bridge. */
+  def streamingRelation(session: org.apache.spark.sql.SparkSession,
+      className: String, options: Map[String, String],
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      sparkSession = session.asInstanceOf[classic.SparkSession],
+      className = className,
+      options = options)
+    org.apache.spark.sql.execution.streaming.runtime
+      .StreamingRelation(ds, className, output)
+  }
+
   /** Resolve a plain parquet `BaseRelation` over an explicit file
     * list — what a `RelationProvider` must hand back so a custom
     * format's batch reads plan as ordinary HadoopFsRelation scans

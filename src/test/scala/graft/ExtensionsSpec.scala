@@ -925,6 +925,27 @@ class ExtensionsSpec extends AnyFunSuite {
          |  DATE '2001-01-01', DATE '2001-01-02')""".stripMargin)
       .head().getLong(0)
     assert(viaDate === 3L, s"DATE bounds read $viaDate rows") // v0..v2
+    // typed DATE / TIMESTAMP_NTZ bounds convert through the SESSION
+    // time zone, like Spark's own literals: the same DATE names an
+    // instant 5h30m earlier in Asia/Kolkata — here, before v0 exists
+    assert(spark.sql(s"SELECT count(*) FROM txnlog_changes('$p', " +
+      "0, DATE '2001-01-01')").head().getLong(0) === 1L) // UTC: at v0
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try {
+      val tzd = intercept[Exception] {
+        spark.sql(s"SELECT * FROM txnlog_changes('$p', " +
+          "0, DATE '2001-01-01')").collect()
+      }
+      assert(tzd.getMessage.contains("no version committed"),
+        tzd.getMessage)
+      val ntz = intercept[Exception] {
+        spark.sql(s"SELECT * FROM txnlog_changes('$p', " +
+          "0, TIMESTAMP_NTZ '2001-01-01 00:00:30')").collect()
+      }
+      assert(ntz.getMessage.contains("no version committed"),
+        ntz.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     // a negative version bound refuses like the nonexistent version
     // it is (an arithmetic underflow must not replay the origin wave)
     val neg = intercept[Exception] {
@@ -959,6 +980,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM txnlog_changes('$p', " +
       "'2001-01-01 00:02:30', '2001-01-01 00:03:30')")
       .head().getLong(0) === 1L)
+    // a timestamp FROM resolving ABOVE a version TO refuses with the
+    // version form's named empty-range message, not a silent empty df
+    val ord = intercept[Exception] {
+      spark.sql(s"SELECT * FROM txnlog_changes('$p', " +
+        "'2001-01-01 00:03:30', 3)").collect()
+    }
+    assert(ord.getMessage.contains("empty change range"), ord.getMessage)
     // TBLPROPERTIES: SQL's doubled-quote escape round-trips through
     // key and value (Spark's own grammar accepts it)
     spark.sql(s"ALTER TABLE txnlog.`$p` SET TBLPROPERTIES " +
@@ -1143,5 +1171,138 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(tt.getMessage.contains("time-traveled"), tt.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS v2_cat")
+  }
+
+  test("streaming over catalog names: readStream.table and writeStream.toTable ride the proven source/sink") {
+    import graft.sources.TxnLog
+    import scala.jdk.CollectionConverters._
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-snam-").resolve("t")
+    spark.sql("DROP TABLE IF EXISTS stream_cat")
+    spark.sql("CREATE TABLE stream_cat (id BIGINT) USING txnlog " +
+      s"OPTIONS (path '$root')")
+    val t = TxnLog.Table(root)
+    try {
+      spark.sql("INSERT INTO stream_cat VALUES (1), (2)")
+      spark.sql("INSERT INTO stream_cat VALUES (3)")
+      // 1) readStream on the NAME replays the append feed exactly
+      // once across restart — the TxnLogSpec:540 contract, on a name
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-snam-ckpt-").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def startQ() = spark.readStream.table("stream_cat")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0))); ()
+        }.start()
+      val q1 = startQ()
+      try {
+        q1.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
+        spark.sql("INSERT INTO stream_cat VALUES (4)")
+        q1.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === (1L to 4L))
+      } finally q1.stop()
+      spark.sql("INSERT INTO stream_cat VALUES (5)")
+      val q2 = startQ()
+      try {
+        q2.processAllAvailable()
+        assert(got.asScala.toSeq.sorted === (1L to 5L),
+          "restart re-delivered or dropped rows on a NAME stream")
+      } finally q2.stop()
+      // 2) reader OPTIONS flow on a name (Spark's own V1 fallback
+      // seam drops them — the rewrite rule must carry them):
+      // startingVersion skips the initial backlog
+      val svCkpt = java.nio.file.Files
+        .createTempDirectory("graft-snam-sv-").toString
+      val svGot = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val fromV = TxnLog.latestVersion(t) // stream only what lands next
+      val q3 = spark.readStream
+        .option("startingVersion", (fromV + 1).toString)
+        .table("stream_cat")
+        .writeStream.option("checkpointLocation", svCkpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => svGot.add(r.getLong(0))); ()
+        }.start()
+      try {
+        q3.processAllAvailable()
+        assert(svGot.asScala.toSeq === Nil, "startingVersion ignored " +
+          "on a catalog name — the backlog was replayed")
+        spark.sql("INSERT INTO stream_cat VALUES (6)")
+        q3.processAllAvailable()
+        assert(svGot.asScala.toSeq.sorted === Seq(6L))
+      } finally q3.stop()
+      // 3) a CDF stream on the NAME: dv DML arrives as typed events
+      spark.sql("ALTER TABLE stream_cat SET TBLPROPERTIES " +
+        "('graft.enableDeletionVectors' = 'true')")
+      val cdfCkpt = java.nio.file.Files
+        .createTempDirectory("graft-snam-cdf-").toString
+      val events =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q4 = spark.readStream.option("readChangeFeed", "true")
+        .table("stream_cat")
+        .writeStream.option("checkpointLocation", cdfCkpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "_change_type").collect()
+            .foreach(r => events.add((r.getLong(0), r.getString(1)))); ()
+        }.start()
+      try {
+        q4.processAllAvailable()
+        // backlog arrives as one insert wave
+        assert(events.asScala.count(_._2 == "insert") === 6)
+        spark.sql("DELETE FROM stream_cat WHERE id = 2") // dv delete
+        q4.processAllAvailable()
+        assert(events.asScala.toSeq.contains((2L, "delete")),
+          s"dv DELETE did not stream as a typed event: ${events.asScala}")
+      } finally q4.stop()
+      assert(TxnLog.snapshot(t).dvs.nonEmpty,
+        "the DELETE above was expected to take the merge-on-read path")
+      // 4) writeStream.toTable on a NAME: exactly-once commits
+      // through the V1 fallback seam (format names the provider, the
+      // OSS-Delta contract)
+      val sinkRoot = java.nio.file.Files
+        .createTempDirectory("graft-snam-sink-").resolve("s")
+      spark.sql("DROP TABLE IF EXISTS sink_cat")
+      spark.sql("CREATE TABLE sink_cat (id BIGINT) USING txnlog " +
+        s"OPTIONS (path '$sinkRoot')")
+      val st = TxnLog.Table(sinkRoot)
+      val sinkCkpt = java.nio.file.Files
+        .createTempDirectory("graft-snam-sinkck-").toString
+      def pump() = spark.readStream.table("stream_cat")
+        .writeStream.format("txnlog")
+        .option("checkpointLocation", sinkCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("sink_cat")
+      val w1 = pump()
+      assert(w1.awaitTermination(120000L), "AvailableNow did not stop")
+      val afterFirst = spark.table("sink_cat").count()
+      assert(afterFirst === spark.table("stream_cat").count())
+      // restart with the same checkpoint: replayed batches are FENCED
+      // (appId derives from the checkpoint), nothing double-lands
+      val w2 = pump()
+      assert(w2.awaitTermination(120000L), "AvailableNow did not stop")
+      assert(spark.table("sink_cat").count() === afterFirst,
+        "restarted toTable query re-delivered fenced batches")
+      assert(spark.table("sink_cat").as[Long].collect().sorted
+        === spark.table("stream_cat").as[Long].collect().sorted)
+      // the sink fed through ordinary log commits readable by version
+      assert(TxnLog.latestVersion(st) >= 1L)
+      // 5) a time-traveled NAME refuses to stream — Spark's own
+      // relation resolution asserts it before the rewrite rule runs
+      // (the rule keeps a defensive refusal of its own)
+      val travel = intercept[Exception] {
+        spark.readStream.option("versionAsOf", "1").table("stream_cat")
+          .writeStream.format("noop").start()
+      }
+      val chain = Iterator.iterate[Throwable](travel)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(chain.contains("time travel is not allowed in streaming")
+        || chain.contains("stream a time-traveled"), chain)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS stream_cat")
+      spark.sql("DROP TABLE IF EXISTS sink_cat")
+    }
   }
 }

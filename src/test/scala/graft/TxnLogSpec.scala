@@ -2718,6 +2718,27 @@ class TxnLogSpec extends AnyFunSuite {
     assert(both.toString.contains("not both") ||
       Option(both.getCause).exists(_.toString.contains("not both")),
       both.toString)
+    // EXPIRED history: a startingTimestamp that cannot prove it
+    // postdates expired commits refuses instead of silently resolving
+    // to the retained floor (the TVF's checked contract, now shared
+    // by the stream path)
+    TxnLog.checkpoint(st, 3L)
+    assert(TxnLog.expireLog(st) > 0) // earliest retained is now v3
+    val expd = intercept[Exception] {
+      val q5 = spark.readStream.format("txnlog")
+        .option("path", st.root.toString)
+        .option("startingTimestamp", (t0 + 120000L).toString)
+        .load().writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-stck5-").toString)
+        .foreachBatch {
+          (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try q5.processAllAvailable() finally q5.stop()
+    }
+    assert(expd.toString.contains("expired") ||
+      Option(expd.getCause).exists(_.toString.contains("expired")),
+      expd.toString)
   }
 
   test("txnlog: review regressions — dv commits conflict with compaction, encoded paths match, batch sinks honor declared layouts") {
