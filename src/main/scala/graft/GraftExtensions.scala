@@ -146,6 +146,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TxnLogTable relations ever appear).
     e.injectResolutionRule(session =>
       graft.sources.TxnLogV2ReadRewrite(session))
+    // partitioned CTAS keeps its declared layout (Spark's V1 CTAS
+    // command would silently flatten it through the
+    // CreatableRelationProvider seam) — POST-HOC: the V1 command is
+    // minted by DataSourceAnalysis in the post-hoc batch, after the
+    // resolution fixpoint; root-only match, O(1)
+    e.injectPostHocResolutionRule(session =>
+      graft.sources.TxnLogCtasLayoutRule(session))
   }
 }
 

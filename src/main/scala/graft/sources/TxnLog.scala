@@ -84,9 +84,14 @@ object TxnLog {
     * reader must fail loudly rather than silently serve physical
     * column names or deleted rows (the Delta minReaderVersion
     * contract). */
-  val CurrentReaderVersion = 2L
+  val CurrentReaderVersion = 3L
 
   private val ProtocolV2Line = s"protocol\t2"
+  /** Floor 3: the log carries `@<rel>` deletion-vector SIDECAR
+    * references — a v2 reader would refuse them as corrupt rather
+    * than silently serve the dead rows, but the floor makes the
+    * refusal name the real reason (upgrade, not corruption). */
+  private val ProtocolV3Line = s"protocol\t3"
 
   /** Files dead for less than this keep their staging grace (see
     * [[vacuum]]): an in-flight writer's staged-but-uncommitted files
@@ -150,6 +155,10 @@ object TxnLog {
     val logDir: Path = root.resolve("_txnlog")
     val dataDir: Path = root.resolve("data")
     val cdcDir: Path = root.resolve("cdc")
+    /** Deletion-vector SIDECARS: over-cap vectors live here as
+      * compact gzipped range files referenced by `@<rel>` dv tokens
+      * (created lazily — most tables never need one). */
+    val dvDir: Path = root.resolve("_dv")
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
   }
@@ -258,7 +267,13 @@ object TxnLog {
       // `-` clears it (a restore below the DV).
       case Array("dv", rel, enc) =>
         if (enc == "-") st.dvs -= rel
-        else {
+        else if (enc.startsWith("@")) {
+          // sidecar REFERENCE: shape-validate only — replay is a
+          // metadata walk and must not open sidecar files (readers
+          // resolve them lazily through dvRanges)
+          if (enc.length < 2 || enc.contains('\t')) corrupt(src, line)
+          st.dvs += rel -> enc
+        } else {
           try decodeRanges(enc) // validate at replay: loud, names the file
           catch { case _: RuntimeException => corrupt(src, line) }
           st.dvs += rel -> enc
@@ -384,6 +399,41 @@ object TxnLog {
     rs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
       .mkString(",")
 
+  /** Resolve a dv TOKEN to its ranges: inline encodings decode
+    * directly; an `@<rel>` token reads the SIDECAR file the over-cap
+    * vector lives in ([[writeDvSidecar]]). Every dv consumer routes
+    * through here so the two storage forms can never diverge. */
+  private[graft] def dvRanges(t: Table, enc: String): Seq[(Long, Long)] =
+    if (enc.startsWith("@")) decodeRanges(readDvSidecar(t, enc.substring(1)))
+    else decodeRanges(enc)
+
+  /** Write an over-cap vector as a gzipped sidecar under `_dv/` and
+    * return its root-relative path — what a `dv <file> @<rel>` action
+    * references. The log (and every later checkpoint) then carries a
+    * ~50-byte token where the adversarial scattered delete would have
+    * stamped a megabyte-scale line; the fallback used to be a full
+    * copy-on-write rewrite of the data file (1 GB of IO for a 100k-row
+    * scatter — Delta pays a ~12 KB bitmap sidecar there, and now so
+    * does this engine). A sidecar orphaned by a refused commit is
+    * reclaimed by [[vacuum]] under the usual grace window. */
+  private[graft] def writeDvSidecar(t: Table, encoded: String): String = {
+    Files.createDirectories(t.dvDir)
+    val rel = s"_dv/${UUID.randomUUID()}.dv"
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(t.root.resolve(rel)))
+    try out.write(encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    rel
+  }
+
+  private[graft] def readDvSidecar(t: Table, rel: String): String = {
+    val in = new java.util.zip.GZIPInputStream(
+      Files.newInputStream(t.root.resolve(rel)))
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** Interval subtraction `a − b` over inclusive ranges — the dv
     * delta a restore reconstitutes row events from (newly dead =
     * target − current; resurrected = current − target). */
@@ -459,26 +509,39 @@ object TxnLog {
   // Commit protocol
   // ---------------------------------------------------------------
 
+  /** Bound on reconcile-and-retry attempts for rewrite commits — far
+    * above any sane contention level; hitting it means a writer storm
+    * the USER should see rather than an unbounded spin. */
+  private[sources] val MaxCommitRetries = 20
+
   /** Atomically publish one version holding `adds`/`removes`.
     * `base` is the version the writer's read set was computed at
     * (latest at snapshot time; -1 for a fresh table). `extra` lines
     * (cdc refs, txn markers) ride in the same atomic commit.
     *
     * `reconcileDisjoint` is the file-granularity conflict check a
-    * LOGICAL NO-OP rewrite (compaction) may opt into: on losing its
-    * slot it re-reads the intervening commits, and when NONE of them
-    * removed a file in this rewrite's read set (its `removes`), the
-    * rewrite rebases and retries into the next slot — a blind append
-    * and an OPTIMIZE commute, so steady ingest can no longer starve
-    * compaction. Any intervening commit that touched the read set
-    * (a delete, another compaction, a replace) still refuses. Row-
-    * changing rewrites (delete/merge) keep the strict refusal: their
-    * predicates read the whole table semantically, not just the
-    * files they rewrote. Returns the committed version. */
+    * rewrite may opt into: on losing its slot it re-reads the
+    * intervening commits, and when NONE of them touched (removed or
+    * dv-stamped) a file in this rewrite's read set — its `removes`
+    * plus the broader `readSet` the statement SCANNED to decide what
+    * to rewrite — and none changed table METADATA the staged output
+    * was computed under (schema, layout, constraints, dropped
+    * columns), the rewrite rebases and retries into the next slot
+    * (bounded attempts). A blind append and a rewrite commute at
+    * WRITE-SERIALIZABLE isolation (Delta's default): the interloper's
+    * new files were never in the rewrite's read set. Compaction
+    * passes its removes as the read set (a logical no-op reads only
+    * what it rewrites); DML passes its full candidate list, so an
+    * intervening commit that rewrote ANY scanned file still refuses.
+    * A nonempty `readSet` also forces rewrite claim semantics
+    * (exactly base+1) even with no removes — the deletion-vector
+    * commit shape, which changes row state without a remove line.
+    * Returns the committed version. */
   def commit(t: Table, base: Long, adds: Seq[String],
              removes: Seq[String] = Nil,
              extra: Seq[String] = Nil,
-             reconcileDisjoint: Boolean = false): Long = {
+             reconcileDisjoint: Boolean = false,
+             readSet: Set[String] = Set.empty): Long = {
     val body = (removes.map(r => s"remove\t$r") ++
       adds.map(a => s"add\t$a") ++ extra).mkString("", "\n", "\n")
     val tmp = t.logDir.resolve(s".tmp-${UUID.randomUUID()}")
@@ -487,10 +550,12 @@ object TxnLog {
       // A rewrite's read set is valid only if NOTHING landed after
       // `base`, so removes must claim exactly base+1 — EEXIST there IS
       // the conflict. Appends start from the freshest slot and walk up.
+      val rewrite = removes.nonEmpty || readSet.nonEmpty
       var myBase = base
-      var v = if (removes.nonEmpty) myBase + 1
+      var v = if (rewrite) myBase + 1
               else math.max(latestVersion(t), myBase) + 1
       var committed = -1L
+      var attempts = 0
       while (committed < 0) {
         val target = t.logDir.resolve(f"$v%020d.log")
         try {
@@ -498,32 +563,51 @@ object TxnLog {
           committed = v
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            if (removes.isEmpty)
+            if (!rewrite)
               v += 1 // blind append: nothing to invalidate, next slot
             else {
               def refuse(why: String): Nothing =
                 throw new java.util.ConcurrentModificationException(
-                  s"commit with removes based on stale snapshot " +
+                  s"rewrite commit based on stale snapshot " +
                     s"v$myBase: $why; recompute the rewrite against " +
                     "the current snapshot and retry")
               if (!reconcileDisjoint)
                 refuse(s"version $v was taken concurrently")
+              attempts += 1
+              if (attempts > MaxCommitRetries)
+                refuse(s"gave up after $MaxCommitRetries " +
+                  "reconcile-and-retry attempts (writer storm)")
               val latest = latestVersion(t)
               // a file is TOUCHED by an intervening commit when it
               // was removed OR had a deletion vector stamped — a dv
               // commit changes row state without a remove line, and
               // rebasing past it would resurrect its deleted rows
-              // (the compacted output was staged dv-unaware)
-              val touched = versionFiles(t)
+              // (this rewrite's staged output was read at myBase)
+              val guard = removes.toSet ++ readSet
+              val interloping = versionFiles(t)
                 .filter(p => versionOf(p) > myBase && versionOf(p) <= latest)
-                .flatMap(vf => Files.readAllLines(vf).asScala.collect {
-                  case l if l.startsWith("remove\t") ||
-                      l.startsWith("dv\t") => l.split('\t')(1)
-                }).toSet
-              val conflict = removes.filter(touched)
+                .flatMap(vf => Files.readAllLines(vf).asScala)
+              val touched = interloping.collect {
+                case l if l.startsWith("remove\t") ||
+                    l.startsWith("dv\t") => l.split('\t')(1)
+              }.toSet
+              val conflict = guard.toSeq.sorted.filter(touched)
               if (conflict.nonEmpty)
                 refuse(s"concurrent commits rewrote read-set file(s) " +
                   conflict.take(3).mkString(", "))
+              // metadata the staged rewrite was computed under must
+              // not shift beneath it: new constraints were never
+              // enforced on the staged files, schema/layout changes
+              // invalidate their shape, a dropped column's tombstone
+              // forbids bytes the staging may still carry
+              val metaChange = interloping.find(l =>
+                l.startsWith("schema\t") || l.startsWith("partcols\t") ||
+                l.startsWith("constraint\t") ||
+                l.startsWith("dropconstraint\t") ||
+                l.startsWith("dropped\t"))
+              metaChange.foreach(l => refuse(
+                s"a concurrent commit changed table metadata " +
+                  s"(${l.split('\t').take(2).mkString(" ")})"))
               myBase = latest // append-only interlopers: rebase, retry
               v = latest + 1
             }
@@ -1166,7 +1250,7 @@ object TxnLog {
       return if (withPos) pos(build(rels)) else build(rels)
     val rows = dvd.flatMap { rel =>
       val abs = encodedAbs(t, rel)
-      decodeRanges(dvs(rel)).map { case (lo, hi) =>
+      dvRanges(t, dvs(rel)).map { case (lo, hi) =>
         org.apache.spark.sql.Row(abs, lo, hi) }
     }
     val dead = s.createDataFrame(rows.asJava,
@@ -1695,6 +1779,98 @@ object TxnLog {
     } finally seal(t, stage)
   }
 
+  /** Partition-scoped OVERWRITE — Delta's `replaceWhere` / SQL
+    * `INSERT OVERWRITE ... PARTITION (k=v)`: ONE atomic commit that
+    * removes exactly the live files recorded under partitions
+    * matching `spec` and adds the staged incoming rows. This is the
+    * backfill idiom on partitioned tables; the hand-composed
+    * DELETE + INSERT alternative is two commits, and a reader
+    * between them observes the gap.
+    *
+    * Contracts (each refuses LOUDLY rather than degrading):
+    *  - `spec` columns must be partition columns — a non-partition
+    *    filter cannot scope files and would need a row-level rewrite
+    *    ([[delete]] + [[append]]);
+    *  - every INCOMING row must fall inside the scoped partitions
+    *    (Delta's replaceWhere validation) — a row outside would land
+    *    data the overwrite never claimed to touch;
+    *  - every live file must RECORD values for the spec columns — a
+    *    sliver some rewrite flattened out of the partition layout
+    *    could hold in-scope rows that would silently survive.
+    *
+    * CDF stays exact: dv-free victims ride as zero-copy `cdc delete`
+    * file refs; a victim carrying a deletion vector stages its LIVE
+    * rows as a change file instead (raw refs would re-deliver the
+    * dead rows). At 100 TB the commit is metadata plus the new
+    * partition's staging — no out-of-scope file is read or written
+    * (only dv-carrying in-scope victims are read, for their old
+    * images). */
+  def replaceWhere(s: SparkSession, t: Table, df: DataFrame,
+                   spec: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(spec.nonEmpty, "replaceWhere needs a partition spec")
+    val snap = snapshot(t)
+    val partCols = snap.partCols
+    val nonPart = spec.keySet -- partCols.toSet
+    require(nonPart.isEmpty,
+      s"replaceWhere supports partition-column equality only " +
+        s"(partition columns: ${partCols.mkString(", ")}); " +
+        s"got filter(s) on: ${nonPart.toSeq.sorted.mkString(", ")} — " +
+        "use DELETE FROM + INSERT for row-scoped rewrites")
+    val blind = snap.liveFiles.filter { rel =>
+      val p = snap.filePartitions.getOrElse(rel, Map.empty)
+      spec.exists { case (c, _) => !p.contains(c) }
+    }
+    require(blind.isEmpty,
+      s"replaceWhere cannot scope ${blind.length} live file(s) with " +
+        s"no recorded values for (${spec.keys.toSeq.sorted.mkString(", ")}) " +
+        s"(e.g. ${blind.take(2).mkString(", ")}); compact the table " +
+        "back into partition discipline first")
+    val missing = spec.keySet -- df.columns.toSet
+    require(missing.isEmpty,
+      s"replaceWhere input is missing scoped partition column(s): " +
+        missing.toSeq.sorted.mkString(", "))
+    // Delta's validation: every incoming row inside the scope — one
+    // job over the sync-sized input, null-safe on the hive sentinel
+    // (<=> never evaluates to NULL, so the negation is total)
+    val inScope = spec.map { case (c, v) =>
+      col(c) <=> partValue(v).cast(df.schema(c).dataType)
+    }.reduce(_ && _)
+    val outside = df.filter(!inScope).take(1)
+    require(outside.isEmpty,
+      s"replaceWhere(${spec.map { case (c, v) => s"$c=$v" }
+        .mkString(", ")}) received a row outside the scoped " +
+        s"partition(s): ${outside.headOption.fold("")(_.toString)}")
+    val victims = snap.liveFiles.filter { rel =>
+      val p = snap.filePartitions.getOrElse(rel, Map.empty)
+      spec.forall { case (c, v) => p.get(c).contains(v) }
+    }
+    val stage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
+    try {
+      val addLines = stageAdds(s, t, df, stage, partCols,
+        liveStatsCols(snap), snap.schemaJson)
+      enforceStaged(s, t, Seq(stage), snap.constraints)
+      val rels = stagedFiles(t, stage)
+      // old images: zero-copy refs for clean victims; dv carriers
+      // stage their live rows (refs would re-deliver the dead rows)
+      val (dvVictims, plainVictims) =
+        victims.partition(snap.dvs.contains)
+      val dvCdc =
+        if (dvVictims.isEmpty) Nil
+        else {
+          toPhysical(readRels(s, t, snap, dvVictims),
+            snap.schemaJson.map(parseSchema))
+            .write.parquet(cdcStage.toString)
+          stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+        }
+      val cdc = plainVictims.map(r => s"cdc\t$r\tdelete") ++ dvCdc ++
+        rels.map(r => s"cdc\t$r\tinsert")
+      commit(t, snap.version, adds = Nil, removes = victims,
+        extra = addLines ++ cdc)
+    } finally seal(t, stage, cdcStage)
+  }
+
   /** The manifest box a DML predicate implies: its top-level AND
     * conjuncts of the shape `col <op> <integral literal>` become
     * min/max ranges (`pruneBox` keeps stats-less files, so an
@@ -1814,8 +1990,13 @@ object TxnLog {
       toPhysical(affected.filter(cond), snap.schemaJson.map(parseSchema))
         .write.parquet(cdcStage.toString)
       val cdcLines = stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+      // auto-retry past file-disjoint interlopers (a blind append
+      // commutes with this delete at write-serializable isolation);
+      // the read set is every file the locating scan OPENED, so an
+      // intervening rewrite of any scanned file still refuses
       commit(t, snap.version, adds = Nil, removes = affectedRel,
-        extra = adds ++ cdcLines)
+        extra = adds ++ cdcLines, reconcileDisjoint = true,
+        readSet = candidates.toSet)
     } finally seal(t, stage, cdcStage)
   }
 
@@ -1902,8 +2083,11 @@ object TxnLog {
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
         stagedFiles(t, updatedStage).map(r => s"cdc\t$r\tinsert")
+      // same write-serializable reconciliation as delete: rebase past
+      // append-only interlopers, refuse when any SCANNED file moved
       commit(t, snap.version, adds = Nil, removes = affectedRel,
-        extra = adds ++ cdcLines)
+        extra = adds ++ cdcLines, reconcileDisjoint = true,
+        readSet = candidates.toSet)
     } finally seal(t, survivorStage, updatedStage, cdcStage)
   }
 
@@ -2010,13 +2194,18 @@ object TxnLog {
   /** Partition located dead sets into LIGHT vectors and HEAVY files —
     * the ONE routing decision deleteDv/updateDv and merge-on-read
     * MERGE share, so the cap semantics can never silently diverge:
-    * per-partition overflow sentinels are heavy outright; each
-    * surviving file's statement ranges merge with its EXISTING vector
-    * and stay light only when the statement's rows fit the row cap
-    * AND the merged encoding fits the byte cap (the size the log
-    * actually carries). Returns (dv action lines, heavy abs-path
-    * set). */
-  private def dvLightHeavy(runRows: Array[(String, Long, Long)],
+    * per-partition overflow sentinels (past the ROW cap) are heavy
+    * outright; each surviving file's statement ranges merge with its
+    * EXISTING vector and ride INLINE when the merged encoding fits
+    * the byte cap — past it the vector lands as a SIDECAR file
+    * ([[writeDvSidecar]]) referenced by an `@<rel>` token, so an
+    * adversarial scattered delete stamps a ~50-byte reference instead
+    * of either a megabyte log line or (the old fallback) a full
+    * copy-on-write rewrite of the data file. Only the row cap routes
+    * copy-on-write now: it bounds the READ-side anti-join work per
+    * file, which a sidecar would not. Returns (dv action lines,
+    * heavy abs-path set). */
+  private def dvLightHeavy(t: Table, runRows: Array[(String, Long, Long)],
       relOfAbs: Map[String, String], existing: Map[String, String],
       rowCap: Long, byteCap: Long): (Seq[String], Set[String]) = {
     val byFile = runRows.groupBy(_._1)
@@ -2033,15 +2222,16 @@ object TxnLog {
     // encode work it immediately discards for them
     val (rowLight, rowHeavy) =
       stmtRanges.keys.toSeq.sorted.partition(stmtRows(_) <= rowCap)
-    val mergedEnc: Map[String, String] = rowLight.map { abs =>
-      abs -> encodeRanges(mergeRanges(
-        existing.get(relOfAbs(abs)).map(decodeRanges)
+    val dvLines = rowLight.map { abs =>
+      val merged = encodeRanges(mergeRanges(
+        existing.get(relOfAbs(abs)).map(dvRanges(t, _))
           .getOrElse(Nil) ++ stmtRanges(abs)))
-    }.toMap
-    val (lightAbs, encHeavy) =
-      rowLight.partition(mergedEnc(_).length <= byteCap)
-    (lightAbs.map(abs => s"dv\t${relOfAbs(abs)}\t${mergedEnc(abs)}"),
-      (rowHeavy ++ encHeavy ++ overflow.toSeq).toSet)
+      val token =
+        if (merged.length <= byteCap) merged
+        else "@" + writeDvSidecar(t, merged)
+      s"dv\t${relOfAbs(abs)}\t$token"
+    }
+    (dvLines, (rowHeavy ++ overflow.toSeq).toSet)
   }
 
   private def dvRewrite(s: SparkSession, t: Table, predicate: Column,
@@ -2081,7 +2271,11 @@ object TxnLog {
     // ONE locating job ([[runLengthDeadSets]]): a scan partition's
     // matched row indices arrive ascending per file, so the runs fold
     // map-side with no extra shuffle
-    val capRanges = math.max(16L, maxDvBytesPerFile / 4L + 1L)
+    // ranges per file are bounded by the ROW cap (each range holds at
+    // least one row); the byte cap no longer routes copy-on-write —
+    // an over-cap encoding lands as a sidecar — so the collector must
+    // not overflow-sentinel below the row cap
+    val capRanges = math.max(16L, maxDvRowsPerFile)
     val runRows: Array[(String, Long, Long)] = {
       import s.implicits._
       runLengthDeadSets(
@@ -2094,7 +2288,7 @@ object TxnLog {
     // in), and a scattered delete whose merged encoding outgrows the
     // byte cap rewrites its file instead of stamping a megabyte-scale
     // `dv` line into every later checkpoint
-    val (dvLines, heavyAbs) = dvLightHeavy(runRows, relOfAbs,
+    val (dvLines, heavyAbs) = dvLightHeavy(t, runRows, relOfAbs,
       snap.dvs, maxDvRowsPerFile, maxDvBytesPerFile)
     val heavyRels = heavyAbs.toSeq.map(relOfAbs).sorted
     val partCols = snap.partCols
@@ -2130,20 +2324,24 @@ object TxnLog {
       // deletion vectors change read semantics: an older reader
       // would serve the dead rows — bump the protocol floor in the
       // same commit (only when a vector is actually stamped)
-      val proto = if (dvLines.nonEmpty) Seq(ProtocolV2Line) else Nil
+      val proto =
+        if (dvLines.exists(_.split('\t')(2).startsWith("@")))
+          Seq(ProtocolV3Line) // sidecar refs demand a v3 reader
+        else if (dvLines.nonEmpty) Seq(ProtocolV2Line)
+        else Nil
       val extra = proto ++ survivorAdds ++ newAdds ++ dvLines ++ cdcLines
+      // both shapes reconcile past file-disjoint interlopers: the
+      // nonempty readSet keeps the dv-only commit on rewrite claim
+      // semantics (exactly base+1, then rebase-or-refuse) — a dv
+      // line changes row state without a remove line
       if (heavyRels.nonEmpty)
-        // the remove-bearing commit claims exactly base+1 — the
-        // stale-rewrite refusal every row-changing rewrite shares
         commit(t, snap.version, adds = Nil, removes = heavyRels,
-          extra = extra)
-      else if (tryPublish(t, snap.version + 1, extra))
-        snap.version + 1
-      else throw new java.util.ConcurrentModificationException(
-        s"deletion-vector commit based on stale snapshot " +
-          s"v${snap.version}: version ${snap.version + 1} was taken " +
-          "concurrently; recompute against the current snapshot and " +
-          "retry")
+          extra = extra, reconcileDisjoint = true,
+          readSet = candidates.toSet)
+      else
+        commit(t, snap.version, adds = Nil, removes = Nil,
+          extra = extra, reconcileDisjoint = true,
+          readSet = candidates.toSet)
     } finally seal(t, survivorStage, newImageStage, cdcStage)
     } finally hits.unpersist()
   }
@@ -2230,8 +2428,11 @@ object TxnLog {
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
         stagedFiles(t, sourceStage).map(r => s"cdc\t$r\tinsert")
       val schemaLine = if (changed) Seq(s"schema\t${schema.json}") else Nil
+      // reconcile past append-only interlopers; the read set is the
+      // candidate files the locating join opened
       commit(t, snap.version, adds = Nil, removes = affectedRel,
-        extra = schemaLine ++ adds ++ cdcLines)
+        extra = schemaLine ++ adds ++ cdcLines,
+        reconcileDisjoint = true, readSet = candidates.toSet)
     } finally seal(t, survivorStage, sourceStage, cdcStage)
     } finally org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(src)
   }
@@ -2575,12 +2776,13 @@ object TxnLog {
           .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.STRING,
             org.apache.spark.sql.Encoders.scalaLong))
-        val capRanges = math.max(16L, byteCap / 4L + 1L)
+        val capRanges = math.max(16L, rowCap) // see dvRewrite: the
+        // row cap alone bounds ranges; over-cap encodings ride sidecars
         val runRows = runLengthDeadSets(touchedPos, capRanges, rowCap)
         // light-vs-heavy routing is the SHARED decision with
         // deleteDv/updateDv ([[dvLightHeavy]]) — same caps, same
         // merged-encoding semantics, by construction
-        val (dvLines, heavyAbs) = dvLightHeavy(runRows, relOfAbs,
+        val (dvLines, heavyAbs) = dvLightHeavy(t, runRows, relOfAbs,
           snap.dvs, rowCap, byteCap)
         (dvLines, heavyAbs, heavyAbs.toSeq.map(relOfAbs).sorted)
       }
@@ -2660,12 +2862,25 @@ object TxnLog {
         (stagedFiles(t, updatedStage) ++ stagedFiles(t, insertStage))
           .map(r => s"cdc\t$r\tinsert")
       val schemaLine = if (changed) Seq(s"schema\t${schema.json}") else Nil
+      // reconciliation is UNFENCED-only: commit()'s rebase-retry
+      // never re-checks a txn marker, and a fenced merge (the
+      // streaming upsert sink) retries through upsertBatch's outer
+      // loop, which re-checks the fence before every recompute — a
+      // replayed twin's batch must be detected, not re-applied
+      val reconcile = fence.isEmpty
+      val mergeReadSet =
+        (if (bySource.nonEmpty) snap.liveFiles else candidates).toSet
       dvInfo match {
         case None => // copy-on-write: every affected file rewrites
           commit(t, snap.version, adds = Nil, removes = affectedRel,
-            extra = schemaLine ++ adds ++ cdcLines ++ extraLines)
+            extra = schemaLine ++ adds ++ cdcLines ++ extraLines,
+            reconcileDisjoint = reconcile, readSet = mergeReadSet)
         case Some((dvLines, _, heavyRels)) =>
-          val proto = if (dvLines.nonEmpty) Seq(ProtocolV2Line) else Nil
+          val proto =
+            if (dvLines.exists(_.split('\t')(2).startsWith("@")))
+              Seq(ProtocolV3Line) // sidecar refs demand a v3 reader
+            else if (dvLines.nonEmpty) Seq(ProtocolV2Line)
+            else Nil
           // a NO-dv, NO-remove outcome (no clause fired on any row;
           // only inserts landed) is a plain insert wave: its adds
           // auto-count in the change feed, so cdc refs would deliver
@@ -2675,18 +2890,17 @@ object TxnLog {
           val extraAll = proto ++ schemaLine ++ adds ++ dvLines ++
             cdcAll ++ extraLines
           if (heavyRels.nonEmpty)
-            // the remove-bearing commit claims exactly base+1 — the
-            // stale-rewrite refusal every row-changing rewrite shares
+            // the remove-bearing commit claims base+1, then
+            // reconciles (unfenced) or refuses (fenced) on conflict
             commit(t, snap.version, adds = Nil, removes = heavyRels,
-              extra = extraAll)
+              extra = extraAll, reconcileDisjoint = reconcile,
+              readSet = mergeReadSet)
           else if (dvLines.nonEmpty) {
-            if (tryPublish(t, snap.version + 1, extraAll))
-              snap.version + 1
-            else throw new java.util.ConcurrentModificationException(
-              s"deletion-vector merge based on stale snapshot " +
-                s"v${snap.version}: version ${snap.version + 1} was " +
-                "taken concurrently; recompute against the current " +
-                "snapshot and retry")
+            // nonempty readSet keeps rewrite claim semantics on the
+            // dv-only commit even with no removes
+            commit(t, snap.version, adds = Nil, removes = Nil,
+              extra = extraAll, reconcileDisjoint = reconcile,
+              readSet = mergeReadSet)
           } else if (extraAll.isEmpty) snap.version
           else fence match {
             // a NO-dv NO-remove outcome under a FENCE must not
@@ -3630,8 +3844,8 @@ object TxnLog {
     val dvDeltaDetail: Seq[(String, Seq[(Long, Long)], Seq[(Long, Long)])] =
       if (dvDelta.isEmpty) Nil
       else tgt.liveFiles.filterNot(readdSet.contains).flatMap { rel =>
-        val want = tgt.dvs.get(rel).map(decodeRanges).getOrElse(Nil)
-        val have = cur.dvs.get(rel).map(decodeRanges).getOrElse(Nil)
+        val want = tgt.dvs.get(rel).map(dvRanges(t, _)).getOrElse(Nil)
+        val have = cur.dvs.get(rel).map(dvRanges(t, _)).getOrElse(Nil)
         val dead = subtractRanges(want, have)
         val res = subtractRanges(have, want)
         if (dead.isEmpty && res.isEmpty) None
@@ -3774,7 +3988,10 @@ object TxnLog {
     val schemaLine = tgt.schemaJson.filterNot(cur.schemaJson.contains)
       .map(js => s"schema\t$js").toSeq
     val proto =
-      if (dvDelta.exists(!_.endsWith("\t-"))) Seq(ProtocolV2Line) else Nil
+      if (dvDelta.exists(_.split('\t')(2).startsWith("@")))
+        Seq(ProtocolV3Line) // a restamped sidecar ref needs v3 readers
+      else if (dvDelta.exists(!_.endsWith("\t-"))) Seq(ProtocolV2Line)
+      else Nil
     // cdc stages reserve LAZILY: a metadata-only restore must stay a
     // pure metadata operation — no marker writes, no cdc/ directory
     val stages = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -4279,6 +4496,33 @@ object TxnLog {
       .filter(_.getFileName.toString.startsWith(".inflight-"))
       .filter(m => now - Files.getLastModifiedTime(m).toMillis >= graceMs)
       .foreach(Files.deleteIfExists(_))
+    dead.length + vacuumDvSidecars(t, graceMs)
+  }
+
+  /** Reclaim deletion-vector SIDECARS no RETAINED log file (version
+    * or checkpoint) references — orphans from refused commits, and
+    * vectors whose referencing history [[expireLog]] retired. The
+    * grace window protects a sidecar a live writer has written but
+    * not yet committed (the same in-flight contract staged data files
+    * get). Returns deleted count. */
+  private def vacuumDvSidecars(t: Table, graceMs: Long): Int = {
+    if (!Files.isDirectory(t.dvDir)) return 0
+    val referenced = (versionFiles(t) ++ checkpointFiles(t))
+      .flatMap(vf => Files.readAllLines(vf).asScala.collect {
+        case l if l.startsWith("dv\t") =>
+          l.split('\t') match {
+            case Array(_, _, enc) if enc.startsWith("@") =>
+              Some(enc.substring(1))
+            case _ => None
+          }
+      }.flatten).toSet
+    val now = System.currentTimeMillis()
+    val dead = listing(Files.list(t.dvDir))
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".dv"))
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis >= graceMs)
+      .filterNot(p => referenced(t.root.relativize(p).toString))
+    dead.foreach(Files.deleteIfExists(_))
     dead.length
   }
 }

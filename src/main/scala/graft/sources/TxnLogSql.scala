@@ -1113,6 +1113,75 @@ final case class TxnLogCreateTableCommand(table: String,
   }
 }
 
+/** PARTITIONED CTAS — `CREATE TABLE t USING txnlog PARTITIONED BY
+  * (k) AS SELECT ...` and `df.writeTo(t).using("txnlog")
+  * .partitionedBy($"k").create()` (both lower to the same V1 CTAS
+  * command, which drops partitioning on the way to a
+  * CreatableRelationProvider — Spark's native path would silently
+  * FLATTEN the table out of its declared layout). The replacement
+  * runs the DDL-first contract the column-list CREATE has: a v0
+  * schema commit with the declared layout and CREATE-time
+  * properties, the data staged THROUGH the layout as v1, then the
+  * catalog entry — so partition pruning, layout enforcement on every
+  * later writer, and SHOW PARTITIONS all hold from birth.
+  * Unpartitioned CTAS keeps Spark's native command (already
+  * layout-exact by vacuity). */
+final case class TxnLogPartitionedCtasCommand(table:
+    org.apache.spark.sql.catalyst.catalog.CatalogTable,
+    mode: org.apache.spark.sql.SaveMode, query: LogicalPlan,
+    outputColumnNames: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalog
+    if (cat.tableExists(table.identifier)) {
+      if (mode == org.apache.spark.sql.SaveMode.Ignore)
+        return Seq.empty // IF NOT EXISTS: no-op, query never runs
+      throw new IllegalArgumentException(
+        s"table ${table.identifier} already exists; CREATE TABLE AS " +
+          "SELECT cannot redefine it")
+    }
+    val locUri = table.storage.locationUri.getOrElse(
+      cat.defaultTablePath(table.identifier))
+    val t = TxnLog.Table(TxnLog.pathOf(locUri.getPath))
+    require(TxnLog.latestVersion(t) < 0,
+      s"table at ${t.root} already exists (version " +
+        s"${TxnLog.latestVersion(t)}); CREATE TABLE AS SELECT cannot " +
+        "redefine it")
+    val df0 = org.apache.spark.sql.graftglue.StreamShim.ofRows(spark, query)
+    val df = if (outputColumnNames.nonEmpty &&
+        outputColumnNames != df0.columns.toSeq)
+      df0.toDF(outputColumnNames: _*) else df0
+    val partCols = table.partitionColumnNames
+    val missing = partCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"PARTITIONED BY column(s) not in the CTAS output: " +
+        missing.mkString(", "))
+    TxnLog.registerSchema(t, df.schema, partCols, table.properties)
+    TxnLog.appendPartitioned(spark, t, df, partCols)
+    cat.createTable(
+      table.copy(storage = table.storage.copy(
+        locationUri = Some(locUri)), schema = df.schema),
+      ignoreIfExists = false, validateLocation = false)
+    Seq.empty
+  }
+}
+
+/** Resolution rule (injected by GraftExtensions) routing the
+  * partitioned-txnlog V1 CTAS command onto
+  * [[TxnLogPartitionedCtasCommand]]. Commands sit at the plan ROOT,
+  * so the match is O(1) per fixpoint pass. */
+final case class TxnLogCtasLayoutRule(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: CreateDataSourceTableAsSelectCommand
+      if c.table.provider.exists(_.equalsIgnoreCase("txnlog")) &&
+        c.table.partitionColumnNames.nonEmpty && c.query.resolved =>
+      TxnLogPartitionedCtasCommand(c.table, c.mode, c.query,
+        c.outputColumnNames)
+    case _ => plan
+  }
+}
+
 /** `INSERT INTO | OVERWRITE <txnlog table> <query>` — the SQL write
   * path: INTO is one append commit, OVERWRITE one atomic REPLACE.
   * The source query is any SELECT/VALUES/WITH/FROM/TABLE statement;

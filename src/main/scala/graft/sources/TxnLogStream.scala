@@ -126,6 +126,13 @@ class TxnLogStreamProvider extends StreamSourceProvider
     mode match {
       case SaveMode.Append =>
         TxnLog.append(sqlContext.sparkSession, t, data)
+      case SaveMode.Overwrite if parameters.contains("replaceWhere") =>
+        // Delta's writer-option spelling of the partition-scoped
+        // overwrite: a conjunction of partition-column equalities
+        // scopes ONE atomic replace commit to matching partitions
+        TxnLog.replaceWhere(sqlContext.sparkSession, t, data,
+          TxnLogStreamProvider.parseReplaceWhere(
+            parameters("replaceWhere")))
       case SaveMode.Overwrite =>
         TxnLog.replace(sqlContext.sparkSession, t, data)
       case SaveMode.ErrorIfExists if !empty =>
@@ -333,6 +340,27 @@ class TxnLogStreamProvider extends StreamSourceProvider
       parameters.get("ignoreChanges").exists(_.toBoolean),
       isCdf(parameters),
       startingVersion)
+  }
+}
+
+private[graft] object TxnLogStreamProvider {
+  /** Parse the `replaceWhere` writer option: a conjunction of
+    * `col = value` equalities (values optionally single- or
+    * double-quoted). Anything richer refuses by name — the scoped
+    * overwrite is partition-granular by design; row-scoped rewrites
+    * are DELETE + INSERT. */
+  private[graft] def parseReplaceWhere(expr: String)
+      : Map[String, String] = {
+    val Pair = """\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?:'([^']*)'|"([^"]*)"|([^\s'"]+))\s*""".r
+    expr.split("(?i)\\bAND\\b").toSeq.map {
+      case Pair(c, sq, dq, bare) =>
+        c -> Seq(Option(sq), Option(dq), Option(bare)).flatten.head
+      case other =>
+        throw new IllegalArgumentException(
+          s"replaceWhere accepts a conjunction of partition-column " +
+            s"equalities (k = 7 AND d = '2020-01-01'); cannot parse: " +
+            s"'${other.trim}'")
+    }.toMap
   }
 }
 

@@ -169,9 +169,11 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
 
   /** The staging layout a write must route through — served from the
     * SAME load-time replay as partitioning(), so a v2 INSERT pays no
-    * second log replay at execution. */
+    * second log replay at execution. A catalog entry whose log has
+    * no commits yet (an entry-first CTAS) falls back to the declared
+    * metastore layout — the first write must not flatten it. */
   private[sources] def writeLayout: Seq[String] =
-    snap.map(_.partCols).getOrElse(Nil)
+    snap.map(_.partCols).getOrElse(meta.partitionColumnNames)
 
   override def name(): String = meta.identifier.unquotedString
 
@@ -262,21 +264,42 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
 
 /** INSERT INTO → one append commit (restaged through a partitioned
   * target's layout); INSERT OVERWRITE / truncate-overwrite → one
-  * atomic REPLACE. Partition-FILTERED overwrite refuses: the engine's
-  * replace is whole-table-atomic (use DELETE + INSERT, or
-  * dropPartition, for scoped rewrites). */
+  * atomic REPLACE. A PARTITION-equality filter set (SQL
+  * `INSERT OVERWRITE t PARTITION (k = 7)`,
+  * `writeTo(t).overwrite($"k" === 7)`) lands as ONE partition-scoped
+  * replace commit ([[TxnLog.replaceWhere]] — Delta's replaceWhere):
+  * exactly the matching partitions' files are removed, the new rows
+  * added, atomically. Non-partition or non-equality filters refuse
+  * by name: they cannot scope files and need a row-level rewrite. */
 private class TxnLogV2WriteBuilder(t: TxnLog.Table,
     partCols: Seq[String])
   extends WriteBuilder with SupportsOverwrite {
 
   private var replaceAll = false
+  private var replaceSpec: Map[String, String] = Map.empty
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.isEmpty || filters.forall(_ == AlwaysTrue),
-      s"txnlog INSERT OVERWRITE supports only whole-table overwrite " +
-        s"(got filters: ${filters.mkString(", ")}); use DELETE FROM " +
-        "for scoped rewrites")
-    replaceAll = true
+    if (filters.isEmpty || filters.forall(_ == AlwaysTrue)) {
+      replaceAll = true
+      return this
+    }
+    replaceSpec = filters.toSeq.map {
+      case org.apache.spark.sql.sources.EqualTo(c, v)
+        if partCols.contains(c) && v != null =>
+        c -> TxnLogV2WriteBuilder.partToken(v)
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v)
+        if partCols.contains(c) && v != null =>
+        c -> TxnLogV2WriteBuilder.partToken(v)
+      case org.apache.spark.sql.sources.IsNull(c)
+        if partCols.contains(c) =>
+        c -> "__HIVE_DEFAULT_PARTITION__"
+      case f =>
+        throw new IllegalArgumentException(
+          s"txnlog INSERT OVERWRITE supports whole-table overwrite " +
+            s"or PARTITION-column equality scoping (partition " +
+            s"columns: ${partCols.mkString(", ")}); got filter: $f — " +
+            "use DELETE FROM + INSERT for row-scoped rewrites")
+    }.toMap
     this
   }
 
@@ -285,7 +308,9 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val s = data.sparkSession
-          if (replaceAll || overwrite) {
+          if (replaceSpec.nonEmpty) {
+            TxnLog.replaceWhere(s, t, data, replaceSpec); ()
+          } else if (replaceAll || overwrite) {
             TxnLog.replace(s, t, data, partCols); ()
           } else if (partCols.isEmpty) {
             TxnLog.append(s, t, data); ()
@@ -294,6 +319,18 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
           }
         }
       }
+  }
+}
+
+private object TxnLogV2WriteBuilder {
+  /** The recorded-partition-value token for a pushed literal — the
+    * DECODED form [[TxnLog]] replay state holds (directory-name
+    * escaping is applied at write, undone at replay). Spark's
+    * partitioned writer renders values with toString, so numbers,
+    * strings, dates and booleans all round-trip through it. */
+  def partToken(v: Any): String = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => other.toString
   }
 }
 

@@ -1305,4 +1305,157 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS sink_cat")
     }
   }
+
+  test("partition-scoped overwrite: INSERT OVERWRITE PARTITION / writeTo.overwrite / replaceWhere option rewrite one partition atomically") {
+    import graft.sources.TxnLog
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rw-").resolve("t")
+    val t = TxnLog.Table(root)
+    spark.sql("DROP TABLE IF EXISTS rw_cat")
+    spark.sql("CREATE TABLE rw_cat (v BIGINT, k BIGINT) USING txnlog " +
+      s"PARTITIONED BY (k) OPTIONS (path '$root')")
+    try {
+      spark.sql("INSERT INTO rw_cat VALUES (10, 1), (11, 1), (20, 2), " +
+        "(30, 3)")
+      val before = TxnLog.snapshot(t)
+      val untouched = before.liveFiles.filter(rel =>
+        before.filePartitions(rel).get("k").exists(_ != "2")).toSet
+      // SQL INSERT OVERWRITE ... PARTITION (k = 2) on the catalog
+      // name: ONE commit replaces exactly partition 2's files
+      spark.sql("INSERT OVERWRITE rw_cat PARTITION (k = 2) VALUES (21)")
+      val after = TxnLog.snapshot(t)
+      assert(after.version === before.version + 1, "not one commit")
+      assert(untouched.subsetOf(after.liveFiles.toSet),
+        "a scoped overwrite touched out-of-scope files")
+      assert(after.liveFiles.toSet.intersect(
+        before.liveFiles.toSet -- untouched).isEmpty,
+        "partition 2's old files survived the scoped overwrite")
+      assert(spark.sql("SELECT v FROM rw_cat WHERE k = 2").collect()
+        .map(_.getLong(0)).toSeq === Seq(21L))
+      assert(spark.sql("SELECT count(*) FROM rw_cat").head().getLong(0)
+        === 4L)
+      // declared layout survives, and the commit feeds exact CDF
+      assert(after.partCols === Seq("k"))
+      val cdf = spark.sql(
+        s"""SELECT v, _change_type
+           |FROM txnlog_changes('rw_cat', ${before.version},
+           |                    ${after.version})
+           |ORDER BY v""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(cdf === Seq((20L, "delete"), (21L, "insert")), cdf.toString)
+      // DataFrameWriterV2's condition spelling rides the same seam
+      Seq((12L, 1L)).toDF("v", "k").writeTo("rw_cat")
+        .overwrite($"k" === 1L)
+      assert(spark.sql("SELECT v FROM rw_cat WHERE k = 1").collect()
+        .map(_.getLong(0)).toSeq === Seq(12L))
+      assert(spark.sql("SELECT count(*) FROM rw_cat").head().getLong(0)
+        === 3L) // (12,1) (21,2) (30,3)
+      // the writer-OPTION spelling (Delta's replaceWhere) on the path
+      Seq((31L, 3L), (32L, 3L)).toDF("v", "k")
+        .write.format("txnlog").mode("overwrite")
+        .option("replaceWhere", "k = 3")
+        .option("path", root.toString).save()
+      assert(spark.sql("SELECT v FROM rw_cat WHERE k = 3 ORDER BY v")
+        .collect().map(_.getLong(0)).toSeq === Seq(31L, 32L))
+      // a row OUTSIDE the scoped partition refuses (Delta validation)
+      val stray = intercept[Exception] {
+        Seq((99L, 9L)).toDF("v", "k").writeTo("rw_cat")
+          .overwrite($"k" === 2L)
+      }
+      assert(stray.getMessage.contains("outside the scoped"),
+        stray.getMessage)
+      // non-partition / non-equality filters refuse by name
+      val nonPart = intercept[Exception] {
+        Seq((1L, 2L)).toDF("v", "k").writeTo("rw_cat")
+          .overwrite($"v" === 21L)
+      }
+      assert(nonPart.getMessage.contains("PARTITION-column equality"),
+        nonPart.getMessage)
+      // a dv-CARRYING victim stages its LIVE rows as old images (raw
+      // refs would re-deliver the dead row through the change feed)
+      spark.sql("ALTER TABLE rw_cat SET TBLPROPERTIES " +
+        "('graft.enableDeletionVectors' = 'true')")
+      spark.sql("DELETE FROM rw_cat WHERE v = 31") // dv in partition 3
+      assert(TxnLog.snapshot(t).dvs.nonEmpty, "expected a dv victim")
+      val vBefore = TxnLog.latestVersion(t)
+      spark.sql("INSERT OVERWRITE rw_cat PARTITION (k = 3) VALUES (33)")
+      val dvCdf = spark.sql(
+        s"""SELECT v, _change_type
+           |FROM txnlog_changes('rw_cat', $vBefore, ${vBefore + 1})
+           |ORDER BY v""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(dvCdf === Seq((32L, "delete"), (33L, "insert")),
+        s"dv victim old images leaked dead rows: $dvCdf")
+    } finally spark.sql("DROP TABLE IF EXISTS rw_cat")
+  }
+
+  test("bare-name CTAS and writeTo.create land at the default location; partitioned CTAS keeps its declared layout") {
+    import graft.sources.TxnLog
+    val sp = spark
+    import sp.implicits._
+    def tOf(name: String): TxnLog.Table = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+      TxnLog.Table(TxnLog.pathOf(meta.location.getPath))
+    }
+    Seq("ctas_flat", "ctas_part", "ctas_wt", "ctas_wtp").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+    try {
+      // 1) bare-name CTAS, no path: default location, immediately
+      // queryable, v0 carries the schema
+      spark.sql("CREATE TABLE ctas_flat USING txnlog " +
+        "AS SELECT id AS k, id * 10 AS v FROM range(3)")
+      assert(spark.table("ctas_flat").count() === 3L)
+      val tf = tOf("ctas_flat")
+      assert(TxnLog.registeredSchema(tf).exists(
+        _.fieldNames.toSeq === Seq("k", "v")))
+      // duplicate CTAS refuses; IF NOT EXISTS no-ops without writing
+      val dup = intercept[Exception] {
+        spark.sql("CREATE TABLE ctas_flat USING txnlog " +
+          "AS SELECT 1L AS x")
+      }
+      assert(dup.getMessage.contains("already exists"), dup.getMessage)
+      spark.sql("CREATE TABLE IF NOT EXISTS ctas_flat USING txnlog " +
+        "AS SELECT 1L AS x")
+      assert(spark.table("ctas_flat").count() === 3L)
+      // 2) DataFrameWriterV2 create — the API spelling
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").writeTo("ctas_wt")
+        .using("txnlog").create()
+      assert(spark.table("ctas_wt").count() === 2L)
+      assert(TxnLog.latestVersion(tOf("ctas_wt")) >= 0L)
+      // 3) PARTITIONED CTAS keeps the declared layout in the LOG —
+      // Spark's native V1 CTAS command silently flattens it; ours
+      // registers v0 (schema + layout + props) and stages through it
+      spark.sql("CREATE TABLE ctas_part USING txnlog " +
+        "PARTITIONED BY (k) TBLPROPERTIES ('graft.note' = 'ctas') " +
+        "AS SELECT id * 10 AS v, id % 2 AS k FROM range(4)")
+      val tp = tOf("ctas_part")
+      assert(TxnLog.declaredPartCols(tp) === Seq("k"))
+      val snapP = TxnLog.snapshot(tp)
+      assert(snapP.partCols === Seq("k"))
+      assert(snapP.filePartitions.values.forall(_.contains("k")),
+        s"CTAS data not staged through the layout: ${snapP.filePartitions}")
+      assert(snapP.properties.get("graft.note") === Some("ctas"))
+      assert(spark.sql("SELECT sum(v) FROM ctas_part WHERE k = 1")
+        .head().getLong(0) === 40L) // 10 + 30
+      // partition pruning holds from birth
+      assert(TxnLog.plannedFilesPartition(tp, Map("k" -> "0"))._1 <
+        snapP.liveFiles.length)
+      // a later insert stages through the same layout
+      spark.sql("INSERT INTO ctas_part VALUES (50, 7)")
+      assert(TxnLog.snapshot(tp).filePartitions.values
+        .forall(_.contains("k")))
+      // 4) the writeTo spelling of partitioned create
+      Seq((1L, 7L), (2L, 8L)).toDF("v", "k").writeTo("ctas_wtp")
+        .using("txnlog").partitionedBy($"k").create()
+      val tw = tOf("ctas_wtp")
+      assert(TxnLog.declaredPartCols(tw) === Seq("k"))
+      assert(TxnLog.snapshot(tw).filePartitions.values
+        .forall(_.contains("k")))
+      assert(spark.table("ctas_wtp").count() === 2L)
+    } finally Seq("ctas_flat", "ctas_part", "ctas_wt", "ctas_wtp")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
 }

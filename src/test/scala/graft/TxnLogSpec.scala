@@ -140,9 +140,13 @@ class TxnLogSpec extends AnyFunSuite {
     val t = freshTable()
     var model = Vector.empty[Long] // expected multiset at latest
     var next = 100L
-    val history = scala.collection.mutable.ArrayBuffer.empty[Vector[Long]]
-    for (step <- 0 until 12) {
-      rnd.nextInt(3) match {
+    // (version, expected multiset) after every COMMIT — a raced step
+    // lands two versions, so the axis is versions, not steps
+    val history =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[Long])]
+    def record(): Unit = history += ((TxnLog.latestVersion(t), model))
+    for (step <- 0 until 14) {
+      rnd.nextInt(4) match {
         case 0 | 1 => // append 1-3 fresh rows
           val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
             next += 1; next
@@ -150,21 +154,36 @@ class TxnLogSpec extends AnyFunSuite {
           import spark.implicits._
           TxnLog.append(spark, t, rows.toDF("id"))
           model = model ++ rows
+          record()
         case 2 if model.nonEmpty => // compact (logical no-op)
           TxnLog.compact(spark, t)
-        case _ => // nothing to compact yet: append one row instead
+          record()
+        case 3 if model.nonEmpty => // stale-base dv DELETE racing an
+          // append: the reconcile-and-retry path must land BOTH — the
+          // interloper's row survives, the victim dies
+          val victim = model(rnd.nextInt(model.size))
+          val stale = TxnLog.snapshot(t)
           next += 1
           TxnLog.append(spark, t, oneRowDf(next))
           model = model :+ next
+          record()
+          TxnLog.deleteDv(spark, t, col("id") === victim,
+            snap0 = Some(stale))
+          model = model.filterNot(_ == victim)
+          record()
+        case _ => // nothing to compact/delete yet: append one row
+          next += 1
+          TxnLog.append(spark, t, oneRowDf(next))
+          model = model :+ next
+          record()
       }
-      history += model
       val got = TxnLog.read(spark, t).collect().map(_.getLong(0))
       assert(got.sorted.toSeq === model.sorted,
         s"step $step diverged from the model")
     }
     // time travel replays every historical state exactly
-    history.zipWithIndex.foreach { case (expected, v) =>
-      val got = TxnLog.read(spark, t, Some(v.toLong)).collect()
+    history.foreach { case (v, expected) =>
+      val got = TxnLog.read(spark, t, Some(v)).collect()
         .map(_.getLong(0))
       assert(got.sorted.toSeq === expected.sorted, s"version $v diverged")
     }
@@ -3526,7 +3545,62 @@ class TxnLogSpec extends AnyFunSuite {
       s"probe branch lost filter pushdown: ${probeScans.head.metadata}")
   }
 
-  test("txnlog: a scattered delete past the encoded-size cap rewrites copy-on-write; the light locate is one job") {
+  test("txnlog: DML auto-retry — rewrites racing blind appends commit without user retry; overlapping rewrites and metadata shifts refuse") {
+    import spark.implicits._
+    // (1) a dv DELETE racing an append reconciles and commits — the
+    // write-serializable contract: the interloper's new file was
+    // never in the delete's read set
+    val t = freshTable()
+    TxnLog.append(spark, t, Seq(1L, 2L, 3L).toDF("id").coalesce(1))
+    val stale0 = TxnLog.snapshot(t) // v0
+    TxnLog.append(spark, t, Seq(10L).toDF("id").coalesce(1)) // v1 races
+    val v = TxnLog.deleteDv(spark, t, col("id") === 2L,
+      snap0 = Some(stale0))
+    assert(v === 2L, s"dv delete did not rebase past the append (v$v)")
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 3L, 10L))
+    // (2) the copy-on-write shapes reconcile the same way
+    val stale1 = TxnLog.snapshot(t)
+    TxnLog.append(spark, t, Seq(20L).toDF("id").coalesce(1)) // races
+    TxnLog.delete(spark, t, col("id") === 3L, snap0 = Some(stale1))
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 10L, 20L))
+    val stale2 = TxnLog.snapshot(t)
+    TxnLog.append(spark, t, Seq(30L).toDF("id").coalesce(1)) // races
+    TxnLog.update(spark, t, Map("id" -> lit(11L)),
+      col("id") === 10L, snap0 = Some(stale2))
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 11L, 20L, 30L))
+    // (3) a MERGE races an append the same way (unfenced only — the
+    // streaming upsert sink keeps its outer fence-rechecking loop)
+    val stale3 = TxnLog.snapshot(t)
+    TxnLog.append(spark, t, Seq(40L).toDF("id").coalesce(1)) // races
+    TxnLog.mergeIntoKeys(spark, t, Seq(1L).toDF("id"), Seq("id"),
+      Seq(TxnLog.MergeClause.Delete(None)), snap0 = Some(stale3))
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(11L, 20L, 30L, 40L))
+    // (4) two OVERLAPPING rewrites still refuse: the interloper
+    // rewrote a file in this statement's read set
+    val stale4 = TxnLog.snapshot(t)
+    TxnLog.delete(spark, t, col("id") === 11L) // rewrites a read file
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      TxnLog.delete(spark, t, col("id") === 20L, snap0 = Some(stale4))
+    }
+    assert(boom.getMessage.contains("read-set file"), boom.getMessage)
+    // (5) a concurrent METADATA change (new constraint) refuses too:
+    // the staged rewrite was never enforced against it
+    val stale5 = TxnLog.snapshot(t)
+    TxnLog.addNotNull(spark, t, "id")
+    val meta = intercept[java.util.ConcurrentModificationException] {
+      TxnLog.delete(spark, t, col("id") === 20L, snap0 = Some(stale5))
+    }
+    assert(meta.getMessage.contains("table metadata"), meta.getMessage)
+    // the refusals lost nothing: state is exactly the two survivors
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(20L, 30L, 40L))
+  }
+
+  test("txnlog: a scattered delete past the encoded-size cap lands a SIDECAR — no rewrite, exact reads, bounded log; vacuum collects orphans") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     val t = freshTable()
@@ -3534,23 +3608,66 @@ class TxnLogSpec extends AnyFunSuite {
       (0L until 200L).map(i => (i, i)).toDF("k", "v").coalesce(1))
     val before = dataFiles(t)
     // adversarial scatter: every other row dies. 100 single-index
-    // ranges would encode to ~400 chars — past a 64-byte cap the file
-    // rewrites copy-on-write instead of stamping an ever-replicated
-    // oversized dv line into every later checkpoint
+    // ranges would encode to ~400 chars — past a 64-byte cap the
+    // vector lands as a SIDECAR file referenced by an `@` token (the
+    // old fallback rewrote the whole data file copy-on-write)
     TxnLog.deleteDv(spark, t, col("k") % 2L === 1L,
       maxDvBytesPerFile = 64L)
     val snap = TxnLog.snapshot(t)
-    assert(snap.dvs.isEmpty,
-      s"scattered delete stamped a vector: ${snap.dvs}")
-    assert(snap.liveFiles.toSet.intersect(before) === Set.empty,
-      "heavy-by-encoded-size file was not rewritten")
+    assert(snap.dvs.size === 1 &&
+      snap.dvs.values.head.startsWith("@_dv/"),
+      s"scattered delete did not land a sidecar ref: ${snap.dvs}")
+    assert(dataFiles(t) === before,
+      "sidecar-eligible scattered delete rewrote a data file")
     assert(TxnLog.read(spark, t).count() === 100L)
-    // no log line anywhere carries an over-cap vector
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).forall(
+      _ % 2L == 0L), "sidecar vector served dead rows")
+    // the sidecar itself decodes to the full dead set; every LOG line
+    // stays below the byte cap (the point of the sidecar) and the
+    // commit demands v3 readers
+    val ranges = TxnLog.dvRanges(t, snap.dvs.values.head)
+    assert(ranges.length === 100 && ranges.forall(r => r._1 == r._2))
     val dvLogLines = Files.list(t.logDir).iterator().asScala
       .filter(_.toString.endsWith(".log"))
       .flatMap(p => Files.readAllLines(p).asScala)
       .filter(_.startsWith("dv\t")).toSeq
-    assert(dvLogLines.isEmpty, dvLogLines.mkString("\n"))
+    assert(dvLogLines.forall(_.split('\t')(2).length < 64L),
+      s"a log line carries an over-cap vector token:\n" +
+        dvLogLines.map(_.take(100)).mkString("\n"))
+    assert(snap.minReader === 3L, s"sidecar commit floor: ${snap.minReader}")
+    // checkpoints carry the tiny ref, not the vector; time travel and
+    // CDF through the sidecar version replay exactly
+    TxnLog.checkpoint(t, TxnLog.latestVersion(t))
+    assert(TxnLog.read(spark, t).count() === 100L)
+    assert(TxnLog.read(spark, t, Some(0L)).count() === 200L)
+    // a restore BELOW the sidecar resurrects the rows (dv cleared)
+    val preRestore = TxnLog.latestVersion(t)
+    TxnLog.restore(spark, t, 0L)
+    assert(TxnLog.read(spark, t).count() === 200L)
+    TxnLog.restore(spark, t, preRestore) // back: ref restamps, exact
+    assert(TxnLog.read(spark, t).count() === 100L)
+    // vacuum: an ORPHANED sidecar (no retained ref) is reclaimed,
+    // the referenced one survives
+    val orphan = TxnLog.writeDvSidecar(t, "0-1")
+    assert(TxnLog.vacuum(t, graceMs = 0L) >= 1)
+    assert(!Files.exists(t.root.resolve(orphan)), "orphan survived")
+    assert(Files.exists(t.root.resolve(
+      snap.dvs.values.head.substring(1))), "referenced sidecar died")
+    assert(TxnLog.read(spark, t).count() === 100L)
+    // the ROW cap still routes copy-on-write: the read-side anti-join
+    // cost is bounded by rows, which a sidecar would not help
+    val tr = freshTable()
+    TxnLog.append(spark, tr,
+      (0L until 200L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val beforeR = dataFiles(tr)
+    TxnLog.deleteDv(spark, tr, col("k") % 2L === 1L,
+      maxDvRowsPerFile = 10L)
+    assert(TxnLog.snapshot(tr).dvs.isEmpty,
+      "row-heavy delete stamped a vector")
+    assert(TxnLog.snapshot(tr).liveFiles.toSet
+      .intersect(beforeR) === Set.empty,
+      "row-heavy file was not rewritten")
+    assert(TxnLog.read(spark, tr).count() === 100L)
     // the CONTIGUOUS twin of the same row count stays a light vector
     // under the same cap: one range — the ENCODING decides, not rows
     val t2 = freshTable()
