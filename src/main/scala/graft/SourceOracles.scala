@@ -573,6 +573,49 @@ object SourceOracles {
         |  'dv' AS side
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    // Mirrors SourceOps.txnlogReplaceWhere: the F partition's rows
+    // replaced by their doubled-price twins in one scoped commit;
+    // the audit row pins (one commit, out-of-scope files kept,
+    // in-scope files gone).
+    "src_txnlog_replace_where" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(1 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS price_cents, CAST(1 AS BIGINT) AS key_sum,
+        |  'rw' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
+    // Mirrors SourceOps.txnlogDvSidecar: the odd keys of the 700-899
+    // window are dead; the audit row pins the sidecar contract (the
+    // stamped token is an @ ref, every original file still live,
+    // protocol floor 3).
+    "src_txnlog_dv_sidecar" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey BETWEEN 700 AND 899
+        |             AND o_orderkey % 2 = 1))
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(1 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS price_cents, CAST(3 AS BIGINT) AS key_sum,
+        |  'dv' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     // Mirrors SourceOps.txnlogCreate: the DDL-first table holds
     // exactly orders; the audit row pins (partitions after insert =
     // distinct statuses, partitions pre-data = 0, pruning flag = 1).

@@ -1448,6 +1448,11 @@ object SourceOps {
       col("o_orderkey").between(800, 899))
     val snap = graft.sources.TxnLog.snapshot(t)
     val kept = if (before.subsetOf(snap.liveFiles.toSet)) 1L else 0L
+    // PRESENCE flag, not a file count: the windows' key ranges can
+    // straddle a range-partition boundary at small scale factors
+    // (RangePartitioner samples), so "how many files carry a vector"
+    // is SF-dependent; "merge-on-read ran and nothing fell back to
+    // copy-on-write" is the contract and holds at every SF
     graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
         sum(round(col("o_totalprice") * 100).cast("long"))
@@ -1456,7 +1461,7 @@ object SourceOps {
       .withColumn("side", lit("latest"))
       .unionByName(s.range(1).select(
         lit("__audit__").as("o_orderstatus"),
-        lit(snap.dvs.size.toLong).as("n_rows"),
+        lit(if (snap.dvs.nonEmpty) 1L else 0L).as("n_rows"),
         lit(kept).as("price_cents"), lit(0L).as("key_sum"),
         lit("dv").as("side")))
       .orderBy(col("side"), col("o_orderstatus"))
@@ -1600,6 +1605,95 @@ object SourceOps {
         lit(nParts).as("n_rows"),
         lit(preParts).as("price_cents"), lit(prunes).as("key_sum"),
         lit("audit").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** PARTITION-SCOPED OVERWRITE — Delta's `replaceWhere` (the
+    * writer-option spelling; SQL `INSERT OVERWRITE ... PARTITION`
+    * rides the same [[graft.sources.TxnLog.replaceWhere]]): the 'F'
+    * partition's rows are replaced by their re-priced twins in ONE
+    * atomic commit — the backfill idiom on partitioned tables, where
+    * DELETE + INSERT is two commits with a visible gap. The audit
+    * row pins the scope into the hash: exactly one commit landed,
+    * every out-of-scope file is STILL LIVE (nothing else was
+    * touched), and every in-scope file is GONE. Oracle: orders with
+    * the F partition doubled. */
+  def txnlogReplaceWhere(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnrw-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.appendPartitioned(s, t, o, Seq("o_orderstatus"))
+    val before = graft.sources.TxnLog.snapshot(t)
+    val outScope = before.liveFiles.filter(rel =>
+      !before.filePartitions.getOrElse(rel, Map.empty)
+        .get("o_orderstatus").contains("F")).toSet
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .write.format("txnlog").mode("overwrite")
+      .option("replaceWhere", "o_orderstatus = 'F'")
+      .option("path", root.toString).save()
+    val snap = graft.sources.TxnLog.snapshot(t)
+    val oneCommit = if (snap.version == before.version + 1) 1L else 0L
+    val keptOut = if (outScope.subsetOf(snap.liveFiles.toSet)) 1L else 0L
+    val inGone = if (snap.liveFiles.toSet.intersect(
+        before.liveFiles.toSet -- outScope).isEmpty) 1L else 0L
+    graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(oneCommit).as("n_rows"),
+        lit(keptOut).as("price_cents"), lit(inGone).as("key_sum"),
+        lit("rw").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** DV SIDECARS — the adversarial SCATTERED delete (every other key
+    * in a fixed 200-key window: 100 single-row ranges whose merged
+    * encoding blows any sane inline cap): instead of the old
+    * copy-on-write fallback — a full rewrite of the file that holds
+    * the window — the vector lands as a compact gzipped sidecar
+    * under `_dv/`, referenced by a ~50-byte `@` token the log and
+    * every later checkpoint carry. The audit row pins the contract:
+    * the stamped token IS a sidecar ref, every original file is
+    * STILL LIVE (no rewrite), and the commit demands protocol-v3
+    * readers. Fixed window ⇒ constant matched rows at any SF; the
+    * stats-tracked key prunes the locate to the window's file.
+    * Oracle: orders with the odd members of the window removed. */
+  def txnlogDvSidecar(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnsc-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.appendWithStats(s, t,
+      o.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    val before = graft.sources.TxnLog.snapshot(t).liveFiles.toSet
+    graft.sources.TxnLog.deleteDv(s, t,
+      col("o_orderkey").between(700, 899) && col("o_orderkey") % 2 === 1,
+      maxDvBytesPerFile = 64L)
+    val snap = graft.sources.TxnLog.snapshot(t)
+    val sidecar =
+      if (snap.dvs.values.exists(_.startsWith("@_dv/"))) 1L else 0L
+    val kept = if (before.subsetOf(snap.liveFiles.toSet)) 1L else 0L
+    graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(sidecar).as("n_rows"),
+        lit(kept).as("price_cents"),
+        lit(snap.minReader).as("key_sum"),
+        lit("dv").as("side")))
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
