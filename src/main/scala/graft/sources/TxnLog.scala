@@ -541,7 +541,8 @@ object TxnLog {
              removes: Seq[String] = Nil,
              extra: Seq[String] = Nil,
              reconcileDisjoint: Boolean = false,
-             readSet: Set[String] = Set.empty): Long = {
+             readSet: Set[String] = Set.empty,
+             forceClaim: Boolean = false): Long = {
     val body = (removes.map(r => s"remove\t$r") ++
       adds.map(a => s"add\t$a") ++ extra).mkString("", "\n", "\n")
     val tmp = t.logDir.resolve(s".tmp-${UUID.randomUUID()}")
@@ -550,7 +551,10 @@ object TxnLog {
       // A rewrite's read set is valid only if NOTHING landed after
       // `base`, so removes must claim exactly base+1 — EEXIST there IS
       // the conflict. Appends start from the freshest slot and walk up.
-      val rewrite = removes.nonEmpty || readSet.nonEmpty
+      // `forceClaim` opts a statement whose read set is a PREDICATE
+      // over future state (replaceWhere on an empty partition) into
+      // the same claim semantics with nothing to reconcile against.
+      val rewrite = removes.nonEmpty || readSet.nonEmpty || forceClaim
       var myBase = base
       var v = if (rewrite) myBase + 1
               else math.max(latestVersion(t), myBase) + 1
@@ -1807,7 +1811,6 @@ object TxnLog {
     * images). */
   def replaceWhere(s: SparkSession, t: Table, df: DataFrame,
                    spec: Map[String, String]): Long = {
-    import org.apache.spark.sql.functions.col
     require(spec.nonEmpty, "replaceWhere needs a partition spec")
     val snap = snapshot(t)
     val partCols = snap.partCols
@@ -1830,17 +1833,6 @@ object TxnLog {
     require(missing.isEmpty,
       s"replaceWhere input is missing scoped partition column(s): " +
         missing.toSeq.sorted.mkString(", "))
-    // Delta's validation: every incoming row inside the scope — one
-    // job over the sync-sized input, null-safe on the hive sentinel
-    // (<=> never evaluates to NULL, so the negation is total)
-    val inScope = spec.map { case (c, v) =>
-      col(c) <=> partValue(v).cast(df.schema(c).dataType)
-    }.reduce(_ && _)
-    val outside = df.filter(!inScope).take(1)
-    require(outside.isEmpty,
-      s"replaceWhere(${spec.map { case (c, v) => s"$c=$v" }
-        .mkString(", ")}) received a row outside the scoped " +
-        s"partition(s): ${outside.headOption.fold("")(_.toString)}")
     val victims = snap.liveFiles.filter { rel =>
       val p = snap.filePartitions.getOrElse(rel, Map.empty)
       spec.forall { case (c, v) => p.get(c).contains(v) }
@@ -1850,6 +1842,27 @@ object TxnLog {
     try {
       val addLines = stageAdds(s, t, df, stage, partCols,
         liveStatsCols(snap), snap.schemaJson)
+      // Delta's scope validation, on the STAGED OUTPUT rather than a
+      // separate pass over the input plan — a nondeterministic source
+      // could satisfy a pre-staging check and then stage DIFFERENT
+      // rows, landing data the overwrite never claimed to touch; the
+      // staged partition tokens are what will actually commit, and
+      // checking them costs zero extra jobs
+      val strays = addLines.flatMap { line =>
+        val toks = line.split('\t').drop(2)
+          .filter(_.startsWith("part="))
+          .flatMap(_.stripPrefix("part=").split("=", 2) match {
+            case Array(c, v) => Some(unescapePart(c) -> unescapePart(v))
+            case _           => None
+          }).toMap
+        spec.collectFirst { case (c, v) if !toks.get(c).contains(v) =>
+          s"$c=${toks.getOrElse(c, "<none>")}"
+        }
+      }
+      require(strays.isEmpty,
+        s"replaceWhere(${spec.map { case (c, v) => s"$c=$v" }
+          .mkString(", ")}) received row(s) outside the scoped " +
+          s"partition(s): ${strays.distinct.take(3).mkString(", ")}")
       enforceStaged(s, t, Seq(stage), snap.constraints)
       val rels = stagedFiles(t, stage)
       // old images: zero-copy refs for clean victims; dv carriers
@@ -1864,10 +1877,19 @@ object TxnLog {
             .write.parquet(cdcStage.toString)
           stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
         }
-      val cdc = plainVictims.map(r => s"cdc\t$r\tdelete") ++ dvCdc ++
-        rels.map(r => s"cdc\t$r\tinsert")
+      // an EMPTY-partition backfill is a plain insert wave: its adds
+      // auto-count in every change feed, so cdc insert refs would
+      // double-deliver each row (the mergeIntoKeys rule)
+      val cdc =
+        if (victims.isEmpty) Nil
+        else plainVictims.map(r => s"cdc\t$r\tdelete") ++ dvCdc ++
+          rels.map(r => s"cdc\t$r\tinsert")
+      // claim semantics even with ZERO victims (forceClaim): a
+      // concurrent insert into the scoped partition between snapshot
+      // and commit must refuse, not silently survive "the partition
+      // now holds exactly these rows"
       commit(t, snap.version, adds = Nil, removes = victims,
-        extra = addLines ++ cdc)
+        extra = addLines ++ cdc, forceClaim = true)
     } finally seal(t, stage, cdcStage)
   }
 
@@ -2217,21 +2239,34 @@ object TxnLog {
       }
     def stmtRows(abs: String): Long =
       stmtRanges(abs).map { case (l, h) => h - l + 1L }.sum
-    // the row-cap check comes BEFORE the merged encoding: a statement
-    // touching thousands of already-heavy files must not pay the
-    // encode work it immediately discards for them
-    val (rowLight, rowHeavy) =
+    // the statement-row check comes BEFORE the merged encoding: a
+    // statement touching thousands of already-heavy files must not
+    // pay the encode work it immediately discards for them
+    val (rowLight, rowHeavy0) =
       stmtRanges.keys.toSeq.sorted.partition(stmtRows(_) <= rowCap)
-    val dvLines = rowLight.map { abs =>
-      val merged = encodeRanges(mergeRanges(
+    val heavyExtra = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dvLines = rowLight.flatMap { abs =>
+      val ranges = mergeRanges(
         existing.get(relOfAbs(abs)).map(dvRanges(t, _))
-          .getOrElse(Nil) ++ stmtRanges(abs)))
-      val token =
-        if (merged.length <= byteCap) merged
-        else "@" + writeDvSidecar(t, merged)
-      s"dv\t${relOfAbs(abs)}\t$token"
+          .getOrElse(Nil) ++ stmtRanges(abs))
+      // the row cap bounds the MERGED vector, not just this
+      // statement's slice: trickle deletes ACCUMULATE per file, and
+      // an unbounded merged vector is unbounded read-side anti-join
+      // work on every later scan — past the cap the file rewrites
+      // copy-on-write once, materializing the whole vector away
+      if (ranges.map { case (l, h) => h - l + 1L }.sum > rowCap) {
+        heavyExtra += abs
+        None
+      } else {
+        val merged = encodeRanges(ranges)
+        val token =
+          if (merged.length <= byteCap) merged
+          else "@" + writeDvSidecar(t, merged)
+        Some(s"dv\t${relOfAbs(abs)}\t$token")
+      }
     }
-    (dvLines, (rowHeavy ++ overflow.toSeq).toSet)
+    (dvLines,
+      (rowHeavy0 ++ heavyExtra ++ overflow.toSeq).toSet)
   }
 
   private def dvRewrite(s: SparkSession, t: Table, predicate: Column,

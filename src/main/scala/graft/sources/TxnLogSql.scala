@@ -1141,6 +1141,12 @@ final case class TxnLogPartitionedCtasCommand(table:
     }
     val locUri = table.storage.locationUri.getOrElse(
       cat.defaultTablePath(table.identifier))
+    // the same non-file-scheme refusal the catalog's wrap() applies:
+    // silently taking getPath would mis-root the table locally while
+    // the catalog entry points at the remote location
+    require(locUri.getScheme == null || locUri.getScheme == "file",
+      s"txnlog CTAS location $locUri has a non-file scheme; this " +
+        "engine resolves txnlog logs on the local filesystem only")
     val t = TxnLog.Table(TxnLog.pathOf(locUri.getPath))
     require(TxnLog.latestVersion(t) < 0,
       s"table at ${t.root} already exists (version " +
@@ -1173,9 +1179,16 @@ final case class TxnLogCtasLayoutRule(spark: SparkSession)
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // CTAS modes only (ErrorIfExists / IF-NOT-EXISTS Ignore):
+    // saveAsTable Append/Overwrite lower to the SAME command class
+    // against an EXISTING table, where Spark's native handling
+    // (append into / replace the existing layout-disciplined table)
+    // is already correct — rerouting those would refuse valid writes
     case c: CreateDataSourceTableAsSelectCommand
       if c.table.provider.exists(_.equalsIgnoreCase("txnlog")) &&
-        c.table.partitionColumnNames.nonEmpty && c.query.resolved =>
+        c.table.partitionColumnNames.nonEmpty && c.query.resolved &&
+        (c.mode == org.apache.spark.sql.SaveMode.ErrorIfExists ||
+          c.mode == org.apache.spark.sql.SaveMode.Ignore) =>
       TxnLogPartitionedCtasCommand(c.table, c.mode, c.query,
         c.outputColumnNames)
     case _ => plan

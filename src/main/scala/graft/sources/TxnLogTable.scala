@@ -326,11 +326,22 @@ private object TxnLogV2WriteBuilder {
   /** The recorded-partition-value token for a pushed literal — the
     * DECODED form [[TxnLog]] replay state holds (directory-name
     * escaping is applied at write, undone at replay). Spark's
-    * partitioned writer renders values with toString, so numbers,
-    * strings, dates and booleans all round-trip through it. */
+    * partitioned writer renders strings, integrals, booleans and
+    * DATEs with their toString, so those round-trip; TIMESTAMP-like
+    * values do NOT (java.sql.Timestamp renders a trailing `.0` the
+    * directory token lacks), and a silent mismatch would degrade the
+    * scoped overwrite into an append — refuse those by name. */
   def partToken(v: Any): String = v match {
     case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-    case other => other.toString
+    case _: String | _: java.lang.Number | _: java.lang.Boolean =>
+      v.toString
+    case _: java.sql.Date | _: java.time.LocalDate => v.toString
+    case other => throw new IllegalArgumentException(
+      s"txnlog partition-scoped overwrite cannot render a " +
+        s"${other.getClass.getName} literal as a recorded partition " +
+        "token; scope on string/integral/boolean/date partition " +
+        "columns, or use the replaceWhere writer option with the " +
+        "directory-token spelling")
   }
 }
 

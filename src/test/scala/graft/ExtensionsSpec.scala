@@ -1388,6 +1388,29 @@ class ExtensionsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(dvCdf === Seq((32L, "delete"), (33L, "insert")),
         s"dv victim old images leaked dead rows: $dvCdf")
+      // an EMPTY-partition backfill is a plain insert wave: the CDF
+      // must deliver each row exactly ONCE (cdc refs over the same
+      // adds would double-count)
+      val vEmpty = TxnLog.latestVersion(t)
+      spark.sql("INSERT OVERWRITE rw_cat PARTITION (k = 9) " +
+        "VALUES (91), (92)")
+      val backfill = spark.sql(
+        s"""SELECT v, _change_type
+           |FROM txnlog_changes('rw_cat', $vEmpty, ${vEmpty + 1})
+           |ORDER BY v""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(backfill === Seq((91L, "insert"), (92L, "insert")),
+        s"empty-partition backfill double-delivered: $backfill")
+      // the writer-option parser: quote-aware AND split, duplicate
+      // column refusal
+      import graft.sources.TxnLogStreamProvider.parseReplaceWhere
+      assert(parseReplaceWhere("a = 'x AND y' AND b = 2") ===
+        Map("a" -> "x AND y", "b" -> "2"))
+      val dupSpec = intercept[IllegalArgumentException] {
+        parseReplaceWhere("k = 1 AND k = 2")
+      }
+      assert(dupSpec.getMessage.contains("more than once"),
+        dupSpec.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS rw_cat")
   }
 
@@ -1447,6 +1470,15 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("INSERT INTO ctas_part VALUES (50, 7)")
       assert(TxnLog.snapshot(tp).filePartitions.values
         .forall(_.contains("k")))
+      // saveAsTable APPEND into the existing table keeps Spark's
+      // native handling (the CTAS reroute is mode-scoped to
+      // ErrorIfExists/Ignore) and still stages through the layout
+      Seq((60L, 1L)).toDF("v", "k").write.format("txnlog")
+        .partitionBy("k").mode("append").saveAsTable("ctas_part")
+      assert(spark.sql("SELECT count(*) FROM ctas_part")
+        .head().getLong(0) === 6L)
+      assert(TxnLog.snapshot(tp).filePartitions.values
+        .forall(_.contains("k")), "append flattened the layout")
       // 4) the writeTo spelling of partitioned create
       Seq((1L, 7L), (2L, 8L)).toDF("v", "k").writeTo("ctas_wtp")
         .using("txnlog").partitionedBy($"k").create()

@@ -3668,6 +3668,25 @@ class TxnLogSpec extends AnyFunSuite {
       .intersect(beforeR) === Set.empty,
       "row-heavy file was not rewritten")
     assert(TxnLog.read(spark, tr).count() === 100L)
+    // ...and the row cap bounds the MERGED vector, not just one
+    // statement's slice: trickle deletes accumulate per file, and
+    // unbounded accumulation is unbounded anti-join work on every
+    // later read — the delete that pushes the merged vector past the
+    // cap rewrites the file copy-on-write, materializing it away
+    val ta = freshTable()
+    TxnLog.append(spark, ta,
+      (0L until 200L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    TxnLog.deleteDv(spark, ta, col("k") < 30L, maxDvRowsPerFile = 50L)
+    assert(TxnLog.snapshot(ta).dvs.nonEmpty, "first slice not light")
+    val beforeA = TxnLog.snapshot(ta).liveFiles.toSet
+    TxnLog.deleteDv(spark, ta,
+      col("k") >= 30L && col("k") < 60L, maxDvRowsPerFile = 50L)
+    assert(TxnLog.snapshot(ta).dvs.isEmpty,
+      "accumulated over-cap vector was not materialized away")
+    assert(TxnLog.snapshot(ta).liveFiles.toSet
+      .intersect(beforeA) === Set.empty,
+      "merged-cap overflow did not rewrite the file")
+    assert(TxnLog.read(spark, ta).count() === 140L)
     // the CONTIGUOUS twin of the same row count stays a light vector
     // under the same cap: one range — the ENCODING decides, not rows
     val t2 = freshTable()
