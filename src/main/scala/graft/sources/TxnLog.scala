@@ -582,37 +582,67 @@ object TxnLog {
                 refuse(s"gave up after $MaxCommitRetries " +
                   "reconcile-and-retry attempts (writer storm)")
               val latest = latestVersion(t)
-              // a file is TOUCHED by an intervening commit when it
-              // was removed OR had a deletion vector stamped — a dv
-              // commit changes row state without a remove line, and
-              // rebasing past it would resurrect its deleted rows
-              // (this rewrite's staged output was read at myBase)
               val guard = removes.toSet ++ readSet
-              val interloping = versionFiles(t)
+              // classify each intervening COMMIT: blind appends
+              // commute (their new files were never in this
+              // statement's read set — Delta's WriteSerializable
+              // exemption); a LOGICAL NO-OP rewrite (compaction,
+              // `cdc none`) commutes when its touched files are
+              // disjoint from the read set (row state unchanged, so
+              // the predicate scan's answer stands); a ROW-CHANGING
+              // rewrite always refuses — its ADDS may have moved
+              // rows INTO this statement's predicate scope, which no
+              // file-set check can see (Delta raises
+              // ConcurrentAppend/ConcurrentDeleteRead there)
+              versionFiles(t)
                 .filter(p => versionOf(p) > myBase && versionOf(p) <= latest)
-                .flatMap(vf => Files.readAllLines(vf).asScala)
-              val touched = interloping.collect {
-                case l if l.startsWith("remove\t") ||
-                    l.startsWith("dv\t") => l.split('\t')(1)
-              }.toSet
-              val conflict = guard.toSeq.sorted.filter(touched)
-              if (conflict.nonEmpty)
-                refuse(s"concurrent commits rewrote read-set file(s) " +
-                  conflict.take(3).mkString(", "))
-              // metadata the staged rewrite was computed under must
-              // not shift beneath it: new constraints were never
-              // enforced on the staged files, schema/layout changes
-              // invalidate their shape, a dropped column's tombstone
-              // forbids bytes the staging may still carry
-              val metaChange = interloping.find(l =>
-                l.startsWith("schema\t") || l.startsWith("partcols\t") ||
-                l.startsWith("constraint\t") ||
-                l.startsWith("dropconstraint\t") ||
-                l.startsWith("dropped\t"))
-              metaChange.foreach(l => refuse(
-                s"a concurrent commit changed table metadata " +
-                  s"(${l.split('\t').take(2).mkString(" ")})"))
-              myBase = latest // append-only interlopers: rebase, retry
+                .foreach { vf =>
+                  val lines = Files.readAllLines(vf).asScala
+                  // metadata the staged rewrite was computed under
+                  // must not shift beneath it: new constraints were
+                  // never enforced on the staged files, schema/layout
+                  // changes invalidate their shape, a dropped
+                  // column's tombstone forbids bytes the staging may
+                  // carry, and PROPERTY flips steer routing decisions
+                  // (merge-on-read) taken at snapshot time — Delta's
+                  // MetadataChangedException covers all of these
+                  lines.find(l =>
+                    l.startsWith("schema\t") ||
+                    l.startsWith("partcols\t") ||
+                    l.startsWith("constraint\t") ||
+                    l.startsWith("dropconstraint\t") ||
+                    l.startsWith("dropped\t") ||
+                    l.startsWith("property\t") ||
+                    l.startsWith("unsetproperty\t"))
+                  .foreach(l => refuse(
+                    s"a concurrent commit changed table metadata " +
+                      s"(${l.split('\t').take(2).mkString(" ")})"))
+                  val touched = lines.collect {
+                    case l if l.startsWith("remove\t") ||
+                        l.startsWith("dv\t") => l.split('\t')(1)
+                  }
+                  if (touched.nonEmpty) {
+                    val conflict = touched.filter(guard)
+                    if (conflict.nonEmpty)
+                      refuse(s"concurrent commits rewrote read-set " +
+                        s"file(s) ${conflict.take(3).mkString(", ")}")
+                    // a PREDICATE-based statement (nonempty readSet)
+                    // must also refuse row-changing interlopers
+                    // wholesale: their ADDS may have moved rows INTO
+                    // the predicate's scope, which no file-set check
+                    // can see. A file-scoped logical no-op
+                    // (compaction: empty readSet — it read exactly
+                    // its removes) commutes with them when
+                    // file-disjoint, and compactions themselves
+                    // (`cdc none`, row state unchanged) commute with
+                    // predicates over disjoint files.
+                    if (readSet.nonEmpty && !lines.contains("cdc\tnone"))
+                      refuse("a concurrent row-changing rewrite " +
+                        s"(${vf.getFileName}) may have moved rows " +
+                        "into this statement's scope")
+                  }
+                }
+              myBase = latest // commuting interlopers: rebase, retry
               v = latest + 1
             }
         }
@@ -4519,7 +4549,10 @@ object TxnLog {
       .filter(p => !protectedStages.contains(
         t.dataDir.relativize(p).getName(0).toString))
       .map(p => t.root.relativize(p).toString)
-      .filterNot(keep).sorted
+      .filterNot(keep)
+      // orphaned DV sidecars are vacuum candidates too — the DRY RUN
+      // audit must list everything vacuum() would delete
+      .++(dvSidecarCandidates(t, graceMs)).sorted
   }
 
   def vacuum(t: Table, graceMs: Long = VacuumGraceMs): Int = {
@@ -4531,17 +4564,20 @@ object TxnLog {
       .filter(_.getFileName.toString.startsWith(".inflight-"))
       .filter(m => now - Files.getLastModifiedTime(m).toMillis >= graceMs)
       .foreach(Files.deleteIfExists(_))
-    dead.length + vacuumDvSidecars(t, graceMs)
+    dead.length
   }
 
-  /** Reclaim deletion-vector SIDECARS no RETAINED log file (version
-    * or checkpoint) references — orphans from refused commits, and
+  /** Deletion-vector SIDECARS no RETAINED log file (version or
+    * checkpoint) references — orphans from refused commits, and
     * vectors whose referencing history [[expireLog]] retired. The
     * grace window protects a sidecar a live writer has written but
-    * not yet committed (the same in-flight contract staged data files
-    * get). Returns deleted count. */
-  private def vacuumDvSidecars(t: Table, graceMs: Long): Int = {
-    if (!Files.isDirectory(t.dvDir)) return 0
+    * not yet committed (the same in-flight contract staged data
+    * files get). Root-relative paths; reclaimed by [[vacuum]] and
+    * listed by [[vacuumCandidates]] so DRY RUN stays a faithful
+    * audit. */
+  private def dvSidecarCandidates(t: Table,
+      graceMs: Long): Seq[String] = {
+    if (!Files.isDirectory(t.dvDir)) return Nil
     val referenced = (versionFiles(t) ++ checkpointFiles(t))
       .flatMap(vf => Files.readAllLines(vf).asScala.collect {
         case l if l.startsWith("dv\t") =>
@@ -4552,12 +4588,11 @@ object TxnLog {
           }
       }.flatten).toSet
     val now = System.currentTimeMillis()
-    val dead = listing(Files.list(t.dvDir))
+    listing(Files.list(t.dvDir))
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".dv"))
       .filter(p => now - Files.getLastModifiedTime(p).toMillis >= graceMs)
-      .filterNot(p => referenced(t.root.relativize(p).toString))
-    dead.foreach(Files.deleteIfExists(_))
-    dead.length
+      .map(p => t.root.relativize(p).toString)
+      .filterNot(referenced)
   }
 }

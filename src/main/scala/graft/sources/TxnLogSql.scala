@@ -1137,7 +1137,8 @@ final case class TxnLogPartitionedCtasCommand(table:
         return Seq.empty // IF NOT EXISTS: no-op, query never runs
       throw new IllegalArgumentException(
         s"table ${table.identifier} already exists; CREATE TABLE AS " +
-          "SELECT cannot redefine it")
+          "SELECT cannot redefine it (a concurrent create may have " +
+          "won — re-run the statement against the existing table)")
     }
     val locUri = table.storage.locationUri.getOrElse(
       cat.defaultTablePath(table.identifier))
@@ -1161,12 +1162,25 @@ final case class TxnLogPartitionedCtasCommand(table:
     require(missing.isEmpty,
       s"PARTITIONED BY column(s) not in the CTAS output: " +
         missing.mkString(", "))
-    TxnLog.registerSchema(t, df.schema, partCols, table.properties)
-    TxnLog.appendPartitioned(spark, t, df, partCols)
+    // v0 must be OURS: a lost slot means a concurrent create won the
+    // location, and appending this query's rows into the winner's
+    // table would silently merge two definitions (the sibling plain
+    // CREATE can adopt metadata-only v0s; a data-bearing CTAS never
+    // adopts)
+    require(
+      TxnLog.registerSchema(t, df.schema, partCols, table.properties),
+      s"a concurrent writer defined the table at ${t.root} first; " +
+        "re-run the statement")
+    // catalog entry BEFORE data: if this throws, the location holds
+    // a metadata-only v0 the plain CREATE's orphan adoption can
+    // rescue (data-first would leave an unadoptable v0+v1 orphan)
     cat.createTable(
       table.copy(storage = table.storage.copy(
         locationUri = Some(locUri)), schema = df.schema),
       ignoreIfExists = false, validateLocation = false)
+    // data last: a failure here leaves a valid EMPTY table (entry +
+    // v0) the user can INSERT into or DROP — never a wedged location
+    TxnLog.appendPartitioned(spark, t, df, partCols)
     Seq.empty
   }
 }
@@ -1179,16 +1193,20 @@ final case class TxnLogCtasLayoutRule(spark: SparkSession)
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    // CTAS modes only (ErrorIfExists / IF-NOT-EXISTS Ignore):
-    // saveAsTable Append/Overwrite lower to the SAME command class
-    // against an EXISTING table, where Spark's native handling
-    // (append into / replace the existing layout-disciplined table)
-    // is already correct — rerouting those would refuse valid writes
+    // table-CREATING shapes only: plain CTAS modes always, and
+    // saveAsTable Append/Overwrite when the table does NOT yet exist
+    // (they lower to the SAME command class; against an EXISTING
+    // table Spark's native handling — append into / replace the
+    // layout-disciplined table — is already correct, and rerouting
+    // would refuse valid writes). The existence probe here races a
+    // concurrent create only as far as the command's own exists
+    // check, which refuses loudly with a re-run message.
     case c: CreateDataSourceTableAsSelectCommand
       if c.table.provider.exists(_.equalsIgnoreCase("txnlog")) &&
         c.table.partitionColumnNames.nonEmpty && c.query.resolved &&
         (c.mode == org.apache.spark.sql.SaveMode.ErrorIfExists ||
-          c.mode == org.apache.spark.sql.SaveMode.Ignore) =>
+          c.mode == org.apache.spark.sql.SaveMode.Ignore ||
+          !spark.sessionState.catalog.tableExists(c.table.identifier)) =>
       TxnLogPartitionedCtasCommand(c.table, c.mode, c.query,
         c.outputColumnNames)
     case _ => plan

@@ -94,14 +94,26 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
     wrap(super.loadTable(ident))
 
   /** Probe-and-wrap for the time-travel overloads: ONE delegate load
-    * serves the provider check and the wrap; None when the entry is
-    * not a txnlog table — including when the UN-traveled load itself
-    * refuses (a native V2 table that only admits traveled access
-    * must reach its own traveled load, not die in our probe). */
-  private def txnlogWrapped(ident: Identifier): Option[TxnLogTable] =
-    (try Some(super.loadTable(ident)) catch {
-      case scala.util.control.NonFatal(_) => None
-    }).map(wrap).collect { case t: TxnLogTable => t }
+    * serves the provider check and the wrap; Right(None) when the
+    * entry is not a txnlog table, Left(err) when the UN-traveled
+    * load itself refused (a native V2 table that only admits
+    * traveled access must reach its own traveled load, not die in
+    * our probe — but the probe's failure must stay VISIBLE if the
+    * traveled load then fails too, or a transient error masquerades
+    * as a time-travel refusal). */
+  private def txnlogWrapped(ident: Identifier)
+      : Either[Throwable, Option[TxnLogTable]] =
+    try Right(Some(super.loadTable(ident)).map(wrap)
+      .collect { case t: TxnLogTable => t })
+    catch { case scala.util.control.NonFatal(e) => Left(e) }
+
+  private def delegateTraveled(probe: Either[Throwable, _],
+      load: => Table): Table =
+    try load catch {
+      case scala.util.control.NonFatal(e2) =>
+        probe.left.foreach(e2.addSuppressed)
+        throw e2
+    }
 
   /** `SELECT ... FROM t VERSION AS OF n` on a catalog name — the
     * TableCatalog time-travel seam. Non-txnlog tables keep Spark's
@@ -110,7 +122,7 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
     * same delegation rather than silently dropping the version. */
   override def loadTable(ident: Identifier, version: String): Table =
     txnlogWrapped(ident) match {
-      case Some(plain) =>
+      case Right(Some(plain)) =>
         val v = try version.toLong catch {
           case _: NumberFormatException =>
             throw new IllegalArgumentException(
@@ -118,7 +130,8 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
                 s"got: $version")
         }
         plain.copy(asOf = Some(v))
-      case None => super.loadTable(ident, version)
+      case other =>
+        delegateTraveled(other, super.loadTable(ident, version))
     }
 
   /** `TIMESTAMP AS OF ts` — `timestamp` arrives in MICROseconds
@@ -126,10 +139,11 @@ class TxnLogCatalog extends DelegatingCatalogExtension {
     * against commit mtimes like every other time-travel entry. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     txnlogWrapped(ident) match {
-      case Some(plain) =>
+      case Right(Some(plain)) =>
         plain.copy(asOf =
           Some(TxnLog.versionAt(plain.t, timestamp / 1000L)))
-      case None => super.loadTable(ident, timestamp)
+      case other =>
+        delegateTraveled(other, super.loadTable(ident, timestamp))
     }
 }
 
@@ -283,7 +297,7 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
       replaceAll = true
       return this
     }
-    replaceSpec = filters.toSeq.map {
+    val pairs = filters.toSeq.map {
       case org.apache.spark.sql.sources.EqualTo(c, v)
         if partCols.contains(c) && v != null =>
         c -> TxnLogV2WriteBuilder.partToken(v)
@@ -299,7 +313,15 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
             s"or PARTITION-column equality scoping (partition " +
             s"columns: ${partCols.mkString(", ")}); got filter: $f — " +
             "use DELETE FROM + INSERT for row-scoped rewrites")
-    }.toMap
+    }
+    // a column scoped twice is a contradictory (or redundant) spec —
+    // toMap would silently last-win and replace the WRONG partition
+    val dup = pairs.groupBy(_._1).collect {
+      case (c, vs) if vs.map(_._2).distinct.length > 1 => c }
+    require(dup.isEmpty,
+      s"txnlog INSERT OVERWRITE scopes partition column(s) " +
+        s"${dup.toSeq.sorted.mkString(", ")} with more than one value")
+    replaceSpec = pairs.toMap
     this
   }
 

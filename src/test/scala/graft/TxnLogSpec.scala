@@ -3598,6 +3598,23 @@ class TxnLogSpec extends AnyFunSuite {
     // the refusals lost nothing: state is exactly the two survivors
     assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).sorted
       .toSeq === Seq(20L, 30L, 40L))
+    // (6) a row-changing interloper on a DISJOINT file still refuses:
+    // its ADDS may have moved rows into this statement's predicate
+    // scope, which no file-set check can see (an UPDATE elsewhere
+    // could re-key a row to match the racing DELETE's predicate)
+    val t6 = freshTable()
+    TxnLog.appendWithStats(spark, t6,
+      (Seq(1L, 2L, 3L) ++ Seq(1000L, 1001L)).toDF("id")
+        .repartitionByRange(2, col("id")), Seq("id"))
+    val stale6 = TxnLog.snapshot(t6)
+    // interloper rewrites the HIGH file — outside the delete's
+    // stats-pruned read set
+    TxnLog.update(spark, t6, Map("id" -> lit(1050L)),
+      col("id") === 1000L)
+    val rowCh = intercept[java.util.ConcurrentModificationException] {
+      TxnLog.delete(spark, t6, col("id") < 100L, snap0 = Some(stale6))
+    }
+    assert(rowCh.getMessage.contains("row-changing"), rowCh.getMessage)
   }
 
   test("txnlog: a scattered delete past the encoded-size cap lands a SIDECAR — no rewrite, exact reads, bounded log; vacuum collects orphans") {
