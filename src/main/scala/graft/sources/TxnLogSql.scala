@@ -1149,10 +1149,15 @@ final case class TxnLogPartitionedCtasCommand(table:
       s"txnlog CTAS location $locUri has a non-file scheme; this " +
         "engine resolves txnlog logs on the local filesystem only")
     val t = TxnLog.Table(TxnLog.pathOf(locUri.getPath))
-    require(TxnLog.latestVersion(t) < 0,
-      s"table at ${t.root} already exists (version " +
-        s"${TxnLog.latestVersion(t)}); CREATE TABLE AS SELECT cannot " +
-        "redefine it")
+    if (TxnLog.latestVersion(t) >= 0) {
+      // IF NOT EXISTS: an occupied location no-ops like an existing
+      // name (the query never runs); a plain CTAS refuses loudly
+      if (mode == org.apache.spark.sql.SaveMode.Ignore) return Seq.empty
+      throw new IllegalArgumentException(
+        s"table at ${t.root} already exists (version " +
+          s"${TxnLog.latestVersion(t)}); CREATE TABLE AS SELECT " +
+          "cannot redefine it")
+    }
     val df0 = org.apache.spark.sql.graftglue.StreamShim.ofRows(spark, query)
     val df = if (outputColumnNames.nonEmpty &&
         outputColumnNames != df0.columns.toSeq)
@@ -1166,18 +1171,29 @@ final case class TxnLogPartitionedCtasCommand(table:
     // location, and appending this query's rows into the winner's
     // table would silently merge two definitions (the sibling plain
     // CREATE can adopt metadata-only v0s; a data-bearing CTAS never
-    // adopts)
-    require(
-      TxnLog.registerSchema(t, df.schema, partCols, table.properties),
-      s"a concurrent writer defined the table at ${t.root} first; " +
-        "re-run the statement")
+    // adopts). Under IF NOT EXISTS a lost race is the contract's
+    // no-op, not an error.
+    if (!TxnLog.registerSchema(t, df.schema, partCols,
+        table.properties)) {
+      if (mode == org.apache.spark.sql.SaveMode.Ignore) return Seq.empty
+      throw new IllegalArgumentException(
+        s"a concurrent writer defined the table at ${t.root} first; " +
+          "re-run the statement against the existing table")
+    }
     // catalog entry BEFORE data: if this throws, the location holds
     // a metadata-only v0 the plain CREATE's orphan adoption can
-    // rescue (data-first would leave an unadoptable v0+v1 orphan)
+    // rescue (data-first would leave an unadoptable v0+v1 orphan).
+    // The cost is a reader-visible EMPTY table for the staging
+    // window, and a failed QUERY leaves that empty table behind —
+    // deliberately: it is catalog-VISIBLE and one DROP TABLE away
+    // from clean, where an orphaned data-bearing log at a default
+    // location (the data-first failure shape) is neither.
+    // IF NOT EXISTS tolerates a racing entry (ignoreIfExists).
     cat.createTable(
       table.copy(storage = table.storage.copy(
         locationUri = Some(locUri)), schema = df.schema),
-      ignoreIfExists = false, validateLocation = false)
+      ignoreIfExists = mode == org.apache.spark.sql.SaveMode.Ignore,
+      validateLocation = false)
     // data last: a failure here leaves a valid EMPTY table (entry +
     // v0) the user can INSERT into or DROP — never a wedged location
     TxnLog.appendPartitioned(spark, t, df, partCols)
