@@ -3664,8 +3664,14 @@ class TxnLogSpec extends AnyFunSuite {
     TxnLog.restore(spark, t, preRestore) // back: ref restamps, exact
     assert(TxnLog.read(spark, t).count() === 100L)
     // vacuum: an ORPHANED sidecar (no retained ref) is reclaimed,
-    // the referenced one survives
+    // the referenced one survives — and DRY RUN (vacuumCandidates)
+    // lists exactly what vacuum will delete, sidecars included
     val orphan = TxnLog.writeDvSidecar(t, "0-1")
+    val dryRun = TxnLog.vacuumCandidates(t, graceMs = 0L)
+    assert(dryRun.contains(orphan),
+      s"DRY RUN omitted the orphan sidecar: $dryRun")
+    assert(!dryRun.contains(snap.dvs.values.head.substring(1)),
+      "DRY RUN listed a retained-referenced sidecar")
     assert(TxnLog.vacuum(t, graceMs = 0L) >= 1)
     assert(!Files.exists(t.root.resolve(orphan)), "orphan survived")
     assert(Files.exists(t.root.resolve(
