@@ -1879,12 +1879,7 @@ object TxnLog {
       // staged partition tokens are what will actually commit, and
       // checking them costs zero extra jobs
       val strays = addLines.flatMap { line =>
-        val toks = line.split('\t').drop(2)
-          .filter(_.startsWith("part="))
-          .flatMap(_.stripPrefix("part=").split("=", 2) match {
-            case Array(c, v) => Some(unescapePart(c) -> unescapePart(v))
-            case _           => None
-          }).toMap
+        val toks = addLineParts(line)
         spec.collectFirst { case (c, v) if !toks.get(c).contains(v) =>
           s"$c=${toks.getOrElse(c, "<none>")}"
         }
@@ -1893,34 +1888,97 @@ object TxnLog {
         s"replaceWhere(${spec.map { case (c, v) => s"$c=$v" }
           .mkString(", ")}) received row(s) outside the scoped " +
           s"partition(s): ${strays.distinct.take(3).mkString(", ")}")
-      enforceStaged(s, t, Seq(stage), snap.constraints)
-      val rels = stagedFiles(t, stage)
-      // old images: zero-copy refs for clean victims; dv carriers
-      // stage their live rows (refs would re-deliver the dead rows)
-      val (dvVictims, plainVictims) =
-        victims.partition(snap.dvs.contains)
-      val dvCdc =
-        if (dvVictims.isEmpty) Nil
-        else {
-          toPhysical(readRels(s, t, snap, dvVictims),
-            snap.schemaJson.map(parseSchema))
-            .write.parquet(cdcStage.toString)
-          stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
-        }
-      // an EMPTY-partition backfill is a plain insert wave: its adds
-      // auto-count in every change feed, so cdc insert refs would
-      // double-deliver each row (the mergeIntoKeys rule)
-      val cdc =
-        if (victims.isEmpty) Nil
-        else plainVictims.map(r => s"cdc\t$r\tdelete") ++ dvCdc ++
-          rels.map(r => s"cdc\t$r\tinsert")
-      // claim semantics even with ZERO victims (forceClaim): a
-      // concurrent insert into the scoped partition between snapshot
-      // and commit must refuse, not silently survive "the partition
-      // now holds exactly these rows"
-      commit(t, snap.version, adds = Nil, removes = victims,
-        extra = addLines ++ cdc, forceClaim = true)
+      replaceScopedCommit(s, t, snap, victims, stage, cdcStage, addLines)
     } finally seal(t, stage, cdcStage)
+  }
+
+  /** DYNAMIC partition overwrite — `writeTo(t).overwritePartitions()`
+    * / `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`: ONE
+    * atomic commit replaces exactly the partitions PRESENT IN THE
+    * INCOMING DATA (resolved from the staged partition tokens — the
+    * rows that will actually commit) and leaves every other partition
+    * untouched — the daily-ETL re-run idiom, [[replaceWhere]]'s
+    * data-driven sibling. Shares its contracts: layout-blind live
+    * files refuse (they could hold replaced-partition rows that would
+    * silently survive), dv-carrying victims stage live old images,
+    * an all-new-partitions write is a plain insert wave, and the
+    * commit claims its slot so a racing insert into a replaced
+    * partition refuses. An EMPTY input replaces nothing (Spark's
+    * dynamic-mode contract) and commits nothing. */
+  def replaceDynamic(s: SparkSession, t: Table, df: DataFrame): Long = {
+    val snap = snapshot(t)
+    val partCols = snap.partCols
+    require(partCols.nonEmpty,
+      s"dynamic partition overwrite needs a partitioned table " +
+        s"(${t.root} has no partition layout); use a whole-table " +
+        "overwrite instead")
+    val blind = snap.liveFiles.filter { rel =>
+      val p = snap.filePartitions.getOrElse(rel, Map.empty)
+      partCols.exists(!p.contains(_))
+    }
+    require(blind.isEmpty,
+      s"dynamic partition overwrite cannot scope ${blind.length} " +
+        s"live file(s) with no recorded values for " +
+        s"(${partCols.mkString(", ")}) " +
+        s"(e.g. ${blind.take(2).mkString(", ")}); compact the table " +
+        "back into partition discipline first")
+    val stage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
+    try {
+      val addLines = stageAdds(s, t, df, stage, partCols,
+        liveStatsCols(snap), snap.schemaJson)
+      if (addLines.isEmpty) return snap.version // empty input: no-op
+      val stagedSpecs: Set[Map[String, String]] = addLines.map { l =>
+        val toks = addLineParts(l)
+        partCols.map(c => c -> toks.getOrElse(c,
+          throw new IllegalStateException(
+            s"staged file missing partition token for $c"))).toMap
+      }.toSet
+      val victims = snap.liveFiles.filter { rel =>
+        val p = snap.filePartitions.getOrElse(rel, Map.empty)
+        stagedSpecs.contains(partCols.map(c => c -> p(c)).toMap)
+      }
+      replaceScopedCommit(s, t, snap, victims, stage, cdcStage, addLines)
+    } finally seal(t, stage, cdcStage)
+  }
+
+  /** Partition tokens of a decorated add line, DECODED (the form
+    * replay state holds). */
+  private def addLineParts(line: String): Map[String, String] =
+    line.split('\t').drop(2).filter(_.startsWith("part="))
+      .flatMap(_.stripPrefix("part=").split("=", 2) match {
+        case Array(c, v) => Some(unescapePart(c) -> unescapePart(v))
+        case _           => None
+      }).toMap
+
+  /** The scoped-replace commit tail [[replaceWhere]] and
+    * [[replaceDynamic]] share: constraint enforcement on the staged
+    * files, exact CDF (zero-copy refs for clean victims, staged live
+    * rows for dv carriers, NO cdc refs on an insert-only backfill —
+    * its adds auto-count), and a slot-claiming commit (forceClaim:
+    * even with zero victims, a concurrent insert into a replaced
+    * partition must refuse, not silently survive). */
+  private def replaceScopedCommit(s: SparkSession, t: Table,
+      snap: Snapshot, victims: Seq[String], stage: Path,
+      cdcStage: Path, addLines: Seq[String]): Long = {
+    enforceStaged(s, t, Seq(stage), snap.constraints)
+    val rels = stagedFiles(t, stage)
+    val (dvVictims, plainVictims) =
+      victims.partition(snap.dvs.contains)
+    val dvCdc =
+      if (dvVictims.isEmpty) Nil
+      else {
+        toPhysical(readRels(s, t, snap, dvVictims),
+          snap.schemaJson.map(parseSchema))
+          .write.parquet(cdcStage.toString)
+        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+      }
+    val cdc =
+      if (victims.isEmpty) Nil
+      else plainVictims.map(r => s"cdc\t$r\tdelete") ++ dvCdc ++
+        rels.map(r => s"cdc\t$r\tinsert")
+    commit(t, snap.version, adds = Nil, removes = victims,
+      extra = addLines ++ cdc, forceClaim = true)
   }
 
   /** The manifest box a DML predicate implies: its top-level AND

@@ -1304,7 +1304,16 @@ final case class TxnLogInsertCommand(table: String, overwrite: Boolean,
         val partCols =
           if (TxnLog.latestVersion(t) < 0) Nil
           else TxnLog.snapshot(t).partCols
-        if (overwrite) TxnLog.replace(spark, t, aligned, partCols)
+        // Spark's partitionOverwriteMode contract: under `dynamic` an
+        // INSERT OVERWRITE on a PARTITIONED table replaces only the
+        // partitions present in the incoming rows; `static` (the
+        // default) keeps the whole-table atomic REPLACE
+        val dynamicMode = overwrite && partCols.nonEmpty &&
+          spark.sessionState.conf.getConfString(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+            .equalsIgnoreCase("dynamic")
+        if (dynamicMode) TxnLog.replaceDynamic(spark, t, aligned)
+        else if (overwrite) TxnLog.replace(spark, t, aligned, partCols)
         else if (partCols.isEmpty) TxnLog.append(spark, t, aligned)
         else TxnLog.appendPartitioned(spark, t, aligned, partCols)
         Seq.empty

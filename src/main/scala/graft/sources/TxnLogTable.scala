@@ -221,11 +221,16 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
     base.asJava
   }
 
+  /** OVERWRITE_DYNAMIC is served by the injected rule rewriting
+    * `OverwritePartitionsDynamic` onto [[TxnLog.replaceDynamic]] (the
+    * Delta pattern — Spark has no V1-fallback exec for the dynamic
+    * node), not by a `SupportsDynamicOverwrite` builder. */
   override def capabilities(): JSet[TableCapability] =
     Collections.unmodifiableSet(java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -284,7 +289,11 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
   * replace commit ([[TxnLog.replaceWhere]] — Delta's replaceWhere):
   * exactly the matching partitions' files are removed, the new rows
   * added, atomically. Non-partition or non-equality filters refuse
-  * by name: they cannot scope files and need a row-level rewrite. */
+  * by name: they cannot scope files and need a row-level rewrite.
+  * DYNAMIC overwrite (`writeTo(t).overwritePartitions()`, `INSERT
+  * OVERWRITE` under `partitionOverwriteMode=dynamic`) replaces
+  * exactly the partitions present in the incoming data
+  * ([[TxnLog.replaceDynamic]]) — the daily-ETL re-run idiom. */
 private class TxnLogV2WriteBuilder(t: TxnLog.Table,
     partCols: Seq[String])
   extends WriteBuilder with SupportsOverwrite {
@@ -394,6 +403,24 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
   import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // DYNAMIC partition overwrite sits at the plan ROOT: once its
+    // query is fully output-resolved (columns aligned/cast to the
+    // table schema), route it onto the engine's replaceDynamic — the
+    // Delta pattern; Spark has no V1-fallback exec for this node, so
+    // the V1Write bridge cannot serve it
+    plan match {
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic =>
+        o.table match {
+          case r: DataSourceV2Relation
+            if r.table.isInstanceOf[TxnLogTable] &&
+              o.query.resolved && o.outputResolved =>
+            return TxnLogDynamicOverwriteCommand(
+              r.table.asInstanceOf[TxnLogTable].t, o.query)
+          case _ => ()
+        }
+      case _ => ()
+    }
     // EARLY EXIT: this rule sits in the analyzer's fixpoint batch, so
     // it runs many times per query — a plan with no txnlog v2
     // relation (every query in a session that never touches a
@@ -461,5 +488,23 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
         org.apache.spark.sql.graftglue.StreamShim
           .streamingRelation(spark, "txnlog", opts, out)
     }
+  }
+}
+
+/** `writeTo(t).overwritePartitions()` / dynamic-mode INSERT OVERWRITE
+  * over a catalog-name txnlog table — executes
+  * [[TxnLog.replaceDynamic]] over the output-resolved query: one
+  * atomic commit replacing exactly the partitions present in the
+  * data. The query plan is held fully resolved (the rewrite fires
+  * only after output resolution aligned and cast its columns). */
+final case class TxnLogDynamicOverwriteCommand(t: TxnLog.Table,
+    query: LogicalPlan)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    TxnLog.replaceDynamic(spark, t,
+      org.apache.spark.sql.graftglue.StreamShim.ofRows(spark, query))
+    Seq.empty
   }
 }

@@ -1411,6 +1411,37 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(dupSpec.getMessage.contains("more than once"),
         dupSpec.getMessage)
+      // DYNAMIC overwrite: replaces exactly the partitions PRESENT in
+      // the data (k=1 and k=9 here), leaves the rest untouched — the
+      // daily-ETL re-run idiom, data-driven instead of spec-driven
+      val preDyn = TxnLog.snapshot(t)
+      val dynUntouched = preDyn.liveFiles.filter(rel =>
+        !Set("1", "9").contains(
+          preDyn.filePartitions(rel)("k"))).toSet
+      Seq((13L, 1L), (93L, 9L)).toDF("v", "k").writeTo("rw_cat")
+        .overwritePartitions()
+      val postDyn = TxnLog.snapshot(t)
+      assert(postDyn.version === preDyn.version + 1, "not one commit")
+      assert(dynUntouched.subsetOf(postDyn.liveFiles.toSet),
+        "dynamic overwrite touched a partition absent from the data")
+      assert(spark.sql("SELECT v FROM rw_cat WHERE k IN (1, 9) " +
+        "ORDER BY v").collect().map(_.getLong(0)).toSeq ===
+        Seq(13L, 93L))
+      // SQL INSERT OVERWRITE under partitionOverwriteMode=dynamic
+      // rides the same seam
+      val prevMode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      try {
+        spark.sql("INSERT OVERWRITE rw_cat VALUES (14, 1)")
+        assert(spark.sql("SELECT v FROM rw_cat WHERE k = 1").collect()
+          .map(_.getLong(0)).toSeq === Seq(14L))
+        assert(spark.sql("SELECT count(*) FROM rw_cat WHERE k <> 1")
+          .head().getLong(0) > 0L,
+          "dynamic-mode INSERT OVERWRITE clobbered other partitions")
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
     } finally spark.sql("DROP TABLE IF EXISTS rw_cat")
   }
 
