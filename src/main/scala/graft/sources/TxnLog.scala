@@ -35,6 +35,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   schema <spark StructType json>          registered table schema
   *   txn <appId> <batchId>                   streaming batch marker
   *   cdc none                                rewrite, no logical change
+  *   rowstate unchanged                      compaction's commute claim
   *   cdc <relpath> insert|delete             row-level change file
   * }}}
   *
@@ -318,6 +319,9 @@ object TxnLog {
         catch { case _: NumberFormatException => corrupt(src, line) }
         st.txns += a -> math.max(st.txns.getOrElse(a, Long.MinValue), id)
       case Array("cdc", _) | Array("cdc", _, _) => () // change-feed refs
+      // the compaction family's commute declaration (see
+      // [[RowStateUnchanged]]) — per-commit, never part of state
+      case Array("rowstate", "unchanged") => ()
       case _ => corrupt(src, line)
     }
 
@@ -416,14 +420,33 @@ object TxnLog {
     * scatter — Delta pays a ~12 KB bitmap sidecar there, and now so
     * does this engine). A sidecar orphaned by a refused commit is
     * reclaimed by [[vacuum]] under the usual grace window. */
-  private[graft] def writeDvSidecar(t: Table, encoded: String): String = {
+  private[graft] def writeDvSidecar(t: Table, encoded: String): String =
+    writeDvSidecars(t, Seq(encoded)).head
+
+  /** [[writeDvSidecar]] for a whole statement's over-cap vectors in
+    * ONE batched pass: the names are minted up front and the bodies
+    * written through a parallel stream, so a statement stamping
+    * thousands of over-cap files pays overlapped IO instead of that
+    * many sequential driver round-trips. Returns the sidecar paths
+    * in input order. */
+  private[graft] def writeDvSidecars(t: Table,
+                                     encoded: Seq[String]): Seq[String] = {
+    if (encoded.isEmpty) return Nil
     Files.createDirectories(t.dvDir)
-    val rel = s"_dv/${UUID.randomUUID()}.dv"
-    val out = new java.util.zip.GZIPOutputStream(
-      Files.newOutputStream(t.root.resolve(rel)))
-    try out.write(encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    rel
+    val rels = encoded.map(_ => s"_dv/${UUID.randomUUID()}.dv")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    java.util.stream.IntStream.range(0, encoded.length).parallel()
+      .forEach { i =>
+        try {
+          val out = new java.util.zip.GZIPOutputStream(
+            Files.newOutputStream(t.root.resolve(rels(i))))
+          try out.write(encoded(i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch { case scala.util.control.NonFatal(e) => errs.add(e); () }
+      }
+    Option(errs.poll()).foreach(throw _)
+    rels
   }
 
   private[graft] def readDvSidecar(t: Table, rel: String): String = {
@@ -513,6 +536,24 @@ object TxnLog {
     * above any sane contention level; hitting it means a writer storm
     * the USER should see rather than an unbounded spin. */
   private[sources] val MaxCommitRetries = 20
+
+  /** The action a rewrite commit stamps to DECLARE that row state is
+    * unchanged (compaction/zorder: files move, rows do not). The
+    * retry reconciliation lets such commits commute with predicate
+    * statements over disjoint files — so the marker is a promise
+    * with teeth, emitted ONLY through [[noopRewriteLines]] by the
+    * compaction family. A rewrite that changes rows must never
+    * stamp it. */
+  private[sources] val RowStateUnchanged = "rowstate\tunchanged"
+
+  /** The commit-line pair every logical-no-op rewrite emits: the CDF
+    * marker (`cdc none` — the change feed skips the commit) and the
+    * [[RowStateUnchanged]] commute declaration. One emit point keeps
+    * the two in lockstep: a commit claiming feed-invisibility
+    * without the commute claim (or vice versa) cannot be produced
+    * by this library. */
+  private def noopRewriteLines: Seq[String] =
+    Seq("cdc\tnone", RowStateUnchanged)
 
   /** Atomically publish one version holding `adds`/`removes`.
     * `base` is the version the writer's read set was computed at
@@ -634,9 +675,16 @@ object TxnLog {
                     // (compaction: empty readSet — it read exactly
                     // its removes) commutes with them when
                     // file-disjoint, and compactions themselves
-                    // (`cdc none`, row state unchanged) commute with
-                    // predicates over disjoint files.
-                    if (readSet.nonEmpty && !lines.contains("cdc\tnone"))
+                    // commute with predicates over disjoint files.
+                    // The commute key is the DEDICATED
+                    // [[RowStateUnchanged]] action (not the `cdc
+                    // none` feed marker, which is a CDF convention a
+                    // future rewrite op could plausibly emit while
+                    // changing rows): only [[noopRewriteLines]]
+                    // produces it, and that helper is the one place
+                    // the "rows unchanged" claim is made.
+                    if (readSet.nonEmpty &&
+                        !lines.contains(RowStateUnchanged))
                       refuse("a concurrent row-changing rewrite " +
                         s"(${vf.getFileName}) may have moved rows " +
                         "into this statement's scope")
@@ -1510,7 +1558,7 @@ object TxnLog {
           partitionedAddLines(s, t, stage, statsCols)
         }
       commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
-        extra = adds :+ "cdc\tnone", reconcileDisjoint = true)
+        extra = adds ++ noopRewriteLines, reconcileDisjoint = true)
     } finally seal(t, stage)
   }
 
@@ -1602,7 +1650,7 @@ object TxnLog {
         }
       commit(t, snap.version, adds = Nil,
         removes = groups.flatMap(_._1),
-        extra = groups.flatMap(_._2) :+ "cdc\tnone",
+        extra = groups.flatMap(_._2) ++ noopRewriteLines,
         reconcileDisjoint = true)
     } finally seal(t, stages.toSeq: _*)
   }
@@ -1706,7 +1754,7 @@ object TxnLog {
           partitionedAddLines(s, t, stage, statsCols)
         }
       commit(t, snap.version, adds = Nil, removes = snap.liveFiles,
-        extra = adds :+ "cdc\tnone", reconcileDisjoint = true)
+        extra = adds ++ noopRewriteLines, reconcileDisjoint = true)
     } finally seal(t, stage)
   }
 
@@ -2333,25 +2381,36 @@ object TxnLog {
     val (rowLight, rowHeavy0) =
       stmtRanges.keys.toSeq.sorted.partition(stmtRows(_) <= rowCap)
     val heavyExtra = scala.collection.mutable.ArrayBuffer.empty[String]
-    val dvLines = rowLight.flatMap { abs =>
-      val ranges = mergeRanges(
-        existing.get(relOfAbs(abs)).map(dvRanges(t, _))
-          .getOrElse(Nil) ++ stmtRanges(abs))
-      // the row cap bounds the MERGED vector, not just this
-      // statement's slice: trickle deletes ACCUMULATE per file, and
-      // an unbounded merged vector is unbounded read-side anti-join
-      // work on every later scan — past the cap the file rewrites
-      // copy-on-write once, materializing the whole vector away
-      if (ranges.map { case (l, h) => h - l + 1L }.sum > rowCap) {
-        heavyExtra += abs
-        None
-      } else {
-        val merged = encodeRanges(ranges)
-        val token =
-          if (merged.length <= byteCap) merged
-          else "@" + writeDvSidecar(t, merged)
-        Some(s"dv\t${relOfAbs(abs)}\t$token")
+    // Left = inline token; Right = over-byte-cap encoding whose
+    // sidecar is written BELOW in one batched pass — per-file writes
+    // here would serialize thousands of driver IO round-trips on a
+    // many-file scattered statement
+    val resolved: Seq[(String, Either[String, String])] =
+      rowLight.flatMap { abs =>
+        val ranges = mergeRanges(
+          existing.get(relOfAbs(abs)).map(dvRanges(t, _))
+            .getOrElse(Nil) ++ stmtRanges(abs))
+        // the row cap bounds the MERGED vector, not just this
+        // statement's slice: trickle deletes ACCUMULATE per file, and
+        // an unbounded merged vector is unbounded read-side anti-join
+        // work on every later scan — past the cap the file rewrites
+        // copy-on-write once, materializing the whole vector away
+        if (ranges.map { case (l, h) => h - l + 1L }.sum > rowCap) {
+          heavyExtra += abs
+          None
+        } else {
+          val merged = encodeRanges(ranges)
+          Some(abs ->
+            (if (merged.length <= byteCap) Left(merged)
+             else Right(merged)))
+        }
       }
+    val sidecarRels = writeDvSidecars(t,
+      resolved.collect { case (_, Right(enc)) => enc }).iterator
+    val dvLines = resolved.map {
+      case (abs, Left(tok)) => s"dv\t${relOfAbs(abs)}\t$tok"
+      case (abs, Right(_)) =>
+        s"dv\t${relOfAbs(abs)}\t@${sidecarRels.next()}"
     }
     (dvLines,
       (rowHeavy0 ++ heavyExtra ++ overflow.toSeq).toSet)

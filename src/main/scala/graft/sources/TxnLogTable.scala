@@ -17,7 +17,8 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
-import org.apache.spark.sql.types.{Metadata, StructField, StructType}
+import org.apache.spark.sql.types.{Decimal, Metadata, StructField,
+  StructType}
 
 /** DSv2 session-catalog integration for txnlog tables — the piece
   * that makes a catalog NAME a first-class table instead of a cached
@@ -361,9 +362,22 @@ private object TxnLogV2WriteBuilder {
     * DATEs with their toString, so those round-trip; TIMESTAMP-like
     * values do NOT (java.sql.Timestamp renders a trailing `.0` the
     * directory token lacks), and a silent mismatch would degrade the
-    * scoped overwrite into an append — refuse those by name. */
+    * scoped overwrite into an append — refuse those by name.
+    * FRACTIONAL types refuse too: float/double partition columns are
+    * a rendering footgun (a literal `7.0000001` vs the directory
+    * token Spark's writer printed for the stored value need not
+    * match byte-for-byte), and a mismatch silently replaces nothing
+    * while appending everything. */
   def partToken(v: Any): String = v match {
     case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case _: java.lang.Float | _: java.lang.Double |
+         _: java.math.BigDecimal | _: Decimal =>
+      throw new IllegalArgumentException(
+        s"txnlog partition-scoped overwrite refuses fractional " +
+          s"partition literals (${v.getClass.getSimpleName}: $v): " +
+          "float/double/decimal directory tokens do not round-trip " +
+          "reliably — partition on string/integral/boolean/date " +
+          "columns instead")
     case _: String | _: java.lang.Number | _: java.lang.Boolean =>
       v.toString
     case _: java.sql.Date | _: java.time.LocalDate => v.toString

@@ -3615,6 +3615,51 @@ class TxnLogSpec extends AnyFunSuite {
       TxnLog.delete(spark, t6, col("id") < 100L, snap0 = Some(stale6))
     }
     assert(rowCh.getMessage.contains("row-changing"), rowCh.getMessage)
+    // (7) the commute key is the DEDICATED `rowstate unchanged`
+    // declaration, not the `cdc none` feed marker: an adversarial
+    // interloper stamping `cdc none` while REWRITING ROWS (a marker
+    // a future op could plausibly emit for feed-visibility reasons)
+    // must refuse against a predicate statement — miscommuting here
+    // would let the interloper's new rows slip into the predicate's
+    // scope unseen
+    val t7 = freshTable()
+    TxnLog.appendWithStats(spark, t7,
+      (Seq(1L, 2L, 3L) ++ Seq(1000L, 1001L)).toDF("id")
+        .repartitionByRange(2, col("id")), Seq("id"))
+    val stale7 = TxnLog.snapshot(t7)
+    val hi = stale7.liveFiles.find(rel =>
+      stale7.fileStats(rel)("id")._1 >= 1000L).get
+    // the masquerader: rewrites the HIGH file (disjoint from the
+    // racing delete's read set) into a re-keyed twin, stamping the
+    // feed marker but — honestly — no rowstate declaration
+    import scala.jdk.CollectionConverters._
+    val twinStage = t7.root.resolve("data").resolve("twin")
+    Seq(7L).toDF("id").coalesce(1).write.parquet(twinStage.toString)
+    val twin = Files.list(twinStage).iterator().asScala
+      .map(p => t7.root.relativize(p).toString)
+      .find(_.endsWith(".parquet")).get
+    TxnLog.commit(t7, stale7.version, adds = Seq(twin),
+      removes = Seq(hi), extra = Seq("cdc\tnone"))
+    val masq = intercept[java.util.ConcurrentModificationException] {
+      TxnLog.deleteDv(spark, t7, col("id") < 100L, snap0 = Some(stale7))
+    }
+    assert(masq.getMessage.contains("row-changing"), masq.getMessage)
+    // ...while a GENUINE logical no-op (partition-scoped OPTIMIZE of
+    // a disjoint partition — the one emit point that stamps the
+    // declaration) commutes with the same racing predicate
+    val t8 = freshTable()
+    TxnLog.appendPartitioned(spark, t8,
+      Seq((1L, "a"), (2L, "a"), (10L, "b"), (11L, "b"), (12L, "b"))
+        .toDF("id", "p").repartitionByRange(3, col("id")), Seq("p"),
+      statsCols = Seq("id"))
+    val stale8 = TxnLog.snapshot(t8)
+    TxnLog.compactPartition(spark, t8, Map("p" -> "b")) // races, no-op
+    val v8 = TxnLog.deleteDv(spark, t8, col("id") === 2L,
+      snap0 = Some(stale8))
+    assert(v8 === stale8.version + 2,
+      s"predicate DML did not rebase past the compaction (v$v8)")
+    assert(TxnLog.read(spark, t8).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 10L, 11L, 12L))
   }
 
   test("txnlog: a scattered delete past the encoded-size cap lands a SIDECAR — no rewrite, exact reads, bounded log; vacuum collects orphans") {
