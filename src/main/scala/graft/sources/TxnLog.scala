@@ -804,28 +804,40 @@ object TxnLog {
     * ADDITIVE evolution contract. A new field whose physical name (=
     * its logical name) was tombstoned by DROP COLUMN refuses: old
     * files still hold the dropped column's bytes under that name,
-    * and a fresh column must never read them. Returns the merged
-    * schema and whether registration is needed. */
+    * and a fresh column must never read them. Under `allowWiden`
+    * (Delta's `mergeSchema` writer option / `MERGE ... WITH SCHEMA
+    * EVOLUTION`) a losslessly WIDER incoming type re-registers the
+    * column at the wide type in the same commit, exactly what the
+    * explicit ALTER COLUMN TYPE verb does — without it, implicit
+    * widening through a write refuses (a write must not change the
+    * table shape as a side effect). Returns (merged schema, whether
+    * registration is needed, whether a column widened — the caller
+    * must stamp the type-widening protocol floor then). */
   private def mergedSchema(t: Table, cur: Option[StructType],
-                           incoming: StructType): (StructType, Boolean) =
+                           incoming: StructType,
+                           allowWiden: Boolean = false)
+      : (StructType, Boolean, Boolean) =
     cur match {
-      case None => (incoming, true)
+      case None => (incoming, true, false)
       case Some(c) =>
         val byName = c.fields.map(f => f.name -> f).toMap
+        var widened = Map.empty[String, DataType]
         incoming.fields.foreach { f =>
           byName.get(f.name).foreach { have =>
             // a NARROWER incoming type is compatible under a widened
             // registration (the pinned read schema promotes it
-            // in-scan); an incoming WIDER type needs the explicit
-            // ALTER COLUMN TYPE first — implicit widening through a
-            // write would change the table shape as a side effect
-            require(have.dataType == f.dataType ||
+            // in-scan); an incoming WIDER type needs allowWiden (the
+            // mergeSchema option) or the explicit ALTER COLUMN TYPE
+            val wider = canWiden(have.dataType, f.dataType)
+            if (wider && allowWiden) widened += f.name -> f.dataType
+            else require(have.dataType == f.dataType ||
               canWiden(f.dataType, have.dataType),
               s"non-additive schema change on '${f.name}': " +
                 s"${have.dataType} -> ${f.dataType}" +
-                (if (canWiden(have.dataType, f.dataType))
+                (if (wider)
                   " — widen the column first (TxnLog.widenColumn / " +
-                    "ALTER TABLE t ALTER COLUMN c TYPE ...)"
+                    "ALTER TABLE t ALTER COLUMN c TYPE ...) or opt " +
+                    "the write in with option(\"mergeSchema\", \"true\")"
                  else ""))
             require(!f.metadata.contains(PhysicalKey) ||
               physicalName(f) == physicalName(have),
@@ -853,7 +865,15 @@ object TxnLog {
               "storage name of an existing (renamed) column — pick a " +
               "different name or rewrite the table")
         }
-        (StructType(c.fields ++ fresh), fresh.nonEmpty)
+        // a widened field keeps its registered metadata (the physical
+        // mapping rides the field) — only the type moves
+        val kept =
+          if (widened.isEmpty) c.fields
+          else c.fields.map(f =>
+            widened.get(f.name).map(dt => f.copy(dataType = dt))
+              .getOrElse(f))
+        (StructType(kept ++ fresh), fresh.nonEmpty || widened.nonEmpty,
+          widened.nonEmpty)
     }
 
   // ---------------------------------------------------------------
@@ -884,8 +904,9 @@ object TxnLog {
     * the merged schema in the same commit, serialized through the
     * exact-slot claim so concurrent column additions merge instead of
     * overwriting each other. */
-  def append(s: SparkSession, t: Table, df: DataFrame): Long =
-    appendWithStats(s, t, df, Nil)
+  def append(s: SparkSession, t: Table, df: DataFrame,
+             allowWiden: Boolean = false): Long =
+    appendWithStats(s, t, df, Nil, allowWiden)
 
   /** [[append]], plus per-file (min, max) of `statsCols` (long-typed
     * columns) embedded in the add actions — the write-side price of
@@ -895,17 +916,20 @@ object TxnLog {
     * declared `PARTITIONED BY` routes THROUGH that layout — the
     * declaration, not the first writer, decides the physical shape. */
   def appendWithStats(s: SparkSession, t: Table, df: DataFrame,
-                      statsCols: Seq[String]): Long = {
+                      statsCols: Seq[String],
+                      allowWiden: Boolean = false): Long = {
     val declared = declaredPartCols(t)
     if (declared.isEmpty)
-      appendLines(s, t, df, extraLines = Nil, statsCols = statsCols)
+      appendLines(s, t, df, extraLines = Nil, statsCols = statsCols,
+        allowWiden = allowWiden)
     else appendPartitionedChecked(s, t, df, declared, // one header read
-      statsCols.filterNot(declared.contains), Nil)
+      statsCols.filterNot(declared.contains), Nil, allowWiden)
   }
 
   private def appendLines(s: SparkSession, t: Table, df: DataFrame,
                           extraLines: Seq[String],
-                          statsCols: Seq[String]): Long = {
+                          statsCols: Seq[String],
+                          allowWiden: Boolean = false): Long = {
     val stage = newStage(t, t.dataDir)
     try {
       toPhysical(df, registeredSchema(t)).write.parquet(stage.toString)
@@ -920,7 +944,7 @@ object TxnLog {
       commitRegistering(t, df.schema,
         addLinesFor(s, t, stage, statsCols) ++ extraLines,
         () => enforceStaged(s, t, Seq(stage), constraintsOf(t)),
-        enforcedAt)
+        enforcedAt, allowWiden)
     } finally seal(t, stage)
   }
 
@@ -942,7 +966,8 @@ object TxnLog {
   private def commitRegistering(t: Table, incoming: StructType,
                                 lines0: Seq[String],
                                 onSlotLoss: () => Unit = () => (),
-                                enforcedAt: Long = Long.MaxValue): Long = {
+                                enforcedAt: Long = Long.MaxValue,
+                                allowWiden: Boolean = false): Long = {
     var committed = -1L
     var cleanAt = enforcedAt
     while (committed < 0) {
@@ -951,10 +976,14 @@ object TxnLog {
         onSlotLoss() // something landed since the last enforcement —
         cleanAt = base // a constraint declaration among the options
       }
-      val (schema, changed) = mergedSchema(t, registeredSchema(t), incoming)
+      val (schema, changed, widened) =
+        mergedSchema(t, registeredSchema(t), incoming, allowWiden)
       val schemaLine = changed || base < 0
-      val lines = (if (schemaLine)
-        Seq(s"schema\t${schema.json}") else Nil) ++ lines0
+      // a write-side widening promotes old files' scan types exactly
+      // like the explicit ALTER — same protocol floor, same commit
+      val lines = (if (widened) Seq(ProtocolV2Line) else Nil) ++
+        (if (schemaLine)
+          Seq(s"schema\t${schema.json}") else Nil) ++ lines0
       if (tryPublish(t, base + 1, lines)) committed = base + 1
     }
     committed
@@ -979,7 +1008,8 @@ object TxnLog {
   def appendPartitioned(s: SparkSession, t: Table, df: DataFrame,
                         partCols: Seq[String],
                         statsCols: Seq[String] = Nil,
-                        extraLines: Seq[String] = Nil): Long = {
+                        extraLines: Seq[String] = Nil,
+                        allowWiden: Boolean = false): Long = {
     require(partCols.nonEmpty, "appendPartitioned needs partition columns")
     // a DECLARED layout is binding: an explicit different layout
     // must refuse, not quietly fork the table's physical shape
@@ -989,14 +1019,15 @@ object TxnLog {
         s"(${declared.mkString(", ")}); this write partitions by " +
         s"(${partCols.mkString(", ")}) — stage through the declared " +
         "layout")
-    appendPartitionedChecked(s, t, df, partCols, statsCols, extraLines)
+    appendPartitionedChecked(s, t, df, partCols, statsCols, extraLines,
+      allowWiden)
   }
 
   /** [[appendPartitioned]]'s body, for callers that already resolved
     * the layout against the declaration (no second header read). */
   private def appendPartitionedChecked(s: SparkSession, t: Table,
       df: DataFrame, partCols: Seq[String], statsCols: Seq[String],
-      extraLines: Seq[String]): Long = {
+      extraLines: Seq[String], allowWiden: Boolean = false): Long = {
     val stage = newStage(t, t.dataDir)
     try {
       toPhysical(df, registeredSchema(t))
@@ -1006,7 +1037,7 @@ object TxnLog {
       commitRegistering(t, df.schema,
         partitionedAddLines(s, t, stage, statsCols) ++ extraLines,
         () => enforceStaged(s, t, Seq(stage), constraintsOf(t)),
-        enforcedAt)
+        enforcedAt, allowWiden)
     } finally seal(t, stage)
   }
 
@@ -1203,7 +1234,8 @@ object TxnLog {
     * sound; concurrent independent writers are distinct appIds. */
   def appendBatch(s: SparkSession, t: Table, df: DataFrame,
                   appId: String, batchId: Long,
-                  partCols0: Seq[String] = Nil): Boolean = {
+                  partCols0: Seq[String] = Nil,
+                  allowWiden: Boolean = false): Boolean = {
     require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")
     if (lastBatch(t, appId).exists(_ >= batchId)) return false
     // the foreachBatch contract honors a declared layout like every
@@ -1246,9 +1278,11 @@ object TxnLog {
           enforceStaged(s, t, Seq(stage), constraintsOf(t))
           cleanAt = base
         }
-        val (schema, changed) = mergedSchema(t, registeredSchema(t), df.schema)
-        val lines = (if (changed || base < 0)
-          Seq(s"schema\t${schema.json}") else Nil) ++ adds :+ marker
+        val (schema, changed, widened) =
+          mergedSchema(t, registeredSchema(t), df.schema, allowWiden)
+        val lines = (if (widened) Seq(ProtocolV2Line) else Nil) ++
+          (if (changed || base < 0)
+            Seq(s"schema\t${schema.json}") else Nil) ++ adds :+ marker
         if (tryPublish(t, base + 1, lines)) return true
       }
       throw new IllegalStateException("unreachable")
@@ -1990,6 +2024,99 @@ object TxnLog {
     } finally seal(t, stage, cdcStage)
   }
 
+  /** ARBITRARY-PREDICATE overwrite — Delta ≥1.1's general
+    * `replaceWhere`: ONE atomic commit that deletes every live row
+    * matching `pred` and inserts the staged incoming rows, where the
+    * hand-composed DELETE + INSERT is two commits with a
+    * reader-visible gap. The partition-equality form keeps its
+    * metadata-only fast path ([[replaceWhere]] — no data file read);
+    * this general form pays a row-level rewrite of exactly the files
+    * that CONTAIN matching rows (stats-pruned locate, same plan
+    * shape as [[delete]]) plus the incoming staging.
+    *
+    * Contracts: every INCOMING row must satisfy `pred` — validated
+    * on the STAGED OUTPUT (a nondeterministic source cannot sneak
+    * rows past a pre-staging check), refusing loudly. Survivor rows
+    * of touched files restage through the partition layout; CDF
+    * stays exact (matched rows ride as `cdc delete` change files,
+    * the staged adds as `cdc insert` refs — or as a plain insert
+    * wave when nothing matched). The commit CLAIMS its slot
+    * (forceClaim): a concurrent writer landing rows in the
+    * predicate's scope must refuse, not silently survive — the same
+    * strictness as the partition-scoped form. At 100 TB: untouched
+    * files are never read; the locate opens only the stats-pruned
+    * candidate sliver. */
+  def replaceWhereExpr(s: SparkSession, t: Table, df: DataFrame,
+                       pred: Column,
+                       snap0: Option[Snapshot] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col,
+      input_file_name, lit, not}
+    val snap = snap0.getOrElse(snapshot(t))
+    val partCols = snap.partCols
+    val statsCols = liveStatsCols(snap)
+    val cond = coalesce(pred, lit(false))
+    val stage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
+    val survivorStage = newStage(t, t.dataDir)
+    try {
+      val addLines = stageAdds(s, t, df, stage, partCols, statsCols,
+        snap.schemaJson)
+      // scope validation on what will actually commit: read the
+      // staged files back (physical → logical under a mapping) and
+      // refuse on the first out-of-scope row — one bounded job
+      if (addLines.nonEmpty) {
+        val raw = s.read.parquet(stage.toString)
+        val stagedDf = snap.schemaJson.map(parseSchema) match {
+          case Some(sc) if hasMapping(sc) =>
+            val m = sc.fields.map(f => physicalName(f) -> f.name).toMap
+            raw.select(raw.columns.toIndexedSeq.map(c =>
+              col(c).as(m.getOrElse(c, c))): _*)
+          case _ => raw
+        }
+        val stray = stagedDf.filter(not(cond)).limit(1).collect()
+        require(stray.isEmpty,
+          s"replaceWhere received row(s) outside the predicate's " +
+            s"scope, e.g.: ${stray.headOption.getOrElse("")} — every " +
+            "incoming row must satisfy the replaceWhere condition")
+      }
+      // victims: only files that CONTAIN matching rows rewrite
+      val candidates = {
+        val box = dmlBox(pred)
+        if (box.isEmpty) snap.liveFiles else pruneBox(snap, box)
+      }
+      val affectedRel =
+        if (candidates.isEmpty) Nil
+        else relsOf(t, snap,
+          readRels(s, t, snap, candidates)
+            .withColumn("_f", input_file_name())
+            .filter(cond)
+            .select(col("_f")).distinct()
+            .collect() // file-count scale: one row per affected file
+            .map(_.getString(0)).toSeq)
+      if (addLines.isEmpty && affectedRel.isEmpty) return snap.version
+      val affected =
+        if (affectedRel.isEmpty) None
+        else Some(readRels(s, t, snap, affectedRel))
+      val survivorAdds = affected.toSeq.flatMap(a =>
+        stageAdds(s, t, a.filter(not(cond)), survivorStage, partCols,
+          statsCols, snap.schemaJson))
+      enforceStaged(s, t, Seq(stage), snap.constraints)
+      val deleteCdc = affected.toSeq.flatMap { a =>
+        toPhysical(a.filter(cond), snap.schemaJson.map(parseSchema))
+          .write.parquet(cdcStage.toString)
+        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+      }
+      // an insert-only outcome (nothing matched) is a plain insert
+      // wave: its adds auto-count in the feed, cdc refs would double
+      val insertCdc =
+        if (affectedRel.isEmpty) Nil
+        else stagedFiles(t, stage).map(r => s"cdc\t$r\tinsert")
+      commit(t, snap.version, adds = Nil, removes = affectedRel,
+        extra = addLines ++ survivorAdds ++ deleteCdc ++ insertCdc,
+        forceClaim = true)
+    } finally seal(t, stage, cdcStage, survivorStage)
+  }
+
   /** Partition tokens of a decorated add line, DECODED (the form
     * replay state holds). */
   private def addLineParts(line: String): Map[String, String] =
@@ -2604,7 +2731,7 @@ object TxnLog {
       toPhysical(affected.join(keys, Seq(keyCol), "left_semi"),
           snap.schemaJson.map(parseSchema))
         .write.parquet(cdcStage.toString) // old images of matched rows
-      val (schema, changed) = mergedSchema(t, registeredSchema(t),
+      val (schema, changed, _) = mergedSchema(t, registeredSchema(t),
         src.schema)
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
@@ -2702,7 +2829,8 @@ object TxnLog {
       extraLines: Seq[String] = Nil,
       fence: Option[(String, Long)] = None,
       snap0: Option[Snapshot] = None,
-      dvCaps: Option[(Long, Long)] = None): Long = {
+      dvCaps: Option[(Long, Long)] = None,
+      evolveSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name,
       lit, max, min, when}
     require(keyCols.nonEmpty, "mergeIntoKeys needs at least one key column")
@@ -2752,6 +2880,23 @@ object TxnLog {
 
     val snap = snap0.getOrElse(snapshot(t))
     val statsCols = liveStatsCols(snap)
+    // WITH SCHEMA EVOLUTION (Delta's clause): the source's NEW
+    // columns extend the target schema (existing rows null-fill) and
+    // losslessly WIDER shared types re-register wide — decided ONCE
+    // here against the statement's snapshot, so the clause join, the
+    // survivor/old-image/new-image stages and the commit's schema
+    // line all see the same shape, and schema + data land in ONE
+    // atomic commit. Without the clause, today's contract stands
+    // (whole-row INSERT evolves additively; wider types refuse).
+    val evolvedTo: Option[(StructType, Boolean)] =
+      if (!evolveSchema) None
+      else snap.schemaJson.map(parseSchema) match {
+        case None => None // first write: the source schema registers
+        case Some(cur) =>
+          val (m, changed, widenedAny) =
+            mergedSchema(t, Some(cur), src.schema, allowWiden = true)
+          if (changed) Some((m, widenedAny)) else None
+      }
     val keys = src.select(keyCols.map(col): _*).distinct()
     // each stats-tracked key column bounds the candidate set by the
     // source's range on it — one sync-sized aggregate for all of them
@@ -2789,7 +2934,8 @@ object TxnLog {
     // a raw-commit table has nothing to align to (and no NULL-fill
     // contract), so it refuses by name
     lazy val targetFields: Seq[org.apache.spark.sql.types.StructField] =
-      snap.schemaJson.map(parseSchema(_).fields.toSeq).getOrElse(
+      evolvedTo.map(_._1.fields.toSeq).orElse(
+        snap.schemaJson.map(parseSchema(_).fields.toSeq)).getOrElse(
         throw new IllegalArgumentException(
           "MERGE ... INSERT (cols) VALUES needs a log-registered " +
             "table schema to align the column list against"))
@@ -2864,7 +3010,8 @@ object TxnLog {
       // marker-only commit through the same loop shape).
       return (insertable(src.alias(sa)), fence) match {
         case (Some(rows), Some((app, bid))) =>
-          appendBatch(s, t, rows, app, bid, partCols)
+          appendBatch(s, t, rows, app, bid, partCols,
+            allowWiden = evolveSchema)
           latestVersion(t)
         case (None, Some((app, bid))) =>
           var v = -1L
@@ -2877,10 +3024,11 @@ object TxnLog {
           v
         case (Some(rows), None) if partCols.nonEmpty =>
           appendPartitioned(s, t, rows, partCols,
-            statsCols.filterNot(partCols.contains), extraLines)
+            statsCols.filterNot(partCols.contains), extraLines,
+            allowWiden = evolveSchema)
         case (Some(rows), None) =>
           appendLines(s, t, rows, extraLines = extraLines,
-            statsCols = statsCols)
+            statsCols = statsCols, allowWiden = evolveSchema)
         case (None, None) =>
           if (extraLines.isEmpty) snap.version
           else commit(t, snap.version, adds = Nil, extra = extraLines)
@@ -2889,8 +3037,23 @@ object TxnLog {
 
     // merge-on-read (dvCaps set) reads WITH positions: the touched
     // rows' (file, index) pairs feed the per-file dead sets
-    val affected = readRels(s, t, snap, affectedRel,
+    val affected0 = readRels(s, t, snap, affectedRel,
       withPos = dvCaps.isDefined)
+    // the evolved target frame: new columns null-fill (pre-evolution
+    // rows have no value), widened shared columns cast up — in place,
+    // so column positions and the helper PosCols survive
+    val affected = evolvedTo match {
+      case None => affected0
+      case Some((m, _)) =>
+        val curNames = affected0.columns.toSet
+        m.fields.foldLeft(affected0) { (df, f) =>
+          if (!curNames.contains(f.name))
+            df.withColumn(f.name, lit(null).cast(f.dataType))
+          else if (df.schema(f.name).dataType != f.dataType)
+            df.withColumn(f.name, col(f.name).cast(f.dataType))
+          else df
+        }
+    }
     val tCols = affected.columns.toSeq.filterNot(PosCols.contains)
     val badSets = (matched.collect { case u: MergeClause.Update =>
       u.set.keySet.diff(tCols.toSet) } ++
@@ -3032,18 +3195,25 @@ object TxnLog {
         snap.constraints)
       toPhysical(oldImages, snap.schemaJson.map(parseSchema))
         .write.parquet(cdcStage.toString)
-      val (schema, changed) = inserted match {
-        // only the whole-row insert path evolves the schema; the
-        // column-list projection already IS the registered shape
-        case Some(_) if !hasInsertExpr =>
-          mergedSchema(t, registeredSchema(t), src.schema)
-        case _ => (affected.schema, false)
+      val (schema, changed, widenedAny) = evolvedTo match {
+        // WITH SCHEMA EVOLUTION: the pre-computed merged shape lands
+        // with the data in this one commit, insert path or not
+        case Some((m, w)) => (m, true, w)
+        case None => inserted match {
+          // only the whole-row insert path evolves the schema; the
+          // column-list projection already IS the registered shape
+          case Some(_) if !hasInsertExpr =>
+            mergedSchema(t, registeredSchema(t), src.schema)
+          case _ => (affected.schema, false, false)
+        }
       }
       val cdcLines =
         stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
         (stagedFiles(t, updatedStage) ++ stagedFiles(t, insertStage))
           .map(r => s"cdc\t$r\tinsert")
-      val schemaLine = if (changed) Seq(s"schema\t${schema.json}") else Nil
+      val schemaLine =
+        (if (widenedAny) Seq(ProtocolV2Line) else Nil) ++
+        (if (changed) Seq(s"schema\t${schema.json}") else Nil)
       // reconciliation is UNFENCED-only: commit()'s rebase-retry
       // never re-checks a txn marker, and a fenced merge (the
       // streaming upsert sink) retries through upsertBatch's outer
@@ -3124,7 +3294,8 @@ object TxnLog {
     * the fence already held at entry. */
   def upsertBatch(s: SparkSession, t: Table, df: DataFrame,
                   keyCols: Seq[String], appId: String,
-                  batchId: Long, partCols: Seq[String] = Nil): Boolean = {
+                  batchId: Long, partCols: Seq[String] = Nil,
+                  allowWiden: Boolean = false): Boolean = {
     import org.apache.spark.sql.functions.col
     require(appId.matches("[A-Za-z0-9_-]+"), s"bad app id: $appId")
     require(keyCols.nonEmpty, "upsertBatch needs key columns")
@@ -3134,7 +3305,8 @@ object TxnLog {
       // first batch on an empty table: nothing to merge into (the
       // explicit partition layout must not be lost here — F4)
       if (latestVersion(t) < 0)
-        return appendBatch(s, t, df, appId, batchId, partCols)
+        return appendBatch(s, t, df, appId, batchId, partCols,
+          allowWiden = allowWiden)
       val nonKey = df.columns.filterNot(keyCols.contains).toSeq
       val clauses =
         (if (nonKey.isEmpty) Nil
@@ -3154,7 +3326,8 @@ object TxnLog {
           extraLines = Seq(marker), fence = Some((appId, batchId)),
           snap0 = Some(snap),
           dvCaps = if (GraftSqlParser.dvEnabled(snap))
-            Some((DefaultDvRowCap, DefaultDvByteCap)) else None)
+            Some((DefaultDvRowCap, DefaultDvByteCap)) else None,
+          evolveSchema = allowWiden)
         return true
       } catch {
         // a concurrent commit invalidated the rewrite: recompute
@@ -3640,7 +3813,7 @@ object TxnLog {
         throw new IllegalStateException(
           s"table at ${t.root} never registered a schema (raw " +
             "commits); append through the API once before evolving it"))
-      val (merged, changed) = mergedSchema(t, Some(cur),
+      val (merged, changed, _) = mergedSchema(t, Some(cur),
         StructType(cur.fields ++ newCols.fields))
       if (!changed) return base
       if (tryPublish(t, base + 1, Seq(s"schema\t${merged.json}")))

@@ -198,7 +198,8 @@ object GraftSqlParser {
     * fall off the MERGE path (a txnlog target would then die with
     * Spark's table-not-found instead of this engine's handling). */
   private val MergeHeadRe =
-    (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)(?:\\s+AS\\b)?""" +
+    (s"""(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?""" +
+      s"""INTO\\s+($Ident)(?:\\s+AS\\b)?""" +
       """(?:\s+(?!USING\b)(\w+))?\s+USING\s+([\s\S]+)$""").r
   // backtick alternative FIRST: with a trailing catch-all group there
   // is no context to force backtracking, and `[\w.]+` would otherwise
@@ -436,7 +437,7 @@ object GraftSqlParser {
             rest.substring(1, end - 1), partCols, path,
             () => delegate.parsePlan(sqlText), props))
         }
-      case MergeHeadRe(tbl, tAlias, tail) =>
+      case MergeHeadRe(evolve, tbl, tAlias, tail) =>
         // the USING source is a balanced-paren subquery (any nesting
         // depth) or an identifier; then [AS] [alias] ON <cond> WHEN…
         // — the ON-condition / first-WHEN boundary found by the same
@@ -464,7 +465,7 @@ object GraftSqlParser {
         } yield TxnLogMergeCommand(tbl, Option(tAlias), src.trim,
           Option(m.group(1)), rest.substring(0, b).trim,
           rest.substring(b),
-          () => delegate.parsePlan(sqlText))
+          () => delegate.parsePlan(sqlText), evolve = evolve != null)
       case _ => None
     }
 
@@ -1454,7 +1455,8 @@ final case class TxnLogMergeCommand(table: String,
     tAlias: Option[String], source: String, sAlias: Option[String],
     onCond: String,
     whenText: String,
-    native: () => LogicalPlan) extends LeafRunnableCommand {
+    native: () => LogicalPlan,
+    evolve: Boolean = false) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.tryResolveTable(spark, table).getOrElse {
       // not ours: run Spark's own MERGE plan (v2 tables) — reached
@@ -1486,18 +1488,27 @@ final case class TxnLogMergeCommand(table: String,
         // SET * = one assignment per TARGET column from the source's
         // same-named column (the Delta expansion) — so the source
         // must carry every target column, checked here by name
-        // rather than failing resolution inside the clause join
+        // rather than failing resolution inside the clause join.
+        // WITH SCHEMA EVOLUTION relaxes both directions (Delta's
+        // evolved expansion): target columns the source lacks keep
+        // their values, and source-only columns — which the evolved
+        // target frame carries by then — assign through
         val reg = TxnLog.registeredSchema(t).getOrElse(
           throw new IllegalArgumentException(
             "MERGE ... UPDATE SET * needs a log-registered table " +
               "schema to expand the star against"))
-        val missing = reg.fieldNames.filterNot(src.columns.contains)
-        require(missing.isEmpty,
-          s"MERGE ... UPDATE SET * needs the source to carry every " +
-            s"target column; missing: ${missing.mkString(", ")}")
+        val starCols =
+          if (evolve) src.columns.toIndexedSeq
+          else {
+            val missing = reg.fieldNames.filterNot(src.columns.contains)
+            require(missing.isEmpty,
+              s"MERGE ... UPDATE SET * needs the source to carry every " +
+                s"target column; missing: ${missing.mkString(", ")} " +
+                "(or use MERGE WITH SCHEMA EVOLUTION INTO)")
+            reg.fieldNames.toIndexedSeq
+          }
         TxnLog.MergeClause.Update(cond.map(expr),
-          reg.fieldNames.toIndexedSeq
-            .map(c => c -> org.apache.spark.sql.functions
+          starCols.map(c => c -> org.apache.spark.sql.functions
               .col(s"$sa.$c")).toMap)
       case GraftSqlParser.ClauseText("insert_cols", cond, sets) =>
         TxnLog.MergeClause.InsertExpr(cond.map(expr),
@@ -1523,7 +1534,7 @@ final case class TxnLogMergeCommand(table: String,
       targetAlias = ta, sourceAlias = sa, snap0 = snap,
       dvCaps = if (snap.exists(GraftSqlParser.dvEnabled))
         Some((TxnLog.DefaultDvRowCap, TxnLog.DefaultDvByteCap))
-      else None)
+      else None, evolveSchema = evolve)
     Seq.empty
   }
 }

@@ -109,7 +109,8 @@ class TxnLogStreamProvider extends StreamSourceProvider
       else derived
     }
     new TxnLogSink(sqlContext, t, appId, partitionColumns, complete,
-      if (update) mergeKeys else None)
+      if (update) mergeKeys else None,
+      allowWiden = parameters.get("mergeSchema").exists(_.toBoolean))
   }
 
   /** BATCH writes — `df.write.format("txnlog").mode(...).save()`:
@@ -123,16 +124,35 @@ class TxnLogStreamProvider extends StreamSourceProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val t = tableOf(parameters)
     val empty = TxnLog.latestVersion(t) < 0
+    // Delta's mergeSchema writer option: an additive source schema
+    // already lands with the data in one commit (the standing
+    // contract); the option additionally admits losslessly WIDER
+    // incoming types, re-registering the column wide in that same
+    // commit instead of refusing toward ALTER COLUMN TYPE
+    val allowWiden = parameters.get("mergeSchema").exists(_.toBoolean)
     mode match {
       case SaveMode.Append =>
-        TxnLog.append(sqlContext.sparkSession, t, data)
+        TxnLog.append(sqlContext.sparkSession, t, data, allowWiden)
       case SaveMode.Overwrite if parameters.contains("replaceWhere") =>
-        // Delta's writer-option spelling of the partition-scoped
-        // overwrite: a conjunction of partition-column equalities
-        // scopes ONE atomic replace commit to matching partitions
-        TxnLog.replaceWhere(sqlContext.sparkSession, t, data,
-          TxnLogStreamProvider.parseReplaceWhere(
-            parameters("replaceWhere")))
+        // Delta's writer-option spelling: a conjunction of
+        // PARTITION-column equalities keeps the metadata-only fast
+        // path (one scoped replace commit, no data file read); any
+        // other predicate routes the GENERAL form (Delta >= 1.1) —
+        // one atomic delete-matching + insert-validated commit
+        val raw = parameters("replaceWhere")
+        val spec =
+          try Some(TxnLogStreamProvider.parseReplaceWhere(raw))
+          catch { case _: IllegalArgumentException => None }
+        val partCols =
+          if (empty) Nil else TxnLog.snapshot(t).partCols
+        spec match {
+          case Some(sp) if sp.nonEmpty &&
+              sp.keySet.subsetOf(partCols.toSet) =>
+            TxnLog.replaceWhere(sqlContext.sparkSession, t, data, sp)
+          case _ =>
+            TxnLog.replaceWhereExpr(sqlContext.sparkSession, t, data,
+              org.apache.spark.sql.functions.expr(raw))
+        }
       case SaveMode.Overwrite =>
         TxnLog.replace(sqlContext.sparkSession, t, data)
       case SaveMode.ErrorIfExists if !empty =>
@@ -405,7 +425,8 @@ private[graft] object TxnLogStreamProvider {
   * what every other write op preserves. */
 private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
     appId: String, partitionColumns: Seq[String], complete: Boolean,
-    upsertKeys: Option[Seq[String]] = None)
+    upsertKeys: Option[Seq[String]] = None,
+    allowWiden: Boolean = false)
   extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit = {
@@ -419,10 +440,10 @@ private[sources] class TxnLogSink(ctx: SQLContext, t: TxnLog.Table,
     else upsertKeys match {
       case Some(keys) => // Update mode: exactly-once keyed upsert
         TxnLog.upsertBatch(ctx.sparkSession, t, batch, keys, appId,
-          batchId, partCols)
+          batchId, partCols, allowWiden)
       case None =>
         TxnLog.appendBatch(ctx.sparkSession, t, batch, appId, batchId,
-          partCols)
+          partCols, allowWiden)
     }
     ()
   }

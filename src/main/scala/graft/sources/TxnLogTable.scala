@@ -301,37 +301,53 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
 
   private var replaceAll = false
   private var replaceSpec: Map[String, String] = Map.empty
+  private var replaceCond: Option[org.apache.spark.sql.Column] = None
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.isEmpty || filters.forall(_ == AlwaysTrue)) {
       replaceAll = true
       return this
     }
-    val pairs = filters.toSeq.map {
-      case org.apache.spark.sql.sources.EqualTo(c, v)
-        if partCols.contains(c) && v != null =>
-        c -> TxnLogV2WriteBuilder.partToken(v)
-      case org.apache.spark.sql.sources.EqualNullSafe(c, v)
-        if partCols.contains(c) && v != null =>
-        c -> TxnLogV2WriteBuilder.partToken(v)
-      case org.apache.spark.sql.sources.IsNull(c)
-        if partCols.contains(c) =>
-        c -> "__HIVE_DEFAULT_PARTITION__"
-      case f =>
-        throw new IllegalArgumentException(
-          s"txnlog INSERT OVERWRITE supports whole-table overwrite " +
-            s"or PARTITION-column equality scoping (partition " +
-            s"columns: ${partCols.mkString(", ")}); got filter: $f — " +
-            "use DELETE FROM + INSERT for row-scoped rewrites")
+    // PARTITION-column equality conjunctions keep the metadata-only
+    // fast path (file-level scoping, no data read); anything else
+    // routes the GENERAL replaceWhere (one atomic delete-matching +
+    // insert-validated commit) when the filters translate exactly
+    val pairs: Option[Seq[(String, String)]] =
+      try Some(filters.toSeq.map {
+        case org.apache.spark.sql.sources.EqualTo(c, v)
+          if partCols.contains(c) && v != null =>
+          c -> TxnLogV2WriteBuilder.partToken(v)
+        case org.apache.spark.sql.sources.EqualNullSafe(c, v)
+          if partCols.contains(c) && v != null =>
+          c -> TxnLogV2WriteBuilder.partToken(v)
+        case org.apache.spark.sql.sources.IsNull(c)
+          if partCols.contains(c) =>
+          c -> "__HIVE_DEFAULT_PARTITION__"
+        case f => throw TxnLogV2WriteBuilder.NotPartitionScoped
+      }) catch {
+        case e: IllegalArgumentException
+          if e ne TxnLogV2WriteBuilder.NotPartitionScoped => throw e
+        case _: IllegalArgumentException => None
+      }
+    pairs match {
+      case Some(ps) =>
+        // a column scoped twice is a contradictory (or redundant)
+        // spec — toMap would silently last-win and replace the
+        // WRONG partition
+        val dup = ps.groupBy(_._1).collect {
+          case (c, vs) if vs.map(_._2).distinct.length > 1 => c }
+        require(dup.isEmpty,
+          s"txnlog INSERT OVERWRITE scopes partition column(s) " +
+            s"${dup.toSeq.sorted.mkString(", ")} with more than one value")
+        replaceSpec = ps.toMap
+      case None =>
+        val exact = filters.toSeq.map(f => TxnLogFilters.exact(f)
+          .getOrElse(throw new IllegalArgumentException(
+            s"txnlog overwrite-by-filter cannot translate: $f — " +
+              "scope on partition-column equalities, a translatable " +
+              "row predicate, or use DELETE FROM + INSERT")))
+        replaceCond = Some(exact.reduce(_ && _))
     }
-    // a column scoped twice is a contradictory (or redundant) spec —
-    // toMap would silently last-win and replace the WRONG partition
-    val dup = pairs.groupBy(_._1).collect {
-      case (c, vs) if vs.map(_._2).distinct.length > 1 => c }
-    require(dup.isEmpty,
-      s"txnlog INSERT OVERWRITE scopes partition column(s) " +
-        s"${dup.toSeq.sorted.mkString(", ")} with more than one value")
-    replaceSpec = pairs.toMap
     this
   }
 
@@ -342,6 +358,8 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
           val s = data.sparkSession
           if (replaceSpec.nonEmpty) {
             TxnLog.replaceWhere(s, t, data, replaceSpec); ()
+          } else if (replaceCond.nonEmpty) {
+            TxnLog.replaceWhereExpr(s, t, data, replaceCond.get); ()
           } else if (replaceAll || overwrite) {
             TxnLog.replace(s, t, data, partCols); ()
           } else if (partCols.isEmpty) {
@@ -355,6 +373,12 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
 }
 
 private object TxnLogV2WriteBuilder {
+  /** Sentinel: a filter set that is not a partition-equality
+    * conjunction (falls through to the general replaceWhere path).
+    * Identity-compared so partToken's own refusals still surface. */
+  val NotPartitionScoped = new IllegalArgumentException(
+    "not partition-scoped")
+
   /** The recorded-partition-value token for a pushed literal — the
     * DECODED form [[TxnLog]] replay state holds (directory-name
     * escaping is applied at write, undone at replay). Spark's

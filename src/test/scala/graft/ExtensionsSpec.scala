@@ -1366,12 +1366,15 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(stray.getMessage.contains("outside the scoped"),
         stray.getMessage)
-      // non-partition / non-equality filters refuse by name
+      // a NON-partition condition routes the GENERAL replaceWhere
+      // (Delta >= 1.1) — here its incoming-scope validation refuses
+      // the out-of-scope row (v=1 under a v=21 predicate), leaving
+      // state untouched; the happy path is pinned in TxnLogSpec
       val nonPart = intercept[Exception] {
         Seq((1L, 2L)).toDF("v", "k").writeTo("rw_cat")
           .overwrite($"v" === 21L)
       }
-      assert(nonPart.getMessage.contains("PARTITION-column equality"),
+      assert(nonPart.getMessage.contains("outside the predicate"),
         nonPart.getMessage)
       // a dv-CARRYING victim stages its LIVE rows as old images (raw
       // refs would re-deliver the dead row through the change feed)

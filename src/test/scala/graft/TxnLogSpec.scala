@@ -1825,6 +1825,212 @@ class TxnLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-additive"))
   }
 
+  test("txnlog: mergeSchema write-path evolution — a widened+extended batch lands schema and data in ONE commit; without the option the widening refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq(1, 2).toDF("k").select(col("k").cast(IntegerType)).coalesce(1))
+    val v0 = TxnLog.latestVersion(t)
+    // a WIDER incoming type without the option refuses, pointing at
+    // both escape hatches (the explicit ALTER and the writer option)
+    val refuse = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t, Seq(3L).toDF("k").coalesce(1))
+    }
+    assert(refuse.getMessage.contains("mergeSchema"), refuse.getMessage)
+    assert(TxnLog.latestVersion(t) === v0, "refused write left a commit")
+    // the evolving writer: k widened int->long AND a new column v —
+    // ONE commit carries the protocol bump, the schema action and
+    // the data (the atomic schema-evolution contract)
+    Seq((3L, 30L)).toDF("k", "v").coalesce(1)
+      .write.format("txnlog").mode("append")
+      .option("mergeSchema", "true")
+      .option("path", t.root.toString).save()
+    assert(TxnLog.latestVersion(t) === v0 + 1,
+      "evolving append was not one atomic commit")
+    val snap = TxnLog.snapshot(t)
+    val reg = TxnLog.registeredSchema(t).get
+    assert(reg("k").dataType === LongType)
+    assert(reg.fieldNames.toSeq === Seq("k", "v"))
+    assert(snap.minReader >= 2L,
+      s"write-side widening must stamp the type-widening protocol " +
+        s"floor, got ${snap.minReader}")
+    // old narrow rows promote in-scan and null-fill the new column
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq === Seq((1L, -1L), (2L, -1L), (3L, 30L)))
+    // time travel below the evolution keeps the narrow shape
+    assert(TxnLog.read(spark, t, Some(v0)).schema("k").dataType ===
+      IntegerType)
+    // a STILL-incompatible change refuses even under the option
+    val bad = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t, Seq("oops").toDF("k"), allowWiden = true)
+    }
+    assert(bad.getMessage.contains("non-additive"), bad.getMessage)
+  }
+
+  test("txnlog: MERGE WITH SCHEMA EVOLUTION — new source columns and widened types land with the merge in ONE commit; plain MERGE keeps refusing") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq((1, "a"), (2, "b")).toDF("k", "s")
+        .select(col("k").cast(IntegerType), col("s")).coalesce(1))
+    val v0 = TxnLog.latestVersion(t)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO txnlog.`${t.root}` AS t
+         |USING (SELECT CAST(2 AS BIGINT) AS k, 'B' AS s, 99L AS w
+         |       UNION ALL
+         |       SELECT CAST(5 AS BIGINT) AS k, 'e' AS s, 55L AS w) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(TxnLog.latestVersion(t) === v0 + 1,
+      "evolving merge was not one atomic commit")
+    val reg = TxnLog.registeredSchema(t).get
+    assert(reg.fieldNames.toSeq === Seq("k", "s", "w"))
+    assert(reg("k").dataType === LongType)
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq ===
+      Seq((1L, "a", -1L), (2L, "B", 99L), (5L, "e", 55L)))
+    // plain MERGE without the clause keeps both refusals: SET * with
+    // a target column the source lacks, and the widening
+    val strict = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO txnlog.`${t.root}` AS t
+           |USING (SELECT 1L AS k, 'x' AS s, 1L AS w, 9L AS z) AS s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.z = s.z
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(strict.getMessage.contains("unknown column") ||
+      strict.getMessage.contains("non-additive"), strict.getMessage)
+  }
+
+  test("txnlog: arbitrary-predicate replaceWhere — one atomic delete-matching + insert-validated commit; untouched files never read") {
+    import spark.implicits._
+    val t = freshTable()
+    TxnLog.appendPartitioned(spark, t,
+      Seq((10L, 1L, "a"), (11L, 2L, "a"), (20L, 5L, "b"), (21L, 6L, "b"))
+        .toDF("id", "v", "p").repartitionByRange(2, col("id")),
+      Seq("p"), statsCols = Seq("id"))
+    val before = TxnLog.snapshot(t)
+    // the general form: a NON-partition predicate (v >= 5) — files
+    // holding no matching row must survive untouched
+    val untouched = before.liveFiles.filter(rel =>
+      before.filePartitions(rel)("p") == "a").toSet
+    val v1 = TxnLog.replaceWhereExpr(spark, t,
+      Seq((30L, 7L, "b"), (31L, 8L, "c")).toDF("id", "v", "p"),
+      col("v") >= 5L)
+    assert(v1 === before.version + 1, "not one atomic commit")
+    val after = TxnLog.snapshot(t)
+    assert(untouched.subsetOf(after.liveFiles.toSet),
+      "an arbitrary replaceWhere touched out-of-scope files")
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq ===
+      Seq((10L, 1L, "a"), (11L, 2L, "a"), (30L, 7L, "b"), (31L, 8L, "c")))
+    // survivors restaged THROUGH the layout (no flattening)
+    assert(after.liveFiles.forall(after.filePartitions.contains),
+      s"replaceWhereExpr flattened the layout: ${after.liveFiles}")
+    // exact CDF: matched old rows delete, incoming rows insert
+    val (ins, del) = TxnLog.changes(spark, t, before.version, v1)
+    assert(del.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(20L, 21L))
+    assert(ins.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(30L, 31L))
+    // every incoming row must satisfy the predicate — validated on
+    // the STAGED output, refusing loudly with no commit
+    val stray = intercept[IllegalArgumentException] {
+      TxnLog.replaceWhereExpr(spark, t,
+        Seq((1L, 1L, "a")).toDF("id", "v", "p"), col("v") >= 5L)
+    }
+    assert(stray.getMessage.contains("outside the predicate"),
+      stray.getMessage)
+    assert(TxnLog.latestVersion(t) === v1, "refused replace committed")
+    // a NULL-evaluating predicate row matches nothing (SQL's
+    // condition-is-true contract): nothing matched + empty input =
+    // no commit at all
+    assert(TxnLog.replaceWhereExpr(spark, t,
+      spark.emptyDataset[(Long, Long, String)].toDF("id", "v", "p"),
+      col("v") > 100L) === v1)
+    // an insert-only outcome (predicate matches nothing) is one
+    // commit whose feed is a plain insert wave — delivered once
+    val v2 = TxnLog.replaceWhereExpr(spark, t,
+      Seq((90L, 900L, "z")).toDF("id", "v", "p"), col("v") >= 900L)
+    assert(v2 === v1 + 1)
+    val (ins2, del2) = TxnLog.changes(spark, t, v1, v2)
+    assert(del2.isEmpty && ins2.collect().map(_.getLong(0)).toSeq ===
+      Seq(90L))
+    // the claim semantics: ANY racing commit (even a blind append —
+    // it could land rows in the predicate's scope) refuses the
+    // stale replace instead of silently surviving it
+    val stale = TxnLog.snapshot(t)
+    TxnLog.append(spark, t, Seq((91L, 901L, "z")).toDF("id", "v", "p"))
+    intercept[java.util.ConcurrentModificationException] {
+      TxnLog.replaceWhereExpr(spark, t,
+        Seq((92L, 902L, "z")).toDF("id", "v", "p"), col("v") >= 900L,
+        snap0 = Some(stale))
+    }
+  }
+
+  test("txnlog: streaming sink mergeSchema — an evolved pipeline widens and extends inside its exactly-once micro-batch commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val t = freshTable()
+    TxnLog.append(spark, t,
+      Seq(1).toDF("k").select(col("k").cast(IntegerType)).coalesce(1))
+    val v0 = TxnLog.latestVersion(t)
+    // the evolved pipeline: k now arrives as BIGINT plus a new column
+    val ckpt = Files.createTempDirectory("graft-evock-").toString
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "v")
+      .writeStream.format("txnlog")
+      .option("path", t.root.toString)
+      .option("checkpointLocation", ckpt)
+      .option("mergeSchema", "true")
+      .start()
+    try {
+      in.addData((2L, 20L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TxnLog.latestVersion(t) === v0 + 1,
+      "evolved micro-batch was not one atomic commit")
+    val reg = TxnLog.registeredSchema(t).get
+    assert(reg("k").dataType === LongType &&
+      reg.fieldNames.toSeq === Seq("k", "v"))
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq === Seq((1L, -1L), (2L, 20L)))
+    // the fence survives the evolution: a replayed twin no-ops
+    assert(!TxnLog.appendBatch(spark, t, Seq((2L, 20L)).toDF("k", "v"),
+      "ck" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(ckpt.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString, 0L, allowWiden = true))
+    // an incompatible retype fails the query loudly with or without
+    // the option — mergeSchema admits only lossless widenings
+    val ckpt2 = Files.createTempDirectory("graft-evock2-").toString
+    val in2 = MemoryStream[(String, Long)]
+    val q2 = in2.toDF().toDF("k", "v")
+      .writeStream.format("txnlog")
+      .option("path", t.root.toString)
+      .option("checkpointLocation", ckpt2)
+      .option("mergeSchema", "true")
+      .start()
+    val boom = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      in2.addData(("oops", 3L))
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(boom.getMessage.contains("non-additive") ||
+      Option(boom.getCause).exists(_.getMessage.contains("non-additive")),
+      boom.getMessage)
+  }
+
   test("txnlog: RESTORE rolls back metadata-only — layout and CDF carried, vacuum horizon refused, restore-the-restore works") {
     import spark.implicits._
     val t = freshTable()
