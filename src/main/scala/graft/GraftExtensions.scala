@@ -146,6 +146,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TxnLogTable relations ever appear).
     e.injectResolutionRule(session =>
       graft.sources.TxnLogV2ReadRewrite(session))
+    // CREATE OR REPLACE TABLE / writeTo.createOrReplace() — HINTS
+    // batch: the rewrite must beat ResolveSessionCatalog's V1-provider
+    // REPLACE refusal, which fires inside the Resolution batch before
+    // any injected resolution rule could run. Root-only match, O(1).
+    e.injectHintResolutionRule(session =>
+      graft.sources.TxnLogReplaceTableRule(session))
     // partitioned CTAS keeps its declared layout (Spark's V1 CTAS
     // command would silently flatten it through the
     // CreatableRelationProvider seam) — POST-HOC: the V1 command is

@@ -616,6 +616,101 @@ object SourceOracles {
         |  'dv' AS side
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    // Mirrors SourceOps.txnlogEvolveWrite: evens landed narrow (no
+    // status, bucketed __pre__), odds landed through the mergeSchema
+    // evolution; the audit row pins (one commit, widened-to-BIGINT,
+    // protocol floor 2).
+    "src_txnlog_evolve_write" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        |         ELSE '__pre__' END AS st,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS p
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(p) AS BIGINT) AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(1 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS price_cents, CAST(2 AS BIGINT) AS key_sum,
+        |  'evolve' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
+    // Mirrors SourceOps.txnlogReplaceWhereExpr: the 700-899 key
+    // window's rows are replaced by doubled-price twins in one
+    // general-replaceWhere commit; the audit row pins (one commit,
+    // stats-pruned out-of-scope files kept).
+    "src_txnlog_replace_where_expr" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CASE WHEN o_orderkey BETWEEN 700 AND 899
+        |         THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(1 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS price_cents, CAST(0 AS BIGINT) AS key_sum,
+        |  'rwe' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
+    // Mirrors SourceOps.txnlogClone: the clone dropped its F
+    // partition while the source appended a sentinel; the audit row
+    // pins (zero-copy fork, divergence isolated both ways).
+    "src_txnlog_clone" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice AS p
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(1 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS price_cents, CAST(0 AS BIGINT) AS key_sum,
+        |  'clone' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
+    // Mirrors SourceOps.txnlogCreateOrReplace: the replacing CTAS's
+    // result is exactly orders; the audit row pins (one atomic
+    // replace commit, declared layout took, tokens recorded).
+    "src_txnlog_create_or_replace" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT '__audit__' AS o_orderstatus, CAST(1 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS price_cents, CAST(1 AS BIGINT) AS key_sum,
+        |  'cor' AS side
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
+    // Mirrors SourceOps.txnlogDefaults: evens landed pre-evolution
+    // (stamped 'en', backfilled q=7), odds post-evolution (explicit
+    // NULL lang, q=9); the audit row pins the v4 protocol floor.
+    "src_txnlog_defaults" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'en'
+        |         ELSE '__null__' END AS lang,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE 9 END AS q
+        |  FROM orders)
+        |SELECT lang, CAST(q AS BIGINT) AS q, count(*) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, 'latest' AS side
+        |FROM tgt GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '__audit__' AS lang, CAST(4 AS BIGINT) AS q,
+        |  CAST(1 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS key_sum,
+        |  'def' AS side
+        |ORDER BY side, lang, q""".stripMargin,
+
     // Mirrors SourceOps.txnlogCreate: the DDL-first table holds
     // exactly orders; the audit row pins (partitions after insert =
     // distinct statuses, partitions pre-data = 0, pruning flag = 1).

@@ -1697,6 +1697,223 @@ object SourceOps {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** WRITE-PATH SCHEMA EVOLUTION — Delta's `mergeSchema` writer
+    * option: the table starts narrow (INT cents, no status); the
+    * second batch arrives WIDE (BIGINT cents) with a NEW column, and
+    * ONE commit lands the widened+extended schema action AND the
+    * data (the atomic evolution contract — no prior ALTER). The
+    * audit row pins: exactly one commit, the registered type is
+    * BIGINT, and the commit stamped the type-widening protocol
+    * floor. Old rows promote in-scan and null-fill the new column
+    * (bucketed as `__pre__`). Oracle: orders with evens pre-shape,
+    * odds evolved. */
+  def txnlogEvolveWrite(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnev-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+    graft.sources.TxnLog.append(s, t,
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("int")
+            .as("price_cents")))
+    val before = graft.sources.TxnLog.snapshot(t)
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderstatus"))
+      .write.format("txnlog").mode("append")
+      .option("mergeSchema", "true")
+      .option("path", root.toString).save()
+    val snap = graft.sources.TxnLog.snapshot(t)
+    val oneCommit = if (snap.version == before.version + 1) 1L else 0L
+    val widened = if (graft.sources.TxnLog.registeredSchema(t)
+        .exists(_("price_cents").dataType ==
+          org.apache.spark.sql.types.LongType)) 1L else 0L
+    graft.sources.TxnLog.read(s, t)
+      .groupBy(coalesce(col("o_orderstatus"), lit("__pre__"))
+        .as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(oneCommit).as("n_rows"),
+        lit(widened).as("price_cents"),
+        lit(snap.minReader).as("key_sum"),
+        lit("evolve").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** ARBITRARY-PREDICATE replaceWhere (Delta ≥ 1.1's general form):
+    * a NON-partition key-window predicate replaces its rows with
+    * re-priced twins in ONE atomic delete-matching+insert-validated
+    * commit. The audit row pins: one commit, and every file whose
+    * key stats MISS the window is still live (the stats-pruned
+    * locate never touched it). Fixed window ⇒ the rewritten slice is
+    * SF-stable. Oracle: orders with the window's prices doubled. */
+  def txnlogReplaceWhereExpr(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txnrwe-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.appendWithStats(s, t,
+      o.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+    val before = graft.sources.TxnLog.snapshot(t)
+    graft.sources.TxnLog.replaceWhereExpr(s, t,
+      o.filter(col("o_orderkey").between(700, 899))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice")),
+      col("o_orderkey").between(700, 899))
+    val snap = graft.sources.TxnLog.snapshot(t)
+    val oneCommit = if (snap.version == before.version + 1) 1L else 0L
+    val outScope = before.liveFiles.filter(rel =>
+      before.fileStats.get(rel).flatMap(_.get("o_orderkey"))
+        .exists { case (lo, hi) => hi < 700 || lo > 899 })
+    val kept =
+      if (outScope.nonEmpty &&
+        outScope.forall(snap.liveFiles.contains)) 1L else 0L
+    graft.sources.TxnLog.read(s, t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(oneCommit).as("n_rows"),
+        lit(kept).as("price_cents"), lit(0L).as("key_sum"),
+        lit("rwe").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** SHALLOW CLONE — the zero-copy fork: the clone's v0 references
+    * the source's files (audit pins: not one parquet byte under the
+    * clone's data tree at clone time), then DIVERGES — the clone
+    * drops the F partition, the source appends a sentinel, and
+    * neither sees the other's change (audit pins the source row
+    * count). Oracle: orders without the F rows (the clone's final
+    * state). */
+  def txnlogClone(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val srcRoot = graft.sources.TempDirs.scratch("graft-txncl-")
+      .resolve("src")
+    val dstRoot = graft.sources.TempDirs.scratch("graft-txncl-")
+      .resolve("dst")
+    val src = graft.sources.TxnLog.Table(srcRoot)
+    val dst = graft.sources.TxnLog.Table(dstRoot)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.TxnLog.appendPartitioned(s, src, o,
+      Seq("o_orderstatus"))
+    val srcRows = graft.sources.TxnLog.read(s, src).count()
+    graft.sources.TxnLog.shallowClone(src, dst)
+    val zeroCopy = if (!Files.walk(dst.dataDir).iterator().asScala
+      .exists(_.toString.endsWith(".parquet"))) 1L else 0L
+    // divergence: metadata-only partition drop on the CLONE, an
+    // append on the SOURCE — each invisible to the other
+    graft.sources.TxnLog.dropPartition(dst,
+      Map("o_orderstatus" -> "F"))
+    graft.sources.TxnLog.append(s, src,
+      s.range(1).select(lit(-1L).as("o_orderkey"),
+        lit("Z").as("o_orderstatus"), lit(0.0).as("o_totalprice")))
+    val isolated =
+      if (graft.sources.TxnLog.read(s, src).count() == srcRows + 1 &&
+        graft.sources.TxnLog.read(s, dst)
+          .filter(col("o_orderstatus") === "Z").count() == 0) 1L
+      else 0L
+    graft.sources.TxnLog.read(s, dst).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(zeroCopy).as("n_rows"),
+        lit(isolated).as("price_cents"), lit(0L).as("key_sum"),
+        lit("clone").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** CREATE OR REPLACE TABLE — the idempotent-notebook DDL: a
+    * narrow seeded table is atomically REDEFINED (new schema, new
+    * declared layout, CTAS data) in ONE commit; history is retained
+    * below it. The audit row pins: one commit for the replace, the
+    * declared layout took, and every staged file records its tokens.
+    * Oracle: orders (the replacing CTAS's result). */
+  def txnlogCreateOrReplace(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txncor-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    s.sql(s"CREATE TABLE txnlog.`$root` (k BIGINT) USING txnlog")
+    s.sql(s"INSERT INTO txnlog.`$root` VALUES (1)")
+    val before = graft.sources.TxnLog.snapshot(t)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_cor_src")
+    s.sql(s"CREATE OR REPLACE TABLE txnlog.`$root` USING txnlog " +
+      "PARTITIONED BY (o_orderstatus) AS " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      "FROM graft_cor_src")
+    val snap = graft.sources.TxnLog.snapshot(t)
+    val oneCommit = if (snap.version == before.version + 1) 1L else 0L
+    val declared =
+      if (snap.declaredPartCols == Seq("o_orderstatus")) 1L else 0L
+    val layoutOk =
+      if (snap.liveFiles.forall(snap.filePartitions.contains)) 1L
+      else 0L
+    s.sql(s"SELECT * FROM txnlog.`$root`").groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("price_cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("o_orderstatus"),
+        lit(oneCommit).as("n_rows"),
+        lit(declared).as("price_cents"), lit(layoutOk).as("key_sum"),
+        lit("cor").as("side")))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** COLUMN DEFAULT VALUES: a CREATE-time default (lang 'en') stamps
+    * omitted INSERT columns; an ADD COLUMN ... DEFAULT 7 backfills
+    * every PRE-EVOLUTION row with 7 (not NULL) on read, no rewrite;
+    * post-evolution explicit values (including NULL) stand. The
+    * audit row pins the v4 protocol floor the defaulted schema
+    * demands. Oracle: evens pre-evolution ('en', 7), odds
+    * post-evolution (NULL lang, 9). */
+  def txnlogDefaults(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.TempDirs.scratch("graft-txndef-")
+      .resolve("tbl")
+    val t = graft.sources.TxnLog.Table(root)
+    s.sql(s"CREATE TABLE txnlog.`$root` " +
+      "(o_orderkey BIGINT, lang STRING DEFAULT 'en') USING txnlog")
+    Tables.orders(s, d).select(col("o_orderkey"))
+      .createOrReplaceTempView("graft_def_src")
+    s.sql(s"INSERT INTO txnlog.`$root` (o_orderkey) " +
+      "SELECT o_orderkey FROM graft_def_src WHERE o_orderkey % 2 = 0")
+    s.sql(s"ALTER TABLE txnlog.`$root` ADD COLUMNS (q INT DEFAULT 7)")
+    s.sql(s"INSERT INTO txnlog.`$root` " +
+      "SELECT o_orderkey, NULL, 9 FROM graft_def_src " +
+      "WHERE o_orderkey % 2 = 1")
+    val snap = graft.sources.TxnLog.snapshot(t)
+    graft.sources.TxnLog.read(s, t)
+      .groupBy(coalesce(col("lang"), lit("__null__")).as("lang"),
+        col("q").cast("long").as("q"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .withColumn("side", lit("latest"))
+      .unionByName(s.range(1).select(
+        lit("__audit__").as("lang"), lit(snap.minReader).as("q"),
+        lit(1L).as("n_rows"), lit(0L).as("key_sum"),
+        lit("def").as("side")))
+      .orderBy(col("side"), col("lang"), col("q"))
+  }
+
   /** lineitem -> hive-partitioned parquet by returnflag -> filtered
     * read. Partition pruning must make the R-only read touch one
     * directory; the oracle is the same filter on the flat parquet. */

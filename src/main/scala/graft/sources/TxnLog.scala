@@ -85,7 +85,7 @@ object TxnLog {
     * reader must fail loudly rather than silently serve physical
     * column names or deleted rows (the Delta minReaderVersion
     * contract). */
-  val CurrentReaderVersion = 3L
+  val CurrentReaderVersion = 4L
 
   private val ProtocolV2Line = s"protocol\t2"
   /** Floor 3: the log carries `@<rel>` deletion-vector SIDECAR
@@ -93,6 +93,10 @@ object TxnLog {
     * than silently serve the dead rows, but the floor makes the
     * refusal name the real reason (upgrade, not corruption). */
   private val ProtocolV3Line = s"protocol\t3"
+  /** Floor 4: the registered schema carries column DEFAULT values
+    * (EXISTS_DEFAULT field metadata) — an older reader would serve
+    * NULL where pre-evolution rows owe the default. */
+  private val ProtocolV4Line = s"protocol\t4"
 
   /** Files dead for less than this keep their staging grace (see
     * [[vacuum]]): an in-flight writer's staged-but-uncommitted files
@@ -303,6 +307,10 @@ object TxnLog {
       case Array("partcols", enc) =>
         st.declaredParts = enc.split(',').toSeq
           .filter(_.nonEmpty).map(unescapePart)
+      // an EMPTY declaration (REPLACE TABLE without PARTITIONED BY
+      // clears a previous layout): split('\t') drops the trailing
+      // empty token, so "partcols\t" arrives as one field
+      case Array("partcols") => st.declaredParts = Nil
       // protocol floor: the minimum reader version this log demands
       // (monotone — a later lower stamp never downgrades)
       case Array("protocol", n) =>
@@ -753,6 +761,26 @@ object TxnLog {
     * and checkpoints untouched. */
   private[sources] val PhysicalKey = "graft.physical"
 
+  /** Spark's own column-default field-metadata keys: CURRENT_DEFAULT
+    * is the SQL text an INSERT omitting the column evaluates;
+    * EXISTS_DEFAULT is what reads of files that PREDATE the column
+    * serve instead of NULL — honored by Spark's parquet readers for
+    * physically-missing columns, which is exactly the per-file
+    * semantics (a post-evolution explicit NULL stays NULL; only
+    * files written before the column existed backfill). This engine
+    * keeps the two equal (defaults are CREATE/ADD-time immutable). */
+  private[sources] val CurrentDefaultKey = "CURRENT_DEFAULT"
+  private[sources] val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** The column's declared DEFAULT as SQL text, if any. */
+  private[graft] def defaultSql(
+      f: org.apache.spark.sql.types.StructField): Option[String] =
+    if (f.metadata.contains(CurrentDefaultKey))
+      Some(f.metadata.getString(CurrentDefaultKey))
+    else if (f.metadata.contains(ExistsDefaultKey))
+      Some(f.metadata.getString(ExistsDefaultKey))
+    else None
+
   private[sources] def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
     else f.name
@@ -763,9 +791,16 @@ object TxnLog {
   /** The schema as the data files hold it: fields renamed to their
     * physical names, mapping metadata dropped. */
   private def physicalSchema(schema: StructType): StructType =
-    StructType(schema.fields.map(f =>
+    StructType(schema.fields.map { f =>
+      // EXISTS_DEFAULT survives the physical projection: the parquet
+      // reader backfills physically-missing columns from it
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      if (f.metadata.contains(ExistsDefaultKey))
+        mb.putString(ExistsDefaultKey,
+          f.metadata.getString(ExistsDefaultKey))
       org.apache.spark.sql.types.StructField(
-        physicalName(f), f.dataType, f.nullable)))
+        physicalName(f), f.dataType, f.nullable, mb.build())
+    })
 
   /** Rename a frame's columns LOGICAL -> PHYSICAL before staging —
     * the write half of the mapping (columns outside the registered
@@ -2022,6 +2057,150 @@ object TxnLog {
       }
       replaceScopedCommit(s, t, snap, victims, stage, cdcStage, addLines)
     } finally seal(t, stage, cdcStage)
+  }
+
+  /** SHALLOW CLONE — a ZERO-COPY table fork (Delta's CLONE, the
+    * dev/test-against-prod and migration idiom): the clone's version
+    * 0 REFERENCES the source's live data files by absolute path
+    * (partition tokens, sizes, stats, deletion vectors and sidecar
+    * refs carried), along with the source's schema, declared layout,
+    * properties and constraints at the cloned version — no data
+    * byte moves. From there the two tables DIVERGE independently:
+    * writes to the clone stage under the clone's root, rewrites
+    * retire absolute refs for local files, compaction localizes
+    * whole partitions, time travel on the clone sees v0 as the
+    * clone point.
+    *
+    * Vacuum safety matrix: the CLONE's vacuum can never delete
+    * source files — candidates are walked under the clone's own
+    * data/_dv trees, which the absolute refs are not in (by
+    * construction, spec-pinned). The SOURCE's vacuum knows nothing
+    * of clones (no back-references — Delta's documented contract):
+    * source-LIVE files are never vacuum candidates, so a clone of
+    * the source's current state stays readable as long as those
+    * files stay live; once the SOURCE removes a file (DML/compact/
+    * replace), its grace window starts, and a clone still
+    * referencing it must either localize (OPTIMIZE the clone) or
+    * accept the source's vacuum horizon — the same trade Delta
+    * documents for shallow clones. */
+  def shallowClone(src: Table, dst: Table,
+                   asOf: Option[Long] = None): Long = {
+    require(src.root.toAbsolutePath.normalize !=
+      dst.root.toAbsolutePath.normalize,
+      s"cannot clone ${src.root} onto itself")
+    require(latestVersion(dst) < 0,
+      s"cannot clone into ${dst.root}: the location already holds a " +
+        s"table (version ${latestVersion(dst)}) — DROP it or choose " +
+        "an empty location")
+    val snap = snapshot(src, asOf)
+    def absOf(rel: String): String =
+      src.root.resolve(rel).toAbsolutePath.normalize.toString
+    val addLines = snap.liveFiles.map { rel =>
+      val pTok = snap.filePartitions.getOrElse(rel, Map.empty)
+        .toSeq.sortBy(_._1)
+        .map { case (c, v) => s"part=${escapePart(c)}=${escapePart(v)}" }
+      val zTok = snap.fileSizes.get(rel).map(n => s"size=$n").toSeq
+      val sTok = snap.fileStats.getOrElse(rel, Map.empty).toSeq
+        .sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
+      (s"add\t${absOf(rel)}" +: (pTok ++ zTok ++ sTok)).mkString("\t")
+    }
+    // dv tokens re-key onto the absolute file refs; SIDECAR refs go
+    // absolute too (they stay under the source's _dv/, where the
+    // clone's vacuum cannot reach)
+    val dvLines = snap.dvs.toSeq.sortBy(_._1).map { case (rel, enc) =>
+      val tok =
+        if (enc.startsWith("@")) "@" + absOf(enc.substring(1))
+        else enc
+      s"dv\t${absOf(rel)}\t$tok"
+    }
+    val lines =
+      (if (snap.minReader > 1L) Seq(s"protocol\t${snap.minReader}")
+       else Nil) ++
+      snap.schemaJson.map(js => s"schema\t$js").toSeq ++
+      // the clone's v0 DECLARES the source's full layout (declared ++
+      // observed): the fork's definition pins what the source lived
+      // by, so every later writer stages through it
+      (if (snap.partCols.isEmpty) Nil
+       else Seq("partcols\t" +
+         snap.partCols.map(escapePart).mkString(","))) ++
+      snap.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"property\t$k\t${escapePart(v)}" } ++
+      snap.notNull.toSeq.sorted.map(c => s"constraint\tnotnull\t$c") ++
+      snap.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"constraint\tcheck\t$n\t${escapePart(e)}" } ++
+      addLines ++ dvLines
+    if (!tryPublish(dst, 0L, lines))
+      throw new java.util.ConcurrentModificationException(
+        s"a concurrent writer defined the table at ${dst.root} first")
+    0L
+  }
+
+  /** CREATE OR REPLACE TABLE's log half — ONE atomic commit that
+    * redefines the table: every live file removed, the NEW schema /
+    * declared layout / properties registered, old constraints
+    * dropped (a replace defines the table fresh), and the optional
+    * CTAS data staged in — readers see the old table or the new one,
+    * never a mix, and DESCRIBE HISTORY retains everything below so
+    * RESTORE can cross the replace. On an empty location the same
+    * call IS the create (claims version 0; a lost claim means a
+    * concurrent writer defined the table first and refuses loudly —
+    * the OR REPLACE contract is redefine-atomically, never merge).
+    * A checkpoint lands immediately after: the DECLARED layout is a
+    * v0/checkpoint header read ([[declaredPartCols]]), so a mid-log
+    * layout change must republish the header or every later writer
+    * would route through the replaced layout. CDF mirrors
+    * [[replace]]: old files ride as zero-copy `cdc delete` refs, the
+    * staged files as `cdc insert`. */
+  def replaceDefinition(s: SparkSession, t: Table, schema: StructType,
+                        partCols: Seq[String],
+                        props: Map[String, String],
+                        data: Option[DataFrame]): Long = {
+    val unknown = partCols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"PARTITIONED BY names column(s) not in the schema: " +
+        unknown.mkString(", "))
+    props.keys.foreach(k => require(
+      k.nonEmpty && !k.exists(c => c == '\t' || c == '\n'),
+      s"bad property key: '$k'"))
+    val snap =
+      if (latestVersion(t) < 0) None else Some(snapshot(t))
+    val stage = newStage(t, t.dataDir)
+    try {
+      // the staged data routes through the NEW layout and the NEW
+      // schema (a replace has no mapping/constraints to honor — it
+      // defines them)
+      val addLines = data.toSeq.flatMap(df =>
+        stageAdds(s, t, df, stage, partCols, Nil, None))
+      val removes = snap.map(_.liveFiles).getOrElse(Nil)
+      val oldProps = snap.map(_.properties).getOrElse(Map.empty)
+      val propLines =
+        oldProps.keySet.diff(props.keySet).toSeq.sorted
+          .map(k => s"unsetproperty\t$k") ++
+        props.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"property\t$k\t${escapePart(v)}" }
+      val consLines = snap.toSeq.flatMap(sn =>
+        sn.notNull.toSeq.sorted.map(c => s"dropconstraint\tnotnull\t$c") ++
+        sn.checks.keys.toSeq.sorted.map(n => s"dropconstraint\tcheck\t$n"))
+      val cdc =
+        if (removes.isEmpty) Nil
+        else removes.map(r => s"cdc\t$r\tdelete") ++
+          stagedFiles(t, stage).map(r => s"cdc\t$r\tinsert")
+      // the partcols line is ALWAYS emitted (empty clears a previous
+      // declaration) — the layout is part of the definition
+      val header =
+        (if (schema.fields.exists(_.metadata.contains(ExistsDefaultKey)))
+          Seq(ProtocolV4Line)
+         else Nil) ++
+        Seq(s"schema\t${schema.json}",
+          "partcols\t" + partCols.map(escapePart).mkString(","))
+      val v = commit(t, snap.map(_.version).getOrElse(-1L), adds = Nil,
+        removes = removes,
+        extra = header ++ propLines ++ consLines ++ addLines ++ cdc,
+        forceClaim = true)
+      checkpoint(t, v) // republish the header: see scaladoc
+      v
+    } finally seal(t, stage)
   }
 
   /** ARBITRARY-PREDICATE overwrite — Delta ≥1.1's general
@@ -3555,8 +3734,12 @@ object TxnLog {
         s"bad property key: '$k'"))
       val propLines = props.toSeq.sortBy(_._1).map { case (k, v) =>
         s"property\t$k\t${escapePart(v)}" }
+      val proto =
+        if (schema.fields.exists(_.metadata.contains(ExistsDefaultKey)))
+          Seq(ProtocolV4Line)
+        else Nil
       val won = tryPublish(t, 0L,
-        s"schema\t${schema.json}" +: (pLine ++ propLines))
+        proto ++ (s"schema\t${schema.json}" +: (pLine ++ propLines)))
       if (!won) lostDeclaration()
       won
     } else { lostDeclaration(); false }
@@ -3604,7 +3787,7 @@ object TxnLog {
     * one. */
   def declaredPartCols(t: Table): Seq[String] = {
     def parse(line: String): Seq[String] =
-      line.split('\t')(1).split(',').toSeq
+      line.split('\t').drop(1).headOption.getOrElse("").split(',').toSeq
         .filter(_.nonEmpty).map(unescapePart)
     val src = checkpointFiles(t).lastOption
       .orElse(versionFiles(t).headOption.filter(versionOf(_) == 0L))
@@ -3816,7 +3999,13 @@ object TxnLog {
       val (merged, changed, _) = mergedSchema(t, Some(cur),
         StructType(cur.fields ++ newCols.fields))
       if (!changed) return base
-      if (tryPublish(t, base + 1, Seq(s"schema\t${merged.json}")))
+      // DEFAULT-carrying columns change read semantics (an older
+      // reader would null-fill pre-evolution rows) — protocol floor 4
+      val proto =
+        if (newCols.fields.exists(_.metadata.contains(ExistsDefaultKey)))
+          Seq(ProtocolV4Line)
+        else Nil
+      if (tryPublish(t, base + 1, proto :+ s"schema\t${merged.json}"))
         committed = base + 1
     }
     committed
@@ -4116,7 +4305,9 @@ object TxnLog {
         case _ => raw
       }
       val have = df.columns.toSet
-      c.notNull.foreach(cn => require(have.contains(cn),
+      c.notNull.foreach(cn => require(have.contains(cn) ||
+        reg.flatMap(_.fields.find(_.name == cn)).exists(
+          _.metadata.contains(ExistsDefaultKey)),
         s"constraint violation: NOT NULL $cn — this write omits the " +
           "column entirely (it would null-fill on read); nothing was " +
           "committed"))
@@ -4207,10 +4398,18 @@ object TxnLog {
         else Some((rel, dead, res))
       }
     val resurrections = dvDeltaDetail.filter(_._3.nonEmpty)
-    // identical live sets, schema AND dv state = true no-op; a
-    // schema-only difference (restoring below a rename/drop/add)
+    // the DECLARED layout is part of the restored definition too
+    // (restoring below a CREATE OR REPLACE that changed it): emit
+    // the header line and republish the checkpoint header after
+    val partColsLine =
+      if (tgt.declaredPartCols == cur.declaredPartCols) Nil
+      else Seq(
+        "partcols\t" + tgt.declaredPartCols.map(escapePart).mkString(","))
+    // identical live sets, schema, layout AND dv state = true no-op;
+    // a schema-only difference (restoring below a rename/drop/add)
     // still commits, restoring the shape and reconciling constraints
     if (removes.isEmpty && readds.isEmpty && dvDelta.isEmpty &&
+      partColsLine.isEmpty &&
       tgt.schemaJson == cur.schemaJson) return cur.version
     val missing = readds.filterNot(rel => Files.exists(t.root.resolve(rel)))
     require(missing.isEmpty,
@@ -4411,20 +4610,28 @@ object TxnLog {
           refs ++ liveRows(cur, remDvRels, "delete") ++
             liveRows(tgt, readdDvRels, "insert") ++ deltaCdc
         }
-      val extra = proto ++ schemaLine ++ conDrops ++ addLines ++
-        dvDelta ++ dvCdc ++ cdc
+      val extra = proto ++ schemaLine ++ partColsLine ++ conDrops ++
+        addLines ++ dvDelta ++ dvCdc ++ cdc
+      def headerRepublished(v: Long): Long = {
+        // declaredPartCols is a v0/checkpoint HEADER read — a layout
+        // change must republish it or later writers route wrong
+        if (partColsLine.nonEmpty) checkpoint(t, v)
+        v
+      }
       // a dv-reconciling restore with NO removes is still a row-state
       // rewrite: it must claim exactly the next slot like every other
       // dv commit — blind-walking past a concurrent deletion-vector
       // commit would wipe its delete with stale state
       if (removes.isEmpty && dvDelta.nonEmpty) {
-        if (tryPublish(t, cur.version + 1, extra)) return cur.version + 1
+        if (tryPublish(t, cur.version + 1, extra))
+          return headerRepublished(cur.version + 1)
         throw new java.util.ConcurrentModificationException(
           s"restore with deletion-vector reconciliation based on stale " +
             s"snapshot v${cur.version}: version ${cur.version + 1} was " +
             "taken concurrently; retry the restore")
       }
-      commit(t, cur.version, adds = Nil, removes = removes, extra = extra)
+      headerRepublished(commit(t, cur.version, adds = Nil,
+        removes = removes, extra = extra))
     } finally seal(t, stages.toSeq: _*)
   }
 

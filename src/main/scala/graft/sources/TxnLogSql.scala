@@ -167,6 +167,14 @@ object GraftSqlParser {
   private val CreateHeadRe =
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?""" +
       s"""($Ident)\\s*(\\([\\s\\S]*)$$""").r
+  // CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n |
+  // TIMESTAMP AS OF 'ts'] [LOCATION '...'] — Delta's zero-copy fork
+  private val CloneRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?""" +
+      s"""($Ident)\\s+SHALLOW\\s+CLONE\\s+($Ident)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val CreateUsingRe =
     """(?is)^\s+USING\s+txnlog\b[\s\S]*$""".r
   private val PartitionedByRe =
@@ -224,6 +232,54 @@ object GraftSqlParser {
   private val BySourceDeleteRe =
     """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
   private val PathIdent = """(?is)^txnlog\.`([^`]+)`\s*$""".r
+
+  /** Parse a CREATE/ADD-COLUMNS column list that may carry
+    * `DEFAULT <expr>` clauses (Spark's colTypeList grammar used by
+    * parseTableSchema does not): each DEFAULT expression must be a
+    * CONSTANT (analyzed with no input rows — column references fail
+    * loudly) that casts non-nully to the column type, and lands in
+    * the field's CURRENT_DEFAULT/EXISTS_DEFAULT metadata — Spark's
+    * own default-value keys, which its parquet readers honor for
+    * physically-missing columns. DEFAULT must be the LAST clause of
+    * its column entry. */
+  private[sources] def parseColsWithDefaults(spark: SparkSession,
+      ddl: String): StructType = {
+    val DefaultRe = """(?is)\bDEFAULT\b""".r
+    StructType(splitTopLevel(ddl, ',').flatMap { item =>
+      findOutsideLiterals(DefaultRe, item) match {
+        case None =>
+          spark.sessionState.sqlParser.parseTableSchema(item).fields
+        case Some(m) =>
+          val base = item.substring(0, m.start).trim
+          val d = item.substring(m.end).trim
+          require(d.nonEmpty, s"empty DEFAULT expression in: $item")
+          val fields =
+            spark.sessionState.sqlParser.parseTableSchema(base).fields
+          require(fields.length == 1,
+            s"DEFAULT must follow exactly one column, got: $item")
+          val f = fields.head
+          // constant-only validation: no FROM clause, so any column
+          // reference fails analysis; an uncastable constant would
+          // silently null — refuse unless the default IS null
+          val v =
+            try spark.sql(s"SELECT CAST(($d) AS ${f.dataType.sql})")
+              .head()
+            catch { case e: Exception =>
+              throw new IllegalArgumentException(
+                s"cannot use DEFAULT $d for column ${f.name}: " +
+                  s"${e.getMessage}", e)
+            }
+          require(!v.isNullAt(0) || d.equalsIgnoreCase("NULL"),
+            s"DEFAULT $d does not cast to ${f.dataType.simpleString} " +
+              s"for column ${f.name}")
+          Seq(f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("CURRENT_DEFAULT", d)
+              .putString("EXISTS_DEFAULT", d).build()))
+      }
+    })
+  }
 
   /** Does the snapshot opt SQL DML into the merge-on-read path?
     * Takes the statement's OWN snapshot — the property check must
@@ -382,6 +438,10 @@ object GraftSqlParser {
         Some(TxnLogConstraintCommand(tbl,
           if (mode.equalsIgnoreCase("SET")) "add_notnull" else "drop_notnull",
           colName, None, () => delegate.parsePlan(sqlText)))
+      case CloneRe(ine, dst, srcT, ver, ts, loc) =>
+        Some(TxnLogCloneCommand(dst, ine != null, srcT,
+          Option(ver).map(_.toLong), Option(ts), Option(loc),
+          () => delegate.parsePlan(sqlText)))
       case CreateHeadRe(ine, tbl, rest) =>
         // DDL-first CREATE TABLE ... USING txnlog: register the
         // declared schema (+ PARTITIONED BY layout) as version 0
@@ -869,7 +929,8 @@ final case class TxnLogAddColumnsCommand(table: String, colsDdl: String,
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.tryResolveTable(spark, table) match {
       case Some(t) =>
-        TxnLog.addColumns(t, StructType.fromDDL(colsDdl))
+        TxnLog.addColumns(t,
+          GraftSqlParser.parseColsWithDefaults(spark, colsDdl))
         Seq.empty
       case None => // not ours: Spark's own ALTER TABLE plan
         GraftSqlParser.runNative(spark, native)
@@ -1040,13 +1101,295 @@ final case class TxnLogShowPropertiesCommand(table: String,
   * name also runs Spark's native CREATE (the catalog entry);
   * `txnlog.\`/path\`` targets are purely path-addressed. Non-txnlog
   * providers never reach this command (the USING check). */
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n |
+  * TIMESTAMP AS OF 'ts'] [LOCATION '...']` — the SQL face of
+  * [[TxnLog.shallowClone]]: a zero-copy fork whose v0 references the
+  * source's live files. The destination addresses by path
+  * (`txnlog.\`/p\``) or catalog name (entry created, LOCATION or the
+  * catalog default); an existing destination no-ops under IF NOT
+  * EXISTS and refuses otherwise. The source is any txnlog table
+  * (name or path), optionally time-traveled — clone-from-history is
+  * the restore-into-a-fork idiom. */
+final case class TxnLogCloneCommand(dst: String, ifNotExists: Boolean,
+    src: String, version: Option[Long], timestamp: Option[String],
+    location: Option[String],
+    native: () => LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalog
+    // a path-addressed source arrives with its time travel already
+    // lowered onto the @v / @ts suffix (the parser's rewrite runs
+    // before statement recognition) — peel it back off here
+    val Travel = """(?s)^(.+)@(?:v(\d+)|ts([\d.:TZ+\- ]+))$""".r
+    val (srcT, sfxVer, sfxTs) =
+      GraftSqlParser.pathIdentOf(src) match {
+        case Some(Travel(p, v, ts)) =>
+          (TxnLog.Table(TxnLog.pathOf(p)),
+            Option(v).map(_.toLong), Option(ts))
+        case Some(p) => (TxnLog.Table(TxnLog.pathOf(p)), None, None)
+        case None =>
+          (GraftSqlParser.tryResolveTable(spark, src).getOrElse(
+            throw new IllegalArgumentException(
+              s"SHALLOW CLONE source $src is neither a txnlog path " +
+                "reference nor a catalog table USING txnlog")),
+            None, None)
+      }
+    val asOf = version.orElse(sfxVer).orElse(
+      timestamp.orElse(sfxTs).map(ts =>
+        TxnLog.versionAt(srcT, TxnLog.tsMillis(ts))))
+    val dstPath = GraftSqlParser.pathIdentOf(dst)
+    val dstId: Option[TableIdentifier] =
+      if (dstPath.isDefined) None
+      else spark.sessionState.sqlParser.parseMultipartIdentifier(dst) match {
+        case Seq(tb)     => Some(TableIdentifier(tb))
+        case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
+        case _ => throw new IllegalArgumentException(
+          s"cannot resolve clone destination: $dst")
+      }
+    if (dstId.exists(cat.tableExists)) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"table $dst already exists; SHALLOW CLONE cannot redefine " +
+          "it — use CREATE TABLE IF NOT EXISTS to no-op, or DROP it")
+    }
+    val loc = location.orElse(dstPath).getOrElse(
+      cat.defaultTablePath(dstId.get).getPath)
+    val dstT = TxnLog.Table(TxnLog.pathOf(loc))
+    if (TxnLog.latestVersion(dstT) >= 0 && ifNotExists) return Seq.empty
+    TxnLog.shallowClone(srcT, dstT, asOf)
+    dstId.foreach { i =>
+      val schema = TxnLog.registeredSchema(dstT).getOrElse(
+        new StructType())
+      val partCols = TxnLog.declaredPartCols(dstT)
+      val (partFields, dataFields) =
+        schema.fields.partition(f => partCols.contains(f.name))
+      cat.createTable(org.apache.spark.sql.catalyst.catalog.CatalogTable(
+        identifier = i,
+        tableType =
+          if (location.isDefined)
+            org.apache.spark.sql.catalyst.catalog
+              .CatalogTableType.EXTERNAL
+          else org.apache.spark.sql.catalyst.catalog
+            .CatalogTableType.MANAGED,
+        storage = org.apache.spark.sql.catalyst.catalog
+          .CatalogStorageFormat.empty.copy(
+            locationUri = Some(org.apache.spark.sql.catalyst.catalog
+              .CatalogUtils.stringToURI(loc)),
+            properties = Map("path" -> loc)),
+        schema = StructType(dataFields ++
+          partCols.flatMap(c => partFields.find(_.name == c))),
+        provider = Some("txnlog"),
+        partitionColumnNames = partCols,
+        properties = TxnLog.propertiesOf(dstT)),
+        ignoreIfExists = ifNotExists, validateLocation = false)
+    }
+    Seq.empty
+  }
+}
+
+/** Resolution rule (injected in the HINTS batch — it must fire
+  * BEFORE the main Resolution batch, where Spark's own
+  * ResolveSessionCatalog refuses REPLACE TABLE for V1 providers by
+  * name): `CREATE OR REPLACE TABLE ... USING txnlog` (column-list
+  * and CTAS forms) and `df.writeTo(t).createOrReplace()/replace()`
+  * all parse to ReplaceTable/ReplaceTableAsSelect at the plan root —
+  * rewritten here onto [[TxnLogReplaceTableCommand]], which lands
+  * the whole redefinition as ONE atomic log commit
+  * ([[TxnLog.replaceDefinition]]). Root-only match, O(1) per pass;
+  * a spec without the txnlog provider (explicit or via the existing
+  * catalog entry) is left for Spark's native handling. */
+final case class TxnLogReplaceTableRule(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+  import org.apache.spark.sql.catalyst.plans.logical.{ReplaceTable,
+    ReplaceTableAsSelect, TableSpec, UnresolvedTableSpec}
+  import org.apache.spark.sql.connector.expressions.Transform
+
+  /** (properties, explicit location) when the spec names the txnlog
+    * provider — OPTIONS values are literal expressions at this
+    * stage, evaluated here for the `path` key. */
+  private def txnlogSpec(spec: Any, nameParts: Seq[String])
+      : Option[(Map[String, String], Option[String])] = {
+    def provided(p: Option[String]): Boolean =
+      p.exists(_.equalsIgnoreCase("txnlog")) ||
+        // `writeTo(t).createOrReplace()` with no .using(): the
+        // EXISTING entry's provider decides whose replace this is
+        (p.isEmpty && existingProvider(nameParts)
+          .exists(_.equalsIgnoreCase("txnlog")))
+    spec match {
+      case u: UnresolvedTableSpec if provided(u.provider) =>
+        val opts = u.optionExpression.options.flatMap { case (k, e) =>
+          if (e.foldable) Option(e.eval()).map(v => k -> v.toString)
+          else None
+        }.toMap
+        Some((u.properties,
+          u.location.orElse(opts.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("path") => v })))
+      case ts: TableSpec if provided(ts.provider) =>
+        Some((ts.properties,
+          ts.location.orElse(ts.options.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("path") => v })))
+      case _ => None
+    }
+  }
+
+  private def existingProvider(nameParts: Seq[String]): Option[String] = {
+    val cat = spark.sessionState.catalog
+    (nameParts match {
+      case Seq(tb)     => Some(TableIdentifier(tb))
+      case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
+      case _           => None
+    }).filter(cat.tableExists)
+      .flatMap(id => cat.getTableMetadata(id).provider)
+  }
+
+  private def identityCols(parts: Seq[Transform]): Seq[String] =
+    parts.map { tr =>
+      require(tr.name == "identity" && tr.references.length == 1 &&
+        tr.references.head.fieldNames.length == 1,
+        s"txnlog REPLACE TABLE supports identity PARTITIONED BY " +
+          s"columns only, got: $tr")
+      tr.references.head.fieldNames.head
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case r: ReplaceTable =>
+      (r.name, txnlogSpec(r.tableSpec, nameOf(r.name))) match {
+        case (u: UnresolvedIdentifier, Some((props, loc))) =>
+          TxnLogReplaceTableCommand(u.nameParts,
+            Some(StructType(r.columns.map(_.toV1Column))),
+            identityCols(r.partitioning), props, loc, None, r.orCreate)
+        case _ => plan
+      }
+    case r: ReplaceTableAsSelect =>
+      (r.name, txnlogSpec(r.tableSpec, nameOf(r.name))) match {
+        case (u: UnresolvedIdentifier, Some((props, loc))) =>
+          TxnLogReplaceTableCommand(u.nameParts, None,
+            identityCols(r.partitioning), props, loc, Some(r.query),
+            r.orCreate)
+        case _ => plan
+      }
+    case _ => plan
+  }
+
+  private def nameOf(name: LogicalPlan): Seq[String] = name match {
+    case u: UnresolvedIdentifier => u.nameParts
+    case _                       => Nil
+  }
+}
+
+/** The executable half of CREATE OR REPLACE TABLE / writeTo
+  * .createOrReplace(): resolves the location (explicit OPTIONS path /
+  * LOCATION, the existing entry's location — a replace keeps the
+  * table where it lives — or the catalog default), runs
+  * [[TxnLog.replaceDefinition]]'s one atomic commit, and brings the
+  * metastore entry in line (altered when present, created when
+  * absent). `REPLACE TABLE` without OR CREATE refuses on a missing
+  * table (SQL's contract); OR REPLACE creates. History is retained —
+  * RESTORE can cross the replace. */
+final case class TxnLogReplaceTableCommand(
+    nameParts: Seq[String],
+    cols: Option[StructType],
+    partCols: Seq[String],
+    props: Map[String, String],
+    optLocation: Option[String],
+    query: Option[LogicalPlan],
+    orCreate: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = query.toSeq
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalog
+    val parts = nameParts match {
+      case Seq(c, rest @ _*)
+        if c.equalsIgnoreCase("spark_catalog") && rest.nonEmpty =>
+        rest.toSeq
+      case other => other
+    }
+    val pathIdent: Option[String] = parts match {
+      case Seq(p, rest) if p.equalsIgnoreCase("txnlog") &&
+        rest.contains('/') => Some(rest)
+      case _ => None
+    }
+    val id: Option[TableIdentifier] =
+      if (pathIdent.isDefined) None
+      else parts match {
+        case Seq(tb)     => Some(TableIdentifier(tb))
+        case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
+        case _ => throw new IllegalArgumentException(
+          s"cannot resolve table name ${nameParts.mkString(".")}")
+      }
+    val existing = id.filter(cat.tableExists).map(cat.getTableMetadata)
+    existing.foreach { meta =>
+      require(meta.provider.exists(_.equalsIgnoreCase("txnlog")),
+        s"REPLACE TABLE ... USING txnlog cannot redefine " +
+          s"${meta.identifier} (provider: " +
+          s"${meta.provider.getOrElse("<none>")}) — DROP it first")
+    }
+    val loc: String = optLocation
+      .orElse(pathIdent)
+      .orElse(existing.flatMap(m => m.storage.properties.get("path")
+        .orElse(m.storage.locationUri.map { uri =>
+          require(uri.getScheme == null || uri.getScheme == "file",
+            s"txnlog table location $uri has a non-file scheme; this " +
+              "engine resolves txnlog logs on the local filesystem only")
+          uri.getPath
+        })))
+      .getOrElse(id.map(i =>
+        cat.defaultTablePath(i).getPath).getOrElse(
+        throw new IllegalArgumentException(
+          "REPLACE TABLE needs a location")))
+    val t = TxnLog.Table(TxnLog.pathOf(loc))
+    val exists = existing.isDefined || TxnLog.latestVersion(t) >= 0
+    if (!exists && !orCreate)
+      throw new IllegalArgumentException(
+        s"REPLACE TABLE: ${nameParts.mkString(".")} does not exist — " +
+          "use CREATE OR REPLACE TABLE to create-or-redefine")
+    val df = query.map(q =>
+      org.apache.spark.sql.graftglue.StreamShim.ofRows(spark, q))
+    val schema = cols.getOrElse(df.get.schema)
+    TxnLog.replaceDefinition(spark, t, schema, partCols, props, df)
+    id.foreach { i =>
+      // the metastore entry mirrors the log (hive convention:
+      // partition columns ordered last in the entry's schema)
+      val (partFields, dataFields) =
+        schema.fields.partition(f => partCols.contains(f.name))
+      val entrySchema = StructType(dataFields ++
+        partCols.flatMap(c => partFields.find(_.name == c)))
+      existing match {
+        case Some(meta) =>
+          cat.alterTable(meta.copy(schema = entrySchema,
+            partitionColumnNames = partCols, properties = props))
+        case None =>
+          val storage = org.apache.spark.sql.catalyst.catalog
+            .CatalogStorageFormat.empty.copy(
+              locationUri = Some(org.apache.spark.sql.catalyst.catalog
+                .CatalogUtils.stringToURI(loc)),
+              properties = Map("path" -> loc))
+          cat.createTable(org.apache.spark.sql.catalyst.catalog
+            .CatalogTable(
+              identifier = i,
+              tableType = if (optLocation.isDefined)
+                org.apache.spark.sql.catalyst.catalog
+                  .CatalogTableType.EXTERNAL
+                else org.apache.spark.sql.catalyst.catalog
+                  .CatalogTableType.MANAGED,
+              storage = storage,
+              schema = entrySchema,
+              provider = Some("txnlog"),
+              partitionColumnNames = partCols,
+              properties = props),
+            ignoreIfExists = false, validateLocation = false)
+      }
+    }
+    Seq.empty
+  }
+}
+
 final case class TxnLogCreateTableCommand(table: String,
     ifNotExists: Boolean, colsDdl: String,
     partCols: Seq[String], path: Option[String],
     native: () => LogicalPlan,
     props: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val schema = spark.sessionState.sqlParser.parseTableSchema(colsDdl)
+    val schema = GraftSqlParser.parseColsWithDefaults(spark, colsDdl)
     val isPath = GraftSqlParser.pathIdentOf(table).isDefined
     val loc: Option[String] = path
       .orElse(GraftSqlParser.pathIdentOf(table))
@@ -1283,7 +1626,9 @@ final case class TxnLogInsertCommand(table: String, overwrite: Boolean,
               f =>
                 if (names.contains(f.name))
                   col(f.name).cast(f.dataType).as(f.name)
-                else lit(null).cast(f.dataType).as(f.name)
+                else TxnLog.defaultSql(f) // SQL: omitted = DEFAULT
+                  .map(d => expr(d).cast(f.dataType).as(f.name))
+                  .getOrElse(lit(null).cast(f.dataType).as(f.name))
             }: _*)
           case (None, Some(_)) =>
             throw new IllegalArgumentException(

@@ -1173,6 +1173,105 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS v2_cat")
   }
 
+  test("CREATE OR REPLACE TABLE / writeTo.createOrReplace: one atomic redefinition commit, history crossable, layout and properties replaced") {
+    import graft.sources.TxnLog
+    val sp = spark
+    import sp.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft-cor-")
+      .resolve("t")
+    val t = TxnLog.Table(TxnLog.pathOf(loc.toString))
+    spark.sql("DROP TABLE IF EXISTS cor_cat")
+    spark.sql(s"CREATE TABLE cor_cat (k BIGINT) USING txnlog " +
+      s"OPTIONS (path '$loc') TBLPROPERTIES ('old.prop' = '1')")
+    spark.sql("INSERT INTO cor_cat VALUES (1), (2)")
+    spark.sql("ALTER TABLE cor_cat ADD CONSTRAINT pos CHECK (k > 0)")
+    val v0 = TxnLog.latestVersion(t)
+    try {
+      // CTAS form with a NEW layout + NEW properties: ONE commit
+      // carries the whole redefinition — files out, schema/layout/
+      // properties in, old constraints dropped, data staged
+      spark.sql(s"CREATE OR REPLACE TABLE cor_cat USING txnlog " +
+        s"PARTITIONED BY (p) OPTIONS (path '$loc') " +
+        "TBLPROPERTIES ('new.prop' = '2') " +
+        "AS SELECT -5L AS k, 'a' AS p UNION ALL SELECT 6L, 'b'")
+      val snap = TxnLog.snapshot(t)
+      assert(snap.version === v0 + 1, "replace was not one atomic commit")
+      assert(snap.declaredPartCols === Seq("p"))
+      assert(snap.liveFiles.forall(snap.filePartitions.contains),
+        "replace CTAS flattened its declared layout")
+      assert(snap.properties.get("new.prop").contains("2") &&
+        !snap.properties.contains("old.prop"),
+        s"properties not replaced: ${snap.properties}")
+      assert(snap.checks.isEmpty && snap.notNull.isEmpty,
+        "a replace must drop the old definition's constraints " +
+          "(the CTAS data would violate k > 0 otherwise)")
+      assert(spark.table("cor_cat").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+        Seq((-5L, "a"), (6L, "b")))
+      // the catalog surface serves the new shape; appends route
+      // through the REPLACED layout (header republished)
+      assert(spark.table("cor_cat").columns.toSeq === Seq("k", "p"))
+      spark.sql("INSERT INTO cor_cat VALUES (7, 'c')")
+      val snap2 = TxnLog.snapshot(t)
+      assert(snap2.liveFiles.forall(snap2.filePartitions.contains),
+        "a post-replace append flattened the replaced layout")
+      // CDF: the replace feeds delete-old + insert-new exactly
+      val cdf = spark.sql(
+        s"SELECT _change_type, count(*) AS n FROM " +
+          s"txnlog_changes('cor_cat', $v0, ${v0 + 1}) GROUP BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(cdf === Map("delete" -> 2L, "insert" -> 2L), cdf.toString)
+      // writeTo.createOrReplace() — no .using(): the existing entry's
+      // provider routes it; the layout clears (no partitionedBy)
+      Seq((9L, 90L)).toDF("k", "v").writeTo("cor_cat").createOrReplace()
+      val snap3 = TxnLog.snapshot(t)
+      assert(snap3.declaredPartCols === Nil,
+        "writeTo.createOrReplace kept the old declared layout")
+      assert(spark.table("cor_cat").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((9L, 90L)))
+      // history is RETAINED: DESCRIBE HISTORY lists versions below
+      // the replaces, and RESTORE can cross them (schema AND layout
+      // reconciled back)
+      assert(spark.sql(s"DESCRIBE HISTORY txnlog.`$loc`").count() >=
+        (v0 + 3).toLong)
+      spark.sql(s"RESTORE TABLE txnlog.`$loc` TO VERSION AS OF $v0")
+      assert(spark.sql(s"SELECT k FROM txnlog.`$loc` ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(TxnLog.registeredSchema(t).get.fieldNames.toSeq === Seq("k"))
+      assert(TxnLog.snapshot(t).declaredPartCols === Nil)
+      // plain REPLACE TABLE (writeTo.replace) on a MISSING table
+      // refuses; createOrReplace creates — and the created half obeys
+      // the same duplicate rules as CREATE (a second createOrReplace
+      // is just a replace, idempotent by value)
+      spark.sql("DROP TABLE IF EXISTS cor_cat2")
+      val missing = intercept[Exception] {
+        Seq(1L).toDF("k").writeTo("cor_cat2").using("txnlog").replace()
+      }
+      assert(missing.getMessage.contains("does not exist"),
+        missing.getMessage)
+      Seq(1L).toDF("k").writeTo("cor_cat2").using("txnlog")
+        .createOrReplace()
+      Seq(2L).toDF("k").writeTo("cor_cat2").using("txnlog")
+        .createOrReplace()
+      assert(spark.table("cor_cat2").collect().map(_.getLong(0))
+        .toSeq === Seq(2L))
+      // a non-txnlog provider is left to Spark's native handling
+      // (its own refusal for V1 providers stands)
+      spark.sql("DROP TABLE IF EXISTS cor_pq")
+      spark.sql("CREATE TABLE cor_pq (k BIGINT) USING parquet")
+      val native = intercept[Exception] {
+        spark.sql("CREATE OR REPLACE TABLE cor_pq (k BIGINT) " +
+          "USING parquet")
+      }
+      assert(native.getMessage.contains("REPLACE TABLE"),
+        native.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cor_cat")
+      spark.sql("DROP TABLE IF EXISTS cor_cat2")
+      spark.sql("DROP TABLE IF EXISTS cor_pq")
+    }
+  }
+
   test("streaming over catalog names: readStream.table and writeStream.toTable ride the proven source/sink") {
     import graft.sources.TxnLog
     import scala.jdk.CollectionConverters._

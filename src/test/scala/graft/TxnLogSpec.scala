@@ -1976,6 +1976,155 @@ class TxnLogSpec extends AnyFunSuite {
     }
   }
 
+  test("txnlog: column DEFAULT values — pre-evolution reads backfill the default, omitted INSERT columns stamp it, explicit NULL stays NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val t = freshTable()
+    // CREATE-time default on s
+    spark.sql(s"CREATE TABLE txnlog.`${t.root}` " +
+      "(k BIGINT, s STRING DEFAULT 'en') USING txnlog")
+    // an omitted column takes the default (stamped into the file);
+    // an explicit NULL stays NULL — the two must stay distinguishable
+    spark.sql(s"INSERT INTO txnlog.`${t.root}` (k) VALUES (1)")
+    spark.sql(s"INSERT INTO txnlog.`${t.root}` VALUES (2, NULL)")
+    // a writer whose FRAME omits the column entirely: the file
+    // physically lacks it, and the read backfills EXISTS_DEFAULT
+    TxnLog.append(spark, t, Seq(3L).toDF("k"))
+    def rows() = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "<null>" else r.getString(1))).sorted.toSeq
+    assert(rows() === Seq((1L, "en"), (2L, "<null>"), (3L, "en")))
+    // ADD COLUMN ... DEFAULT: EVERY pre-evolution row reads the
+    // default (not NULL) with no rewrite; the commit demands v4
+    // readers (an older reader would serve NULL)
+    val v0 = TxnLog.latestVersion(t)
+    spark.sql(s"ALTER TABLE txnlog.`${t.root}` " +
+      "ADD COLUMNS (q INT DEFAULT 7)")
+    assert(TxnLog.latestVersion(t) === v0 + 1)
+    assert(TxnLog.snapshot(t).minReader === 4L,
+      s"defaults must bump the protocol floor, got " +
+        s"${TxnLog.snapshot(t).minReader}")
+    def q(): Seq[(Long, Long)] = TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getAs[Number](2).longValue))
+      .sorted.toSeq
+    assert(q() === Seq((1L, 7L), (2L, 7L), (3L, 7L)),
+      "pre-evolution rows must backfill the DEFAULT, not NULL")
+    // a post-evolution omitted column stamps it; time travel below
+    // the evolution keeps the old shape
+    spark.sql(s"INSERT INTO txnlog.`${t.root}` (k) VALUES (4)")
+    assert(q() === Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)))
+    assert(TxnLog.read(spark, t, Some(v0)).columns.toSeq ===
+      Seq("k", "s"))
+    // interplay with WIDENING: the default survives the retype
+    TxnLog.widenColumn(t, "q", LongType)
+    assert(q() === Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)),
+      "widening dropped the column default")
+    // interplay with COLUMN MAPPING: rename keeps the default wired
+    // to the physical name old files lack
+    TxnLog.renameColumn(t, "q", "r")
+    assert(TxnLog.read(spark, t).columns.toSeq === Seq("k", "s", "r"))
+    assert(q() === Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)),
+      "rename dropped the column default")
+    // refusals: a non-constant default, and a default that cannot
+    // cast to the column type
+    val nonConst = intercept[Exception] {
+      spark.sql(s"ALTER TABLE txnlog.`${t.root}` " +
+        "ADD COLUMNS (z BIGINT DEFAULT k + 1)")
+    }
+    assert(nonConst.getMessage.contains("DEFAULT"), nonConst.getMessage)
+    val badCast = intercept[Exception] {
+      spark.sql(s"ALTER TABLE txnlog.`${t.root}` " +
+        "ADD COLUMNS (z BIGINT DEFAULT 'abc')")
+    }
+    assert(badCast.getMessage.contains("DEFAULT"), badCast.getMessage)
+  }
+
+  test("txnlog: SHALLOW CLONE — zero-copy fork, metadata carried, independent divergence, vacuum matrix, clone-from-history") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val src = freshTable()
+    TxnLog.appendPartitioned(spark, src,
+      Seq((1L, "a"), (2L, "a"), (10L, "b"), (11L, "b"))
+        .toDF("id", "p").repartitionByRange(2, col("id")),
+      Seq("p"), statsCols = Seq("id"))
+    TxnLog.setProperties(src, Map("graft.enableDeletionVectors" -> "true"))
+    TxnLog.deleteDv(spark, src, col("id") === 2L) // a dv rides the clone
+    val srcSnapV = TxnLog.latestVersion(src)
+    val dst = freshTable()
+    TxnLog.shallowClone(src, dst)
+    // the clone equals the source — rows, schema, layout, dv state,
+    // properties, and NOT ONE data file was copied
+    assert(TxnLog.read(spark, dst).collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 10L, 11L))
+    val dsnap = TxnLog.snapshot(dst)
+    assert(dsnap.declaredPartCols === Seq("p"))
+    assert(dsnap.properties.get("graft.enableDeletionVectors")
+      .contains("true"))
+    assert(dsnap.dvs.nonEmpty, "the source's deletion vector was lost")
+    assert(!Files.walk(dst.dataDir).iterator().asScala
+      .exists(p => p.toString.endsWith(".parquet")),
+      "SHALLOW CLONE copied data files")
+    // partition pruning still works off the carried tokens
+    assert(TxnLog.readPartition(spark, dst, Map("p" -> "b"))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 11L))
+    // independent divergence: the clone's DML and appends never touch
+    // the source, and the source's later writes never reach the clone
+    TxnLog.append(spark, dst, Seq((20L, "c")).toDF("id", "p"))
+    TxnLog.delete(spark, dst, col("id") === 1L)
+    TxnLog.append(spark, src, Seq((99L, "z")).toDF("id", "p"))
+    assert(TxnLog.read(spark, dst).collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(10L, 11L, 20L))
+    assert(TxnLog.read(spark, src).collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 10L, 11L, 99L))
+    // time travel on the clone: v0 IS the clone point
+    assert(TxnLog.read(spark, dst, Some(0L)).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 10L, 11L))
+    // clone-from-history (VERSION AS OF the pre-dv snapshot) + the
+    // SQL spelling with a catalog-name destination — taken BEFORE any
+    // source vacuum: a history clone references files the source may
+    // have already rewritten, the documented horizon
+    spark.sql("DROP TABLE IF EXISTS clone_cat")
+    spark.sql(s"CREATE TABLE clone_cat SHALLOW CLONE txnlog.`${src.root}` " +
+      s"VERSION AS OF 0")
+    assert(spark.table("clone_cat").collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 2L, 10L, 11L),
+      "clone-from-history must predate the dv delete")
+    // an existing destination refuses; IF NOT EXISTS no-ops
+    val dup = intercept[Exception] {
+      spark.sql(s"CREATE TABLE clone_cat SHALLOW CLONE " +
+        s"txnlog.`${src.root}`")
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS clone_cat SHALLOW CLONE " +
+      s"txnlog.`${src.root}`")
+    spark.sql("DROP TABLE IF EXISTS clone_cat")
+    // vacuum matrix, clone side: candidates never name a source file
+    // (the walk is under the clone's own trees by construction)
+    val cloneCands = TxnLog.vacuumCandidates(dst, graceMs = 0L)
+    assert(cloneCands.forall(!_.startsWith("/")),
+      s"clone vacuum candidates reached outside its root: $cloneCands")
+    TxnLog.vacuum(dst, graceMs = 0L)
+    assert(TxnLog.read(spark, src).count() === 4L,
+      "the clone's vacuum deleted source data")
+    // vacuum matrix, source side: live files are never candidates, so
+    // the fork stays readable; once the SOURCE removes and vacuums a
+    // referenced file, the clone hits the documented horizon LOUDLY
+    TxnLog.vacuum(src, graceMs = 0L)
+    assert(TxnLog.read(spark, dst).collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(10L, 11L, 20L))
+    // OPTIMIZE localizes the clone — after it, no absolute source
+    // refs remain and the source's vacuum horizon no longer applies
+    TxnLog.compact(spark, dst)
+    assert(TxnLog.snapshot(dst).liveFiles.forall(!_.startsWith("/")),
+      "OPTIMIZE left absolute source references in the clone")
+    TxnLog.delete(spark, src, col("id") === 10L) // src rewrites b
+    TxnLog.vacuum(src, graceMs = 0L)
+    assert(TxnLog.read(spark, dst).collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(10L, 11L, 20L),
+      "the localized clone must survive the source's vacuum")
+  }
+
   test("txnlog: streaming sink mergeSchema — an evolved pipeline widens and extends inside its exactly-once micro-batch commits") {
     import spark.implicits._
     import org.apache.spark.sql.types.{IntegerType, LongType}
