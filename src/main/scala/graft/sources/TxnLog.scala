@@ -322,6 +322,11 @@ object TxnLog {
       // logical name — a fresh column reading a dropped column's
       // bytes out of old files is the resurrection bug this blocks
       case Array("dropped", phys) => st.dropped += phys
+      // CREATE OR REPLACE supersedes the old definition wholesale:
+      // with every old live file removed in the same commit, no
+      // surviving file holds a dropped column's bytes — the
+      // resurrection guard lifts
+      case Array("cleardropped") => st.dropped = Set.empty
       case Array("txn", a, b) =>
         val id = try b.toLong
         catch { case _: NumberFormatException => corrupt(src, line) }
@@ -1905,6 +1910,7 @@ object TxnLog {
     }
     val snap = snapshot(t)
     val stage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
     try {
       // a replace may carry a partition layout forward (the SQL
       // INSERT OVERWRITE / Complete-mode sink contract: no write op
@@ -1922,12 +1928,32 @@ object TxnLog {
       val schemaLine =
         if (snap.schemaJson.contains(df.schema.json)) Nil
         else Seq(s"schema\t${df.schema.json}")
-      val cdc = snap.liveFiles.map(r => s"cdc\t$r\tdelete") ++
+      val cdc = replaceVictimCdc(s, t, snap, snap.liveFiles, cdcStage) ++
         rels.map(r => s"cdc\t$r\tinsert")
       commit(t, snap.version, adds = Nil,
         removes = snap.liveFiles,
         extra = schemaLine ++ addLines ++ cdc)
-    } finally seal(t, stage)
+    } finally seal(t, stage, cdcStage)
+  }
+
+  /** Victim-side CDF for a whole-set replace: vector-FREE victims
+    * ride zero-copy `cdc delete` refs; a victim CARRYING a deletion
+    * vector stages its LIVE rows as a change file instead — a raw
+    * ref would re-deliver its dead rows (the same rule the scoped
+    * replaces apply). */
+  private def replaceVictimCdc(s: SparkSession, t: Table,
+      snap: Snapshot, victims: Seq[String], cdcStage: Path)
+      : Seq[String] = {
+    val (dvVictims, plainVictims) = victims.partition(snap.dvs.contains)
+    val dvCdc =
+      if (dvVictims.isEmpty) Nil
+      else {
+        toPhysical(readRels(s, t, snap, dvVictims),
+          snap.schemaJson.map(parseSchema))
+          .write.parquet(cdcStage.toString)
+        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+      }
+    plainVictims.map(r => s"cdc\t$r\tdelete") ++ dvCdc
   }
 
   /** Partition-scoped OVERWRITE — Delta's `replaceWhere` / SQL
@@ -1957,9 +1983,11 @@ object TxnLog {
     * (only dv-carrying in-scope victims are read, for their old
     * images). */
   def replaceWhere(s: SparkSession, t: Table, df: DataFrame,
-                   spec: Map[String, String]): Long = {
+                   spec: Map[String, String],
+                   allowWiden: Boolean = false,
+                   snap0: Option[Snapshot] = None): Long = {
     require(spec.nonEmpty, "replaceWhere needs a partition spec")
-    val snap = snapshot(t)
+    val snap = snap0.getOrElse(snapshot(t))
     val partCols = snap.partCols
     val nonPart = spec.keySet -- partCols.toSet
     require(nonPart.isEmpty,
@@ -2005,7 +2033,8 @@ object TxnLog {
         s"replaceWhere(${spec.map { case (c, v) => s"$c=$v" }
           .mkString(", ")}) received row(s) outside the scoped " +
           s"partition(s): ${strays.distinct.take(3).mkString(", ")}")
-      replaceScopedCommit(s, t, snap, victims, stage, cdcStage, addLines)
+      replaceScopedCommit(s, t, snap, victims, stage, cdcStage,
+        addLines, df.schema, allowWiden)
     } finally seal(t, stage, cdcStage)
   }
 
@@ -2055,7 +2084,8 @@ object TxnLog {
         val p = snap.filePartitions.getOrElse(rel, Map.empty)
         stagedSpecs.contains(partCols.map(c => c -> p(c)).toMap)
       }
-      replaceScopedCommit(s, t, snap, victims, stage, cdcStage, addLines)
+      replaceScopedCommit(s, t, snap, victims, stage, cdcStage,
+        addLines, df.schema, allowWiden = false)
     } finally seal(t, stage, cdcStage)
   }
 
@@ -2129,6 +2159,11 @@ object TxnLog {
       snap.notNull.toSeq.sorted.map(c => s"constraint\tnotnull\t$c") ++
       snap.checks.toSeq.sortBy(_._1).map { case (n, e) =>
         s"constraint\tcheck\t$n\t${escapePart(e)}" } ++
+      // DROP COLUMN tombstones ride too: the clone's absolute-ref
+      // pre-drop files still hold the dropped columns' bytes, so the
+      // resurrection guard must survive the fork
+      replayState(src, asOf)._2.dropped.toSeq.sorted
+        .map(ph => s"dropped\t$ph") ++
       addLines ++ dvLines
     if (!tryPublish(dst, 0L, lines))
       throw new java.util.ConcurrentModificationException(
@@ -2166,6 +2201,7 @@ object TxnLog {
     val snap =
       if (latestVersion(t) < 0) None else Some(snapshot(t))
     val stage = newStage(t, t.dataDir)
+    val cdcStage = newStage(t, t.cdcDir)
     try {
       // the staged data routes through the NEW layout and the NEW
       // schema (a replace has no mapping/constraints to honor — it
@@ -2184,7 +2220,7 @@ object TxnLog {
         sn.checks.keys.toSeq.sorted.map(n => s"dropconstraint\tcheck\t$n"))
       val cdc =
         if (removes.isEmpty) Nil
-        else removes.map(r => s"cdc\t$r\tdelete") ++
+        else replaceVictimCdc(s, t, snap.get, removes, cdcStage) ++
           stagedFiles(t, stage).map(r => s"cdc\t$r\tinsert")
       // the partcols line is ALWAYS emitted (empty clears a previous
       // declaration) — the layout is part of the definition
@@ -2193,14 +2229,18 @@ object TxnLog {
           Seq(ProtocolV4Line)
          else Nil) ++
         Seq(s"schema\t${schema.json}",
-          "partcols\t" + partCols.map(escapePart).mkString(","))
+          "partcols\t" + partCols.map(escapePart).mkString(",")) ++
+        // the old definition is fully superseded: no live file holds
+        // a dropped column's bytes anymore, so the tombstones lift —
+        // a post-replace ADD COLUMNS of a once-dropped name is safe
+        (if (snap.isEmpty) Nil else Seq("cleardropped"))
       val v = commit(t, snap.map(_.version).getOrElse(-1L), adds = Nil,
         removes = removes,
         extra = header ++ propLines ++ consLines ++ addLines ++ cdc,
         forceClaim = true)
       checkpoint(t, v) // republish the header: see scaladoc
       v
-    } finally seal(t, stage)
+    } finally seal(t, stage, cdcStage)
   }
 
   /** ARBITRARY-PREDICATE overwrite — Delta ≥1.1's general
@@ -2227,10 +2267,19 @@ object TxnLog {
     * candidate sliver. */
   def replaceWhereExpr(s: SparkSession, t: Table, df: DataFrame,
                        pred: Column,
-                       snap0: Option[Snapshot] = None): Long = {
+                       snap0: Option[Snapshot] = None,
+                       allowWiden: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col,
       input_file_name, lit, not}
     val snap = snap0.getOrElse(snapshot(t))
+    // see replaceScopedCommit: unknown columns register in the same
+    // commit (additive), wider types need the mergeSchema opt-in
+    val (mergedReg, regChanged, widened) =
+      mergedSchema(t, snap.schemaJson.map(parseSchema), df.schema,
+        allowWiden)
+    val schemaLine =
+      (if (widened) Seq(ProtocolV2Line) else Nil) ++
+      (if (regChanged) Seq(s"schema\t${mergedReg.json}") else Nil)
     val partCols = snap.partCols
     val statsCols = liveStatsCols(snap)
     val cond = coalesce(pred, lit(false))
@@ -2291,7 +2340,8 @@ object TxnLog {
         if (affectedRel.isEmpty) Nil
         else stagedFiles(t, stage).map(r => s"cdc\t$r\tinsert")
       commit(t, snap.version, adds = Nil, removes = affectedRel,
-        extra = addLines ++ survivorAdds ++ deleteCdc ++ insertCdc,
+        extra = schemaLine ++ addLines ++ survivorAdds ++ deleteCdc ++
+          insertCdc,
         forceClaim = true)
     } finally seal(t, stage, cdcStage, survivorStage)
   }
@@ -2314,8 +2364,21 @@ object TxnLog {
     * partition must refuse, not silently survive). */
   private def replaceScopedCommit(s: SparkSession, t: Table,
       snap: Snapshot, victims: Seq[String], stage: Path,
-      cdcStage: Path, addLines: Seq[String]): Long = {
+      cdcStage: Path, addLines: Seq[String],
+      incoming: StructType, allowWiden: Boolean): Long = {
     enforceStaged(s, t, Seq(stage), snap.constraints)
+    // the incoming shape must merge against the registered schema —
+    // an unknown column would otherwise land in the files but never
+    // register (silently dropped by every pinned read), and a wider
+    // type would poison pinned-narrow scans; additive columns
+    // register in the SAME commit, widening needs the mergeSchema
+    // opt-in like every other write
+    val (mergedReg, regChanged, widened) =
+      mergedSchema(t, snap.schemaJson.map(parseSchema), incoming,
+        allowWiden)
+    val schemaLine =
+      (if (widened) Seq(ProtocolV2Line) else Nil) ++
+      (if (regChanged) Seq(s"schema\t${mergedReg.json}") else Nil)
     val rels = stagedFiles(t, stage)
     val (dvVictims, plainVictims) =
       victims.partition(snap.dvs.contains)
@@ -2332,7 +2395,7 @@ object TxnLog {
       else plainVictims.map(r => s"cdc\t$r\tdelete") ++ dvCdc ++
         rels.map(r => s"cdc\t$r\tinsert")
     commit(t, snap.version, adds = Nil, removes = victims,
-      extra = addLines ++ cdc, forceClaim = true)
+      extra = schemaLine ++ addLines ++ cdc, forceClaim = true)
   }
 
   /** The manifest box a DML predicate implies: its top-level AND
@@ -4305,9 +4368,12 @@ object TxnLog {
         case _ => raw
       }
       val have = df.columns.toSet
+      // an omitted column with a NON-NULL default satisfies NOT NULL
+      // (reads serve the default); a DEFAULT NULL column does not —
+      // the backfill would be the very NULL the constraint forbids
       c.notNull.foreach(cn => require(have.contains(cn) ||
-        reg.flatMap(_.fields.find(_.name == cn)).exists(
-          _.metadata.contains(ExistsDefaultKey)),
+        reg.flatMap(_.fields.find(_.name == cn))
+          .flatMap(defaultSql).exists(!_.equalsIgnoreCase("NULL")),
         s"constraint violation: NOT NULL $cn — this write omits the " +
           "column entirely (it would null-fill on read); nothing was " +
           "committed"))

@@ -121,9 +121,11 @@ object GraftSqlParser {
       """(?:VERSION\s+AS\s+OF\s+(\d+)|""" +
       """TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+)))\s*;?\s*$""").r
   private[sources] val RestorePrefix = """(?is)^\s*RESTORE\b""".r
+  // head-only: the column list is balanced-paren-scanned (DEFAULT
+  // expressions and DECIMAL(10,2) types nest parens a regex cannot)
   private val AlterAddRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ADD\\s+COLUMNS?\\s*""" +
-      """\(([^)]+)\)\s*;?\s*$""").r
+      """(\([\s\S]+)$""").r
   private val AlterAddCheckRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ADD\\s+CONSTRAINT\\s+""" +
       """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -244,14 +246,22 @@ object GraftSqlParser {
     * its column entry. */
   private[sources] def parseColsWithDefaults(spark: SparkSession,
       ddl: String): StructType = {
-    val DefaultRe = """(?is)\bDEFAULT\b""".r
-    StructType(splitTopLevel(ddl, ',').flatMap { item =>
-      findOutsideLiterals(DefaultRe, item) match {
+    // FAST PATH: no DEFAULT clause anywhere → Spark's own DDL parser
+    // handles the whole list (nested STRUCT/MAP types, comments,
+    // NOT NULL — everything it always handled; this path must never
+    // regress). The keyword probe masks string literals, backticked
+    // identifiers AND bracket depth, so `m MAP<STRING, INT>`, a
+    // column named `DEFAULT` or a COMMENT containing the word never
+    // trip the DEFAULT machinery.
+    if (findDefaultAtTopLevel(ddl).isEmpty)
+      return spark.sessionState.sqlParser.parseTableSchema(ddl)
+    StructType(splitColsTopLevel(ddl).flatMap { item =>
+      findDefaultAtTopLevel(item) match {
         case None =>
           spark.sessionState.sqlParser.parseTableSchema(item).fields
-        case Some(m) =>
-          val base = item.substring(0, m.start).trim
-          val d = item.substring(m.end).trim
+        case Some((start, end)) =>
+          val base = item.substring(0, start).trim
+          val d = item.substring(end).trim
           require(d.nonEmpty, s"empty DEFAULT expression in: $item")
           val fields =
             spark.sessionState.sqlParser.parseTableSchema(base).fields
@@ -261,24 +271,112 @@ object GraftSqlParser {
           // constant-only validation: no FROM clause, so any column
           // reference fails analysis; an uncastable constant would
           // silently null — refuse unless the default IS null
-          val v =
+          val plan =
             try spark.sql(s"SELECT CAST(($d) AS ${f.dataType.sql})")
-              .head()
             catch { case e: Exception =>
               throw new IllegalArgumentException(
                 s"cannot use DEFAULT $d for column ${f.name}: " +
                   s"${e.getMessage}", e)
             }
+          // the default must be DETERMINISTIC: EXISTS_DEFAULT is the
+          // value pre-evolution rows serve on EVERY scan — rand()
+          // would make reads non-reproducible and CURRENT_TIMESTAMP
+          // would drift per query instead of freezing at DDL time
+          require(plan.queryExecution.analyzed.expressions
+            .forall(_.deterministic),
+            s"DEFAULT $d for column ${f.name} is non-deterministic — " +
+              "a default must be a constant (it is frozen at " +
+              "CREATE/ADD time and served to every pre-evolution read)")
+          // ANSI mode surfaces an uncastable constant as a runtime
+          // cast error here — same refusal, named for the user
+          val v = try plan.head() catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"cannot use DEFAULT $d for column ${f.name}: " +
+                s"${e.getMessage}", e)
+          }
           require(!v.isNullAt(0) || d.equalsIgnoreCase("NULL"),
             s"DEFAULT $d does not cast to ${f.dataType.simpleString} " +
               s"for column ${f.name}")
+          // store the FOLDED literal, not the raw text: the frozen
+          // value is what EXISTS_DEFAULT means (Spark folds the
+          // metadata expression at scan time — it must be stable).
+          // A null default normalizes to the bare NULL keyword — the
+          // one spelling consumers (enforceStaged's NOT NULL
+          // relaxation among them) can recognize without re-analysis
+          val lit =
+            if (v.isNullAt(0)) "NULL"
+            else org.apache.spark.sql.catalyst.expressions.Literal
+              .create(v.get(0), f.dataType).sql
           Seq(f.copy(metadata =
             new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
-              .putString("CURRENT_DEFAULT", d)
-              .putString("EXISTS_DEFAULT", d).build()))
+              .putString("CURRENT_DEFAULT", lit)
+              .putString("EXISTS_DEFAULT", lit).build()))
       }
     })
+  }
+
+  /** (start, end) of the first `DEFAULT` keyword that sits OUTSIDE
+    * string literals, backticked identifiers and any ()/<> nesting —
+    * the only position where it is a column-default clause. */
+  private[sources] def findDefaultAtTopLevel(s: String)
+      : Option[(Int, Int)] = {
+    var i = 0; var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { // skip the literal (backslash-escape aware)
+        i += 1
+        while (i < s.length && s.charAt(i) != '\'') {
+          if (s.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '`') {
+        val close = s.indexOf('`', i + 1)
+        i = if (close < 0) s.length else close + 1
+      } else if (c == '(' || c == '<') { depth += 1; i += 1 }
+      else if (c == ')' || c == '>') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c == 'd' || c == 'D') &&
+          s.regionMatches(true, i, "DEFAULT", 0, 7) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
+            s.charAt(i - 1) != '_') &&
+          (i + 7 == s.length ||
+            !Character.isLetterOrDigit(s.charAt(i + 7)) &&
+              s.charAt(i + 7) != '_')) {
+        return Some((i, i + 7))
+      } else i += 1
+    }
+    None
+  }
+
+  /** Split a column-list DDL on top-level commas, honoring string
+    * literals, backticked identifiers and ()/<> nesting — so
+    * `MAP<STRING, INT>` and `DECIMAL(10, 2)` never fracture. */
+  private[sources] def splitColsTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0; var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        cur += c; i += 1
+        while (i < s.length && s.charAt(i) != '\'') {
+          if (s.charAt(i) == '\\') { cur += s.charAt(i); i += 1 }
+          if (i < s.length) { cur += s.charAt(i); i += 1 }
+        }
+        if (i < s.length) { cur += s.charAt(i); i += 1 }
+      } else if (c == '`') {
+        val close = s.indexOf('`', i + 1)
+        val stop = if (close < 0) s.length else close + 1
+        cur ++= s.substring(i, stop); i = stop
+      } else if (c == '(' || c == '<') { depth += 1; cur += c; i += 1 }
+      else if (c == ')' || c == '>') { depth -= 1; cur += c; i += 1 }
+      else if (c == ',' && depth == 0) {
+        out += cur.toString; cur.clear(); i += 1
+      } else { cur += c; i += 1 }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Does the snapshot opt SQL DML into the merge-on-read path?
@@ -416,8 +514,13 @@ object GraftSqlParser {
       case ShowPropsRe(tbl) =>
         Some(TxnLogShowPropertiesCommand(tbl,
           () => delegate.parsePlan(sqlText)))
-      case AlterAddRe(tbl, cols) =>
-        Some(TxnLogAddColumnsCommand(tbl, cols.trim,
+      case AlterAddRe(tbl, rest) =>
+        val end = balancedParen(rest, 0)
+        if (end < 0 ||
+            rest.substring(end).trim.stripSuffix(";").trim.nonEmpty)
+          None
+        else Some(TxnLogAddColumnsCommand(tbl,
+          rest.substring(1, end - 1).trim,
           () => delegate.parsePlan(sqlText)))
       case AlterColTypeRe(tbl, colName, dt) =>
         Some(TxnLogWidenCommand(tbl, colName, dt.trim,
@@ -1157,29 +1260,10 @@ final case class TxnLogCloneCommand(dst: String, ifNotExists: Boolean,
     if (TxnLog.latestVersion(dstT) >= 0 && ifNotExists) return Seq.empty
     TxnLog.shallowClone(srcT, dstT, asOf)
     dstId.foreach { i =>
-      val schema = TxnLog.registeredSchema(dstT).getOrElse(
-        new StructType())
-      val partCols = TxnLog.declaredPartCols(dstT)
-      val (partFields, dataFields) =
-        schema.fields.partition(f => partCols.contains(f.name))
-      cat.createTable(org.apache.spark.sql.catalyst.catalog.CatalogTable(
-        identifier = i,
-        tableType =
-          if (location.isDefined)
-            org.apache.spark.sql.catalyst.catalog
-              .CatalogTableType.EXTERNAL
-          else org.apache.spark.sql.catalyst.catalog
-            .CatalogTableType.MANAGED,
-        storage = org.apache.spark.sql.catalyst.catalog
-          .CatalogStorageFormat.empty.copy(
-            locationUri = Some(org.apache.spark.sql.catalyst.catalog
-              .CatalogUtils.stringToURI(loc)),
-            properties = Map("path" -> loc)),
-        schema = StructType(dataFields ++
-          partCols.flatMap(c => partFields.find(_.name == c))),
-        provider = Some("txnlog"),
-        partitionColumnNames = partCols,
-        properties = TxnLog.propertiesOf(dstT)),
+      cat.createTable(
+        TxnLogCatalogEntry(i, loc, location.isDefined,
+          TxnLog.registeredSchema(dstT).getOrElse(new StructType()),
+          TxnLog.declaredPartCols(dstT), TxnLog.propertiesOf(dstT)),
         ignoreIfExists = ifNotExists, validateLocation = false)
     }
     Seq.empty
@@ -1234,7 +1318,15 @@ final case class TxnLogReplaceTableRule(spark: SparkSession)
 
   private def existingProvider(nameParts: Seq[String]): Option[String] = {
     val cat = spark.sessionState.catalog
-    (nameParts match {
+    // the command strips a leading spark_catalog the same way — a
+    // 3-part spelling of the session-catalog name must route alike
+    val parts = nameParts match {
+      case Seq(c, rest @ _*)
+        if c.equalsIgnoreCase("spark_catalog") && rest.nonEmpty =>
+        rest.toSeq
+      case other => other
+    }
+    (parts match {
       case Seq(tb)     => Some(TableIdentifier(tb))
       case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
       case _           => None
@@ -1274,6 +1366,35 @@ final case class TxnLogReplaceTableRule(spark: SparkSession)
   private def nameOf(name: LogicalPlan): Seq[String] = name match {
     case u: UnresolvedIdentifier => u.nameParts
     case _                       => Nil
+  }
+}
+
+/** The metastore entry mirroring a txnlog log — ONE builder for the
+  * commands that mint entries (REPLACE TABLE's create half, SHALLOW
+  * CLONE's destination), so the hive partition-cols-last schema
+  * convention and the EXTERNAL-iff-explicit-location rule can never
+  * drift between them. */
+private[sources] object TxnLogCatalogEntry {
+  def apply(i: TableIdentifier, loc: String, explicitLoc: Boolean,
+      schema: StructType, partCols: Seq[String],
+      props: Map[String, String])
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    val (partFields, dataFields) =
+      schema.fields.partition(f => partCols.contains(f.name))
+    CatalogTable(
+      identifier = i,
+      tableType =
+        if (explicitLoc) CatalogTableType.EXTERNAL
+        else CatalogTableType.MANAGED,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(CatalogUtils.stringToURI(loc)),
+        properties = Map("path" -> loc)),
+      schema = StructType(dataFields ++
+        partCols.flatMap(c => partFields.find(_.name == c))),
+      provider = Some("txnlog"),
+      partitionColumnNames = partCols,
+      properties = props)
   }
 }
 
@@ -1347,36 +1468,15 @@ final case class TxnLogReplaceTableCommand(
     val schema = cols.getOrElse(df.get.schema)
     TxnLog.replaceDefinition(spark, t, schema, partCols, props, df)
     id.foreach { i =>
-      // the metastore entry mirrors the log (hive convention:
-      // partition columns ordered last in the entry's schema)
-      val (partFields, dataFields) =
-        schema.fields.partition(f => partCols.contains(f.name))
-      val entrySchema = StructType(dataFields ++
-        partCols.flatMap(c => partFields.find(_.name == c)))
+      val entry = TxnLogCatalogEntry(i, loc, optLocation.isDefined,
+        schema, partCols, props)
       existing match {
         case Some(meta) =>
-          cat.alterTable(meta.copy(schema = entrySchema,
+          cat.alterTable(meta.copy(schema = entry.schema,
             partitionColumnNames = partCols, properties = props))
         case None =>
-          val storage = org.apache.spark.sql.catalyst.catalog
-            .CatalogStorageFormat.empty.copy(
-              locationUri = Some(org.apache.spark.sql.catalyst.catalog
-                .CatalogUtils.stringToURI(loc)),
-              properties = Map("path" -> loc))
-          cat.createTable(org.apache.spark.sql.catalyst.catalog
-            .CatalogTable(
-              identifier = i,
-              tableType = if (optLocation.isDefined)
-                org.apache.spark.sql.catalyst.catalog
-                  .CatalogTableType.EXTERNAL
-                else org.apache.spark.sql.catalyst.catalog
-                  .CatalogTableType.MANAGED,
-              storage = storage,
-              schema = entrySchema,
-              provider = Some("txnlog"),
-              partitionColumnNames = partCols,
-              properties = props),
-            ignoreIfExists = false, validateLocation = false)
+          cat.createTable(entry, ignoreIfExists = false,
+            validateLocation = false)
       }
     }
     Seq.empty

@@ -143,15 +143,19 @@ class TxnLogStreamProvider extends StreamSourceProvider
         val spec =
           try Some(TxnLogStreamProvider.parseReplaceWhere(raw))
           catch { case _: IllegalArgumentException => None }
-        val partCols =
-          if (empty) Nil else TxnLog.snapshot(t).partCols
+        // ONE snapshot serves the spec classification AND the
+        // statement itself — no second full log replay per write
+        val snap0 = if (empty) None else Some(TxnLog.snapshot(t))
+        val partCols = snap0.map(_.partCols).getOrElse(Nil)
         spec match {
           case Some(sp) if sp.nonEmpty &&
               sp.keySet.subsetOf(partCols.toSet) =>
-            TxnLog.replaceWhere(sqlContext.sparkSession, t, data, sp)
+            TxnLog.replaceWhere(sqlContext.sparkSession, t, data, sp,
+              allowWiden, snap0)
           case _ =>
             TxnLog.replaceWhereExpr(sqlContext.sparkSession, t, data,
-              org.apache.spark.sql.functions.expr(raw))
+              org.apache.spark.sql.functions.expr(raw), snap0,
+              allowWiden)
         }
       case SaveMode.Overwrite =>
         TxnLog.replace(sqlContext.sparkSession, t, data)

@@ -238,7 +238,9 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
     require(asOf.isEmpty,
       s"cannot write to a time-traveled snapshot of ${name()} " +
         s"(VERSION AS OF ${asOf.get})")
-    new TxnLogV2WriteBuilder(t, writeLayout)
+    new TxnLogV2WriteBuilder(t, writeLayout,
+      allowWiden = Option(info.options.get("mergeSchema"))
+        .exists(_.toBoolean))
   }
 
   /** Batch SCANS never reach this builder when the session is
@@ -296,7 +298,7 @@ final case class TxnLogTable(t: TxnLog.Table, meta: CatalogTable,
   * exactly the partitions present in the incoming data
   * ([[TxnLog.replaceDynamic]]) — the daily-ETL re-run idiom. */
 private class TxnLogV2WriteBuilder(t: TxnLog.Table,
-    partCols: Seq[String])
+    partCols: Seq[String], allowWiden: Boolean = false)
   extends WriteBuilder with SupportsOverwrite {
 
   private var replaceAll = false
@@ -357,15 +359,17 @@ private class TxnLogV2WriteBuilder(t: TxnLog.Table,
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val s = data.sparkSession
           if (replaceSpec.nonEmpty) {
-            TxnLog.replaceWhere(s, t, data, replaceSpec); ()
+            TxnLog.replaceWhere(s, t, data, replaceSpec, allowWiden); ()
           } else if (replaceCond.nonEmpty) {
-            TxnLog.replaceWhereExpr(s, t, data, replaceCond.get); ()
+            TxnLog.replaceWhereExpr(s, t, data, replaceCond.get,
+              allowWiden = allowWiden); ()
           } else if (replaceAll || overwrite) {
             TxnLog.replace(s, t, data, partCols); ()
           } else if (partCols.isEmpty) {
-            TxnLog.append(s, t, data); ()
+            TxnLog.append(s, t, data, allowWiden); ()
           } else {
-            TxnLog.appendPartitioned(s, t, data, partCols); ()
+            TxnLog.appendPartitioned(s, t, data, partCols,
+              allowWiden = allowWiden); ()
           }
         }
       }

@@ -1255,6 +1255,25 @@ class ExtensionsSpec extends AnyFunSuite {
         .createOrReplace()
       assert(spark.table("cor_cat2").collect().map(_.getLong(0))
         .toSeq === Seq(2L))
+      // the replace SUPERSEDES DROP COLUMN tombstones: no surviving
+      // file holds the dropped bytes, so the once-dropped name is
+      // safe again after CREATE OR REPLACE
+      val t5loc = java.nio.file.Files
+        .createTempDirectory("graft-cor5-").resolve("t")
+      spark.sql(s"CREATE TABLE txnlog.`$t5loc` (a BIGINT, b BIGINT) " +
+        "USING txnlog")
+      spark.sql(s"INSERT INTO txnlog.`$t5loc` VALUES (1, 2)")
+      spark.sql(s"ALTER TABLE txnlog.`$t5loc` DROP COLUMN b")
+      val preClear = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txnlog.`$t5loc` ADD COLUMNS (b BIGINT)")
+      }
+      assert(preClear.getMessage.contains("DROPPED"), preClear.getMessage)
+      spark.sql(s"CREATE OR REPLACE TABLE txnlog.`$t5loc` (k BIGINT) " +
+        "USING txnlog")
+      spark.sql(s"ALTER TABLE txnlog.`$t5loc` ADD COLUMNS (b BIGINT)")
+      assert(TxnLog.registeredSchema(TxnLog.Table(
+        TxnLog.pathOf(t5loc.toString))).get.fieldNames.toSeq ===
+        Seq("k", "b"))
       // a non-txnlog provider is left to Spark's native handling
       // (its own refusal for V1 providers stands)
       spark.sql("DROP TABLE IF EXISTS cor_pq")

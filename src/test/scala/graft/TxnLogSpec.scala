@@ -1974,6 +1974,27 @@ class TxnLogSpec extends AnyFunSuite {
         Seq((92L, 902L, "z")).toDF("id", "v", "p"), col("v") >= 900L,
         snap0 = Some(stale))
     }
+    // the incoming shape MERGES against the registered schema: a new
+    // column registers in the same commit (additive contract) rather
+    // than landing in files every pinned read silently drops
+    TxnLog.replaceWhereExpr(spark, t,
+      Seq((95L, 905L, "z", 5L)).toDF("id", "v", "p", "extra"),
+      col("v") >= 905L)
+    assert(TxnLog.registeredSchema(t).get.fieldNames.toSeq ===
+      Seq("id", "v", "p", "extra"))
+    assert(TxnLog.read(spark, t).filter(col("id") === 95L)
+      .select(col("extra")).head().getLong(0) === 5L)
+    // whole-table replace on a dv-bearing table: the feed's delete
+    // side is the LIVE rows only (a raw file ref would re-deliver
+    // the dv-dead row)
+    val t9 = freshTable()
+    TxnLog.append(spark, t9, Seq(1L, 2L).toDF("id").coalesce(1))
+    TxnLog.deleteDv(spark, t9, col("id") === 1L)
+    val v9 = TxnLog.replace(spark, t9, Seq(5L).toDF("id"))
+    val (ins9, del9) = TxnLog.changes(spark, t9, v9 - 1, v9)
+    assert(del9.collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "replace CDF re-delivered a dv-dead row")
+    assert(ins9.collect().map(_.getLong(0)).toSeq === Seq(5L))
   }
 
   test("txnlog: column DEFAULT values — pre-evolution reads backfill the default, omitted INSERT columns stamp it, explicit NULL stays NULL") {
@@ -2038,6 +2059,34 @@ class TxnLogSpec extends AnyFunSuite {
         "ADD COLUMNS (z BIGINT DEFAULT 'abc')")
     }
     assert(badCast.getMessage.contains("DEFAULT"), badCast.getMessage)
+    // a NON-DETERMINISTIC default refuses: EXISTS_DEFAULT is frozen
+    // at DDL time and served on every later scan
+    val nondet = intercept[Exception] {
+      spark.sql(s"ALTER TABLE txnlog.`${t.root}` " +
+        "ADD COLUMNS (z DOUBLE DEFAULT rand())")
+    }
+    assert(nondet.getMessage.contains("non-deterministic"),
+      nondet.getMessage)
+    // nested types keep parsing through the DEFAULT-aware DDL path
+    // (top-level-comma split honors <> and () nesting)
+    val t2 = freshTable()
+    spark.sql(s"CREATE TABLE txnlog.`${t2.root}` (m MAP<STRING, INT>, " +
+      "d DECIMAL(10,2), tag STRING DEFAULT 'x') USING txnlog")
+    assert(TxnLog.registeredSchema(t2).get.fieldNames.toSeq ===
+      Seq("m", "d", "tag"))
+    assert(TxnLog.defaultSql(
+      TxnLog.registeredSchema(t2).get("tag")).contains("'x'"))
+    // NOT NULL + DEFAULT NULL: an omitting writer still refuses —
+    // the backfill would be the very NULL the constraint forbids
+    val t3 = freshTable()
+    spark.sql(s"CREATE TABLE txnlog.`${t3.root}` " +
+      "(k BIGINT, c INT DEFAULT NULL) USING txnlog")
+    spark.sql(s"INSERT INTO txnlog.`${t3.root}` VALUES (1, 5)")
+    TxnLog.addNotNull(spark, t3, "c")
+    val omits = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t3, Seq(2L).toDF("k"))
+    }
+    assert(omits.getMessage.contains("NOT NULL c"), omits.getMessage)
   }
 
   test("txnlog: SHALLOW CLONE — zero-copy fork, metadata carried, independent divergence, vacuum matrix, clone-from-history") {
@@ -2099,6 +2148,19 @@ class TxnLogSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE IF NOT EXISTS clone_cat SHALLOW CLONE " +
       s"txnlog.`${src.root}`")
     spark.sql("DROP TABLE IF EXISTS clone_cat")
+    // DROP COLUMN tombstones ride the clone: re-adding the dropped
+    // name on the CLONE would read the dropped column's bytes out of
+    // the shared (absolute-ref) files
+    val src2 = freshTable()
+    TxnLog.append(spark, src2, Seq((1L, 9L)).toDF("id", "x"))
+    TxnLog.dropColumn(src2, "x")
+    val dst2 = freshTable()
+    TxnLog.shallowClone(src2, dst2)
+    val resur = intercept[IllegalArgumentException] {
+      TxnLog.addColumns(dst2,
+        org.apache.spark.sql.types.StructType.fromDDL("x BIGINT"))
+    }
+    assert(resur.getMessage.contains("DROPPED"), resur.getMessage)
     // vacuum matrix, clone side: candidates never name a source file
     // (the walk is under the clone's own trees by construction)
     val cloneCands = TxnLog.vacuumCandidates(dst, graceMs = 0L)
