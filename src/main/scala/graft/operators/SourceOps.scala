@@ -1810,8 +1810,13 @@ object SourceOps {
       Seq("o_orderstatus"))
     val srcRows = graft.sources.TxnLog.read(s, src).count()
     graft.sources.TxnLog.shallowClone(src, dst)
-    val zeroCopy = if (!Files.walk(dst.dataDir).iterator().asScala
-      .exists(_.toString.endsWith(".parquet"))) 1L else 0L
+    val zeroCopy = {
+      val walk = Files.walk(dst.dataDir) // close: fd-safety convention
+      try {
+        if (!walk.iterator().asScala
+          .exists(_.toString.endsWith(".parquet"))) 1L else 0L
+      } finally walk.close()
+    }
     // divergence: metadata-only partition drop on the CLONE, an
     // append on the SOURCE — each invisible to the other
     graft.sources.TxnLog.dropPartition(dst,

@@ -1928,8 +1928,13 @@ object TxnLog {
       val schemaLine =
         if (snap.schemaJson.contains(df.schema.json)) Nil
         else Seq(s"schema\t${df.schema.json}")
-      val cdc = replaceVictimCdc(s, t, snap, snap.liveFiles, cdcStage) ++
-        rels.map(r => s"cdc\t$r\tinsert")
+      // a no-removes commit's adds auto-count as the insert wave:
+      // cdc refs there would deliver every staged row twice (the
+      // empty-live-set overwrite — e.g. after a delete-all)
+      val cdc =
+        if (snap.liveFiles.isEmpty) Nil
+        else replaceVictimCdc(s, t, snap, snap.liveFiles, cdcStage) ++
+          rels.map(r => s"cdc\t$r\tinsert")
       commit(t, snap.version, adds = Nil,
         removes = snap.liveFiles,
         extra = schemaLine ++ addLines ++ cdc)
@@ -2051,7 +2056,8 @@ object TxnLog {
     * commit claims its slot so a racing insert into a replaced
     * partition refuses. An EMPTY input replaces nothing (Spark's
     * dynamic-mode contract) and commits nothing. */
-  def replaceDynamic(s: SparkSession, t: Table, df: DataFrame): Long = {
+  def replaceDynamic(s: SparkSession, t: Table, df: DataFrame,
+                     allowWiden: Boolean = false): Long = {
     val snap = snapshot(t)
     val partCols = snap.partCols
     require(partCols.nonEmpty,
@@ -2085,7 +2091,7 @@ object TxnLog {
         stagedSpecs.contains(partCols.map(c => c -> p(c)).toMap)
       }
       replaceScopedCommit(s, t, snap, victims, stage, cdcStage,
-        addLines, df.schema, allowWiden = false)
+        addLines, df.schema, allowWiden)
     } finally seal(t, stage, cdcStage)
   }
 
@@ -2114,7 +2120,7 @@ object TxnLog {
     * accept the source's vacuum horizon — the same trade Delta
     * documents for shallow clones. */
   def shallowClone(src: Table, dst: Table,
-                   asOf: Option[Long] = None): Long = {
+                   asOf: Option[Long] = None): Snapshot = {
     require(src.root.toAbsolutePath.normalize !=
       dst.root.toAbsolutePath.normalize,
       s"cannot clone ${src.root} onto itself")
@@ -2122,7 +2128,22 @@ object TxnLog {
       s"cannot clone into ${dst.root}: the location already holds a " +
         s"table (version ${latestVersion(dst)}) — DROP it or choose " +
         "an empty location")
-    val snap = snapshot(src, asOf)
+    // ONE replay serves the snapshot AND the tombstone set (the
+    // caller reuses the returned snapshot for its catalog entry —
+    // no re-replay of a log this call just wrote)
+    val (v0, st0) = replayState(src, asOf)
+    val live0 = {
+      import scala.jdk.CollectionConverters._
+      st0.live.asScala.toSeq
+    }
+    val snap = Snapshot(v0, live0,
+      st0.stats.view.filterKeys(st0.live.contains).toMap,
+      st0.schemaJson,
+      st0.parts.view.filterKeys(st0.live.contains).toMap,
+      st0.sizes.view.filterKeys(st0.live.contains).toMap,
+      st0.notNull, st0.checks,
+      st0.dvs.view.filterKeys(st0.live.contains).toMap,
+      st0.declaredParts, st0.props, st0.minReader)
     def absOf(rel: String): String =
       src.root.resolve(rel).toAbsolutePath.normalize.toString
     val addLines = snap.liveFiles.map { rel =>
@@ -2162,13 +2183,12 @@ object TxnLog {
       // DROP COLUMN tombstones ride too: the clone's absolute-ref
       // pre-drop files still hold the dropped columns' bytes, so the
       // resurrection guard must survive the fork
-      replayState(src, asOf)._2.dropped.toSeq.sorted
-        .map(ph => s"dropped\t$ph") ++
+      st0.dropped.toSeq.sorted.map(ph => s"dropped\t$ph") ++
       addLines ++ dvLines
     if (!tryPublish(dst, 0L, lines))
       throw new java.util.ConcurrentModificationException(
         s"a concurrent writer defined the table at ${dst.root} first")
-    0L
+    snap
   }
 
   /** CREATE OR REPLACE TABLE's log half — ONE atomic commit that
@@ -4471,11 +4491,23 @@ object TxnLog {
       if (tgt.declaredPartCols == cur.declaredPartCols) Nil
       else Seq(
         "partcols\t" + tgt.declaredPartCols.map(escapePart).mkString(","))
-    // identical live sets, schema, layout AND dv state = true no-op;
-    // a schema-only difference (restoring below a rename/drop/add)
-    // still commits, restoring the shape and reconciling constraints
+    // DROP COLUMN tombstones are part of the restored definition too:
+    // restoring across a CREATE OR REPLACE (whose `cleardropped`
+    // lifted them) re-adds files that still hold the dropped bytes —
+    // the resurrection guard must re-arm with them. The reverse
+    // direction (current tombstones absent at the target) stays
+    // conservative: a sticky tombstone refuses a name that might be
+    // safe, never serves stale bytes.
+    val droppedLines =
+      (replayState(t, Some(v))._2.dropped --
+        replayState(t, None)._2.dropped)
+        .toSeq.sorted.map(ph => s"dropped\t$ph")
+    // identical live sets, schema, layout, tombstones AND dv state =
+    // true no-op; a schema-only difference (restoring below a
+    // rename/drop/add) still commits, restoring the shape and
+    // reconciling constraints
     if (removes.isEmpty && readds.isEmpty && dvDelta.isEmpty &&
-      partColsLine.isEmpty &&
+      partColsLine.isEmpty && droppedLines.isEmpty &&
       tgt.schemaJson == cur.schemaJson) return cur.version
     val missing = readds.filterNot(rel => Files.exists(t.root.resolve(rel)))
     require(missing.isEmpty,
@@ -4676,8 +4708,8 @@ object TxnLog {
           refs ++ liveRows(cur, remDvRels, "delete") ++
             liveRows(tgt, readdDvRels, "insert") ++ deltaCdc
         }
-      val extra = proto ++ schemaLine ++ partColsLine ++ conDrops ++
-        addLines ++ dvDelta ++ dvCdc ++ cdc
+      val extra = proto ++ schemaLine ++ partColsLine ++
+        droppedLines ++ conDrops ++ addLines ++ dvDelta ++ dvCdc ++ cdc
       def headerRepublished(v: Long): Long = {
         // declaredPartCols is a v0/checkpoint HEADER read — a layout
         // change must republish it or later writers route wrong

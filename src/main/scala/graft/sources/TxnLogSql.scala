@@ -267,54 +267,67 @@ object GraftSqlParser {
             spark.sessionState.sqlParser.parseTableSchema(base).fields
           require(fields.length == 1,
             s"DEFAULT must follow exactly one column, got: $item")
-          val f = fields.head
-          // constant-only validation: no FROM clause, so any column
-          // reference fails analysis; an uncastable constant would
-          // silently null — refuse unless the default IS null
-          val plan =
-            try spark.sql(s"SELECT CAST(($d) AS ${f.dataType.sql})")
-            catch { case e: Exception =>
-              throw new IllegalArgumentException(
-                s"cannot use DEFAULT $d for column ${f.name}: " +
-                  s"${e.getMessage}", e)
-            }
-          // the default must be DETERMINISTIC: EXISTS_DEFAULT is the
-          // value pre-evolution rows serve on EVERY scan — rand()
-          // would make reads non-reproducible and CURRENT_TIMESTAMP
-          // would drift per query instead of freezing at DDL time
-          require(plan.queryExecution.analyzed.expressions
-            .forall(_.deterministic),
-            s"DEFAULT $d for column ${f.name} is non-deterministic — " +
-              "a default must be a constant (it is frozen at " +
-              "CREATE/ADD time and served to every pre-evolution read)")
-          // ANSI mode surfaces an uncastable constant as a runtime
-          // cast error here — same refusal, named for the user
-          val v = try plan.head() catch { case e: Exception =>
-            throw new IllegalArgumentException(
-              s"cannot use DEFAULT $d for column ${f.name}: " +
-                s"${e.getMessage}", e)
-          }
-          require(!v.isNullAt(0) || d.equalsIgnoreCase("NULL"),
-            s"DEFAULT $d does not cast to ${f.dataType.simpleString} " +
-              s"for column ${f.name}")
-          // store the FOLDED literal, not the raw text: the frozen
-          // value is what EXISTS_DEFAULT means (Spark folds the
-          // metadata expression at scan time — it must be stable).
-          // A null default normalizes to the bare NULL keyword — the
-          // one spelling consumers (enforceStaged's NOT NULL
-          // relaxation among them) can recognize without re-analysis
-          val lit =
-            if (v.isNullAt(0)) "NULL"
-            else org.apache.spark.sql.catalyst.expressions.Literal
-              .create(v.get(0), f.dataType).sql
-          Seq(f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putString("CURRENT_DEFAULT", lit)
-              .putString("EXISTS_DEFAULT", lit).build()))
+          Seq(frozenDefault(spark, fields.head, d))
       }
     })
   }
+
+  /** Validate a column DEFAULT and freeze it into the field's
+    * metadata — the ONE gate every DDL spelling routes through
+    * (column-list CREATE, ADD COLUMNS, and CREATE OR REPLACE, whose
+    * native-parsed columns arrive with Spark's UNANALYZED default
+    * text). Constant-only (analyzed rowless — column references
+    * refuse), deterministic-only (the value is served to every
+    * pre-evolution read forever), castable (ANSI errors refuse by
+    * name), stored as the FOLDED literal (null normalizes to the
+    * bare NULL keyword consumers can recognize without
+    * re-analysis). */
+  private[sources] def frozenDefault(spark: SparkSession,
+      f: org.apache.spark.sql.types.StructField,
+      d: String): org.apache.spark.sql.types.StructField = {
+    val plan =
+      try spark.sql(s"SELECT CAST(($d) AS ${f.dataType.sql})")
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot use DEFAULT $d for column ${f.name}: " +
+            s"${e.getMessage}", e)
+      }
+    require(plan.queryExecution.analyzed.expressions
+      .forall(_.deterministic),
+      s"DEFAULT $d for column ${f.name} is non-deterministic — " +
+        "a default must be a constant (it is frozen at " +
+        "CREATE/ADD time and served to every pre-evolution read)")
+    val v = try plan.head() catch { case e: Exception =>
+      throw new IllegalArgumentException(
+        s"cannot use DEFAULT $d for column ${f.name}: " +
+          s"${e.getMessage}", e)
+    }
+    require(!v.isNullAt(0) || d.equalsIgnoreCase("NULL"),
+      s"DEFAULT $d does not cast to ${f.dataType.simpleString} " +
+        s"for column ${f.name}")
+    val lit =
+      if (v.isNullAt(0)) "NULL"
+      else org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v.get(0), f.dataType).sql
+    f.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString("CURRENT_DEFAULT", lit)
+        .putString("EXISTS_DEFAULT", lit).build())
+  }
+
+  /** Route every default-carrying field of a natively-parsed schema
+    * through [[frozenDefault]] — CREATE OR REPLACE's column list
+    * arrives via Spark's own parser, which stores the raw
+    * (unanalyzed, possibly non-constant) DEFAULT text. */
+  private[sources] def revalidateDefaults(spark: SparkSession,
+      schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      TxnLog.defaultSql(f) match {
+        case Some(d) => frozenDefault(spark, f, d)
+        case None    => f
+      }
+    })
 
   /** (start, end) of the first `DEFAULT` keyword that sits OUTSIDE
     * string literals, backticked identifiers and any ()/<> nesting —
@@ -356,6 +369,10 @@ object GraftSqlParser {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0; var depth = 0
+    // once the current entry's DEFAULT keyword has passed, '<'/'>'
+    // are comparison operators (DEFAULT 1 < 2), not type brackets —
+    // counting them would swallow the next top-level comma
+    var sawDefault = false
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\'') {
@@ -369,10 +386,20 @@ object GraftSqlParser {
         val close = s.indexOf('`', i + 1)
         val stop = if (close < 0) s.length else close + 1
         cur ++= s.substring(i, stop); i = stop
-      } else if (c == '(' || c == '<') { depth += 1; cur += c; i += 1 }
-      else if (c == ')' || c == '>') { depth -= 1; cur += c; i += 1 }
-      else if (c == ',' && depth == 0) {
-        out += cur.toString; cur.clear(); i += 1
+      } else if (c == '(') { depth += 1; cur += c; i += 1 }
+      else if (c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (!sawDefault && (c == '<' || c == '>')) {
+        depth += (if (c == '<') 1 else -1); cur += c; i += 1
+      } else if (depth == 0 && (c == 'd' || c == 'D') &&
+          s.regionMatches(true, i, "DEFAULT", 0, 7) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
+            s.charAt(i - 1) != '_') &&
+          (i + 7 == s.length ||
+            !Character.isLetterOrDigit(s.charAt(i + 7)) &&
+              s.charAt(i + 7) != '_')) {
+        sawDefault = true; cur ++= s.substring(i, i + 7); i += 7
+      } else if (c == ',' && depth == 0) {
+        out += cur.toString; cur.clear(); sawDefault = false; i += 1
       } else { cur += c; i += 1 }
     }
     out += cur.toString
@@ -1240,9 +1267,22 @@ final case class TxnLogCloneCommand(dst: String, ifNotExists: Boolean,
       timestamp.orElse(sfxTs).map(ts =>
         TxnLog.versionAt(srcT, TxnLog.tsMillis(ts))))
     val dstPath = GraftSqlParser.pathIdentOf(dst)
+    // a path-addressed destination IS the location: a contradicting
+    // explicit LOCATION must refuse, not silently win
+    require(dstPath.isEmpty || location.forall(_ == dstPath.get),
+      s"SHALLOW CLONE destination $dst is path-addressed; the " +
+        s"LOCATION clause (${location.getOrElse("")}) contradicts it")
     val dstId: Option[TableIdentifier] =
       if (dstPath.isDefined) None
-      else spark.sessionState.sqlParser.parseMultipartIdentifier(dst) match {
+      else spark.sessionState.sqlParser
+        .parseMultipartIdentifier(dst) match {
+        case Seq(c, rest @ _*)
+          if c.equalsIgnoreCase("spark_catalog") && rest.nonEmpty &&
+            rest.length <= 2 =>
+          rest.toSeq match {
+            case Seq(tb)     => Some(TableIdentifier(tb))
+            case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
+          }
         case Seq(tb)     => Some(TableIdentifier(tb))
         case Seq(db, tb) => Some(TableIdentifier(tb, Some(db)))
         case _ => throw new IllegalArgumentException(
@@ -1258,12 +1298,17 @@ final case class TxnLogCloneCommand(dst: String, ifNotExists: Boolean,
       cat.defaultTablePath(dstId.get).getPath)
     val dstT = TxnLog.Table(TxnLog.pathOf(loc))
     if (TxnLog.latestVersion(dstT) >= 0 && ifNotExists) return Seq.empty
-    TxnLog.shallowClone(srcT, dstT, asOf)
+    // the returned source snapshot serves the catalog entry — no
+    // re-replay of the log this call just wrote
+    val snap = TxnLog.shallowClone(srcT, dstT, asOf)
     dstId.foreach { i =>
       cat.createTable(
         TxnLogCatalogEntry(i, loc, location.isDefined,
-          TxnLog.registeredSchema(dstT).getOrElse(new StructType()),
-          TxnLog.declaredPartCols(dstT), TxnLog.propertiesOf(dstT)),
+          snap.schemaJson
+            .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
+              .asInstanceOf[StructType])
+            .getOrElse(new StructType()),
+          snap.partCols, snap.properties),
         ignoreIfExists = ifNotExists, validateLocation = false)
     }
     Seq.empty
@@ -1465,7 +1510,11 @@ final case class TxnLogReplaceTableCommand(
           "use CREATE OR REPLACE TABLE to create-or-redefine")
     val df = query.map(q =>
       org.apache.spark.sql.graftglue.StreamShim.ofRows(spark, q))
-    val schema = cols.getOrElse(df.get.schema)
+    // natively-parsed column lists carry Spark's raw DEFAULT text —
+    // route them through the same freeze/validate gate as CREATE
+    val schema = cols.map(sc =>
+      GraftSqlParser.revalidateDefaults(spark, sc))
+      .getOrElse(df.get.schema)
     TxnLog.replaceDefinition(spark, t, schema, partCols, props, df)
     id.foreach { i =>
       val entry = TxnLogCatalogEntry(i, loc, optLocation.isDefined,

@@ -458,7 +458,9 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
             if r.table.isInstanceOf[TxnLogTable] &&
               o.query.resolved && o.outputResolved =>
             return TxnLogDynamicOverwriteCommand(
-              r.table.asInstanceOf[TxnLogTable].t, o.query)
+              r.table.asInstanceOf[TxnLogTable].t, o.query,
+              allowWiden = o.writeOptions.get("mergeSchema")
+                .exists(_.toBoolean))
           case _ => ()
         }
       case _ => ()
@@ -540,13 +542,14 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
   * data. The query plan is held fully resolved (the rewrite fires
   * only after output resolution aligned and cast its columns). */
 final case class TxnLogDynamicOverwriteCommand(t: TxnLog.Table,
-    query: LogicalPlan)
+    query: LogicalPlan, allowWiden: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(spark: SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     TxnLog.replaceDynamic(spark, t,
-      org.apache.spark.sql.graftglue.StreamShim.ofRows(spark, query))
+      org.apache.spark.sql.graftglue.StreamShim.ofRows(spark, query),
+      allowWiden)
     Seq.empty
   }
 }

@@ -1274,6 +1274,27 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(TxnLog.registeredSchema(TxnLog.Table(
         TxnLog.pathOf(t5loc.toString))).get.fieldNames.toSeq ===
         Seq("k", "b"))
+      // RESTORE back across the replace RE-ARMS the tombstone: the
+      // re-added pre-replace files still hold the dropped bytes
+      spark.sql(s"RESTORE TABLE txnlog.`$t5loc` TO VERSION AS OF 2")
+      val rearmed = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txnlog.`$t5loc` ADD COLUMNS (b BIGINT)")
+      }
+      assert(rearmed.getMessage.contains("DROPPED"), rearmed.getMessage)
+      // OR REPLACE's column list routes through the same DEFAULT gate
+      // as CREATE: non-deterministic refuses, constants freeze
+      val ndRep = intercept[Exception] {
+        spark.sql(s"CREATE OR REPLACE TABLE txnlog.`$t5loc` " +
+          "(k BIGINT, r DOUBLE DEFAULT rand()) USING txnlog")
+      }
+      assert(ndRep.getMessage.contains("non-deterministic"),
+        ndRep.getMessage)
+      spark.sql(s"CREATE OR REPLACE TABLE txnlog.`$t5loc` " +
+        "(k BIGINT, lang STRING DEFAULT 'fr') USING txnlog")
+      spark.sql(s"INSERT INTO txnlog.`$t5loc` (k) VALUES (1)")
+      assert(spark.sql(s"SELECT k, lang FROM txnlog.`$t5loc`")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "fr")))
       // a non-txnlog provider is left to Spark's native handling
       // (its own refusal for V1 providers stands)
       spark.sql("DROP TABLE IF EXISTS cor_pq")

@@ -1995,6 +1995,31 @@ class TxnLogSpec extends AnyFunSuite {
     assert(del9.collect().map(_.getLong(0)).toSeq === Seq(2L),
       "replace CDF re-delivered a dv-dead row")
     assert(ins9.collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // an overwrite of an EMPTIED table is a plain insert wave: the
+    // feed delivers each row ONCE (no removes → adds auto-count,
+    // cdc refs would double)
+    TxnLog.delete(spark, t9, lit(true))
+    val v10 = TxnLog.replace(spark, t9, Seq(7L).toDF("id"))
+    val (ins10, del10) = TxnLog.changes(spark, t9, v10 - 1, v10)
+    assert(del10.isEmpty &&
+      ins10.collect().map(_.getLong(0)).toSeq === Seq(7L),
+      "empty-live-set replace double-delivered its insert wave")
+    // a WIDER incoming type refuses without the mergeSchema opt-in;
+    // with it, the widened schema lands in the replace's one commit
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t11 = freshTable()
+    TxnLog.append(spark, t11,
+      Seq(1).toDF("k").select(col("k").cast(IntegerType)).coalesce(1))
+    val wide = intercept[IllegalArgumentException] {
+      TxnLog.replaceWhereExpr(spark, t11, Seq(2L).toDF("k"),
+        col("k") >= 2L)
+    }
+    assert(wide.getMessage.contains("mergeSchema"), wide.getMessage)
+    TxnLog.replaceWhereExpr(spark, t11, Seq(2L).toDF("k"),
+      col("k") >= 2L, allowWiden = true)
+    assert(TxnLog.registeredSchema(t11).get("k").dataType === LongType)
+    assert(TxnLog.read(spark, t11).collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 2L))
   }
 
   test("txnlog: column DEFAULT values — pre-evolution reads backfill the default, omitted INSERT columns stamp it, explicit NULL stays NULL") {
@@ -2087,6 +2112,15 @@ class TxnLogSpec extends AnyFunSuite {
       TxnLog.append(spark, t3, Seq(2L).toDF("k"))
     }
     assert(omits.getMessage.contains("NOT NULL c"), omits.getMessage)
+    // a comparison operator inside a DEFAULT must not be read as a
+    // type bracket — the next top-level comma still splits
+    val t4 = freshTable()
+    spark.sql(s"CREATE TABLE txnlog.`${t4.root}` " +
+      "(a BOOLEAN DEFAULT 1 < 2, b INT) USING txnlog")
+    assert(TxnLog.registeredSchema(t4).get.fieldNames.toSeq ===
+      Seq("a", "b"))
+    assert(TxnLog.defaultSql(TxnLog.registeredSchema(t4).get("a"))
+      .contains("true"))
   }
 
   test("txnlog: SHALLOW CLONE — zero-copy fork, metadata carried, independent divergence, vacuum matrix, clone-from-history") {
@@ -2111,9 +2145,12 @@ class TxnLogSpec extends AnyFunSuite {
     assert(dsnap.properties.get("graft.enableDeletionVectors")
       .contains("true"))
     assert(dsnap.dvs.nonEmpty, "the source's deletion vector was lost")
-    assert(!Files.walk(dst.dataDir).iterator().asScala
-      .exists(p => p.toString.endsWith(".parquet")),
-      "SHALLOW CLONE copied data files")
+    assert({
+      val walk = Files.walk(dst.dataDir)
+      try !walk.iterator().asScala
+        .exists(p => p.toString.endsWith(".parquet"))
+      finally walk.close()
+    }, "SHALLOW CLONE copied data files")
     // partition pruning still works off the carried tokens
     assert(TxnLog.readPartition(spark, dst, Map("p" -> "b"))
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 11L))
