@@ -131,7 +131,8 @@ object TxnLog {
       dvs: Map[String, String] = Map.empty,
       declaredPartCols: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty,
-      minReader: Long = 1L) {
+      minReader: Long = 1L,
+      dropped: Set[String] = Set.empty) {
     /** Declared constraints at this version — carried BY the snapshot
       * so rewrite ops enforce without a second log replay. */
     def constraints: Constraints = Constraints(notNull, checks)
@@ -392,7 +393,7 @@ object TxnLog {
       st.sizes.view.filterKeys(st.live.contains).toMap,
       st.notNull, st.checks,
       st.dvs.view.filterKeys(st.live.contains).toMap,
-      st.declaredParts, st.props, st.minReader)
+      st.declaredParts, st.props, st.minReader, st.dropped)
   }
 
   /** Decode a deletion vector's `a-b`/`a` range string (sorted,
@@ -2128,22 +2129,10 @@ object TxnLog {
       s"cannot clone into ${dst.root}: the location already holds a " +
         s"table (version ${latestVersion(dst)}) — DROP it or choose " +
         "an empty location")
-    // ONE replay serves the snapshot AND the tombstone set (the
-    // caller reuses the returned snapshot for its catalog entry —
-    // no re-replay of a log this call just wrote)
-    val (v0, st0) = replayState(src, asOf)
-    val live0 = {
-      import scala.jdk.CollectionConverters._
-      st0.live.asScala.toSeq
-    }
-    val snap = Snapshot(v0, live0,
-      st0.stats.view.filterKeys(st0.live.contains).toMap,
-      st0.schemaJson,
-      st0.parts.view.filterKeys(st0.live.contains).toMap,
-      st0.sizes.view.filterKeys(st0.live.contains).toMap,
-      st0.notNull, st0.checks,
-      st0.dvs.view.filterKeys(st0.live.contains).toMap,
-      st0.declaredParts, st0.props, st0.minReader)
+    // ONE replay serves everything (the snapshot carries the
+    // tombstone set, and the caller reuses the returned snapshot for
+    // its catalog entry — no re-replay of a log this call just wrote)
+    val snap = snapshot(src, asOf)
     def absOf(rel: String): String =
       src.root.resolve(rel).toAbsolutePath.normalize.toString
     val addLines = snap.liveFiles.map { rel =>
@@ -2183,7 +2172,7 @@ object TxnLog {
       // DROP COLUMN tombstones ride too: the clone's absolute-ref
       // pre-drop files still hold the dropped columns' bytes, so the
       // resurrection guard must survive the fork
-      st0.dropped.toSeq.sorted.map(ph => s"dropped\t$ph") ++
+      snap.dropped.toSeq.sorted.map(ph => s"dropped\t$ph") ++
       addLines ++ dvLines
     if (!tryPublish(dst, 0L, lines))
       throw new java.util.ConcurrentModificationException(
@@ -4499,15 +4488,26 @@ object TxnLog {
     // conservative: a sticky tombstone refuses a name that might be
     // safe, never serves stale bytes.
     val droppedLines =
-      (replayState(t, Some(v))._2.dropped --
-        replayState(t, None)._2.dropped)
+      (tgt.dropped -- cur.dropped)
         .toSeq.sorted.map(ph => s"dropped\t$ph")
-    // identical live sets, schema, layout, tombstones AND dv state =
-    // true no-op; a schema-only difference (restoring below a
-    // rename/drop/add) still commits, restoring the shape and
-    // reconciling constraints
+    // table PROPERTIES are part of the restored definition too
+    // (restoring below a CREATE OR REPLACE or a SET TBLPROPERTIES
+    // must bring back behavior toggles like the merge-on-read
+    // switch): unset keys the target lacks, re-stamp differing ones
+    val propLines =
+      (cur.properties.keySet -- tgt.properties.keySet).toSeq.sorted
+        .map(k => s"unsetproperty\t$k") ++
+      tgt.properties.toSeq.sortBy(_._1).collect {
+        case (k, pv) if !cur.properties.get(k).contains(pv) =>
+          s"property\t$k\t${escapePart(pv)}"
+      }
+    // identical live sets, schema, layout, tombstones, properties AND
+    // dv state = true no-op; a schema-only difference (restoring
+    // below a rename/drop/add) still commits, restoring the shape
+    // and reconciling constraints
     if (removes.isEmpty && readds.isEmpty && dvDelta.isEmpty &&
       partColsLine.isEmpty && droppedLines.isEmpty &&
+      propLines.isEmpty &&
       tgt.schemaJson == cur.schemaJson) return cur.version
     val missing = readds.filterNot(rel => Files.exists(t.root.resolve(rel)))
     require(missing.isEmpty,
@@ -4709,7 +4709,8 @@ object TxnLog {
             liveRows(tgt, readdDvRels, "insert") ++ deltaCdc
         }
       val extra = proto ++ schemaLine ++ partColsLine ++
-        droppedLines ++ conDrops ++ addLines ++ dvDelta ++ dvCdc ++ cdc
+        droppedLines ++ propLines ++ conDrops ++ addLines ++ dvDelta ++
+        dvCdc ++ cdc
       def headerRepublished(v: Long): Long = {
         // declaredPartCols is a v0/checkpoint HEADER read — a layout
         // change must republish it or later writers route wrong

@@ -1269,7 +1269,9 @@ final case class TxnLogCloneCommand(dst: String, ifNotExists: Boolean,
     val dstPath = GraftSqlParser.pathIdentOf(dst)
     // a path-addressed destination IS the location: a contradicting
     // explicit LOCATION must refuse, not silently win
-    require(dstPath.isEmpty || location.forall(_ == dstPath.get),
+    require(dstPath.isEmpty || location.forall(l =>
+      TxnLog.pathOf(l).toAbsolutePath.normalize ==
+        TxnLog.pathOf(dstPath.get).toAbsolutePath.normalize),
       s"SHALLOW CLONE destination $dst is path-addressed; the " +
         s"LOCATION clause (${location.getOrElse("")}) contradicts it")
     val dstId: Option[TableIdentifier] =

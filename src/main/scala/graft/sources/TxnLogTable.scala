@@ -459,8 +459,12 @@ final case class TxnLogV2ReadRewrite(spark: SparkSession)
               o.query.resolved && o.outputResolved =>
             return TxnLogDynamicOverwriteCommand(
               r.table.asInstanceOf[TxnLogTable].t, o.query,
-              allowWiden = o.writeOptions.get("mergeSchema")
-                .exists(_.toBoolean))
+              // case-insensitive like every other option surface, and
+              // tolerant of malformed values (toBoolean would throw
+              // inside an analyzer rule → INTERNAL_ERROR)
+              allowWiden = o.writeOptions.exists { case (k, w) =>
+                k.equalsIgnoreCase("mergeSchema") &&
+                  w.equalsIgnoreCase("true") })
           case _ => ()
         }
       case _ => ()

@@ -1239,6 +1239,12 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
       assert(TxnLog.registeredSchema(t).get.fieldNames.toSeq === Seq("k"))
       assert(TxnLog.snapshot(t).declaredPartCols === Nil)
+      // properties are part of the restored definition: the replace's
+      // new.prop lifts, the original old.prop comes back
+      val restProps = TxnLog.snapshot(t).properties
+      assert(restProps.get("old.prop").contains("1") &&
+        !restProps.contains("new.prop"),
+        s"restore did not reconcile properties: $restProps")
       // plain REPLACE TABLE (writeTo.replace) on a MISSING table
       // refuses; createOrReplace creates — and the created half obeys
       // the same duplicate rules as CREATE (a second createOrReplace
