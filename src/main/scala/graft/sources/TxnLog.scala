@@ -3230,15 +3230,20 @@ object TxnLog {
         val routed = unmatched.withColumn("_graft_ic", ichain)
           .filter(col("_graft_ic") =!= 0)
         Some(routed.select(targetFields.map { f =>
+          // an unlisted target column takes its declared DEFAULT
+          // (SQL INSERT's contract); NULL only when none is declared
+          def fill: Column = defaultSql(f)
+            .map(d => org.apache.spark.sql.functions.expr(d))
+            .getOrElse(lit(null))
           insertsAll.zipWithIndex
             .foldRight(lit(null).cast(f.dataType): Column) {
               case ((cl, i), acc) =>
                 val v: Column = cl match {
                   case _: MergeClause.Insert =>
                     if (srcCols.contains(f.name)) col(s"$sa.${f.name}")
-                    else lit(null)
+                    else fill
                   case x: MergeClause.InsertExpr =>
-                    x.values.getOrElse(f.name, lit(null))
+                    x.values.getOrElse(f.name, fill)
                   case _ => lit(null)
                 }
                 when(col("_graft_ic") === (i + 1), v.cast(f.dataType))

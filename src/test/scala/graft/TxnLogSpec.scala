@@ -2112,6 +2112,18 @@ class TxnLogSpec extends AnyFunSuite {
       TxnLog.append(spark, t3, Seq(2L).toDF("k"))
     }
     assert(omits.getMessage.contains("NOT NULL c"), omits.getMessage)
+    // MERGE's column-list INSERT takes declared defaults for the
+    // unlisted columns too (SQL INSERT's contract; was NULL-fill)
+    spark.sql(
+      s"""MERGE INTO txnlog.`${t.root}` AS t
+         |USING (SELECT 50L AS k) AS s
+         |ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""".stripMargin)
+    val merged = TxnLog.read(spark, t).filter(col("k") === 50L)
+      .select(col("s"), col("r")).head()
+    assert(merged.getString(0) === "en" &&
+      merged.getAs[Number](1).longValue === 7L,
+      s"MERGE INSERT did not default-fill: $merged")
     // a comparison operator inside a DEFAULT must not be read as a
     // type bracket — the next top-level comma still splits
     val t4 = freshTable()
