@@ -31,14 +31,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.catalog.spark_catalog",
         "graft.sources.TxnLogCatalog")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -72,20 +72,39 @@ object Bench {
     val staging = timed("_staging_shingles")(
       graft.operators.Dedup.stageShingles(spark, sfDir))
     val tables = timed("_staging_tables") {
-      graft.operators.SourceOps.bucketedTable(spark, sfDir)
-      graft.operators.SourceOps.bucketedFactTable(spark, sfDir, "lineitem",
-        "l_orderkey", graft.sources.Tables.lineitem(_, _)
-          .select(org.apache.spark.sql.functions.col("l_orderkey"),
-            org.apache.spark.sql.functions.col("l_extendedprice")))
-      graft.operators.SourceOps.bucketedFactTable(spark, sfDir, "orders",
-        "o_orderkey", graft.sources.Tables.orders(_, _)
-          .select(org.apache.spark.sql.functions.col("o_orderkey"),
-            org.apache.spark.sql.functions.col("o_orderpriority")))
-      graft.operators.SourceOps.rangeTable(spark, sfDir)
-      graft.operators.SourceOps.bloomTable(spark, sfDir)
-      graft.operators.SourceOps.zorderTable(spark, sfDir)
-      graft.operators.SourceOps.sortedRuns(spark, sfDir)
-      graft.operators.SourceOps.setFileTable(spark, sfDir)
+      // The eight staged tables are independent of one another, so
+      // their build jobs OVERLAP from a small thread pool (guide
+      // §2.6: concurrent jobs back-fill the executor slots a single
+      // small write job leaves idle — these are all tiny-output
+      // writes whose wall time is stage latency, not throughput).
+      // Each builder memoizes through its own ConcurrentHashMap key,
+      // so concurrency cannot double-build; failures propagate so a
+      // broken staging still lands in `errors` as before.
+      val builders: Seq[() => Any] = Seq(
+        () => graft.operators.SourceOps.bucketedTable(spark, sfDir),
+        () => graft.operators.SourceOps.bucketedFactTable(spark, sfDir,
+          "lineitem", "l_orderkey", graft.sources.Tables.lineitem(_, _)
+            .select(org.apache.spark.sql.functions.col("l_orderkey"),
+              org.apache.spark.sql.functions.col("l_extendedprice"))),
+        () => graft.operators.SourceOps.bucketedFactTable(spark, sfDir,
+          "orders", "o_orderkey", graft.sources.Tables.orders(_, _)
+            .select(org.apache.spark.sql.functions.col("o_orderkey"),
+              org.apache.spark.sql.functions.col("o_orderpriority"))),
+        () => graft.operators.SourceOps.rangeTable(spark, sfDir),
+        () => graft.operators.SourceOps.bloomTable(spark, sfDir),
+        () => graft.operators.SourceOps.zorderTable(spark, sfDir),
+        () => graft.operators.SourceOps.sortedRuns(spark, sfDir),
+        () => graft.operators.SourceOps.setFileTable(spark, sfDir))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futs = builders.map(b => pool.submit(
+          new java.util.concurrent.Callable[Any] { def call(): Any = b() }))
+        futs.foreach { f => // surface the ORIGINAL builder failure
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        }
+      } finally pool.shutdown()
       ()
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => timed(n)(run(n)))

@@ -599,6 +599,9 @@ object Dedup {
     // fixpoint test is "label sum unchanged" — one tiny aggregate per
     // round instead of a join against the previous labels. Decimal
     // sum so huge doc-id sums can never wrap and fake convergence.
+    // r21: the sum rides the checkpoint materialization itself as an
+    // observed metric (the pageRankConverged counters pattern) — the
+    // old separate labelSum() action cost one extra job per round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
@@ -610,10 +613,12 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnRenamed("v", "x"), Seq("x"))
         .select(col("y").as("v"), col("label"))
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.unionByName(prop)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint() // cut the per-round lineage growth
-      val nextSum = labelSum(next)
+      val nextSum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

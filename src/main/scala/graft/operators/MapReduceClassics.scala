@@ -173,11 +173,21 @@ object MapReduceClassics {
   val PrEps = 200000L
   /** Round cap — the driver-loop budget that bounds a slow-mixing
     * graph (bipartite structure keeps |λ₂| near the damping factor,
-    * so Δ decays ~0.85× per round). MUST stay even: the converged
-    * loop advances two steps per materialization, so an odd cap
-    * would overshoot the budget by one step on cap-exit (enforced
-    * by a require at the loop head). */
+    * so Δ decays ~0.85× per round). Any positive value works: the
+    * converged loop clamps its last materialization's step count to
+    * the remaining budget, so cap-exit lands on exactly PrCap. */
   val PrCap = 30
+
+  /** Steps riding in ONE pageRankConverged materialization (r21,
+    * extending the r11 two-step batching): each step's Δ-max is
+    * observed in the same job, so batching more steps only ever
+    * OVERSHOOTS the fixpoint computation by at most PrSteps-1 cheap
+    * node-scale steps while cutting the sequential action/checkpoint
+    * count (~10 AQE stage-jobs per materialization measured at r21)
+    * by the same factor. Published iterate, round count, and the
+    * frozen-step oracle are UNCHANGED — the first iterate whose
+    * successor moves no node ≥ ε is still selected per-step. */
+  val PrSteps = 4
 
   /** mr_pagerank_converged — the reference's driver-loop semantics:
     * iterate until an EXACT-INTEGER fixpoint predicate
@@ -206,6 +216,29 @@ object MapReduceClassics {
   private def unpersistCheckpoint(df: DataFrame): Unit =
     org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(df)
 
+  /** One integer PageRank round that CARRIES its predecessor: the
+    * previous rank column is renamed rp`i` and the new rank joins
+    * onto the SAME node spine, so the per-step Δ-max is observable
+    * with no separate ranks re-join (r21: the old shape paid one
+    * extra node-keyed join+exchange per step just to see Δ; `cur`'s
+    * v-set IS the node set — it starts as `nodes` and every step is
+    * a left join on it — so joining contributions onto `cur` is the
+    * identical row set prStep produced from `nodes`). Earlier rp
+    * columns ride through, keeping every iterate of the batch
+    * publishable from the one checkpoint. */
+  private def prStepCarry(withDeg: DataFrame, cur: DataFrame,
+      i: Int): DataFrame = {
+    val contrib = withDeg
+      .join(cur.select(col("v").as("src"), col("r")), "src")
+      .select(col("dst").as("v"), expr("r div outdeg").as("c"))
+      .groupBy("v").agg(sum(col("c")).as("cin"))
+    cur.withColumnRenamed("r", s"rp$i")
+      .join(contrib, Seq("v"), "left")
+      .withColumn("r",
+        lit(150000L) + expr("(85 * coalesce(cin, 0L)) div 100"))
+      .drop("cin")
+  }
+
   /** (result, advanceCount) — split out so the spec can pin the
     * per-SF round count and the cap-not-binding property. */
   private[graft] def pageRankConvergedRounds(
@@ -218,50 +251,43 @@ object MapReduceClassics {
     var ranks: DataFrame = ranksChk
     var rounds = 0
     var converged = false
-    require(PrCap % 2 == 0,
-      "PrCap must be even: each materialization advances two steps")
     while (!converged && rounds < PrCap) {
-      // TWO chained steps ride in each materialization (r11: halves
-      // the job count — convergence checking pays one ACTION per
-      // round otherwise, and at 28 rounds the action launches were
-      // the dominant cost). Both PER-STEP Δ-maxes ride in the same
-      // job as observed metrics (the counters pattern,
+      // PrSteps chained steps ride in each materialization (r11
+      // batched two, r21 four — convergence checking pays one ACTION
+      // per materialization, and the action launches were the
+      // dominant cost). Every PER-STEP Δ-max rides in the same job
+      // as an observed metric (the counters pattern,
       // HadoopTools.scala), so the published iterate is STILL "the
       // first whose successor moves no node ≥ ε" — semantics, round
-      // count, and the frozen-step oracle unchanged. step1 feeds
-      // step2 twice (edge join + previous-rank side) without its own
-      // checkpoint; its heavy lifting (contribution exchange) is
-      // shared between the two uses by exchange reuse. The
-      // checkpoint keeps BOTH iterates as (v, r=step2, rp=step1), so
-      // a step1 publish reads the same blocks — no recompute.
-      val obs1 = new org.apache.spark.sql.Observation()
-      val obs2 = new org.apache.spark.sql.Observation()
-      val s1 = prStep(withDeg, nodes, ranks)
-        .join(ranks.withColumnRenamed("r", "rp"), "v")
-        .observe(obs1, max(abs(col("r") - col("rp"))).as("d1"))
-        .select(col("v"), col("r"))
-      val next = prStep(withDeg, nodes, s1)
-        .join(s1.withColumnRenamed("r", "rp"), "v")
-        .observe(obs2, max(abs(col("r") - col("rp"))).as("d2"))
-        .localCheckpoint()
-      val d1 = obs1.get("d1").asInstanceOf[Long]
-      val d2 = obs2.get("d2").asInstanceOf[Long]
-      if (d1 < PrEps) {
+      // count, and the frozen-step oracle unchanged. The checkpoint
+      // keeps ALL batch iterates as (v, rp1..rpK, r), so publishing
+      // an inner iterate reads the same blocks — no recompute. The
+      // last materialization clamps to the remaining cap budget.
+      val steps = math.min(PrSteps, PrCap - rounds)
+      val obss = Seq.fill(steps)(new org.apache.spark.sql.Observation())
+      var chain = ranks
+      for (i <- 1 to steps)
+        chain = prStepCarry(withDeg, chain, i)
+          .observe(obss(i - 1), max(abs(col("r") - col(s"rp$i"))).as("d"))
+      val next = chain.localCheckpoint()
+      val ds = obss.map(_.get("d").asInstanceOf[Long])
+      val hit = ds.indexWhere(_ < PrEps) // 0-based; step j = hit + 1
+      if (hit == 0) {
         converged = true
         unpersistCheckpoint(next) // published table is `ranks`, not next
-      } else if (d2 < PrEps) {
-        // step1 is the first iterate whose successor stays put —
-        // publish it from the checkpoint's rp column
+      } else if (hit > 0) {
+        // iterate (hit) is the first whose successor stays put —
+        // publish it from the checkpoint's rp column of step hit+1
         converged = true
         unpersistCheckpoint(ranksChk)
         ranksChk = next
-        ranks = next.select(col("v"), col("rp").as("r"))
-        rounds += 1
+        ranks = next.select(col("v"), col(s"rp${hit + 1}").as("r"))
+        rounds += hit
       } else {
         unpersistCheckpoint(ranksChk)
         ranksChk = next
         ranks = next.select(col("v"), col("r"))
-        rounds += 2
+        rounds += steps
       }
     }
     // the published frame reads only ranksChk's blocks — the edge

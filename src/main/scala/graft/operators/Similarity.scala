@@ -118,19 +118,28 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> cast(s.m as float))")
         .as("centroid"))
 
-  /** Nearest-centroid assignment (the Lloyd E-step). The centroid set
-    * is constant-size (k cells), so it is broadcast and each vector's
-    * winning cell reduces via a partial-aggregable max(struct(cos,
-    * -cell)) — map-side combine collapses the k candidate rows per
-    * vector BEFORE the shuffle, and ties break to the smallest cell
-    * id on both engines. No window, no corpus-scale sort. */
-  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cent))
-      .withColumn("cos",
-        VectorFunctions.cosineSim(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("b"),
-        first(col("embedding")).as("embedding"))
+  /** Nearest-centroid assignment (the Lloyd E-step), r21 shape: the
+    * centroid set is CONSTANT model state (k cells), so it folds into
+    * the plan as literals — the lmScore/perceptron constant-model
+    * pattern — and each vector's winning cell is one row-local
+    * array_max over the k-entry candidate array. The assignment pass
+    * is therefore MAP-ONLY: no crossJoin ×k row blowup, no vec-keyed
+    * aggregate exchange (the r18 shape paid both per consumer).
+    * array_max uses the same struct ordering the old
+    * max(struct(cos, -cell)) aggregate used, so the winning cell —
+    * ties to the smallest id — and the winning cos are bit-identical
+    * and every downstream oracle hash is unchanged. */
+  private def bestCellExpr(cents: Seq[(Long, Seq[Float])],
+      emb: Column): Column =
+    array_max(array(cents.map { case (cl, ctr) =>
+      struct(
+        VectorFunctions.cosineSim(emb, typedLit(ctr)).as("cos"),
+        lit(-cl).as("nc"))
+    }: _*))
+
+  private def assignCells(vecs: DataFrame,
+      cents: Seq[(Long, Seq[Float])]): DataFrame =
+    vecs.withColumn("b", bestCellExpr(cents, col("embedding")))
       .select(col("vec_id"), (-col("b.nc")).as("cell"), col("embedding"))
 
   /** IVF ANN with a TRAINED coarse quantizer: k-means via two Lloyd
@@ -156,29 +165,61 @@ object Similarity {
     * vectors. The sample predicate (md5-then-fold parity, the
     * measured-uniform construction from txt_sample_stratified) is
     * mirrored in the DuckDB oracle. */
-  /** The trained centroid set: label-seeded, two Lloyd rounds over
-    * the deterministic 50% hash sample. */
-  private[graft] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+  /** The trained centroids COLLECTED as driver-side constant model
+    * state: label-seeded, two Lloyd rounds over the deterministic 50%
+    * hash sample. r21: each M-step's k-row centroid table collects to
+    * the driver (bounded — k = label count) and the following E-step
+    * folds it back in as literals, so a training round is ONE action
+    * whose assignment side is map-only. The r18 lazy-chain shape
+    * re-ran the whole training per consumer reference (the r21 plan
+    * audit counted 16 parquet scans in sim_knn_ivf, 48 in
+    * sim_knn_ivfpq — exchange reuse never collapsed them); collecting
+    * the constant-size artifact once is exactly what a production
+    * pipeline does with its index files, and ml_kmeans' centroid
+    * pattern already established the discipline. Values unchanged:
+    * same integer M-step sums, same IEEE cosine E-step, same
+    * smaller-cell tie-break. */
+  private[graft] def collectedCentroids(s: SparkSession,
+      d: String): Seq[(Long, Seq[Float])] = {
     val e = Tables.embeddings(s, d)
     val trainSample = pmod(graft.functions.RollingHash.rollingHash(
       md5(concat(lit("ivf-"), col("vec_id").cast("string"))
         .cast("binary"))), lit(2L)) === 0L
     val samp = e.filter(trainSample)
       .select(col("vec_id"), col("embedding"), col("label"))
-    // seed centroids from the existing label partition, then 2 Lloyd
-    // rounds (E: assignCells, M: centroidsOf) over the sample
-    val c0 = centroidsOf(samp.select(col("label").cast("long").as("cell"),
-      col("embedding")))
-    val c1 = centroidsOf(assignCells(samp, c0))
-    centroidsOf(assignCells(samp, c1))
+      .localCheckpoint() // sample-scale; read by all three M-steps
+    def collected(df: DataFrame): Seq[(Long, Seq[Float])] =
+      df.collect() // k rows — constant model state, driver-scale
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+        .sortBy(_._1).toSeq
+    val c0 = collected(centroidsOf(
+      samp.select(col("label").cast("long").as("cell"), col("embedding"))))
+    val c1 = collected(centroidsOf(assignCells(samp, c0)))
+    collected(centroidsOf(assignCells(samp, c1)))
   }
 
+  /** Collected centroid rows as a (cell, centroid) frame — the
+    * spec/probe-side view (tiny, broadcast by consumers). */
+  private def centroidFrame(s: SparkSession,
+      cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    cents.toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>"))
+  }
+
+  /** The trained centroid set as a DataFrame — the spec-side view of
+    * [[collectedCentroids]]. */
+  private[graft] def trainedCentroids(s: SparkSession, d: String): DataFrame =
+    centroidFrame(s, collectedCentroids(s, d))
+
   /** Corpus-wide (vec_id, cell, embedding) assignment to the trained
-    * cells — exposed for the training-effect spec. */
+    * cells — exposed for the training-effect spec. Map-only (the
+    * trained centroids ride as literals). */
   private[graft] def trainedCells(s: SparkSession, d: String): DataFrame =
     assignCells(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      trainedCentroids(s, d))
+      collectedCentroids(s, d))
 
   /** K-means clustering of the embedding corpus as a first-class
     * operator — the semantic-diversity / topic-bucketing primitive a
@@ -232,15 +273,11 @@ object Similarity {
     * signal drift → retrain. Constant centroid broadcast, map-side
     * argmax partials, cell-scale output. */
   def kmeansUpdate(s: SparkSession, d: String): DataFrame = {
-    val cent = trainedCentroids(s, d)
+    val cents = collectedCentroids(s, d)
     val batch = Tables.embeddings(s, d)
       .filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"))
-    batch.crossJoin(broadcast(cent))
-      .withColumn("cos",
-        VectorFunctions.cosineSim(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("b"))
+    batch.withColumn("b", bestCellExpr(cents, col("embedding")))
       .select(col("vec_id"), (-col("b.nc")).as("cell"),
         floor(col("b.cos") * 1000000).cast("long").as("cos_micro"))
       .groupBy(col("cell"))
@@ -345,10 +382,11 @@ object Similarity {
 
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val nprobe = 3
-    val c2 = trainedCentroids(s, d)
-    // final corpus-wide assignment to the TRAINED cells
+    val cents = collectedCentroids(s, d)
+    val c2 = centroidFrame(s, cents)
+    // final corpus-wide assignment to the TRAINED cells (map-only)
     val corpus = assignCells(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), c2)
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), cents)
     val probed = queries(s, d).crossJoin(broadcast(c2))
       .withColumn("cdist", VectorFunctions.cosineSim(col("q_emb"), col("centroid")))
       .withColumn("crank", row_number().over(
@@ -512,10 +550,12 @@ object Similarity {
     * oracle that joins the two replayed trainings. */
   def knnIvfPq(s: SparkSession, d: String): DataFrame = {
     val nprobe = 3
-    val c2 = trainedCentroids(s, d)
-    // coarse corpus assignment (ONE ivf cell per vector)
+    val cents = collectedCentroids(s, d)
+    val c2 = centroidFrame(s, cents)
+    // coarse corpus assignment (ONE ivf cell per vector, map-only —
+    // the trained centroids ride as literals)
     val coarse = assignCells(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), c2)
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"), col("cell").as("ivf_cell"))
     // query probe list: nprobe nearest trained cells per query
     val probed = queries(s, d).crossJoin(broadcast(c2))
@@ -583,7 +623,14 @@ object Similarity {
       .select(col("ss"), col("cell"), col("i"), expr("sx div n").as("c"))
 
   /** E-step: per (vec, subspace) argmin of integer squared L2 against
-    * the broadcast codebook; min(struct) breaks ties to the low cell. */
+    * the broadcast codebook; min(struct) breaks ties to the low cell.
+    * (A literal-folded map-only encode — the trained book unrolled
+    * into 40 per-candidate expressions — was tried at r21 and
+    * REJECTED: Catalyst's analysis/optimization of the resulting
+    * expression tree cost ~4-8 s of DRIVER time per consumer, and a
+    * compact higher-order variant gave the time back at runtime as
+    * interpreted lambdas; this broadcast-join + partial-agg shape
+    * stays whole-stage-codegen end to end. See OPTIMIZATION_r21.md.) */
   private def pqAssign(comps: DataFrame, book: DataFrame): DataFrame =
     comps.join(broadcast(book), Seq("ss", "i"))
       .groupBy(col("vec_id"), col("ss"), col("cell"))
@@ -595,13 +642,22 @@ object Similarity {
 
   /** The trained (ss, cell, i, c) codebook: label-seeded, two integer
     * Lloyd rounds over the deterministic 50% 'pq-' hash sample —
-    * exposed for the spec's independent re-encode check. */
+    * exposed for the spec's independent re-encode check.
+    *
+    * r21: the training component matrix and the trained book are
+    * localCheckpointed — the lazy chain referenced sampComps five
+    * times and knnPq/knnIvfPq consume the book twice (ADC tables +
+    * corpus encode), and exchange reuse never collapsed those
+    * subtrees (the r21 plan audit counted 28 parquet scans in
+    * sim_knn_pq, 48 in sim_knn_ivfpq — every reference re-ran the
+    * posexplode + two Lloyd rounds). Values unchanged. */
   private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame = {
     val samp = Tables.embeddings(s, d)
       .filter(pmod(graft.functions.RollingHash.rollingHash(
         md5(concat(lit("pq-"), col("vec_id").cast("string"))
           .cast("binary"))), lit(2L)) === 0L)
     val sampComps = pqComponents(samp)
+      .localCheckpoint() // sample×dims rows, 4 longs each
     val seed = samp.select(col("vec_id"), col("label").cast("long").as("cell"))
       .crossJoin(samp.sparkSession.range(4).select(col("id").as("ss")))
     val b0 = pqCodebookOf(seed, sampComps)
@@ -609,6 +665,7 @@ object Similarity {
       .select(col("vec_id"), col("ss"), col("cell")), sampComps)
     pqCodebookOf(pqAssign(sampComps, b1)
       .select(col("vec_id"), col("ss"), col("cell")), sampComps)
+      .localCheckpoint() // m·k·16 rows of constant model state
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion — the production
