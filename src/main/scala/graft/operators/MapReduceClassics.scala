@@ -275,6 +275,10 @@ object MapReduceClassics {
       for (i <- 1 to steps)
         chain = prStepCarry(withDeg, chain, i)
           .observe(obss(i - 1), max(abs(col("r") - col(s"rp$i"))).as("d"))
+      // (a lazy per-step persist to dedupe the two per-step
+      // references was measured FAR worse: caching pins the plan's
+      // output partitioning, so AQE stops coalescing inside the
+      // cached subtrees — 161 stages / 4.9k tasks vs 96 / 0.9k)
       val next = chain.localCheckpoint()
       val ds = obss.map(_.get("d").asInstanceOf[Long])
       val hit = ds.indexWhere(_ < PrEps) // 0-based; step j = hit + 1
