@@ -493,6 +493,15 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         graft.functions.RollingHash.rollingHash(col("col")).as("wfp"),
         md5(col("col").cast("binary")).as("wmd5"))
+      // r21: materialize the fingerprinted window stream ONCE — it
+      // feeds BOTH the dup-key aggregate and the position side of the
+      // semi-join, and because dupKeys arrives broadcast there is no
+      // exchange whose reuse could dedupe them: the r21 plan audit
+      // showed the full explode+md5 pass duplicated (two documents
+      // scans). At 100 TB this is the window-fingerprint table an
+      // ExactSubstr pipeline materializes on shared storage anyway
+      // (the staged-shingles precedent); rows are (id, pos, 2 fps).
+      .localCheckpoint()
     val dupKeys = keyed
       .groupBy(col("wfp"), col("wmd5"))
       .agg(countDistinct(col("doc_id")).as("nd"))

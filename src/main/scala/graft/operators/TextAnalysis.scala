@@ -1110,6 +1110,16 @@ object TextAnalysis {
     val epochs = 5
     val sp = s
     import sp.implicits._
+    // r21: DOC-MAJOR feature layout — one row per doc carrying its
+    // sparse (bucket, x) vector, so each epoch's margin is a
+    // map-only fold against the literal weight array and the update
+    // is ONE bucket-keyed aggregate over the misclassified rows. The
+    // r18 shape kept features bucket-major and re-JOINED the margin
+    // verdict back onto them every epoch (one extra doc-keyed
+    // exchange + join per epoch, ×5). Same integer arithmetic in the
+    // same terms (long sums are order-free, so the collect_list
+    // order cannot perturb a margin), so the trained weights and
+    // error count hash-match the oracle's epoch replay unchanged.
     val feats = Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"),
@@ -1123,6 +1133,8 @@ object TextAnalysis {
           .as("bucket"))
       .groupBy(col("doc_id"), col("y"), col("bucket"))
       .agg(count(lit(1)).as("x"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(collect_list(struct(col("bucket"), col("x"))).as("bx"))
       .localCheckpoint() // one materialization feeds every epoch
     var w = Array.fill(K)(0L)
     var lastErrors = 0L
@@ -1133,16 +1145,15 @@ object TextAnalysis {
       // one action per epoch, not a separate count() pass
       val obs = new org.apache.spark.sql.Observation()
       val mis = feats
-        .withColumn("wx",
-          element_at(arr, (col("bucket") + 1).cast("int")) * col("x"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("wx")).as("m"))
+        .withColumn("m", aggregate(col("bx"), lit(0L), (a, s) =>
+          a + element_at(arr, (s.getField("bucket") + 1).cast("int")) *
+            s.getField("x")))
         .filter(col("y") * col("m") <= 0)
-        .select(col("doc_id"))
         .observe(obs, count(lit(1)).as("n_err"))
-      val upd = feats.join(mis, Seq("doc_id"))
-        .groupBy(col("bucket"))
-        .agg(sum(col("y") * col("x")).as("dw"))
+      val upd = mis
+        .select(col("y"), explode(col("bx")).as("b"))
+        .groupBy(col("b.bucket").as("bucket"))
+        .agg(sum(col("y") * col("b.x")).as("dw"))
         .collect() // ≤ K rows — constant model state, driver-scale
       lastErrors = obs.get("n_err").asInstanceOf[Long]
       upd.foreach { r =>
