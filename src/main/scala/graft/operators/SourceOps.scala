@@ -774,9 +774,11 @@ object SourceOps {
       graft.sources.TempDirs.scratch("graft-txnlog-").resolve("tbl"))
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-    (0 until 4).foreach { slice =>
-      graft.sources.TxnLog.append(s, t, li.filter(col("l_orderkey") % 4 === slice))
-    }
+    // the four slice appends stage concurrently and commit in order
+    // (appendSlices, guide §2.6) — history and per-commit file sets
+    // identical to the sequential loop, the staging wave overlapped
+    graft.sources.TxnLog.appendSlices(s, t,
+      (0 until 4).map(i => li.filter(col("l_orderkey") % 4 === i)))
     graft.sources.TxnLog.compact(s, t)
     t
   }
@@ -836,11 +838,9 @@ object SourceOps {
       graft.sources.TempDirs.scratch("graft-txnz-").resolve("tbl"))
     val li = Tables.lineitem(s, d).select(col("l_orderkey"),
       col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    (0 until 4).foreach { p =>
-      graft.sources.TxnLog.appendWithStats(s, t,
-        li.filter(col("l_orderkey") % 4 === p),
-        Seq("l_partkey", "l_suppkey"))
-    }
+    graft.sources.TxnLog.appendSlices(s, t,
+      (0 until 4).map(p => li.filter(col("l_orderkey") % 4 === p)),
+      Seq("l_partkey", "l_suppkey")) // §2.6 overlapped staging wave
     graft.sources.TxnLog.compactZorder(s, t, "l_partkey", "l_suppkey")
     graft.sources.TxnLog.readPrunedBox(s, t,
       Seq(("l_partkey", 100L, 200L), ("l_suppkey", 5L, 20L)))
@@ -869,10 +869,8 @@ object SourceOps {
       graft.sources.TempDirs.scratch("graft-txndel-").resolve("tbl"))
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-    (0 until 2).foreach { slice =>
-      graft.sources.TxnLog.append(s, t,
-        li.filter(col("l_orderkey") % 2 === slice))
-    }
+    graft.sources.TxnLog.appendSlices(s, t, // §2.6 overlapped staging
+      (0 until 2).map(i => li.filter(col("l_orderkey") % 2 === i)))
     val base = graft.sources.TxnLog.latestVersion(t) // v1
     val vDel = graft.sources.TxnLog.delete(s, t, col("l_orderkey") % 10 === 3)
     val (_, del) = graft.sources.TxnLog.changes(s, t, base, vDel)
@@ -899,10 +897,8 @@ object SourceOps {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val base = o.filter(col("o_orderkey") % 5 =!= 0)
-    (0 until 2).foreach { p =>
-      graft.sources.TxnLog.append(s, t,
-        base.filter(col("o_orderkey") % 2 === p))
-    }
+    graft.sources.TxnLog.appendSlices(s, t, // §2.6 overlapped staging
+      (0 until 2).map(p => base.filter(col("o_orderkey") % 2 === p)))
     val src = o.filter(col("o_orderkey") % 2 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 2)
     val preV = graft.sources.TxnLog.latestVersion(t)
@@ -940,10 +936,8 @@ object SourceOps {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val base = o.filter(col("o_orderkey") % 5 =!= 0)
-    (0 until 2).foreach { p =>
-      graft.sources.TxnLog.append(s, t,
-        base.filter(col("o_orderkey") % 2 === p))
-    }
+    graft.sources.TxnLog.appendSlices(s, t, // §2.6 overlapped staging
+      (0 until 2).map(p => base.filter(col("o_orderkey") % 2 === p)))
     val src = o.filter(col("o_orderkey") % 3 === 0)
     val preV = graft.sources.TxnLog.latestVersion(t)
     val vM = graft.sources.TxnLog.mergeInto(s, t, src, "o_orderkey", Seq(
@@ -983,8 +977,8 @@ object SourceOps {
       .select(col("l_orderkey"), col("l_quantity"))
     def slice(i: Int): DataFrame =
       li.filter(col("l_orderkey") % 2 === i).coalesce(1)
-    graft.sources.TxnLog.append(s, t, slice(0))              // v0 APPEND
-    graft.sources.TxnLog.append(s, t, slice(1))              // v1 APPEND
+    graft.sources.TxnLog.appendSlices(s, t,
+      Seq(slice(0), slice(1)))                               // v0-v1 APPEND
     graft.sources.TxnLog.compact(s, t)                       // v2 OPTIMIZE
     graft.sources.TxnLog.delete(s, t,
       col("l_orderkey") % 10 === 3)                          // v3 DELETE
@@ -1018,8 +1012,8 @@ object SourceOps {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
     def slice(i: Int) = li.filter(col("l_orderkey") % 3 === i)
-    graft.sources.TxnLog.append(s, t, slice(0))          // v0
-    graft.sources.TxnLog.append(s, t, slice(1))          // v1
+    graft.sources.TxnLog.appendSlices(s, t,
+      Seq(slice(0), slice(1)))                           // v0-v1
     graft.sources.TxnLog.compact(s, t)                   // v2 (cdc none)
     graft.sources.TxnLog.delete(s, t,
       col("l_quantity") >= 45.0)                         // v3 (cdc files)
@@ -1275,13 +1269,12 @@ object SourceOps {
     // catalog-scale scalar: the key domain, to cut 8 contiguous ranges
     val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
     val step = maxKey / 8 + 1
-    (0 until 8).foreach { i =>
-      graft.sources.TxnLog.appendWithStats(s, t,
+    graft.sources.TxnLog.appendSlices(s, t, // §2.6 overlapped staging
+      (0 until 8).map(i =>
         o.filter(col("o_orderkey") >= i * step &&
           col("o_orderkey") < (i + 1) * step)
-          .sortWithinPartitions(col("o_orderkey")).coalesce(1),
-        Seq("o_orderkey"))
-    }
+          .sortWithinPartitions(col("o_orderkey")).coalesce(1)),
+      Seq("o_orderkey"))
     graft.sources.TxnLog.readPruned(s, t, "o_orderkey", 1000L, 1200L)
       .filter(col("o_orderkey").between(1000L, 1200L))
       .agg(count(lit(1)).as("n_orders"),

@@ -967,6 +967,49 @@ object TxnLog {
       statsCols.filterNot(declared.contains), Nil, allowWiden)
   }
 
+  /** Append a sequence of INDEPENDENT slices as consecutive commits:
+    * every slice STAGES concurrently (stagedPar, guide §2.6 — the
+    * writes are independent small jobs whose wall time is stage
+    * latency, and a strictly sequential loop leaves the executors
+    * idle between them), then COMMITS strictly in input order, so the
+    * log records exactly the history the equivalent sequential
+    * [[append]] calls would: same per-commit file sets (a slice's
+    * staged file count is its write's partition count, unchanged by
+    * when the write runs), same version order, the schema registered
+    * by the first commit, APPEND classification in DESCRIBE HISTORY.
+    * This is the multi-batch ingest shape: a day's independent
+    * slices land as one overlapped staging wave plus N metadata-only
+    * commits. Constraints (if any) are enforced per slice against its
+    * own staged files, refusing BEFORE that slice's commit exactly
+    * like [[append]]; `statsCols` stamp per-file (min, max) exactly
+    * like [[appendWithStats]]. The wave stages against the wave-entry
+    * registered schema; a concurrent schema-changing commit conflicts
+    * through commitRegistering's re-merge, as with any append race. */
+  def appendSlices(s: SparkSession, t: Table, slices: Seq[DataFrame],
+                   statsCols: Seq[String] = Nil): Seq[Long] = {
+    if (slices.isEmpty) return Nil
+    require(declaredPartCols(t).isEmpty,
+      "appendSlices stages flat; a table declared PARTITIONED BY " +
+        "routes through appendPartitioned per slice")
+    val stages = slices.map(_ => newStage(t, t.dataDir))
+    try {
+      val reg = registeredSchema(t)
+      val lineSets = stagedPar(slices.zip(stages).map {
+        case (df, stg) => () => {
+          toPhysical(df, reg).write.parquet(stg.toString)
+          addLinesFor(s, t, stg, statsCols)
+        }
+      })
+      slices.indices.map { i =>
+        val enforcedAt = latestVersion(t)
+        enforceStaged(s, t, Seq(stages(i)), constraintsOf(t))
+        commitRegistering(t, slices(i).schema, lineSets(i),
+          () => enforceStaged(s, t, Seq(stages(i)), constraintsOf(t)),
+          enforcedAt)
+      }
+    } finally seal(t, stages: _*)
+  }
+
   private def appendLines(s: SparkSession, t: Table, df: DataFrame,
                           extraLines: Seq[String],
                           statsCols: Seq[String],
@@ -1179,11 +1222,116 @@ object TxnLog {
     case x => x.longValue
   }
 
+  /** Per-file (min, max) bounds for `physCols`, read from the staged
+    * files' PARQUET FOOTERS on the driver — the metadata a
+    * stats-collecting writer already produced during the write —
+    * instead of re-SCANNING every staged byte through a Spark
+    * aggregate job (guide §1.2 step 1: the read-back was a second
+    * full pass over the write's data; at 100 TB that is the
+    * difference between O(files) metadata reads and re-reading the
+    * whole commit). Returns None whenever ANY footer lacks exact,
+    * provably-equivalent stats for a requested column — statistics
+    * absent or unreadable, a NaN-dropped float/double min/max, a
+    * physical type outside {INT32, INT64, FLOAT, DOUBLE}, a decimal/
+    * date/timestamp logical annotation, or an unknown null count —
+    * and the caller falls back to the aggregate scan, so this path
+    * can only ever emit the IDENTICAL bounds the aggregate would
+    * (floor/ceil are monotone, so per-row-group outward rounding
+    * composes to the global statBound). Inner map: rel ->
+    * Some(bounds, physCols order) for files with stats, None for
+    * files with zero non-null values in some column (added stat-less
+    * — the aggregate path's null-aggregate contract). Footers read
+    * from a small driver-side pool: file-count-scale metadata I/O. */
+  private def footerBounds(s: SparkSession, t: Table, rels: Seq[String],
+      physCols: Seq[String]): Option[Map[String, Option[Seq[(Long, Long)]]]] = {
+    import org.apache.parquet.column.statistics.{DoubleStatistics,
+      FloatStatistics, IntStatistics, LongStatistics}
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = s.sparkContext.hadoopConfiguration
+    // per file: None = footer unusable (forces global fallback);
+    // Some(None) = no stats for this file; Some(bounds) = usable
+    def boundsOf(rel: String): Option[Option[Seq[(Long, Long)]]] = try {
+      val hp = new org.apache.hadoop.fs.Path(
+        t.root.resolve(rel).toString)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+          .filter(_.getRowCount > 0)
+        val perCol: Seq[Option[Option[(Long, Long)]]] = physCols.map { c =>
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var seen = false    // any non-null value in this file
+          var usable = true   // every chunk's stats exact & typed
+          for (b <- blocks if usable) {
+            b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case None => usable = false // column absent from file
+              case Some(cc) =>
+                val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+                val annOk = ann == null ||
+                  (ann.isInstanceOf[
+                     LogicalTypeAnnotation.IntLogicalTypeAnnotation] &&
+                   ann.asInstanceOf[
+                     LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+                     .isSigned)
+                val tn = cc.getPrimitiveType.getPrimitiveTypeName
+                val st = cc.getStatistics
+                if (!annOk || st == null) usable = false
+                else if (st.hasNonNullValue) {
+                  val mm: Option[(Number, Number)] = (tn, st) match {
+                    case (PrimitiveTypeName.INT64, v: LongStatistics) =>
+                      Some((v.getMin, v.getMax))
+                    case (PrimitiveTypeName.INT32, v: IntStatistics) =>
+                      Some((v.getMin, v.getMax))
+                    case (PrimitiveTypeName.FLOAT, v: FloatStatistics) =>
+                      Some((v.getMin, v.getMax))
+                    case (PrimitiveTypeName.DOUBLE, v: DoubleStatistics) =>
+                      Some((v.getMin, v.getMax))
+                    case _ => None
+                  }
+                  mm match {
+                    case Some((mn, mx)) =>
+                      seen = true
+                      lo = math.min(lo, statBound(mn, up = false))
+                      hi = math.max(hi, statBound(mx, up = true))
+                    case None => usable = false
+                  }
+                } else if (!(st.isNumNullsSet &&
+                    st.getNumNulls == cc.getValueCount))
+                  usable = false // stats missing, not a proven all-null
+                // else: all-null chunk — contributes no values
+            }
+          }
+          if (!usable) None
+          else if (!seen) Some(None) // zero non-null values in file
+          else Some(Some((lo, hi)))
+        }
+        if (perCol.exists(_.isEmpty)) None
+        else if (perCol.exists(_.contains(None))) Some(None)
+        else Some(Some(perCol.map(_.get.get)))
+      } finally rd.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, rels.length)))
+    try {
+      val futs = rels.map(rel => rel -> pool.submit(
+        new java.util.concurrent.Callable[Option[Option[Seq[(Long, Long)]]]] {
+          def call() = boundsOf(rel)
+        }))
+      val res = futs.map { case (rel, f) => rel -> f.get() }
+      if (res.exists(_._2.isEmpty)) None
+      else Some(res.map { case (rel, r) => rel -> r.get }.toMap)
+    } finally pool.shutdown()
+  }
+
   /** `add` action lines for the staged files, with the staged byte
     * size stamped as a `size=` token (one stat per STAGED file, at
     * write time — never per live file at read time) and (min, max)
-    * triples for `statsCols` computed in ONE file-count-scale
-    * aggregate. */
+    * triples for `statsCols` read from the staged parquet FOOTERS
+    * (driver-side metadata, zero Spark jobs — see [[footerBounds]]),
+    * falling back to ONE file-count-scale aggregate over the staged
+    * files whenever a footer cannot prove the identical bounds. */
   private def addLinesFor(s: SparkSession, t: Table, stage: Path,
                           statsCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
@@ -1200,6 +1348,16 @@ object TxnLog {
       case _ => Map.empty
     }
     def pn(c: String): String = physOf.getOrElse(c, c)
+    footerBounds(s, t, rels, statsCols.map(pn)).foreach { byRel =>
+      return rels.map { rel =>
+        byRel.get(rel).flatten match {
+          case Some(bounds) =>
+            (sized(rel) +: statsCols.zip(bounds).map { case (c, (lo, hi)) =>
+              s"$c:$lo:$hi" }).mkString("\t")
+          case None => sized(rel)
+        }
+      }
+    }
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(pn(c))).as(s"lo_$c"), max(col(pn(c))).as(s"hi_$c")))
     val byPath = s.read.parquet(stage.toString)
@@ -2305,17 +2463,22 @@ object TxnLog {
       // partition-TYPE INFERENCE (r20 verdict: a STRING partition
       // column whose tokens look numeric — "0012" — reads back as an
       // integer, mis-evaluating the stray-row probe and corrupting
-      // leading zeros): read the tokens uninferred and re-assert each
-      // partition column's REGISTERED type instead.
+      // leading zeros): pin an EXPLICIT read schema — the staged data
+      // columns as written plus every partition column as STRING (the
+      // uninferred token) — and re-assert each partition column's
+      // REGISTERED type below. (r21 verdict item: the old shape
+      // toggled partitionColumnTypeInference on the shared session
+      // conf around the read, which is unsafe the moment two
+      // statements share the session concurrently — Bench's staging
+      // pool introduced exactly that; an explicit schema touches no
+      // session state.)
       if (addLines.nonEmpty) {
-        val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prevInf = s.conf.getOption(infKey)
-        s.conf.set(infKey, "false")
-        val raw = try s.read.parquet(stage.toString)
-          finally prevInf match {
-            case Some(v) => s.conf.set(infKey, v)
-            case None    => s.conf.unset(infKey)
-          }
+        val dataFields = toPhysical(df, snap.schemaJson.map(parseSchema))
+          .schema.fields.filterNot(f => partCols.contains(f.name))
+        val probeSchema = StructType(dataFields ++ partCols.map(pc =>
+          org.apache.spark.sql.types.StructField(pc,
+            org.apache.spark.sql.types.StringType)))
+        val raw = s.read.schema(probeSchema).parquet(stage.toString)
         val stagedDf = snap.schemaJson.map(parseSchema) match {
           case Some(sc) if hasMapping(sc) =>
             val m = sc.fields.map(f => physicalName(f) -> f.name).toMap
@@ -2352,15 +2515,24 @@ object TxnLog {
       val affected =
         if (affectedRel.isEmpty) None
         else Some(readRels(s, t, snap, affectedRel))
-      val survivorAdds = affected.toSeq.flatMap(a =>
-        stageAdds(s, t, a.filter(not(cond)), survivorStage, partCols,
-          statsCols, snap.schemaJson))
-      enforceStaged(s, t, Seq(stage), snap.constraints)
-      val deleteCdc = affected.toSeq.flatMap { a =>
-        toPhysical(a.filter(cond), snap.schemaJson.map(parseSchema))
-          .write.parquet(cdcStage.toString)
-        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
-      }
+      // survivor restage, incoming-stage constraint check and the
+      // old-image change-file write are independent sliver-scale jobs
+      // — overlapped (stagedPar, §2.6); refusals still precede commit
+      val stagedOut = stagedPar(Seq(
+        () => affected.toSeq.flatMap(a =>
+          stageAdds(s, t, a.filter(not(cond)), survivorStage, partCols,
+            statsCols, snap.schemaJson)),
+        () => {
+          enforceStaged(s, t, Seq(stage), snap.constraints)
+          Seq.empty[String]
+        },
+        () => affected.toSeq.flatMap { a =>
+          toPhysical(a.filter(cond), snap.schemaJson.map(parseSchema))
+            .write.parquet(cdcStage.toString)
+          stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+        }))
+      val survivorAdds = stagedOut(0)
+      val deleteCdc = stagedOut(2)
       // an insert-only outcome (nothing matched) is a plain insert
       // wave: its adds auto-count in the feed, cdc refs would double
       val insertCdc =
@@ -2452,6 +2624,32 @@ object TxnLog {
     (cand.length, snap.liveFiles.length)
   }
 
+  /** Run a statement's INDEPENDENT staging writes concurrently
+    * (guide §2.6 — overlap independent jobs): each thunk is a
+    * self-contained write into its own stage dir, and these are all
+    * small sliver-scale jobs whose wall time is stage latency, not
+    * throughput, so overlapping them back-fills the executor slots a
+    * single write leaves idle (the Bench `_staging_tables` pool
+    * precedent). Results come back in input order; a failure
+    * rethrows the ORIGINAL builder exception, so refusal semantics
+    * (constraints, scope probes) are unchanged. Spark job submission
+    * is thread-safe and job descriptions are thread-local
+    * (inherited), per the guide. */
+  private def stagedPar[A](thunks: Seq[() => A]): Seq[A] = {
+    if (thunks.length <= 1) return thunks.map(_())
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(thunks.length)
+    try {
+      val futs = thunks.map(th => pool.submit(
+        new java.util.concurrent.Callable[A] { def call(): A = th() }))
+      futs.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Stage `df` under `stage` and return its add-action lines,
     * THROUGH the partition layout when the table has one — the one
     * staging shape every rewrite op (delete, update, merge,
@@ -2537,13 +2735,21 @@ object TxnLog {
     try {
       // survivors restage THROUGH the partition layout (stageAdds),
       // so a delete never flattens files out of partition discipline;
-      // the change files stay flat (they are the feed, not the table)
+      // the change files stay flat (they are the feed, not the table).
+      // The survivor restage and the change-file write are
+      // independent sliver-scale jobs — overlapped (stagedPar, §2.6)
       val partCols = snap.partCols
-      val adds = stageAdds(s, t, affected.filter(not(cond)), stage,
-        partCols, statsCols, snap.schemaJson)
-      toPhysical(affected.filter(cond), snap.schemaJson.map(parseSchema))
-        .write.parquet(cdcStage.toString)
-      val cdcLines = stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+      val staged = stagedPar(Seq(
+        () => stageAdds(s, t, affected.filter(not(cond)), stage,
+          partCols, statsCols, snap.schemaJson),
+        () => {
+          toPhysical(affected.filter(cond),
+            snap.schemaJson.map(parseSchema))
+            .write.parquet(cdcStage.toString)
+          stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+        }))
+      val adds = staged(0)
+      val cdcLines = staged(1)
       // auto-retry past file-disjoint interlopers (a blind append
       // commutes with this delete at write-serializable isolation);
       // the read set is every file the locating scan OPENED, so an
@@ -2623,19 +2829,32 @@ object TxnLog {
     val updatedStage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
-      val adds =
-        stageAdds(s, t, affected.filter(not(cond)), survivorStage,
-          partCols, statsCols, snap.schemaJson) ++
-        stageAdds(s, t, newImages, updatedStage, partCols, statsCols,
-          snap.schemaJson)
-      // only the NEW images can introduce a violation — survivors
-      // are rewritten byte-identical and already satisfied the
-      // constraints (declaration validates existing rows)
-      enforceStaged(s, t, Seq(updatedStage), snap.constraints)
-      toPhysical(affected.filter(cond), snap.schemaJson.map(parseSchema))
-        .write.parquet(cdcStage.toString) // old images
+      // the survivor restage, the new-image restage (+ its constraint
+      // check — only NEW images can violate; survivors are rewritten
+      // byte-identical and already satisfied the declaration's
+      // validating scan) and the old-image change-file write are
+      // three independent sliver-scale jobs — overlapped (stagedPar,
+      // §2.6). A constraint refusal still throws before anything
+      // commits; concurrently staged garbage is sealed for vacuum,
+      // exactly as the sequential shape left it.
+      val staged = stagedPar(Seq(
+        () => stageAdds(s, t, affected.filter(not(cond)), survivorStage,
+          partCols, statsCols, snap.schemaJson),
+        () => {
+          val a = stageAdds(s, t, newImages, updatedStage, partCols,
+            statsCols, snap.schemaJson)
+          enforceStaged(s, t, Seq(updatedStage), snap.constraints)
+          a
+        },
+        () => {
+          toPhysical(affected.filter(cond),
+            snap.schemaJson.map(parseSchema))
+            .write.parquet(cdcStage.toString) // old images
+          stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+        }))
+      val adds = staged(0) ++ staged(1)
       val cdcLines =
-        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
+        staged(2) ++
         stagedFiles(t, updatedStage).map(r => s"cdc\t$r\tinsert")
       // same write-serializable reconciliation as delete: rebase past
       // append-only interlopers, refuse when any SCANNED file moved
@@ -2989,21 +3208,32 @@ object TxnLog {
     val sourceStage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
-      val adds =
-        stageAdds(s, t, affected.join(keys, Seq(keyCol), "left_anti"),
-          survivorStage, partCols, statsCols, snap.schemaJson) ++
-        stageAdds(s, t, src, sourceStage, partCols, statsCols,
-          snap.schemaJson)
+      // survivor restage, source restage (+ its constraint check —
       // only the source's new images/inserts can violate; survivors
-      // are byte-identical rewrites
-      enforceStaged(s, t, Seq(sourceStage), snap.constraints)
-      toPhysical(affected.join(keys, Seq(keyCol), "left_semi"),
-          snap.schemaJson.map(parseSchema))
-        .write.parquet(cdcStage.toString) // old images of matched rows
+      // are byte-identical rewrites) and the old-image change-file
+      // write are independent sliver-scale jobs — overlapped
+      // (stagedPar, §2.6); refusals still throw before the commit
+      val staged = stagedPar(Seq(
+        () => stageAdds(s, t,
+          affected.join(keys, Seq(keyCol), "left_anti"),
+          survivorStage, partCols, statsCols, snap.schemaJson),
+        () => {
+          val a = stageAdds(s, t, src, sourceStage, partCols, statsCols,
+            snap.schemaJson)
+          enforceStaged(s, t, Seq(sourceStage), snap.constraints)
+          a
+        },
+        () => {
+          toPhysical(affected.join(keys, Seq(keyCol), "left_semi"),
+              snap.schemaJson.map(parseSchema))
+            .write.parquet(cdcStage.toString) // old images, matched rows
+          stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete")
+        }))
+      val adds = staged(0) ++ staged(1)
       val (schema, changed, _) = mergedSchema(t, registeredSchema(t),
         src.schema)
       val cdcLines =
-        stagedFiles(t, cdcStage).map(r => s"cdc\t$r\tdelete") ++
+        staged(2) ++
         stagedFiles(t, sourceStage).map(r => s"cdc\t$r\tinsert")
       val schemaLine = if (changed) Seq(s"schema\t${schema.json}") else Nil
       // reconcile past append-only interlopers; the read set is the
@@ -3133,22 +3363,36 @@ object TxnLog {
     val src = source.localCheckpoint()
     try {
 
-    // loud ambiguity refusal: one aggregate over the source. Rows
-    // with a NULL key component are EXCLUDED — they can never match a
-    // target row (SQL equi-join), so any number of them stays
-    // order-independent (they only ever route through NOT MATCHED)
-    val worst = src
-      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
-    require(worst.isNullAt(0) || worst.getLong(0) <= 1L,
-      s"merge source has up to ${worst.getLong(0)} rows per key " +
+    val snap = snap0.getOrElse(snapshot(t))
+    val statsCols = liveStatsCols(snap)
+    // each stats-tracked key column bounds the candidate set by the
+    // source's range on it (consumed below)
+    val trackedKeys = keyCols.filter(k =>
+      snap.fileStats.values.exists(_.contains(k)))
+    // loud ambiguity refusal + per-tracked-key source range in ONE
+    // source-scale job (r22, guide §1.5 — fewer actions): the worst
+    // per-key multiplicity and every tracked key's min/max ride the
+    // same grouped pass; the old shape paid a second aggregate over
+    // the distinct keys just for the range. Rows with a NULL key
+    // component are EXCLUDED from the multiplicity — they can never
+    // match a target row (SQL equi-join; they only route through NOT
+    // MATCHED) — which the when() guard reproduces; min/max skip null
+    // groups by definition, and min/max over the grouped keys equal
+    // min/max over the raw rows, so both results are byte-identical
+    // to the two-job shape.
+    val fusedAggs =
+      max(when(keyCols.map(col(_).isNotNull).reduce(_ && _), col("_n")))
+        .as("_worst") +:
+      trackedKeys.flatMap(k =>
+        Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+    val fused = src.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(fusedAggs.head, fusedAggs.tail: _*).head()
+    require(fused.isNullAt(0) || fused.getLong(0) <= 1L,
+      s"merge source has up to ${fused.getLong(0)} rows per key " +
         s"(${keyCols.mkString(", ")}): a multi-row-per-key source makes " +
         "the merge order-dependent — dedup the source (e.g. keep the " +
         "newest row per key) first")
-
-    val snap = snap0.getOrElse(snapshot(t))
-    val statsCols = liveStatsCols(snap)
     // WITH SCHEMA EVOLUTION (Delta's clause): the source's NEW
     // columns extend the target schema (existing rows null-fill) and
     // losslessly WIDER shared types re-register wide — decided ONCE
@@ -3167,26 +3411,17 @@ object TxnLog {
           if (changed) Some((m, widenedAny)) else None
       }
     val keys = src.select(keyCols.map(col): _*).distinct()
-    // each stats-tracked key column bounds the candidate set by the
-    // source's range on it — one sync-sized aggregate for all of them
-    val trackedKeys = keyCols.filter(k =>
-      snap.fileStats.values.exists(_.contains(k)))
     val candidates =
       if (trackedKeys.isEmpty) snap.liveFiles
+      else if (fused.isNullAt(1)) Nil // empty source: nothing matches
       else {
-        val aggs = trackedKeys.flatMap(k =>
-          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
-        val r = keys.agg(aggs.head, aggs.tail: _*).head()
-        if (r.isNullAt(0)) Nil // empty source: nothing matches
-        else {
-          val preds = trackedKeys.flatMap { k =>
-            (r.getAs[Any](s"lo_$k"), r.getAs[Any](s"hi_$k")) match {
-              case (lo: Long, hi: Long) => Some((k, lo, hi))
-              case _                    => None
-            }
+        val preds = trackedKeys.flatMap { k =>
+          (fused.getAs[Any](s"lo_$k"), fused.getAs[Any](s"hi_$k")) match {
+            case (lo: Long, hi: Long) => Some((k, lo, hi))
+            case _                    => None
           }
-          if (preds.isEmpty) snap.liveFiles else pruneBox(snap, preds)
         }
+        if (preds.isEmpty) snap.liveFiles else pruneBox(snap, preds)
       }
     val affectedRel =
       if (bySource.nonEmpty) snap.liveFiles
@@ -3453,22 +3688,29 @@ object TxnLog {
     val insertStage = newStage(t, t.dataDir)
     val cdcStage = newStage(t, t.cdcDir)
     try {
-      val adds =
-        survivors.toSeq.flatMap(
+      // survivor / updated-new-image / insert restages and the
+      // old-image change-file write are independent sliver-scale jobs
+      // — overlapped (stagedPar, §2.6); the constraint check (updated
+      // new images + accepted inserts can violate; survivors are
+      // byte-identical rewrites) still throws before the commit
+      val stagedOut = stagedPar(Seq(
+        () => survivors.toSeq.flatMap(
           stageAdds(s, t, _, survivorStage, partCols, statsCols,
-            snap.schemaJson)) ++
-        updatedNew.toSeq.flatMap(
+            snap.schemaJson)),
+        () => updatedNew.toSeq.flatMap(
           stageAdds(s, t, _, updatedStage, partCols, statsCols,
-            snap.schemaJson)) ++
-        inserted.toSeq.flatMap(
+            snap.schemaJson)),
+        () => inserted.toSeq.flatMap(
           stageAdds(s, t, _, insertStage, partCols, statsCols,
-            snap.schemaJson))
-      // updated new images + accepted inserts can violate; survivors
-      // are byte-identical rewrites
+            snap.schemaJson)),
+        () => {
+          toPhysical(oldImages, snap.schemaJson.map(parseSchema))
+            .write.parquet(cdcStage.toString)
+          Seq.empty[String]
+        }))
+      val adds = stagedOut(0) ++ stagedOut(1) ++ stagedOut(2)
       enforceStaged(s, t, Seq(updatedStage, insertStage),
         snap.constraints)
-      toPhysical(oldImages, snap.schemaJson.map(parseSchema))
-        .write.parquet(cdcStage.toString)
       val (schema, changed, widenedAny) = evolvedTo match {
         // WITH SCHEMA EVOLUTION: the pre-computed merged shape lands
         // with the data in this one commit, insert path or not
