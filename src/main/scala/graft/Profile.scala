@@ -32,11 +32,23 @@ object Profile {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskMs = 0L
+    // SPARK_GRAFT_PROF_STAGES=1: per-stage (tasks, taskSec, name) dump
+    // after each rep — attributes a regression to its operator chain
+    val stageDetail = sys.env.get("SPARK_GRAFT_PROF_STAGES").contains("1")
+    val stageRows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         synchronized { jobs += 1 }
       override def onStageCompleted(st: SparkListenerStageCompleted): Unit =
-        synchronized { stages += 1 }
+        synchronized {
+          stages += 1
+          if (stageDetail) stageRows.add((st.stageInfo.stageId,
+            st.stageInfo.numTasks,
+            Option(st.stageInfo.taskMetrics)
+              .map(_.executorRunTime).getOrElse(0L),
+            st.stageInfo.name.takeWhile(_ != '\n').take(120)))
+        }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
         tasks += 1
         if (t.taskInfo != null) taskMs += t.taskInfo.duration
@@ -53,6 +65,7 @@ object Profile {
     names.foreach { n =>
       (1 to reps).foreach { rep =>
         synchronized { jobs = 0; stages = 0; tasks = 0; taskMs = 0L }
+        stageRows.clear()
         val t0 = System.nanoTime()
         try run(n) catch {
           case e: Throwable => println(s"PROF $n rep$rep FAILED: $e")
@@ -62,6 +75,13 @@ object Profile {
         Thread.sleep(150)
         println(f"PROF $n%-32s rep$rep wall=$wall%7.3f jobs=$jobs%3d " +
           f"stages=$stages%4d tasks=$tasks%5d taskSec=${taskMs / 1e3}%8.2f")
+        if (stageDetail) {
+          import scala.jdk.CollectionConverters._
+          stageRows.asScala.toSeq.sortBy(-_._3).take(12).foreach {
+            case (id, nt, ms, nm) =>
+              println(f"  STAGE $id%4d tasks=$nt%4d runSec=${ms / 1e3}%7.2f  $nm")
+          }
+        }
       }
     }
     spark.stop()
