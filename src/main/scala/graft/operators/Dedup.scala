@@ -501,7 +501,10 @@ object Dedup {
       // scans). At 100 TB this is the window-fingerprint table an
       // ExactSubstr pipeline materializes on shared storage anyway
       // (the staged-shingles precedent); rows are (id, pos, 2 fps).
+      // r22: consumed by the RETURNED plan -> tracked, released at the
+      // next declared-query build (CheckpointLedger)
       .localCheckpoint()
+    CheckpointLedger.track(keyed)
     val dupKeys = keyed
       .groupBy(col("wfp"), col("wmd5"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -628,6 +631,11 @@ object Dedup {
         .observe(obs, sum(col("label").cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint() // cut the per-round lineage growth
       val nextSum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      // r22: the superseded round's blocks release the moment the new
+      // round materializes (the pageRankConverged pattern); round 1
+      // supersedes the plain `nodes` plan, which holds no blocks
+      if (rounds > 1)
+        org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -637,6 +645,10 @@ object Dedup {
     // near-dups — min-propagation advances one hop per round) would
     // otherwise yield silently wrong component ids, diverging from
     // the oracle's full recursive reachability with no error.
+    // the edge set served its last join; the FINAL labels checkpoint
+    // feeds the returned plan -> tracked for the next-query sweep
+    org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(edges)
+    CheckpointLedger.track(labels)
     if (!converged)
       throw new IllegalStateException(
         s"connected-components label propagation did not converge " +
@@ -814,8 +826,9 @@ object Dedup {
     // the corpus fingerprint set is read three times (width count,
     // bloom-bit fold, exact hit-verdict join) — materialize it once
     // rather than re-scanning + re-distincting the corpus per use
-    val corpusFps = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(fp.as("fp")).distinct().localCheckpoint()
+    val corpusFps = CheckpointLedger.track(
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(fp.as("fp")).distinct().localCheckpoint())
     bloomAdmitOn(batch, corpusFps, bloomAdmitBits(corpusFps.count()))
   }
 
@@ -887,7 +900,10 @@ object Dedup {
     // 1.0 s at sf0.01. At 100 TB the assignment is written to storage
     // once per pipeline run and shared with ml_kmeans/sim_knn_ivf
     // anyway; localCheckpoint (memory-and-disk) is the local analog.
-    semanticOn(Similarity.trainedCells(s, d).localCheckpoint())
+    // r22: corpus-scale blocks — tracked, released at the next
+    // declared-query build (CheckpointLedger) instead of JVM lifetime
+    semanticOn(CheckpointLedger.track(
+      Similarity.trainedCells(s, d).localCheckpoint()))
 
   /** The verdict pipeline over any (vec_id, cell, embedding)
     * assignment — exposed so specs can plant duplicates into chosen

@@ -1045,11 +1045,11 @@ object TextAnalysis {
     // assignment spine — and each would otherwise re-run the whole
     // lmScore train+score chain. At 100 TB the scored table is
     // written to storage once per pipeline run anyway.
-    val scored = lmScore(s, d)
+    val scored = CheckpointLedger.track(lmScore(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "doc_id")
       .select(col("doc_id"), col("lang"), col("score_micro"))
-      .localCheckpoint()
+      .localCheckpoint()) // returned-plan consumer -> next-query sweep
     // catalog-scale scalar: corpus size, to fix the sample modulus
     val m = Relational.q36Modulus(scored.count())
     val samp = scored.filter(
@@ -1136,6 +1136,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("y"))
       .agg(collect_list(struct(col("bucket"), col("x"))).as("bx"))
       .localCheckpoint() // one materialization feeds every epoch
+    try {
     var w = Array.fill(K)(0L)
     var lastErrors = 0L
     for (_ <- 1 to epochs) {
@@ -1164,5 +1165,9 @@ object TextAnalysis {
       (b.toLong, wt, lastErrors)
     }.toDF("bucket", "weight", "final_errors")
       .orderBy(col("bucket"))
+    // r22: the features' last consumer is the final epoch's update
+    // collect — release the doc-scale blocks before returning (the
+    // result is driver-local model state)
+    } finally org.apache.spark.sql.graftshim.Shim.releaseCheckpoint(feats)
   }
 }
