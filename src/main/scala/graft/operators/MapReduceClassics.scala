@@ -192,7 +192,12 @@ object MapReduceClassics {
     * plan subtree duplicates ~2^k-fold and runtime stage dedup stops
     * keeping up — PrSteps=6 measured 128+ task-seconds vs ~50 (the
     * wall win at 4 comes from idle cores absorbing the modest
-    * duplication while the sequential action count halves). */
+    * duplication while the sequential action count halves).
+    * Re-A/B'd at r22 on the CARRY shape (the r21 verdict asked):
+    * interleaved Profile pairs put k=5 at 17.1/17.3 s against k=4 at
+    * 16.3 s and k=6 at 21.7 s (jobs 95 → 89 → 86) — the saved
+    * materializations are fully eaten by the duplicated per-step
+    * subtrees, so 4 stands. */
   val PrSteps = 4
 
   /** mr_pagerank_converged — the reference's driver-loop semantics:
@@ -334,16 +339,26 @@ object MapReduceClassics {
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select(col("u"), col("v"))
       .localCheckpoint() // edges feed 4 subtrees; derive once
-    val deg = e0.select(col("u").as("x"))
+    CheckpointLedger.track(e0) // consumed by the returned plan (r22)
+    // r22 plan audit: the old lazy chain held 36 copies of the e0
+    // checkpoint read — `deg` was re-aggregated per reference (du, dv,
+    // nodes) and `oriented` re-joined per closure side (exchange reuse
+    // never collapsed them: the aliased sides canonicalize apart), so
+    // the degree aggregate and orientation join ran up to 3× each.
+    // Both are edge/node-scale; materialize once and release at the
+    // next query build (they feed the returned plan — CheckpointLedger)
+    val deg = CheckpointLedger.track(e0.select(col("u").as("x"))
       .unionByName(e0.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint())
     val du = deg.select(col("x").as("u"), col("dg").as("d_u"))
     val dv = deg.select(col("x").as("v"), col("dg").as("d_v"))
     val fwd = col("d_u") < col("d_v") ||
       (col("d_u") === col("d_v") && col("u") < col("v"))
-    val oriented = e0.join(du, "u").join(dv, "v")
+    val oriented = CheckpointLedger.track(e0.join(du, "u").join(dv, "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
               when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint())
     // each unordered wedge appears in both (b,c) orders; exactly one
     // order can close (orientation is a total order), so inner-joining
     // the oriented edges counts each triangle once

@@ -1409,18 +1409,26 @@ object Multimodal {
         it.flatMap { id =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(ImageSynth.realImage(id)))
+          // r22 per-task work (guide §1.2 step 2): ONE bulk getRGB per
+          // image instead of 1,152 per-pixel calls — each getRGB pays
+          // a color-model conversion dispatch; the bulk call converts
+          // the raster in one pass. Identical ARGB ints, so every
+          // block mean and quantized index is byte-identical.
+          val w = img.getWidth
+          val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
           for (by <- 0 until 8; bx <- 0 until 9) yield {
             var sum = 0L
-            var py = 0
-            while (py < 4) {
-              var px = 0
-              while (px < 4) {
-                val rgb = img.getRGB(bx * 4 + px, by * 4 + py)
+            var dy = 0
+            while (dy < 4) {
+              var dx = 0
+              val rowOff = (by * 4 + dy) * w + bx * 4
+              while (dx < 4) {
+                val rgb = px(rowOff + dx)
                 sum += (299 * ((rgb >> 16) & 0xff) +
                   587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-                px += 1
+                dx += 1
               }
-              py += 1
+              dy += 1
             }
             val mean = sum / 16
             val q = math.max(0L, math.min(4L, (mean - 15 + 27) / 55))
@@ -1459,7 +1467,13 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaPayload(id, ImageSynth.realImage(id))))
       .toDF()
       .select(col("doc_id"), expr("image_dhash(bytes)").as("phash"))
-    val groups = hashes.groupBy(col("phash")).agg(
+    // r22 plan audit: the banded self-join + final spine held THREE
+    // copies of the groups subtree, and the expensive part under it —
+    // the full-corpus image DECODE — ran per copy (6 documents scans,
+    // zero exchange reuse). Groups are distinct-hash-scale; materialize
+    // once per call (released at the next query build — the returned
+    // plan consumes them)
+    val groups = CheckpointLedger.track(hashes.groupBy(col("phash")).agg(
       count(lit(1)).as("n_docs"),
       sum(when(expr("(doc_id div 40) % 2 = 0"), 1L).otherwise(0L))
         .as("n_png"),
@@ -1467,6 +1481,7 @@ object Multimodal {
         .as("n_jpeg"),
       min(col("doc_id")).as("first_doc"),
       max(col("doc_id")).as("last_doc"))
+      .localCheckpoint())
     val banded = groups.select(col("phash"),
         explode(expr("array(0, 1, 2, 3)")).as("band"))
       .withColumn("key", expr("(phash >> (band * 16)) & 65535"))
