@@ -304,8 +304,14 @@ object Dedup {
     // member in every band bucket). Unlike simhash, identical sigs do
     // NOT prove jac >= tau, so intra-group pairs still flow through
     // exact verification with everything else.
-    val groups = sigs.groupBy(col("sig"))
+    // r22: the signature-group table feeds THREE consumers (intra
+    // pairs + both band self-join sides) and exchange reuse never
+    // collapses the aliased sides — without this the shingle explode +
+    // minhash aggregate ran per reference. Distinct-signature scale;
+    // released at the next query build (returned-plan consumer).
+    val groups = CheckpointLedger.track(sigs.groupBy(col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint())
     val intra = groups.select(explode(expr(
       """flatten(transform(ids, (a, i) ->
            transform(slice(ids, i + 2, size(ids)), b ->
@@ -371,8 +377,12 @@ object Dedup {
     // would make its ids array, and its C(n,2) TRUE output, absurd;
     // real pipelines emit the group representative instead, which is
     // exactly what dedup_exact/dedup_survivor do.)
-    val groups = sigs.groupBy(col("sig"))
+    // r22: same three-consumer shape as minhashLsh — materialize the
+    // signature groups once (the word explode + simhash aggregate ran
+    // per reference before); released at the next query build
+    val groups = CheckpointLedger.track(sigs.groupBy(col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint())
     val intra = groups
       .select(explode(expr(
         """filter(flatten(transform(ids, (a, i) ->
@@ -758,9 +768,13 @@ object Dedup {
           hp.slice(b * bandBits, (b + 1) * bandBits).map(_.toSeq).toSeq)
           .as("bv"))
     }
-    val bands = e
+    // r22: both self-join sides re-computed the corpus hyperplane
+    // signatures (aliased sides canonicalize apart — no exchange
+    // reuse); one corpus×4-row materialization, ledger-released
+    val bands = CheckpointLedger.track(e
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .localCheckpoint())
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
