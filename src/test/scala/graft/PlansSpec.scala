@@ -407,26 +407,28 @@ class PlansSpec extends AnyFunSuite {
       s"documents scan reads beyond doc_id/text:\n${plan.take(900)}")
   }
 
-  test("phash groups: map-only decode, group collapse before LSH, reused distinct") {
+  test("phash groups: corpus decode runs once, branches read materialized groups") {
+    // r22: the distinct-hash groups MATERIALIZE once when the query is
+    // built (their aggregate runs the full-corpus decode exactly once;
+    // before, the banded self-join's aliased sides canonicalized apart
+    // and re-decoded the corpus per side), and every branch of the
+    // RESULT plan reads the checkpointed rows
+    // (the build itself sweeps earlier queries' tracked checkpoints,
+    // so after it exactly this query's registration must be pending)
     val df = SparkEntry.queries("mm_phash_neardup")(spark, sf)
+    assert(graft.operators.CheckpointLedger.pendingCount >= 1,
+      "groups checkpoint not tracked for the next-query sweep")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // decode+hash is ONE codegen projection straight off the payload
-    // (no UDF boundary, no shuffle before hashing)
-    assert(plan.contains("static_invoke(graft.operators.DHash.ofBytes"),
-      s"image_dhash not inlined as a codegen projection:\n${plan.take(900)}")
-    // docs collapse into hash groups map-side: a partial aggregate on
-    // phash exists UNDER the group exchange (child prints below), so
-    // the exchange never carries doc-scale rows
-    assert(("(?s)Exchange hashpartitioning\\(phash[^\\n]*\\n[^\\n]*" +
-      "HashAggregate\\(keys=\\[phash[^\\n]*partial_").r
-      .findFirstIn(plan).nonEmpty,
-      s"no map-side group collapse before the phash exchange:\n${plan.take(1200)}")
-    // the LSH branch reuses the distinct-hash exchange instead of
-    // recomputing the decode pipeline
-    assert(plan.contains("ReusedExchange"),
-      s"distinct-hash exchange not reused:\n${plan.take(900)}")
+    // the decode projection must NOT appear in the result plan at all
+    // — if it does, some branch re-decodes the corpus
+    assert(!plan.contains("static_invoke(graft.operators.DHash.ofBytes"),
+      s"a result-plan branch re-runs the corpus decode:\n${plan.take(900)}")
+    // both the banded sides and the final spine read the materialized
+    // groups (the checkpoint RDD), not a recomputed aggregate
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
+      s"branches do not read the materialized groups:\n${plan.take(900)}")
     // nothing pairwise at doc scale
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
