@@ -198,17 +198,16 @@ object Dedup {
     * 32× replica (measured; same disease the signature collapse cured
     * for simhash/minhash). */
   private def repArrays(s: SparkSession, d: String): DataFrame =
-    // r22: ngramJaccard references the representatives THREE times
-    // (prefix explode + both verify sides) and the r22 plan audit
-    // counted 14 staged-shingle scans with zero exchange reuse (the
-    // aliased self-join sides canonicalize apart) — materialize the
-    // collapsed rep table once per call; it feeds the returned plan,
-    // so the ledger releases it at the next query build
-    CheckpointLedger.track(shingleArrays(s, d)
+    // r22 note: materializing this (and the prefix table) was tried —
+    // task time halved (the three references re-aggregate per use;
+    // zero exchange reuse across the aliased self-join sides) but the
+    // bench WALL regressed 1.16× (two extra serial actions against a
+    // rebuild that reads the already-materialized staged-shingles
+    // table), so per guide §1 the lazy shape stays
+    shingleArrays(s, d)
       .groupBy(col("shs"), col("n_sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .withColumn("rid", element_at(col("ids"), 1))
-      .localCheckpoint())
 
   /** Shingle-Jaccard near-dup pairs at tau = 0.8, exact arithmetic.
     * Pipeline: collapse identical shingle sets → prefix+length-
@@ -238,8 +237,6 @@ object Dedup {
           """transform(slice(ranked, 1,
                cast(floor(size(ranked) * 0.2) as int) + 1), r -> r.sh)"""))
           .as("sh"))
-      .localCheckpoint() // self-joined on both sides; derive once (r22)
-    CheckpointLedger.track(sized)
     val candRep = sized
       .select(col("rid").as("rx"), col("sh"), col("n_sh").as("nx"))
       .join(sized.select(col("rid").as("ry"), col("sh"),
